@@ -1,0 +1,65 @@
+"""Portable text primitives used by the text-analysis and dedup
+operators.
+
+Every primitive exists twice, by design: a Spark Column expression and
+a DuckDB SQL snippet that computes bit-identical results — this is
+what lets heuristic operators (minhash, fingerprints, quality scores)
+be oracle-checked exactly rather than "rows-only".
+
+The portable 32-bit token hash is the first 8 hex digits of md5 —
+the only hash primitive both engines share. All arithmetic stays in
+int64 (products ≤ 2^39, sums ≤ 2^50) so no overflow on either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+# ---- tokenization ----------------------------------------------------------
+
+TOKENS_SQL = "string_split_regex(trim({col}), '\\s+')"
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+# ---- portable 32-bit hash --------------------------------------------------
+# Spark:  conv(substr(md5(s),1,8),16,10) cast to bigint
+# DuckDB: cast('0x' || substr(md5(s),1,8) as bigint)
+
+
+def hash32_sql_spark(expr: str) -> str:
+    return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def hash32_sql_duck(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# ---- word n-gram shingles --------------------------------------------------
+# Guarded: fewer than n tokens → empty list (Spark's sequence(1,0) would
+# otherwise produce a DESCENDING sequence, not an empty one).
+
+
+def shingles_sql_spark(toks_expr: str, n: int = 3) -> str:
+    parts = ", ".join(f"element_at({toks_expr}, i + {k})" for k in range(n))
+    return (
+        f"CASE WHEN size({toks_expr}) >= {n} THEN "
+        f"transform(sequence(1, size({toks_expr}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def shingles_sql_duck(toks_expr: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"({toks_expr})[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks_expr}) - {n - 1}), "
+        f"i -> {parts}) "
+        f"ELSE [] END"
+    )

@@ -1,0 +1,333 @@
+"""Deduplication operators for training-data pipelines —
+exact, MinHash+LSH, n-gram Jaccard, SimHash — over `documents`.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup is a hash-groupBy on a 16-byte digest, never on the
+  full text (shuffle moves digests, not documents);
+- near-dup candidate generation goes through an inverted index
+  (explode shingles / LSH band buckets) so cost is
+  O(sum of postings²  per bucket), never O(n²) over the corpus;
+- MinHash signatures compress each document to k×int64 before any
+  shuffle — the verify step joins signatures, not texts.
+
+Everything is built from md5-derived integer hashes so the DuckDB
+oracle reproduces results exactly (see functions/text_fns.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.text_fns import (
+    hash32_sql_duck,
+    hash32_sql_spark,
+    shingles_sql_duck,
+    shingles_sql_spark,
+)
+from nimble_spark.functions.exact import rnd
+from nimble_spark.registry import register
+from nimble_spark.tables import load
+
+R4 = 4
+N_MINHASH = 8
+JACCARD_THR = 0.4
+
+_TOKS_DUCK = "string_split_regex(trim(text), '\\s+')"
+_TOKS_SPARK = "split(trim(text), '\\\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    category="dedup",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the earliest doc.
+    The shuffle key is the 16-byte md5, not the document text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    )
+    SELECT h AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM n GROUP BY h
+    HAVING COUNT(*) >= 1
+    """,
+    category="dedup",
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: lowercase + whitespace-collapse before
+    hashing (catches trivially-reformatted copies)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return (
+        d.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cols_spark() -> list[F.Column]:
+    cols = []
+    for j in range(N_MINHASH):
+        h = hash32_sql_spark(f"concat('{j}|', s)")
+        cols.append(F.expr(f"array_min(transform(sh, s -> {h}))").alias(f"mh{j}"))
+    return cols
+
+
+def _minhash_cols_duck() -> str:
+    parts = []
+    for j in range(N_MINHASH):
+        h = hash32_sql_duck(f"concat('{j}|', s)")
+        parts.append(f"list_min(list_transform(sh, s -> {h})) AS mh{j}")
+    return ",\n             ".join(parts)
+
+
+_SHINGLE_CTE_DUCK = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sh_t AS (SELECT doc_id, list_distinct({shingles_sql_duck("toks")}) AS sh FROM t)
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
+    return d.withColumn("sh", F.array_distinct(F.expr(shingles_sql_spark("toks"))))
+
+
+@register(
+    "q_minhash_signatures",
+    oracle=f"""
+    {_SHINGLE_CTE_DUCK}
+    SELECT doc_id,
+             {_minhash_cols_duck()}
+    FROM sh_t
+    """,
+    category="dedup",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: k=8 permutation-free min-hashes over distinct
+    word 3-gram shingles. Each doc compresses to 8×int64 before any
+    shuffle — the signature table is what LSH joins at scale."""
+    return _shingled(spark, sf_dir).select("doc_id", *_minhash_cols_spark())
+
+
+_LSH_PAIRS_DUCK = f"""
+    {_SHINGLE_CTE_DUCK},
+    sig AS (
+      SELECT doc_id, sh,
+             {_minhash_cols_duck()}
+      FROM sh_t
+    ),
+    bands AS (
+      SELECT doc_id, sh, 0 AS band, md5(concat(mh0, '_', mh1)) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, sh, 1, md5(concat(mh2, '_', mh3)) FROM sig
+      UNION ALL
+      SELECT doc_id, sh, 2, md5(concat(mh4, '_', mh5)) FROM sig
+      UNION ALL
+      SELECT doc_id, sh, 3, md5(concat(mh6, '_', mh7)) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+               (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jac
+      FROM cand
+    )
+    SELECT id_a, id_b, FLOOR((jac) * 10000 + 0.5) / 10000 AS jaccard
+    FROM verified WHERE jac >= {JACCARD_THR}
+"""
+
+
+@register("q_minhash_lsh_pairs", oracle=_LSH_PAIRS_DUCK, category="dedup")
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: 4 bands × 2 rows banding →
+    bucket-join candidates → exact Jaccard verify ≥ 0.4.
+
+    Scale shape: the join is on (band, band_hash) buckets; only
+    same-bucket pairs are verified. The Spark verify joins shingle
+    arrays back by doc_id instead of carrying them through the band
+    shuffle (signatures stay 8 ints wide in flight)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).select("doc_id", "sh")
+
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}")).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    cand = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.select("id_a", "id_b", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THR)
+        .select("id_a", "id_b", rnd("jac", 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=f"""
+    {_SHINGLE_CTE_DUCK},
+    posting AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM sh_t
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_common, ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           FLOOR((CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common)) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= {JACCARD_THR}
+    """,
+    category="dedup",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index
+    (explode + equi-join on shingle → pair intersection counts). The
+    ground truth the LSH variant approximates; cost bounded by posting
+    list sizes, not corpus²."""
+    sh_t = _shingled(spark, sf_dir).select("doc_id", "sh", F.size("sh").alias("sz"))
+    posting = sh_t.select("doc_id", "sz", F.explode("sh").alias("s"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return inter.filter(jac >= JACCARD_THR).select("id_a", "id_b", rnd(jac, 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_expr_spark() -> F.Column:
+    tok_h = hash32_sql_spark("x")
+    bit_sum = (
+        f"aggregate(transform(toks, x -> CAST((({tok_h} >> j) & 1) * 2 - 1 AS BIGINT)),"
+        f" 0L, (a, v) -> a + v)"
+    )
+    bits = f"transform(sequence(0, {_SIMHASH_BITS - 1}), j -> IF({bit_sum} > 0, shiftleft(1L, j), 0L))"
+    return F.expr(f"aggregate({bits}, 0L, (a, v) -> a + v)")
+
+
+_SIMHASH_DUCK = (
+    f"list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), j -> "
+    f"CASE WHEN list_sum(list_transform(toks, x -> "
+    f"(({hash32_sql_duck('x')} >> j) & 1) * 2 - 1)) > 0 "
+    f"THEN (1::BIGINT << j) ELSE 0 END))"
+)
+
+
+@register(
+    "q_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+    SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash
+    FROM t
+    """,
+    category="dedup",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) document signature: per bit, sign of the sum of
+    ±1 votes from each token hash. Near-dups differ in few bits —
+    pair detection joins on signature bands like MinHash-LSH."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
+    return d.select("doc_id", _simhash_expr_spark().alias("simhash"))
+
+
+@register(
+    "q_simhash_near_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS sh FROM t),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) AS hamming
+      FROM sig a JOIN sig b ON (a.sh >> 8) = (b.sh >> 8) AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+    """,
+    category="dedup",
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: block on the high signature byte
+    (the LSH trick for Hamming space), verify Hamming distance ≤ 2."""
+    sig = q_simhash(spark, sf_dir).withColumnRenamed("simhash", "sh")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.shiftright(F.col("a.sh"), 8) == F.shiftright(F.col("b.sh"), 8))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )

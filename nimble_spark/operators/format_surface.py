@@ -1,0 +1,192 @@
+"""Format-surface conformance queries: every result is produced by
+writing driver tables THROUGH the nimble_spark connector (write_table →
+read_table) and querying the round-tripped data, while the DuckDB
+oracle reads the original parquet — so a hash match proves the
+connector is lossless AND the index paths return exactly the right
+rows (the reference's round-trip + E2E index test strategy,
+dwio/nimble/velox/tests/VeloxWriterTest.cpp /
+velox/selective/tests/E2EIndexTest.cpp).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.exact import dsum, dsum_sql, rnd
+from nimble_spark.registry import register
+from nimble_spark.sources.table import WriteOptions, read_table, write_table
+from nimble_spark.tables import load
+
+R4 = 4
+_CACHE_ROOT = "/tmp/nimble_spark_tables"
+
+
+def _table_path(sf_dir: str, name: str, variant: str) -> str:
+    sf = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(_CACHE_ROOT, f"{sf}__{name}__{variant}")
+
+
+def _ensure_written(spark: SparkSession, sf_dir: str, name: str, variant: str, opts: WriteOptions) -> str:
+    """Write-once cache per (sf_dir, table, variant): the write is part
+    of what's under test, but rewriting identical input every query
+    run would only re-test the same thing."""
+    path = _table_path(sf_dir, name, variant)
+    marker = os.path.join(path, "_nimble", "manifest.json")
+    if not os.path.exists(marker):
+        write_table(load(spark, sf_dir, name), path, opts)
+    return path
+
+
+@register(
+    "q_roundtrip_cluster_scan",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {dsum_sql("l_extendedprice")} AS rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1995-12-31 23:59:59'
+    GROUP BY l_returnflag
+    """,
+    category="format",
+)
+def q_roundtrip_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-index range scan: lineitem is rewritten clustered by
+    l_shipdate (range-partitioned + sorted), then scanned via
+    manifest min/max file pruning — only files whose key range
+    intersects 1995 are read (ClusterIndex analogue)."""
+    path = _ensure_written(
+        spark, sf_dir, "lineitem", "cluster_shipdate", WriteOptions(cluster_by=["l_shipdate"])
+    )
+    import datetime
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1995, 12, 31, 23, 59, 59)
+    df = read_table(spark, path, range_scan=("l_shipdate", lo, hi))
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("rev")
+    )
+
+
+@register(
+    "q_point_lookup_cluster",
+    oracle="""
+    SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 10000 + 0.5) / 10000 AS price
+    FROM orders
+    WHERE o_orderkey IN (1, 77, 500, 4242, 14999)
+    """,
+    category="format",
+)
+def q_point_lookup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a cluster-indexed table (sorted by o_orderkey):
+    manifest pruning narrows to the files whose key bounds cover the
+    probe set — the index-lookup-join serving path
+    (SelectiveNimbleIndexReader.h:36-62 analogue)."""
+    path = _ensure_written(
+        spark, sf_dir, "orders", "cluster_orderkey", WriteOptions(cluster_by=["o_orderkey"])
+    )
+    df = read_table(spark, path, point_lookup=("o_orderkey", [1, 77, 500, 4242, 14999]))
+    return df.select("o_orderkey", "o_custkey", rnd("o_totalprice", 4).alias("price"))
+
+
+@register(
+    "q_point_lookup_hash",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql("o_totalprice")} AS spent
+    FROM orders
+    WHERE o_custkey IN (3, 42, 777, 1200)
+    GROUP BY o_custkey
+    """,
+    category="format",
+)
+def q_point_lookup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the hash index (bucketed directories on
+    o_custkey): only the buckets hashing the probe keys are listed —
+    HashIndex exact point lookup on unsorted data
+    (dwio/nimble/index/HashIndex.h:57 analogue)."""
+    path = _ensure_written(
+        spark, sf_dir, "orders", "hash_custkey", WriteOptions(bucket_by="o_custkey", n_buckets=16)
+    )
+    df = read_table(spark, path, point_lookup=("o_custkey", [3, 42, 777, 1200]))
+    return df.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spent")
+    )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_phone
+    FROM customer WHERE c_custkey <= 100
+    """,
+    category="format",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column evolution: projecting a column that does not exist in
+    the written file returns typed nulls (NullColumnReader analogue,
+    dwio/nimble/velox/selective/ColumnReader.cpp:57-62)."""
+    path = _ensure_written(spark, sf_dir, "customer", "plain", WriteOptions())
+    df = read_table(spark, path, columns=["c_custkey", "c_name", "c_phone"])
+    return df.filter(F.col("c_custkey") <= 100)
+
+
+@register(
+    "q_lookup_join",
+    oracle=f"""
+    SELECT l_orderkey, COUNT(*) AS n_lines, {dsum_sql("l_extendedprice")} AS order_rev
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY l_orderkey
+    """,
+    category="format",
+)
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index lookup join: probe keys (high-value orders) drive a pruned
+    scan of the cluster-indexed lineitem copy, then aggregate. At
+    scale this is the broadcast-keys + sorted-bucketed-table pattern
+    standing in for SelectiveNimbleIndexReader batch lookups."""
+    path = _ensure_written(
+        spark, sf_dir, "lineitem", "cluster_orderkey", WriteOptions(cluster_by=["l_orderkey"])
+    )
+    keys_df = (
+        load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    )
+    keys = [r[0] for r in keys_df.collect()]
+    if not keys:
+        df = read_table(spark, path, point_lookup=("l_orderkey", [-1]))
+    else:
+        df = read_table(spark, path, range_scan=("l_orderkey", min(keys), max(keys)))
+        df = df.join(F.broadcast(keys_df), df.l_orderkey == keys_df.o_orderkey, "left_semi")
+    return df.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice").alias("order_rev")
+    )
+
+
+@register(
+    "q_table_stats",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           FLOOR((MIN(o_totalprice)) * 10000 + 0.5) / 10000 AS min_v,
+           FLOOR((MAX(o_totalprice)) * 10000 + 0.5) / 10000 AS max_v,
+           COUNT(*) - COUNT(o_totalprice) AS null_count,
+           COUNT(*) AS rows
+    FROM orders
+    """,
+    category="format",
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest column statistics surface (SHOW STATS analogue): the
+    writer collected min/max/null-count into the manifest from parquet
+    footers — metadata only, no data scan at query time."""
+    path = _ensure_written(spark, sf_dir, "orders", "plain", WriteOptions())
+    from nimble_spark.sources.table import read_manifest
+
+    m = read_manifest(path)
+    cs = m["column_stats"]["o_totalprice"]
+    return spark.createDataFrame(
+        [("o_totalprice", round(float(cs["min"]), R4), round(float(cs["max"]), R4), int(cs["null_count"]), int(m["rows"]))],
+        "col STRING, min_v DOUBLE, max_v DOUBLE, null_count BIGINT, rows BIGINT",
+    )

@@ -1,0 +1,197 @@
+"""Extended join operators the reference's ecosystem needs but Spark
+has no single-call primitive for: as-of joins, band/range joins,
+bucketized lookup joins.
+
+The as-of join uses the union-merge pattern: tag both sides, sort once
+per key, carry the latest left-side attributes forward with
+last(ignorenulls). One shuffle, no row explosion — this is the shape
+that survives 100 TB (a naive `join + filter + row_number` explodes on
+skewed keys; this stays linear per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.exact import dsum, dsum_sql, rnd
+from nimble_spark.registry import register
+from nimble_spark.tables import load
+
+R4 = 4
+
+# DuckDB oracle replicates the same union-merge semantics (latest event
+# with ts <= o_orderdate, ties broken by larger event_id) so both
+# engines agree even when several events share a timestamp.
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id AS uk, CAST(ts AS TIMESTAMP) AS tk, event_id, value, 0 AS tag,
+         NULL::BIGINT AS o_orderkey
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS uk, o_orderdate AS tk, NULL, NULL, 1 AS tag, o_orderkey
+  FROM orders
+), merged AS (
+  SELECT *,
+         LAST_VALUE(event_id IGNORE NULLS) OVER w AS asof_event,
+         LAST_VALUE(value    IGNORE NULLS) OVER w AS asof_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY uk ORDER BY tk, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderkey, uk AS custkey, asof_event,
+       FLOOR((asof_value) * 10000 + 0.5) / 10000 AS asof_value
+FROM merged WHERE tag = 1
+"""
+
+
+@register("q_asof_join", oracle=_ASOF_ORACLE, category="join_ext")
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event of the same user
+    with ts <= o_orderdate (union-merge, single shuffle)."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uk"),
+        F.col("ts").alias("tk"),
+        "event_id",
+        "value",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uk"),
+        F.col("o_orderdate").alias("tk"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("tag"),
+        "o_orderkey",
+    )
+    w = (
+        W.partitionBy("uk")
+        .orderBy("tk", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    merged = e.unionByName(o).select(
+        "*",
+        F.last("event_id", ignorenulls=True).over(w).alias("asof_event"),
+        F.last("value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "o_orderkey",
+        F.col("uk").alias("custkey"),
+        "asof_event",
+        rnd("asof_value", 4).alias("asof_value"),
+    )
+
+
+@register(
+    "q_range_join_keyed",
+    oracle=f"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+    SELECT o_orderkey, COUNT(event_id) AS n_events,
+           COALESCE({dsum_sql("value")}, 0) AS sum_v
+    FROM orders LEFT JOIN ev
+      ON user_id = o_custkey
+     AND ts >= o_orderdate
+     AND ts <  o_orderdate + INTERVAL 7 DAY
+    GROUP BY o_orderkey
+    """,
+    category="join_ext",
+)
+def q_range_join_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed range join: events within 7 days after each order by the
+    same user. The equi-key (user) carries the shuffle; the time range
+    is a post-join filter — no quadratic blow-up."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    cond = (
+        (e.user_id == o.o_custkey)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        o.join(e, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.coalesce(dsum("value"), F.lit(0.0)).alias("sum_v"),
+        )
+    )
+
+
+@register(
+    "q_band_join",
+    oracle=f"""
+    WITH buckets(lo, hi, bucket) AS (
+      VALUES (0, 10, 'S'), (10, 25, 'M'), (25, 40, 'L'), (40, 1000, 'XL')
+    )
+    SELECT bucket, COUNT(*) AS n, {dsum_sql("l_extendedprice")} AS rev
+    FROM lineitem JOIN buckets
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY bucket
+    """,
+    category="join_ext",
+)
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval-membership) join against a tiny bucket dim →
+    BroadcastNestedLoopJoin; the small side is always broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    buckets = l.sparkSession.createDataFrame(
+        [(0, 10, "S"), (10, 25, "M"), (25, 40, "L"), (40, 1000, "XL")], "lo INT, hi INT, bucket STRING"
+    )
+    return (
+        l.join(
+            F.broadcast(buckets),
+            (l.l_quantity >= buckets.lo) & (l.l_quantity < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("rev"))
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR((SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)) * 10000 + 0.5) / 10000 AS qty_o,
+           FLOOR((SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)) * 10000 + 0.5) / 10000 AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregation",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation)."""
+    l = load(spark, sf_dir, "lineitem")
+    piv = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return piv.select(
+        "l_returnflag",
+        rnd(F.coalesce("O", F.lit(0.0)), 4).alias("qty_o"),
+        rnd(F.coalesce("F", F.lit(0.0)), 4).alias("qty_f"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, FLOOR((val) * 10000 + 0.5) / 10000 AS val
+    FROM (
+      SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ) t
+    """,
+    category="aggregation",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) via stack()."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE))").alias(
+            "metric", "val_raw"
+        ),
+    ).select("p_partkey", "metric", rnd("val_raw", 4).alias("val"))

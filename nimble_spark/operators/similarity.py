@@ -1,0 +1,284 @@
+"""Similarity search over the `embeddings` table (array<float>, d=64):
+brute-force cosine top-k (the exact baseline), LSH-bucketed ANN (the
+scale path), embedding near-dup pairs, and label centroids.
+
+Numeric contract with the oracle: both engines cast float→double and
+fold the 64 products strictly left-to-right (Spark `aggregate`,
+DuckDB `list_reduce`), so dot products are bit-identical; outputs
+round to 4 decimals, rankings tie-break on vec_id.
+
+Scale design: brute-force is a broadcast of the (small) query set
+against a partitioned candidate scan — O(|Q|·N) with no candidate
+shuffle. The LSH variant buckets by hyperplane sign bits so each
+comparison happens inside a bucket; recall/cost trades via n_planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.text_fns import hash32_sql_duck, hash32_sql_spark
+from nimble_spark.functions.exact import rnd
+from nimble_spark.registry import register
+from nimble_spark.tables import load
+
+R4 = 4
+TOP_K = 3
+N_QUERIES = 10  # vec_id < 10 are the query set
+NEARDUP_THR = 0.45
+N_PLANES = 8
+
+# Left-fold dot product — identical operation order in both engines.
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_DOT_DUCK = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _norm_spark(a: str) -> str:
+    return f"sqrt({_DOT_SPARK.format(a=a, b=a)})"
+
+
+def _norm_duck(a: str) -> str:
+    return f"sqrt({_DOT_DUCK.format(a=a, b=a)})"
+
+
+@register(
+    "q_embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label, len(embedding) AS dim,
+           FLOOR(({_norm_duck("embedding")}) * 10000 + 0.5) / 10000 AS l2_norm
+    FROM embeddings
+    """,
+    category="similarity",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector sanity surface: dimensionality + L2 norm per embedding."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        rnd(F.expr(_norm_spark("embedding")), 4).alias("l2_norm"),
+    )
+
+
+_COSINE_TOPK_DUCK = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid,
+             {_DOT_DUCK.format(a="qv", b="cv")} /
+               ({_norm_duck("qv")} * {_norm_duck("cv")}) AS sim
+      FROM q, c WHERE qid <> cid
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY FLOOR((sim) * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, rk, FLOOR((sim) * 10000 + 0.5) / 10000 AS sim
+    FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("q_cosine_topk", oracle=_COSINE_TOPK_DUCK, category="similarity")
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: exact ANN baseline. The query set is
+    broadcast; candidates stream partition-local; per-query top-k via
+    ranking window (ties broken by candidate id)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="cv")) / (
+        F.expr(_norm_spark("qv")) * F.expr(_norm_spark("cv"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", sim.alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
+    )
+
+
+@register(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding AS e, {_norm_duck("embedding")} AS nrm FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR(({_DOT_DUCK.format(a="a.e", b="b.e")} / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS sim
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND {_DOT_DUCK.format(a="a.e", b="b.e")} / (a.nrm * b.nrm) >= {NEARDUP_THR}
+    """,
+    category="similarity",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45). Exact
+    all-pairs at test scale; at 100 TB the LSH buckets below bound the
+    candidate set first."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e"), F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.expr(_DOT_SPARK.format(a="a.e", b="b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), sim.alias("sim"))
+        .filter(F.col("sim") >= NEARDUP_THR)
+        .select("id_a", "id_b", rnd("sim", 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path
+# ---------------------------------------------------------------------------
+# Deterministic pseudo-random hyperplanes: weight(plane j, dim i) =
+# (hash32(j||'_'||i) % 2001 - 1000) / 1000 ∈ [-1, 1]. Integer-derived →
+# the same exact doubles on both engines.
+
+
+def _plane_sign_spark(j: int) -> str:
+    w = hash32_sql_spark(f"concat('{j}_', CAST(i AS STRING))")
+    proj = (
+        f"aggregate(transform(sequence(1, size(embedding)),"
+        f" i -> CAST(element_at(embedding, i) AS DOUBLE) * (({w} % 2001) - 1000) / 1000.0),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return f"IF({proj} > 0, shiftleft(1L, {j}), 0L)"
+
+
+def _plane_sign_duck(j: int) -> str:
+    w = hash32_sql_duck(f"concat('{j}_', CAST(i AS VARCHAR))")
+    proj = (
+        f"list_reduce(list_transform(generate_series(1, len(embedding)),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * (({w} % 2001) - 1000) / 1000.0),"
+        f" (x, y) -> x + y)"
+    )
+    return f"CASE WHEN {proj} > 0 THEN (1::BIGINT << {j}) ELSE 0 END"
+
+
+_BUCKET_SPARK = " + ".join(_plane_sign_spark(j) for j in range(N_PLANES))
+_BUCKET_DUCK = " + ".join(_plane_sign_duck(j) for j in range(N_PLANES))
+
+
+@register(
+    "q_ann_lsh_buckets",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, CAST({_BUCKET_DUCK} AS BIGINT) AS bucket FROM embeddings
+    )
+    SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+    FROM sig GROUP BY bucket
+    """,
+    category="similarity",
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 sign bits → 256
+    buckets). The partition key for scale-out ANN: same-bucket vectors
+    are each other's candidates."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.expr(_BUCKET_SPARK).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+    )
+
+
+_ANN_LSH_DUCK = f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, CAST({_BUCKET_DUCK} AS BIGINT) AS bucket,
+             {_norm_duck("embedding")} AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             {_DOT_DUCK.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) AS sim
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY FLOOR((sim) * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, rk, FLOOR((sim) * 10000 + 0.5) / 10000 AS sim FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("q_ann_lsh_topk", oracle=_ANN_LSH_DUCK, category="similarity")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: cosine ranking restricted to the query's LSH
+    bucket. Trades recall (vs q_cosine_topk) for a candidate set that
+    shrinks 2^planes-fold — the join is bucket-equi, shuffle-friendly."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+        F.expr(_norm_spark("embedding")).alias("nrm"),
+    )
+    a = sig.filter(F.col("vec_id") < N_QUERIES).alias("a")
+    b = sig.alias("b")
+    sim = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    scored = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("cid"), sim.alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
+    )
+
+
+@register(
+    "q_label_centroids",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, i AS dim_i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, COUNT(DISTINCT dim_i) AS dims,
+           FLOOR((CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+                 / (COUNT(*) / COUNT(DISTINCT dim_i))) * 10000 + 0.5) / 10000 AS centroid_mass,
+           FLOOR((CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(v)) * 10000 + 0.5) / 10000 AS mean_component
+    FROM flat GROUP BY label
+    """,
+    category="similarity",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid summary (posexplode + re-aggregate): the
+    building block of IVF coarse quantization — at scale, centroids
+    are the broadcast side of the cell-assignment join."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("dim0", "v0")).select(
+        "label", (F.col("dim0") + 1).alias("dim_i"), F.col("v0").cast("double").alias("v")
+    )
+    dec_v = F.col("v").cast("decimal(27,6)")
+    return flat.groupBy("label").agg(
+        F.countDistinct("dim_i").alias("dims"),
+        rnd(
+            F.sum(dec_v).cast("double") / (F.count(F.lit(1)) / F.countDistinct("dim_i")), 4).alias("centroid_mass"),
+        rnd(F.sum(dec_v).cast("double") / F.count("v"), 4).alias("mean_component"),
+    )

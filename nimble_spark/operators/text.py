@@ -1,0 +1,222 @@
+"""Text-analysis operators for training-data pipelines over the
+`documents` table: token statistics, language-ID heuristic, quality
+scoring, document fingerprinting.
+
+All expressions are JVM-side (split/transform/aggregate) — no Python
+UDFs in this module — so at 100 TB the scan is a single whole-stage
+codegen pass per document with no Arrow exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.text_fns import MOD, hash32_sql_duck, hash32_sql_spark
+from nimble_spark.functions.exact import rnd
+from nimble_spark.registry import register
+from nimble_spark.tables import load
+
+R4 = 4
+
+_TOKS_DUCK = "string_split_regex(trim(text), '\\s+')"
+
+
+def _with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.split(F.trim("text"), r"\s+"))
+
+
+@register(
+    "q_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks, n_chars FROM documents)
+    SELECT doc_id, lang, n_chars,
+           len(toks)                AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           FLOOR((CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 AS avg_tok_len,
+           FLOOR((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 AS ttr
+    FROM t
+    """,
+    category="text",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: totals, distincts, mean token length, type-token
+    ratio. Whitespace tokenizer (BPE-ish regex variants in quality op)."""
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    n_tok = F.size("toks")
+    tot_len = F.expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        rnd(tot_len.cast("double") / n_tok, 4).alias("avg_tok_len"),
+        rnd(F.size(F.array_distinct("toks")).cast("double") / n_tok, 4).alias("ttr"),
+    )
+
+
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "y", "las", "una"),
+}
+
+
+def _marker_count_spark(lang: str) -> F.Column:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return F.expr(f"size(filter(toks, x -> x IN ({lst})))")
+
+
+def _marker_count_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({lst})))"
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {_marker_count_duck("en")} AS s_en,
+             {_marker_count_duck("fr")} AS s_fr,
+             {_marker_count_duck("de")} AS s_de,
+             {_marker_count_duck("es")} AS s_es
+      FROM t
+    )
+    SELECT doc_id, lang, s_en, s_fr, s_de, s_es,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS pred,
+           CASE WHEN (CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END) = lang THEN 1 ELSE 0 END AS hit
+    FROM scored
+    """,
+    category="text",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker counts per language,
+    argmax with fixed precedence (en > fr > de > es on ties)."""
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        _marker_count_spark("en").alias("s_en"),
+        _marker_count_spark("fr").alias("s_fr"),
+        _marker_count_spark("de").alias("s_de"),
+        _marker_count_spark("es").alias("s_es"),
+    )
+    pred = (
+        F.when((F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when((F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")), "fr")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return scored.withColumn("pred", pred).withColumn(
+        "hit", F.when(F.col("pred") == F.col("lang"), 1).otherwise(0)
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKS_DUCK} AS toks,
+             LENGTH(text) AS len_c FROM documents
+    ), m AS (
+      SELECT doc_id, source, len_c,
+             len(toks) AS n_tok,
+             CAST(len_c - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / len_c AS punct_ratio,
+             CAST({_marker_count_duck("en")} AS DOUBLE) / len(toks) AS stop_ratio,
+             CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / len_c AS digit_ratio
+      FROM t
+    )
+    SELECT doc_id, source, len_c, n_tok,
+           FLOOR((punct_ratio) * 10000 + 0.5) / 10000 AS punct_ratio,
+           FLOOR((stop_ratio) * 10000 + 0.5) / 10000  AS stop_ratio,
+           FLOOR((digit_ratio) * 10000 + 0.5) / 10000 AS digit_ratio,
+           FLOOR((LEAST(1.0, n_tok / 100.0) * (1 - digit_ratio) * (0.5 + stop_ratio)) * 10000 + 0.5) / 10000 AS quality
+    FROM m
+    """,
+    category="text",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length norm × digit penalty ×
+    stopword-density boost (the usual pretraining-filter features)."""
+    d = _with_tokens(load(spark, sf_dir, "documents")).withColumn("len_c", F.length("text"))
+    n_tok = F.size("toks")
+    punct_ratio = (F.col("len_c") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))).cast("double") / F.col("len_c")
+    stop_ratio = _marker_count_spark("en").cast("double") / n_tok
+    digit_ratio = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double") / F.col("len_c")
+    m = d.select(
+        "doc_id",
+        "source",
+        "len_c",
+        n_tok.alias("n_tok"),
+        punct_ratio.alias("punct_r"),
+        stop_ratio.alias("stop_r"),
+        digit_ratio.alias("digit_r"),
+    )
+    quality = F.least(F.lit(1.0), F.col("n_tok") / 100.0) * (1 - F.col("digit_r")) * (0.5 + F.col("stop_r"))
+    return m.select(
+        "doc_id",
+        "source",
+        "len_c",
+        "n_tok",
+        rnd("punct_r", 4).alias("punct_ratio"),
+        rnd("stop_r", 4).alias("stop_ratio"),
+        rnd("digit_r", 4).alias("digit_ratio"),
+        rnd(quality, 4).alias("quality"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(1, len(toks)),
+                    i -> (i * ({hash32_sql_duck("toks[i]")} % 100000)) % {MOD})) % {MOD} AS fp
+    FROM t
+    """,
+    category="text",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted polynomial document fingerprint (content-
+    defined hash, int64-exact → oracle matches bit-for-bit)."""
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    tok_h = hash32_sql_spark("element_at(toks, i)")
+    fp = F.expr(
+        f"aggregate(transform(sequence(1, size(toks)), i -> (i * ({tok_h} % 100000)) % {MOD}),"
+        f" 0L, (a, x) -> a + x) % {MOD}"
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+@register(
+    "q_corpus_stats",
+    oracle=f"""
+    WITH t AS (SELECT lang, source, {_TOKS_DUCK} AS toks, n_chars FROM documents)
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(len(toks))              AS total_tokens,
+           SUM(n_chars)                AS total_chars,
+           FLOOR((AVG(len(toks))) * 10000 + 0.5) / 10000    AS avg_tokens
+    FROM t GROUP BY lang, source
+    """,
+    category="text",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup (the per-partition accounting a 100 TB
+    pipeline tracks: doc/token/char counts by lang × source)."""
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        rnd(F.avg(F.size("toks")), 4).alias("avg_tokens"),
+    )

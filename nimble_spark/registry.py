@@ -1,0 +1,76 @@
+"""Query registry — the single source of truth wiring operator
+implementations to the driver contract (``__spark_entry__.queries`` /
+``oracle_sql``) and to the test/bench harnesses.
+
+Every operator claimed as implemented registers here with a Spark
+callable ``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, a
+DuckDB oracle SQL string computing the same result over the same
+parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Contract notes (driver compares sorted-by-name columns + value hash):
+- alias every computed column identically on both sides;
+- never return raw timestamps (engine-dependent precision) — cast to
+  DATE-strings;
+- round floating aggregates on BOTH sides to a fixed scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryEntry:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # DuckDB SQL, or None → driver does rows-only check
+    category: str = ""  # SURVEY §2 category, for coverage reporting
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryEntry] = {}
+
+
+def register(name: str, oracle: str | None = None, category: str = "", doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = QueryEntry(name=name, fn=fn, oracle=oracle, category=category, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: e.fn for name, e in QUERIES.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    _load_all()
+    return {name: e.oracle for name, e in QUERIES.items() if e.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    import nimble_spark.operators.relational  # noqa: F401
+    import nimble_spark.operators.windowed  # noqa: F401
+    import nimble_spark.operators.joins_ext  # noqa: F401
+    import nimble_spark.operators.dedup  # noqa: F401
+    import nimble_spark.operators.similarity  # noqa: F401
+    import nimble_spark.operators.text  # noqa: F401
+    import nimble_spark.operators.format_surface  # noqa: F401
+    import nimble_spark.operators.events_ts  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,317 @@
+"""nimble_spark table connector — the Spark-native re-expression of the
+reference's file-format capability surface (SURVEY.md §1, §2.1, §2.4):
+
+- columnar storage rides on Parquet (stripe ≈ row group, file ≈ stripe
+  group); encodings/compression are Parquet's own — the reference's
+  per-column encoding *selection* surface maps to writer options
+  (dwio/nimble/encodings/selection/EncodingSelectionPolicy.h:105-157);
+- a ``_nimble/manifest.json`` sidecar carries what Nimble's footer
+  carries: schema with a per-field attribute bag
+  (dwio/nimble/velox/SchemaTypes.h:109-159), per-column statistics
+  (dwio/nimble/velox/stats/ColumnStatistics.h:59-185), per-file
+  (stripe-group) min/max for data skipping, index descriptors, and
+  user metadata (dwio/nimble/tablet/Constants.h:34-41);
+- cluster index ↔ range-partition + sort-by-key at write, then
+  manifest min/max file pruning at read
+  (dwio/nimble/index/ClusterIndex.h:76);
+- hash index ↔ deterministic hash-bucket partition directories with
+  bucket-pruned lookups (dwio/nimble/index/HashIndex.h:57);
+- schema evolution: columns missing from the file read as nulls
+  (dwio/nimble/velox/selective/ColumnReader.cpp:57-62).
+
+Local paths use the local FS; on a cluster the same layout works on
+any Hadoop-compatible FS (the manifest is one small JSON object).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Optional
+
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pa_pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_DIR = "_nimble"
+MANIFEST_NAME = "manifest.json"
+BUCKET_COL = "__nimble_bucket"
+
+
+@dataclass
+class WriteOptions:
+    """Writer knobs — the Spark mapping of VeloxWriterOptions
+    (dwio/nimble/writer/VeloxWriterOptions.h): flush policy ↔
+    max_rows_per_file, encoding selection ↔ parquet codec/dictionary,
+    index config ↔ cluster_by/bucket_by/bloom_cols."""
+
+    cluster_by: Optional[list[str]] = None  # sort keys → cluster index
+    n_cluster_files: int = 8  # range partitions when clustering
+    bucket_by: Optional[str] = None  # hash-index key
+    n_buckets: int = 16
+    bloom_cols: Optional[list[str]] = None
+    max_rows_per_file: Optional[int] = None
+    compression: str = "zstd"
+    row_group_rows: Optional[int] = None  # stripe size analogue
+    user_metadata: dict[str, str] = field(default_factory=dict)
+    column_attributes: dict[str, dict[str, str]] = field(default_factory=dict)
+
+
+def _stats_exprs(schema: T.StructType) -> list:
+    exprs = [F.count(F.lit(1)).alias("__rows")]
+    for f in schema.fields:
+        c = f.name
+        if c == BUCKET_COL:
+            continue
+        exprs.append(F.count(c).alias(f"{c}::count"))
+        if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType)):
+            exprs.append(F.min(c).alias(f"{c}::min"))
+            exprs.append(F.max(c).alias(f"{c}::max"))
+        if isinstance(f.dataType, T.StringType):
+            exprs.append(F.sum(F.length(c)).alias(f"{c}::bytes"))
+    return exprs
+
+
+def _json_safe(v: Any) -> Any:
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def write_table(df: DataFrame, path: str, opts: WriteOptions | None = None) -> dict:
+    """Write a DataFrame as a nimble_spark table and return the manifest.
+
+    One writer per task/partition (the reference's one-writer-per-file,
+    dwio/nimble/writer/VeloxWriter.h:51); global layout decided up
+    front by cluster/bucket options (LayoutPlanner analogue,
+    dwio/nimble/velox/LayoutPlanner.cpp:99-112).
+    """
+    opts = opts or WriteOptions()
+    spark = df.sparkSession
+    out = df
+
+    index_meta: dict[str, Any] = {}
+    partition_by: list[str] = []
+
+    if opts.cluster_by:
+        # Cluster index: key-ordered data + per-file key bounds.
+        # repartitionByRange gives globally disjoint key ranges per
+        # file → manifest min/max pruning is exact, like per-partition
+        # boundary keys in the reference's ClusterIndex.
+        out = out.repartitionByRange(opts.n_cluster_files, *opts.cluster_by).sortWithinPartitions(
+            *opts.cluster_by
+        )
+        index_meta["cluster"] = {"keys": opts.cluster_by}
+    if opts.bucket_by:
+        # Hash index: deterministic bucket directory per key hash →
+        # point lookups read exactly one directory (partition pruning).
+        out = out.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(opts.bucket_by)), F.lit(opts.n_buckets))
+        )
+        partition_by = [BUCKET_COL]
+        index_meta["hash"] = {"key": opts.bucket_by, "n_buckets": opts.n_buckets}
+
+    writer = out.write.mode("overwrite").option("compression", opts.compression)
+    if opts.max_rows_per_file:
+        writer = writer.option("maxRecordsPerFile", opts.max_rows_per_file)
+    if opts.row_group_rows:
+        writer = writer.option("parquet.block.size", str(opts.row_group_rows * 256))
+    for c in opts.bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+    manifest = _build_manifest(spark, df.schema, path, opts, index_meta)
+    os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
+    with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh, indent=1, default=_json_safe)
+    return manifest
+
+
+def _build_manifest(
+    spark: SparkSession,
+    schema: T.StructType,
+    path: str,
+    opts: WriteOptions,
+    index_meta: dict,
+) -> dict:
+    """Collect per-file (stripe-group) and per-column stats from the
+    written parquet footers — metadata-only reads, no data scan."""
+    dataset = pa_ds.dataset(path, format="parquet", partitioning="hive" if index_meta.get("hash") else None)
+    files_info: list[dict] = []
+    col_stats: dict[str, dict[str, Any]] = {}
+    total_rows = 0
+    stat_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType))
+    ]
+    for frag_path in dataset.files:
+        md = pa_pq.ParquetFile(frag_path).metadata
+        total_rows += md.num_rows
+        fmins: dict[str, Any] = {}
+        fmaxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                name = col.path_in_schema.split(".")[0]
+                if name not in stat_cols:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if name not in fmins or st.min < fmins[name]:
+                    fmins[name] = st.min
+                if name not in fmaxs or st.max > fmaxs[name]:
+                    fmaxs[name] = st.max
+                nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+        files_info.append(
+            {
+                "path": frag_path,
+                "rows": md.num_rows,
+                "row_groups": md.num_row_groups,
+                "bytes": os.path.getsize(frag_path),
+                "min": {k: _json_safe(v) for k, v in fmins.items()},
+                "max": {k: _json_safe(v) for k, v in fmaxs.items()},
+            }
+        )
+        for name in fmins:
+            cs = col_stats.setdefault(name, {"null_count": 0})
+            if "min" not in cs or fmins[name] < cs["min"]:
+                cs["min"] = fmins[name]
+            if "max" not in cs or fmaxs[name] > cs["max"]:
+                cs["max"] = fmaxs[name]
+            cs["null_count"] += nulls.get(name, 0)
+
+    return {
+        "format_version": 1,
+        "schema": json.loads(schema.json()),
+        "column_attributes": opts.column_attributes,
+        "rows": total_rows,
+        "files": files_info,
+        "column_stats": {k: {kk: _json_safe(vv) for kk, vv in v.items()} for k, v in col_stats.items()},
+        "indexes": index_meta,
+        "user_metadata": opts.user_metadata,
+    }
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)) as fh:
+        return json.load(fh)
+
+
+def _prune_files(manifest: dict, key: str, lo: Any, hi: Any) -> list[str] | None:
+    """Cluster-index pruning: keep files whose [min,max] for `key`
+    intersects [lo,hi] (binary-search-over-boundary-keys analogue,
+    dwio/nimble/index/ClusterIndex.h:76-197)."""
+    cluster = manifest.get("indexes", {}).get("cluster")
+    if not cluster or key not in cluster["keys"]:
+        return None
+    keep = []
+    for f in manifest["files"]:
+        fmin, fmax = f["min"].get(key), f["max"].get(key)
+        if fmin is None or fmax is None:
+            keep.append(f["path"])
+            continue
+        if (hi is None or fmin <= hi) and (lo is None or fmax >= lo):
+            keep.append(f["path"])
+    return keep
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    columns: Optional[list[str]] = None,
+    range_scan: Optional[tuple[str, Any, Any]] = None,
+    point_lookup: Optional[tuple[str, Iterable[Any]]] = None,
+) -> DataFrame:
+    """Projected / index-pruned scan of a nimble_spark table.
+
+    - ``columns``: projection; names absent from the file schema come
+      back as typed nulls (add-column evolution, NullColumnReader
+      analogue). Names like ``col AS newtype`` are not supported —
+      evolution is by name.
+    - ``range_scan=(key, lo, hi)``: cluster-index file pruning + a
+      pushed-down residual filter (lo/hi inclusive, None = open).
+    - ``point_lookup=(key, values)``: hash-index bucket pruning when
+      the table is bucketed on ``key``, else cluster pruning per value.
+    """
+    manifest = read_manifest(path)
+    hash_idx = manifest.get("indexes", {}).get("hash")
+
+    file_list: list[str] | None = None
+    residual = None
+
+    if range_scan is not None:
+        key, lo, hi = range_scan
+        file_list = _prune_files(manifest, key, lo, hi)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(key) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(key) <= hi)
+        residual = cond
+
+    if point_lookup is not None:
+        key, values = point_lookup
+        values = list(values)
+        residual = F.col(key).isin(values)
+        if hash_idx and hash_idx["key"] == key:
+            # Bucket pruning via partition-column filter: Spark prunes
+            # the __nimble_bucket=N directories before listing files.
+            n = hash_idx["n_buckets"]
+            schema = T.StructType.fromJson(manifest["schema"])
+            key_type = schema[key].dataType
+            buckets = sorted(
+                {
+                    r[0]
+                    for r in spark.createDataFrame(
+                        [(v,) for v in values], T.StructType([T.StructField("k", key_type)])
+                    )
+                    .select(F.pmod(F.xxhash64("k"), F.lit(n)).alias("b"))
+                    .collect()
+                }
+            )
+            df = spark.read.parquet(path)
+            return df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL).select(
+                *(columns or [c for c in df.columns if c != BUCKET_COL])
+            )
+        else:
+            lo, hi = min(values), max(values)
+            file_list = _prune_files(manifest, key, lo, hi)
+
+    if file_list is not None:
+        df = spark.read.parquet(*file_list) if file_list else _empty_df(spark, manifest)
+    else:
+        df = spark.read.parquet(path)
+    if BUCKET_COL in df.columns:
+        df = df.drop(BUCKET_COL)
+    if residual is not None:
+        df = df.filter(residual)
+    if columns:
+        df = _project_with_evolution(df, manifest, columns)
+    return df
+
+
+def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:
+    schema = T.StructType.fromJson(manifest["schema"])
+    return spark.createDataFrame([], schema)
+
+
+def _project_with_evolution(df: DataFrame, manifest: dict, columns: list[str]) -> DataFrame:
+    """Missing columns read as nulls — add-column schema evolution."""
+    present = set(df.columns)
+    sel = []
+    for c in columns:
+        if c in present:
+            sel.append(F.col(c))
+        else:
+            sel.append(F.lit(None).cast("string").alias(c))
+    return df.select(*sel)

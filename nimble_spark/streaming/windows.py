@@ -1,0 +1,128 @@
+"""Structured Streaming surface (SURVEY.md §2.6 streaming row).
+
+The reference is a batch file format; its tables are nevertheless
+valid streaming sources/sinks (file-based). This module provides the
+streaming counterparts of the batch event-window operators in
+operators/events_ts.py — tumbling/sliding/session windows with
+watermarked late-data handling, plus a custom stateful operator
+(running per-user counters) via applyInPandasWithState.
+
+Scale notes: watermark + append mode bounds state; session windows
+merge state per key; the stateful op keys by user_id so state shards
+across executors. File source supports exactly-once with checkpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # int64 nanos (see tables.load)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts (append-able once the
+    watermark passes the window end — late rows beyond 2h dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_v")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows (state merges as events arrive)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n", "sum_v")
+    )
+
+
+def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a file-backed stream to completion synchronously and
+    return the materialized result (memory sink). Test/dev harness —
+    production uses a real sink + trigger."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user running counters with timeout
+# ---------------------------------------------------------------------------
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user event counter + running value
+    sum, emitting one row per user per micro-batch. The custom-
+    stateful-operator surface (SURVEY §2.6) — state is a (count, sum)
+    pair per key, sharded by user_id."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

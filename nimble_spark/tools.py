@@ -1,0 +1,124 @@
+"""Inspection tools — the NimbleDSL / NimbleDump surface
+(dwio/nimble/docs/NimbleDSL.md:22-135, tools/NimbleDumpLib.h:37-62)
+re-expressed as DataFrames over table metadata.
+
+Commands: DESCRIBE, SHOW SCHEMA / STATS / STRIPES / FILES / INDEX /
+METADATA, SELECT ... [LIMIT n] [OFFSET n]. Everything reads the
+manifest + parquet footers; only SELECT touches data.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pa_pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nimble_spark.sources.table import read_manifest
+
+
+def describe(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE: column name, type, nullability, attribute bag."""
+    m = read_manifest(path)
+    attrs = m.get("column_attributes", {})
+    rows = [
+        (
+            f["name"],
+            f["type"] if isinstance(f["type"], str) else json.dumps(f["type"]),
+            bool(f.get("nullable", True)),
+            json.dumps(attrs.get(f["name"], {})),
+        )
+        for f in m["schema"]["fields"]
+    ]
+    return spark.createDataFrame(rows, "column STRING, type STRING, nullable BOOLEAN, attributes STRING")
+
+
+def show_stats(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW STATS: per-column min/max/null-count from the manifest."""
+    m = read_manifest(path)
+    rows = [
+        (c, str(s.get("min")), str(s.get("max")), int(s.get("null_count", 0)))
+        for c, s in m["column_stats"].items()
+    ]
+    return spark.createDataFrame(rows, "column STRING, min STRING, max STRING, null_count BIGINT")
+
+
+def show_files(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW FILES (stripe groups): per-file rows/bytes/row-groups."""
+    m = read_manifest(path)
+    rows = [(f["path"], f["rows"], f["bytes"], f["row_groups"]) for f in m["files"]]
+    return spark.createDataFrame(rows, "file STRING, rows BIGINT, bytes BIGINT, row_groups BIGINT")
+
+
+def show_stripes(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW STRIPES: per row group (the stripe analogue) rows + bytes +
+    per-column compressed sizes, read from parquet footers."""
+    m = read_manifest(path)
+    rows = []
+    for f in m["files"]:
+        md = pa_pq.ParquetFile(f["path"]).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            comp = sum(rg.column(c).total_compressed_size for c in range(rg.num_columns))
+            raw = sum(rg.column(c).total_uncompressed_size for c in range(rg.num_columns))
+            rows.append((f["path"], i, rg.num_rows, comp, raw))
+    return spark.createDataFrame(
+        rows, "file STRING, stripe INT, rows BIGINT, compressed_bytes BIGINT, raw_bytes BIGINT"
+    )
+
+
+def show_encodings(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW ENCODING: per column per stripe, the parquet encodings +
+    codec actually chosen (the encoding-selection observability of
+    tools/EncodingSelectionLogger.cpp)."""
+    m = read_manifest(path)
+    rows = []
+    for f in m["files"]:
+        md = pa_pq.ParquetFile(f["path"]).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                rows.append(
+                    (
+                        f["path"],
+                        i,
+                        col.path_in_schema,
+                        ",".join(str(e) for e in col.encodings),
+                        str(col.compression),
+                        col.total_compressed_size,
+                        col.total_uncompressed_size,
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "file STRING, stripe INT, column STRING, encodings STRING, codec STRING, "
+        "compressed_bytes BIGINT, raw_bytes BIGINT",
+    )
+
+
+def show_index(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW INDEX: declared indexes + per-file key bounds (cluster)."""
+    m = read_manifest(path)
+    rows = []
+    idx = m.get("indexes", {})
+    if "cluster" in idx:
+        for key in idx["cluster"]["keys"]:
+            for f in m["files"]:
+                rows.append(("cluster", key, f["path"], str(f["min"].get(key)), str(f["max"].get(key))))
+    if "hash" in idx:
+        rows.append(("hash", idx["hash"]["key"], f"{idx['hash']['n_buckets']} buckets", None, None))
+    return spark.createDataFrame(rows, "index STRING, key STRING, location STRING, min STRING, max STRING")
+
+
+def select(
+    spark: SparkSession, path: str, columns: list[str] | None = None, limit: int = 20, offset: int = 0
+) -> DataFrame:
+    """SELECT cols [LIMIT n] [OFFSET n] — the DSL's data peek."""
+    from nimble_spark.sources.table import read_table
+
+    df = read_table(spark, path, columns=columns)
+    if offset:
+        df = df.offset(offset)
+    return df.limit(limit)
