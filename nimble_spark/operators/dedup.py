@@ -95,20 +95,32 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# One md5 yields four independent 32-bit hashes (disjoint 8-hex-char
+# slices) — 8 minhashes cost 2 md5 calls per shingle, not 8.
+
+
+def _mh_spark(j: int) -> str:
+    seed, off = j // 4, 1 + 8 * (j % 4)
+    return (
+        f"array_min(transform(sh, s -> "
+        f"CAST(conv(substr(md5(concat('{seed}|', s)), {off}, 8), 16, 10) AS BIGINT)))"
+    )
+
+
+def _mh_duck(j: int) -> str:
+    seed, off = j // 4, 1 + 8 * (j % 4)
+    return (
+        f"list_min(list_transform(sh, s -> "
+        f"CAST(concat('0x', substr(md5(concat('{seed}|', s)), {off}, 8)) AS BIGINT)))"
+    )
+
+
 def _minhash_cols_spark() -> list[F.Column]:
-    cols = []
-    for j in range(N_MINHASH):
-        h = hash32_sql_spark(f"concat('{j}|', s)")
-        cols.append(F.expr(f"array_min(transform(sh, s -> {h}))").alias(f"mh{j}"))
-    return cols
+    return [F.expr(_mh_spark(j)).alias(f"mh{j}") for j in range(N_MINHASH)]
 
 
 def _minhash_cols_duck() -> str:
-    parts = []
-    for j in range(N_MINHASH):
-        h = hash32_sql_duck(f"concat('{j}|', s)")
-        parts.append(f"list_min(list_transform(sh, s -> {h})) AS mh{j}")
-    return ",\n             ".join(parts)
+    return ",\n             ".join(f"{_mh_duck(j)} AS mh{j}" for j in range(N_MINHASH))
 
 
 _SHINGLE_CTE_DUCK = f"""
@@ -184,14 +196,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = q_minhash_signatures(spark, sf_dir)
     sh = _shingled(spark, sf_dir).select("doc_id", "sh")
 
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}")).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Explode one struct array instead of unioning 4 selects: the
+    # minhash pipeline is evaluated once, not once per band.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}")).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -261,31 +279,45 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 16
 
+# Token hashes are materialized into an int array in a separate
+# projection first, so the per-bit vote sums reuse them — md5 runs
+# once per token, not once per (token × bit).
 
-def _simhash_expr_spark() -> F.Column:
-    tok_h = hash32_sql_spark("x")
-    bit_sum = (
-        f"aggregate(transform(toks, x -> CAST((({tok_h} >> j) & 1) * 2 - 1 AS BIGINT)),"
-        f" 0L, (a, v) -> a + v)"
-    )
-    bits = f"transform(sequence(0, {_SIMHASH_BITS - 1}), j -> IF({bit_sum} > 0, shiftleft(1L, j), 0L))"
-    return F.expr(f"aggregate({bits}, 0L, (a, v) -> a + v)")
+_SIMHASH_FROM_H_SPARK = (
+    f"aggregate(transform(sequence(0, {_SIMHASH_BITS - 1}), j -> "
+    f"IF(aggregate(transform(toks_h, h -> ((h >> j) & 1) * 2 - 1), 0L, (a, v) -> a + v) > 0, "
+    f"shiftleft(1L, j), 0L)), 0L, (a, v) -> a + v)"
+)
 
-
-_SIMHASH_DUCK = (
+_SIMHASH_FROM_H_DUCK = (
     f"list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), j -> "
-    f"CASE WHEN list_sum(list_transform(toks, x -> "
-    f"(({hash32_sql_duck('x')} >> j) & 1) * 2 - 1)) > 0 "
+    f"CASE WHEN list_sum(list_transform(toks_h, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
     f"THEN (1::BIGINT << j) ELSE 0 END))"
 )
+
+_SIMHASH_CTE_DUCK = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    th AS (SELECT doc_id,
+                  list_transform(toks, x -> {hash32_sql_duck("x")}) AS toks_h
+           FROM t)
+"""
+
+
+def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
+    th = d.select(
+        "doc_id",
+        F.expr(f"transform(toks, x -> {hash32_sql_spark('x')})").alias("toks_h"),
+    )
+    return th.select("doc_id", F.expr(_SIMHASH_FROM_H_SPARK).alias("simhash"))
 
 
 @register(
     "q_simhash",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
-    SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash
-    FROM t
+    {_SIMHASH_CTE_DUCK}
+    SELECT doc_id, CAST({_SIMHASH_FROM_H_DUCK} AS BIGINT) AS simhash
+    FROM th
     """,
     category="dedup",
 )
@@ -293,15 +325,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit) document signature: per bit, sign of the sum of
     ±1 votes from each token hash. Near-dups differ in few bits —
     pair detection joins on signature bands like MinHash-LSH."""
-    d = load(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
-    return d.select("doc_id", _simhash_expr_spark().alias("simhash"))
+    return _simhashed(spark, sf_dir)
 
 
 @register(
     "q_simhash_near_pairs",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
-    sig AS (SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS sh FROM t),
+    {_SIMHASH_CTE_DUCK},
+    sig AS (SELECT doc_id, CAST({_SIMHASH_FROM_H_DUCK} AS BIGINT) AS sh FROM th),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) AS hamming

@@ -1,0 +1,52 @@
+"""Delete masks — the Mutation-at-scan capability
+(dwio/nimble/velox/selective/SelectiveNimbleReader.cpp:334-338: the
+engine passes delete masks applied during the scan; the format itself
+is append-only).
+
+Spark mapping (Delta deletion-vector style, without Delta): deletes
+are key sets persisted under ``_nimble/deletes/`` as parquet; scans
+apply them as a broadcast anti-join — no rewrite of data files. The
+table stays append-only; deletes compose across multiple delete
+commits (union of keysets).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELETES_DIR = "_nimble/deletes"
+
+
+def delete_rows(spark: SparkSession, path: str, key: str, values: list) -> int:
+    """Record deletes for `key IN values` (logical delete, no rewrite)."""
+    out = os.path.join(path, DELETES_DIR, key)
+    ddl_type = {int: "long", str: "string", float: "double"}.get(type(values[0]), "string")
+    df = spark.createDataFrame([(v,) for v in values], f"{key} {ddl_type}")
+    df.write.mode("append").parquet(os.path.join(out, uuid.uuid4().hex[:8]))
+    return len(values)
+
+
+def read_with_deletes(spark: SparkSession, path: str, **read_kwargs) -> DataFrame:
+    """Scan with delete masks applied (anti-join against the union of
+    delete keysets; broadcast — keysets are small by design)."""
+    from nimble_spark.sources.table import read_table
+
+    df = read_table(spark, path, **read_kwargs)
+    root = os.path.join(path, DELETES_DIR)
+    if not os.path.isdir(root):
+        return df
+    for key in os.listdir(root):
+        subdirs = [
+            os.path.join(root, key, d) for d in os.listdir(os.path.join(root, key))
+        ]
+        masks = None
+        for d in subdirs:
+            m = spark.read.parquet(d)
+            masks = m if masks is None else masks.unionByName(m)
+        if masks is not None and key in df.columns:
+            df = df.join(F.broadcast(masks.distinct()), key, "left_anti")
+    return df

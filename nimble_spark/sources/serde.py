@@ -1,0 +1,56 @@
+"""Engine-to-engine batch serialization — the Serializer/Deserializer
+surface (dwio/nimble/serializer/Serializer.h:33-56: serialize Velox
+vectors to a transport format and back).
+
+Spark's internal shuffle serde is built-in; the *external* transport
+capability maps to Arrow IPC: DataFrame → Arrow stream bytes →
+DataFrame, zero-copy columnar, readable by any Arrow-speaking engine
+(DuckDB, pandas, Rust, browsers). Used for index-projection transport
+(NimbleIndexProjector analogue) and cross-process handoff.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def serialize(df: DataFrame) -> bytes:
+    """DataFrame → Arrow IPC stream bytes (collects to the driver —
+    transport serde for batches/slices, not bulk data movement; bulk
+    stays in parquet)."""
+    table = df.toArrow()
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue()
+
+
+def deserialize(spark: SparkSession, payload: bytes) -> DataFrame:
+    """Arrow IPC stream bytes → DataFrame."""
+    with pa.ipc.open_stream(io.BytesIO(payload)) as reader:
+        table = reader.read_all()
+    return spark.createDataFrame(table.to_pandas())
+
+
+def serialize_partitioned(df: DataFrame) -> DataFrame:
+    """Distributed serde: each partition serializes itself to one Arrow
+    IPC payload row (id, n_rows, payload) — the per-stripe slice
+    transport the reference's index projector performs, without any
+    driver collect."""
+    import pandas as pd
+
+    def per_batch(batches):
+        for pdf in batches:
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, table.schema) as w:
+                w.write_table(table)
+            yield pd.DataFrame(
+                {"n_rows": [len(pdf)], "payload": [sink.getvalue()]}
+            )
+
+    return df.mapInPandas(per_batch, "n_rows long, payload binary")

@@ -30,13 +30,20 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based streaming source over the events table."""
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based streaming source over the events table. `path` may be
+    a directory or a single parquet file (basePath must be a directory,
+    so point it at the parent when given a file glob)."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}")
-    )
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if not os.path.isdir(path):
+        # FileStreamSource requires a directory source (it force-sets
+        # basePath to the given path); select the file by glob instead.
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 

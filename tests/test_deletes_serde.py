@@ -1,0 +1,72 @@
+"""Delete-mask-at-scan + Arrow serde tests (the reference's Mutation
+surface, dwio/nimble/velox/selective/SelectiveNimbleReader.cpp:334-338,
+and Serializer/Deserializer, dwio/nimble/serializer/Serializer.h:33-56)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nimble_spark.sources.deletes import delete_rows, read_with_deletes
+from nimble_spark.sources.serde import deserialize, serialize, serialize_partitioned
+from nimble_spark.sources.table import WriteOptions, write_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="nimble_del_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_mask_applied_at_scan(spark, tmpdir):
+    src = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    path = f"{tmpdir}/nation"
+    write_table(src, path, WriteOptions())
+    n0 = src.count()
+    delete_rows(spark, path, "n_nationkey", [0, 1, 2])
+    got = read_with_deletes(spark, path)
+    assert got.count() == n0 - 3
+    assert got.filter(F.col("n_nationkey").isin([0, 1, 2])).count() == 0
+    # data files untouched: a plain scan still sees every row
+    assert spark.read.parquet(path).count() == n0
+
+
+def test_deletes_compose_across_commits(spark, tmpdir):
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    path = f"{tmpdir}/region"
+    write_table(src, path, WriteOptions())
+    delete_rows(spark, path, "r_name", ["AFRICA"])
+    delete_rows(spark, path, "r_name", ["ASIA", "AFRICA"])  # overlap ok
+    got = read_with_deletes(spark, path)
+    names = {r[0] for r in got.select("r_name").collect()}
+    assert "AFRICA" not in names and "ASIA" not in names
+    assert got.count() == src.count() - 2
+
+
+def test_serde_roundtrip(spark):
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    payload = serialize(src)
+    assert isinstance(payload, bytes) and len(payload) > 0
+    back = deserialize(spark, payload)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_serde_partitioned_distributed(spark):
+    src = spark.read.parquet(f"{SF_SMALL}/nation.parquet").repartition(4)
+    out = serialize_partitioned(src).collect()
+    assert sum(r["n_rows"] for r in out) == src.count()
+    # each payload is a self-contained Arrow stream
+    import io
+
+    import pyarrow as pa
+
+    total = 0
+    for r in out:
+        with pa.ipc.open_stream(io.BytesIO(bytes(r["payload"]))) as rd:
+            total += rd.read_all().num_rows
+    assert total == src.count()
