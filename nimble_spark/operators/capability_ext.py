@@ -1,0 +1,310 @@
+"""Registry entries for capability surfaces that previously lived only
+in library modules + pytest: flat maps, deduplicated array/map storage,
+delete masks, Arrow serde, multimodal plumbing, and streaming windows.
+
+Each query exercises the real library code path (sources/flatmap.py,
+sources/deletes.py, sources/serde.py, operators/multimodal.py,
+streaming/windows.py) and, where SQL-expressible, ships a DuckDB oracle
+so the driver's differential gate covers it. Streaming entries have no
+oracle (stateful/streaming semantics are not ANSI-SQL) — the driver
+records a rows-only check, as the contract allows.
+
+Reference parity (SURVEY.md §1.3, §2.1, §2.3):
+- FlatMap: dwio/nimble/velox/FieldWriter.cpp:1415 (write),
+  selective/FlatMapColumnReader.cpp (read).
+- ArrayWithOffsets / SlidingWindowMap dedup: FieldWriter.cpp:2177,
+  FieldWriter.cpp:953-1077.
+- Mutation-at-scan deletes: selective/SelectiveNimbleReader.cpp:334-338.
+- Serializer/Deserializer: serializer/Serializer.h:33-56.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.exact import rnd
+from nimble_spark.registry import register
+from nimble_spark.sources.deletes import delete_rows, read_with_deletes
+from nimble_spark.sources.flatmap import (
+    dedup_array_column,
+    flatten_map_column,
+    restore_array_column,
+    restore_map_column,
+)
+from nimble_spark.sources.serde import deserialize, serialize
+from nimble_spark.sources.table import WriteOptions, write_table
+from nimble_spark.tables import load
+
+_CACHE_ROOT = "/tmp/nimble_spark_tables"
+
+def _props_map() -> F.Column:
+    return F.from_json("props", "map<string,bigint>")
+
+
+# ---------------------------------------------------------------------------
+# FlatMap: map column exploded into per-key value + presence columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_flatmap_project",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS pm__k,
+           json_extract(props, '$.k') IS NOT NULL     AS pm__k__in
+    FROM events
+    """,
+    category="flatmap",
+)
+def q_flatmap_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-map key projection: the map column is stored exploded into
+    per-key (value, inMap) columns; projecting key `k` touches only
+    those two streams — Catalyst prunes the rest."""
+    ev = load(spark, sf_dir, "events").select("event_id", _props_map().alias("pm"))
+    flat, _keys = flatten_map_column(ev, "pm", keys=["k"])
+    return flat.select(
+        "event_id",
+        F.col("pm__k"),
+        F.coalesce(F.col("pm__k__in"), F.lit(False)).alias("pm__k__in"),
+    )
+
+
+@register(
+    "q_flatmap_roundtrip",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    category="flatmap",
+)
+def q_flatmap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten → restore round trip: rebuildng map<K,V> from the per-key
+    columns preserves present-null vs absent-key (inMap semantics)."""
+    ev = load(spark, sf_dir, "events").select("event_id", _props_map().alias("pm"))
+    flat, keys = flatten_map_column(ev, "pm", keys=["k"])
+    back = restore_map_column(flat, keys, "pm")
+    return back.select("event_id", F.element_at("pm", "k").alias("k_value"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplicated array storage (ArrayWithOffsets analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_array_dedup_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT embedding) AS n_distinct
+    FROM embeddings
+    """,
+    category="dedup_storage",
+)
+def q_array_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary stats of the dedup'd array column: rows keep an int
+    ref; the dictionary holds each distinct array once (the storage
+    saving the reference gets from ArrayWithOffsets)."""
+    emb = load(spark, sf_dir, "embeddings")
+    main, dictionary = dedup_array_column(emb, "embedding")
+    n_rows = main.count()
+    n_distinct = dictionary.count()
+    return spark.createDataFrame(
+        [(n_rows, n_distinct)], "n_rows BIGINT, n_distinct BIGINT"
+    )
+
+
+@register(
+    "q_array_dedup_roundtrip",
+    oracle="""
+    SELECT vec_id,
+           FLOOR((CAST(embedding[1] AS DOUBLE)) * 10000 + 0.5) / 10000 AS e0,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+    category="dedup_storage",
+)
+def q_array_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup → restore round trip: the ref column joins the broadcast
+    dictionary back into the logical array column losslessly."""
+    emb = load(spark, sf_dir, "embeddings")
+    main, dictionary = dedup_array_column(emb, "embedding")
+    back = restore_array_column(main, dictionary, "embedding")
+    return back.select(
+        "vec_id",
+        rnd(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete masks at scan (Mutation analogue)
+# ---------------------------------------------------------------------------
+
+_DELETE_KEYS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "q_delete_mask_scan",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+    FROM documents
+    WHERE doc_id NOT IN ({", ".join(map(str, _DELETE_KEYS))})
+    GROUP BY lang
+    """,
+    category="format",
+)
+def q_delete_mask_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with delete masks: deletes are persisted keysets applied as
+    a broadcast anti-join at read — data files never rewritten."""
+    sf = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, f"{sf}__documents__deletable")
+    if not os.path.exists(os.path.join(path, "_nimble", "manifest.json")):
+        write_table(load(spark, sf_dir, "documents"), path, WriteOptions())
+    if not os.path.isdir(os.path.join(path, "_nimble", "deletes")):
+        delete_rows(spark, path, "doc_id", _DELETE_KEYS)
+    df = read_with_deletes(spark, path)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC serde (Serializer/Deserializer analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_serde_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    category="format",
+)
+def q_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame → Arrow IPC stream bytes → DataFrame round trip (the
+    engine-to-engine batch transport surface)."""
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    payload = serialize(nation)
+    return deserialize(spark, payload)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode kernels stubbed; Spark-side shapes real)
+# ---------------------------------------------------------------------------
+
+_N_MEDIA = 64
+
+
+@register(
+    "q_multimodal_features",
+    oracle=f"""
+    SELECT i AS media_id,
+           CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(32 * (4 + i % 7) AS BIGINT) AS n_bytes
+    FROM range({_N_MEDIA}) t(i)
+    """,
+    category="multimodal",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through mapInPandas (Arrow
+    batches): payload sizes and kinds come back from the Python stage,
+    proving batch shape + schema plumbing end-to-end."""
+    from nimble_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, _N_MEDIA)
+    feats = extract_features(media, decode="fake")
+    return feats.select("media_id", "kind", "n_bytes")
+
+
+@register(
+    "q_frame_sample",
+    oracle=f"""
+    WITH v AS (SELECT i FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 2)
+    SELECT i AS media_id,
+           unnest(range(0, CAST(30 * (1 + i % 10) AS BIGINT), 10)) AS frame_idx
+    FROM v
+    """,
+    category="multimodal",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame, fan-out
+    inside mapInPandas (frame decode stubbed, schema/fan-out real)."""
+    from nimble_spark.operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, _N_MEDIA)
+    frames = sample_frames(media, every_n=10, decode="fake")
+    return frames.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+@register(
+    "q_resize_plumbing",
+    oracle=f"""
+    SELECT i AS media_id,
+           CAST(64 AS BIGINT) AS out_width,
+           CAST(64 AS BIGINT) AS out_height,
+           GREATEST(16, (64 * 64) % (32 * (4 + i % 7))) AS n_bytes
+    FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 0
+    """,
+    category="multimodal",
+)
+def q_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: kind filter stays JVM-side; the Python
+    stage transforms payloads batch-at-a-time (resize kernel stubbed)."""
+    from nimble_spark.operators.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, _N_MEDIA)
+    out = resize_images(media, 64, 64, decode="fake")
+    return out.select(
+        "media_id",
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (rows-only checks — not ANSI-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@register("q_stream_tumbling", oracle=None, category="streaming")
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts over the file-backed events
+    stream, driven to completion into a memory sink (batch-equivalent
+    results are asserted in tests/test_streaming_multimodal.py)."""
+    from nimble_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        tumbling_counts,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return run_to_completion(tumbling_counts(stream), "rq_stream_tumbling")
+
+
+@register("q_stream_session", oracle=None, category="streaming")
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) with watermarked state."""
+    from nimble_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        session_aggregate,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return run_to_completion(session_aggregate(stream), "rq_stream_session")
+
+
+@register("q_stream_stateful", oracle=None, category="streaming")
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) counters sharded by key."""
+    from nimble_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        stateful_user_counts,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return run_to_completion(stateful_user_counts(stream), "rq_stream_stateful")

@@ -74,7 +74,9 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
             "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
         }
         rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # Few partitions for a tiny synthetic table: each partition spawns a
+    # Python worker in mapInPandas; 32 workers for 64 rows is all startup.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

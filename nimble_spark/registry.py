@@ -72,5 +72,6 @@ def _load_all() -> None:
     import nimble_spark.operators.text  # noqa: F401
     import nimble_spark.operators.format_surface  # noqa: F401
     import nimble_spark.operators.events_ts  # noqa: F401
+    import nimble_spark.operators.capability_ext  # noqa: F401
 
     _LOADED = True

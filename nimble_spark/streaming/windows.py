@@ -81,8 +81,15 @@ def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a file-backed stream to completion synchronously and
     return the materialized result (memory sink). Test/dev harness —
     production uses a real sink + trigger."""
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    if "FlatMapGroupsInPandasWithState" in plan:
+        mode = "update"  # required by applyInPandasWithState(update)
+    elif "Aggregate" in plan:
+        mode = "complete"
+    else:
+        mode = "append"
     q = (
-        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -92,10 +99,6 @@ def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
-
-
-def _has_agg(df: DataFrame) -> bool:
-    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
 
 
 # ---------------------------------------------------------------------------
