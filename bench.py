@@ -25,8 +25,11 @@ HEADLINE = [
     "q_dedup_exact",
     "q_minhash_lsh_pairs",
     "q_cosine_topk",
+    "q_ann_ivf_topk",
     "q_token_stats",
     "q_topk",
+    "q18_large_orders",
+    "q_pandas_udf_normalize",
 ]
 
 

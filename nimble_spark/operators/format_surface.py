@@ -166,6 +166,54 @@ def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_point_lookup_sorted",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer WHERE c_nationkey IN (3, 7)
+    """,
+    category="format",
+)
+def q_point_lookup_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through a secondary sorted index on unsorted data
+    (SortedIndex analogue, dwio/nimble/index/SortedIndex.h:48): the
+    table is written unordered in several files; the index scan finds
+    which files contain the probe keys and only those are read."""
+    path = _ensure_written(
+        spark, sf_dir, "customer", "multifile", WriteOptions(max_rows_per_file=400)
+    )
+    from nimble_spark.sources.table import create_sorted_index, read_manifest
+
+    if "c_nationkey" not in read_manifest(path).get("indexes", {}).get("sorted", []):
+        create_sorted_index(spark, path, "c_nationkey")
+    df = read_table(spark, path, point_lookup=("c_nationkey", [3, 7]))
+    return df.select("c_custkey", "c_name", "c_nationkey")
+
+
+@register(
+    "q_deterministic_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST(concat('0x', substr(md5(concat(l_orderkey, '_', l_linenumber)), 1, 8))
+               AS BIGINT) % 100 < 10
+    """,
+    category="format",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via a portable key hash — the
+    sampling-pushdown surface (RandomSkipTracker analogue,
+    selective/ReaderBase.h:63) made reproducible across engines and
+    runs: the hash predicate pushes to the scan, and the same rows are
+    selected on every engine (critical for training-data repeatability,
+    unlike TABLESAMPLE's engine-local RNG)."""
+    l = load(spark, sf_dir, "lineitem")
+    h = F.expr(
+        "CAST(conv(substr(md5(concat(l_orderkey, '_', l_linenumber)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return l.filter(h % 100 < 10).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
     "q_table_stats",
     oracle="""
     SELECT 'o_totalprice' AS col,

@@ -1,0 +1,238 @@
+"""Additional relational conformance queries (SURVEY.md §2.6) and the
+encoding-statistics aggregations the reference computes per block
+(§2.5, dwio/nimble/encodings/selection/Statistics.h:31,124-302):
+TPC-H-flavored joins/subqueries over the driver tables, run-length
+stats, and exact-NDV column stats.
+
+Scale notes are per query; the run-length window is the one operator
+here that is global-sort shaped — the reference computes it per
+encoding block, and the Spark analogue at 100 TB is per-file/partition
+(noted in the docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.exact import dsum, dsum_sql, rnd, rnd_sql
+from nimble_spark.registry import register
+from nimble_spark.tables import load
+
+_Q18_THRESHOLD = 400
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    category="aggregation",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + aggregate. All four
+    predicates push down to the parquet scan (row-group pruning on
+    shipdate when clustered); no shuffle beyond the 1-row agg."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+      )
+    GROUP BY o_orderpriority
+    """,
+    category="join",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join.
+    The semi join shuffles only orderkeys; the probe side is filtered
+    before the join so the build never sees non-qualifying lines."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT {rnd_sql(
+        "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' "
+        "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) "
+        "ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE) / "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)"
+    )} AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    category="join",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dim join + conditional aggregate ratio.
+    part is the broadcast side; both sums ride one shuffle-free partial
+    agg (decimal-exact before the final division)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = "decimal(27,6)"
+    ext = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    promo = F.when(F.col("p_type") == "PROMO", ext).otherwise(F.lit(0).cast(dec))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            rnd(
+                100.0 * F.sum(promo).cast("double") / F.sum(ext).cast("double"), 4
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           {dsum_sql("l_quantity")} AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {_Q18_THRESHOLD}
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+    """,
+    category="join",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING → semi join
+    on the aggregated keyset (small → broadcast), then a 3-way join
+    re-aggregated. The keyset agg is the only wide shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    keys = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > _Q18_THRESHOLD)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        l.join(F.broadcast(keys), "l_orderkey")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoding statistics (SURVEY §2.5): run lengths + exact NDV
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_run_length_stats",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_returnflag <> LAG(l_returnflag)
+                  OVER (ORDER BY l_orderkey, l_linenumber) THEN 1 ELSE 0 END AS chg
+      FROM lineitem
+    ),
+    runs AS (
+      SELECT SUM(chg) OVER (ORDER BY l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    sizes AS (SELECT run_id, COUNT(*) AS run_len FROM runs GROUP BY run_id)
+    SELECT COUNT(*) AS n_runs,
+           MIN(run_len) AS min_run, MAX(run_len) AS max_run
+    FROM sizes
+    """,
+    category="statistics",
+)
+def q_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max repeat-run statistics — the encoding-selection stat that
+    decides RLE viability (Statistics.h min/max repeat run). Computed
+    here over the whole table in storage order; at 100 TB the reference
+    computes it per encoding block, and the Spark analogue runs this
+    same window per file/partition (spark_partition_id grouping)."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    w = W.orderBy("l_orderkey", "l_linenumber")
+    chg = F.when(
+        F.col("l_returnflag") != F.lag("l_returnflag").over(w), 1
+    ).otherwise(0)
+    runs = l.withColumn("chg", chg).withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    sizes = runs.groupBy("run_id").agg(F.count(F.lit(1)).alias("run_len"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.min("run_len").alias("min_run"),
+        F.max("run_len").alias("max_run"),
+    )
+
+
+@register(
+    "q_ndv_stats",
+    oracle="""
+    SELECT COUNT(DISTINCT l_returnflag) AS ndv_returnflag,
+           COUNT(DISTINCT l_linestatus) AS ndv_linestatus,
+           COUNT(DISTINCT l_partkey)    AS ndv_partkey,
+           COUNT(DISTINCT l_quantity)   AS ndv_quantity,
+           SUM(LENGTH(l_returnflag))    AS flag_bytes,
+           COUNT(*)                     AS n_rows
+    FROM lineitem
+    """,
+    category="statistics",
+)
+def q_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unique-value counts + total string bytes — the per-block
+    stats driving dictionary-encoding selection (Statistics.h
+    uniqueCounts / totalStringsLength). Exact NDV here matches the
+    reference's hashmap counting; at 100 TB swap in
+    approx_count_distinct (documented divergence, SURVEY §7)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_returnflag").alias("ndv_returnflag"),
+        F.countDistinct("l_linestatus").alias("ndv_linestatus"),
+        F.countDistinct("l_partkey").alias("ndv_partkey"),
+        F.countDistinct("l_quantity").alias("ndv_quantity"),
+        F.sum(F.length("l_returnflag")).alias("flag_bytes"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

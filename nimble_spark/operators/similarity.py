@@ -282,3 +282,120 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec_v).cast("double") / (F.count(F.lit(1)) / F.countDistinct("dim_i")), 4).alias("centroid_mass"),
         rnd(F.sum(dec_v).cast("double") / F.count("v"), 4).alias("mean_component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — coarse quantize to label-cell centroids, probe nearest cells
+# ---------------------------------------------------------------------------
+
+N_PROBE = 2
+
+# Exact per-dimension centroid: decimal sum / count, identical in both
+# engines regardless of aggregation order.
+_CENTROIDS_DUCK = """
+    cflat AS (
+      SELECT label, i AS dim_i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cdim AS (
+      SELECT label, dim_i,
+             CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS cv
+      FROM cflat GROUP BY label, dim_i
+    ),
+    centroids AS (
+      SELECT label, array_agg(cv ORDER BY dim_i) AS cvec FROM cdim GROUP BY label
+    )
+"""
+
+_IVF_DUCK = f"""
+    WITH {_CENTROIDS_DUCK},
+    q AS (SELECT vec_id AS qid, embedding AS qv, {_norm_duck("embedding")} AS qn
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    cells AS (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY FLOOR(({_DOT_DUCK.format(a="qv", b="cvec")}
+                 / (qn * {_norm_duck("cvec")})) * 1000000 + 0.5) / 1000000 DESC,
+               label
+             ) AS cell_rk
+      FROM q JOIN centroids ON TRUE
+    ),
+    probed AS (SELECT qid, label FROM cells WHERE cell_rk <= {N_PROBE}),
+    cand AS (
+      SELECT p.qid, e.vec_id AS cid, e.embedding AS cv
+      FROM probed p JOIN embeddings e ON e.label = p.label
+    ),
+    scored AS (
+      SELECT c.qid, c.cid,
+             {_DOT_DUCK.format(a="q.qv", b="c.cv")} / (q.qn * {_norm_duck("c.cv")}) AS sim
+      FROM cand c JOIN q ON q.qid = c.qid
+      WHERE c.cid <> c.qid
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR((sim) * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, rk, FLOOR((sim) * 10000 + 0.5) / 10000 AS sim
+    FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("q_ann_ivf_topk", oracle=_IVF_DUCK, category="similarity")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells (here the
+    label partitions, centroid = exact per-dimension mean), rank cells
+    per query by centroid cosine, probe the top-2 cells, brute-force
+    only inside them. The scale path: centroids are tiny (k×d) and
+    broadcast; the candidate scan is partition-pruned by cell id."""
+    e = load(spark, sf_dir, "embeddings")
+
+    # Exact centroids: posexplode → decimal mean per (label, dim) →
+    # re-assemble ordered arrays. Tiny result (k labels × d dims).
+    flat = e.select("label", F.posexplode("embedding").alias("dim0", "v0"))
+    cdim = flat.groupBy("label", "dim0").agg(
+        (F.sum(F.col("v0").cast("double").cast("decimal(27,6)")).cast("double")
+         / F.count(F.lit(1))).alias("cv")
+    )
+    centroids = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
+    )
+
+    cell_sim = F.expr(_DOT_SPARK.format(a="qv", b="cvec")) / (
+        F.col("qn") * F.expr(_norm_spark("cvec"))
+    )
+    wc = W.partitionBy("qid").orderBy(rnd(cell_sim, 6).desc(), "label")
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_rk", F.row_number().over(wc))
+        .filter(F.col("cell_rk") <= N_PROBE)
+        .select("qid", "label")
+    )
+
+    cand = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "label"
+    ).join(F.broadcast(probed), "label")
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="cv")) / (
+        F.col("qn") * F.expr(_norm_spark("cv"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", sim.alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
+    )

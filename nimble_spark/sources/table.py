@@ -207,6 +207,37 @@ def read_manifest(path: str) -> dict:
         return json.load(fh)
 
 
+def _write_manifest(path: str, manifest: dict) -> None:
+    with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh, indent=1, default=_json_safe)
+
+
+def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
+    """Secondary sorted index on an existing table — the SortedIndex
+    analogue (dwio/nimble/index/SortedIndex.h:48: sorted key‖row_id
+    entries for point/range lookup on *unsorted* data).
+
+    Spark mapping: a sorted materialization of (key, file) pairs at
+    file granularity under ``_nimble/index/sorted/<key>/``. A point
+    lookup reads the (small, sorted, min/max-prunable) index to find
+    the files containing the probe keys, then scans only those files
+    with a residual filter. Returns the number of index entries."""
+    df = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), F.col(key))
+        .distinct()
+    )
+    out = os.path.join(path, MANIFEST_DIR, "index", "sorted", key)
+    df.repartitionByRange(1, key).sortWithinPartitions(key).write.mode(
+        "overwrite"
+    ).parquet(out)
+    m = read_manifest(path)
+    m.setdefault("indexes", {}).setdefault("sorted", []).append(key)
+    m["indexes"]["sorted"] = sorted(set(m["indexes"]["sorted"]))
+    _write_manifest(path, m)
+    return spark.read.parquet(out).count()
+
+
 def _prune_files(manifest: dict, key: str, lo: Any, hi: Any) -> list[str] | None:
     """Cluster-index pruning: keep files whose [min,max] for `key`
     intersects [lo,hi] (binary-search-over-boundary-keys analogue,
@@ -283,6 +314,13 @@ def read_table(
             return df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL).select(
                 *(columns or [c for c in df.columns if c != BUCKET_COL])
             )
+        elif key in manifest.get("indexes", {}).get("sorted", []):
+            # Secondary sorted index: the index scan (small, sorted,
+            # min/max-prunable) yields exactly the files holding the
+            # probe keys; only those are read.
+            idx_path = os.path.join(path, MANIFEST_DIR, "index", "sorted", key)
+            idx = spark.read.parquet(idx_path).filter(F.col(key).isin(values))
+            file_list = sorted({r[0] for r in idx.select("file").distinct().collect()})
         else:
             lo, hi = min(values), max(values)
             file_list = _prune_files(manifest, key, lo, hi)
