@@ -54,6 +54,10 @@ class WriteOptions:
     bucket_by: Optional[str] = None  # hash-index key
     n_buckets: int = 16
     bloom_cols: Optional[list[str]] = None
+    # Per-column encoding-selection knob (the reference's pluggable
+    # EncodingSelectionPolicy surface): force PLAIN for listed columns
+    # by disabling parquet dictionary encoding column-wise.
+    no_dictionary_cols: Optional[list[str]] = None
     max_rows_per_file: Optional[int] = None
     compression: str = "zstd"
     row_group_rows: Optional[int] = None  # stripe size analogue
@@ -82,13 +86,21 @@ def _json_safe(v: Any) -> Any:
     return str(v)
 
 
-def write_table(df: DataFrame, path: str, opts: WriteOptions | None = None) -> dict:
+def write_table(
+    df: DataFrame, path: str, opts: WriteOptions | None = None, mode: str = "overwrite"
+) -> dict:
     """Write a DataFrame as a nimble_spark table and return the manifest.
 
     One writer per task/partition (the reference's one-writer-per-file,
     dwio/nimble/writer/VeloxWriter.h:51); global layout decided up
     front by cluster/bucket options (LayoutPlanner analogue,
     dwio/nimble/velox/LayoutPlanner.cpp:99-112).
+
+    ``mode="append"`` adds new files and rebuilds the manifest over the
+    whole table (append-only, like the reference's stripe appends).
+    Appending to a clustered table keeps pruning *correct* (per-file
+    min/max) but ranges may overlap across writes — periodic rewrite
+    restores disjointness.
     """
     opts = opts or WriteOptions()
     spark = df.sparkSession
@@ -115,13 +127,15 @@ def write_table(df: DataFrame, path: str, opts: WriteOptions | None = None) -> d
         partition_by = [BUCKET_COL]
         index_meta["hash"] = {"key": opts.bucket_by, "n_buckets": opts.n_buckets}
 
-    writer = out.write.mode("overwrite").option("compression", opts.compression)
+    writer = out.write.mode(mode).option("compression", opts.compression)
     if opts.max_rows_per_file:
         writer = writer.option("maxRecordsPerFile", opts.max_rows_per_file)
     if opts.row_group_rows:
         writer = writer.option("parquet.block.size", str(opts.row_group_rows * 256))
     for c in opts.bloom_cols or []:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    for c in opts.no_dictionary_cols or []:
+        writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
