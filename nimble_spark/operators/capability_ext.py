@@ -138,6 +138,26 @@ def q_array_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_map_dedup_roundtrip",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    category="dedup_storage",
+)
+def q_map_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated map storage (SlidingWindowMap analogue,
+    dwio/nimble/velox/FieldWriter.cpp:953-1077): identical maps stored
+    once in a dictionary, rows keep an int ref; restore is a broadcast
+    join. Dedup here is global-per-write (strictly stronger than the
+    reference's consecutive-window sharing, same logical round trip)."""
+    ev = load(spark, sf_dir, "events").select("event_id", _props_map().alias("pm"))
+    main, dictionary = dedup_array_column(ev, "pm")
+    back = restore_array_column(main, dictionary, "pm")
+    return back.select("event_id", F.element_at("pm", "k").alias("k_value"))
+
+
 # ---------------------------------------------------------------------------
 # Delete masks at scan (Mutation analogue)
 # ---------------------------------------------------------------------------

@@ -209,6 +209,119 @@ def q_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skew_salted_agg",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql("value")} AS total
+    FROM events GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation — the skew pattern for 100 TB:
+    a low-cardinality hot key (4 event types over billions of rows)
+    would hash all rows of one type to one reducer. Salting fans the
+    partial agg over (key, salt % 16) so every reducer gets ~1/16 of a
+    hot key, and the final agg combines 16 tiny partials per key.
+    Result is provably identical to the plain groupBy (decimal sums
+    are associative)."""
+    e = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(27,6)")
+    partial = (
+        e.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum(dec).alias("ps"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), rnd(F.sum("ps").cast("double"), 4).alias("total")
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle=f"""
+    SELECT event_type,
+           {rnd_sql("quantile_cont(value, 0.5)")}  AS p50,
+           {rnd_sql("quantile_cont(value, 0.95)")} AS p95,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear interpolation over the sorted values). At 100 TB swap
+    in approx_percentile (t-digest) — documented divergence."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        rnd(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        rnd(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_array_fns",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, list_sort(embedding, 'DESC') AS sorted_e, embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           FLOOR((CAST(sorted_e[1] AS DOUBLE)) * 10000 + 0.5) / 10000 AS top1,
+           FLOOR((CAST(sorted_e[2] AS DOUBLE)) * 10000 + 0.5) / 10000 AS top2,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM s
+    """,
+    category="scalar_fn",
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth: sort (desc), element access, lambda
+    filter, size — all JVM-side higher-order functions (no UDF)."""
+    e = load(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        F.reverse(F.array_sort("embedding")).alias("sorted_e"),
+        "embedding",
+    )
+    return s.select(
+        "vec_id",
+        rnd(F.element_at("sorted_e", 1).cast("double"), 4).alias("top1"),
+        rnd(F.element_at("sorted_e", 2).cast("double"), 4).alias("top2"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+@register(
+    "q_ntile_window",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile
+      FROM events
+    )
+    SELECT event_type, tile, COUNT(*) AS n,
+           FLOOR((MIN(value)) * 10000 + 0.5) / 10000 AS lo,
+           FLOOR((MAX(value)) * 10000 + 0.5) / 10000 AS hi
+    FROM t GROUP BY event_type, tile
+    """,
+    category="window",
+)
+def q_ntile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles per group (deterministic tie-break on event_id),
+    re-aggregated to per-tile bounds."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    t = e.withColumn("tile", F.ntile(4).over(w))
+    return t.groupBy("event_type", "tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.min("value"), 4).alias("lo"),
+        rnd(F.max("value"), 4).alias("hi"),
+    )
+
+
+@register(
     "q_ndv_stats",
     oracle="""
     SELECT COUNT(DISTINCT l_returnflag) AS ndv_returnflag,
