@@ -190,6 +190,32 @@ def q_point_lookup_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_index_projection",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_orderkey IN (10, 200, 3000)
+    """,
+    category="format",
+)
+def q_index_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index projection serving (NimbleIndexProjector analogue,
+    dwio/nimble/velox/index/NimbleIndexProjector.h:35-43): batch point
+    lookups against the cluster-indexed table, projected columns
+    serialized to Arrow IPC for transport and deserialized on the
+    consumer side — the lookup-serve-transport loop end to end."""
+    from nimble_spark.sources.serde import deserialize, serialize
+
+    path = _ensure_written(
+        spark, sf_dir, "orders", "cluster_orderkey", WriteOptions(cluster_by=["o_orderkey"])
+    )
+    hits = read_table(
+        spark, path, columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+        point_lookup=("o_orderkey", [10, 200, 3000]),
+    )
+    return deserialize(spark, serialize(hits))
+
+
+@register(
     "q_deterministic_sample",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity

@@ -216,9 +216,23 @@ def _build_manifest(
     }
 
 
+# Manifest cache keyed by (path, mtime) — the metadata-cache analogue
+# (dwio/nimble/tablet/MetadataCache.h): repeated queries over the same
+# table skip the footer/manifest parse; an append bumps the mtime and
+# invalidates naturally.
+_MANIFEST_CACHE: dict[str, tuple[float, dict]] = {}
+
+
 def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)) as fh:
-        return json.load(fh)
+    mf = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
+    mtime = os.path.getmtime(mf)
+    hit = _MANIFEST_CACHE.get(mf)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    with open(mf) as fh:
+        m = json.load(fh)
+    _MANIFEST_CACHE[mf] = (mtime, m)
+    return m
 
 
 def _write_manifest(path: str, manifest: dict) -> None:

@@ -122,3 +122,54 @@ def select(
     if offset:
         df = df.offset(offset)
     return df.limit(limit)
+
+
+def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
+    """Dispatch one DSL command string (the NimbleDSL VM analogue,
+    dwio/nimble/tools/NimbleDslVm.cpp):
+
+      DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES |
+      SHOW ENCODING | SHOW INDEX |
+      SELECT col[,col...] [LIMIT n] [OFFSET n]
+    """
+    import re
+
+    c = command.strip()
+    u = c.upper()
+    if u == "DESCRIBE":
+        return describe(spark, path)
+    if u == "SHOW STATS":
+        return show_stats(spark, path)
+    if u == "SHOW FILES":
+        return show_files(spark, path)
+    if u == "SHOW STRIPES":
+        return show_stripes(spark, path)
+    if u in ("SHOW ENCODING", "SHOW ENCODINGS"):
+        return show_encodings(spark, path)
+    if u == "SHOW INDEX":
+        return show_index(spark, path)
+    m = re.match(r"SELECT\s+(.+?)(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?$", c, re.I)
+    if m:
+        cols = [x.strip() for x in m.group(1).split(",")]
+        cols = None if cols == ["*"] else cols
+        return select(
+            spark, path, columns=cols,
+            limit=int(m.group(2) or 20), offset=int(m.group(3) or 0),
+        )
+    raise ValueError(f"unknown DSL command: {command!r}")
+
+
+def main() -> None:  # pragma: no cover - thin CLI
+    """`python -m nimble_spark.tools <table-path> "<command>"` — the
+    inspection REPL's one-shot mode."""
+    import sys
+
+    from nimble_spark.session import get_spark
+
+    path, command = sys.argv[1], " ".join(sys.argv[2:]) or "DESCRIBE"
+    spark = get_spark("nimble-dsl")
+    run_command(spark, path, command).show(100, truncate=False)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
