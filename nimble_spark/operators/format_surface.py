@@ -190,6 +190,35 @@ def q_point_lookup_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_colocated_join",
+    oracle=f"""
+    SELECT c_custkey, c_name, COUNT(*) AS n_orders, {dsum_sql("o_totalprice")} AS spent
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    category="format",
+)
+def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucket join: customer and orders are both
+    hash-bucketed on the customer key with the same bucket count, so
+    bucket i joins only bucket i — no network shuffle of either fact
+    table (the HashIndex co-located lookup-join pattern; Spark's
+    metastore bucketBy optimization re-expressed over directories)."""
+    from nimble_spark.sources.table import colocated_join
+
+    pa = _ensure_written(
+        spark, sf_dir, "customer", "bucket_custkey", WriteOptions(bucket_by="c_custkey", n_buckets=8)
+    )
+    pb = _ensure_written(
+        spark, sf_dir, "orders", "bucket_custkey", WriteOptions(bucket_by="o_custkey", n_buckets=8)
+    )
+    j = colocated_join(spark, pa, pb, "c_custkey", "o_custkey")
+    return j.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spent")
+    )
+
+
+@register(
     "q_index_projection",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus

@@ -240,6 +240,48 @@ def _write_manifest(path: str, manifest: dict) -> None:
         json.dump(manifest, fh, indent=1, default=_json_safe)
 
 
+def colocated_join(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle-free equi-join of two tables hash-bucketed with the SAME
+    bucket count: rows with equal keys share a bucket id (the hash is
+    deterministic on the key value), so bucket i of A joins only
+    bucket i of B. Each per-bucket join reads two directories and
+    shuffles nothing network-wide; the union is partition-local.
+
+    The Spark-metastore `bucketBy` join optimization, re-expressed over
+    the connector's hash-index directory layout (SURVEY §2.4 HashIndex
+    → co-located lookup joins)."""
+    ma, mb = read_manifest(path_a), read_manifest(path_b)
+    ha, hb = ma["indexes"].get("hash"), mb["indexes"].get("hash")
+    if not ha or not hb or ha["n_buckets"] != hb["n_buckets"]:
+        raise ValueError("both tables must be hash-bucketed with equal n_buckets")
+    if ha["key"] != left_key or hb["key"] != right_key:
+        raise ValueError("join keys must be the bucketing keys")
+    if how != "inner":
+        raise ValueError("colocated_join supports inner joins")
+    n = ha["n_buckets"]
+    out = None
+    for i in range(n):
+        da = os.path.join(path_a, f"{BUCKET_COL}={i}")
+        db = os.path.join(path_b, f"{BUCKET_COL}={i}")
+        if not (os.path.isdir(da) and os.path.isdir(db)):
+            continue  # empty bucket on either side → no inner matches
+        piece = spark.read.parquet(da).join(
+            spark.read.parquet(db),
+            F.col(left_key) == F.col(right_key) if left_key != right_key
+            else [left_key],
+            how,
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
 def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
     """Secondary sorted index on an existing table — the SortedIndex
     analogue (dwio/nimble/index/SortedIndex.h:48: sorted key‖row_id
