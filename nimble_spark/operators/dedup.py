@@ -96,22 +96,27 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # One md5 yields four independent 32-bit hashes (disjoint 8-hex-char
-# slices) — 8 minhashes cost 2 md5 calls per shingle, not 8.
+# slices) — 8 minhashes cost 2 md5 passes per shingle, not 8. The md5
+# hex arrays are MATERIALIZED as separate projection columns (h0/h1):
+# Spark has no CSE across higher-order-function lambdas, and
+# CollapseProject won't inline a non-cheap alias referenced 4×, so the
+# expensive md5 transform runs once and the 8 array_min slices are
+# cheap substr/conv passes over the cached arrays.
 
 
 def _mh_spark(j: int) -> str:
     seed, off = j // 4, 1 + 8 * (j % 4)
     return (
-        f"array_min(transform(sh, s -> "
-        f"CAST(conv(substr(md5(concat('{seed}|', s)), {off}, 8), 16, 10) AS BIGINT)))"
+        f"array_min(transform(h{seed}, x -> "
+        f"CAST(conv(substr(x, {off}, 8), 16, 10) AS BIGINT)))"
     )
 
 
 def _mh_duck(j: int) -> str:
     seed, off = j // 4, 1 + 8 * (j % 4)
     return (
-        f"list_min(list_transform(sh, s -> "
-        f"CAST(concat('0x', substr(md5(concat('{seed}|', s)), {off}, 8)) AS BIGINT)))"
+        f"list_min(list_transform(h{seed}, x -> "
+        f"CAST(concat('0x', substr(x, {off}, 8)) AS BIGINT)))"
     )
 
 
@@ -121,6 +126,25 @@ def _minhash_cols_spark() -> list[F.Column]:
 
 def _minhash_cols_duck() -> str:
     return ",\n             ".join(f"{_mh_duck(j)} AS mh{j}" for j in range(N_MINHASH))
+
+
+def _md5_arrays_spark(df: DataFrame, keep: list[str]) -> DataFrame:
+    """Project the two per-shingle md5 hex arrays (one per seed)."""
+    return df.select(
+        *keep,
+        F.expr("transform(sh, s -> md5(concat('0|', s)))").alias("h0"),
+        F.expr("transform(sh, s -> md5(concat('1|', s)))").alias("h1"),
+    )
+
+
+_MD5_ARRAYS_DUCK = """
+    hh AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> md5(concat('0|', s))) AS h0,
+             list_transform(sh, s -> md5(concat('1|', s))) AS h1
+      FROM sh_t
+    )
+"""
 
 
 _SHINGLE_CTE_DUCK = f"""
@@ -137,10 +161,11 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_minhash_signatures",
     oracle=f"""
-    {_SHINGLE_CTE_DUCK}
+    {_SHINGLE_CTE_DUCK},
+    {_MD5_ARRAYS_DUCK}
     SELECT doc_id,
              {_minhash_cols_duck()}
-    FROM sh_t
+    FROM hh
     """,
     category="dedup",
 )
@@ -148,15 +173,17 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: k=8 permutation-free min-hashes over distinct
     word 3-gram shingles. Each doc compresses to 8×int64 before any
     shuffle — the signature table is what LSH joins at scale."""
-    return _shingled(spark, sf_dir).select("doc_id", *_minhash_cols_spark())
+    hashed = _md5_arrays_spark(_shingled(spark, sf_dir), ["doc_id"])
+    return hashed.select("doc_id", *_minhash_cols_spark())
 
 
 _LSH_PAIRS_DUCK = f"""
     {_SHINGLE_CTE_DUCK},
+    {_MD5_ARRAYS_DUCK},
     sig AS (
       SELECT doc_id, sh,
              {_minhash_cols_duck()}
-      FROM sh_t
+      FROM hh
     ),
     bands AS (
       SELECT doc_id, sh, 0 AS band, md5(concat(mh0, '_', mh1)) AS bh FROM sig
@@ -211,13 +238,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # shuffle_hash (not broadcast) on the self-join: both sides then
+    # need the identical Exchange(band, bh), which Spark deduplicates
+    # via ReusedExchange — the minhash pipeline is evaluated ONCE
+    # instead of once per join side. Same for the shingle verify joins.
+    a = bands.hint("shuffle_hash").alias("a")
+    b = bands.hint("shuffle_hash").alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    sh = sh.hint("shuffle_hash")
     cand = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
