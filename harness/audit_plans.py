@@ -1,0 +1,55 @@
+"""Regenerate the SCALE.md verified-plan-properties table.
+
+Usage: python harness/audit_plans.py [--sf DIR] [name ...]
+Prints a markdown table of audited physical-plan properties for the
+named queries (default: the bench headline set + the TPC-H suite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+DEFAULT = [
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_local_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q13_customer_distribution",
+    "q18_large_orders", "q19_discounted_revenue", "q21_waiting_suppliers",
+    "q_dedup_exact", "q_minhash_lsh_pairs", "q_cosine_topk",
+    "q_ann_ivf_topk", "q_skew_salted_agg", "q_token_stats",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from nimble_spark import get_spark
+    from nimble_spark.plans.audit import audit
+    from nimble_spark.registry import QUERIES, _load_all
+
+    _load_all()
+    spark = get_spark("audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args.names or [n for n in DEFAULT if n in QUERIES]
+    print("| query | shuffles | bcast joins | SMJ/SHJ | cart/BNL | partial agg | pushed filters | codegen spans | py evals |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for name in names:
+        a = audit(QUERIES[name].fn(spark, args.sf))
+        print(
+            f"| {name} | {a.n_shuffles} | {a.n_broadcast_joins} "
+            f"| {a.n_sort_merge_joins}/{a.n_shuffled_hash_joins} "
+            f"| {a.n_cartesian}/{a.n_bnl_joins} "
+            f"| {'✓' if a.has_partial_agg else '–'} "
+            f"| {'✓' if a.has_pushed_filters else '–'} "
+            f"| {a.n_codegen_spans} | {a.n_python_evals} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

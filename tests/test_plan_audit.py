@@ -1,0 +1,110 @@
+"""Scale-posture regression tests: every headline operator's physical
+plan must keep the properties its docstring claims (broadcasts stay
+broadcasts, no cartesian products sneak in, filters keep reaching the
+scan, aggregation stays map-side partial). Audits read AQE's *final*
+plan, so they run at sf0.01 — at sf0.001 several dimension filters
+produce empty relations and AQE legitimately collapses the whole plan
+to a LocalTableScan, which would make the assertions vacuous.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nimble_spark.plans.audit import assert_posture, audit
+from tests.conftest import SF_MED
+
+
+def _q(name):
+    from nimble_spark.registry import QUERIES, _load_all
+
+    _load_all()
+    return QUERIES[name].fn
+
+
+def test_q1_single_shuffle_partial_agg(spark):
+    a = assert_posture(
+        _q("q1_pricing_summary")(spark, SF_MED),
+        max_shuffles=1,
+        require_partial_agg=True,
+        require_pushed_filters=True,
+    )
+    assert a.n_codegen_spans >= 1
+
+
+def test_q5_all_dims_broadcast(spark):
+    # customer/supplier/nation/region all broadcast; only the
+    # lineitem-orders join may shuffle.
+    assert_posture(
+        _q("q5_local_supplier")(spark, SF_MED),
+        max_shuffles=1,
+        min_broadcast_joins=4,
+        require_partial_agg=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles,min_bcast",
+    [
+        ("q2_min_cost_supplier", 3, 4),
+        ("q7_volume_shipping", 1, 4),
+        ("q8_market_share", 1, 5),
+        ("q9_product_profit", 1, 3),
+        ("q10_returned_items", 1, 2),
+        ("q11_important_parts", 3, 1),
+        ("q12_late_shipments", 1, 1),
+        ("q13_customer_distribution", 2, 1),
+        ("q15_top_supplier", 3, 2),
+        ("q16_supplier_part_counts", 2, 1),
+        ("q17_small_quantity_revenue", 2, 2),
+        ("q19_discounted_revenue", 1, 1),
+        ("q20_promo_suppliers", 2, 3),
+        ("q22_dormant_customers", 2, 2),
+    ],
+)
+def test_tpch_rest_posture(spark, name, max_shuffles, min_bcast):
+    assert_posture(
+        _q(name)(spark, SF_MED),
+        max_shuffles=max_shuffles,
+        min_broadcast_joins=min_bcast,
+        require_partial_agg=True,
+        require_pushed_filters=True,
+    )
+
+
+def test_q21_no_nested_loop(spark):
+    # the EXISTS/NOT-EXISTS pair must stay equi-joins on orderkey with
+    # residual supplier-inequality — never a nested-loop product.
+    a = assert_posture(
+        _q("q21_waiting_suppliers")(spark, SF_MED),
+        max_shuffles=1,
+        require_partial_agg=True,
+    )
+    assert a.n_bnl_joins == 0, a.plan
+
+
+def test_dedup_exact_stays_jvm_side(spark):
+    assert_posture(
+        _q("q_dedup_exact")(spark, SF_MED),
+        max_shuffles=1,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+
+
+def test_cosine_topk_broadcast_nested_loop_by_design(spark):
+    # brute-force top-k: the query set is broadcast and candidates
+    # stream partition-local — a broadcast nested-loop, NOT a shuffled
+    # cartesian. One shuffle total (the per-query top-k window).
+    a = assert_posture(
+        _q("q_cosine_topk")(spark, SF_MED),
+        max_shuffles=1,
+        forbid_python_eval=True,
+    )
+    assert a.n_bnl_joins >= 1 or a.n_broadcast_joins >= 1, a.plan
+    assert a.n_cartesian == 0
+
+
+def test_audit_counts_python_eval(spark):
+    a = audit(_q("q_pandas_udf_normalize")(spark, SF_MED))
+    assert a.n_python_evals >= 1  # it IS a pandas-UDF query — detector works
