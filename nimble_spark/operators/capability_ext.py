@@ -328,3 +328,54 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
     return run_to_completion(stateful_user_counts(stream), "rq_stream_stateful")
+
+
+@register(
+    "q_timestamp_nanos_roundtrip",
+    oracle="""
+    WITH src AS (
+      SELECT epoch_us(ts) * 1000 + event_id % 1000 AS ns FROM events
+    )
+    SELECT COUNT(*) AS n, MIN(ns) AS min_ns, MAX(ns) AS max_ns,
+           SUM(ns % 1000) AS resid_sum,
+           COUNT(DISTINCT ns % 1000) AS resid_ndv
+    FROM src
+    """,
+    category="format",
+)
+def q_timestamp_nanos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimestampMicroNano parity (SURVEY §1.3; writer
+    dwio/nimble/velox/FieldWriter.cpp:514): nanosecond timestamps
+    survive storage as a micros TimestampType column + a 0..999
+    ShortType residual sidecar, and restore to the exact int64 nanos.
+    The corpus's own residuals are all zero, so deterministic nonzero
+    residuals are derived from event_id (same formula on both engines);
+    the split columns go through a real write_table/read parquet
+    roundtrip before restoration."""
+    from nimble_spark.sources.table import read_table
+    from nimble_spark.sources.timestamps import (
+        restore_timestamp_nanos,
+        split_timestamp_nanos,
+    )
+
+    e = load(spark, sf_dir, "events")
+    ns = (F.unix_micros("ts") * 1000 + F.pmod("event_id", F.lit(1000))).alias("ns")
+    src = e.select(ns.cast("long").alias("ns"))
+    split = split_timestamp_nanos(src, "ns")
+
+    path = os.path.join("/tmp/nimble_spark_tables", _variant_key(sf_dir, "events_ts_nanos"))
+    if not os.path.exists(os.path.join(path, "_nimble", "manifest.json")):
+        write_table(split, path, WriteOptions())
+    back = restore_timestamp_nanos(read_table(spark, path), "ns")
+    resid = F.pmod("ns", F.lit(1000))
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ns").alias("min_ns"),
+        F.max("ns").alias("max_ns"),
+        F.sum(resid).alias("resid_sum"),
+        F.countDistinct(resid).alias("resid_ndv"),
+    )
+
+
+def _variant_key(sf_dir: str, variant: str) -> str:
+    return sf_dir.rstrip("/").replace("/", "_") + "__" + variant

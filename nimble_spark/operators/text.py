@@ -220,3 +220,46 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         rnd(F.avg(F.size("toks")), 4).alias("avg_tokens"),
     )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "q_bpe_tokens",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(text, '{_BPE_RE}') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS n_digit,
+           len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS n_punct
+    FROM t
+    """,
+    category="text",
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization: the GPT-2-ish split into letter
+    runs / digit runs / single punctuation marks via one regex —
+    the token-count signal an LLM-data pipeline budgets corpora by.
+    The pattern uses only syntax with identical semantics in Java
+    regex (Spark, JVM-side regexp_extract_all — no UDF) and RE2
+    (DuckDB oracle). Distinct/digit/punct breakdowns ride the same
+    extracted array, one scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    # F.lit pattern, not F.expr: a SQL string literal would eat the
+    # backslash in \s and silently change the character class.
+    toks = F.regexp_extract_all("text", F.lit(f"({_BPE_RE})"), 0)
+    t = d.select("doc_id", "lang", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(F.expr("filter(toks, x -> x rlike '^[0-9]+$')")).alias("n_digit"),
+        F.size(F.expr("filter(toks, x -> x rlike '^[^A-Za-z0-9]$')")).alias("n_punct"),
+    )
