@@ -293,3 +293,30 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("o_totalprice", round(float(cs["min"]), R4), round(float(cs["max"]), R4), int(cs["null_count"]), int(m["rows"]))],
         "col STRING, min_v DOUBLE, max_v DOUBLE, null_count BIGINT, rows BIGINT",
     )
+
+
+@register(
+    "q_partition_pruned_scan",
+    oracle=f"""
+    SELECT event_type, user_id, COUNT(*) AS n,
+           {dsum_sql("value")} AS total
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type, user_id
+    """,
+    category="format",
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-driven layout (VeloxWriterOptions.h:289-295, the
+    per-group stripe-cutting policy): events rewritten with a Hive
+    directory per event_type; the IN-filter becomes a PartitionFilter
+    that skips non-matching directories before listing a single file —
+    the coarsest pruning tier, ahead of manifest min/max and parquet
+    row-group stats. Verified in tests/test_plan_audit.py."""
+    path = _ensure_written(
+        spark, sf_dir, "events", "part_event_type", WriteOptions(partition_by=["event_type"])
+    )
+    df = read_table(spark, path).filter(F.col("event_type").isin("click", "view"))
+    return df.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
+    )

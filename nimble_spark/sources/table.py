@@ -53,6 +53,12 @@ class WriteOptions:
     n_cluster_files: int = 8  # range partitions when clustering
     bucket_by: Optional[str] = None  # hash-index key
     n_buckets: int = 16
+    # Content-driven layout (VeloxWriterOptions.h:289-295 — e.g. "cut
+    # stripe per user-id group"): Hive-style directory per value of the
+    # listed columns. At 100 TB this is the coarsest, cheapest pruning
+    # tier — a partition filter skips directories before any footer or
+    # manifest is read.
+    partition_by: Optional[list[str]] = None
     bloom_cols: Optional[list[str]] = None
     # Per-column encoding-selection knob (the reference's pluggable
     # EncodingSelectionPolicy surface): force PLAIN for listed columns
@@ -107,7 +113,7 @@ def write_table(
     out = df
 
     index_meta: dict[str, Any] = {}
-    partition_by: list[str] = []
+    partition_by: list[str] = list(opts.partition_by or [])
 
     if opts.cluster_by:
         # Cluster index: key-ordered data + per-file key bounds.
@@ -124,8 +130,10 @@ def write_table(
         out = out.withColumn(
             BUCKET_COL, F.pmod(F.xxhash64(F.col(opts.bucket_by)), F.lit(opts.n_buckets))
         )
-        partition_by = [BUCKET_COL]
+        partition_by.append(BUCKET_COL)
         index_meta["hash"] = {"key": opts.bucket_by, "n_buckets": opts.n_buckets}
+    if opts.partition_by:
+        index_meta["partition"] = {"keys": opts.partition_by}
 
     writer = out.write.mode(mode).option("compression", opts.compression)
     if opts.max_rows_per_file:
@@ -156,7 +164,8 @@ def _build_manifest(
 ) -> dict:
     """Collect per-file (stripe-group) and per-column stats from the
     written parquet footers — metadata-only reads, no data scan."""
-    dataset = pa_ds.dataset(path, format="parquet", partitioning="hive" if index_meta.get("hash") else None)
+    hive = index_meta.get("hash") or index_meta.get("partition")
+    dataset = pa_ds.dataset(path, format="parquet", partitioning="hive" if hive else None)
     files_info: list[dict] = []
     col_stats: dict[str, dict[str, Any]] = {}
     total_rows = 0
@@ -396,7 +405,12 @@ def read_table(
             file_list = _prune_files(manifest, key, lo, hi)
 
     if file_list is not None:
-        df = spark.read.parquet(*file_list) if file_list else _empty_df(spark, manifest)
+        if file_list:
+            # basePath keeps Hive partition columns visible when
+            # reading a pruned subset of leaf files.
+            df = spark.read.option("basePath", path).parquet(*file_list)
+        else:
+            df = _empty_df(spark, manifest)
     else:
         df = spark.read.parquet(path)
     if BUCKET_COL in df.columns:

@@ -108,3 +108,11 @@ def test_cosine_topk_broadcast_nested_loop_by_design(spark):
 def test_audit_counts_python_eval(spark):
     a = audit(_q("q_pandas_udf_normalize")(spark, SF_MED))
     assert a.n_python_evals >= 1  # it IS a pandas-UDF query — detector works
+
+
+def test_partition_pruned_scan_has_partition_filters(spark):
+    from nimble_spark.plans.audit import plan_string
+
+    df = _q("q_partition_pruned_scan")(spark, SF_MED)
+    p = plan_string(df)
+    assert "PartitionFilters: [" in p and "event_type" in p.split("PartitionFilters:")[1][:200], p
