@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nimble_spark.functions.exact import rnd
+from nimble_spark.functions.exact import dsum, dsum_sql, rnd
 from nimble_spark.registry import register
 from nimble_spark.sources.deletes import delete_rows, read_with_deletes
 from nimble_spark.sources.flatmap import (
@@ -379,3 +379,76 @@ def q_timestamp_nanos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _variant_key(sf_dir: str, variant: str) -> str:
     return sf_dir.rstrip("/").replace("/", "_") + "__" + variant
+
+
+@register(
+    "q_shared_dictionary_roundtrip",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n,
+           (SELECT COUNT(DISTINCT source) FROM documents) AS n_codes
+    FROM documents
+    GROUP BY source, lang
+    """,
+    category="format",
+)
+def q_shared_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SharedDictionary encoding parity (enum 22,
+    dwio/nimble/encodings/SharedDictionaryEncoding.h:53-189): the
+    documents.source column is rewritten as int codes into a global
+    alphabet side table; codes table and alphabet table both go
+    through real table storage, are read back, decoded via broadcast
+    join, and must aggregate identically to the never-encoded column.
+    n_codes proves the alphabet holds exactly NDV entries."""
+    from nimble_spark.sources.shared_dictionary import (
+        decode_shared_dictionary,
+        encode_shared_dictionary,
+    )
+    from nimble_spark.sources.table import read_table
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    enc, alphabet = encode_shared_dictionary(d, "source")
+
+    base = os.path.join("/tmp/nimble_spark_tables", _variant_key(sf_dir, "shared_dict"))
+    enc_path, dict_path = base + "__codes", base + "__alphabet"
+    if not os.path.exists(os.path.join(enc_path, "_nimble", "manifest.json")):
+        write_table(enc, enc_path, WriteOptions())
+        write_table(alphabet, dict_path, WriteOptions())
+    enc_r = read_table(spark, enc_path)
+    dict_r = read_table(spark, dict_path)
+    dec = decode_shared_dictionary(enc_r, dict_r, "source")
+    n_codes = dict_r.agg(F.count(F.lit(1)).cast("long").alias("n_codes"))
+    return (
+        dec.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(n_codes))
+    )
+
+
+@register(
+    "q_json_source_scan",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum_sql("value")} AS total
+    FROM events GROUP BY event_type
+    """,
+    category="source",
+)
+def q_json_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format source surface (SURVEY §2.1 last row: Hadoop FS /
+    format connectors are free in Spark, vs. the reference's
+    Nimble-files-only reader): the events table rides a JSON-lines
+    copy, read back with an explicit schema (no sampling-based
+    inference at scale) and must aggregate identically to the parquet
+    original. The JSONL copy is written once per sf (cached)."""
+    path = os.path.join("/tmp/nimble_spark_tables", _variant_key(sf_dir, "events_jsonl"))
+    cols = ("event_id", "user_id", "event_type", "value")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, "events").select(*cols).write.mode("overwrite").json(path)
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    j = spark.read.schema(schema).json(path)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total"),
+    )
