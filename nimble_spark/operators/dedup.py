@@ -394,3 +394,72 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 2)
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_LSH_PAIRS_DUCK}
+    ),
+    nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT id AS src, id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (SELECT dst AS id, MIN(src) AS cluster_rep FROM reach GROUP BY dst)
+    SELECT cluster_rep, COUNT(*) AS n_members
+    FROM labels GROUP BY cluster_rep
+    """,
+    category="dedup",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster formation — the step after pair
+    generation in a 100 TB dedup pipeline: connected components over
+    the MinHash-LSH pair graph, each cluster keyed by its minimum
+    doc_id (the canonical representative; everything else is the drop
+    set). Implemented as min-label propagation to a fixpoint — each
+    iteration is one join + one partial-aggregated groupBy, lineage
+    truncated per round; iteration count = component diameter, which
+    for near-dup clusters is tiny (pairs/triangles). At larger
+    diameters swap in the large-star/small-star variant (same
+    primitive, provably O(log n) rounds). Oracle: DuckDB recursive-CTE
+    reachability."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()  # pair generation runs once, not per iteration
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, labels.id == prop.dst, "left")
+            .select(
+                labels.id,
+                F.least(labels.label, F.coalesce(prop.nlabel, labels.label)).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -263,3 +263,40 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("filter(toks, x -> x rlike '^[0-9]+$')")).alias("n_digit"),
         F.size(F.expr("filter(toks, x -> x rlike '^[^A-Za-z0-9]$')")).alias("n_punct"),
     )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS h
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           SUM(CASE WHEN h < CASE WHEN lang = 'en' THEN 50
+                              WHEN lang = 'zh' THEN 30
+                              ELSE 10 END
+               THEN 1 ELSE 0 END) AS n_sampled
+    FROM s GROUP BY lang
+    """,
+    category="text",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling with deterministic quotas —
+    how a training-data pipeline rebalances a corpus (keep 50% en,
+    30% zh, 10% everything else) *reproducibly*: the stratum decision
+    is a portable md5 hash of doc_id, so every engine and every rerun
+    selects the same documents (TABLESAMPLE's engine-local RNG
+    cannot). One scan, one partial-aggregated groupBy, no shuffle of
+    document payloads."""
+    d = load(spark, sf_dir, "documents")
+    h = F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)") % 100
+    quota = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "zh", 30).otherwise(10)
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(h < quota, 1).otherwise(0)).alias("n_sampled"),
+    )
