@@ -75,6 +75,7 @@ def _load_all() -> None:
     import nimble_spark.operators.capability_ext  # noqa: F401
     import nimble_spark.operators.relational_ext  # noqa: F401
     import nimble_spark.operators.tpch_rest  # noqa: F401
+    import nimble_spark.operators.pipeline  # noqa: F401
     import nimble_spark.operators.udf_surface  # noqa: F401
 
     _LOADED = True

@@ -116,3 +116,13 @@ def test_partition_pruned_scan_has_partition_filters(spark):
     df = _q("q_partition_pruned_scan")(spark, SF_MED)
     p = plan_string(df)
     assert "PartitionFilters: [" in p and "event_type" in p.split("PartitionFilters:")[1][:200], p
+
+
+def test_corpus_pipeline_posture(spark):
+    # five stages, no document payload through a shuffle, no Python
+    a = assert_posture(
+        _q("q_corpus_pipeline")(spark, SF_MED),
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0
