@@ -195,3 +195,78 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric", "val_raw"
         ),
     ).select("p_partkey", "metric", rnd("val_raw", 4).alias("val"))
+
+
+@register(
+    "q_asof_join_forward",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    merged AS (
+      SELECT user_id AS uk, ts AS tk, event_id, value,
+             0 AS tag, NULL::BIGINT AS o_orderkey, ts AS event_tk
+      FROM ev
+      UNION ALL
+      SELECT o_custkey, o_orderdate, NULL, NULL, 1, o_orderkey, NULL
+      FROM orders
+    ),
+    x AS (
+      SELECT *,
+        first_value(event_id IGNORE NULLS) OVER w AS nx_event,
+        first_value(value    IGNORE NULLS) OVER w AS nx_value,
+        first_value(event_tk IGNORE NULLS) OVER w AS nx_tk
+      FROM merged
+      WINDOW w AS (PARTITION BY uk
+                   ORDER BY tk ASC, tag DESC, event_id ASC NULLS FIRST
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderkey, uk AS custkey,
+           CASE WHEN nx_tk <= tk + INTERVAL 7 DAY THEN nx_event END AS fwd_event,
+           CASE WHEN nx_tk <= tk + INTERVAL 7 DAY
+                THEN FLOOR((nx_value) * 10000 + 0.5) / 10000 END AS fwd_value
+    FROM x WHERE tag = 1
+    """,
+    category="join_ext",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: for each order, the EARLIEST
+    event of the same user at-or-after the order date, kept only if it
+    falls within 7 days (else null) — the feature-engineering shape
+    "next action within a window". Same union-merge discipline as the
+    backward as-of (one shuffle, linear per key); the tolerance is a
+    post-window predicate, not a join condition, so no row explosion."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uk"),
+        F.col("ts").alias("tk"),
+        "event_id",
+        "value",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("ts").alias("event_tk"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uk"),
+        F.col("o_orderdate").alias("tk"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("tag"),
+        "o_orderkey",
+        F.lit(None).cast("timestamp").alias("event_tk"),
+    )
+    w = (
+        W.partitionBy("uk")
+        .orderBy(F.col("tk").asc(), F.col("tag").desc(), F.col("event_id").asc_nulls_first())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = e.unionByName(o).select(
+        "*",
+        F.first("event_id", ignorenulls=True).over(w).alias("nx_event"),
+        F.first("value", ignorenulls=True).over(w).alias("nx_value"),
+        F.first("event_tk", ignorenulls=True).over(w).alias("nx_tk"),
+    )
+    in_tol = F.col("nx_tk") <= F.col("tk") + F.expr("INTERVAL 7 DAYS")
+    return merged.filter(F.col("tag") == 1).select(
+        "o_orderkey",
+        F.col("uk").alias("custkey"),
+        F.when(in_tol, F.col("nx_event")).alias("fwd_event"),
+        F.when(in_tol, rnd("nx_value", 4)).alias("fwd_value"),
+    )
