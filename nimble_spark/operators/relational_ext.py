@@ -349,3 +349,38 @@ def q_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("l_returnflag")).alias("flag_bytes"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment, o_orderkey,
+           FLOOR((o_totalprice) * 10000 + 0.5) / 10000 AS price, rk
+    FROM r WHERE rk <= 3
+    """,
+    category="window",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the grouped variant of top-k that Spark
+    compiles to WindowGroupLimit: each partition pre-prunes to its
+    local top-3 BEFORE the shuffle, so the exchange moves ≤ 3·P rows
+    per group, not the table (verified in the plan audit; this is the
+    rank-based pushdown Spark 3.5+ applies automatically). Ties broken
+    on orderkey; price is double passthrough (exact on both engines)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment", "o_orderkey", rnd("o_totalprice").alias("price"), "rk"
+        )
+    )

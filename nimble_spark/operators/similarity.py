@@ -399,3 +399,71 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
     )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding, x ->
+               GREATEST(-127.0, LEAST(127.0,
+                 FLOOR(CAST(x AS DOUBLE) / scale + 0.5)))) AS codes,
+             embedding
+      FROM s
+    )
+    SELECT vec_id,
+           FLOOR((scale) * 1000000 + 0.5) / 1000000 AS scale_r,
+           CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS code_energy,
+           FLOOR((list_max(
+             list_transform(generate_series(1, len(codes)),
+               i -> abs(CAST(embedding[i] AS DOUBLE) - codes[i] * scale)))
+           ) * 1000000 + 0.5) / 1000000 AS max_err
+    FROM q
+    """,
+    category="similarity",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings — the 4× memory cut
+    that makes billion-vector ANN serving fit in RAM: per-vector scale
+    = max|x|/127, codes = clamp(round(x/scale)), plus the
+    reconstruction-error audit (max |x - q·scale| per vector) a
+    pipeline gates quantization on. All arithmetic is IEEE double +
+    floor-round, bit-identical across engines; everything JVM-side
+    higher-order functions, one scan, no shuffle, no UDF."""
+    e = load(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        (
+            F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))") / 127.0
+        ).alias("scale"),
+        "embedding",
+    )
+    q = s.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "transform(embedding, x -> "
+            "GREATEST(-127.0D, LEAST(127.0D, FLOOR(CAST(x AS DOUBLE) / scale + 0.5))))"
+        ).alias("codes"),
+        "embedding",
+    )
+    max_err = F.expr(
+        "array_max(transform(sequence(1, size(codes)), "
+        "i -> abs(CAST(element_at(embedding, i) AS DOUBLE) "
+        "- element_at(codes, i) * scale)))"
+    )
+    return q.select(
+        "vec_id",
+        rnd("scale", 6).alias("scale_r"),
+        F.expr("CAST(aggregate(transform(codes, c -> c * c), 0.0D, (a, x) -> a + x) AS BIGINT)").alias(
+            "code_energy"
+        ),
+        rnd(max_err, 6).alias("max_err"),
+    )
