@@ -19,6 +19,8 @@ DEFAULT = [
     "q18_large_orders", "q19_discounted_revenue", "q21_waiting_suppliers",
     "q_dedup_exact", "q_minhash_lsh_pairs", "q_cosine_topk",
     "q_ann_ivf_topk", "q_skew_salted_agg", "q_token_stats",
+    "q_corpus_pipeline", "q_topk_per_group", "q_embedding_quantize",
+    "q_asof_join_forward", "q_partition_pruned_scan",
 ]
 
 
