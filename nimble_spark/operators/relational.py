@@ -646,3 +646,87 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.groupBy(F.col("n_regionkey").alias("region"))
         .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
     )
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+    SELECT l_partkey AS k FROM lineitem WHERE l_quantity >= 48
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+    """,
+    category="setop",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (duplicates preserved by
+    count), the bag semantics EXCEPT's dedup hides. One shuffle on the
+    value; Spark plans it as a counted aggregate + generate."""
+    l = load(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") >= 48).select(F.col("l_partkey").alias("k"))
+    b = l.filter(F.col("l_quantity") >= 49).select(F.col("l_partkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT l_partkey AS k FROM lineitem WHERE l_quantity >= 48
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05
+    """,
+    category="setop",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of the two
+    multiplicities per value)."""
+    l = load(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") >= 48).select(F.col("l_partkey").alias("k"))
+    b = l.filter(F.col("l_discount") >= 0.05).select(F.col("l_partkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@register(
+    "q_upsert_scan",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, 'X' AS new_status,
+             o_totalprice * 1.1 AS new_price
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (
+      SELECT o.o_orderkey,
+             COALESCE(u.new_status, o.o_orderstatus) AS status,
+             COALESCE(u.new_price, o.o_totalprice) AS price
+      FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    )
+    SELECT status, COUNT(*) AS n,
+           FLOOR((CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total
+    FROM merged GROUP BY status
+    """,
+    category="format",
+)
+def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-at-scan — the read-side MERGE the reference's
+    append-only format defers to the engine (its write path has no
+    updates; deletes arrive as scan-time Mutation masks,
+    selective/SelectiveNimbleReader.cpp:334-338 — this is the update
+    analogue): a small updates set overlays the base table via
+    broadcast left join + coalesce, no rewrite. Contract mirrors the
+    delete mask: |updates| ≪ table; compaction folds them in."""
+    o = load(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("u_key"),
+            F.lit("X").alias("new_status"),
+            (F.col("o_totalprice") * 1.1).alias("new_price"),
+        )
+    )
+    merged = o.join(F.broadcast(updates), o.o_orderkey == F.col("u_key"), "left").select(
+        F.coalesce("new_status", "o_orderstatus").alias("status"),
+        F.coalesce("new_price", "o_totalprice").alias("price"),
+    )
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sum(F.col("price").cast("decimal(27,6)")).cast("double")).alias("total"),
+    )
