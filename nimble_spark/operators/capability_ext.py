@@ -168,7 +168,7 @@ _DELETE_KEYS = [0, 1, 2, 3, 4]
 @register(
     "q_delete_mask_scan",
     oracle=f"""
-    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents
     WHERE doc_id NOT IN ({", ".join(map(str, _DELETE_KEYS))})
     GROUP BY lang
@@ -337,7 +337,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT epoch_us(ts) * 1000 + event_id % 1000 AS ns FROM events
     )
     SELECT COUNT(*) AS n, MIN(ns) AS min_ns, MAX(ns) AS max_ns,
-           SUM(ns % 1000) AS resid_sum,
+           CAST(SUM(ns % 1000) AS BIGINT) AS resid_sum,
            COUNT(DISTINCT ns % 1000) AS resid_ndv
     FROM src
     """,

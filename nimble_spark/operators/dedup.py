@@ -367,7 +367,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig AS (SELECT doc_id, CAST({_SIMHASH_FROM_H_DUCK} AS BIGINT) AS sh FROM th),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) AS hamming
+             CAST(bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) AS INTEGER) AS hamming
       FROM sig a JOIN sig b ON (a.sh >> 8) = (b.sh >> 8) AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2

@@ -73,7 +73,7 @@ _QUALITY_THR = 0.5
             < CASE WHEN lang = 'en' THEN 80 ELSE 40 END
     )
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens, SUM(len_c) AS total_chars
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens, CAST(SUM(len_c) AS BIGINT) AS total_chars
     FROM sampled GROUP BY lang, source
     """,
     category="pipeline",

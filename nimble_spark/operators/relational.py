@@ -199,8 +199,8 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_case_agg",
     oracle=f"""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)       AS n_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)       AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
            {dsum_sql("CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END")} AS big_rev
     FROM orders
     GROUP BY o_orderpriority

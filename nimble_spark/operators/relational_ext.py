@@ -328,7 +328,7 @@ def q_ntile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_linestatus) AS ndv_linestatus,
            COUNT(DISTINCT l_partkey)    AS ndv_partkey,
            COUNT(DISTINCT l_quantity)   AS ndv_quantity,
-           SUM(LENGTH(l_returnflag))    AS flag_bytes,
+           CAST(SUM(LENGTH(l_returnflag)) AS BIGINT) AS flag_bytes,
            COUNT(*)                     AS n_rows
     FROM lineitem
     """,

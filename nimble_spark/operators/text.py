@@ -180,8 +180,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
     SELECT doc_id,
-           list_sum(list_transform(generate_series(1, len(toks)),
-                    i -> (i * ({hash32_sql_duck("toks[i]")} % 100000)) % {MOD})) % {MOD} AS fp
+           CAST(list_sum(list_transform(generate_series(1, len(toks)),
+                    i -> (i * ({hash32_sql_duck("toks[i]")} % 100000)) % {MOD})) % {MOD} AS BIGINT) AS fp
     FROM t
     """,
     category="text",
@@ -203,8 +203,8 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT lang, source, {_TOKS_DUCK} AS toks, n_chars FROM documents)
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(len(toks))              AS total_tokens,
-           SUM(n_chars)                AS total_chars,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            FLOOR((AVG(len(toks))) * 10000 + 0.5) / 10000    AS avg_tokens
     FROM t GROUP BY lang, source
     """,
@@ -275,10 +275,10 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_total,
-           SUM(CASE WHEN h < CASE WHEN lang = 'en' THEN 50
+           CAST(SUM(CASE WHEN h < CASE WHEN lang = 'en' THEN 50
                               WHEN lang = 'zh' THEN 30
                               ELSE 10 END
-               THEN 1 ELSE 0 END) AS n_sampled
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM s GROUP BY lang
     """,
     category="text",
