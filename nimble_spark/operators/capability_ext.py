@@ -34,11 +34,11 @@ from nimble_spark.sources.flatmap import (
     restore_array_column,
     restore_map_column,
 )
+from nimble_spark.sources.cache import ensure_cached
 from nimble_spark.sources.serde import deserialize, serialize
 from nimble_spark.sources.table import WriteOptions, write_table
 from nimble_spark.tables import load
 
-_CACHE_ROOT = "/tmp/nimble_spark_tables"
 
 def _props_map() -> F.Column:
     return F.from_json("props", "map<string,bigint>")
@@ -108,10 +108,10 @@ def q_array_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     saving the reference gets from ArrayWithOffsets)."""
     emb = load(spark, sf_dir, "embeddings")
     main, dictionary = dedup_array_column(emb, "embedding")
-    n_rows = main.count()
-    n_distinct = dictionary.count()
-    return spark.createDataFrame(
-        [(n_rows, n_distinct)], "n_rows BIGINT, n_distinct BIGINT"
+    # one distributed plan, no driver-side actions: both counts are
+    # single-row aggregates, so the cross join is a trivial BNL
+    return main.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+        dictionary.agg(F.count(F.lit(1)).alias("n_distinct"))
     )
 
 
@@ -178,12 +178,12 @@ _DELETE_KEYS = [0, 1, 2, 3, 4]
 def q_delete_mask_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan with delete masks: deletes are persisted keysets applied as
     a broadcast anti-join at read — data files never rewritten."""
-    sf = sf_dir.rstrip("/").replace("/", "_")
-    path = os.path.join(_CACHE_ROOT, f"{sf}__documents__deletable")
-    if not os.path.exists(os.path.join(path, "_nimble", "manifest.json")):
-        write_table(load(spark, sf_dir, "documents"), path, WriteOptions())
-    if not os.path.isdir(os.path.join(path, "_nimble", "deletes")):
-        delete_rows(spark, path, "doc_id", _DELETE_KEYS)
+
+    def _build(tmp: str) -> None:
+        write_table(load(spark, sf_dir, "documents"), tmp, WriteOptions())
+        delete_rows(spark, tmp, "doc_id", _DELETE_KEYS)
+
+    path = ensure_cached(sf_dir, "documents__deletable", ["documents"], _build)
     df = read_with_deletes(spark, path)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
@@ -363,9 +363,10 @@ def q_timestamp_nanos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = e.select(ns.cast("long").alias("ns"))
     split = split_timestamp_nanos(src, "ns")
 
-    path = os.path.join("/tmp/nimble_spark_tables", _variant_key(sf_dir, "events_ts_nanos"))
-    if not os.path.exists(os.path.join(path, "_nimble", "manifest.json")):
-        write_table(split, path, WriteOptions())
+    path = ensure_cached(
+        sf_dir, "events_ts_nanos", ["events"],
+        lambda tmp: write_table(split, tmp, WriteOptions()),
+    )
     back = restore_timestamp_nanos(read_table(spark, path), "ns")
     resid = F.pmod("ns", F.lit(1000))
     return back.agg(
@@ -375,10 +376,6 @@ def q_timestamp_nanos_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(resid).alias("resid_sum"),
         F.countDistinct(resid).alias("resid_ndv"),
     )
-
-
-def _variant_key(sf_dir: str, variant: str) -> str:
-    return sf_dir.rstrip("/").replace("/", "_") + "__" + variant
 
 
 @register(
@@ -408,13 +405,15 @@ def q_shared_dictionary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     enc, alphabet = encode_shared_dictionary(d, "source")
 
-    base = os.path.join("/tmp/nimble_spark_tables", _variant_key(sf_dir, "shared_dict"))
-    enc_path, dict_path = base + "__codes", base + "__alphabet"
-    if not os.path.exists(os.path.join(enc_path, "_nimble", "manifest.json")):
-        write_table(enc, enc_path, WriteOptions())
-        write_table(alphabet, dict_path, WriteOptions())
-    enc_r = read_table(spark, enc_path)
-    dict_r = read_table(spark, dict_path)
+    def _build(tmp: str) -> None:
+        # codes + alphabet live under ONE cache dir so they can never
+        # be cached inconsistently with each other
+        write_table(enc, os.path.join(tmp, "codes"), WriteOptions())
+        write_table(alphabet, os.path.join(tmp, "alphabet"), WriteOptions())
+
+    base = ensure_cached(sf_dir, "shared_dict", ["documents"], _build)
+    enc_r = read_table(spark, os.path.join(base, "codes"))
+    dict_r = read_table(spark, os.path.join(base, "alphabet"))
     dec = decode_shared_dictionary(enc_r, dict_r, "source")
     n_codes = dict_r.agg(F.count(F.lit(1)).cast("long").alias("n_codes"))
     return (
@@ -441,10 +440,11 @@ def q_json_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy, read back with an explicit schema (no sampling-based
     inference at scale) and must aggregate identically to the parquet
     original. The JSONL copy is written once per sf (cached)."""
-    path = os.path.join("/tmp/nimble_spark_tables", _variant_key(sf_dir, "events_jsonl"))
     cols = ("event_id", "user_id", "event_type", "value")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        load(spark, sf_dir, "events").select(*cols).write.mode("overwrite").json(path)
+    path = ensure_cached(
+        sf_dir, "events_jsonl", ["events"],
+        lambda tmp: load(spark, sf_dir, "events").select(*cols).write.mode("overwrite").json(tmp),
+    )
     schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
     j = spark.read.schema(schema).json(path)
     return j.groupBy("event_type").agg(

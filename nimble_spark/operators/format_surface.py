@@ -17,27 +17,25 @@ from pyspark.sql import functions as F
 
 from nimble_spark.functions.exact import dsum, dsum_sql, rnd
 from nimble_spark.registry import register
+from nimble_spark.sources.cache import ensure_cached
 from nimble_spark.sources.table import WriteOptions, read_table, write_table
 from nimble_spark.tables import load
 
 R4 = 4
-_CACHE_ROOT = "/tmp/nimble_spark_tables"
-
-
-def _table_path(sf_dir: str, name: str, variant: str) -> str:
-    sf = sf_dir.rstrip("/").replace("/", "_")
-    return os.path.join(_CACHE_ROOT, f"{sf}__{name}__{variant}")
 
 
 def _ensure_written(spark: SparkSession, sf_dir: str, name: str, variant: str, opts: WriteOptions) -> str:
-    """Write-once cache per (sf_dir, table, variant): the write is part
-    of what's under test, but rewriting identical input every query
-    run would only re-test the same thing."""
-    path = _table_path(sf_dir, name, variant)
-    marker = os.path.join(path, "_nimble", "manifest.json")
-    if not os.path.exists(marker):
-        write_table(load(spark, sf_dir, name), path, opts)
-    return path
+    """Write-once cache per (sf_dir, table, variant, source
+    fingerprint): the write is part of what's under test, but
+    rewriting identical input every query run would only re-test the
+    same thing. Fingerprinted + atomically renamed (sources/cache.py)
+    so regenerated corpora rebuild and concurrent runs don't race."""
+    return ensure_cached(
+        sf_dir,
+        f"{name}__{variant}",
+        [name],
+        lambda tmp: write_table(load(spark, sf_dir, name), tmp, opts),
+    )
 
 
 @register(
@@ -119,17 +117,25 @@ def q_point_lookup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_schema_evolution",
     oracle="""
-    SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_phone
+    SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_phone,
+           CAST(NULL AS BIGINT) AS c_loyalty_pts
     FROM customer WHERE c_custkey <= 100
     """,
     category="format",
 )
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-column evolution: projecting a column that does not exist in
-    the written file returns typed nulls (NullColumnReader analogue,
-    dwio/nimble/velox/selective/ColumnReader.cpp:57-62)."""
+    the written file returns TYPED nulls (NullColumnReader analogue,
+    dwio/nimble/velox/selective/ColumnReader.cpp:57-62) — c_phone as
+    the string default, c_loyalty_pts as a reader-declared bigint so a
+    downstream join/sum on the evolved column keeps its semantics."""
     path = _ensure_written(spark, sf_dir, "customer", "plain", WriteOptions())
-    df = read_table(spark, path, columns=["c_custkey", "c_name", "c_phone"])
+    df = read_table(
+        spark,
+        path,
+        columns=["c_custkey", "c_name", "c_phone", "c_loyalty_pts"],
+        evolved_types={"c_loyalty_pts": "bigint"},
+    )
     return df.filter(F.col("c_custkey") <= 100)
 
 

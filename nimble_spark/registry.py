@@ -78,4 +78,58 @@ def _load_all() -> None:
     import nimble_spark.operators.pipeline  # noqa: F401
     import nimble_spark.operators.udf_surface  # noqa: F401
 
+    _reorder()
     _LOADED = True
+
+
+# The driver's correctness gate iterates ``queries()`` in insertion
+# order and truncates at a budget (r01 recorded rows for exactly the
+# first 50 registered queries). Order therefore decides WHICH
+# operators get a hard correctness signal each round. Put the queries
+# without a green driver row yet first — connector/format surface,
+# TPC-H conformance, text, ANN, the corpus pipeline — and the ones
+# already proven green in r01 last, so a truncated run still proves
+# the unproven surface.
+_PRIORITY_MODULES = [
+    # re-prove the two r01 hash-mismatch fixes first
+    "__fixes__",
+    "format_surface",
+    "tpch_rest",
+    "text",
+    "__north_star__",
+    "capability_ext",
+    "udf_surface",
+    "relational_ext",
+    "similarity",
+    "events_ts",
+    "pipeline",
+    "__rows_only__",
+    "dedup",
+    "relational",
+    "windowed",
+    "joins_ext",
+]
+_PRIORITY_NAMES = {
+    "__fixes__": ["q_case_agg", "q_sessionize"],
+    "__north_star__": ["q_ann_lsh_topk", "q_ann_ivf_topk", "q_corpus_pipeline"],
+    # rows-only streaming checks carry the weakest signal — run last
+    # among the unproven tiers so they never displace an oracle-backed
+    # query from a truncated driver window
+    "__rows_only__": ["q_stream_tumbling", "q_stream_session", "q_stream_stateful"],
+}
+
+
+def _reorder() -> None:
+    """Rebuild QUERIES in driver-priority order (stable within a tier)."""
+    tier = {}
+    for i, m in enumerate(_PRIORITY_MODULES):
+        for n in _PRIORITY_NAMES.get(m, ()):  # explicit names
+            tier[n] = i
+    for name, e in QUERIES.items():
+        if name not in tier:
+            mod = e.fn.__module__.rsplit(".", 1)[-1]
+            tier[name] = _PRIORITY_MODULES.index(mod) if mod in _PRIORITY_MODULES else len(_PRIORITY_MODULES)
+    ordered = sorted(QUERIES, key=lambda n: tier[n])
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)

@@ -92,12 +92,19 @@ def dedup_array_column(df: DataFrame, arr_col: str) -> tuple[DataFrame, DataFram
     """Split ``arr_col`` into (main df with ``{arr_col}__ref``,
     dictionary df ``(ref, {arr_col})`` of distinct arrays).
 
-    The ref is a content hash of the serialized array — deterministic,
-    partition-independent, and join-stable (no window/zipWithIndex
-    sequencing needed at 100 TB).
+    The ref is a 128-bit content hash (md5) of the serialized array —
+    deterministic, partition-independent, and join-stable (no
+    window/zipWithIndex sequencing needed at 100 TB). 128 bits matter:
+    at billions of distinct arrays a 64-bit key has expected birthday
+    collisions, and a collision here silently swaps one row's array
+    for another on restore; at 2^64 distinct values the md5 collision
+    probability is still ~1e-20. (The reference's ArrayWithOffsets
+    dedups by true equality over a consecutive window —
+    dwio/nimble/velox/FieldWriter.cpp:2177 — so its collision
+    probability is 0; ours is bounded, not zero, and documented.)
     """
     ser = F.coalesce(F.to_json(F.struct(F.col(arr_col).alias("a"))), F.lit("null"))
-    ref = F.xxhash64(ser)
+    ref = F.md5(ser)
     main = df.withColumn(f"{arr_col}__ref", ref).drop(arr_col)
     dictionary = (
         df.select(ref.alias("ref"), F.col(arr_col))

@@ -197,7 +197,9 @@ def _build_manifest(
                 nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
         files_info.append(
             {
-                "path": frag_path,
+                # root-relative: the table stays readable after a
+                # rename/move (atomic cache publication, distcp, …)
+                "path": os.path.relpath(frag_path, path),
                 "rows": md.num_rows,
                 "row_groups": md.num_row_groups,
                 "bytes": os.path.getsize(frag_path),
@@ -257,11 +259,15 @@ def colocated_join(
     right_key: str,
     how: str = "inner",
 ) -> DataFrame:
-    """Shuffle-free equi-join of two tables hash-bucketed with the SAME
+    """Co-located equi-join of two tables hash-bucketed with the SAME
     bucket count: rows with equal keys share a bucket id (the hash is
     deterministic on the key value), so bucket i of A joins only
-    bucket i of B. Each per-bucket join reads two directories and
-    shuffles nothing network-wide; the union is partition-local.
+    bucket i of B. One scan per side — ``__nimble_bucket`` surfaces as
+    a Hive partition column and joins alongside the key, so the plan
+    stays a single join node whose shuffle (when one is needed at all)
+    partitions both sides identically by (bucket, key); with a v2
+    catalog the same layout qualifies for Spark's storage-partitioned
+    join and drops the exchange entirely.
 
     The Spark-metastore `bucketBy` join optimization, re-expressed over
     the connector's hash-index directory layout (SURVEY §2.4 HashIndex
@@ -274,21 +280,30 @@ def colocated_join(
         raise ValueError("join keys must be the bucketing keys")
     if how != "inner":
         raise ValueError("colocated_join supports inner joins")
-    n = ha["n_buckets"]
-    out = None
-    for i in range(n):
-        da = os.path.join(path_a, f"{BUCKET_COL}={i}")
-        db = os.path.join(path_b, f"{BUCKET_COL}={i}")
-        if not (os.path.isdir(da) and os.path.isdir(db)):
-            continue  # empty bucket on either side → no inner matches
-        piece = spark.read.parquet(da).join(
-            spark.read.parquet(db),
-            F.col(left_key) == F.col(right_key) if left_key != right_key
-            else [left_key],
-            how,
-        )
-        out = piece if out is None else out.unionByName(piece)
-    return out
+
+    def _bucketed_scan(path: str, manifest: dict) -> Optional[DataFrame]:
+        dirs = [d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")]
+        if not dirs:
+            return None
+        return spark.read.option("basePath", path).parquet(path)
+
+    dfa, dfb = _bucketed_scan(path_a, ma), _bucketed_scan(path_b, mb)
+    if dfa is None or dfb is None:
+        # one side is fully empty → inner join is empty, with the
+        # joined schema (not None: callers chain .select/.agg)
+        sa = T.StructType.fromJson(ma["schema"])
+        sb = T.StructType.fromJson(mb["schema"])
+        dup = {right_key} if left_key == right_key else set()
+        fields = list(sa.fields) + [f for f in sb.fields if f.name not in dup]
+        return spark.createDataFrame([], T.StructType(fields))
+
+    if left_key == right_key:
+        joined = dfa.join(dfb, on=[BUCKET_COL, left_key], how=how)
+        return joined.drop(BUCKET_COL)
+    right_bucket = "__nimble_bucket_r"
+    dfb = dfb.withColumnRenamed(BUCKET_COL, right_bucket)
+    cond = (F.col(BUCKET_COL) == F.col(right_bucket)) & (F.col(left_key) == F.col(right_key))
+    return dfa.join(dfb, cond, how).drop(BUCKET_COL, right_bucket)
 
 
 def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
@@ -301,9 +316,16 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
     lookup reads the (small, sorted, min/max-prunable) index to find
     the files containing the probe keys, then scans only those files
     with a residual filter. Returns the number of index entries."""
+    # file entries are stored root-relative (substring_index strips the
+    # absolute-table-dir prefix from the scan's file URI) so the index
+    # survives a table rename/move
+    abs_prefix = os.path.abspath(path).rstrip("/") + "/"
     df = (
         spark.read.parquet(path)
-        .select(F.input_file_name().alias("file"), F.col(key))
+        .select(
+            F.substring_index(F.input_file_name(), abs_prefix, -1).alias("file"),
+            F.col(key),
+        )
         .distinct()
     )
     out = os.path.join(path, MANIFEST_DIR, "index", "sorted", key)
@@ -317,7 +339,7 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
     return spark.read.parquet(out).count()
 
 
-def _prune_files(manifest: dict, key: str, lo: Any, hi: Any) -> list[str] | None:
+def _prune_files(manifest: dict, root: str, key: str, lo: Any, hi: Any) -> list[str] | None:
     """Cluster-index pruning: keep files whose [min,max] for `key`
     intersects [lo,hi] (binary-search-over-boundary-keys analogue,
     dwio/nimble/index/ClusterIndex.h:76-197)."""
@@ -328,10 +350,10 @@ def _prune_files(manifest: dict, key: str, lo: Any, hi: Any) -> list[str] | None
     for f in manifest["files"]:
         fmin, fmax = f["min"].get(key), f["max"].get(key)
         if fmin is None or fmax is None:
-            keep.append(f["path"])
+            keep.append(os.path.join(root, f["path"]))
             continue
         if (hi is None or fmin <= hi) and (lo is None or fmax >= lo):
-            keep.append(f["path"])
+            keep.append(os.path.join(root, f["path"]))
     return keep
 
 
@@ -341,13 +363,15 @@ def read_table(
     columns: Optional[list[str]] = None,
     range_scan: Optional[tuple[str, Any, Any]] = None,
     point_lookup: Optional[tuple[str, Iterable[Any]]] = None,
+    evolved_types: Optional[dict] = None,
 ) -> DataFrame:
     """Projected / index-pruned scan of a nimble_spark table.
 
     - ``columns``: projection; names absent from the file schema come
       back as typed nulls (add-column evolution, NullColumnReader
-      analogue). Names like ``col AS newtype`` are not supported —
-      evolution is by name.
+      analogue). The null's type comes from ``evolved_types`` (reader
+      schema declaration, name → Spark type string), else the manifest
+      schema, else string.
     - ``range_scan=(key, lo, hi)``: cluster-index file pruning + a
       pushed-down residual filter (lo/hi inclusive, None = open).
     - ``point_lookup=(key, values)``: hash-index bucket pruning when
@@ -361,7 +385,7 @@ def read_table(
 
     if range_scan is not None:
         key, lo, hi = range_scan
-        file_list = _prune_files(manifest, key, lo, hi)
+        file_list = _prune_files(manifest, path, key, lo, hi)
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(key) >= lo)
@@ -399,10 +423,12 @@ def read_table(
             # probe keys; only those are read.
             idx_path = os.path.join(path, MANIFEST_DIR, "index", "sorted", key)
             idx = spark.read.parquet(idx_path).filter(F.col(key).isin(values))
-            file_list = sorted({r[0] for r in idx.select("file").distinct().collect()})
+            file_list = sorted(
+                {os.path.join(path, r[0]) for r in idx.select("file").distinct().collect()}
+            )
         else:
             lo, hi = min(values), max(values)
-            file_list = _prune_files(manifest, key, lo, hi)
+            file_list = _prune_files(manifest, path, key, lo, hi)
 
     if file_list is not None:
         if file_list:
@@ -418,7 +444,7 @@ def read_table(
     if residual is not None:
         df = df.filter(residual)
     if columns:
-        df = _project_with_evolution(df, manifest, columns)
+        df = _project_with_evolution(df, manifest, columns, evolved_types)
     return df
 
 
@@ -427,13 +453,31 @@ def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-def _project_with_evolution(df: DataFrame, manifest: dict, columns: list[str]) -> DataFrame:
-    """Missing columns read as nulls — add-column schema evolution."""
+def _project_with_evolution(
+    df: DataFrame,
+    manifest: dict,
+    columns: list[str],
+    evolved_types: Optional[dict] = None,
+) -> DataFrame:
+    """Missing columns read as TYPED nulls — add-column schema
+    evolution (NullColumnReader analogue, the reference fills absent
+    streams with nulls of the declared type,
+    dwio/nimble/velox/selective/ColumnReader.cpp:57-62). The type is
+    resolved from the caller's declared reader schema
+    (``evolved_types``: name → Spark type string), else from the
+    manifest schema (covers columns present in some files but pruned
+    away), else falls back to string."""
     present = set(df.columns)
+    manifest_types = {
+        f["name"]: T.StructField.fromJson(f).dataType
+        for f in manifest.get("schema", {}).get("fields", [])
+    }
+    evolved_types = evolved_types or {}
     sel = []
     for c in columns:
         if c in present:
             sel.append(F.col(c))
         else:
-            sel.append(F.lit(None).cast("string").alias(c))
+            dtype = evolved_types.get(c) or manifest_types.get(c) or "string"
+            sel.append(F.lit(None).cast(dtype).alias(c))
     return df.select(*sel)

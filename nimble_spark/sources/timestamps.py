@@ -33,10 +33,16 @@ def split_timestamp_nanos(df: DataFrame, ns_col: str, out_prefix: str | None = N
     ``ns = unix_micros(us)*1000 + residual`` holds for all inputs."""
     p = out_prefix or ns_col
     ns = F.col(ns_col)
-    micros = F.floor(ns / 1000).cast("long")
-    resid = (ns - micros * 1000).cast("short")
+    # All-integer arithmetic: floor(ns / 1000.0) loses ULPs above 2^53
+    # (any modern epoch-nanos ≈ 1.7e18), shifting the micros stream by
+    # 1µs and pushing the residual outside 0..999. pmod keeps the
+    # residual non-negative for pre-epoch values, and `div` on the
+    # exact multiple (ns - resid) is integer division — exact for the
+    # full int64 range.
+    resid = F.pmod(ns, F.lit(1000))
+    micros = F.expr(f"(`{ns_col}` - pmod(`{ns_col}`, 1000)) div 1000")
     return df.withColumn(p + US, F.timestamp_micros(micros)).withColumn(
-        p + NS, resid
+        p + NS, resid.cast("short")
     ).drop(ns_col)
 
 

@@ -10,6 +10,7 @@ manifest + parquet footers; only SELECT touches data.
 from __future__ import annotations
 
 import json
+import os
 
 import pyarrow.parquet as pa_pq
 
@@ -57,7 +58,7 @@ def show_stripes(spark: SparkSession, path: str) -> DataFrame:
     m = read_manifest(path)
     rows = []
     for f in m["files"]:
-        md = pa_pq.ParquetFile(f["path"]).metadata
+        md = pa_pq.ParquetFile(os.path.join(path, f["path"])).metadata
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             comp = sum(rg.column(c).total_compressed_size for c in range(rg.num_columns))
@@ -75,7 +76,7 @@ def show_encodings(spark: SparkSession, path: str) -> DataFrame:
     m = read_manifest(path)
     rows = []
     for f in m["files"]:
-        md = pa_pq.ParquetFile(f["path"]).metadata
+        md = pa_pq.ParquetFile(os.path.join(path, f["path"])).metadata
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             for c in range(rg.num_columns):
