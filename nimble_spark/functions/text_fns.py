@@ -40,6 +40,19 @@ def hash32_sql_duck(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+# Second independent 32-bit hash (md5 hex chars 9..16) — gives 64
+# portable hash bits per value when paired with hash32 (used by the
+# 64-bit SimHash: bits 0..31 from hash32, 32..63 from hash32b).
+
+
+def hash32b_sql_spark(expr: str) -> str:
+    return f"CAST(conv(substr(md5({expr}), 9, 8), 16, 10) AS BIGINT)"
+
+
+def hash32b_sql_duck(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 9, 8)) AS BIGINT)"
+
+
 # ---- word n-gram shingles --------------------------------------------------
 # Guarded: fewer than n tokens → empty list (Spark's sequence(1,0) would
 # otherwise produce a DESCENDING sequence, not an empty one).

@@ -35,7 +35,7 @@ from nimble_spark.sources.flatmap import (
     restore_map_column,
 )
 from nimble_spark.sources.cache import ensure_cached
-from nimble_spark.sources.serde import deserialize, serialize
+from nimble_spark.sources.serde import deserialize_partitioned, serialize_partitioned
 from nimble_spark.sources.table import WriteOptions, write_table
 from nimble_spark.tables import load
 
@@ -81,11 +81,19 @@ def q_flatmap_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="flatmap",
 )
 def q_flatmap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flatten → restore round trip: rebuildng map<K,V> from the per-key
-    columns preserves present-null vs absent-key (inMap semantics)."""
-    ev = load(spark, sf_dir, "events").select("event_id", _props_map().alias("pm"))
-    flat, keys = flatten_map_column(ev, "pm", keys=["k"])
-    back = restore_map_column(flat, keys, "pm")
+    """Full flat-map storage round trip: the map column is written
+    flat (per-key streams, dynamic key discovery at WRITE time, key
+    set persisted in the manifest), then read back and restored to
+    map<K,V> using the manifest keys — no discovery scan at read,
+    present-null vs absent-key preserved (inMap semantics)."""
+    from nimble_spark.sources.flatmap import read_flatmap_table, write_flatmap_table
+
+    def _build(tmp: str) -> None:
+        ev = load(spark, sf_dir, "events").select("event_id", _props_map().alias("pm"))
+        write_flatmap_table(ev, "pm", tmp)
+
+    path = ensure_cached(sf_dir, "events_flatmap", ["events"], _build)
+    back = read_flatmap_table(spark, path, "pm")
     return back.select("event_id", F.element_at("pm", "k").alias("k_value"))
 
 
@@ -201,11 +209,16 @@ def q_delete_mask_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="format",
 )
 def q_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame → Arrow IPC stream bytes → DataFrame round trip (the
-    engine-to-engine batch transport surface)."""
+    """DataFrame → per-partition Arrow IPC payload rows → DataFrame
+    round trip, fully distributed (serialize_partitioned /
+    deserialize_partitioned — each partition encodes and decodes its
+    own batch; no bytes ever pass through the driver). The
+    engine-to-engine batch transport surface."""
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    payload = serialize(nation)
-    return deserialize(spark, payload)
+    payloads = serialize_partitioned(nation.coalesce(2))
+    return deserialize_partitioned(
+        payloads, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from nimble_spark.functions.text_fns import (
     hash32_sql_duck,
     hash32_sql_spark,
+    hash32b_sql_duck,
+    hash32b_sql_spark,
     shingles_sql_duck,
     shingles_sql_spark,
 )
@@ -177,6 +179,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select("doc_id", *_minhash_cols_spark())
 
 
+# Hot-bucket skew cap: a band bucket holding B docs emits B² candidate
+# pairs, and boilerplate-heavy corpora (license headers, templates)
+# concentrate millions of near-identical docs into a handful of
+# buckets — one such bucket stalls the whole join at 100 TB. Buckets
+# larger than the cap are dropped from candidate generation: their
+# members are boilerplate whose duplication is better handled by exact
+# / normalized dedup, and near-dup pairs inside them usually co-occur
+# in some smaller bucket of another band. The cap is applied
+# IDENTICALLY in the DuckDB oracle, so the differential gate checks
+# the capped semantics, not an approximation of the uncapped ones.
+_LSH_BUCKET_CAP = 64
+
 _LSH_PAIRS_DUCK = f"""
     {_SHINGLE_CTE_DUCK},
     {_MD5_ARRAYS_DUCK},
@@ -194,10 +208,14 @@ _LSH_PAIRS_DUCK = f"""
       UNION ALL
       SELECT doc_id, sh, 3, md5(concat(mh6, '_', mh7)) FROM sig
     ),
+    capped AS (
+      SELECT doc_id, sh, band, bh FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {_LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.sh AS sh_a, b.sh AS sh_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     ),
     verified AS (
@@ -211,17 +229,21 @@ _LSH_PAIRS_DUCK = f"""
 """
 
 
-@register("q_minhash_lsh_pairs", oracle=_LSH_PAIRS_DUCK, category="dedup")
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: 4 bands × 2 rows banding →
-    bucket-join candidates → exact Jaccard verify ≥ 0.4.
+def lsh_near_pairs(
+    sig: DataFrame, shingles: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs from a signature table
+    (doc_id, mh0..mh7) and a shingle table (doc_id, sh): 4 bands × 2
+    rows banding → hot-bucket cap → bucket-join candidates → exact
+    Jaccard verify ≥ 0.4.
 
     Scale shape: the join is on (band, band_hash) buckets; only
-    same-bucket pairs are verified. The Spark verify joins shingle
-    arrays back by doc_id instead of carrying them through the band
-    shuffle (signatures stay 8 ints wide in flight)."""
-    sig = q_minhash_signatures(spark, sf_dir)
-    sh = _shingled(spark, sf_dir).select("doc_id", "sh")
+    same-bucket pairs are verified, and buckets larger than
+    ``bucket_cap`` are excluded (boilerplate skew control — see
+    _LSH_BUCKET_CAP). The verify joins shingle arrays back by doc_id
+    instead of carrying them through the band shuffle (signatures
+    stay 8 ints wide in flight)."""
+    from pyspark.sql.window import Window
 
     # Explode one struct array instead of unioning 4 selects: the
     # minhash pipeline is evaluated once, not once per band.
@@ -237,6 +259,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    # Bucket-size cap via a window over the same (band, bh) keys the
+    # join shuffles on — the count rides the join's own Exchange.
+    bands = (
+        bands.withColumn("__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bh")))
+        .filter(F.col("__bn") <= bucket_cap)
+        .drop("__bn")
+    )
 
     # shuffle_hash (not broadcast) on the self-join: both sides then
     # need the identical Exchange(band, bh), which Spark deduplicates
@@ -249,7 +278,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = sh.hint("shuffle_hash")
+    sh = shingles.hint("shuffle_hash")
     cand = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -261,6 +290,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= JACCARD_THR)
         .select("id_a", "id_b", rnd("jac", 4).alias("jaccard"))
     )
+
+
+@register("q_minhash_lsh_pairs", oracle=_LSH_PAIRS_DUCK, category="dedup")
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over the documents corpus —
+    see lsh_near_pairs for the banding/cap/verify shape."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    sh = _shingled(spark, sf_dir).select("doc_id", "sh")
+    return lsh_near_pairs(sig, sh)
 
 
 @register(
@@ -309,29 +347,64 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+# 64-bit SimHash, blocked as 4 × 16-bit bands (Hamming-space LSH).
+# Pigeonhole: two signatures within Hamming distance 3 agree exactly
+# on at least one of the 4 bands, so the band-equality join finds
+# every qualifying pair while each join key carves the corpus into
+# ~2^16 buckets per band — at 100 TB the candidate set is
+# O(4 · n²/2^16) instead of the O(n²/256) a single-byte block gives.
+# Token hash bits come from two independent portable 32-bit hashes
+# (md5 hex chars 1-8 / 9-16) so all 64 signature bits are real.
+# The signed 64-bit signature is recombined from the bands with
+# overflow-safe arithmetic (no << into the sign bit: DuckDB raises on
+# left-shift overflow; the high band is re-biased instead).
 
-# Token hashes are materialized into an int array in a separate
-# projection first, so the per-bit vote sums reuse them — md5 runs
-# once per token, not once per (token × bit).
+_SIMHASH_BANDS = 4
+_HAM_THR = 3
 
-_SIMHASH_FROM_H_SPARK = (
-    f"aggregate(transform(sequence(0, {_SIMHASH_BITS - 1}), j -> "
-    f"IF(aggregate(transform(toks_h, h -> ((h >> j) & 1) * 2 - 1), 0L, (a, v) -> a + v) > 0, "
-    f"shiftleft(1L, j), 0L)), 0L, (a, v) -> a + v)"
-)
+# Token hashes are materialized into int arrays in a separate
+# projection first, so the 64 per-bit vote sums reuse them — md5 runs
+# twice per token, not once per (token × bit).
 
-_SIMHASH_FROM_H_DUCK = (
-    f"list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), j -> "
-    f"CASE WHEN list_sum(list_transform(toks_h, h -> ((h >> j) & 1) * 2 - 1)) > 0 "
-    f"THEN (1::BIGINT << j) ELSE 0 END))"
+
+def _band_spark(arr: str, base: int) -> str:
+    return (
+        f"aggregate(transform(sequence(0, 15), i -> "
+        f"IF(aggregate(transform({arr}, h -> ((h >> (i + {base})) & 1) * 2 - 1), 0L, (a, v) -> a + v) > 0, "
+        f"shiftleft(1L, i), 0L)), 0L, (a, v) -> a + v)"
+    )
+
+
+def _band_duck(arr: str, base: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(0, 15), i -> "
+        f"CASE WHEN list_sum(list_transform({arr}, h -> ((h >> (i + {base})) & 1) * 2 - 1)) > 0 "
+        f"THEN (1::BIGINT << i) ELSE 0 END))"
+    )
+
+
+# b3 carries signature bits 48..63; re-bias it into [-32768, 32767]
+# before the 2^48 multiply so the product stays inside int64.
+_SH_FROM_BANDS = (
+    "{b0} + {b1} * 65536 + {b2} * 4294967296 "
+    "+ ({b3} - (CASE WHEN {b3} >= 32768 THEN 65536 ELSE 0 END)) * 281474976710656"
 )
 
 _SIMHASH_CTE_DUCK = f"""
     WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
     th AS (SELECT doc_id,
-                  list_transform(toks, x -> {hash32_sql_duck("x")}) AS toks_h
-           FROM t)
+                  list_transform(toks, x -> {hash32_sql_duck("x")}) AS h1,
+                  list_transform(toks, x -> {hash32b_sql_duck("x")}) AS h2
+           FROM t),
+    bands AS (SELECT doc_id,
+                     CAST({_band_duck("h1", 0)} AS BIGINT) AS b0,
+                     CAST({_band_duck("h1", 16)} AS BIGINT) AS b1,
+                     CAST({_band_duck("h2", 0)} AS BIGINT) AS b2,
+                     CAST({_band_duck("h2", 16)} AS BIGINT) AS b3
+              FROM th),
+    sig AS (SELECT doc_id,
+                   CAST({_SH_FROM_BANDS.format(b0="b0", b1="b1", b2="b2", b3="b3")} AS BIGINT) AS sh
+            FROM bands)
 """
 
 
@@ -339,24 +412,32 @@ def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
     th = d.select(
         "doc_id",
-        F.expr(f"transform(toks, x -> {hash32_sql_spark('x')})").alias("toks_h"),
+        F.expr(f"transform(toks, x -> {hash32_sql_spark('x')})").alias("h1"),
+        F.expr(f"transform(toks, x -> {hash32b_sql_spark('x')})").alias("h2"),
     )
-    return th.select("doc_id", F.expr(_SIMHASH_FROM_H_SPARK).alias("simhash"))
+    bands = th.select(
+        "doc_id",
+        F.expr(_band_spark("h1", 0)).alias("b0"),
+        F.expr(_band_spark("h1", 16)).alias("b1"),
+        F.expr(_band_spark("h2", 0)).alias("b2"),
+        F.expr(_band_spark("h2", 16)).alias("b3"),
+    )
+    sh = F.expr(_SH_FROM_BANDS.format(b0="b0", b1="b1", b2="b2", b3="b3"))
+    return bands.select("doc_id", sh.cast("long").alias("simhash"))
 
 
 @register(
     "q_simhash",
     oracle=f"""
     {_SIMHASH_CTE_DUCK}
-    SELECT doc_id, CAST({_SIMHASH_FROM_H_DUCK} AS BIGINT) AS simhash
-    FROM th
+    SELECT doc_id, sh AS simhash FROM sig
     """,
     category="dedup",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit) document signature: per bit, sign of the sum of
+    """SimHash (64-bit) document signature: per bit, sign of the sum of
     ±1 votes from each token hash. Near-dups differ in few bits —
-    pair detection joins on signature bands like MinHash-LSH."""
+    pair detection joins on 16-bit signature bands like MinHash-LSH."""
     return _simhashed(spark, sf_dir)
 
 
@@ -364,27 +445,44 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_simhash_near_pairs",
     oracle=f"""
     {_SIMHASH_CTE_DUCK},
-    sig AS (SELECT doc_id, CAST({_SIMHASH_FROM_H_DUCK} AS BIGINT) AS sh FROM th),
+    sb AS (
+      SELECT doc_id, sh, j, (sh >> (16 * j)) & 65535 AS bv
+      FROM sig, generate_series(0, {_SIMHASH_BANDS - 1}) AS t(j)
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) AS INTEGER) AS hamming
-      FROM sig a JOIN sig b ON (a.sh >> 8) = (b.sh >> 8) AND a.doc_id < b.doc_id
+      FROM sb a JOIN sb b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {_HAM_THR}
     """,
     category="dedup",
 )
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: block on the high signature byte
-    (the LSH trick for Hamming space), verify Hamming distance ≤ 2."""
+    """SimHash near-dup candidates via banded Hamming LSH: explode each
+    64-bit signature into 4 × 16-bit band keys, bucket-equi-join on
+    (band, value) — every Hamming≤3 pair shares ≥1 exact band — then
+    verify the true Hamming distance. The join key space is 4 · 2^16
+    buckets, so candidates stay near-linear at corpus scale (vs. the
+    O(n²/256) of single-byte blocking)."""
     sig = q_simhash(spark, sf_dir).withColumnRenamed("simhash", "sh")
-    a = sig.alias("a")
-    b = sig.alias("b")
-    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("sh", 16 * j).bitwiseAND(F.lit(65535))
+                for j in range(_SIMHASH_BANDS)
+            ])
+        ).alias("j", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("int")
     return (
         a.join(
             b,
-            (F.shiftright(F.col("a.sh"), 8) == F.shiftright(F.col("b.sh"), 8))
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -392,7 +490,8 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 2)
+        .filter(F.col("hamming") <= _HAM_THR)
+        .distinct()
     )
 
 

@@ -160,11 +160,14 @@ def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys_df = (
         load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select("o_orderkey")
     )
-    keys = [r[0] for r in keys_df.collect()]
-    if not keys:
+    # Driver sees only the probe-key BOUNDS (one 2-value row), never
+    # the key set: bounds drive manifest file pruning, the keys stay
+    # distributed and join as a broadcast semi-join.
+    lo, hi = keys_df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    if lo is None:
         df = read_table(spark, path, point_lookup=("l_orderkey", [-1]))
     else:
-        df = read_table(spark, path, range_scan=("l_orderkey", min(keys), max(keys)))
+        df = read_table(spark, path, range_scan=("l_orderkey", lo, hi))
         df = df.join(F.broadcast(keys_df), df.l_orderkey == keys_df.o_orderkey, "left_semi")
     return df.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice").alias("order_rev")

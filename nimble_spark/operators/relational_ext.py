@@ -165,21 +165,32 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Runs are computed per key-range BLOCK (the encoding-chunk analogue):
+# the window partitions by block, so every block sorts independently —
+# no global-order window, which at 100 TB would funnel the whole table
+# through one sort partition. Matches the reference, which computes
+# repeat-run stats per encoding block, never across the file.
+_RUN_BLOCK = 1000  # l_orderkey range per block
+
+
 @register(
     "q_run_length_stats",
-    oracle="""
+    oracle=f"""
     WITH ordered AS (
-      SELECT l_orderkey, l_linenumber,
-             CASE WHEN l_returnflag <> LAG(l_returnflag)
-                  OVER (ORDER BY l_orderkey, l_linenumber) THEN 1 ELSE 0 END AS chg
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_orderkey // {_RUN_BLOCK} AS blk,
+             CASE WHEN l_returnflag IS NOT DISTINCT FROM LAG(l_returnflag)
+                  OVER (PARTITION BY l_orderkey // {_RUN_BLOCK}
+                        ORDER BY l_orderkey, l_linenumber, l_returnflag) THEN 1 ELSE 0 END AS same
       FROM lineitem
     ),
     runs AS (
-      SELECT SUM(chg) OVER (ORDER BY l_orderkey, l_linenumber
-                            ROWS UNBOUNDED PRECEDING) AS run_id
+      SELECT blk,
+             SUM(1 - same) OVER (PARTITION BY blk
+                                 ORDER BY l_orderkey, l_linenumber, l_returnflag
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
       FROM ordered
     ),
-    sizes AS (SELECT run_id, COUNT(*) AS run_len FROM runs GROUP BY run_id)
+    sizes AS (SELECT blk, run_id, COUNT(*) AS run_len FROM runs GROUP BY blk, run_id)
     SELECT COUNT(*) AS n_runs,
            MIN(run_len) AS min_run, MAX(run_len) AS max_run
     FROM sizes
@@ -189,18 +200,28 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min/max repeat-run statistics — the encoding-selection stat that
     decides RLE viability (Statistics.h min/max repeat run). Computed
-    here over the whole table in storage order; at 100 TB the reference
-    computes it per encoding block, and the Spark analogue runs this
-    same window per file/partition (spark_partition_id grouping)."""
+    per key-range block (the encoding-chunk analogue): the window
+    PARTITIONS by block, so blocks sort in parallel — the global-order
+    single-partition sort is gone. LAG null (block head) counts as a
+    run start, mirroring a chunk boundary resetting the run."""
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
-    w = W.orderBy("l_orderkey", "l_linenumber")
+    blk = F.expr(f"l_orderkey div {_RUN_BLOCK}")
+    # l_returnflag as final sort key makes the order TOTAL — the
+    # corpus has duplicate (orderkey, linenumber) pairs, and runs are
+    # only well-defined over a deterministic order
+    w = W.partitionBy("blk").orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+    # null-safe equality: a NULL flag continues a NULL run on both
+    # engines (IS NOT DISTINCT FROM ↔ eqNullSafe); the block head's
+    # missing LAG counts as a run start
     chg = F.when(
-        F.col("l_returnflag") != F.lag("l_returnflag").over(w), 1
-    ).otherwise(0)
-    runs = l.withColumn("chg", chg).withColumn(
-        "run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+        F.col("l_returnflag").eqNullSafe(F.lag("l_returnflag").over(w)), 0
+    ).otherwise(1)
+    runs = (
+        l.withColumn("blk", blk)
+        .withColumn("chg", chg)
+        .withColumn("run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)))
     )
-    sizes = runs.groupBy("run_id").agg(F.count(F.lit(1)).alias("run_len"))
+    sizes = runs.groupBy("blk", "run_id").agg(F.count(F.lit(1)).alias("run_len"))
     return sizes.agg(
         F.count(F.lit(1)).alias("n_runs"),
         F.min("run_len").alias("min_run"),

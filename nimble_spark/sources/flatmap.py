@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 
 FLATMAP_NULL_SENTINEL = "__nimble_in_map"
 
+# Dynamic key discovery is bounded like the reference's flat-map
+# (dwio/nimble/velox/NimbleConfig.h:27 caps flatmap keys): beyond the
+# cap a map column is the wrong storage shape — keep it as a map.
+# Discovery is a WRITE-TIME metadata operation (once per table write,
+# like footer construction), not a query-path action; readers get the
+# key set from the manifest (write_flatmap_table/read_flatmap_table).
+MAX_FLATMAP_KEYS = 200_000
+
 
 def flatten_map_column(
     df: DataFrame, map_col: str, keys: list[str] | None = None, prefix: str | None = None
@@ -42,8 +50,16 @@ def flatten_map_column(
     if keys is None:
         keys = sorted(
             r[0]
-            for r in df.select(F.explode(F.map_keys(map_col)).alias("k")).distinct().collect()
+            for r in df.select(F.explode(F.map_keys(map_col)).alias("k"))
+            .distinct()
+            .limit(MAX_FLATMAP_KEYS + 1)
+            .collect()
         )
+        if len(keys) > MAX_FLATMAP_KEYS:
+            raise ValueError(
+                f"flat-map key discovery exceeded {MAX_FLATMAP_KEYS} distinct keys"
+                f" for column '{map_col}' — keep it as a map column instead"
+            )
     out = df
     for k in keys:
         out = out.withColumn(f"{prefix}__{k}", F.col(map_col).getItem(k))
@@ -111,6 +127,38 @@ def dedup_array_column(df: DataFrame, arr_col: str) -> tuple[DataFrame, DataFram
         .dropDuplicates(["ref"])
     )
     return main, dictionary
+
+
+def write_flatmap_table(df: DataFrame, map_col: str, path: str, opts=None) -> list[str]:
+    """Write ``df`` with ``map_col`` stored flat-map style, persisting
+    the discovered key set in the manifest (user_metadata) — readers
+    never re-scan for keys. Returns the key list."""
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    opts = opts or WriteOptions()
+    flat, keys = flatten_map_column(df, map_col)
+    opts.user_metadata = dict(opts.user_metadata)
+    opts.user_metadata[f"flatmap_keys:{map_col}"] = ",".join(keys)
+    write_table(flat, path, opts)
+    return keys
+
+
+def read_flatmap_table(
+    spark, path: str, map_col: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Read a flat-map table back as its logical map column. ``keys``
+    projects a subset (only those streams are read — Catalyst prunes
+    the rest); default restores the full map using the manifest's
+    persisted key set (no discovery scan)."""
+    from nimble_spark.sources.table import read_manifest, read_table
+
+    manifest = read_manifest(path)
+    all_keys = manifest.get("user_metadata", {}).get(f"flatmap_keys:{map_col}", "")
+    all_keys = all_keys.split(",") if all_keys else []
+    use = keys if keys is not None else all_keys
+    df = read_table(spark, path)
+    df = project_map_keys(df, use, map_col)
+    return restore_map_column(df, use, map_col)
 
 
 def restore_array_column(main: DataFrame, dictionary: DataFrame, arr_col: str) -> DataFrame:

@@ -54,3 +54,26 @@ def serialize_partitioned(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(per_batch, "n_rows long, payload binary")
+
+
+def deserialize_partitioned(payloads: DataFrame, schema) -> DataFrame:
+    """Inverse of serialize_partitioned: each Arrow IPC payload row
+    expands back into its record batch, partition-locally — the
+    default serde path (no driver collect; the driver-side
+    ``serialize``/``deserialize`` pair remains for small slices like
+    DSL peeks and test fixtures).
+
+    ``schema`` is the DDL string / StructType of the encoded rows
+    (Arrow IPC embeds the schema per payload; Spark needs it
+    statically for the mapInPandas plan)."""
+    import pandas as pd
+
+    def per_batch(batches):
+        for pdf in batches:
+            for buf in pdf["payload"]:
+                with pa.ipc.open_stream(io.BytesIO(bytes(buf))) as reader:
+                    yield reader.read_all().to_pandas()
+            if len(pdf) == 0:
+                yield pd.DataFrame()
+
+    return payloads.mapInPandas(per_batch, schema)

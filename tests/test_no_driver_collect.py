@@ -1,0 +1,53 @@
+"""Guard: no unbounded driver-side actions in query-path code.
+
+Every `.collect()` / `.toPandas()` / `.toArrow()` in nimble_spark/
+must be on the allowlist below, each entry a BOUNDED metadata action
+(probe-set bucket ids, index file lists, capped key discovery, scalar
+bounds) or an explicitly driver-side utility (plan audit, DSL peek,
+small-slice serde). A new driver action in an operator fails this
+test until it is justified here — the pattern the 100 TB bar forbids
+is iterating data rows on the driver, and that never belongs on this
+list."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "nimble_spark"
+
+ACTION_RE = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toArrow\(\)|\.first\(\)")
+
+# (file relative to nimble_spark/, substring that must appear within
+# the surrounding ±8 lines, justification)
+ALLOWED = [
+    ("plans/audit.py", "df.collect()", "plan-audit harness executes the query to get the AQE final plan"),
+    ("operators/format_surface.py", "keys_df.agg", "single-row min/max bounds of the probe keys"),
+    ("sources/serde.py", "df.toArrow()", "documented driver-side small-slice serde; serialize_partitioned is the bulk default"),
+    ("sources/flatmap.py", "limit(MAX_FLATMAP_KEYS + 1)", "write-time key discovery, hard-capped (NimbleConfig.h:27 analogue)"),
+    ("sources/table.py", "pmod(F.xxhash64", "bucket ids of the caller-supplied probe values (O(len(values)))"),
+    ("sources/table.py", 'idx.select("file").distinct()', "sorted-index file list — file-granularity metadata"),
+    ("tools.py", "", "interactive DSL/dump utilities are driver-side by definition"),
+]
+
+
+def test_all_driver_actions_are_allowlisted():
+    unexplained = []
+    for py in sorted(PKG.rglob("*.py")):
+        rel = py.relative_to(PKG).as_posix()
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not ACTION_RE.search(line):
+                continue
+            ctx = "\n".join(lines[max(0, i - 8): i + 9])
+            ok = any(
+                rel == f and (marker == "" or marker in ctx)
+                for f, marker, _ in ALLOWED
+            )
+            if not ok:
+                unexplained.append(f"{rel}:{i + 1}: {line.strip()}")
+    assert not unexplained, (
+        "driver-side actions outside the allowlist (justify in "
+        "tests/test_no_driver_collect.py if bounded-metadata):\n"
+        + "\n".join(unexplained)
+    )
