@@ -228,26 +228,57 @@ def q_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_MEDIA = 64
 
 
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize-once media table: the driver-side payload encoding
+    (pure-Python PPM/WAV/RAWVID) runs once per sf and lands in the
+    parquet cache; every multimodal query then scans parquet and
+    spends its time in the decode stage under test."""
+    from nimble_spark.operators.multimodal import synthesize_media
+
+    path = ensure_cached(
+        sf_dir, "media64", [],
+        lambda tmp: synthesize_media(spark, _N_MEDIA).write.parquet(tmp),
+    )
+    return spark.read.parquet(path).coalesce(4)
+
+
 @register(
     "q_multimodal_features",
     oracle=f"""
     SELECT i AS media_id,
            CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS kind,
-           CAST(32 * (4 + i % 7) AS BIGINT) AS n_bytes
+           CAST(CASE
+             WHEN i % 3 = 0 THEN 9 + LENGTH(CAST(64 + (i % 8) * 32 AS VARCHAR))
+                                 + LENGTH(CAST(64 + (i % 5) * 32 AS VARCHAR))
+                                 + 3 * (64 + (i % 8) * 32) * (64 + (i % 5) * 32)
+             WHEN i % 3 = 1 THEN 44 + 2 * (1600 * (1 + i % 5))
+             ELSE 8 + 207 * (30 * (1 + i % 10))
+           END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN i % 3 = 0 THEN 64 + (i % 8) * 32 END AS INTEGER) AS decoded_width,
+           CAST(CASE WHEN i % 3 = 0 THEN 64 + (i % 5) * 32 END AS INTEGER) AS decoded_height,
+           CAST(CASE WHEN i % 3 = 1 THEN 16000 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN i % 3 = 1 THEN 1600 * (1 + i % 5) END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN i % 3 = 2 THEN 30 * (1 + i % 10) END AS INTEGER) AS n_frames
     FROM range({_N_MEDIA}) t(i)
     """,
     category="multimodal",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction through mapInPandas (Arrow
-    batches): payload sizes and kinds come back from the Python stage,
-    proving batch shape + schema plumbing end-to-end."""
-    from nimble_spark.operators.multimodal import extract_features, synthesize_media
+    """REAL binary-column decode through mapInPandas (Arrow batches):
+    PPM/WAV/RAWVID payloads are parsed byte-for-byte in the Python
+    stage, and the decoded structure (dims, sample counts, frame
+    counts, exact payload sizes) must match the oracle's closed-form
+    synthesis formulas — proving the bytes were actually decoded, not
+    echoed from metadata."""
+    from nimble_spark.operators.multimodal import extract_features
 
-    media = synthesize_media(spark, _N_MEDIA)
-    feats = extract_features(media, decode="fake")
-    return feats.select("media_id", "kind", "n_bytes")
+    media = _media_table(spark, sf_dir)
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        "decoded_width", "decoded_height", "sample_rate", "n_samples", "n_frames",
+    )
 
 
 @register(
@@ -255,19 +286,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (SELECT i FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 2)
     SELECT i AS media_id,
-           unnest(range(0, CAST(30 * (1 + i % 10) AS BIGINT), 10)) AS frame_idx
+           unnest(range(0, CAST(30 * (1 + i % 10) AS BIGINT), 10)) AS frame_idx,
+           CAST(8 AS INTEGER) AS frame_w,
+           CAST(8 AS INTEGER) AS frame_h
     FROM v
     """,
     category="multimodal",
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame, fan-out
-    inside mapInPandas (frame decode stubbed, schema/fan-out real)."""
-    from nimble_spark.operators.multimodal import sample_frames, synthesize_media
+    """Video frame sampling with REAL container + frame decode: the
+    RAWVID stream is walked, every 10th PPM frame is parsed, and the
+    decoded frame dimensions must match the synthesis formulas."""
+    from nimble_spark.operators.multimodal import sample_frames
 
-    media = synthesize_media(spark, _N_MEDIA)
-    frames = sample_frames(media, every_n=10, decode="fake")
-    return frames.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+    media = _media_table(spark, sf_dir)
+    frames = sample_frames(media, every_n=10, decode="real")
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_w",
+        "frame_h",
+    )
 
 
 @register(
@@ -276,18 +315,20 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT i AS media_id,
            CAST(64 AS BIGINT) AS out_width,
            CAST(64 AS BIGINT) AS out_height,
-           GREATEST(16, (64 * 64) % (32 * (4 + i % 7))) AS n_bytes
+           CAST(9 + 2 + 2 + 3 * 64 * 64 AS BIGINT) AS n_bytes
     FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 0
     """,
     category="multimodal",
 )
 def q_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize plumbing: kind filter stays JVM-side; the Python
-    stage transforms payloads batch-at-a-time (resize kernel stubbed)."""
-    from nimble_spark.operators.multimodal import resize_images, synthesize_media
+    """REAL image resize: each PPM payload is decoded, nearest-neighbor
+    resampled to 64×64, and re-encoded as PPM; the kind filter stays
+    JVM-side. The output payload size is the exact PPM encoding size
+    (header + 3·64·64), byte-checked by the oracle."""
+    from nimble_spark.operators.multimodal import resize_images
 
-    media = synthesize_media(spark, _N_MEDIA)
-    out = resize_images(media, 64, 64, decode="fake")
+    media = _media_table(spark, sf_dir)
+    out = resize_images(media, 64, 64, decode="real")
     return out.select(
         "media_id",
         F.col("out_width").cast("long").alias("out_width"),

@@ -140,6 +140,29 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_row_range_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_custkey LIMIT 700 OFFSET 500
+    """,
+    category="format",
+)
+def q_row_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seekToRow/skipRows analogue (dwio/nimble/velox/VeloxReader.h:
+    114-153): rows [500, 1200) of the table in file order. The table
+    is clustered by c_custkey, so file order IS key order and the
+    oracle is ORDER BY + LIMIT/OFFSET. Files wholly outside the range
+    are skipped from the manifest's per-file row counts (stripe
+    skipping); boundary files trim via _metadata.row_index."""
+    path = _ensure_written(
+        spark, sf_dir, "customer", "cluster_custkey",
+        WriteOptions(cluster_by=["c_custkey"], n_cluster_files=6),
+    )
+    df = read_table(spark, path, row_range=(500, 1200))
+    return df.select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
     "q_lookup_join",
     oracle=f"""
     SELECT l_orderkey, COUNT(*) AS n_lines, {dsum_sql("l_extendedprice")} AS order_rev

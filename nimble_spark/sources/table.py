@@ -25,8 +25,10 @@ any Hadoop-compatible FS (the manifest is one small JSON object).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Any, Iterable, Optional
 
@@ -146,9 +148,28 @@ def write_table(
         writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    t0 = time.monotonic()
     writer.parquet(path)
+    write_wall_ms = int((time.monotonic() - t0) * 1000)
 
+    t1 = time.monotonic()
     manifest = _build_manifest(spark, df.schema, path, opts, index_meta)
+    stats_wall_ms = int((time.monotonic() - t1) * 1000)
+    # Writer runtime stats — the VeloxWriter::RunStats analogue
+    # (dwio/nimble/velox/VeloxWriter.h:78-115: flush/encode CPU+wall,
+    # stripe size distribution). Spark's encode CPU lives inside the
+    # JVM write tasks; the surfaced shape is wall per phase + the
+    # file/row-group size distribution from the written footers.
+    sizes = [f["bytes"] for f in manifest["files"]] or [0]
+    manifest["write_stats"] = {
+        "write_wall_ms": write_wall_ms,
+        "manifest_wall_ms": stats_wall_ms,
+        "n_files": len(manifest["files"]),
+        "n_row_groups": sum(f["row_groups"] for f in manifest["files"]),
+        "total_bytes": sum(sizes),
+        "min_file_bytes": min(sizes),
+        "max_file_bytes": max(sizes),
+    }
     os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
     with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh, indent=1, default=_json_safe)
@@ -177,6 +198,15 @@ def _build_manifest(
     for frag_path in dataset.files:
         md = pa_pq.ParquetFile(frag_path).metadata
         total_rows += md.num_rows
+        # File integrity checksum — the postscript-checksum analogue
+        # (dwio/nimble/tablet/Postscript.h:27-30, ChecksumTest.cpp).
+        # Computed here at manifest-build time; on a cluster each
+        # writer task hashes its own file as it closes it.
+        h = hashlib.sha256()
+        with open(frag_path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        checksum = h.hexdigest()
         fmins: dict[str, Any] = {}
         fmaxs: dict[str, Any] = {}
         nulls: dict[str, int] = {}
@@ -203,6 +233,7 @@ def _build_manifest(
                 "rows": md.num_rows,
                 "row_groups": md.num_row_groups,
                 "bytes": os.path.getsize(frag_path),
+                "sha256": checksum,
                 "min": {k: _json_safe(v) for k, v in fmins.items()},
                 "max": {k: _json_safe(v) for k, v in fmaxs.items()},
             }
@@ -364,6 +395,8 @@ def read_table(
     range_scan: Optional[tuple[str, Any, Any]] = None,
     point_lookup: Optional[tuple[str, Iterable[Any]]] = None,
     evolved_types: Optional[dict] = None,
+    row_range: Optional[tuple[int, int]] = None,
+    verify_checksums: bool = False,
 ) -> DataFrame:
     """Projected / index-pruned scan of a nimble_spark table.
 
@@ -376,8 +409,25 @@ def read_table(
       pushed-down residual filter (lo/hi inclusive, None = open).
     - ``point_lookup=(key, values)``: hash-index bucket pruning when
       the table is bucketed on ``key``, else cluster pruning per value.
+    - ``row_range=(start, end)``: rows [start, end) in manifest file
+      order — the seekToRow/skipRows analogue
+      (dwio/nimble/velox/VeloxReader.h:114-153). Whole files outside
+      the range are skipped via manifest row counts (stripe skipping);
+      boundary files trim by the parquet ``_metadata.row_index``.
+    - ``verify_checksums``: re-hash every data file against the
+      manifest sha256 before scanning (Postscript checksum analogue);
+      raises on corruption.
     """
     manifest = read_manifest(path)
+    if verify_checksums:
+        bad = verify_table(path)
+        if bad:
+            raise IOError(f"checksum mismatch in {path}: {bad}")
+    if row_range is not None:
+        df = _read_row_range(spark, path, manifest, *row_range)
+        if columns:
+            df = _project_with_evolution(df, manifest, columns, evolved_types)
+        return df
     hash_idx = manifest.get("indexes", {}).get("hash")
 
     file_list: list[str] | None = None
@@ -446,6 +496,62 @@ def read_table(
     if columns:
         df = _project_with_evolution(df, manifest, columns, evolved_types)
     return df
+
+
+def _read_row_range(
+    spark: SparkSession, path: str, manifest: dict, start: int, end: int
+) -> DataFrame:
+    """Rows [start, end) in manifest file order. Files wholly outside
+    the range are never opened (manifest row counts = stripe row
+    counts, the seekToRow stripe-skipping step); files intersecting
+    the range are read in parallel and trimmed row-exactly via the
+    parquet reader's hidden ``_metadata.row_index`` (row position
+    within its file) plus each file's cumulative offset."""
+    needed: list[tuple[str, int]] = []  # (abs path, cumulative offset)
+    off = 0
+    for f in manifest["files"]:
+        n = f["rows"]
+        if off < end and off + n > start:
+            needed.append((os.path.join(path, f["path"]), off))
+        off += n
+    if not needed or end <= start:
+        return _empty_df(spark, manifest)
+    df = spark.read.option("basePath", path).parquet(*[p for p, _ in needed])
+    # basename → cumulative offset (parquet part files have unique
+    # uuid-bearing basenames); map lookup keeps the plan one projection
+    kv = []
+    for p, o in needed:
+        kv.extend([F.lit(os.path.basename(p)), F.lit(o)])
+    pos = F.element_at(F.create_map(*kv), F.col("_metadata.file_name")) + F.col(
+        "_metadata.row_index"
+    )
+    data_cols = [c for c in df.columns if c != BUCKET_COL]
+    return (
+        df.withColumn("__pos", pos)
+        .filter((F.col("__pos") >= start) & (F.col("__pos") < end))
+        .select(*data_cols)
+    )
+
+
+def verify_table(path: str) -> list[str]:
+    """Re-hash every data file against the manifest's sha256 entries
+    (tablet/Postscript.h:27-30 checksum analogue); returns the
+    relative paths that mismatch. Local/driver implementation — on a
+    cluster the same check distributes as a binaryFile scan mapping
+    each file to (path, sha256)."""
+    manifest = read_manifest(path)
+    bad = []
+    for f in manifest["files"]:
+        want = f.get("sha256")
+        if not want:
+            continue
+        h = hashlib.sha256()
+        with open(os.path.join(path, f["path"]), "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != want:
+            bad.append(f["path"])
+    return bad
 
 
 def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:

@@ -75,12 +75,50 @@ def test_media_features_shape(spark):
     assert again == first
 
 
-def test_media_real_decode_raises(spark):
+def test_media_real_decode_structure(spark):
     from nimble_spark.operators.multimodal import extract_features, synthesize_media
 
-    media = synthesize_media(spark, n=3)
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        extract_features(media, decode="real").collect()
+    media = synthesize_media(spark, n=9)
+    rows = {r["media_id"]: r for r in extract_features(media, decode="real").collect()}
+    assert rows[0]["kind"] == "image" and rows[0]["decoded_width"] == 64
+    assert rows[1]["kind"] == "audio" and rows[1]["sample_rate"] == 16000
+    assert rows[1]["n_samples"] == 1600 * 2
+    assert rows[2]["kind"] == "video" and rows[2]["n_frames"] == 30 * 3
+    # image features are a normalized histogram
+    assert abs(sum(rows[0]["features"]) - 1.0) < 1e-5
+
+
+def test_media_corrupt_payload_raises(spark):
+    from nimble_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    bad = spark.createDataFrame(
+        [(0, "image", b"NOT A PPM AT ALL", (None, None, None, None, "ppm"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):  # ValueError surfaces as PythonException
+        extract_features(bad, decode="real").collect()
+
+
+def test_codec_roundtrips():
+    from nimble_spark.functions.codecs import (
+        decode_ppm, decode_rawvid, decode_wav,
+        encode_ppm, encode_rawvid, encode_wav, resize_ppm_nearest,
+    )
+
+    px = bytes(range(256)) * 3  # 16x16 RGB
+    img = decode_ppm(encode_ppm(16, 16, px))
+    assert (img.width, img.height, img.pixels) == (16, 16, px)
+    small = resize_ppm_nearest(img, 4, 4)
+    assert (small.width, small.height, len(small.pixels)) == (4, 4, 48)
+    # nearest-neighbor keeps exact source pixel values
+    assert small.pixels[:3] == px[:3]
+
+    samples = [0, 1000, -1000, 32767, -32768]
+    wav = decode_wav(encode_wav(8000, samples))
+    assert wav.sample_rate == 8000 and wav.samples == samples
+
+    frames = [encode_ppm(2, 2, bytes(12)), encode_ppm(2, 2, bytes(range(12)))]
+    assert decode_rawvid(encode_rawvid(frames)) == frames
 
 
 def test_resize_and_frames(spark):

@@ -56,3 +56,69 @@ def test_show_index(spark, table_path):
 def test_select_limit_offset(spark, table_path):
     rows = tools.select(spark, table_path, columns=["o_orderkey"], limit=5).collect()
     assert len(rows) == 5
+
+
+def test_show_metrics_reader_stats(spark, table_path):
+    rows = tools.show_metrics(spark, table_path).collect()
+    by_metric = {}
+    for r in rows:
+        if "Scan" in r["node"]:
+            by_metric[r["metric"]] = r["value"]
+    # the scan node must surface the reader runtime stats the reference
+    # exposes: files touched, bytes read, rows produced
+    assert by_metric.get("number of files read", by_metric.get("numFiles", 0)) >= 1
+    assert any("size of files" in m or "filesSize" in m for m in by_metric)
+    assert by_metric.get("number of output rows", by_metric.get("numOutputRows", 0)) > 0
+
+
+def test_write_stats_and_checksums(spark, table_path):
+    from nimble_spark.sources.table import read_manifest, verify_table
+
+    m = read_manifest(table_path)
+    ws = m["write_stats"]
+    assert ws["n_files"] >= 2 and ws["total_bytes"] > 0
+    assert ws["write_wall_ms"] >= 0 and ws["manifest_wall_ms"] >= 0
+    assert ws["min_file_bytes"] <= ws["max_file_bytes"]
+    for f in m["files"]:
+        assert len(f["sha256"]) == 64
+    assert verify_table(table_path) == []
+
+
+def test_checksum_detects_corruption(spark, table_path):
+    import os
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from nimble_spark.sources.table import read_manifest, read_table, verify_table
+
+    d = tempfile.mkdtemp(prefix="nimble_corrupt_")
+    try:
+        corrupt = os.path.join(d, "t")
+        shutil.copytree(table_path, corrupt)
+        victim = read_manifest(corrupt)["files"][0]["path"]
+        with open(os.path.join(corrupt, victim), "r+b") as fh:
+            fh.seek(100)
+            fh.write(b"\x00\xff\x00\xff")
+        assert verify_table(corrupt) == [victim]
+        with _pytest.raises(IOError):
+            read_table(spark, corrupt, verify_checksums=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_row_range_scan(spark, table_path):
+    from nimble_spark.sources.table import read_manifest, read_table
+
+    total = read_manifest(table_path)["rows"]
+    # interior slice, file-order == o_orderkey order (clustered table)
+    got = read_table(spark, table_path, row_range=(10, 200)).collect()
+    assert len(got) == 190
+    all_keys = sorted(
+        r["o_orderkey"] for r in read_table(spark, table_path).select("o_orderkey").collect()
+    )
+    assert sorted(r["o_orderkey"] for r in got) == all_keys[10:200]
+    # open-ended / empty / overshoot
+    assert read_table(spark, table_path, row_range=(total - 5, total + 99)).count() == 5
+    assert read_table(spark, table_path, row_range=(7, 7)).count() == 0
