@@ -24,6 +24,10 @@ HEADLINE = [
     "q_tumbling_window",
     "q_dedup_exact",
     "q_minhash_lsh_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_simhash_near_pairs",
+    "q_corpus_pipeline",
+    "q_embedding_neardup_lsh",
     "q_cosine_topk",
     "q_ann_ivf_topk",
     "q_token_stats",

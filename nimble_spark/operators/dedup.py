@@ -367,14 +367,6 @@ _HAM_THR = 3
 # twice per token, not once per (token × bit).
 
 
-def _band_spark(arr: str, base: int) -> str:
-    return (
-        f"aggregate(transform(sequence(0, 15), i -> "
-        f"IF(aggregate(transform({arr}, h -> ((h >> (i + {base})) & 1) * 2 - 1), 0L, (a, v) -> a + v) > 0, "
-        f"shiftleft(1L, i), 0L)), 0L, (a, v) -> a + v)"
-    )
-
-
 def _band_duck(arr: str, base: int) -> str:
     return (
         f"list_sum(list_transform(generate_series(0, 15), i -> "
@@ -409,19 +401,38 @@ _SIMHASH_CTE_DUCK = f"""
 
 
 def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode + 64 codegen'd integer sums instead of 64 higher-order
+    # lambda passes: higher-order functions evaluate interpreted
+    # (outside whole-stage codegen), while explode → SUM((h>>j)&1…)
+    # is plain vectorized arithmetic with map-side partial
+    # aggregation — the shuffle carries 64 ints per doc regardless of
+    # document length. Docs with no tokens survive via explode_outer
+    # (null votes → all-zero signature, matching the oracle's
+    # list_sum(empty)=NULL → 0-bit semantics).
     d = load(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
     th = d.select(
         "doc_id",
         F.expr(f"transform(toks, x -> {hash32_sql_spark('x')})").alias("h1"),
         F.expr(f"transform(toks, x -> {hash32b_sql_spark('x')})").alias("h2"),
     )
-    bands = th.select(
+    tok = th.select(
         "doc_id",
-        F.expr(_band_spark("h1", 0)).alias("b0"),
-        F.expr(_band_spark("h1", 16)).alias("b1"),
-        F.expr(_band_spark("h2", 0)).alias("b2"),
-        F.expr(_band_spark("h2", 16)).alias("b3"),
-    )
+        F.explode_outer(F.arrays_zip("h1", "h2")).alias("t"),
+    ).select("doc_id", F.col("t.h1").alias("th1"), F.col("t.h2").alias("th2"))
+    vote_cols = []
+    for j in range(64):
+        src = "th1" if j < 32 else "th2"
+        vote_cols.append(
+            F.sum(F.shiftright(src, j % 32).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        )
+    votes = tok.groupBy("doc_id").agg(*vote_cols)
+    band_exprs = []
+    for k in range(4):
+        bits = " + ".join(
+            f"IF(v{16 * k + i} > 0, shiftleft(1L, {i}), 0L)" for i in range(16)
+        )
+        band_exprs.append(F.expr(bits).alias(f"b{k}"))
+    bands = votes.select("doc_id", *band_exprs)
     sh = F.expr(_SH_FROM_BANDS.format(b0="b0", b1="b1", b2="b2", b3="b3"))
     return bands.select("doc_id", sh.cast("long").alias("simhash"))
 
@@ -476,7 +487,14 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("j", "bv"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # shuffle_hash: the Exchange(j, bv) physically materializes sh
+    # before the join, so the hamming expression below reads the
+    # stored 8-byte signature instead of re-inlining the 64-vote
+    # pipeline per candidate row (Spark has no CSE across the join
+    # boundary — observed 27s → 6s at sf0.1); both sides share the
+    # identical exchange via ReusedExchange.
+    a = bands.hint("shuffle_hash").alias("a")
+    b = bands.hint("shuffle_hash").alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("int")
     return (
         a.join(

@@ -126,9 +126,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="similarity",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45). Exact
-    all-pairs at test scale; at 100 TB the LSH buckets below bound the
-    candidate set first."""
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45), EXACT
+    all-pairs — the ground-truth baseline that
+    q_embedding_neardup_lsh approximates (same role q_ngram_jaccard
+    plays for MinHash-LSH). Quadratic by construction: use the LSH
+    variant beyond calibration-sized inputs."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("e"), F.expr(_norm_spark("embedding")).alias("nrm")
     )
@@ -146,6 +148,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path
 # ---------------------------------------------------------------------------
+
+# (q_embedding_neardup_lsh is registered below, after the bucket
+# expressions it reuses are defined.)
 # Deterministic pseudo-random hyperplanes: weight(plane j, dim i) =
 # (hash32(j||'_'||i) % 2001 - 1000) / 1000 ∈ [-1, 1]. Integer-derived →
 # the same exact doubles on both engines.
@@ -249,6 +254,87 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
+    )
+
+
+@register(
+    "q_embedding_neardup_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, CAST({_BUCKET_DUCK} AS BIGINT) AS bucket,
+             {_norm_duck("embedding")} AS nrm
+      FROM embeddings
+    ),
+    sb AS (
+      SELECT vec_id, embedding, nrm, j, (bucket >> (2 * j)) & 3 AS bv
+      FROM sig, generate_series(0, 3) AS t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT_DUCK.format(a="a.embedding", b="b.embedding")} / (a.nrm * b.nrm) AS sim
+      FROM sb a JOIN sb b ON a.j = b.j AND a.bv = b.bv AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, FLOOR((sim) * 10000 + 0.5) / 10000 AS sim
+    FROM cand WHERE sim >= {NEARDUP_THR}
+    """,
+    category="similarity",
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via banded hyperplane LSH — the swap the
+    exact q_embedding_neardup documents. OR-construction: a pair is a
+    candidate when ANY band of hyperplane sign bits matches; exact
+    cosine verifies every candidate. Band width trades recall against
+    candidate density: this corpus's near-dups sit at cosine ≈ 0.45
+    (per-plane agreement ≈ 0.65), so 4 bands × 2 bits gives ≈ 0.89
+    recall at n²/4-per-band candidates; a production near-dup
+    threshold (≥ 0.9, per-plane ≈ 0.86) supports 8–16-bit bands and
+    n²/2⁸..2¹⁶ density — widen the bands as the threshold rises."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+        F.expr(_norm_spark("embedding")).alias("nrm"),
+    )
+    # Bands carry ONLY (vec_id, j, bv): candidate generation shuffles
+    # 3 ints per row, pairs dedup BEFORE any dot product (a pair can
+    # match up to 4 bands — verifying after distinct cuts the cosine
+    # work 4×), and the verify joins the embeddings back by id, the
+    # same carry-nothing-heavy-through-the-band-shuffle shape as
+    # MinHash-LSH.
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("bucket", 2 * j).bitwiseAND(F.lit(3)) for j in range(4)
+            ])
+        ).alias("j", "bv"),
+    )
+    a = bands.hint("shuffle_hash").alias("a")
+    b = bands.hint("shuffle_hash").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    emb = sig.select("vec_id", "embedding", "nrm").hint("shuffle_hash")
+    cand = cand.join(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")),
+        "id_a",
+    ).join(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")),
+        "id_b",
+    )
+    sim = F.expr(_DOT_SPARK.format(a="e_a", b="e_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= NEARDUP_THR)
+        .select("id_a", "id_b", rnd("sim", 4).alias("sim"))
     )
 
 
