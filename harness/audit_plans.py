@@ -21,6 +21,8 @@ DEFAULT = [
     "q_ann_ivf_topk", "q_skew_salted_agg", "q_token_stats",
     "q_corpus_pipeline", "q_topk_per_group", "q_embedding_quantize",
     "q_asof_join_forward", "q_partition_pruned_scan",
+    "q_simhash_near_pairs", "q_embedding_neardup_lsh",
+    "q_ngram_jaccard_pairs", "q_row_range_scan",
 ]
 
 

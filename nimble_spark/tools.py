@@ -189,6 +189,10 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_index(spark, path)
     if u == "SHOW METRICS":
         return show_metrics(spark, path)
+    if u in ("SHOW ENCODING REPORT", "ENCODING REPORT"):
+        from nimble_spark.sources.encoding_report import encoding_report
+
+        return encoding_report(spark, path)
     m = re.match(r"SELECT\s+(.+?)(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?$", c, re.I)
     if m:
         cols = [x.strip() for x in m.group(1).split(",")]

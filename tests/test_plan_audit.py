@@ -126,3 +126,34 @@ def test_corpus_pipeline_posture(spark):
         forbid_python_eval=True,
     )
     assert a.n_cartesian == 0
+
+
+def test_simhash_near_pairs_banded_posture(spark):
+    # banded Hamming LSH: bucket-equi join (no cartesian), signature
+    # vote sums partial-aggregated map-side, everything JVM-side
+    a = assert_posture(
+        _q("q_simhash_near_pairs")(spark, SF_MED),
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0 and a.n_bnl_joins == 0, a.plan
+    assert a.n_shuffled_hash_joins + a.n_sort_merge_joins >= 1
+
+
+def test_embedding_neardup_lsh_posture(spark):
+    # band join carries only ids; no cartesian/BNL anywhere — the
+    # candidate join and both verify joins are all equi-joins
+    a = assert_posture(
+        _q("q_embedding_neardup_lsh")(spark, SF_MED),
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0 and a.n_bnl_joins == 0, a.plan
+
+
+def test_row_range_scan_no_shuffle(spark):
+    # seek is pruning + a per-file row filter: zero shuffles
+    assert_posture(
+        _q("q_row_range_scan")(spark, SF_MED),
+        max_shuffles=0,
+        forbid_python_eval=True,
+    )

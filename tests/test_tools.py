@@ -122,3 +122,19 @@ def test_row_range_scan(spark, table_path):
     # open-ended / empty / overshoot
     assert read_table(spark, table_path, row_range=(total - 5, total + 99)).count() == 5
     assert read_table(spark, table_path, row_range=(7, 7)).count() == 0
+
+
+def test_encoding_report_predicted_vs_actual(spark, table_path):
+    from nimble_spark.sources.encoding_report import encoding_report
+
+    rep = {r["column"]: r for r in encoding_report(spark, table_path).collect()}
+    # low-cardinality string column: cost model predicts dictionary,
+    # and parquet's own selection agrees (RLE_DICTIONARY in footers)
+    status = rep["o_orderstatus"]
+    assert status["predicted"] == "dictionary"
+    assert "DICTIONARY" in status["actual_encodings"]  # RLE_ or PLAIN_
+    assert status["dict_bytes"] < status["plain_bytes"]
+    # unique key column: dictionary can't win; actual bytes recorded
+    key = rep["o_orderkey"]
+    assert key["predicted"] != "dictionary"
+    assert key["actual_bytes"] > 0 and key["ndv"] == key["n"]
