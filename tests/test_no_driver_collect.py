@@ -27,6 +27,7 @@ ALLOWED = [
     ("sources/flatmap.py", "limit(MAX_FLATMAP_KEYS + 1)", "write-time key discovery, hard-capped (NimbleConfig.h:27 analogue)"),
     ("sources/table.py", "pmod(F.xxhash64", "bucket ids of the caller-supplied probe values (O(len(values)))"),
     ("sources/table.py", 'idx.select("file").distinct()', "sorted-index file list — file-granularity metadata"),
+    ("sources/encoding_report.py", "df.agg(*aggs).first()", "single-row per-column stats (ndv/min/max/bytes) for the encoding-cost report — EncodingSelectionPolicy analogue runs on aggregates, never rows"),
     ("tools.py", "", "interactive DSL/dump utilities are driver-side by definition"),
 ]
 
