@@ -1,0 +1,282 @@
+"""Training-corpus hygiene operators: benchmark decontamination,
+paragraph-level dedup, PII scrubbing, and repetition-based quality
+filtering over the `documents` table.
+
+These extend the LLM-pipeline surface (dedup.py / text.py /
+pipeline.py) with the remaining ops a production pretraining pipeline
+runs before training: remove eval-benchmark overlap, drop boilerplate
+paragraphs, redact PII, and filter degenerate repetitive documents.
+
+Scale notes (100 TB posture):
+- Decontamination broadcasts the benchmark n-gram set — benchmarks are
+  fixed, small corpora (thousands of docs), so the corpus side stays a
+  single scan + one doc_id shuffle regardless of corpus size.
+- Paragraph dedup shuffles 32-hex md5 digests, never paragraph text —
+  the same digests-only discipline as dedup.py exact dedup.
+- PII scrubbing and repetition scoring are pure per-row JVM expressions
+  (regexp_replace / higher-order fns) — scan-local, no shuffle.
+All expressions are JVM-side; no Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.exact import rnd, rnd_sql
+from nimble_spark.functions.text_fns import shingles_sql_duck, shingles_sql_spark
+from nimble_spark.registry import register
+from nimble_spark.tables import load
+
+_TOKS_DUCK = "string_split_regex(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-in benchmark: every 97th document plays the role
+# of the held-out eval set. In production this side is a real benchmark
+# corpus (MMLU/GSM8K/...) loaded from its own table; the plan shape is
+# identical because only its small distinct n-gram set is broadcast.
+_BENCH_MOD = 97
+_DECON_N = 5  # word n-gram size used for overlap detection
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({shingles_sql_duck("toks", _DECON_N)}) AS sh FROM t),
+    bg AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % {_BENCH_MOD} = 0),
+    c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(bg.g) AS n_hit,
+           {rnd_sql("CAST(COUNT(bg.g) AS DOUBLE) / COUNT(*)")} AS contamination
+    FROM c LEFT JOIN bg ON c.g = bg.g
+    GROUP BY c.doc_id
+    HAVING COUNT(bg.g) > 0
+    """,
+    category="pipeline",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of
+    its distinct word 5-grams that appear anywhere in the benchmark
+    set. Documents with any overlap are reported (a production run
+    drops rows above a threshold). The benchmark's distinct n-gram set
+    is broadcast; the corpus side is one scan + one doc_id shuffle."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(F.expr(shingles_sql_spark("toks", _DECON_N))).alias("sh"),
+    )
+    # explode_outer: the plain explode triggers InferFiltersFromGenerate,
+    # which pushes a size(sh)>0 filter below the projection and inlines
+    # the whole shingle lambda into it (re-evaluated per row).
+    bench = (
+        s.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = (
+        s.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("doc_id", F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    joined = corpus.join(F.broadcast(bench), "g", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            rnd(F.col("n_hit").cast("double") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no newlines, so "paragraph" is defined as a
+# fixed 15-token chunk — the operator shape (explode → digest → global
+# count → join back) is exactly what a \n\n split would run.
+_PARA_TOKS = 15
+
+
+def _paras_spark() -> str:
+    return (
+        f"transform(sequence(0, CAST(floor((size(toks) - 1) / {_PARA_TOKS}) AS INT)), "
+        f"i -> concat_ws(' ', slice(toks, i * {_PARA_TOKS} + 1, {_PARA_TOKS})))"
+    )
+
+
+def _paras_duck() -> str:
+    return (
+        f"list_transform(generate_series(0, CAST(floor((len(toks) - 1) / {_PARA_TOKS}) AS INT)), "
+        f"i -> array_to_string(toks[i * {_PARA_TOKS} + 1 : i * {_PARA_TOKS} + {_PARA_TOKS}], ' '))"
+    )
+
+
+@register(
+    "q_paragraph_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    p AS (SELECT doc_id, md5(unnest({_paras_duck()})) AS ph FROM t),
+    g AS (SELECT ph, COUNT(DISTINCT doc_id) AS n_docs FROM p GROUP BY ph)
+    SELECT p.doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+           {rnd_sql("CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS dup_frac
+    FROM p JOIN g ON p.ph = g.ph
+    GROUP BY p.doc_id
+    """,
+    category="pipeline",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup scoring: per document, how many of its
+    paragraphs also occur in at least one other document (boilerplate
+    detection). Paragraphs are hashed at the explode, so shuffles move
+    md5 digests, never paragraph text."""
+    d = load(spark, sf_dir, "documents")
+    p = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select("doc_id", F.explode_outer(F.expr(_paras_spark())).alias("para"))
+        .filter(F.col("para").isNotNull())
+        .select("doc_id", F.md5("para").alias("ph"))
+    )
+    g = p.groupBy("ph").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        p.join(g, "ph")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_paras"), dup.alias("n_dup_paras"))
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            rnd(F.col("n_dup_paras").cast("double") / F.col("n_paras")).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# The corpus contains no PII, so each doc deterministically injects a
+# synthetic email (always) and phone number (every other doc); the
+# scrub then has real work whose counts and output hash are oracle-
+# checked. Patterns stay in the Java∩RE2 common subset.
+_EMAIL_PAT = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_PAT = "555-[0-9]+"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' call 555-' || CAST(doc_id % 10000 AS VARCHAR)
+                          ELSE '' END AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{_PHONE_PAT}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text2, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                              '{_PHONE_PAT}', '<PHONE>', 'g')) AS scrub_hash
+    FROM t
+    """,
+    category="pipeline",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace email/phone patterns per
+    document, returning match counts and a digest of the scrubbed
+    text. Pure per-row regexp expressions — scan-local, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" call 555-"), (F.col("doc_id") % 10000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", text2.alias("text2"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text2", _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("text2", F.lit(_EMAIL_PAT)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text2", F.lit(_PHONE_PAT)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-ratio quality filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (SELECT doc_id, unnest({shingles_sql_duck("toks", 3)}) AS g FROM t),
+    c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM s GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_distinct,
+           {rnd_sql("1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt)")} AS dup_frac,
+           {rnd_sql("CAST(MAX(cnt) AS DOUBLE) / SUM(cnt)")} AS top_frac
+    FROM c
+    GROUP BY doc_id
+    """,
+    category="pipeline",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (Gopher-style): per document,
+    the duplicate word-3-gram fraction and the share of the single
+    most frequent 3-gram. Degenerate looping text scores high on both.
+    Explode + per-(doc, gram) partial count keeps it one shuffle."""
+    d = load(spark, sf_dir, "documents")
+    s = (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode_outer(F.expr(shingles_sql_spark("toks", 3))).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    c = s.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            rnd(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")).alias("dup_frac"),
+            rnd(F.col("max_cnt").cast("double") / F.col("n_grams")).alias("top_frac"),
+        )
+    )

@@ -77,6 +77,7 @@ def _load_all() -> None:
     import nimble_spark.operators.tpch_rest  # noqa: F401
     import nimble_spark.operators.pipeline  # noqa: F401
     import nimble_spark.operators.udf_surface  # noqa: F401
+    import nimble_spark.operators.corpus_ext  # noqa: F401
 
     _reorder()
     _LOADED = True
@@ -96,6 +97,7 @@ _PRIORITY_MODULES = [
     "format_surface",
     "tpch_rest",
     "text",
+    "corpus_ext",
     "__north_star__",
     "capability_ext",
     "udf_surface",

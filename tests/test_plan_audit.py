@@ -157,3 +157,45 @@ def test_row_range_scan_no_shuffle(spark):
         max_shuffles=0,
         forbid_python_eval=True,
     )
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark n-gram set must broadcast — the corpus side stays
+    # a single scan + one doc_id shuffle regardless of corpus size
+    a = assert_posture(
+        _q("q_decontaminate")(spark, SF_MED),
+        min_broadcast_joins=1,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_paragraph_dedup_digest_shuffles_only(spark):
+    # shuffles carry md5 digests, never paragraph text; the global
+    # paragraph count and the per-doc rollup are both partial-agg'd
+    assert_posture(
+        _q("q_paragraph_dedup")(spark, SF_MED),
+        max_shuffles=4,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+
+
+def test_pii_scrub_is_scan_local(spark):
+    # pure per-row regexp expressions: zero shuffles
+    assert_posture(
+        _q("q_pii_scrub")(spark, SF_MED),
+        max_shuffles=0,
+        forbid_python_eval=True,
+    )
+
+
+def test_repetition_ratio_single_rollup(spark):
+    # explode → (doc,gram) partial count → per-doc rollup: ≤2 shuffles
+    assert_posture(
+        _q("q_repetition_ratio")(spark, SF_MED),
+        max_shuffles=2,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
