@@ -405,3 +405,76 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment", "o_orderkey", rnd("o_totalprice").alias("price"), "rk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-size accounting (§2.5 — velox/RawSizeUtils.cpp, 987 LoC: the
+# logical decoded size of each column, independent of encoding)
+# ---------------------------------------------------------------------------
+
+# Byte model, declared identically on both sides: fixed-width types
+# count width × non-null values; strings count their character bytes
+# (ASCII corpus: length == octet_length on both engines); every null
+# counts 1 byte (the reference's kNullSize). The *ratio* against the
+# encoded size in SHOW FILES is the compression-accounting the
+# reference's consistency check validates (VeloxWriter.cpp:1335-1360).
+_RAW_WIDTHS = {
+    "l_orderkey": 8, "l_partkey": 8, "l_suppkey": 8, "l_linenumber": 4,
+    "l_quantity": 8, "l_extendedprice": 8, "l_discount": 8, "l_tax": 8,
+    "l_shipdate": 8,
+}
+_RAW_STRINGS = ["l_returnflag", "l_linestatus"]
+
+
+@register(
+    "q_raw_size_accounting",
+    oracle="""
+    SELECT * FROM (
+    """ + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+             CAST({w} * COUNT({c}) + (COUNT(*) - COUNT({c})) AS BIGINT) AS raw_bytes
+        FROM lineitem"""
+        for c, w in _RAW_WIDTHS.items()
+    ) + "\nUNION ALL\n" + "\nUNION ALL\n".join(
+        f"""SELECT '{c}', COUNT(*), COUNT({c}),
+             CAST(COALESCE(SUM(len({c})), 0) + (COUNT(*) - COUNT({c})) AS BIGINT)
+        FROM lineitem"""
+        for c in _RAW_STRINGS
+    ) + ")",
+    category="statistics",
+)
+def q_raw_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column logical (decoded) byte accounting — the RawSizeUtils
+    surface (dwio/nimble/velox/RawSizeUtils.cpp; consistency check
+    writer/VeloxWriter.cpp:1335-1360). ONE scan: a single wide
+    aggregate computes every column's counters, then an inline
+    explode pivots the agg row into per-column rows — no per-column
+    rescan, no shuffle beyond the 1-row agg."""
+    l = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _RAW_WIDTHS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+    for c in _RAW_STRINGS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.coalesce(F.sum(F.length(c)), F.lit(0)).alias(f"{c}__len"))
+    one = l.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nn").alias("n_nonnull"),
+            (F.lit(w) * F.col(f"{c}__nn") + (F.col("__n") - F.col(f"{c}__nn")))
+            .cast("bigint").alias("raw_bytes"),
+        )
+        for c, w in _RAW_WIDTHS.items()
+    ] + [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nn").alias("n_nonnull"),
+            (F.col(f"{c}__len") + (F.col("__n") - F.col(f"{c}__nn")))
+            .cast("bigint").alias("raw_bytes"),
+        )
+        for c in _RAW_STRINGS
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -61,6 +61,16 @@ class WriteOptions:
     # tier — a partition filter skips directories before any footer or
     # manifest is read.
     partition_by: Optional[list[str]] = None
+    # Content-driven stripe cutting (VeloxWriterOptions.h:289-295 /
+    # NimbleConfig.h:85-111 — "cut stripe per user-id group") without
+    # a directory per value: hash-distribute whole groups across
+    # n_cut_files files and lay each group contiguously inside its
+    # file. No group ever spans two files, so group-granular reads
+    # touch exactly one file; unlike partition_by this caps the file
+    # count at high-cardinality keys (millions of user-ids → 8 files,
+    # not millions of directories).
+    cut_by: Optional[str] = None
+    n_cut_files: int = 8
     bloom_cols: Optional[list[str]] = None
     # Per-column encoding-selection knob (the reference's pluggable
     # EncodingSelectionPolicy surface): force PLAIN for listed columns
@@ -111,6 +121,12 @@ def write_table(
     restores disjointness.
     """
     opts = opts or WriteOptions()
+    if opts.cut_by and (opts.cluster_by or opts.max_rows_per_file):
+        raise ValueError(
+            "cut_by lays out whole groups per file; cluster_by re-ranges rows "
+            "and max_rows_per_file re-splits files — both would break the "
+            "no-group-spans-files contract"
+        )
     spark = df.sparkSession
     out = df
 
@@ -136,6 +152,13 @@ def write_table(
         index_meta["hash"] = {"key": opts.bucket_by, "n_buckets": opts.n_buckets}
     if opts.partition_by:
         index_meta["partition"] = {"keys": opts.partition_by}
+    if opts.cut_by:
+        # one task per output file and whole groups per task — a group
+        # never spans two files (the buffer-policy stripe-cut analogue)
+        out = out.repartition(opts.n_cut_files, F.col(opts.cut_by)).sortWithinPartitions(
+            opts.cut_by
+        )
+        index_meta["cut"] = {"key": opts.cut_by, "n_files": opts.n_cut_files}
 
     writer = out.write.mode(mode).option("compression", opts.compression)
     if opts.max_rows_per_file:

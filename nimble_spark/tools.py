@@ -69,6 +69,42 @@ def show_stripes(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def show_chunks(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW CHUNKS: per (file, stripe, column) chunk statistics —
+    value counts, null counts, typed min/max, byte offsets — read
+    from the parquet column-chunk footers. The ChunkStats surface
+    (dwio/nimble/tablet/ChunkStats.fbs:12-42, index/ChunkStats.cpp):
+    the reference skips chunks on these during index scans; parquet
+    readers skip on the same stats via the page/column index."""
+    m = read_manifest(path)
+    rows = []
+    for f in m["files"]:
+        md = pa_pq.ParquetFile(os.path.join(path, f["path"])).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                st = col.statistics
+                rows.append(
+                    (
+                        f["path"],
+                        i,
+                        col.path_in_schema,
+                        rg.num_rows,
+                        int(st.null_count) if st is not None and st.has_null_count else None,
+                        str(st.min) if st is not None and st.has_min_max else None,
+                        str(st.max) if st is not None and st.has_min_max else None,
+                        col.file_offset,
+                        col.total_compressed_size,
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "file STRING, stripe INT, column STRING, rows BIGINT, null_count BIGINT, "
+        "min STRING, max STRING, offset BIGINT, compressed_bytes BIGINT",
+    )
+
+
 def show_encodings(spark: SparkSession, path: str) -> DataFrame:
     """SHOW ENCODING: per column per stripe, the parquet encodings +
     codec actually chosen (the encoding-selection observability of
@@ -167,7 +203,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     """Dispatch one DSL command string (the NimbleDSL VM analogue,
     dwio/nimble/tools/NimbleDslVm.cpp):
 
-      DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES |
+      DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES | SHOW CHUNKS |
       SHOW ENCODING | SHOW INDEX | SHOW METRICS |
       SELECT col[,col...] [LIMIT n] [OFFSET n]
     """
@@ -183,6 +219,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_files(spark, path)
     if u == "SHOW STRIPES":
         return show_stripes(spark, path)
+    if u == "SHOW CHUNKS":
+        return show_chunks(spark, path)
     if u in ("SHOW ENCODING", "SHOW ENCODINGS"):
         return show_encodings(spark, path)
     if u == "SHOW INDEX":

@@ -104,3 +104,27 @@ def test_user_metadata_and_attributes(spark, tmpdir):
     m = read_manifest(path)
     assert m["user_metadata"]["owner"] == "pipeline-a"
     assert m["column_attributes"]["r_regionkey"]["iceberg.field-id"] == "1"
+
+
+def test_cut_by_groups_never_span_files(spark, tmpdir):
+    # content-driven stripe cutting: every o_custkey group lives
+    # entirely inside one file (VeloxWriterOptions.h:289-295 analogue)
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    path = f"{tmpdir}/orders_cut"
+    m = write_table(src, path, WriteOptions(cut_by="o_custkey", n_cut_files=4))
+    assert m["indexes"]["cut"] == {"key": "o_custkey", "n_files": 4}
+    per_file = (
+        spark.read.parquet(path)
+        .select("o_custkey", F.input_file_name().alias("f"))
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("f").alias("nf"))
+    )
+    assert per_file.filter(F.col("nf") > 1).count() == 0
+    # round-trip intact
+    assert read_table(spark, path).count() == src.count()
+
+
+def test_cut_by_conflicts_rejected(spark, tmpdir):
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").limit(10)
+    with pytest.raises(ValueError, match="cut_by"):
+        write_table(src, f"{tmpdir}/bad", WriteOptions(cut_by="o_custkey", cluster_by=["o_orderkey"]))

@@ -138,3 +138,15 @@ def test_encoding_report_predicted_vs_actual(spark, table_path):
     key = rep["o_orderkey"]
     assert key["predicted"] != "dictionary"
     assert key["actual_bytes"] > 0 and key["ndv"] == key["n"]
+
+
+def test_show_chunks(spark, table_path):
+    chunks = tools.show_chunks(spark, table_path).collect()
+    # one row per (file, stripe, column); counts line up with stripes
+    files = {r["file"] for r in tools.show_files(spark, table_path).collect()}
+    assert {r["file"] for r in chunks} == files
+    key_chunks = [r for r in chunks if r["column"] == "o_orderkey"]
+    assert all(r["null_count"] == 0 for r in key_chunks)
+    # clustered table: chunk min/max are usable skip bounds
+    assert all(int(r["min"]) <= int(r["max"]) for r in key_chunks)
+    assert tools.run_command(spark, table_path, "SHOW CHUNKS").count() == len(chunks)
