@@ -121,17 +121,64 @@ _PRIORITY_NAMES = {
 }
 
 
+def _driver_history() -> dict[str, bool]:
+    """Per-query verdict from every ``CORRECTNESS_r*.json`` the driver
+    has written so far: name → True once any round proved it green
+    (rows+schema+hash), False if it has only failing rows. Absent →
+    never checked. Resilient to missing/corrupt files (fresh clone)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    status: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            green = bool(r.get("rows_match")) and bool(r.get("schema_match", True)) and bool(r.get("hash_match", True))
+            status[name] = status.get(name, False) or green
+    return status
+
+
 def _reorder() -> None:
-    """Rebuild QUERIES in driver-priority order (stable within a tier)."""
-    tier = {}
+    """Rebuild QUERIES in driver-priority order.
+
+    The driver's gate iterates in insertion order and truncates at a
+    budget (r01 stopped at exactly 50 rows), so order decides which
+    operators earn a hard correctness signal each round. Tiers, from
+    the actual driver history (``CORRECTNESS_r*.json``):
+
+      0. previously FAILED and never since green — re-prove fixes first
+      1. never checked by any round — the unproven surface
+      2. already green in some round — keep last; a truncated run
+         spends its budget proving new ground, a full run re-proves
+         everything.
+
+    Within a tier, the static module priority below breaks ties, so
+    the flagship format/TPC-H/text/pipeline surface still leads.
+    """
+    history = _driver_history()
+    mod_tier = {}
     for i, m in enumerate(_PRIORITY_MODULES):
         for n in _PRIORITY_NAMES.get(m, ()):  # explicit names
-            tier[n] = i
+            mod_tier[n] = i
     for name, e in QUERIES.items():
-        if name not in tier:
+        if name not in mod_tier:
             mod = e.fn.__module__.rsplit(".", 1)[-1]
-            tier[name] = _PRIORITY_MODULES.index(mod) if mod in _PRIORITY_MODULES else len(_PRIORITY_MODULES)
-    ordered = sorted(QUERIES, key=lambda n: tier[n])
+            mod_tier[name] = _PRIORITY_MODULES.index(mod) if mod in _PRIORITY_MODULES else len(_PRIORITY_MODULES)
+
+    def hist_tier(name: str) -> int:
+        if name not in history:
+            return 1
+        return 2 if history[name] else 0
+
+    ordered = sorted(QUERIES, key=lambda n: (hist_tier(n), mod_tier[n]))
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -1,0 +1,31 @@
+"""Registry ordering: the driver truncates its correctness gate at a
+budget, so insertion order decides which operators earn a hard signal.
+The order must be driven by the actual driver history
+(CORRECTNESS_r*.json): failed → unchecked → green."""
+
+from nimble_spark.registry import QUERIES, _driver_history, _load_all
+
+
+def test_history_parses_driver_files():
+    h = _driver_history()
+    # r01 exists in-repo: 50 rows, exactly two hash-fails
+    assert h, "no CORRECTNESS_r*.json parsed"
+    assert h.get("q1_pricing_summary") is True
+    assert h.get("q_case_agg") is False
+    assert h.get("q_sessionize") is False
+
+
+def test_failed_then_unchecked_then_green():
+    _load_all()
+    h = _driver_history()
+    names = list(QUERIES)
+
+    def tier(n):
+        if n not in h:
+            return 1
+        return 2 if h[n] else 0
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "registry order must be failed < unchecked < green"
+    # every registered query is present exactly once
+    assert len(names) == len(set(names))
