@@ -326,14 +326,17 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BUCKET_SPARK).alias("bucket"),
         F.expr(_norm_spark("embedding")).alias("nrm"),
     )
-    # Bands carry ONLY (vec_id, j, bv): candidate generation shuffles
-    # 3 ints per row, pairs dedup BEFORE any dot product (a pair can
-    # match up to 4 bands — verifying after distinct cuts the cosine
-    # work 4×), and the verify joins the embeddings back by id, the
-    # same carry-nothing-heavy-through-the-band-shuffle shape as
-    # MinHash-LSH.
+    # Bands carry (vec_id, j, bv, bucket): candidate generation
+    # shuffles 3 ints + the 8-bit signature per row. A pair can match
+    # up to 4 bands; instead of a distinct() (a full shuffle of the
+    # multi-million-pair candidate set), each pair is emitted only at
+    # its FIRST matching band — both sides carry the whole signature,
+    # so "no earlier band also matched" is a free post-join filter.
+    # Same pair set as DISTINCT, one less shuffle, and the cosine
+    # verify still runs once per unique pair.
     bands = sig.select(
         "vec_id",
+        "bucket",
         F.posexplode(
             F.array(*[
                 F.shiftright("bucket", 2 * j).bitwiseAND(F.lit(3)) for j in range(4)
@@ -342,6 +345,13 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.hint("shuffle_hash").alias("a")
     b = bands.hint("shuffle_hash").alias("b")
+
+    def _band(side: str, k: int):
+        return F.shiftright(F.col(f"{side}.bucket"), 2 * k).bitwiseAND(F.lit(3))
+
+    first_match = F.lit(True)
+    for k in range(3):  # band j is the first match iff bands 0..j-1 differ
+        first_match = first_match & ((F.col("a.j") <= k) | (_band("a", k) != _band("b", k)))
     cand = (
         a.join(
             b,
@@ -349,8 +359,8 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(first_match)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
     )
     emb = sig.select("vec_id", "embedding", "nrm").hint("shuffle_hash")
     cand = cand.join(
