@@ -1,0 +1,284 @@
+"""Training-export operators: semantic dedup, token-budget mixture
+sampling, sequence packing, and deterministic shuffle-sharding.
+
+The last mile of a pretraining corpus pipeline — after cleaning and
+near-dedup (dedup.py / corpus_ext.py), the corpus is semantically
+pruned, sampled to a token budget per source, packed into fixed-length
+training sequences, and laid out as deterministically-shuffled shards.
+The reference stores such corpora (its FlatMap/dedup encodings exist
+for exactly these feature tables — dwio/nimble/velox/FieldWriter.cpp);
+these operators produce them.
+
+Scale shape shared by all four: every op is keyed by a hash-derived
+partition (label cell / source / shard), so work distributes without a
+global sort; the only windows are per-key. All expressions are
+JVM-side; md5-derived determinism keeps the DuckDB oracle bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from nimble_spark.functions.exact import rnd, rnd_sql
+from nimble_spark.functions.text_fns import hash32_sql_duck, hash32_sql_spark, tokens
+from nimble_spark.operators.similarity import _DOT_DUCK, _DOT_SPARK, _norm_duck, _norm_spark
+from nimble_spark.registry import register
+from nimble_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# cluster embeddings, drop all-but-one of each within-cluster group of
+# semantically near-identical documents. Cells here are the corpus's
+# deterministic label cells (the same cells IVF ANN probes); at scale
+# cells come from k-means over a sample, k grows with the corpus so
+# per-cell candidate sets stay bounded — within-cell all-pairs is the
+# published algorithm's shape, O(sum n_c^2) with n_c ~ n/k.
+# ---------------------------------------------------------------------------
+
+SEM_THR = 0.40
+
+_TOKS_DUCK_LEN = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {_norm_duck("embedding")} AS nrm
+      FROM embeddings
+    ),
+    lower_sims AS (
+      SELECT b.vec_id, b.label,
+             MAX({_DOT_DUCK.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm)) AS max_lower_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id, b.label
+    )
+    SELECT e.vec_id, e.label,
+           {rnd_sql("COALESCE(ls.max_lower_sim, -1.0)")} AS max_lower_sim,
+           CAST(CASE WHEN COALESCE(ls.max_lower_sim, -1.0) >= {SEM_THR}
+                THEN 1 ELSE 0 END AS BIGINT) AS dropped
+    FROM e LEFT JOIN lower_sims ls ON e.vec_id = ls.vec_id
+    """,
+    category="pipeline",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within each embedding cluster (label cell), a vector
+    is dropped when a lower-id vector in the same cell has cosine
+    >= SEM_THR — the keep-one-representative rule, deterministic via
+    the id order. One shuffle on label (the pair join), one on vec_id
+    (the max regroup); embeddings never leave their cell."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    lower = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.max(sim).alias("max_lower_sim"))
+    )
+    out = e.join(lower, "vec_id", "left").withColumn(
+        "mls", F.coalesce("max_lower_sim", F.lit(-1.0))
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        rnd("mls").alias("max_lower_sim"),
+        (F.col("mls") >= SEM_THR).cast("bigint").alias("dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling: each source contributes at most a
+# fixed share of its own token mass, chosen in deterministic md5
+# priority order — the "data mixture" step that reweights sources
+# before training. Share-of-own-mass (not absolute tokens) keeps the
+# query scale-free across sf dirs.
+# ---------------------------------------------------------------------------
+
+BUDGET_SHARE = 0.25
+
+
+@register(
+    "q_token_budget_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS_DUCK_LEN} AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY pri
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+             SUM(n_tok) OVER (PARTITION BY source) AS total_tok
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (WHERE cum_tok <= CAST(FLOOR({BUDGET_SHARE} * total_tok) AS BIGINT)) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE cum_tok <= CAST(FLOOR({BUDGET_SHARE} * total_tok) AS BIGINT)), 0) AS BIGINT) AS tokens_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+    FROM ranked
+    GROUP BY source
+    """,
+    category="pipeline",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling to a per-source token budget: docs are taken
+    in md5(doc_id) priority order until the source has spent
+    BUDGET_SHARE of its own token mass. One shuffle on source; the
+    cumulative window and the totals ride the same partitioning."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens()).cast("bigint").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    win = W.partitionBy("source").orderBy("pri").rowsBetween(W.unboundedPreceding, 0)
+    tot = W.partitionBy("source")
+    r = d.withColumn("cum_tok", F.sum("n_tok").over(win)).withColumn(
+        "total_tok", F.sum("n_tok").over(tot)
+    )
+    # floor() on both sides: DuckDB CAST(double AS BIGINT) rounds while
+    # Spark's truncates — an explicit floor makes the budget boundary
+    # engine-independent.
+    kept = F.col("cum_tok") <= F.floor(F.lit(BUDGET_SHARE) * F.col("total_tok"))
+    return r.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).cast("bigint").alias("tokens_kept"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate documents in deterministic order and
+# split at fixed token boundaries — the GPT-style pretraining layout.
+# Packing is per-shard (hash32(doc_id) % N_PACK_SHARDS), never global:
+# each shard packs independently, so the only sort is a per-shard
+# window and shards parallelize across executors. A document may
+# straddle sequence boundaries; it belongs to the sequence its first
+# token lands in, and `n_split` counts boundary crossings.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512
+N_PACK_SHARDS = 8
+
+
+@register(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_DUCK_LEN} AS n_tok,
+             {hash32_sql_duck("CAST(doc_id AS VARCHAR)")} % {N_PACK_SHARDS} AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY pri
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_before
+      FROM d
+    ),
+    seqs AS (
+      SELECT shard, n_tok, cum_before,
+             cum_before // {SEQ_LEN} AS seq_id,
+             (cum_before + n_tok - 1) // {SEQ_LEN} - cum_before // {SEQ_LEN} AS n_split
+      FROM packed
+    )
+    SELECT shard, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens,
+           CAST(SUM(n_split) AS BIGINT) AS boundary_crossings
+    FROM seqs
+    GROUP BY shard, seq_id
+    """,
+    category="pipeline",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into SEQ_LEN-token training sequences, per hash
+    shard. cum_before = tokens preceding the doc in its shard's
+    deterministic order; seq_id = cum_before div SEQ_LEN. One shuffle
+    on shard; the packing window is shard-local."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("n_tok"),
+        F.expr(f"{hash32_sql_spark('CAST(doc_id AS STRING)')} % {N_PACK_SHARDS}").alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    win = W.partitionBy("shard").orderBy("pri").rowsBetween(W.unboundedPreceding, 0)
+    p = d.withColumn("cum_before", F.sum("n_tok").over(win) - F.col("n_tok"))
+    seq_id = F.floor(F.col("cum_before") / SEQ_LEN)
+    n_split = F.floor((F.col("cum_before") + F.col("n_tok") - 1) / SEQ_LEN) - seq_id
+    s = p.select("shard", seq_id.alias("seq_id"), "n_tok", n_split.alias("n_split"))
+    return s.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+        F.sum("n_split").alias("boundary_crossings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle-sharding: the export layout. Training order
+# must be a reproducible permutation, not Spark's nondeterministic
+# partition order — shard by one hash, order within shard by an
+# independent md5, and fingerprint each shard's exact sequence with an
+# order-sensitive checksum (sum of position * hash32(doc)), so two
+# runs of the export can be compared shard-by-shard without comparing
+# payloads.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+@register(
+    "q_shuffle_shards",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_DUCK_LEN} AS n_tok,
+             {hash32_sql_duck("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+             md5(concat('shuf_', CAST(doc_id AS VARCHAR))) AS pri,
+             {hash32_sql_duck("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    ordered AS (
+      SELECT shard, n_tok, h,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pri) AS pos
+      FROM d
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens,
+           CAST(SUM(pos * h) % 1000000007 AS BIGINT) AS order_fingerprint
+    FROM ordered
+    GROUP BY shard
+    """,
+    category="pipeline",
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into N_SHARDS export shards with
+    an order-sensitive per-shard fingerprint. One shuffle on shard;
+    row_number is shard-local. At 100 TB this is the write layout:
+    repartition(shard) + sortWithinPartitions(pri) + one file per
+    shard (write_table cut_by does exactly this)."""
+    h = F.expr(hash32_sql_spark("CAST(doc_id AS STRING)"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("n_tok"),
+        (h % N_SHARDS).alias("shard"),
+        F.md5(F.concat(F.lit("shuf_"), F.col("doc_id").cast("string"))).alias("pri"),
+        h.alias("h"),
+    )
+    pos = F.row_number().over(W.partitionBy("shard").orderBy("pri"))
+    o = d.withColumn("pos", pos)
+    return o.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+        (F.sum(F.col("pos") * F.col("h")) % 1000000007).cast("bigint").alias("order_fingerprint"),
+    )

@@ -78,6 +78,7 @@ def _load_all() -> None:
     import nimble_spark.operators.pipeline  # noqa: F401
     import nimble_spark.operators.udf_surface  # noqa: F401
     import nimble_spark.operators.corpus_ext  # noqa: F401
+    import nimble_spark.operators.corpus_pack  # noqa: F401
 
     _reorder()
     _LOADED = True
@@ -98,6 +99,7 @@ _PRIORITY_MODULES = [
     "tpch_rest",
     "text",
     "corpus_ext",
+    "corpus_pack",
     "__north_star__",
     "capability_ext",
     "udf_surface",

@@ -199,3 +199,43 @@ def test_repetition_ratio_single_rollup(spark):
         require_partial_agg=True,
         forbid_python_eval=True,
     )
+
+
+def test_semantic_dedup_cell_local_pairs(spark):
+    # within-cell pair join on label (equi, no cartesian), max-sim
+    # regroup partial-agg'd; embeddings never cross cells
+    a = assert_posture(
+        _q("q_semantic_dedup")(spark, SF_MED),
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0 and a.n_bnl_joins == 0, a.plan
+
+
+def test_token_budget_sample_one_source_shuffle(spark):
+    # budget window + totals + rollup all ride one source partitioning
+    assert_posture(
+        _q("q_token_budget_sample")(spark, SF_MED),
+        max_shuffles=2,
+        forbid_python_eval=True,
+    )
+
+
+def test_sequence_pack_shard_local(spark):
+    # packing window is shard-local; one shard shuffle + the rollup
+    assert_posture(
+        _q("q_sequence_pack")(spark, SF_MED),
+        max_shuffles=2,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+
+
+def test_shuffle_shards_shard_local(spark):
+    # row_number per shard + rollup on the same key: ≤2 shuffles
+    assert_posture(
+        _q("q_shuffle_shards")(spark, SF_MED),
+        max_shuffles=2,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
