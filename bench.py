@@ -34,6 +34,8 @@ HEADLINE = [
     "q_topk",
     "q18_large_orders",
     "q_pandas_udf_normalize",
+    "q_semantic_dedup",
+    "q_sequence_pack",
 ]
 
 

@@ -23,6 +23,8 @@ DEFAULT = [
     "q_asof_join_forward", "q_partition_pruned_scan",
     "q_simhash_near_pairs", "q_embedding_neardup_lsh",
     "q_ngram_jaccard_pairs", "q_row_range_scan",
+    "q_semantic_dedup", "q_token_budget_sample", "q_sequence_pack",
+    "q_shuffle_shards", "q_decontaminate", "q_paragraph_dedup",
 ]
 
 
