@@ -352,3 +352,89 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pluggable encoding-selection policy (SURVEY §2.8; EncodingSelectionPolicy.h)
+# ---------------------------------------------------------------------------
+
+_POLICY_COLS = [
+    "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+]
+_DICT_RATIO = 0.5
+_BLOOM_RATIO = 0.05
+
+
+@register(
+    "q_encoding_policy_decision",
+    oracle=f"""
+    WITH tot AS (SELECT COUNT(*) AS n FROM part),
+    s AS (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS col_name, COUNT(DISTINCT {c}) AS ndv FROM part"
+          for c in _POLICY_COLS
+      )}
+    )
+    SELECT col_name, ndv,
+           CASE WHEN ndv * 1.0 / n >= {_DICT_RATIO} THEN 1 ELSE 0 END AS no_dict,
+           CASE WHEN ndv * 1.0 / n < {_DICT_RATIO}
+                 AND ndv >= 2 AND ndv * 1.0 / n <= {_BLOOM_RATIO}
+                THEN 1 ELSE 0 END AS bloom
+    FROM s, tot
+    """,
+    category="format",
+)
+def q_encoding_policy_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The min-size policy's per-column verdict, computed as ONE
+    aggregation + stack (no driver round-trip): dictionary stays on
+    only below the NDV-ratio breakeven, blooms go on selective
+    point-lookup columns (sources/encoding_policy.py min_size_policy —
+    ManualEncodingSelectionPolicyFactory analogue,
+    tools/EncodingSelectionPolicies.h). Exact NDV here so the DuckDB
+    oracle agrees bit-for-bit; production uses approx_count_distinct."""
+    part = load(spark, sf_dir, "part")
+    agg = part.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.countDistinct(c).alias(f"ndv_{c}") for c in _POLICY_COLS],
+    )
+    stack = "stack({}, {}) AS (col_name, ndv)".format(
+        len(_POLICY_COLS), ", ".join(f"'{c}', ndv_{c}" for c in _POLICY_COLS)
+    )
+    ratio = F.col("ndv") / F.col("n")
+    no_dict = (ratio >= _DICT_RATIO).cast("int")
+    bloom = ((ratio < _DICT_RATIO) & (F.col("ndv") >= 2) & (ratio <= _BLOOM_RATIO)).cast("int")
+    return (
+        agg.select(F.col("n"), F.expr(stack))
+        .select("col_name", "ndv", no_dict.alias("no_dict"), bloom.alias("bloom"))
+    )
+
+
+@register(
+    "q_policy_write_roundtrip",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS n, {dsum_sql("p_retailprice")} AS retail
+    FROM part GROUP BY p_brand
+    """,
+    category="format",
+)
+def q_policy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a policy-driven write: the part table is
+    profiled, the min-size policy picks per-column dictionary/bloom
+    knobs, the table is written with those knobs, and the readback is
+    aggregated against the original parquet — proving the policy
+    changes encodings, never values. Decision is recorded in manifest
+    user_metadata (audited in tests/test_table_connector.py)."""
+    from nimble_spark.sources.encoding_policy import write_table_with_policy
+
+    path = ensure_cached(
+        sf_dir,
+        "part__policy",
+        ["part"],
+        lambda tmp: write_table_with_policy(
+            load(spark, sf_dir, "part"), tmp, WriteOptions(), approx=False
+        ),
+    )
+    df = read_table(spark, path)
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), dsum("p_retailprice").alias("retail")
+    )

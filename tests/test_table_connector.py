@@ -128,3 +128,61 @@ def test_cut_by_conflicts_rejected(spark, tmpdir):
     src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").limit(10)
     with pytest.raises(ValueError, match="cut_by"):
         write_table(src, f"{tmpdir}/bad", WriteOptions(cut_by="o_custkey", cluster_by=["o_orderkey"]))
+
+
+def test_encoding_policy_write(spark, tmpdir):
+    """min_size_policy: high-NDV column loses dictionary (and the
+    parquet footer proves PLAIN-only), selective column gains a bloom,
+    the decision lands in manifest user_metadata, and values survive."""
+    import os
+
+    import pyarrow.parquet as pa_pq
+    from pyspark.sql import functions as F
+
+    from nimble_spark.sources.encoding_policy import (
+        min_size_policy,
+        profile_columns,
+        write_table_with_policy,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("uniq_"), F.col("id")).alias("free_text"),  # ndv ratio 1.0
+            (F.col("id") % 7).cast("string").alias("category"),  # ndv 7 / 2000
+        )
+        .coalesce(1)
+    )
+    profiles = profile_columns(df, approx=False)
+    decision = min_size_policy()(profiles)
+    assert "free_text" in decision.no_dictionary_cols
+    assert "id" in decision.no_dictionary_cols
+    assert decision.bloom_cols == ["category"]
+
+    path = f"{tmpdir}/policy_table"
+    manifest, dec2 = write_table_with_policy(df, path, approx=False)
+    assert dec2.no_dictionary_cols == decision.no_dictionary_cols
+    meta = manifest["user_metadata"]
+    assert "free_text" in meta["encoding_policy.no_dictionary_cols"]
+    assert meta["encoding_policy.bloom_cols"] == "category"
+
+    # footer-level proof: free_text has no dictionary page, category does
+    enc = {}
+    for finfo in manifest["files"]:
+        md = pa_pq.ParquetFile(os.path.join(path, finfo["path"])).metadata
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                enc.setdefault(col.path_in_schema, set()).update(
+                    str(e) for e in col.encodings
+                )
+    assert not any("DICTIONARY" in e for e in enc["free_text"])
+    assert any("DICTIONARY" in e for e in enc["category"])
+
+    back = read_table(spark, path)
+    assert back.count() == 2000
+    assert {r["category"] for r in back.select("category").distinct().collect()} == {
+        str(i) for i in range(7)
+    }
