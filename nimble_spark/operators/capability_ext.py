@@ -385,6 +385,93 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    category="streaming",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup — dropDuplicates over an unbounded file
+    stream, the streaming-ingest arm of the corpus dedup family: each
+    arriving shard's rows are emitted only if their key was never seen
+    (state sharded by key across executors; at 100 TB add a watermark
+    + dropDuplicatesWithinWatermark to bound state). Deduping on the
+    FULL projected row keeps first-arrival nondeterminism irrelevant,
+    so the batch DISTINCT oracle matches exactly."""
+    from nimble_spark.streaming.windows import read_events_stream, run_to_completion
+
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    deduped = stream.select("user_id", "event_type").dropDuplicates()
+    return run_to_completion(deduped, "rq_stream_dedup")
+
+
+@register(
+    "q_stream_quality_agg",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM documents GROUP BY lang
+    """,
+    category="streaming",
+)
+def q_stream_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus-quality rollup: documents arrive as file
+    micro-batches, per-language counters aggregate in complete mode
+    (production: watermarked windows + update sink). The full-stream
+    aggregate equals the batch aggregate, so the DuckDB oracle is an
+    exact differential check — the streaming surface is held to the
+    same hash gate as batch."""
+    from nimble_spark.streaming.windows import read_documents_stream, run_to_completion
+
+    stream = read_documents_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum((F.length("text") >= 200).cast("int")).cast("long").alias("n_long"),
+    )
+    return run_to_completion(agg, "rq_stream_quality_agg")
+
+
+@register(
+    "q_stream_sink_roundtrip",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql("value")} AS total
+    FROM events GROUP BY event_type
+    """,
+    category="streaming",
+)
+def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SINK round-trip: the events stream is written into a
+    nimble table via foreachBatch appends (streaming/sink.py — each
+    micro-batch is an append commit that refreshes the manifest, the
+    C++ writer's append-only stripe discipline), then the table is
+    batch-read and aggregated against the source parquet. Proves the
+    stream → table → scan path is lossless, checkpointed, and leaves
+    pruning-ready stats behind."""
+    import os
+
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.table import read_table
+    from nimble_spark.streaming.sink import stream_to_table
+    from nimble_spark.streaming.windows import read_events_stream
+
+    def build(tmp: str) -> None:
+        stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+        q = stream_to_table(
+            stream.drop("ts"),  # nanos ts re-derivable; drop to keep sink schema plain
+            os.path.join(tmp, "table"),
+            checkpoint=os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+
+    root = ensure_cached(sf_dir, "events__stream_sink", ["events"], build)
+    df = read_table(spark, os.path.join(root, "table"))
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
+    )
+
+
+@register(
     "q_timestamp_nanos_roundtrip",
     oracle="""
     WITH src AS (

@@ -136,3 +136,27 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based streaming source over the documents table — the
+    streaming-ingest entry of the LLM corpus pipeline (new crawl
+    shards land as files; each becomes a micro-batch)."""
+    import os
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if not os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
