@@ -18,33 +18,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanos (see tables.load)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based streaming source over the events table. `path` may be
     a directory or a single parquet file (basePath must be a directory,
-    so point it at the parent when given a file glob)."""
+    so point it at the parent when given a file glob).
+
+    The stream schema is probed from the files themselves (a batch
+    footer read — metadata only, no data scan), so the same loader
+    works whether the corpus generation stored ``ts`` as
+    TIMESTAMP(NANOS)/int64 or timestamp[us]; the ts normalization is
+    shared with the batch loader (tables.normalize_events_ts) so the
+    two paths can never diverge again."""
     import os
 
+    from nimble_spark.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
     if not os.path.isdir(path):
         # FileStreamSource requires a directory source (it force-sets
         # basePath to the given path); select the file by glob instead.
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(reader.parquet(path))
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

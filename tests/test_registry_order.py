@@ -11,7 +11,10 @@ def test_history_parses_driver_files():
     # r01 exists in-repo: 50 rows, exactly two hash-fails
     assert h, "no CORRECTNESS_r*.json parsed"
     assert h.get("q1_pricing_summary") is True
-    assert h.get("q_case_agg") is False
+    # q_case_agg was a r01 hash-fail, re-proven green in r03; history
+    # is cumulative-green so it must now read True.
+    assert h.get("q_case_agg") is True
+    # q_sessionize has never had a green row (r01 hash-fail, r03 error)
     assert h.get("q_sessionize") is False
 
 
