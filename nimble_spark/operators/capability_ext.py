@@ -338,15 +338,29 @@ def q_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Structured Streaming (rows-only checks — not ANSI-SQL-expressible)
+# Structured Streaming — batch-equivalence oracles. The streams are
+# file-backed and driven to completion, so the final memory-sink state
+# must equal the same aggregation run as a batch query; DuckDB computes
+# that batch form directly over the parquet.
 # ---------------------------------------------------------------------------
 
 
-@register("q_stream_tumbling", oracle=None, category="streaming")
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           COUNT(*) AS n, SUM(value) AS sum_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts over the file-backed events
-    stream, driven to completion into a memory sink (batch-equivalent
-    results are asserted in tests/test_streaming_multimodal.py)."""
+    stream, driven to completion into a memory sink. Oracle: Spark's
+    window('1 hour') is epoch-aligned, i.e. date_trunc('hour') in
+    batch; completing the stream must reproduce the batch aggregate
+    exactly (nothing is late relative to a fully-drained source)."""
     from nimble_spark.streaming.windows import (
         read_events_stream,
         run_to_completion,
@@ -357,9 +371,34 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(tumbling_counts(stream), "rq_stream_tumbling")
 
 
-@register("q_stream_session", oracle=None, category="streaming")
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n, SUM(value) AS sum_v
+    FROM sess GROUP BY user_id, sid
+    """,
+    category="streaming",
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming session windows (30-min gap) with watermarked state."""
+    """Streaming session windows (30-min gap) with watermarked state.
+    Oracle: gap-based sessionization via LAG — a session breaks when
+    the gap is >= 30 min (session_window merges windows only on strict
+    overlap), session_start is the first event's ts."""
     from nimble_spark.streaming.windows import (
         read_events_stream,
         run_to_completion,
@@ -370,10 +409,20 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(session_aggregate(stream), "rq_stream_session")
 
 
-@register("q_stream_stateful", oracle=None, category="streaming")
+@register(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(value) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    category="streaming",
+)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
-    running (count, sum) counters sharded by key."""
+    running (count, sum) counters sharded by key. Oracle: the source
+    is a single file => one micro-batch, so the update-mode output is
+    exactly one final (count, sum) row per user — the batch groupBy."""
     from nimble_spark.streaming.windows import (
         read_events_stream,
         run_to_completion,

@@ -115,6 +115,45 @@ def q_point_lookup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bloom_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 10000 + 0.5) / 10000 AS price
+    FROM orders
+    WHERE o_orderkey IN (2, 333, 7777, 14998, 99999999)
+    """,
+    category="format",
+)
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup (dwio/nimble/index/BloomFilter.h:34
+    analogue): orders is rewritten UNSORTED across 8 files with a
+    parquet bloom filter on o_orderkey — min/max pruning is useless
+    (random key order makes every file's range span the domain), so
+    the scan consults the footer blooms and reads only the files that
+    might hold a probe key. The probe set includes a key that exists
+    nowhere (99999999): its lookups are answered by bloom veto alone.
+    tests/test_table_connector.py asserts the pruning actually skips
+    files; this query proves the pruned scan returns exactly the
+    right rows."""
+    path = ensure_cached(
+        sf_dir,
+        "orders__bloom_orderkey",
+        ["orders"],
+        # hash-shuffle on an uncorrelated key so every file's
+        # o_orderkey min/max spans the whole domain — blooms, not
+        # ranges, must do the skipping
+        lambda tmp: write_table(
+            load(spark, sf_dir, "orders").repartition(8, "o_custkey"),
+            tmp,
+            WriteOptions(bloom_cols=["o_orderkey"]),
+        ),
+    )
+    df = read_table(
+        spark, path, point_lookup=("o_orderkey", [2, 333, 7777, 14998, 99999999])
+    )
+    return df.select("o_orderkey", "o_custkey", rnd("o_totalprice", 4).alias("price"))
+
+
+@register(
     "q_schema_evolution",
     oracle="""
     SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_phone,

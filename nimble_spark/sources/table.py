@@ -165,8 +165,10 @@ def write_table(
         writer = writer.option("maxRecordsPerFile", opts.max_rows_per_file)
     if opts.row_group_rows:
         writer = writer.option("parquet.block.size", str(opts.row_group_rows * 256))
-    for c in opts.bloom_cols or []:
-        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    if opts.bloom_cols:
+        for c in opts.bloom_cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        index_meta["bloom"] = {"keys": list(opts.bloom_cols)}
     for c in opts.no_dictionary_cols or []:
         writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
     if partition_by:
@@ -500,8 +502,15 @@ def read_table(
                 {os.path.join(path, r[0]) for r in idx.select("file").distinct().collect()}
             )
         else:
-            lo, hi = min(values), max(values)
-            file_list = _prune_files(manifest, path, key, lo, hi)
+            # Bloom index first (BloomFilter.h:34 analogue): on
+            # unsorted data every file's min/max spans the key domain,
+            # so blooms are the only mechanism that can skip files.
+            from nimble_spark.sources.bloom import bloom_prune_files
+
+            file_list = bloom_prune_files(spark, manifest, path, key, values)
+            if file_list is None:
+                lo, hi = min(values), max(values)
+                file_list = _prune_files(manifest, path, key, lo, hi)
 
     if file_list is not None:
         if file_list:

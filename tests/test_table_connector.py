@@ -81,6 +81,41 @@ def test_hash_bucket_lookup(spark, tmpdir):
     assert sorted(r[0] for r in rows) == [1, 2]
 
 
+def test_bloom_index_prunes_files(spark, tmpdir):
+    """BloomFilter index analogue: unsorted multi-file write + footer
+    blooms. An absent key must be vetoed by blooms alone (zero files
+    read); a present key must keep a strict subset of files and
+    return exactly its rows."""
+    from nimble_spark.sources.bloom import bloom_prune_files
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").repartition(6, "o_custkey")
+    path = f"{tmpdir}/orders_bloom"
+    m = write_table(src, path, WriteOptions(bloom_cols=["o_orderkey"]))
+    assert m["indexes"]["bloom"] == {"keys": ["o_orderkey"]}
+    assert len(m["files"]) >= 4
+    # unsorted: every file's min/max spans (nearly) the whole domain,
+    # so range pruning alone could not skip anything for a point probe
+    overall_min = min(f["min"]["o_orderkey"] for f in m["files"])
+    overall_max = max(f["max"]["o_orderkey"] for f in m["files"])
+    for f in m["files"]:
+        assert f["min"]["o_orderkey"] < overall_min + (overall_max - overall_min) / 4
+        assert f["max"]["o_orderkey"] > overall_max - (overall_max - overall_min) / 4
+
+    # absent key: bloom veto prunes every file
+    kept = bloom_prune_files(spark, m, path, "o_orderkey", [99999999])
+    assert kept == []
+    assert read_table(spark, path, point_lookup=("o_orderkey", [99999999])).count() == 0
+
+    # present key: a strict subset of files is read, rows are exact
+    kept = bloom_prune_files(spark, m, path, "o_orderkey", [7])
+    assert 1 <= len(kept) < len(m["files"])
+    got = read_table(spark, path, point_lookup=("o_orderkey", [7]))
+    assert [r[0] for r in got.select("o_orderkey").collect()] == [7]
+
+    # non-bloom column: probing declines (caller falls back)
+    assert bloom_prune_files(spark, m, path, "o_custkey", [1]) is None
+
+
 def test_schema_evolution_missing_column(spark, tmpdir):
     src = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
     path = f"{tmpdir}/nation"
