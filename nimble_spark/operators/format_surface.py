@@ -154,6 +154,39 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_metrics_pruning",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_read, TRUE AS files_pruned
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    category="format",
+)
+def q_scan_metrics_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader runtime stats as a correctness check (VeloxReadParams'
+    stripeCount/IO callbacks, dwio/nimble/velox/VeloxReader.h:57-65):
+    orders is written Hive-partitioned by o_orderstatus; a scan
+    filtered to one status must (a) report rows_read from the scan
+    node's own SQLMetric equal to the SQL COUNT — proving the metric
+    is trustworthy — and (b) open strictly fewer files than the
+    manifest lists — proving partition pruning actually skipped the
+    other directories. The numbers come from the executed plan, not
+    the data, so a silent pruning regression flips files_pruned."""
+    from nimble_spark.plans.scan_metrics import totals
+    from nimble_spark.sources.table import read_manifest
+
+    path = _ensure_written(
+        spark, sf_dir, "orders", "part_status", WriteOptions(partition_by=["o_orderstatus"])
+    )
+    files_listed = len(read_manifest(path)["files"])
+    scan = read_table(spark, path).filter(F.col("o_orderstatus") == "F")
+    # probe through a 1-row agg so the driver never receives data rows;
+    # the scan node's metrics still reflect the full partition read
+    t = totals(scan.agg(F.count(F.lit(1))))
+    rows = [(int(t.get("numOutputRows", 0)), int(t.get("numFiles", 0)) < files_listed)]
+    return spark.createDataFrame(rows, "rows_read BIGINT, files_pruned BOOLEAN")
+
+
+@register(
     "q_schema_evolution",
     oracle="""
     SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_phone,
@@ -476,4 +509,55 @@ def q_policy_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_table(spark, path)
     return df.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"), dsum("p_retailprice").alias("retail")
+    )
+
+
+@register(
+    "q_policy_replay",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS replay_match, 0 AS n_drift
+    FROM part
+    """,
+    category="format",
+)
+def q_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-layout replay (ReplayedEncodingSelectionPolicy,
+    dwio/nimble/encodings/selection/EncodingSelectionPolicy.h:470 +
+    writer/EncodingLayoutTree.cpp): the layout the min-size policy
+    decided for the first `part` write is captured from its manifest
+    and re-applied VERBATIM to a second write of the table.
+    replay_match asserts the second manifest records exactly the
+    captured per-column knobs; n_drift is the count of columns where
+    a fresh profile would now decide differently (0 here — same
+    data, so the captured layout is still optimal)."""
+    from nimble_spark.sources.encoding_policy import (
+        captured_layout,
+        write_table_with_policy,
+        write_table_with_replay,
+    )
+    from nimble_spark.sources.table import read_manifest
+
+    first = ensure_cached(
+        sf_dir,
+        "part__policy",
+        ["part"],
+        lambda tmp: write_table_with_policy(
+            load(spark, sf_dir, "part"), tmp, WriteOptions(), approx=False
+        ),
+    )
+    replayed = ensure_cached(
+        sf_dir,
+        "part__policy_replay",
+        ["part"],
+        lambda tmp: write_table_with_replay(
+            load(spark, sf_dir, "part"), tmp, captured_from=first, approx=False
+        ),
+    )
+    a = captured_layout(first).as_metadata()
+    b = captured_layout(replayed).as_metadata()
+    drift = read_manifest(replayed)["user_metadata"].get("encoding_policy.drift", "")
+    n_drift = len([c for c in drift.split(",") if c])
+    n_rows = read_manifest(replayed)["rows"]
+    return spark.createDataFrame(
+        [(n_rows, a == b, n_drift)], "n_rows BIGINT, replay_match BOOLEAN, n_drift INT"
     )

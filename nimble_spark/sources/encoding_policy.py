@@ -148,19 +148,98 @@ def min_size_policy(
     return policy
 
 
+def captured_layout(path: str) -> PolicyDecision:
+    """Read the decision a previous policy-driven write recorded in the
+    table manifest back into a PolicyDecision — the capture half of
+    the reference's encoding-layout replay (EncodingLayoutTree
+    captured from a written file, writer/EncodingLayoutTree.cpp)."""
+    from nimble_spark.sources.table import read_manifest
+
+    md = read_manifest(path).get("user_metadata", {})
+
+    def _split(key: str) -> list[str]:
+        return [c for c in md.get(f"encoding_policy.{key}", "").split(",") if c]
+
+    return PolicyDecision(
+        no_dictionary_cols=_split("no_dictionary_cols"),
+        bloom_cols=_split("bloom_cols"),
+        compression=md.get("encoding_policy.compression") or None,
+    )
+
+
+def replay_policy(decision: PolicyDecision) -> EncodingPolicy:
+    """ReplayedEncodingSelectionPolicy analogue
+    (dwio/nimble/encodings/selection/EncodingSelectionPolicy.h:470):
+    ignore fresh statistics entirely and re-apply a captured layout
+    verbatim — the production fast path that skips per-write selection
+    once a table's layout has been tuned."""
+
+    def policy(_profiles: dict[str, ColumnProfile]) -> PolicyDecision:
+        return PolicyDecision(
+            no_dictionary_cols=list(decision.no_dictionary_cols),
+            bloom_cols=list(decision.bloom_cols),
+            compression=decision.compression,
+        )
+
+    return policy
+
+
+def write_table_with_replay(
+    df: DataFrame,
+    path: str,
+    captured_from: str,
+    opts: WriteOptions | None = None,
+    report_drift: bool = True,
+    approx: bool = True,
+) -> tuple[dict, PolicyDecision, list[str]]:
+    """Write `df` re-applying the layout captured at `captured_from`,
+    optionally reporting DRIFT — the columns where a fresh profile
+    would now decide differently (data distribution moved since the
+    layout was captured). The replayed decision is applied regardless
+    (replay means replay); drift lands in manifest
+    ``user_metadata["encoding_policy.drift"]`` so operators can see
+    when a captured layout has gone stale and re-tune. With
+    ``report_drift=False`` the write skips the profiling pass entirely
+    — the reference's motivation for replay (selection cost paid
+    once, not per write)."""
+    captured = captured_layout(captured_from)
+    drift: list[str] = []
+    if report_drift:
+        fresh = min_size_policy()(profile_columns(df, approx=approx))
+        drift = sorted(
+            (set(captured.no_dictionary_cols) ^ set(fresh.no_dictionary_cols))
+            | (set(captured.bloom_cols) ^ set(fresh.bloom_cols))
+        )
+    opts = opts or WriteOptions()
+    opts.user_metadata = {
+        **opts.user_metadata,
+        "encoding_policy.replayed_from": captured_from,
+        "encoding_policy.drift": ",".join(drift),
+    }
+    manifest, decision = write_table_with_policy(
+        df, path, opts, policy=replay_policy(captured), approx=approx, profiles={}
+    )
+    return manifest, decision, drift
+
+
 def write_table_with_policy(
     df: DataFrame,
     path: str,
     opts: WriteOptions | None = None,
     policy: EncodingPolicy | None = None,
     approx: bool = True,
+    profiles: dict[str, ColumnProfile] | None = None,
 ) -> tuple[dict, PolicyDecision]:
     """Profile → policy → write. Policy output is merged into (not
     replacing) the caller's explicit WriteOptions choices, and the
-    decision is recorded in manifest user_metadata for audit."""
+    decision is recorded in manifest user_metadata for audit.
+    ``profiles`` short-circuits the statistics pass (pass ``{}`` for
+    profile-independent policies like replay)."""
     opts = opts or WriteOptions()
     policy = policy or min_size_policy()
-    decision = policy(profile_columns(df, approx=approx))
+    if profiles is None:
+        profiles = profile_columns(df, approx=approx)
+    decision = policy(profiles)
 
     merged_no_dict = sorted(set(opts.no_dictionary_cols or []) | set(decision.no_dictionary_cols))
     merged_bloom = sorted(set(opts.bloom_cols or []) | set(decision.bloom_cols))

@@ -187,6 +187,44 @@ def show_metrics(spark: SparkSession, path: str, columns: list[str] | None = Non
     return spark.createDataFrame(rows, "node STRING, metric STRING, value BIGINT")
 
 
+def show_scan_metrics(spark: SparkSession, path: str, where: str | None = None) -> DataFrame:
+    """SHOW SCAN METRICS [WHERE expr]: the one-line reader-stats
+    report for a (filtered) scan of the table — the
+    stripeCountCallback / blockedOnIoCallback / decodingTimeCallback
+    surface of VeloxReadParams (dwio/nimble/velox/VeloxReader.h:57-65)
+    re-expressed as Spark scan-node SQLMetrics. Reports files listed
+    in the manifest vs files the executed scan actually opened (the
+    skipped-stripes count), bytes and rows read, and scan/metadata
+    wall time, so pruning efficiency is a queryable number."""
+    from pyspark.sql import functions as F
+
+    from nimble_spark.plans.scan_metrics import totals
+    from nimble_spark.sources.table import read_manifest, read_table
+
+    files_listed = len(read_manifest(path)["files"])
+    df = read_table(spark, path)
+    if where:
+        df = df.filter(F.expr(where))
+    # drive via a 1-row agg: the scan executes fully (metrics are
+    # real) but no data rows reach the driver
+    t = totals(df.agg(F.count(F.lit(1))))
+    files_read = int(t.get("numFiles", 0))
+    row = (
+        files_listed,
+        files_read,
+        files_listed - files_read,
+        int(t.get("filesSize", 0)),
+        int(t.get("numOutputRows", 0)),
+        int(t.get("scanTime", 0)),
+        int(t.get("metadataTime", 0)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "files_listed BIGINT, files_read BIGINT, files_skipped BIGINT, "
+        "bytes_read BIGINT, rows_read BIGINT, scan_ms BIGINT, metadata_ms BIGINT",
+    )
+
+
 def select(
     spark: SparkSession, path: str, columns: list[str] | None = None, limit: int = 20, offset: int = 0
 ) -> DataFrame:
@@ -205,6 +243,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
 
       DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES | SHOW CHUNKS |
       SHOW ENCODING | SHOW INDEX | SHOW METRICS |
+      SHOW SCAN METRICS [WHERE expr] |
       SELECT col[,col...] [LIMIT n] [OFFSET n]
     """
     import re
@@ -227,6 +266,10 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_index(spark, path)
     if u == "SHOW METRICS":
         return show_metrics(spark, path)
+    if u.startswith("SHOW SCAN METRICS"):
+        rest = c[len("SHOW SCAN METRICS"):].strip()
+        m = re.match(r"WHERE\s+(.+)$", rest, re.I)
+        return show_scan_metrics(spark, path, where=m.group(1) if m else None)
     if u in ("SHOW ENCODING REPORT", "ENCODING REPORT"):
         from nimble_spark.sources.encoding_report import encoding_report
 

@@ -22,6 +22,7 @@ ACTION_RE = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toArrow\(\)|\.first\(\)"
 # the surrounding ±8 lines, justification)
 ALLOWED = [
     ("plans/audit.py", "df.collect()", "plan-audit harness executes the query to get the AQE final plan"),
+    ("plans/scan_metrics.py", "df.collect()", "reader-stats harness executes the query so the scan SQLMetrics are populated; callers pass 1-row probes (aggs) in query paths"),
     ("operators/format_surface.py", "keys_df.agg", "single-row min/max bounds of the probe keys"),
     ("sources/serde.py", "df.toArrow()", "documented driver-side small-slice serde; serialize_partitioned is the bulk default"),
     ("sources/flatmap.py", "limit(MAX_FLATMAP_KEYS + 1)", "write-time key discovery, hard-capped (NimbleConfig.h:27 analogue)"),

@@ -165,6 +165,61 @@ def test_cut_by_conflicts_rejected(spark, tmpdir):
         write_table(src, f"{tmpdir}/bad", WriteOptions(cut_by="o_custkey", cluster_by=["o_orderkey"]))
 
 
+def test_encoding_layout_replay(spark, tmpdir):
+    """Capture → replay: a second write re-applies the first write's
+    layout verbatim (no fresh profiling needed), drift is reported
+    when the data distribution moves, and the replayed table's blooms
+    really exist (manifest bloom index matches the captured keys)."""
+    from pyspark.sql import functions as F
+
+    from nimble_spark.sources.encoding_policy import (
+        captured_layout,
+        write_table_with_policy,
+        write_table_with_replay,
+    )
+
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("uniq_"), F.col("id")).alias("free_text"),
+            (F.col("id") % 7).cast("string").alias("category"),
+        )
+        .coalesce(1)
+    )
+    first = f"{tmpdir}/replay_first"
+    write_table_with_policy(df, first, approx=False)
+    cap = captured_layout(first)
+    assert cap.bloom_cols == ["category"]
+
+    # same data: replay matches, zero drift, no-profiling path works
+    second = f"{tmpdir}/replay_second"
+    m2, dec2, drift = write_table_with_replay(df, second, captured_from=first, approx=False)
+    assert dec2.no_dictionary_cols == cap.no_dictionary_cols
+    assert drift == []
+    assert captured_layout(second).as_metadata() == cap.as_metadata()
+    assert m2["indexes"]["bloom"]["keys"] == ["category"]
+    assert m2["user_metadata"]["encoding_policy.replayed_from"] == first
+
+    # distribution moved (category now unique): replay still applies
+    # the captured layout but reports the stale columns as drift
+    df_moved = df.withColumn("category", F.concat(F.lit("c_"), F.col("id")))
+    third = f"{tmpdir}/replay_third"
+    m3, dec3, drift3 = write_table_with_replay(
+        df_moved, third, captured_from=first, approx=False
+    )
+    assert "category" in drift3
+    assert dec3.bloom_cols == ["category"]  # replayed verbatim, not re-decided
+    assert m3["user_metadata"]["encoding_policy.drift"] == ",".join(drift3)
+
+    # replay without drift reporting skips the profile pass entirely
+    fourth = f"{tmpdir}/replay_fourth"
+    _, _, drift4 = write_table_with_replay(
+        df, fourth, captured_from=first, report_drift=False
+    )
+    assert drift4 == []
+
+
 def test_encoding_policy_write(spark, tmpdir):
     """min_size_policy: high-NDV column loses dictionary (and the
     parquet footer proves PLAIN-only), selective column gains a bloom,

@@ -71,6 +71,33 @@ def test_show_metrics_reader_stats(spark, table_path):
     assert by_metric.get("number of output rows", by_metric.get("numOutputRows", 0)) > 0
 
 
+def test_show_scan_metrics_pruning(spark):
+    """SHOW SCAN METRICS on a Hive-partitioned table: a partition
+    filter must open fewer files than the manifest lists, and the
+    rows_read SQLMetric must equal the real row count."""
+    d = tempfile.mkdtemp(prefix="nimble_scanmet_")
+    try:
+        path = f"{d}/orders_part"
+        src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        write_table(src, path, WriteOptions(partition_by=["o_orderstatus"]))
+        want = src.filter("o_orderstatus = 'F'").count()
+
+        r = tools.run_command(
+            spark, path, "SHOW SCAN METRICS WHERE o_orderstatus = 'F'"
+        ).collect()[0]
+        assert r["files_listed"] > r["files_read"] >= 1
+        assert r["files_skipped"] == r["files_listed"] - r["files_read"]
+        assert r["rows_read"] == want
+        assert r["bytes_read"] > 0
+
+        # unfiltered: every file is opened, nothing skipped
+        full = tools.show_scan_metrics(spark, path).collect()[0]
+        assert full["files_read"] == full["files_listed"]
+        assert full["rows_read"] == src.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_write_stats_and_checksums(spark, table_path):
     from nimble_spark.sources.table import read_manifest, verify_table
 
