@@ -187,6 +187,18 @@ def show_metrics(spark: SparkSession, path: str, columns: list[str] | None = Non
     return spark.createDataFrame(rows, "node STRING, metric STRING, value BIGINT")
 
 
+def show_write_stats(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW WRITE STATS: writer runtime statistics from the manifest —
+    the VeloxWriter::RunStats surface (dwio/nimble/velox/VeloxWriter.h:
+    78-115: flush wall, encode cost, stripe-size distribution). Wall
+    times are per write phase; the size distribution comes from the
+    written footers (min/max/total file bytes, row-group count)."""
+    m = read_manifest(path)
+    ws = dict(m.get("write_stats", {}))
+    rows = [(k, int(v)) for k, v in sorted(ws.items())]
+    return spark.createDataFrame(rows, "stat STRING, value BIGINT")
+
+
 def show_scan_metrics(spark: SparkSession, path: str, where: str | None = None) -> DataFrame:
     """SHOW SCAN METRICS [WHERE expr]: the one-line reader-stats
     report for a (filtered) scan of the table — the
@@ -242,7 +254,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     dwio/nimble/tools/NimbleDslVm.cpp):
 
       DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES | SHOW CHUNKS |
-      SHOW ENCODING | SHOW INDEX | SHOW METRICS |
+      SHOW ENCODING | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
       SHOW SCAN METRICS [WHERE expr] |
       SELECT col[,col...] [LIMIT n] [OFFSET n]
     """
@@ -266,6 +278,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_index(spark, path)
     if u == "SHOW METRICS":
         return show_metrics(spark, path)
+    if u == "SHOW WRITE STATS":
+        return show_write_stats(spark, path)
     if u.startswith("SHOW SCAN METRICS"):
         rest = c[len("SHOW SCAN METRICS"):].strip()
         m = re.match(r"WHERE\s+(.+)$", rest, re.I)

@@ -103,6 +103,9 @@ def test_write_stats_and_checksums(spark, table_path):
 
     m = read_manifest(table_path)
     ws = m["write_stats"]
+    # DSL surface mirrors the manifest verbatim
+    dsl = {r["stat"]: r["value"] for r in tools.run_command(spark, table_path, "SHOW WRITE STATS").collect()}
+    assert dsl == {k: int(v) for k, v in ws.items()}
     assert ws["n_files"] >= 2 and ws["total_bytes"] > 0
     assert ws["write_wall_ms"] >= 0 and ws["manifest_wall_ms"] >= 0
     assert ws["min_file_bytes"] <= ws["max_file_bytes"]
