@@ -154,6 +154,100 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_chunk_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(0 AS BIGINT) AS n_nulls
+    FROM orders
+    """,
+    category="format",
+)
+def q_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk statistics parity (ChunkStats,
+    dwio/nimble/tablet/ChunkStats.fbs:12-42 / index/ChunkStats.cpp):
+    SHOW CHUNKS reads per-(file, stripe, column) value counts, null
+    counts and typed min/max straight from the column-chunk footers —
+    the stats the reader skips chunks on. Re-aggregating the chunk
+    rows for one column must reproduce the table-level COUNT/MIN/MAX
+    exactly: the skipping metadata and the data can never disagree."""
+    from nimble_spark.tools import show_chunks
+
+    path = _ensure_written(spark, sf_dir, "orders", "plain", WriteOptions())
+    chunks = show_chunks(spark, path).filter(F.col("column") == "o_orderkey")
+    return chunks.agg(
+        F.sum("rows").alias("n_rows"),
+        F.min(F.col("min").cast("bigint")).alias("min_key"),
+        F.max(F.col("max").cast("bigint")).alias("max_key"),
+        F.sum("null_count").alias("n_nulls"),
+    )
+
+
+@register(
+    "q_write_stats_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS stats_ok FROM orders
+    """,
+    category="format",
+)
+def q_write_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer runtime stats (VeloxWriter::RunStats,
+    dwio/nimble/velox/VeloxWriter.h:78-115): the manifest's write
+    phase wall times and stripe-size distribution must be internally
+    consistent, and its row accounting must equal the data's actual
+    COUNT — a writer-stats regression (dropped file, double count)
+    flips either column."""
+    from nimble_spark.sources.table import read_manifest
+
+    path = _ensure_written(spark, sf_dir, "orders", "plain", WriteOptions())
+    m = read_manifest(path)
+    ws = m["write_stats"]
+    ok = (
+        ws["write_wall_ms"] >= 0
+        and ws["manifest_wall_ms"] >= 0
+        and 1 <= ws["n_files"] <= ws["n_row_groups"]
+        and 0 < ws["min_file_bytes"] <= ws["max_file_bytes"] <= ws["total_bytes"]
+        and sum(f["rows"] for f in m["files"]) == m["rows"]
+    )
+    return spark.createDataFrame([(m["rows"], bool(ok))], "n_rows BIGINT, stats_ok BOOLEAN")
+
+
+@register(
+    "q_dsl_show_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v, CAST(0 AS BIGINT) AS nulls
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(MIN(o_orderkey) AS VARCHAR),
+           CAST(MAX(o_orderkey) AS VARCHAR), CAST(0 AS BIGINT)
+    FROM orders
+    """,
+    category="tools",
+)
+def q_dsl_show_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NimbleDSL surface under the driver gate (NimbleDslVm.cpp /
+    NimbleDumpLib.h:37-62): `SHOW STATS` dispatched through the DSL
+    string interface must report per-column min/max/null-count that
+    match SQL MIN/MAX over the source — the dump tool is only useful
+    if its numbers are the table's numbers."""
+    from nimble_spark.tools import run_command
+
+    path = _ensure_written(spark, sf_dir, "orders", "plain", WriteOptions())
+    stats = run_command(spark, path, "SHOW STATS")
+    return (
+        stats.filter(F.col("column").isin("o_orderkey", "o_custkey"))
+        .select(
+            F.col("column").alias("col_name"),
+            F.col("min").alias("min_v"),
+            F.col("max").alias("max_v"),
+            F.col("null_count").alias("nulls"),
+        )
+    )
+
+
+@register(
     "q_scan_metrics_pruning",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS rows_read, TRUE AS files_pruned
