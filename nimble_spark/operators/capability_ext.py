@@ -372,6 +372,36 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS bkt FROM events
+    ),
+    w AS (
+      SELECT bkt AS win_start FROM b
+      UNION ALL
+      SELECT bkt - INTERVAL '30 minutes' FROM b
+    )
+    SELECT win_start, COUNT(*) AS n FROM w GROUP BY win_start
+    """,
+    category="streaming",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 h width, 30 min slide), driven to
+    completion. Oracle: Spark's sliding windows are epoch-aligned at
+    the slide granularity, so each event lands in exactly two window
+    starts — its 30-min bucket and the one before it."""
+    from nimble_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        sliding_counts,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    return run_to_completion(sliding_counts(stream), "rq_stream_sliding")
+
+
+@register(
     "q_stream_session",
     oracle="""
     WITH flagged AS (
