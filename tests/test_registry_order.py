@@ -10,12 +10,14 @@ def test_history_parses_driver_files():
     h = _driver_history()
     # r01 exists in-repo: 50 rows, exactly two hash-fails
     assert h, "no CORRECTNESS_r*.json parsed"
+    # Assert ONLY monotonic facts: cumulative-green never un-greens,
+    # and a query once checked stays in the history. Never assert a
+    # query is currently False — the next driver round can flip it
+    # and strand the suite red on correct behavior (the r3 trap).
     assert h.get("q1_pricing_summary") is True
-    # q_case_agg was a r01 hash-fail, re-proven green in r03; history
-    # is cumulative-green so it must now read True.
+    # q_case_agg was a r01 hash-fail, re-proven green in r03
     assert h.get("q_case_agg") is True
-    # q_sessionize has never had a green row (r01 hash-fail, r03 error)
-    assert h.get("q_sessionize") is False
+    assert "q_sessionize" in h
 
 
 def test_failed_then_unchecked_then_green():
