@@ -530,6 +530,16 @@ def read_table(
     return df
 
 
+def seek_to_row(spark: SparkSession, path: str, row: int) -> DataFrame:
+    """Position-at-row read: everything from absolute row `row` to the
+    table's end, in manifest file order — the seekToRow analogue
+    (dwio/nimble/velox/VeloxReader.cpp:441: skip whole stripes via
+    stripe row counts, then skip within the stripe). Files wholly
+    before the seek point are never opened."""
+    manifest = read_manifest(path)
+    return _read_row_range(spark, path, manifest, row, manifest["rows"])
+
+
 def _read_row_range(
     spark: SparkSession, path: str, manifest: dict, start: int, end: int
 ) -> DataFrame:

@@ -153,6 +153,14 @@ def test_row_range_scan(spark, table_path):
     assert read_table(spark, table_path, row_range=(total - 5, total + 99)).count() == 5
     assert read_table(spark, table_path, row_range=(7, 7)).count() == 0
 
+    # seekToRow analogue: seek == row_range to table end
+    from nimble_spark.sources.table import seek_to_row
+
+    assert seek_to_row(spark, table_path, total - 17).count() == 17
+    assert sorted(
+        r["o_orderkey"] for r in seek_to_row(spark, table_path, 10).collect()
+    ) == all_keys[10:]
+
 
 def test_encoding_report_predicted_vs_actual(spark, table_path):
     from nimble_spark.sources.encoding_report import encoding_report
