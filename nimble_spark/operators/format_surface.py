@@ -154,6 +154,49 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_compaction_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {dsum_sql("l_extendedprice")} AS rev,
+           TRUE AS compacted
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 500 AND 2500
+    GROUP BY l_returnflag
+    """,
+    category="format",
+)
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/compaction.py — the flush-policy
+    stripe-size discipline of VeloxWriterOptions applied retroactively):
+    lineitem is written clustered with an artificially small per-file
+    row cap (the streaming-append small-file debt), compacted to
+    ~8 MB bins, and range-scanned. The aggregate must match the
+    source exactly AND the manifest must show fewer files than before
+    compaction — proving the merge changed layout, not data, and the
+    cluster pruning metadata survived the rewrite."""
+    from nimble_spark.sources.compaction import compact_table
+    from nimble_spark.sources.table import read_manifest
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "lineitem"),
+            tmp,
+            WriteOptions(cluster_by=["l_orderkey"], n_cluster_files=4, max_rows_per_file=4000),
+        )
+        compact_table(spark, tmp, target_file_bytes=8 * 1024 * 1024)
+
+    path = ensure_cached(sf_dir, "lineitem__compacted", ["lineitem"], _build)
+    m = read_manifest(path)
+    files_before = int(m["user_metadata"].get("compaction.files_before", 0))
+    compacted = 0 < len(m["files"]) < files_before
+    df = read_table(spark, path, range_scan=("l_orderkey", 500, 2500))
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("rev"),
+        F.lit(bool(compacted)).alias("compacted"),
+    )
+
+
+@register(
     "q_chunk_stats",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

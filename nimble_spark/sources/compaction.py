@@ -1,0 +1,159 @@
+"""Small-file compaction — the OPTIMIZE primitive of the table layer.
+
+Streaming appends (streaming/sink.py) and fine-grained batch writes
+commit one-or-more files per micro-batch; at 100 TB the accumulated
+small files dominate scan cost (per-file open + footer read, tiny
+row groups, no vectorization runway). ``compact_table`` merges
+adjacent-in-manifest small files into ~``target_file_bytes`` files
+and rebuilds the manifest, leaving already-large files untouched —
+a partial rewrite, NOT a full-table rewrite, so compaction cost is
+proportional to the small-file debt, not table size.
+
+Adjacency matters: on a cluster-indexed table the manifest file order
+is the cluster range order, so merging only adjacent bins keeps the
+per-file [min,max] key ranges disjoint and every index-pruning path
+(_prune_files) exactly as selective as before, just with fewer files.
+
+The reference's analogue is the writer's stripe-grouping discipline
+(flush policy targets a stripe size, dwio/nimble/velox/
+VeloxWriterOptions.h flush policy); compaction is that policy applied
+retroactively to a table that accumulated undersized stripes.
+
+Scale posture: each output bin is written by one task (the bin is
+read with a single-partition coalesce); distinct bins compact in
+parallel across the cluster via independent jobs. No shuffle — bin
+inputs stream straight to the new file.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+from nimble_spark.sources.table import (
+    MANIFEST_DIR,
+    MANIFEST_NAME,
+    _build_manifest,
+    read_manifest,
+)
+
+
+def plan_compaction(
+    manifest: dict, target_file_bytes: int = 128 * 1024 * 1024
+) -> list[list[dict]]:
+    """Greedy adjacent binning: walk files in manifest order, pack
+    consecutive small files (< target/2) into bins of ~target bytes.
+    Files at or above half the target ride as-is. Returns only the
+    bins worth rewriting (2+ files)."""
+    bins: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_bytes = 0
+    for f in manifest["files"]:
+        if f["bytes"] >= target_file_bytes // 2:
+            if len(cur) > 1:
+                bins.append(cur)
+            cur, cur_bytes = [], 0
+            continue
+        if cur_bytes + f["bytes"] > target_file_bytes and cur:
+            if len(cur) > 1:
+                bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += f["bytes"]
+    if len(cur) > 1:
+        bins.append(cur)
+    return bins
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Merge small adjacent files into ~target-size files and rebuild
+    the manifest. Returns ``{"bins": n, "files_before": ..., "files_after":
+    ..., "rows": ...}``. Raises on hash-bucketed / Hive-partitioned
+    tables (their directory structure IS the index — compact within a
+    bucket/partition by pointing at that directory instead)."""
+    import pyspark.sql.types as T
+
+    m = read_manifest(path)
+    idx = m.get("indexes", {})
+    if "hash" in idx or "partition" in idx:
+        raise ValueError(
+            "compact_table operates on plain/clustered tables; for "
+            "bucketed or partitioned tables compact each leaf directory"
+        )
+    files_before = len(m["files"])
+    bins = plan_compaction(m, target_file_bytes)
+    if not bins:
+        return {"bins": 0, "files_before": files_before, "files_after": files_before, "rows": m["rows"]}
+
+    cluster_keys = (idx.get("cluster") or {}).get("keys", [])
+    for b in bins:
+        srcs = [os.path.join(path, f["path"]) for f in b]
+        tmp = os.path.join(path, MANIFEST_DIR, f"compact-tmp-{uuid.uuid4().hex}")
+        # One partition per bin. Spark schedules multi-file reads by
+        # size, not name, so concatenation order is arbitrary — on a
+        # clustered table re-sort the bin by the cluster keys to keep
+        # the table's semantic (range) row order; plain tables have
+        # no defined row order to preserve.
+        merged = spark.read.parquet(*srcs).coalesce(1)
+        if cluster_keys:
+            merged = merged.sortWithinPartitions(*cluster_keys)
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
+        assert len(part) == 1, f"expected one output file per bin, got {part}"
+        # The merged file takes the FIRST source file's name: manifest
+        # order is alphabetical, so replacing an adjacent run
+        # [f3,f4,f5] with a new f3 keeps the table's file order (and
+        # therefore cluster range order and row_range positions)
+        # exactly as before, minus the merged gaps.
+        out_name = os.path.basename(b[0]["path"])
+        for s in srcs:
+            os.remove(s)
+            # Hadoop LocalFileSystem checksum sidecar: a stale .crc
+            # under the reused name would fail every future read
+            crc = os.path.join(os.path.dirname(s), f".{os.path.basename(s)}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        shutil.move(os.path.join(tmp, part[0]), os.path.join(path, out_name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # Rebuild the manifest from the surviving footers; index/user
+    # metadata carries over (cluster bounds stay valid — bins were
+    # adjacent in range order, so merged min/max spans stay disjoint).
+    schema = T.StructType.fromJson(m["schema"])
+
+    class _OptsShim:
+        column_attributes = m.get("column_attributes", {})
+        user_metadata = {
+            **m.get("user_metadata", {}),
+            "compaction.files_before": str(files_before),
+            "compaction.bins": str(len(bins)),
+        }
+
+    new_m = _build_manifest(spark, schema, path, _OptsShim(), idx)
+    new_m["write_stats"] = dict(
+        m.get("write_stats", {}),
+        n_files=len(new_m["files"]),
+        n_row_groups=sum(f["row_groups"] for f in new_m["files"]),
+        total_bytes=sum(f["bytes"] for f in new_m["files"]),
+        min_file_bytes=min((f["bytes"] for f in new_m["files"]), default=0),
+        max_file_bytes=max((f["bytes"] for f in new_m["files"]), default=0),
+    )
+    with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME), "w") as fh:
+        import json
+
+        from nimble_spark.sources.table import _json_safe
+
+        json.dump(new_m, fh, indent=1, default=_json_safe)
+    return {
+        "bins": len(bins),
+        "files_before": files_before,
+        "files_after": len(new_m["files"]),
+        "rows": new_m["rows"],
+    }

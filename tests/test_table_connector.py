@@ -165,6 +165,54 @@ def test_cut_by_conflicts_rejected(spark, tmpdir):
         write_table(src, f"{tmpdir}/bad", WriteOptions(cut_by="o_custkey", cluster_by=["o_orderkey"]))
 
 
+def test_compaction_merges_small_files(spark, tmpdir):
+    """compact_table: small adjacent files merge to ~target size, the
+    data and the cluster-pruning behavior are unchanged, row_range
+    positions are stable, and the rebuilt manifest accounts exactly."""
+    from nimble_spark.sources.compaction import compact_table, plan_compaction
+
+    src = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    path = f"{tmpdir}/li_compact"
+    m = write_table(
+        src, path, WriteOptions(cluster_by=["l_orderkey"], n_cluster_files=4, max_rows_per_file=400)
+    )
+    assert len(m["files"]) >= 8  # range split × per-file row cap
+    before_rows = read_table(spark, path, row_range=(10, 60)).collect()
+    before_all = sorted(tuple(r) for r in read_table(spark, path).collect())
+
+    summary = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert summary["bins"] >= 1
+    assert summary["files_after"] < summary["files_before"] == len(m["files"])
+    assert summary["rows"] == src.count()
+
+    m2 = read_manifest(path)
+    assert len(m2["files"]) == summary["files_after"]
+    assert m2["user_metadata"]["compaction.files_before"] == str(len(m["files"]))
+    # data intact
+    after_all = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert after_all == before_all
+    # cluster range pruning still exact
+    got = read_table(spark, path, range_scan=("l_orderkey", 100, 300))
+    want = src.filter((F.col("l_orderkey") >= 100) & (F.col("l_orderkey") <= 300))
+    assert got.count() == want.count()
+    # positional reads stable at the cluster-key level (file order
+    # preserved via first-name reuse + bins re-sorted by cluster key;
+    # tie-order among equal keys is the only freedom)
+    after_rows = read_table(spark, path, row_range=(10, 60)).collect()
+    assert sorted(r["l_orderkey"] for r in after_rows) == sorted(
+        r["l_orderkey"] for r in before_rows
+    )
+    # second compaction is a no-op
+    again = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert again["bins"] in (0, 1) and again["files_after"] <= summary["files_after"]
+
+    # partitioned/bucketed tables are rejected
+    p2 = f"{tmpdir}/li_compact_part"
+    write_table(src, p2, WriteOptions(partition_by=["l_returnflag"]))
+    with pytest.raises(ValueError):
+        compact_table(spark, p2)
+
+
 def test_encoding_layout_replay(spark, tmpdir):
     """Capture → replay: a second write re-applies the first write's
     layout verbatim (no fresh profiling needed), drift is reported
