@@ -154,6 +154,32 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fast_count",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1000 AND 9000)
+             AS n_range,
+           (SELECT COUNT(*) FROM orders) AS n_total
+    """,
+    category="format",
+)
+def q_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-answered COUNT (the tablet footer's per-stripe row
+    counts): the unfiltered count is pure manifest arithmetic (zero
+    IO), and the range count reads ONLY the boundary files whose
+    [min,max] straddles an endpoint — interior files contribute their
+    manifest row counts unopened. Both must equal the SQL counts over
+    the source."""
+    from nimble_spark.sources.compaction import fast_count
+
+    path = _ensure_written(
+        spark, sf_dir, "orders", "cluster_orderkey", WriteOptions(cluster_by=["o_orderkey"])
+    )
+    n_range = fast_count(spark, path, ("o_orderkey", 1000, 9000))
+    n_total = fast_count(spark, path)
+    return spark.createDataFrame([(n_range, n_total)], "n_range BIGINT, n_total BIGINT")
+
+
+@register(
     "q_compaction_roundtrip",
     oracle=f"""
     SELECT l_returnflag, COUNT(*) AS n, {dsum_sql("l_extendedprice")} AS rev,

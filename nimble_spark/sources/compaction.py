@@ -1,4 +1,7 @@
-"""Small-file compaction — the OPTIMIZE primitive of the table layer.
+"""Table maintenance: small-file compaction, vacuum, stats-answered
+counts.
+
+Compaction is the OPTIMIZE primitive of the table layer.
 
 Streaming appends (streaming/sink.py) and fine-grained batch writes
 commit one-or-more files per micro-batch; at 100 TB the accumulated
@@ -66,6 +69,73 @@ def plan_compaction(
     if len(cur) > 1:
         bins.append(cur)
     return bins
+
+
+def vacuum_table(path: str) -> list[str]:
+    """Delete data files the manifest does not reference — debris from
+    failed/interrupted writes. The manifest is the table's source of
+    truth (the tablet footer analogue): a plain directory listing
+    would happily read half-written or superseded files, so vacuuming
+    keeps directory state and manifest state equal. Returns the
+    root-relative paths removed. Metadata (the manifest dir) and
+    non-parquet markers are never touched."""
+    m = read_manifest(path)
+    referenced = {os.path.normpath(f["path"]) for f in m["files"]}
+    removed: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != MANIFEST_DIR]
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(os.path.relpath(os.path.join(root, fn), path))
+            if rel not in referenced:
+                os.remove(os.path.join(root, fn))
+                crc = os.path.join(root, f".{fn}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+                removed.append(rel)
+    return sorted(removed)
+
+
+def fast_count(
+    spark: SparkSession, path: str, range_filter: tuple | None = None
+) -> int:
+    """Statistics-answered COUNT — the reference's stats short-circuit
+    (per-file row counts in the tablet footer). Unfiltered: pure
+    manifest arithmetic, zero IO. With ``range_filter=(key, lo, hi)``
+    (inclusive, None = open): files wholly inside the range contribute
+    their manifest row count without being opened; only boundary
+    files — the ones whose [min,max] straddles an endpoint — are
+    actually scanned. On a clustered table that is at most ~2 files
+    per endpoint regardless of table size."""
+    from pyspark.sql import functions as F
+
+    m = read_manifest(path)
+    if range_filter is None:
+        return int(m["rows"])
+    key, lo, hi = range_filter
+    full = 0
+    boundary: list[dict] = []
+    for f in m["files"]:
+        fmin, fmax = f["min"].get(key), f["max"].get(key)
+        if fmin is None or fmax is None:
+            boundary.append(f)
+            continue
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            continue  # disjoint — skipped entirely
+        if (lo is None or fmin >= lo) and (hi is None or fmax <= hi):
+            full += f["rows"]  # wholly inside — counted from metadata
+        else:
+            boundary.append(f)
+    if not boundary:
+        return int(full)
+    df = spark.read.parquet(*[os.path.join(path, f["path"]) for f in boundary])
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(key) >= lo)
+    if hi is not None:
+        cond = cond & (F.col(key) <= hi)
+    return int(full + df.filter(cond).count())
 
 
 def compact_table(

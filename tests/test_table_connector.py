@@ -213,6 +213,35 @@ def test_compaction_merges_small_files(spark, tmpdir):
         compact_table(spark, p2)
 
 
+def test_vacuum_and_fast_count(spark, tmpdir):
+    from nimble_spark.sources.compaction import fast_count, vacuum_table
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    path = f"{tmpdir}/orders_maint"
+    m = write_table(src, path, WriteOptions(cluster_by=["o_orderkey"], n_cluster_files=4))
+    total = src.count()
+
+    # debris: an unreferenced parquet file poisons any listing-based
+    # read; vacuum restores directory == manifest
+    shutil.copy(
+        f"{path}/{m['files'][0]['path']}", f"{path}/zz-debris.parquet"
+    )
+    assert spark.read.parquet(path).count() > total  # the hazard
+    spark.catalog.clearCache()
+    assert vacuum_table(path) == ["zz-debris.parquet"]
+    assert vacuum_table(path) == []  # idempotent
+    spark.catalog.refreshByPath(path)
+    assert read_table(spark, path).count() == total
+
+    # stats-answered counts: unfiltered = pure metadata; ranged =
+    # metadata for interior files + scan of boundary files only
+    assert fast_count(spark, path) == total
+    want = src.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 9000)).count()
+    assert fast_count(spark, path, ("o_orderkey", 1000, 9000)) == want
+    assert fast_count(spark, path, ("o_orderkey", None, None)) == total
+    assert fast_count(spark, path, ("o_orderkey", total * 10, None)) == 0
+
+
 def test_encoding_layout_replay(spark, tmpdir):
     """Capture → replay: a second write re-applies the first write's
     layout verbatim (no fresh profiling needed), drift is reported
