@@ -38,7 +38,6 @@ from pyspark.sql import SparkSession
 
 from nimble_spark.sources.table import (
     MANIFEST_DIR,
-    MANIFEST_NAME,
     _build_manifest,
     read_manifest,
 )
@@ -215,12 +214,9 @@ def compact_table(
         min_file_bytes=min((f["bytes"] for f in new_m["files"]), default=0),
         max_file_bytes=max((f["bytes"] for f in new_m["files"]), default=0),
     )
-    with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME), "w") as fh:
-        import json
+    from nimble_spark.sources.table import _write_manifest
 
-        from nimble_spark.sources.table import _json_safe
-
-        json.dump(new_m, fh, indent=1, default=_json_safe)
+    _write_manifest(path, new_m)
     return {
         "bins": len(bins),
         "files_before": files_before,

@@ -196,8 +196,7 @@ def write_table(
         "max_file_bytes": max(sizes),
     }
     os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
-    with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh, indent=1, default=_json_safe)
+    _write_manifest(path, manifest)
     return manifest
 
 
@@ -303,8 +302,17 @@ def read_manifest(path: str) -> dict:
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
-    with open(os.path.join(path, MANIFEST_DIR, MANIFEST_NAME), "w") as fh:
+    """Atomic manifest publication: write to a temp name, fsync, then
+    rename over the live manifest — a reader (or a crash) never sees a
+    half-written commit. The rename is the commit point, the same
+    discipline as the reference's footer-last tablet write order."""
+    final = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, default=_json_safe)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
 
 
 def colocated_join(
