@@ -440,6 +440,41 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts < a.ts + INTERVAL '30 minutes'
+    """,
+    category="streaming",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click → purchase within
+    30 min per user), driven to completion in append mode. The oracle
+    is the identical batch join: a fully-drained bounded source must
+    emit exactly the batch-join pairs — no duplicates from state
+    re-emission, no rows lost to watermark eviction."""
+    from nimble_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        stream_stream_join,
+    )
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    left = read_events_stream(spark, path)
+    right = read_events_stream(spark, path)
+    return run_to_completion(stream_stream_join(left, right), "rq_stream_stream_join")
+
+
+@register(
     "q_stream_stateful",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,

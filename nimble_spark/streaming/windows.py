@@ -73,6 +73,49 @@ def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each `left_type`
+    event with the same user's `right_type` events inside
+    [left.ts, left.ts + within). The time-range predicate + both-side
+    watermarks bound the join state — each side buffers only rows
+    whose event time is within (watermark + within) of the stream
+    head, so state is O(rate × window), not O(stream). The classic
+    funnel/attribution shape (click → purchase within 30 min)."""
+    a = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") < F.col("a_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return a.join(b, cond).select(
+        F.col("a_user").alias("user_id"), "a_id", "b_id"
+    )
+
+
 def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a file-backed stream to completion synchronously and
     return the materialized result (memory sink). Test/dev harness —
