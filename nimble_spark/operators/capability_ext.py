@@ -586,6 +586,49 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_upsert",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    category="streaming",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT sink (merge-on-read, append-only): the events
+    stream upserts keyed by user_id with (ts, event_id) recency
+    ordering; reading the table back resolves latest-per-key. The
+    oracle is the batch 'latest event per user' — the sink's
+    winner-per-batch + commit-shadowing must compose to exactly
+    that."""
+    import os
+
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.streaming.sink import read_upserted, stream_upsert_to_table
+    from nimble_spark.streaming.windows import read_events_stream
+
+    def build(tmp: str) -> None:
+        stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+        q = stream_upsert_to_table(
+            stream.select("user_id", "event_id", "ts", "value"),
+            os.path.join(tmp, "table"),
+            key="user_id",
+            order_cols=["ts", "event_id"],
+            checkpoint=os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+
+    root = ensure_cached(sf_dir, "events__stream_upsert", ["events"], build)
+    df = read_upserted(
+        spark, os.path.join(root, "table"), key="user_id", order_cols=["ts", "event_id"]
+    )
+    return df.select("user_id", "event_id", "value")
+
+
+@register(
     "q_timestamp_nanos_roundtrip",
     oracle="""
     WITH src AS (

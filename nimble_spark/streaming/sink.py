@@ -37,3 +37,69 @@ def stream_to_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+COMMIT_COL = "_nimble_commit"
+
+
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    path: str,
+    key: str,
+    order_cols: list[str],
+    checkpoint: str,
+    opts: WriteOptions | None = None,
+):
+    """Streaming UPSERT sink, merge-on-read (the mutation discipline
+    of SelectiveNimbleReader's delete-mask scans, kept append-only):
+    each micro-batch is reduced to its winner row per `key` (max by
+    `order_cols`), stamped with the batch id in ``_nimble_commit``,
+    and APPENDED — no data file is ever rewritten. ``read_upserted``
+    resolves latest-per-key at scan time; compaction of the upsert
+    history is a rewrite of the resolved view. State cost: appends are
+    blind (no read-side lookup per batch), so sink throughput is
+    identical to the plain append sink."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    manifest = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+        winners = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn(COMMIT_COL, F.lit(batch_id).cast("long"))
+        )
+        mode = "append" if os.path.exists(manifest) else "overwrite"
+        write_table(winners, path, opts, mode=mode)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upserted(spark, path: str, key: str, order_cols: list[str]) -> DataFrame:
+    """Scan the upsert table resolving latest-per-key: later commits
+    shadow earlier ones; within a commit the `order_cols` ranking
+    (already applied at write) breaks ties. One hash shuffle on the
+    key — the merge-on-read cost; at scale, pre-bucket the table on
+    the key so the window rides the storage partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nimble_spark.sources.table import read_table
+
+    df = read_table(spark, path)
+    w = Window.partitionBy(key).orderBy(
+        F.col(COMMIT_COL).desc(), *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", COMMIT_COL)
+    )

@@ -59,6 +59,55 @@ def test_stateful_user_counts(spark):
 # ---- multimodal ----
 
 
+def test_stream_upsert_commit_shadowing(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1, mtime-ordered files):
+    the later batch's rows must shadow the earlier batch's rows for
+    overlapping keys, and read_upserted resolves exactly one row per
+    key."""
+    import os
+    import time
+
+    from nimble_spark.streaming.sink import read_upserted, stream_upsert_to_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 101, 10.0), (2, 201, 20.0), (3, 301, 30.0)],
+        "user_id LONG, event_id LONG, value DOUBLE",
+    ).coalesce(1).write.parquet(src + "/b0")
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    spark.createDataFrame(
+        [(2, 202, 22.0), (3, 300, 33.0)],  # key 3: LOWER event_id, later commit
+        "user_id LONG, event_id LONG, value DOUBLE",
+    ).coalesce(1).write.parquet(src + "/b1")
+    for d in ("b0", "b1"):
+        for f in os.listdir(f"{src}/{d}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/{d}/{f}", f"{src}/{d}_{f}")
+
+    schema = "user_id LONG, event_id LONG, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    table = str(tmp_path / "table")
+    q = stream_upsert_to_table(
+        stream, table, key="user_id", order_cols=["event_id"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in read_upserted(spark, table, key="user_id", order_cols=["event_id"]).collect()
+    }
+    # key 1: only batch 0. key 2: batch 1 wins. key 3: batch 1 wins
+    # DESPITE the lower event_id — commit order shadows order_cols.
+    assert got == {1: (101, 10.0), 2: (202, 22.0), 3: (300, 33.0)}
+
+
 def test_media_features_shape(spark):
     from nimble_spark.operators.multimodal import FEATURE_DIM, extract_features, synthesize_media
 
