@@ -154,6 +154,37 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_zorder_scan",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {dsum_sql("o_totalprice")} AS total
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000.0 AND 20000.0
+    GROUP BY o_orderstatus
+    """,
+    category="format",
+)
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order multi-dimensional cluster index: orders is laid out on
+    the bit-interleaved z-value of (o_custkey, o_totalprice), so a
+    range scan on the SECOND dimension — where a 1-D cluster index is
+    blind — still prunes files via per-file min/max, and the pruned
+    scan aggregates identically to the source. The
+    tests/test_table_connector.py zorder test asserts the actual
+    file-skip on both dimensions."""
+    path = _ensure_written(
+        spark,
+        sf_dir,
+        "orders",
+        "zorder_cust_price",
+        WriteOptions(zorder_by=["o_custkey", "o_totalprice"], n_cluster_files=8),
+    )
+    df = read_table(spark, path, range_scan=("o_totalprice", 1000.0, 20000.0))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
     "q_fast_count",
     oracle="""
     SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 1000 AND 9000)

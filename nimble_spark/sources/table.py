@@ -53,6 +53,9 @@ class WriteOptions:
 
     cluster_by: Optional[list[str]] = None  # sort keys → cluster index
     n_cluster_files: int = 8  # range partitions when clustering
+    # Multi-dimensional cluster index: bit-interleaved z-value layout
+    # over 2+ numeric keys; range scans on ANY single key prune files.
+    zorder_by: Optional[list[str]] = None
     bucket_by: Optional[str] = None  # hash-index key
     n_buckets: int = 16
     # Content-driven layout (VeloxWriterOptions.h:289-295 — e.g. "cut
@@ -142,6 +145,48 @@ def write_table(
             *opts.cluster_by
         )
         index_meta["cluster"] = {"keys": opts.cluster_by}
+    if opts.zorder_by:
+        # Z-order (multi-dimensional cluster index): each key is
+        # scaled to 16 bits against its global [min,max] (one stats
+        # agg — no per-column global sort), the bit-planes are
+        # interleaved into a single z value, and the data is
+        # range-laid-out on z. Locality in z implies locality in
+        # EVERY key, so per-file min/max stay selective for range
+        # scans on any single zorder column — the 2-D pruning a
+        # 1-D cluster index cannot give. Linear scaling is
+        # skew-sensitive (a heavy hitter squeezes the other values
+        # into few buckets); for skewed keys, bucket by quantiles
+        # upstream first.
+        if opts.cluster_by or opts.cut_by:
+            raise ValueError("zorder_by conflicts with cluster_by/cut_by (one layout per table)")
+        keys = opts.zorder_by
+        stats_row = out.agg(
+            *[F.min(k).alias(f"mn_{k}") for k in keys],
+            *[F.max(k).alias(f"mx_{k}") for k in keys],
+        ).first()
+        bits = 16
+        scaled = []
+        for k in keys:
+            mn = float(stats_row[f"mn_{k}"])
+            mx = float(stats_row[f"mx_{k}"])
+            span = (mx - mn) or 1.0
+            scaled.append(
+                F.least(
+                    F.lit((1 << bits) - 1),
+                    F.floor((F.col(k).cast("double") - F.lit(mn)) / F.lit(span) * ((1 << bits) - 1)),
+                ).cast("long")
+            )
+        z = F.lit(0).cast("long")
+        for bit in range(bits - 1, -1, -1):
+            for ki, s in enumerate(scaled):
+                z = F.shiftleft(z, 1) + F.shiftright(s, bit).bitwiseAND(F.lit(1))
+        out = (
+            out.withColumn("_nimble_z", z)
+            .repartitionByRange(opts.n_cluster_files, "_nimble_z")
+            .sortWithinPartitions("_nimble_z")
+            .drop("_nimble_z")
+        )
+        index_meta["zorder"] = {"keys": list(keys), "bits": bits}
     if opts.bucket_by:
         # Hash index: deterministic bucket directory per key hash →
         # point lookups read exactly one directory (partition pruning).
@@ -404,11 +449,16 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
 
 
 def _prune_files(manifest: dict, root: str, key: str, lo: Any, hi: Any) -> list[str] | None:
-    """Cluster-index pruning: keep files whose [min,max] for `key`
-    intersects [lo,hi] (binary-search-over-boundary-keys analogue,
-    dwio/nimble/index/ClusterIndex.h:76-197)."""
-    cluster = manifest.get("indexes", {}).get("cluster")
-    if not cluster or key not in cluster["keys"]:
+    """Cluster/zorder-index pruning: keep files whose [min,max] for
+    `key` intersects [lo,hi] (binary-search-over-boundary-keys
+    analogue, dwio/nimble/index/ClusterIndex.h:76-197). Cluster files
+    have disjoint ranges (exact pruning); zorder files have selective
+    but overlapping ranges on every zorder key."""
+    idx = manifest.get("indexes", {})
+    indexed_keys = list((idx.get("cluster") or {}).get("keys", [])) + list(
+        (idx.get("zorder") or {}).get("keys", [])
+    )
+    if key not in indexed_keys:
         return None
     keep = []
     for f in manifest["files"]:

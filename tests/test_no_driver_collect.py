@@ -27,6 +27,7 @@ ALLOWED = [
     ("sources/serde.py", "df.toArrow()", "documented driver-side small-slice serde; serialize_partitioned is the bulk default"),
     ("sources/flatmap.py", "limit(MAX_FLATMAP_KEYS + 1)", "write-time key discovery, hard-capped (NimbleConfig.h:27 analogue)"),
     ("sources/table.py", "pmod(F.xxhash64", "bucket ids of the caller-supplied probe values (O(len(values)))"),
+    ("sources/table.py", "mn_{k}", "single-row global min/max agg feeding the z-order bit scaling — one row regardless of table size"),
     ("sources/table.py", 'idx.select("file").distinct()', "sorted-index file list — file-granularity metadata"),
     ("sources/encoding_report.py", "df.agg(*aggs).first()", "single-row per-column stats (ndv/min/max/bytes) for the encoding-cost report — EncodingSelectionPolicy analogue runs on aggregates, never rows"),
     ("sources/encoding_policy.py", "df.agg(*aggs).first()", "single-row profile pass (one agg row regardless of table size) feeding the policy decision — same bounded shape as encoding_report.py"),

@@ -213,6 +213,36 @@ def test_compaction_merges_small_files(spark, tmpdir):
         compact_table(spark, p2)
 
 
+def test_zorder_prunes_both_dimensions(spark, tmpdir):
+    """Z-order layout: a narrow range scan on EITHER key must skip
+    files (1-D clustering can only ever prune on its leading key),
+    and pruned scans return exactly the right rows."""
+    from nimble_spark.sources.table import _prune_files, read_manifest
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    path = f"{tmpdir}/orders_z"
+    m = write_table(
+        src, path, WriteOptions(zorder_by=["o_custkey", "o_totalprice"], n_cluster_files=8)
+    )
+    assert m["indexes"]["zorder"]["keys"] == ["o_custkey", "o_totalprice"]
+    assert len(m["files"]) >= 4
+
+    ck_max = src.agg(F.max("o_custkey")).collect()[0][0]
+    tp_max = src.agg(F.max("o_totalprice")).collect()[0][0]
+    for key, lo, hi in (
+        ("o_custkey", 1, ck_max // 8),
+        ("o_totalprice", 1.0, tp_max / 8),
+    ):
+        kept = _prune_files(read_manifest(path), path, key, lo, hi)
+        assert kept is not None and len(kept) < len(m["files"]), key
+        got = read_table(spark, path, range_scan=(key, lo, hi))
+        want = src.filter((F.col(key) >= lo) & (F.col(key) <= hi))
+        assert got.count() == want.count(), key
+
+    # data round-trips
+    assert read_table(spark, path).count() == src.count()
+
+
 def test_vacuum_and_fast_count(spark, tmpdir):
     from nimble_spark.sources.compaction import fast_count, vacuum_table
 
