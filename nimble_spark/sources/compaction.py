@@ -205,7 +205,15 @@ def compact_table(
             "compaction.bins": str(len(bins)),
         }
 
-    new_m = _build_manifest(spark, schema, path, _OptsShim(), idx)
+    # Untouched (large) files keep their manifest entries verbatim —
+    # only the freshly merged bin outputs are hashed/footer-read.
+    merged_away = {os.path.normpath(f["path"]) for b in bins for f in b}
+    untouched = {
+        os.path.normpath(f["path"]): f
+        for f in m["files"]
+        if os.path.normpath(f["path"]) not in merged_away and "nulls" in f
+    }
+    new_m = _build_manifest(spark, schema, path, _OptsShim(), idx, reuse=untouched)
     new_m["write_stats"] = dict(
         m.get("write_stats", {}),
         n_files=len(new_m["files"]),

@@ -218,12 +218,28 @@ def write_table(
         writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    # Incremental append: entries of files already committed are
+    # reused verbatim (no re-hash / footer re-read) — append cost is
+    # O(new files). Old-format entries without per-file null counts
+    # are reprocessed.
+    reuse: dict[str, dict] = {}
+    if mode == "append":
+        try:
+            prior = read_manifest(path)
+            reuse = {
+                os.path.normpath(f["path"]): f
+                for f in prior["files"]
+                if "nulls" in f
+            }
+        except (OSError, KeyError, ValueError):
+            reuse = {}
+
     t0 = time.monotonic()
     writer.parquet(path)
     write_wall_ms = int((time.monotonic() - t0) * 1000)
 
     t1 = time.monotonic()
-    manifest = _build_manifest(spark, df.schema, path, opts, index_meta)
+    manifest = _build_manifest(spark, df.schema, path, opts, index_meta, reuse=reuse)
     stats_wall_ms = int((time.monotonic() - t1) * 1000)
     # Writer runtime stats — the VeloxWriter::RunStats analogue
     # (dwio/nimble/velox/VeloxWriter.h:78-115: flush/encode CPU+wall,
@@ -251,9 +267,21 @@ def _build_manifest(
     path: str,
     opts: WriteOptions,
     index_meta: dict,
+    reuse: dict[str, dict] | None = None,
 ) -> dict:
     """Collect per-file (stripe-group) and per-column stats from the
-    written parquet footers — metadata-only reads, no data scan."""
+    written parquet footers — metadata-only reads, no data scan.
+
+    ``reuse`` (relpath → prior manifest file entry) makes the build
+    INCREMENTAL: files already described by a prior commit keep their
+    entry verbatim — no re-hash, no footer re-read — so an append
+    costs O(new files), not O(table). Without it, a streaming sink's
+    per-batch appends would re-hash the whole table every batch
+    (quadratic over stream lifetime). Entries store per-file null
+    counts (``nulls``) so table-level column_stats fold from entries
+    alone.
+    """
+    reuse = reuse or {}
     hive = index_meta.get("hash") or index_meta.get("partition")
     dataset = pa_ds.dataset(path, format="parquet", partitioning="hive" if hive else None)
     files_info: list[dict] = []
@@ -265,6 +293,12 @@ def _build_manifest(
         if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType))
     ]
     for frag_path in dataset.files:
+        rel = os.path.relpath(frag_path, path)
+        prior = reuse.get(os.path.normpath(rel))
+        if prior is not None:
+            files_info.append(prior)
+            total_rows += prior["rows"]
+            continue
         md = pa_pq.ParquetFile(frag_path).metadata
         total_rows += md.num_rows
         # File integrity checksum — the postscript-checksum analogue
@@ -305,15 +339,20 @@ def _build_manifest(
                 "sha256": checksum,
                 "min": {k: _json_safe(v) for k, v in fmins.items()},
                 "max": {k: _json_safe(v) for k, v in fmaxs.items()},
+                "nulls": {k: int(v) for k, v in nulls.items()},
             }
         )
-        for name in fmins:
+    # Table-level column stats fold from the per-file entries (works
+    # identically for fresh and reused entries).
+    for f in files_info:
+        f_nulls = f.get("nulls", {})
+        for name in f["min"]:
             cs = col_stats.setdefault(name, {"null_count": 0})
-            if "min" not in cs or fmins[name] < cs["min"]:
-                cs["min"] = fmins[name]
-            if "max" not in cs or fmaxs[name] > cs["max"]:
-                cs["max"] = fmaxs[name]
-            cs["null_count"] += nulls.get(name, 0)
+            if "min" not in cs or f["min"][name] < cs["min"]:
+                cs["min"] = f["min"][name]
+            if "max" not in cs or f["max"][name] > cs["max"]:
+                cs["max"] = f["max"][name]
+            cs["null_count"] += f_nulls.get(name, 0)
 
     return {
         "format_version": 1,

@@ -213,6 +213,33 @@ def test_compaction_merges_small_files(spark, tmpdir):
         compact_table(spark, p2)
 
 
+def test_incremental_append_manifest(spark, tmpdir):
+    """Append rebuilds the manifest in O(new files): entries of
+    previously committed files are reused verbatim (same checksum
+    object, no re-hash), and folded table stats stay exact."""
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    lo = src.filter(F.col("o_orderkey") <= 700)
+    hi = src.filter(F.col("o_orderkey") > 700)
+    path = f"{tmpdir}/orders_incr"
+
+    m1 = write_table(lo, path, WriteOptions())
+    entries1 = {f["path"]: f for f in m1["files"]}
+    assert all("nulls" in f for f in m1["files"])
+
+    m2 = write_table(hi, path, WriteOptions(), mode="append")
+    assert m2["rows"] == src.count()
+    # old entries survived IDENTICALLY (reused, not recomputed)
+    for p, e in entries1.items():
+        assert {f["path"]: f for f in m2["files"]}[p] is e or \
+            {f["path"]: f for f in m2["files"]}[p] == e
+    assert len(m2["files"]) > len(m1["files"])
+    # folded table-level stats equal the full data's stats
+    cs = m2["column_stats"]["o_orderkey"]
+    row = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    assert int(cs["min"]) == row[0] and int(cs["max"]) == row[1]
+    assert read_table(spark, path).count() == src.count()
+
+
 def test_zorder_prunes_both_dimensions(spark, tmpdir):
     """Z-order layout: a narrow range scan on EITHER key must skip
     files (1-D clustering can only ever prune on its leading key),
