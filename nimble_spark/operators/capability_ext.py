@@ -586,6 +586,39 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+           FLOOR(SUM(e.value) * 1000000 + 0.5) / 1000000 AS sum_v
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    category="streaming",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joins a static
+    dimension (customer) — the dimension broadcasts to every
+    micro-batch, no streaming state at all (the cheapest streaming
+    join shape; use it over stream-stream whenever one side is
+    bounded). Aggregated per market segment; oracle is the batch
+    join."""
+    from nimble_spark.streaming.windows import read_events_stream, run_to_completion
+    from nimble_spark.tables import load
+
+    stream = read_events_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(dim), "user_id").groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sum("value"), 6).alias("sum_v"),
+    )
+    return run_to_completion(joined, "rq_stream_enrich")
+
+
+@register(
     "q_stream_upsert",
     oracle="""
     SELECT user_id, event_id, value FROM (
