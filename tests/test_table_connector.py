@@ -116,6 +116,24 @@ def test_bloom_index_prunes_files(spark, tmpdir):
     assert bloom_prune_files(spark, m, path, "o_custkey", [1]) is None
 
 
+def test_bloom_index_string_column(spark, tmpdir):
+    """BINARY bloom path: string-keyed point lookups prune by footer
+    blooms too (hash goes through Binary.fromString)."""
+    from nimble_spark.sources.bloom import bloom_prune_files
+
+    src = spark.read.parquet(f"{SF_SMALL}/customer.parquet").repartition(6, "c_custkey")
+    path = f"{tmpdir}/cust_bloom_str"
+    m = write_table(src, path, WriteOptions(bloom_cols=["c_name"]))
+    some = [r[0] for r in src.select("c_name").limit(1).collect()]
+
+    kept = bloom_prune_files(spark, m, path, "c_name", ["Customer#notexists9999"])
+    assert kept == []
+    kept = bloom_prune_files(spark, m, path, "c_name", some)
+    assert 1 <= len(kept) < len(m["files"])
+    got = read_table(spark, path, point_lookup=("c_name", some))
+    assert [r[0] for r in got.select("c_name").collect()] == some
+
+
 def test_schema_evolution_missing_column(spark, tmpdir):
     src = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
     path = f"{tmpdir}/nation"
