@@ -83,6 +83,40 @@ def stream_upsert_to_table(
     )
 
 
+def compact_upserts(
+    spark, path: str, key: str, order_cols: list[str], opts: WriteOptions | None = None
+) -> dict:
+    """Materialize the merge-on-read view: rewrite the upsert table as
+    its resolved latest-per-key rows (keeping ``_nimble_commit`` so
+    later upserts keep composing), dropping every shadowed row. The
+    read-side window then runs over one row per key — after
+    compaction, merge-on-read costs what a plain scan costs. Rewrite
+    is staged into a temp dir and swapped in, so a concurrent reader
+    sees either the old files or the new, never a mix mid-rewrite."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nimble_spark.sources.table import read_table
+
+    df = read_table(spark, path)
+    w = Window.partitionBy(key).orderBy(
+        F.col(COMMIT_COL).desc(), *[F.col(c).desc() for c in order_cols]
+    )
+    resolved = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
+    manifest = write_table(resolved, staging, opts)
+    # swap: move the old table aside, promote the staging dir
+    trash = f"{path}-old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, trash)
+    os.rename(staging, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    return manifest
+
+
 def read_upserted(spark, path: str, key: str, order_cols: list[str]) -> DataFrame:
     """Scan the upsert table resolving latest-per-key: later commits
     shadow earlier ones; within a commit the `order_cols` ranking

@@ -107,6 +107,20 @@ def test_stream_upsert_commit_shadowing(spark, tmp_path):
     # DESPITE the lower event_id — commit order shadows order_cols.
     assert got == {1: (101, 10.0), 2: (202, 22.0), 3: (300, 33.0)}
 
+    # materializing compaction: shadowed rows physically drop, the
+    # resolved view is unchanged, and later upserts still compose
+    from nimble_spark.sources.table import read_manifest, read_table
+    from nimble_spark.streaming.sink import compact_upserts
+
+    rows_before = read_table(spark, table).count()
+    compact_upserts(spark, table, key="user_id", order_cols=["event_id"])
+    assert read_manifest(table)["rows"] == 3 < rows_before
+    got2 = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in read_upserted(spark, table, key="user_id", order_cols=["event_id"]).collect()
+    }
+    assert got2 == got
+
 
 def test_media_features_shape(spark):
     from nimble_spark.operators.multimodal import FEATURE_DIM, extract_features, synthesize_media
