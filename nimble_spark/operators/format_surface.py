@@ -154,6 +154,27 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_table_history",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS commit, 'overwrite' AS mode,
+           CAST(COUNT(*) AS BIGINT) AS rows_added
+    FROM orders
+    """,
+    category="tools",
+)
+def q_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log provenance (SHOW HISTORY): a freshly written table
+    has exactly one overwrite commit whose rows_added equals the SQL
+    COUNT — the log's row accounting and the data can never drift.
+    Streaming sink micro-batches extend the same log (asserted in
+    tests/test_table_connector.py for the append path)."""
+    from nimble_spark.tools import show_history
+
+    path = _ensure_written(spark, sf_dir, "orders", "history", WriteOptions())
+    return show_history(spark, path).select("commit", "mode", "rows_added")
+
+
+@register(
     "q_zorder_scan",
     oracle=f"""
     SELECT o_orderstatus, COUNT(*) AS n, {dsum_sql("o_totalprice")} AS total

@@ -223,6 +223,7 @@ def write_table(
     # O(new files). Old-format entries without per-file null counts
     # are reprocessed.
     reuse: dict[str, dict] = {}
+    prior_commits: list[dict] = []
     if mode == "append":
         try:
             prior = read_manifest(path)
@@ -231,6 +232,7 @@ def write_table(
                 for f in prior["files"]
                 if "nulls" in f
             }
+            prior_commits = list(prior.get("commits", []))
         except (OSError, KeyError, ValueError):
             reuse = {}
 
@@ -256,6 +258,18 @@ def write_table(
         "min_file_bytes": min(sizes),
         "max_file_bytes": max(sizes),
     }
+    # Commit log — append-only provenance (SHOW HISTORY): one entry
+    # per write with what it added; an overwrite starts a new log.
+    prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
+    manifest["commits"] = prior_commits + [
+        {
+            "commit": len(prior_commits),
+            "mode": mode,
+            "files_added": len(manifest["files"]) - len(reuse),
+            "rows_added": manifest["rows"] - prior_rows,
+            "write_wall_ms": write_wall_ms,
+        }
+    ]
     os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
     _write_manifest(path, manifest)
     return manifest

@@ -199,6 +199,28 @@ def show_write_stats(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "stat STRING, value BIGINT")
 
 
+def show_history(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW HISTORY: the table's commit log — one row per write with
+    mode, files/rows added, and write wall time. An overwrite starts
+    a new log; appends (including every streaming micro-batch through
+    the sink) extend it."""
+    m = read_manifest(path)
+    rows = [
+        (
+            int(c.get("commit", i)),
+            str(c.get("mode", "")),
+            int(c.get("files_added", 0)),
+            int(c.get("rows_added", 0)),
+            int(c.get("write_wall_ms", 0)),
+        )
+        for i, c in enumerate(m.get("commits", []))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "commit BIGINT, mode STRING, files_added BIGINT, rows_added BIGINT, write_wall_ms BIGINT",
+    )
+
+
 def show_scan_metrics(spark: SparkSession, path: str, where: str | None = None) -> DataFrame:
     """SHOW SCAN METRICS [WHERE expr]: the one-line reader-stats
     report for a (filtered) scan of the table — the
@@ -280,6 +302,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_metrics(spark, path)
     if u == "SHOW WRITE STATS":
         return show_write_stats(spark, path)
+    if u == "SHOW HISTORY":
+        return show_history(spark, path)
     if u.startswith("SHOW SCAN METRICS"):
         rest = c[len("SHOW SCAN METRICS"):].strip()
         m = re.match(r"WHERE\s+(.+)$", rest, re.I)

@@ -257,6 +257,19 @@ def test_incremental_append_manifest(spark, tmpdir):
     assert int(cs["min"]) == row[0] and int(cs["max"]) == row[1]
     assert read_table(spark, path).count() == src.count()
 
+    # commit log: overwrite started it, append extended it
+    commits = m2["commits"]
+    assert [c["mode"] for c in commits] == ["overwrite", "append"]
+    assert commits[0]["rows_added"] == lo.count()
+    assert commits[1]["rows_added"] == hi.count()
+    assert sum(c["files_added"] for c in commits) == len(m2["files"])
+
+    from nimble_spark import tools
+
+    hist = tools.run_command(spark, path, "SHOW HISTORY").collect()
+    assert [r["mode"] for r in hist] == ["overwrite", "append"]
+    assert sum(r["rows_added"] for r in hist) == src.count()
+
 
 def test_zorder_prunes_both_dimensions(spark, tmpdir):
     """Z-order layout: a narrow range scan on EITHER key must skip
