@@ -783,3 +783,45 @@ def q_json_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("total"),
     )
+
+
+@register(
+    "q_csv_source_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_d,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_d
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="source",
+)
+def q_csv_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector parity: orders rides a header-less CSV copy with
+    an explicit schema and ISO timestamp format (inference and header
+    scans are per-file costs you never pay at 100 TB), and must
+    aggregate identically to the parquet original."""
+    path = ensure_cached(
+        sf_dir, "orders_csv_iso", ["orders"],
+        # serialize the timestamp explicitly: CSV timestamp formatting
+        # differs between LTZ/NTZ writers, and an at-scale pipeline
+        # pins the wire format rather than trusting writer defaults
+        lambda tmp: load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        )
+        .write.mode("overwrite")
+        .csv(tmp),
+    )
+    schema = "o_orderkey BIGINT, o_orderstatus STRING, o_orderdate TIMESTAMP"
+    c = (
+        spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    return c.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
