@@ -477,6 +477,56 @@ def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fuzzy_prefix_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, substring(text, 1, 8) AS blk,
+             substring(text, 1, 40) AS p40
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.p40, b.p40) AS BIGINT) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p40, b.p40) <= 6
+    """,
+    category="dedup",
+)
+def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs — the record-linkage
+    primitive for boilerplate-opening detection: documents whose
+    40-char prefixes are within Levenshtein distance 6, candidate
+    generation BLOCKED on (lang, 8-char prefix) so the quadratic
+    verify runs only inside blocks. At 100 TB blocking is the whole
+    game: block sizes are bounded by content diversity, the
+    cross-block join is a hash join on the block key, and levenshtein
+    (JVM built-in) runs only on the surviving candidates."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 40).alias("p40"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.p40"), F.col("b.p40"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") <= 6)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "dist",
+        )
+    )
+
+
+@register(
     "q_simhash",
     oracle=f"""
     {_SIMHASH_CTE_DUCK}
