@@ -337,6 +337,31 @@ def q_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_audio_clip",
+    oracle=f"""
+    SELECT i AS media_id,
+           CAST(LEAST(4800, 1600 * (1 + i % 5)) - 800 AS BIGINT) AS clip_samples,
+           CAST(44 + 2 * (LEAST(4800, 1600 * (1 + i % 5)) - 800) AS BIGINT) AS clip_bytes
+    FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 1
+    """,
+    category="multimodal",
+)
+def q_audio_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segment extraction (training-pipeline clip step): WAV
+    payloads decode, slice [0.05 s, 0.30 s) at their own sample rate,
+    and re-encode. The synthesized audio tracks are 1600·(1+i%5)
+    samples at 16 kHz, so clip length and the re-encoded WAV byte
+    size (44-byte header + 2 bytes/sample) have closed forms the
+    oracle checks — proving the samples were really cut, not
+    counted."""
+    from nimble_spark.operators.multimodal import clip_audio
+
+    media = _media_table(spark, sf_dir)
+    clips = clip_audio(media, 0.05, 0.30)
+    return clips.select("media_id", "clip_samples", "clip_bytes")
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming — batch-equivalence oracles. The streams are
 # file-backed and driven to completion, so the final memory-sink state

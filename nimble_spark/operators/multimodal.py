@@ -257,6 +257,43 @@ def resize_images(media: DataFrame, width: int, height: int, decode: str = "real
     return media.filter(F.col("kind") == "image").mapInPandas(op, RESIZE_SCHEMA)
 
 
+CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("clip_samples", T.LongType()),
+        T.StructField("clip_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def clip_audio(media: DataFrame, start_s: float, end_s: float) -> DataFrame:
+    """Audio clip extraction: decode the WAV payload, slice the sample
+    range [start_s, end_s) at the stream's own sample rate, re-encode
+    as WAV — the segment-extraction step of a speech training
+    pipeline. Kind filter stays JVM-side; payloads never cross a
+    shuffle (mapInPandas, narrow)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nb, payloads = [], [], [], []
+            for _, row in pdf.iterrows():
+                wav = decode_wav(bytes(row["payload"]))
+                lo = int(start_s * wav.sample_rate)
+                hi = min(int(end_s * wav.sample_rate), len(wav.samples))
+                seg = wav.samples[lo:hi] if lo < hi else []
+                out = encode_wav(wav.sample_rate, seg)
+                ids.append(row["media_id"])
+                ns.append(len(seg))
+                nb.append(len(out))
+                payloads.append(out)
+            yield pd.DataFrame(
+                {"media_id": ids, "clip_samples": ns, "clip_bytes": nb, "payload": payloads}
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(op, CLIP_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "real") -> DataFrame:
     """Video frame sampling: one output row per sampled frame (fan-out
     inside mapInPandas). ``real`` decodes the RAWVID container and each
