@@ -343,6 +343,45 @@ def q_ntile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (SELECT NULLIF(o_orderstatus, 'P') AS v FROM orders),
+    g AS (SELECT v, COUNT(*) AS cnt FROM t GROUP BY v)
+    SELECT (SELECT COUNT(*) FROM t) AS n_all,
+           (SELECT COUNT(v) FROM t) AS n_nonnull,
+           (SELECT COUNT(DISTINCT v) AS ndv FROM t) AS ndv,
+           (SELECT COUNT(*) FROM g) AS n_groups,
+           (SELECT CAST(SUM(cnt * cnt) AS BIGINT) FROM g) AS nullsafe_pairs
+    """,
+    category="relational",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics conformance: COUNT(*) vs COUNT(col) (nulls
+    excluded), COUNT(DISTINCT) (null excluded), GROUP BY treating
+    NULL as one group, and the null-safe-equality join cardinality
+    computed as Σ cnt² over groups (what an eqNullSafe self-join
+    would produce) — the exact corners engines disagree on if NULL
+    handling drifts."""
+    t = load(spark, sf_dir, "orders").select(
+        F.expr("nullif(o_orderstatus, 'P')").alias("v")
+    )
+    g = t.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        t.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count("v").alias("n_nonnull"),
+            F.countDistinct("v").alias("ndv"),
+        )
+        .crossJoin(
+            g.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.col("cnt") * F.col("cnt")).alias("nullsafe_pairs"),
+            )
+        )
+    )
+
+
+@register(
     "q_ndv_stats",
     oracle="""
     SELECT COUNT(DISTINCT l_returnflag) AS ndv_returnflag,
