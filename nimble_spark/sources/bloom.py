@@ -109,17 +109,126 @@ def bloom_probe_file(
         reader.close()
 
 
+SIDECAR_DIR = os.path.join("_nimble", "index", "bloom")
+
+
+def build_bloom_sidecar(spark: SparkSession, path: str, column: str) -> int:
+    """Extract every (file, row-group) bloom bitset for `column` into
+    ONE sidecar parquet under ``_nimble/index/bloom/<column>.parquet``
+    — the reference's separately-stored index stream
+    (dwio/nimble/index/BloomFilter.h: blooms live in the index
+    stripes, not the data). Probes then read a single small file
+    instead of opening every data footer: at 10⁶ files that is the
+    difference between one read and a million. Returns the number of
+    blooms captured. Size the bitsets with
+    ``WriteOptions.bloom_expected_ndv`` — the parquet default is
+    1 MB per bloom; a right-sized one is KBs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from nimble_spark.sources.table import read_manifest
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    m = read_manifest(path)
+    files, rgs, blobs, prims = [], [], [], []
+    for f in m["files"]:
+        fpath = os.path.join(path, f["path"])
+        jpath = jvm.org.apache.hadoop.fs.Path(fpath)
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(jpath, conf)
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            footer = reader.getFooter()
+            for bi in range(footer.getBlocks().size()):
+                block = footer.getBlocks().get(bi)
+                cols = block.getColumns()
+                kcol = None
+                for ci in range(cols.size()):
+                    if cols.get(ci).getPath().toDotString() == column:
+                        kcol = cols.get(ci)
+                        break
+                if kcol is None or kcol.getBloomFilterOffset() < 0:
+                    continue
+                bloom = reader.getBloomFilterDataReader(block).readBloomFilter(kcol)
+                if bloom is None:
+                    continue
+                baos = jvm.java.io.ByteArrayOutputStream()
+                bloom.writeTo(baos)
+                files.append(os.path.normpath(f["path"]))
+                rgs.append(bi)
+                blobs.append(bytes(baos.toByteArray()))
+                prims.append(kcol.getPrimitiveType().getPrimitiveTypeName().name())
+        finally:
+            reader.close()
+    out_dir = os.path.join(path, SIDECAR_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    table = pa.table({"file": files, "rg": rgs, "bloom": blobs, "primitive": prims})
+    pa_pq.write_table(table, os.path.join(out_dir, f"{column}.parquet"), compression="zstd")
+    return len(blobs)
+
+
+def _sidecar_probe(
+    spark: SparkSession, root: str, manifest: dict, key: str, values: list
+) -> list[str] | None:
+    """Probe from the sidecar (no data-file opens). Returns None when
+    the sidecar is absent or does not cover every manifest file (e.g.
+    after compaction rewrote files) — caller falls back to footers."""
+    import pyarrow.parquet as pa_pq
+
+    sc_path = os.path.join(root, SIDECAR_DIR, f"{key}.parquet")
+    if not os.path.exists(sc_path):
+        return None
+    t = pa_pq.read_table(sc_path)
+    by_file: dict[str, list[bytes]] = {}
+    for fname, blob in zip(t.column("file").to_pylist(), t.column("bloom").to_pylist()):
+        by_file.setdefault(fname, []).append(blob)
+    want = {os.path.normpath(f["path"]) for f in manifest["files"]}
+    if not want <= set(by_file):
+        return None
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    # the column's parquet primitive type rides in the sidecar, so
+    # the probe hashes with the exact overload the writer used
+    prims = set(t.column("primitive").to_pylist())
+    if len(prims) != 1:
+        return None
+    primitive = prims.pop()
+    keep = []
+    B = jvm.org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
+    for f in manifest["files"]:
+        rel = os.path.normpath(f["path"])
+        maybe = False
+        for blob in by_file[rel]:
+            bloom = B(blob)
+            for v in values:
+                h = _hash_value(jvm, gw, bloom, primitive, v)
+                if h is None:
+                    return None
+                if bloom.findHash(h):
+                    maybe = True
+                    break
+            if maybe:
+                break
+        if maybe:
+            keep.append(os.path.join(root, f["path"]))
+    return keep
+
+
 def bloom_prune_files(
     spark: SparkSession, manifest: dict, root: str, key: str, values: Iterable[Any]
 ) -> list[str] | None:
     """File list for a point lookup on a bloom-indexed column, or None
     when the table has no bloom index on `key` (caller falls back to
     min/max pruning). Files whose blooms definitively exclude every
-    probe value are skipped."""
+    probe value are skipped. Probes prefer the sidecar index (one
+    small read); footer probing is the fallback."""
     bloom_keys = manifest.get("indexes", {}).get("bloom", {}).get("keys", [])
     if key not in bloom_keys:
         return None
     values = list(values)
+    via_sidecar = _sidecar_probe(spark, root, manifest, key, values)
+    if via_sidecar is not None:
+        return via_sidecar
     keep = []
     for f in manifest["files"]:
         fpath = os.path.join(root, f["path"])

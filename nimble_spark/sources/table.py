@@ -75,6 +75,10 @@ class WriteOptions:
     cut_by: Optional[str] = None
     n_cut_files: int = 8
     bloom_cols: Optional[list[str]] = None
+    # Expected NDV per bloom column: sizes the bitset (default
+    # parquet blooms are 1 MB; a right-sized one is KBs). Keyed by
+    # column; columns absent fall back to parquet's default.
+    bloom_expected_ndv: Optional[dict[str, int]] = None
     # Per-column encoding-selection knob (the reference's pluggable
     # EncodingSelectionPolicy surface): force PLAIN for listed columns
     # by disabling parquet dictionary encoding column-wise.
@@ -213,6 +217,9 @@ def write_table(
     if opts.bloom_cols:
         for c in opts.bloom_cols:
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            ndv = (opts.bloom_expected_ndv or {}).get(c)
+            if ndv:
+                writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
         index_meta["bloom"] = {"keys": list(opts.bloom_cols)}
     for c in opts.no_dictionary_cols or []:
         writer = writer.option(f"parquet.enable.dictionary#{c}", "false")

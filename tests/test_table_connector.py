@@ -116,6 +116,46 @@ def test_bloom_index_prunes_files(spark, tmpdir):
     assert bloom_prune_files(spark, m, path, "o_custkey", [1]) is None
 
 
+def test_bloom_sidecar_probe(spark, tmpdir):
+    """Sidecar bloom index: bitsets extracted once into one parquet
+    under _nimble/index/bloom; probes then read the sidecar only and
+    must return the same pruning verdicts as footer probing. The
+    expected-NDV knob right-sizes the bitsets (default is 1 MB
+    each)."""
+    import os
+
+    from nimble_spark.sources.bloom import (
+        SIDECAR_DIR,
+        _sidecar_probe,
+        bloom_prune_files,
+        build_bloom_sidecar,
+    )
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").repartition(6, "o_custkey")
+    path = f"{tmpdir}/orders_bloom_sc"
+    m = write_table(
+        src,
+        path,
+        WriteOptions(bloom_cols=["o_orderkey"], bloom_expected_ndv={"o_orderkey": 2000}),
+    )
+    # footer-probe verdicts BEFORE the sidecar exists
+    foot_absent = bloom_prune_files(spark, m, path, "o_orderkey", [99999999])
+    foot_present = bloom_prune_files(spark, m, path, "o_orderkey", [7])
+
+    n = build_bloom_sidecar(spark, path, "o_orderkey")
+    assert n >= len(m["files"])
+    sc_file = os.path.join(path, SIDECAR_DIR, "o_orderkey.parquet")
+    # right-sized: far below the 1 MB-per-bloom default
+    assert os.path.getsize(sc_file) < 256 * 1024
+
+    sc_absent = _sidecar_probe(spark, path, m, "o_orderkey", [99999999])
+    sc_present = _sidecar_probe(spark, path, m, "o_orderkey", [7])
+    assert sc_absent == foot_absent == []
+    assert sc_present == foot_present
+    # and the public entry now routes through the sidecar
+    assert bloom_prune_files(spark, m, path, "o_orderkey", [7]) == sc_present
+
+
 def test_bloom_index_string_column(spark, tmpdir):
     """BINARY bloom path: string-keyed point lookups prune by footer
     blooms too (hash goes through Binary.fromString)."""
