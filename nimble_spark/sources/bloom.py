@@ -214,6 +214,51 @@ def _sidecar_probe(
     return keep
 
 
+def explain_pruning(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lo: Any = None,
+    hi: Any = None,
+    values: list | None = None,
+) -> list[dict]:
+    """Dry-run the file-skipping decision for a predicate on `key`
+    across every index tier, without reading any data: per file,
+    report whether it would be kept and which tier vetoed it
+    (``range`` = cluster/zorder min-max, ``bloom`` = bloom veto,
+    ``kept`` = must be read). The "why is my query reading 10k
+    files" debugging tool — the reference's index-selection trace
+    made queryable."""
+    from nimble_spark.sources.table import read_manifest
+
+    m = read_manifest(path)
+    idx = m.get("indexes", {})
+    range_keys = list((idx.get("cluster") or {}).get("keys", [])) + list(
+        (idx.get("zorder") or {}).get("keys", [])
+    )
+    bloom_keys = (idx.get("bloom") or {}).get("keys", [])
+    if values is not None:
+        vlist = list(values)
+        plo, phi = min(vlist), max(vlist)
+    else:
+        vlist, plo, phi = None, lo, hi
+    out = []
+    for f in m["files"]:
+        verdict = "kept"
+        if key in range_keys or (f["min"].get(key) is not None):
+            fmin, fmax = f["min"].get(key), f["max"].get(key)
+            if fmin is not None and (
+                (phi is not None and fmin > phi) or (plo is not None and fmax < plo)
+            ):
+                verdict = "range"
+        if verdict == "kept" and vlist is not None and key in bloom_keys:
+            probe = bloom_probe_file(spark, os.path.join(path, f["path"]), key, vlist)
+            if probe["has_bloom"] and not probe["maybe"]:
+                verdict = "bloom"
+        out.append({"file": f["path"], "kept": verdict == "kept", "pruned_by": verdict})
+    return out
+
+
 def bloom_prune_files(
     spark: SparkSession, manifest: dict, root: str, key: str, values: Iterable[Any]
 ) -> list[str] | None:

@@ -221,6 +221,38 @@ def show_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _lit(tok: str):
+    """Parse a DSL literal: quoted string, else int, else float."""
+    t = tok.strip()
+    if len(t) >= 2 and t[0] == t[-1] and t[0] in "'\"":
+        return t[1:-1]
+    try:
+        return int(t)
+    except ValueError:
+        return float(t)
+
+
+def explain_pruning_df(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lo=None,
+    hi=None,
+    values: list | None = None,
+) -> DataFrame:
+    """EXPLAIN PRUNING <col> BETWEEN a AND b | IN (v, ...): per-file
+    dry run of the skip decision across index tiers (range min/max,
+    bloom veto) — which files a predicate would read, and why the
+    others are skipped, without touching data."""
+    from nimble_spark.sources.bloom import explain_pruning
+
+    rows = [
+        (r["file"], bool(r["kept"]), r["pruned_by"])
+        for r in explain_pruning(spark, path, key, lo=lo, hi=hi, values=values)
+    ]
+    return spark.createDataFrame(rows, "file STRING, kept BOOLEAN, pruned_by STRING")
+
+
 def show_scan_metrics(spark: SparkSession, path: str, where: str | None = None) -> DataFrame:
     """SHOW SCAN METRICS [WHERE expr]: the one-line reader-stats
     report for a (filtered) scan of the table — the
@@ -277,7 +309,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
 
       DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES | SHOW CHUNKS |
       SHOW ENCODING | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
-      SHOW SCAN METRICS [WHERE expr] |
+      SHOW HISTORY | SHOW SCAN METRICS [WHERE expr] |
+      EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
       SELECT col[,col...] [LIMIT n] [OFFSET n]
     """
     import re
@@ -304,6 +337,13 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_write_stats(spark, path)
     if u == "SHOW HISTORY":
         return show_history(spark, path)
+    m = re.match(r"EXPLAIN\s+PRUNING\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)$", c, re.I)
+    if m:
+        return explain_pruning_df(spark, path, m.group(1), lo=_lit(m.group(2)), hi=_lit(m.group(3)))
+    m = re.match(r"EXPLAIN\s+PRUNING\s+(\w+)\s+IN\s*\((.+)\)$", c, re.I)
+    if m:
+        vals = [_lit(v.strip()) for v in m.group(2).split(",")]
+        return explain_pruning_df(spark, path, m.group(1), values=vals)
     if u.startswith("SHOW SCAN METRICS"):
         rest = c[len("SHOW SCAN METRICS"):].strip()
         m = re.match(r"WHERE\s+(.+)$", rest, re.I)

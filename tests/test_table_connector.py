@@ -115,6 +115,12 @@ def test_bloom_index_prunes_files(spark, tmpdir):
     # non-bloom column: probing declines (caller falls back)
     assert bloom_prune_files(spark, m, path, "o_custkey", [1]) is None
 
+    # EXPLAIN PRUNING dry run: absent key → every file pruned_by=bloom
+    from nimble_spark.sources.bloom import explain_pruning
+
+    verdicts = explain_pruning(spark, path, "o_orderkey", values=[99999999])
+    assert all(not v["kept"] and v["pruned_by"] == "bloom" for v in verdicts)
+
 
 def test_bloom_sidecar_probe(spark, tmpdir):
     """Sidecar bloom index: bitsets extracted once into one parquet

@@ -98,6 +98,34 @@ def test_show_scan_metrics_pruning(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_explain_pruning(spark, table_path):
+    """EXPLAIN PRUNING dry-runs the skip decision: on the clustered
+    table a narrow BETWEEN marks out-of-range files pruned_by=range
+    without reading data, and verdicts agree with the actual pruned
+    scan."""
+    from nimble_spark.sources.table import read_table
+
+    import os
+
+    from nimble_spark.sources.table import _prune_files, read_manifest
+
+    rows = tools.run_command(
+        spark, table_path, "EXPLAIN PRUNING o_orderkey BETWEEN 100 AND 200"
+    ).collect()
+    kept = {r["file"] for r in rows if r["kept"]}
+    pruned = [r for r in rows if not r["kept"]]
+    assert pruned and all(r["pruned_by"] == "range" for r in pruned)
+    assert 1 <= len(kept) < len(rows)
+    # dry-run verdicts equal the real pruning decision
+    real = _prune_files(read_manifest(table_path), table_path, "o_orderkey", 100, 200)
+    assert {os.path.relpath(p, table_path) for p in real} == kept
+    # the kept files cover every matching row
+    got = read_table(spark, table_path, range_scan=("o_orderkey", 100, 200))
+    assert got.count() == spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+        "o_orderkey BETWEEN 100 AND 200"
+    ).count()
+
+
 def test_write_stats_and_checksums(spark, table_path):
     from nimble_spark.sources.table import read_manifest, verify_table
 
