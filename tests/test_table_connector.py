@@ -115,10 +115,18 @@ def test_bloom_index_prunes_files(spark, tmpdir):
     # non-bloom column: probing declines (caller falls back)
     assert bloom_prune_files(spark, m, path, "o_custkey", [1]) is None
 
-    # EXPLAIN PRUNING dry run: absent key → every file pruned_by=bloom
+    # EXPLAIN PRUNING dry run. o_orderkey is contiguous, so an absent
+    # key is outside the global range and the RANGE tier vetoes first:
     from nimble_spark.sources.bloom import explain_pruning
 
     verdicts = explain_pruning(spark, path, "o_orderkey", values=[99999999])
+    assert all(not v["kept"] and v["pruned_by"] == "range" for v in verdicts)
+    # a gapped key domain (even keys only): an absent odd key sits
+    # INSIDE every file's min/max, so only the bloom tier can veto
+    even = spark.range(0, 4000).selectExpr("id * 2 AS k").repartition(4, "k")
+    p2 = f"{tmpdir}/even_bloom"
+    write_table(even, p2, WriteOptions(bloom_cols=["k"]))
+    verdicts = explain_pruning(spark, p2, "k", values=[4001])
     assert all(not v["kept"] and v["pruned_by"] == "bloom" for v in verdicts)
 
 
