@@ -154,6 +154,42 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_explain_pruning",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_in_range,
+           TRUE AS dry_run_matches, TRUE AS out_of_range_all_pruned
+    FROM orders WHERE o_orderkey BETWEEN 100 AND 200
+    """,
+    category="tools",
+)
+def q_explain_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN PRUNING (index-selection trace): the dry-run's kept
+    set must equal the real pruning decision for an in-range
+    predicate, an out-of-domain predicate must prune every file, and
+    the pruned scan must count exactly the SQL rows — the dry run,
+    the scan path, and the data all agree."""
+    from nimble_spark.sources.bloom import explain_pruning
+    from nimble_spark.sources.table import _prune_files, read_manifest
+
+    path = _ensure_written(
+        spark, sf_dir, "orders", "cluster_orderkey", WriteOptions(cluster_by=["o_orderkey"])
+    )
+    m = read_manifest(path)
+    dry = explain_pruning(spark, path, "o_orderkey", lo=100, hi=200)
+    kept = {d["file"] for d in dry if d["kept"]}
+    real = {
+        os.path.relpath(p, path)
+        for p in _prune_files(m, path, "o_orderkey", 100, 200)
+    }
+    out_of_range = explain_pruning(spark, path, "o_orderkey", lo=10**9, hi=2 * 10**9)
+    n = read_table(spark, path, range_scan=("o_orderkey", 100, 200)).count()
+    return spark.createDataFrame(
+        [(n, kept == real, all(not d["kept"] for d in out_of_range))],
+        "rows_in_range BIGINT, dry_run_matches BOOLEAN, out_of_range_all_pruned BOOLEAN",
+    )
+
+
+@register(
     "q_table_history",
     oracle="""
     SELECT CAST(0 AS BIGINT) AS commit, 'overwrite' AS mode,
