@@ -42,6 +42,18 @@ def test_oracles_parse_in_duckdb(duck):
     assert not failures, failures
 
 
+def test_every_query_has_an_oracle():
+    """Invariant earned in round 4: zero rows-only queries. Every
+    registered operator carries a DuckDB oracle, so the driver's gate
+    always produces a hard (rows+schema+hash) signal. A new query
+    without an oracle fails here, not silently in the round report."""
+    import __spark_entry__ as ent
+
+    qs, os_ = ent.queries(), ent.oracle_sql()
+    assert set(qs) == set(os_), sorted(set(qs) ^ set(os_))
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
+
+
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "q_topk", "q_dedup_exact"])
 def test_query_runs_small(spark, name):
     import __spark_entry__ as ent
