@@ -240,8 +240,27 @@ def write_table(
                 if "nulls" in f
             }
             prior_commits = list(prior.get("commits", []))
+            pidx = prior.get("indexes", {})
         except (OSError, KeyError, ValueError):
-            reuse = {}
+            reuse, pidx = {}, {}
+        # Index metadata must survive appends. Directory-shaped
+        # indexes (hash buckets, Hive partitions, cut files) are
+        # layout contracts — an append that doesn't reproduce them
+        # would scatter files a pruned lookup never visits, a silent
+        # correctness bug, so mismatches raise. Stats-shaped indexes
+        # (cluster/zorder ranges, blooms, the sorted list + fence)
+        # carry forward: pruning on them stays correct on mixed
+        # layouts (per-file min/max; bloom-less files always kept;
+        # the fence detects sorted-index staleness).
+        for k in ("hash", "partition", "cut"):
+            if k in pidx and index_meta.get(k) != pidx[k]:
+                raise ValueError(
+                    f"append must reproduce the table's {k} layout {pidx[k]}, "
+                    f"got {index_meta.get(k)}"
+                )
+        for k in ("cluster", "zorder", "bloom", "sorted", "sorted_fence"):
+            if k in pidx and k not in index_meta:
+                index_meta[k] = pidx[k]
 
     t0 = time.monotonic()
     writer.parquet(path)
@@ -504,8 +523,22 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
     m = read_manifest(path)
     m.setdefault("indexes", {}).setdefault("sorted", []).append(key)
     m["indexes"]["sorted"] = sorted(set(m["indexes"]["sorted"]))
+    # Staleness fence: the index is valid only for the files present
+    # when it was built. Record the file set's fingerprint; reads
+    # consult it and bypass a stale index (fall back to scan paths
+    # that are always correct) rather than silently missing rows
+    # appended after index creation.
+    m["indexes"].setdefault("sorted_fence", {})[key] = _files_fingerprint(m)
     _write_manifest(path, m)
     return spark.read.parquet(out).count()
+
+
+def _files_fingerprint(manifest: dict) -> str:
+    h = hashlib.sha256()
+    for f in sorted(f["path"] for f in manifest["files"]):
+        h.update(f.encode())
+        h.update(b"\0")
+    return h.hexdigest()[:16]
 
 
 def _prune_files(manifest: dict, root: str, key: str, lo: Any, hi: Any) -> list[str] | None:
@@ -610,10 +643,15 @@ def read_table(
             return df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL).select(
                 *(columns or [c for c in df.columns if c != BUCKET_COL])
             )
-        elif key in manifest.get("indexes", {}).get("sorted", []):
+        elif key in manifest.get("indexes", {}).get("sorted", []) and manifest[
+            "indexes"
+        ].get("sorted_fence", {}).get(key) in (None, _files_fingerprint(manifest)):
             # Secondary sorted index: the index scan (small, sorted,
             # min/max-prunable) yields exactly the files holding the
-            # probe keys; only those are read.
+            # probe keys; only those are read. A fence mismatch
+            # (files appended/compacted since the index was built)
+            # drops to the always-correct fallback paths instead of
+            # silently missing rows.
             idx_path = os.path.join(path, MANIFEST_DIR, "index", "sorted", key)
             idx = spark.read.parquet(idx_path).filter(F.col(key).isin(values))
             file_list = sorted(

@@ -285,6 +285,29 @@ def test_compaction_merges_small_files(spark, tmpdir):
         compact_table(spark, p2)
 
 
+def test_sorted_index_stale_fence(spark, tmpdir):
+    """A sorted index built before an append must NOT silently miss
+    appended rows: the file-set fence detects staleness and the read
+    falls back to a full (correct) scan; rebuilding the index
+    restores index-pruned lookups."""
+    from nimble_spark.sources.table import create_sorted_index
+
+    src = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    path = f"{tmpdir}/cust_sorted_fence"
+    write_table(src.filter("c_custkey < 100"), path, WriteOptions())
+    create_sorted_index(spark, path, "c_custkey")
+    assert read_table(spark, path, point_lookup=("c_custkey", [5])).count() == 1
+
+    # append rows the index has never seen
+    write_table(src.filter("c_custkey >= 100"), path, WriteOptions(), mode="append")
+    hits = read_table(spark, path, point_lookup=("c_custkey", [105]))
+    assert hits.count() == 1  # fence bypassed the stale index
+
+    create_sorted_index(spark, path, "c_custkey")  # rebuild → fence current
+    assert read_table(spark, path, point_lookup=("c_custkey", [105])).count() == 1
+    assert read_table(spark, path, point_lookup=("c_custkey", [5])).count() == 1
+
+
 def test_incremental_append_manifest(spark, tmpdir):
     """Append rebuilds the manifest in O(new files): entries of
     previously committed files are reused verbatim (same checksum
