@@ -173,7 +173,12 @@ def compact_table(
         merged = spark.read.parquet(*srcs).coalesce(1)
         if cluster_keys:
             merged = merged.sortWithinPartitions(*cluster_keys)
-        merged.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        writer = merged.write.mode("overwrite").option("compression", "zstd")
+        # merged files keep the table's bloom index (a plain rewrite
+        # would drop the filters — still correct, never selective)
+        for c in (idx.get("bloom") or {}).get("keys", []):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(tmp)
         part = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
         assert len(part) == 1, f"expected one output file per bin, got {part}"
         # The merged file takes the FIRST source file's name: manifest
