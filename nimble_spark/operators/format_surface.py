@@ -190,6 +190,39 @@ def q_explain_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_time_travel",
+    oracle=f"""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey < 5000) AS n_snap0,
+           (SELECT COUNT(*) FROM orders) AS n_head,
+           (SELECT {dsum_sql("o_totalprice")} FROM orders WHERE o_orderkey < 5000)
+             AS snap0_total
+    """,
+    category="format",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reads over the commit log: the table is built as two
+    commits (orderkey < 5000, then the rest); reading as_of_commit=0
+    must see exactly the first commit's rows — counts and an exact
+    decimal total both match the SQL over the same key split — while
+    the head read sees everything."""
+    from nimble_spark.sources.table import read_manifest
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        write_table(o.filter(F.col("o_orderkey") < 5000), tmp, WriteOptions())
+        write_table(o.filter(F.col("o_orderkey") >= 5000), tmp, WriteOptions(), mode="append")
+
+    path = ensure_cached(sf_dir, "orders__two_commits", ["orders"], _build)
+    snap0 = read_table(spark, path, as_of_commit=0)
+    head = read_table(spark, path)
+    a0 = snap0.agg(
+        F.count(F.lit(1)).alias("n_snap0"), dsum("o_totalprice").alias("snap0_total")
+    )
+    h = head.agg(F.count(F.lit(1)).alias("n_head"))
+    return a0.crossJoin(h).select("n_snap0", "n_head", "snap0_total")
+
+
+@register(
     "q_table_history",
     oracle="""
     SELECT CAST(0 AS BIGINT) AS commit, 'overwrite' AS mode,

@@ -286,14 +286,23 @@ def write_table(
     }
     # Commit log — append-only provenance (SHOW HISTORY): one entry
     # per write with what it added; an overwrite starts a new log.
+    # Each entry lists its file additions, which makes the log a
+    # snapshot index: "files as of commit N" = union of entries ≤ N
+    # (time travel, read_table(as_of_commit=N)).
     prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
+    new_files = sorted(
+        os.path.normpath(f["path"])
+        for f in manifest["files"]
+        if os.path.normpath(f["path"]) not in reuse
+    )
     manifest["commits"] = prior_commits + [
         {
             "commit": len(prior_commits),
             "mode": mode,
-            "files_added": len(manifest["files"]) - len(reuse),
+            "files_added": len(new_files),
             "rows_added": manifest["rows"] - prior_rows,
             "write_wall_ms": write_wall_ms,
+            "files": new_files,
         }
     ]
     os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
@@ -573,6 +582,7 @@ def read_table(
     evolved_types: Optional[dict] = None,
     row_range: Optional[tuple[int, int]] = None,
     verify_checksums: bool = False,
+    as_of_commit: Optional[int] = None,
 ) -> DataFrame:
     """Projected / index-pruned scan of a nimble_spark table.
 
@@ -599,6 +609,34 @@ def read_table(
         bad = verify_table(path)
         if bad:
             raise IOError(f"checksum mismatch in {path}: {bad}")
+    if as_of_commit is not None:
+        # Time travel: the commit log doubles as a snapshot index —
+        # the table as of commit N is the union of file additions in
+        # commits 0..N (appends never rewrite). Compaction/vacuum
+        # trade history for layout: a snapshot whose files were
+        # merged away raises instead of silently returning less.
+        if range_scan is not None or point_lookup is not None or row_range is not None:
+            raise ValueError("as_of_commit is a plain snapshot scan; combine with filters on the result")
+        commits = manifest.get("commits", [])
+        if not 0 <= as_of_commit < len(commits):
+            raise ValueError(f"as_of_commit {as_of_commit} out of range (have {len(commits)} commits)")
+        snap = [f for c in commits[: as_of_commit + 1] for f in c.get("files", [])]
+        live = {os.path.normpath(f["path"]) for f in manifest["files"]}
+        missing = [f for f in snap if f not in live]
+        if missing:
+            raise ValueError(
+                f"snapshot at commit {as_of_commit} is gone (compaction/vacuum removed {missing[:3]}…)"
+            )
+        if not snap:
+            return _empty_df(spark, manifest)
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f) for f in snap]
+        )
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        if columns:
+            df = _project_with_evolution(df, manifest, columns, evolved_types)
+        return df
     if row_range is not None:
         df = _read_row_range(spark, path, manifest, *row_range)
         if columns:

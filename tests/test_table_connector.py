@@ -347,6 +347,17 @@ def test_incremental_append_manifest(spark, tmpdir):
     assert [r["mode"] for r in hist] == ["overwrite", "append"]
     assert sum(r["rows_added"] for r in hist) == src.count()
 
+    # time travel: commit 0 is exactly the first write's rows,
+    # commit 1 (head) is everything; out-of-range raises
+    snap0 = read_table(spark, path, as_of_commit=0)
+    assert snap0.count() == lo.count()
+    assert {r[0] for r in snap0.select("o_orderkey").collect()} == {
+        r[0] for r in lo.select("o_orderkey").collect()
+    }
+    assert read_table(spark, path, as_of_commit=1).count() == src.count()
+    with pytest.raises(ValueError):
+        read_table(spark, path, as_of_commit=2)
+
 
 def test_zorder_prunes_both_dimensions(spark, tmpdir):
     """Z-order layout: a narrow range scan on EITHER key must skip
