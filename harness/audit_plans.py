@@ -25,6 +25,8 @@ DEFAULT = [
     "q_ngram_jaccard_pairs", "q_row_range_scan",
     "q_semantic_dedup", "q_token_budget_sample", "q_sequence_pack",
     "q_shuffle_shards", "q_decontaminate", "q_paragraph_dedup",
+    "q_zorder_scan", "q_bloom_point_lookup", "q_fuzzy_prefix_pairs",
+    "q_fast_count", "q_time_travel", "q_null_semantics",
 ]
 
 
