@@ -179,3 +179,86 @@ def q_time_bucket_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         cal.join(daily, "d", "left")
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+@register(
+    "q_interpolate_linear",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             {davg_sql("value")} AS v
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY 1),
+    cal AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ),
+    j AS (
+      SELECT c.event_type, c.h, o.v
+      FROM cal c LEFT JOIN obs o USING (event_type, h)
+    ),
+    w AS (
+      SELECT event_type, h, v,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+      FROM j
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           FLOOR((CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN ph IS NULL THEN nv
+             WHEN nh IS NULL THEN pv
+             ELSE pv + (nv - pv) * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))
+           END) * 10000 + 0.5) / 10000 AS v
+    FROM w
+    """,
+    category="time_window",
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with linear interpolation: hourly mean
+    value per event_type on a densified calendar; missing hours take
+    the straight line between their observed neighbors (edges clamp
+    to the nearest observation). Interp inputs are exact-decimal
+    means, so both engines interpolate identical numbers. The
+    classic sensor/metric regularization step before sequence
+    modeling."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        davg("value").alias("v")
+    )
+    b = obs.groupBy("event_type").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    cal = b.select(
+        "event_type", F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    j = cal.join(obs, ["event_type", "h"], "left")
+    wp = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("event_type").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    ph = F.last(obs_h, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nh = F.first(obs_h, ignorenulls=True).over(wn)
+    frac = (F.unix_timestamp(F.col("h")) - F.unix_timestamp(ph)) / (
+        F.unix_timestamp(nh) - F.unix_timestamp(ph)
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(ph.isNull(), nv)
+        .when(nh.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        rnd(filled, 4).alias("v"),
+    )

@@ -84,6 +84,95 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id AS uk, CAST(ts AS TIMESTAMP) AS tk, event_id, 0 AS tag,
+             NULL::BIGINT AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS uk, o_orderdate AS tk, NULL, 1 AS tag, o_orderkey
+      FROM orders
+    ), merged AS (
+      SELECT *,
+             LAST_VALUE(event_id IGNORE NULLS) OVER wp AS pv_id,
+             LAST_VALUE(CASE WHEN tag = 0 THEN tk END IGNORE NULLS) OVER wp AS pv_ts,
+             FIRST_VALUE(event_id IGNORE NULLS) OVER wn AS nv_id,
+             FIRST_VALUE(CASE WHEN tag = 0 THEN tk END IGNORE NULLS) OVER wn AS nv_ts
+      FROM tagged
+      WINDOW
+        wp AS (PARTITION BY uk ORDER BY tk, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY uk ORDER BY tk, tag, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderkey, uk AS custkey,
+           CASE
+             WHEN pv_id IS NULL THEN nv_id
+             WHEN nv_id IS NULL THEN pv_id
+             WHEN epoch_us(tk) - epoch_us(pv_ts) <= epoch_us(nv_ts) - epoch_us(tk) THEN pv_id
+             ELSE nv_id
+           END AS nearest_event,
+           CAST(LEAST(COALESCE(epoch_us(tk) - epoch_us(pv_ts), 4611686018427387904),
+                      COALESCE(epoch_us(nv_ts) - epoch_us(tk), 4611686018427387904)) AS BIGINT) AS dist_us
+    FROM merged WHERE tag = 1
+    """,
+    category="join_ext",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: for each order, the same user's
+    event closest in time on EITHER side of the order date (backward
+    wins ties). Same single-shuffle union-merge as the directional
+    as-ofs — both direction candidates come from one window pass, no
+    second join. The third as-of flavor (backward / forward /
+    nearest) completing the family."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uk"),
+        F.col("ts").alias("tk"),
+        "event_id",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uk"),
+        F.col("o_orderdate").alias("tk"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("tag"),
+        "o_orderkey",
+    )
+    wp = W.partitionBy("uk").orderBy("tk", "tag", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wn = W.partitionBy("uk").orderBy("tk", "tag", "event_id").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    ev_ts = F.when(F.col("tag") == 0, F.col("tk"))
+    merged = e.unionByName(o).select(
+        "*",
+        F.last("event_id", ignorenulls=True).over(wp).alias("pv_id"),
+        F.last(ev_ts, ignorenulls=True).over(wp).alias("pv_ts"),
+        F.first("event_id", ignorenulls=True).over(wn).alias("nv_id"),
+        F.first(ev_ts, ignorenulls=True).over(wn).alias("nv_ts"),
+    )
+    db = F.unix_micros("tk") - F.unix_micros("pv_ts")
+    df_ = F.unix_micros("nv_ts") - F.unix_micros("tk")
+    nearest = (
+        F.when(F.col("pv_id").isNull(), F.col("nv_id"))
+        .when(F.col("nv_id").isNull(), F.col("pv_id"))
+        .when(db <= df_, F.col("pv_id"))
+        .otherwise(F.col("nv_id"))
+    )
+    big = F.lit(4611686018427387904)
+    dist = F.least(F.coalesce(db, big), F.coalesce(df_, big))
+    return merged.filter(F.col("tag") == 1).select(
+        "o_orderkey",
+        F.col("uk").alias("custkey"),
+        nearest.alias("nearest_event"),
+        dist.cast("long").alias("dist_us"),
+    )
+
+
+@register(
     "q_range_join_keyed",
     oracle=f"""
     WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
