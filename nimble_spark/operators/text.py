@@ -300,3 +300,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(h < quota, 1).otherwise(0)).alias("n_sampled"),
     )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1000000 AS h,
+             LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS keep_p
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN h < keep_p * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN h < keep_p * 1000000 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept
+    FROM w GROUP BY source
+    """,
+    category="text",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted sampling — corpus mixing where longer
+    documents are proportionally likelier to survive (keep
+    probability = min(1, n_chars/2000)). The accept decision compares
+    a portable md5 uniform against the per-document weight, so the
+    SAME documents are kept on every engine and every rerun — the
+    reproducibility property that makes dataset ablations comparable.
+    One scan, no payload shuffle; weights can come from any scoring
+    column (quality, dedup cluster size, domain mix targets)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    ) % 1000000
+    keep_p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(2000.0))
+    kept = h < keep_p * 1000000
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+    )
