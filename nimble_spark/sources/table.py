@@ -341,15 +341,8 @@ def _build_manifest(
         for f in schema.fields
         if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType))
     ]
-    for frag_path in dataset.files:
-        rel = os.path.relpath(frag_path, path)
-        prior = reuse.get(os.path.normpath(rel))
-        if prior is not None:
-            files_info.append(prior)
-            total_rows += prior["rows"]
-            continue
+    def _describe_file(frag_path: str) -> dict:
         md = pa_pq.ParquetFile(frag_path).metadata
-        total_rows += md.num_rows
         # File integrity checksum — the postscript-checksum analogue
         # (dwio/nimble/tablet/Postscript.h:27-30, ChecksumTest.cpp).
         # Computed here at manifest-build time; on a cluster each
@@ -358,7 +351,6 @@ def _build_manifest(
         with open(frag_path, "rb") as fh:
             for chunk in iter(lambda: fh.read(1 << 20), b""):
                 h.update(chunk)
-        checksum = h.hexdigest()
         fmins: dict[str, Any] = {}
         fmaxs: dict[str, Any] = {}
         nulls: dict[str, int] = {}
@@ -377,20 +369,34 @@ def _build_manifest(
                 if name not in fmaxs or st.max > fmaxs[name]:
                     fmaxs[name] = st.max
                 nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
-        files_info.append(
-            {
-                # root-relative: the table stays readable after a
-                # rename/move (atomic cache publication, distcp, …)
-                "path": os.path.relpath(frag_path, path),
-                "rows": md.num_rows,
-                "row_groups": md.num_row_groups,
-                "bytes": os.path.getsize(frag_path),
-                "sha256": checksum,
-                "min": {k: _json_safe(v) for k, v in fmins.items()},
-                "max": {k: _json_safe(v) for k, v in fmaxs.items()},
-                "nulls": {k: int(v) for k, v in nulls.items()},
-            }
-        )
+        return {
+            # root-relative: the table stays readable after a
+            # rename/move (atomic cache publication, distcp, …)
+            "path": os.path.relpath(frag_path, path),
+            "rows": md.num_rows,
+            "row_groups": md.num_row_groups,
+            "bytes": os.path.getsize(frag_path),
+            "sha256": h.hexdigest(),
+            "min": {k: _json_safe(v) for k, v in fmins.items()},
+            "max": {k: _json_safe(v) for k, v in fmaxs.items()},
+            "nulls": {k: int(v) for k, v in nulls.items()},
+        }
+
+    # Hashing + footer reads release the GIL — describe new files in
+    # parallel, then assemble in dataset order so the manifest's file
+    # order (cluster range order, row_range positions) stays stable.
+    from concurrent.futures import ThreadPoolExecutor
+
+    new_paths = [
+        p for p in dataset.files if os.path.normpath(os.path.relpath(p, path)) not in reuse
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        described = dict(zip(new_paths, pool.map(_describe_file, new_paths)))
+    for frag_path in dataset.files:
+        rel = os.path.normpath(os.path.relpath(frag_path, path))
+        entry = reuse.get(rel) or described[frag_path]
+        files_info.append(entry)
+        total_rows += entry["rows"]
     # Table-level column stats fold from the per-file entries (works
     # identically for fresh and reused entries).
     for f in files_info:
