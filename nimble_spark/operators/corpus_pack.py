@@ -282,3 +282,56 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("tokens"),
         (F.sum(F.col("pos") * F.col("h")) % 1000000007).cast("bigint").alias("order_fingerprint"),
     )
+
+
+@register(
+    "q_balanced_mix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             md5(concat('mix_', CAST(doc_id AS VARCHAR))) AS pri
+      FROM documents
+    ),
+    floor_n AS (SELECT MIN(cnt) AS mn FROM (SELECT COUNT(*) AS cnt FROM d GROUP BY source)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn <= mn THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= mn THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM ranked, floor_n
+    GROUP BY source
+    """,
+    category="pipeline",
+)
+def q_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced dataset mixing: every source is downsampled to the
+    minority source's size, documents chosen in deterministic
+    md5-priority order — the uniform-mix construction for ablations
+    where domain proportions must be exactly equal. One shuffle on
+    source (rank + aggregate ride the same partitioning); the floor
+    count is a broadcast scalar."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))).alias("pri"),
+    )
+    floor_n = (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).agg(F.min("cnt").alias("mn"))
+    )
+    ranked = d.withColumn(
+        "rn", F.row_number().over(W.partitionBy("source").orderBy("pri", "doc_id"))
+    )
+    kept = F.col("rn") <= F.col("mn")
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+        )
+    )
