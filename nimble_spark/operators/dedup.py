@@ -669,3 +669,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("cluster_rep")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+@register(
+    "q_containment_pairs",
+    oracle=f"""
+    {_SHINGLE_CTE_DUCK},
+    posting AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM sh_t
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_common, ANY_VALUE(a.sz) AS sz_a
+      FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           FLOOR((CAST(n_common AS DOUBLE) / sz_a) * 10000 + 0.5) / 10000
+             AS containment
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / sz_a >= 0.5
+    """,
+    category="dedup",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment near-dup pairs: |A∩B| / |A| ≥ 0.5 — the
+    asymmetric overlap measure that catches a document embedded
+    inside a larger one (quote farms, aggregator pages), which
+    symmetric Jaccard dilutes away. Same inverted-index candidate
+    generation as the Jaccard query; at 100 TB the posting join gets
+    the identical hot-shingle cap treatment as the LSH pipeline
+    (boilerplate shingles are the quadratic risk, not document
+    count)."""
+    from pyspark.sql import Window
+
+    posting = (
+        _shingled(spark, sf_dir)
+        .select("doc_id", F.size("sh").alias("sz"), F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    a = posting.hint("shuffle_hash").alias("a")
+    b = posting.hint("shuffle_hash").alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"), F.first(F.col("a.sz")).alias("sz_a"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("sz_a")
+    return inter.filter(cont >= 0.5).select(
+        "id_a", "id_b", rnd(cont, 4).alias("containment")
+    )
