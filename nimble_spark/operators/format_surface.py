@@ -471,6 +471,41 @@ def q_scan_metrics_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_nested_struct_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           {dsum_sql("o_totalprice")} AS total
+    FROM orders GROUP BY 1
+    """,
+    category="format",
+)
+def q_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type storage parity (SURVEY §1.1 — the reference's
+    defining feature is rich nested rows): orders rides a
+    struct-typed column through the connector, and aggregating the
+    nested fields after readback must equal the flat-column SQL.
+    tests/test_plan_audit.py asserts the scan's ReadSchema prunes to
+    just the referenced struct LEAF (nestedSchemaPruning) — nested
+    data never makes partial reads read the whole struct."""
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderdate").alias("when"),
+            ).alias("info"),
+        )
+        write_table(o, tmp, WriteOptions())
+
+    path = ensure_cached(sf_dir, "orders__nested_struct", ["orders"], _build)
+    df = read_table(spark, path)
+    return df.groupBy(F.col("info.status").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("info.price")).alias("total")
+    )
+
+
+@register(
     "q_schema_evolution",
     oracle="""
     SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_phone,

@@ -239,3 +239,33 @@ def test_shuffle_shards_shard_local(spark):
         require_partial_agg=True,
         forbid_python_eval=True,
     )
+
+
+def test_nested_struct_pruning(spark):
+    """Selecting one struct leaf must prune the scan's ReadSchema to
+    that leaf (nestedSchemaPruning) — partial reads of nested data
+    never deserialize the whole struct."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nimble_spark.plans.audit import plan_string
+    from nimble_spark.sources.cache import cached_path
+    from nimble_spark.sources.table import read_table
+
+    # the cache entry is built by q_nested_struct_roundtrip; build it
+    # here if absent so the test stands alone
+    from nimble_spark.registry import QUERIES, _load_all
+
+    _load_all()
+    QUERIES["q_nested_struct_roundtrip"].fn(spark, SF_MED)
+    path = cached_path(SF_MED, "orders__nested_struct", ["orders"])
+    assert os.path.isdir(path)
+
+    leaf_only = read_table(spark, path).select(F.col("info.price"))
+    plan = plan_string(leaf_only)
+    assert "ReadSchema" in plan
+    # pruned: price survives, the sibling leaves do not reach the scan
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "price" in rs
+    assert "status" not in rs and "when" not in rs, rs
