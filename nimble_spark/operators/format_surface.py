@@ -471,6 +471,50 @@ def q_scan_metrics_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_array_struct_roundtrip",
+    oracle=f"""
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum_sql("value")} AS total_v,
+           CAST(MIN(event_id) AS BIGINT) AS min_ev,
+           CAST(MAX(event_id) AS BIGINT) AS max_ev
+    FROM events
+    """,
+    category="format",
+)
+def q_array_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-nesting storage parity (list<struct<…>> — the shape the
+    reference's FieldWriter tree exists for, SURVEY §1.1): events
+    nest into one row per user holding a sorted array of
+    (ts, event_id, value) structs, ride storage, re-explode, and must
+    aggregate identically to the flat table — the nest → store →
+    unnest cycle is lossless at every level."""
+    def _build(tmp: str) -> None:
+        e = load(spark, sf_dir, "events").select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("value")
+            ).alias("ev"),
+        )
+        nested = e.groupBy("user_id").agg(
+            F.array_sort(F.collect_list("ev")).alias("events")
+        )
+        write_table(nested, tmp, WriteOptions())
+
+    path = ensure_cached(sf_dir, "events__nested_arr", ["events"], _build)
+    back = read_table(spark, path).select(
+        "user_id", F.explode("events").alias("ev")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("ev.value")).alias("total_v"),
+        F.min("ev.event_id").alias("min_ev"),
+        F.max("ev.event_id").alias("max_ev"),
+    )
+
+
+@register(
     "q_nested_struct_roundtrip",
     oracle=f"""
     SELECT o_orderstatus AS status, COUNT(*) AS n,
