@@ -471,6 +471,41 @@ def q_scan_metrics_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_composite_cluster_scan",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {dsum_sql("o_totalprice")} AS total,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_d
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+    category="format",
+)
+def q_composite_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite sort-key cluster index — the KeyEncoding /
+    IndexKeyEncoder analogue (dwio/nimble/index/KeyEncoder.h: multi-
+    column keys encode into one comparable byte key): cluster_by
+    ['o_orderstatus','o_orderdate'] range-partitions on the tuple, so
+    per-file bounds on the LEADING key are disjoint and a prefix-key
+    scan prunes files exactly like a single-key cluster index, while
+    rows inside each file stay (status, date)-ordered for the
+    secondary dimension."""
+    path = _ensure_written(
+        spark,
+        sf_dir,
+        "orders",
+        "cluster_status_date",
+        WriteOptions(cluster_by=["o_orderstatus", "o_orderdate"], n_cluster_files=6),
+    )
+    df = read_table(spark, path, range_scan=("o_orderstatus", "F", "F"))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+        F.min("o_orderdate").alias("first_d"),
+    )
+
+
+@register(
     "q_array_struct_roundtrip",
     oracle=f"""
     SELECT COUNT(*) AS n_events,
