@@ -471,6 +471,29 @@ def q_scan_metrics_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_checksum_verified_scan",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {dsum_sql("o_totalprice")} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="format",
+)
+def q_checksum_verified_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity-verified scan (Postscript checksum analogue,
+    dwio/nimble/tablet/Postscript.h:27-30): every data file is
+    re-hashed against the manifest sha256 before the scan proceeds —
+    a read that silently consumed a corrupted or swapped file is
+    impossible (the corrupt path raising is covered in
+    tests/test_tools.py). The verified read must aggregate
+    identically to the source."""
+    path = _ensure_written(spark, sf_dir, "orders", "plain", WriteOptions())
+    df = read_table(spark, path, verify_checksums=True)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
     "q_composite_cluster_scan",
     oracle=f"""
     SELECT o_orderstatus, COUNT(*) AS n, {dsum_sql("o_totalprice")} AS total,
