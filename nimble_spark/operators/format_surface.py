@@ -471,6 +471,41 @@ def q_scan_metrics_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cut_stripe_scan",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(1 AS BIGINT) AS max_files_per_user,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    """,
+    category="format",
+)
+def q_cut_stripe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-driven stripe cutting (VeloxWriterOptions.h:289-295 /
+    NimbleConfig.h:85-111 — 'cut stripe per user-id group'): events
+    written cut_by user_id lay every user's rows contiguously in
+    exactly ONE file. The proof comes from the scan itself:
+    input_file_name() per user must show max 1 distinct file — the
+    no-group-spans-files contract, checked on the stored bytes, not
+    the writer's intent."""
+    path = _ensure_written(
+        spark, sf_dir, "events", "cut_user", WriteOptions(cut_by="user_id", n_cut_files=8)
+    )
+    per_user = (
+        read_table(spark, path)
+        .select("user_id", F.input_file_name().alias("f"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("f").alias("nf"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("nf").alias("max_files_per_user"),
+    ).crossJoin(
+        read_table(spark, path).agg(F.count(F.lit(1)).alias("n_events"))
+    ).select("n_users", "max_files_per_user", "n_events")
+
+
+@register(
     "q_checksum_verified_scan",
     oracle=f"""
     SELECT o_orderstatus, COUNT(*) AS n, {dsum_sql("o_totalprice")} AS total
