@@ -198,6 +198,43 @@ def q_delete_mask_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_delete_compaction",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           TRUE AS masks_cleared
+    FROM documents
+    WHERE doc_id NOT IN ({", ".join(map(str, _DELETE_KEYS))})
+    GROUP BY lang
+    """,
+    category="format",
+)
+def q_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-mask materialization ('compaction = rewrite + clear'):
+    the masks are applied physically in a staged rewrite, the deletes
+    dir is cleared, and a PLAIN scan — no anti-join — must now equal
+    the masked view. Run when accumulated masks start to tax every
+    read; afterwards scan cost is back to a bare scan."""
+    import os
+
+    from nimble_spark.sources.deletes import DELETES_DIR, compact_deletes
+    from nimble_spark.sources.table import read_table
+
+    def _build(tmp: str) -> None:
+        write_table(load(spark, sf_dir, "documents"), tmp, WriteOptions())
+        delete_rows(spark, tmp, "doc_id", _DELETE_KEYS)
+        compact_deletes(spark, tmp)
+
+    path = ensure_cached(sf_dir, "documents__del_compacted", ["documents"], _build)
+    cleared = not os.path.isdir(os.path.join(path, DELETES_DIR))
+    df = read_table(spark, path)  # plain scan: masks are gone
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.lit(bool(cleared)).alias("masks_cleared"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Arrow IPC serde (Serializer/Deserializer analogue)
 # ---------------------------------------------------------------------------

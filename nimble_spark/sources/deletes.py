@@ -30,6 +30,28 @@ def delete_rows(spark: SparkSession, path: str, key: str, values: list) -> int:
     return len(values)
 
 
+def compact_deletes(spark: SparkSession, path: str) -> dict:
+    """Materialize the delete masks: rewrite the table as its
+    mask-applied view and clear ``_nimble/deletes/`` — the
+    'compaction = rewrite + clear' step of the deletion-vector
+    discipline, run when accumulated masks start to cost every scan
+    their anti-join. Staged into a temp dir and swapped whole, so a
+    concurrent reader sees the old table or the new, never a mix."""
+    import shutil
+    import uuid
+
+    from nimble_spark.sources.table import WriteOptions, read_manifest, write_table
+
+    resolved = read_with_deletes(spark, path)
+    staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
+    manifest = write_table(resolved, staging, WriteOptions())
+    trash = f"{path}-old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, trash)
+    os.rename(staging, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    return manifest
+
+
 def read_with_deletes(spark: SparkSession, path: str, **read_kwargs) -> DataFrame:
     """Scan with delete masks applied (anti-join against the union of
     delete keysets; broadcast — keysets are small by design)."""
