@@ -27,6 +27,9 @@ DEFAULT = [
     "q_shuffle_shards", "q_decontaminate", "q_paragraph_dedup",
     "q_zorder_scan", "q_bloom_point_lookup", "q_fuzzy_prefix_pairs",
     "q_fast_count", "q_time_travel", "q_null_semantics",
+    "q_containment_pairs", "q_interpolate_linear", "q_asof_join_nearest",
+    "q_weighted_sample", "q_balanced_mix", "q_nested_struct_roundtrip",
+    "q_array_struct_roundtrip", "q_composite_cluster_scan", "q_cut_stripe_scan",
 ]
 
 
