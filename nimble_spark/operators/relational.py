@@ -123,6 +123,38 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    category="aggregation",
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() parity across the CUBE lattice: the bitmask that
+    tells subtotal rows from data rows (bit per grouping column, in
+    declaration order) must agree with the SQL GROUPING() bits —
+    the disambiguation every OLAP consumer of cube output relies
+    on."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            F.col("gid").cast("long").alias("gid"),
+            "n",
+        )
+    )
+
+
+@register(
     "q_rollup",
     oracle=f"""
     SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), '<all>') AS yr,
@@ -552,6 +584,43 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Scalar functions (string / date / math / conditional)
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "q_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           CAST(COALESCE(list_sum(list_transform(
+                 regexp_extract_all(text, '[0-9]+'),
+                 x -> CASE WHEN len(x) <= 9 THEN CAST(x AS BIGINT) ELSE 0 END)), 0)
+                AS BIGINT) AS num_sum,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+ing')) AS BIGINT)
+             AS n_ing_words
+    FROM documents
+    """,
+    category="scalar_fn",
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all parity: pull every number and every
+    '-ing' token out of each document and aggregate them — multi-match
+    extraction is the scraping/cleaning workhorse, and the regex
+    subset used ([0-9]+, [a-z]+ing) behaves identically in Java and
+    RE2 dialects. Oversized digit runs are excluded from the sum on
+    both engines (int64 guard)."""
+    d = load(spark, sf_dir, "documents")
+    nums = F.expr(r"regexp_extract_all(text, '[0-9]+')")
+    num_sum = F.expr(
+        r"aggregate(regexp_extract_all(text, '[0-9]+'), 0L,"
+        r" (a, x) -> a + CASE WHEN length(x) <= 9 THEN CAST(x AS BIGINT) ELSE 0L END)"
+    )
+    ing = F.expr(r"regexp_extract_all(lower(text), '[a-z]+ing')")
+    return d.select(
+        "doc_id",
+        F.size(nums).cast("long").alias("n_numbers"),
+        num_sum.cast("long").alias("num_sum"),
+        F.size(ing).cast("long").alias("n_ing_words"),
+    )
 
 
 @register(
