@@ -343,6 +343,37 @@ def q_ntile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_value_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+    binned AS (
+      SELECT LEAST(9, CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT))
+               AS bin
+      FROM orders, b
+    )
+    SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin
+    """,
+    category="statistics",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (10 bins over [min,max]) — the
+    distribution statistic an optimizer's selectivity estimation
+    uses beyond plain min/max (the reference records per-chunk
+    min/max; a histogram is the natural next stat tier). Bounds come
+    from one broadcast scalar agg; binning is a second scan-local
+    pass — two scans, no shuffle of values."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)),
+        ).cast("long").alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "q_null_semantics",
     oracle="""
     WITH t AS (SELECT NULLIF(o_orderstatus, 'P') AS v FROM orders),
