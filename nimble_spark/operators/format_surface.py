@@ -471,6 +471,43 @@ def q_scan_metrics_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sorted_index_fence",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey IN (5, 105)) AS n_hits,
+           TRUE AS stale_safe
+    FROM (SELECT 1)
+    """,
+    category="format",
+)
+def q_sorted_index_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-index staleness fence under the driver gate: the index
+    is built BEFORE an append, so its file-set fingerprint no longer
+    matches the manifest — the lookup must bypass the stale index
+    (falling back to an always-correct path) and still find keys
+    from BOTH the indexed and the appended halves. An index that
+    silently missed appended rows would return fewer hits and flip
+    the count."""
+    from nimble_spark.sources.table import create_sorted_index, read_manifest
+
+    def _build(tmp: str) -> None:
+        c = load(spark, sf_dir, "customer")
+        write_table(c.filter(F.col("c_custkey") < 100), tmp, WriteOptions())
+        create_sorted_index(spark, tmp, "c_custkey")
+        write_table(c.filter(F.col("c_custkey") >= 100), tmp, WriteOptions(), mode="append")
+
+    path = ensure_cached(sf_dir, "customer__stale_sorted", ["customer"], _build)
+    m = read_manifest(path)
+    # the fence must be registered and genuinely stale
+    stale = "c_custkey" in m["indexes"].get("sorted", []) and m["indexes"].get(
+        "sorted_fence", {}
+    ).get("c_custkey") is not None
+    hits = read_table(spark, path, point_lookup=("c_custkey", [5, 105]))
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        "n_hits", F.lit(bool(stale)).alias("stale_safe")
+    )
+
+
+@register(
     "q_cut_stripe_scan",
     oracle="""
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
