@@ -1,0 +1,289 @@
+"""Training-set preparation operators: deterministic dataset splits,
+RAG-style document chunking, BPE merge-pair mining, embedding
+covariance (PCA prep), and ANN recall evaluation.
+
+These close the loop from "clean corpus" (text.py / dedup.py /
+corpus_pack.py) to "tensors on trainers": split assignment must be
+reproducible across reruns and engines, chunking must be a map-only
+pass, merge-pair mining is the first step of training a BPE
+tokenizer, covariance feeds whitening/PCA of embedding spaces, and
+recall@k is the acceptance metric for every ANN index this repo
+ships (q_ann_lsh_topk / q_ann_ivf_topk vs the exact baseline).
+
+Scale posture: splits and chunking are pure per-row expressions (no
+shuffle, whole-stage codegen). Merge-pair mining and covariance are
+single hash-aggregations with map-side partial combine — the shuffle
+carries only (pair, count) / (dim-pair, partial sums), never
+documents or vectors. Recall eval joins two top-k result sets of
+|Q|·k rows — driver-scale metadata, not data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from nimble_spark.functions.exact import rnd, rnd_sql
+from nimble_spark.functions.text_fns import hash32_sql_duck, hash32_sql_spark
+from nimble_spark.operators.similarity import (
+    _ANN_LSH_DUCK,
+    _COSINE_TOPK_DUCK,
+    TOP_K,
+    q_ann_lsh_topk,
+    q_cosine_topk,
+)
+from nimble_spark.operators.text import _BPE_RE
+from nimble_spark.registry import register
+from nimble_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# Fractions in percent of the md5 bucket space; the split must be a
+# pure function of the stable document key so (a) re-running the
+# pipeline never migrates a document across splits (no train/test
+# leakage between experiments) and (b) any engine reproduces the
+# exact membership. Spark's rand()/randomSplit fail both.
+_TRAIN_PCT = 80
+_VAL_PCT = 10  # test = remainder
+
+
+@register(
+    "q_train_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {hash32_sql_duck("CAST(doc_id AS VARCHAR)")} % 100 < {_TRAIN_PCT} THEN 'train'
+                WHEN {hash32_sql_duck("CAST(doc_id AS VARCHAR)")} % 100 < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    category="train_prep",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: bucket =
+    md5(doc_id) % 100. A map-only projection — at 100 TB the split is
+    free (rides the scan), reproducible across reruns, engines, and
+    partitionings, and stable under corpus appends (old docs never
+    change split when new docs arrive — unlike rank-based splits)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(hash32_sql_spark("CAST(doc_id AS STRING)")) % 100
+    split = (
+        F.when(bucket < _TRAIN_PCT, F.lit("train"))
+        .when(bucket < _TRAIN_PCT + _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, generate_series(0, len(text) - 1, {_CHUNK_STRIDE}) AS starts
+      FROM documents WHERE len(text) > 0
+    ),
+    e AS (SELECT doc_id, text, unnest(starts) AS s FROM t)
+    SELECT doc_id,
+           s // {_CHUNK_STRIDE} AS chunk_id,
+           s AS chunk_start,
+           substr(text, CAST(s + 1 AS INTEGER), {_CHUNK_CHARS}) AS chunk,
+           len(substr(text, CAST(s + 1 AS INTEGER), {_CHUNK_CHARS})) AS chunk_len
+    FROM e
+    """,
+    category="train_prep",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200 chars, 50 overlap) with
+    character offsets — the retrieval/embedding unit for RAG corpora.
+    Pure per-row array expression (sequence → substring → explode):
+    no shuffle, no UDF; chunk provenance (doc_id, chunk_start) lets
+    downstream dedup/embedding results map back to source spans."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    starts = F.expr(f"sequence(0L, CAST(length(text) - 1 AS BIGINT), {_CHUNK_STRIDE}L)")
+    chunk = F.expr(f"substring(text, CAST(s + 1 AS INT), {_CHUNK_CHARS})")
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.expr(f"s div {_CHUNK_STRIDE}").alias("chunk_id"),
+            F.col("s").alias("chunk_start"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair mining
+# ---------------------------------------------------------------------------
+
+_TOP_PAIRS = 50
+
+
+@register(
+    "q_bpe_merge_pairs",
+    oracle=f"""
+    WITH t AS (SELECT regexp_extract_all(text, '{_BPE_RE}') AS toks FROM documents),
+    p AS (
+      SELECT list_transform(generate_series(1, len(toks) - 1),
+                            i -> concat(toks[i], ' ', toks[i + 1])) AS prs
+      FROM t WHERE len(toks) >= 2
+    ),
+    c AS (SELECT unnest(prs) AS pair FROM p),
+    a AS (SELECT pair, COUNT(*) AS n FROM c GROUP BY pair),
+    r AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk FROM a)
+    SELECT pair, n, rk FROM r WHERE rk <= {_TOP_PAIRS}
+    """,
+    category="train_prep",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent adjacent token pairs under the GPT-2-ish
+    pre-tokenizer — the candidate ranking a BPE trainer consumes for
+    its first merge. One hash aggregation with map-side combine: the
+    shuffle carries (pair, partial count), never text; the global
+    top-50 is a TakeOrdered over the aggregated pair vocabulary, and
+    the rank window runs on 50 collected rows, not the vocabulary."""
+    d = load(spark, sf_dir, "documents").select(
+        F.regexp_extract_all("text", F.lit(f"({_BPE_RE})"), 0).alias("toks")
+    )
+    pairs = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("pair")
+        )
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_TOP_PAIRS)
+    )
+    # rank over the already-limited 50 rows (single tiny partition)
+    return top.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "pair"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance (PCA / whitening prep)
+# ---------------------------------------------------------------------------
+
+_DIM = 64  # embeddings table dimensionality (fixed by the corpus)
+
+# Per-row expansion to upper-triangular (i, j, x_i·x_j, x_i, x_j)
+# with every addend cast to DECIMAL(27,6) so the partial-aggregated
+# sums are exact and associative (see functions/exact.py): the
+# covariance a 1000-executor job computes is bit-identical to a
+# single-threaded pass.
+_COV_PAIRS_SPARK = f"""
+flatten(transform(sequence(1, {_DIM}), i ->
+  transform(sequence(i, {_DIM}), j ->
+    struct(CAST(i AS BIGINT) AS di, CAST(j AS BIGINT) AS dj,
+      CAST(CAST(element_at(embedding, i) AS DOUBLE) * CAST(element_at(embedding, j) AS DOUBLE) AS DECIMAL(27,6)) AS xy,
+      CAST(CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(27,6)) AS xi,
+      CAST(CAST(element_at(embedding, j) AS DOUBLE) AS DECIMAL(27,6)) AS xj))))
+"""
+
+
+@register(
+    "q_embedding_covariance",
+    oracle=f"""
+    WITH p AS (
+      SELECT i AS di, j AS dj,
+             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS DECIMAL(27,6)) AS xy,
+             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,6)) AS xi,
+             CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(27,6)) AS xj
+      FROM embeddings, generate_series(1, {_DIM}) t(i), generate_series(1, {_DIM}) u(j)
+      WHERE j >= i
+    ),
+    a AS (
+      SELECT di, dj, COUNT(*) AS n,
+             CAST(SUM(xy) AS DOUBLE) AS sxy,
+             CAST(SUM(xi) AS DOUBLE) AS sxi,
+             CAST(SUM(xj) AS DOUBLE) AS sxj
+      FROM p GROUP BY di, dj
+    )
+    SELECT di, dj, {rnd_sql("sxy / n - (sxi / n) * (sxj / n)")} AS cov
+    FROM a
+    """,
+    category="train_prep",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular covariance matrix of the embedding space —
+    the input to PCA/whitening of a vector corpus. Computed as one
+    hash aggregation over per-row (dim_i, dim_j, x·y) expansions:
+    d·(d+1)/2 = 2080 keys total, so map-side partial aggregation
+    reduces each of N partitions to 2080 rows before the (tiny)
+    shuffle — the classic outer-product-sum layout that scales to
+    any corpus size. Decimal-cast addends make the distributed sums
+    exact (order-independent), matching the oracle bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    p = e.select(F.explode(F.expr(_COV_PAIRS_SPARK)).alias("p")).select("p.*")
+    a = p.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xi").cast("double").alias("sxi"),
+        F.sum("xj").cast("double").alias("sxj"),
+    )
+    cov = F.col("sxy") / F.col("n") - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n"))
+    return a.select("di", "dj", rnd(cov, 4).alias("cov"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k evaluation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ann_recall_eval",
+    oracle=f"""
+    WITH exact_k AS (SELECT qid, cid FROM ({_COSINE_TOPK_DUCK})),
+    approx_k AS (SELECT qid, cid FROM ({_ANN_LSH_DUCK})),
+    hits AS (
+      SELECT e.qid, COUNT(a.cid) AS n_hits
+      FROM exact_k e LEFT JOIN approx_k a ON a.qid = e.qid AND a.cid = e.cid
+      GROUP BY e.qid
+    )
+    SELECT qid, n_hits,
+           {rnd_sql(f"CAST(n_hits AS DOUBLE) / {TOP_K}")} AS recall_at_k
+    FROM hits
+    """,
+    category="train_prep",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force
+    top-k — the acceptance metric for every approximate index this
+    repo ships. Both sides are existing operators; the eval joins two
+    |Q|·k row result sets (driver-scale metadata), so the cost is the
+    two underlying searches, not the comparison. At production scale
+    the exact side runs on a sampled query set — recall estimates
+    don't need every query."""
+    exact_k = q_cosine_topk(spark, sf_dir).select("qid", "cid").alias("e")
+    approx_k = (
+        q_ann_lsh_topk(spark, sf_dir)
+        .select(F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
+        .alias("a")
+    )
+    j = exact_k.join(
+        approx_k,
+        (F.col("e.qid") == F.col("a.aqid")) & (F.col("e.cid") == F.col("a.acid")),
+        "left",
+    )
+    per_q = j.groupBy(F.col("e.qid").alias("qid")).agg(F.count("a.acid").alias("n_hits"))
+    return per_q.select(
+        "qid", "n_hits", rnd(F.col("n_hits").cast("double") / TOP_K, 4).alias("recall_at_k")
+    )

@@ -20,6 +20,9 @@ SAMPLE = [
     "q_minhash_signatures",
     "q_token_stats",
     "q_cosine_topk",
+    "q_train_split",
+    "q_doc_chunking",
+    "q_embedding_covariance",
 ]
 
 
