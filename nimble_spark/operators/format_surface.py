@@ -1054,3 +1054,98 @@ def q_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_rows, a == b, n_drift)], "n_rows BIGINT, replay_match BOOLEAN, n_drift INT"
     )
+
+
+@register(
+    "q_merge_into",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, 'I' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 3
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           {dsum_sql("o_totalprice")} AS total
+    FROM merged GROUP BY 1
+    """,
+    category="format",
+)
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (copy-on-write upsert, sources/merge.py):
+    orders is written clustered by key, then a source of updates
+    (keys %10=7, repriced, status 'U') and inserts (re-keyed +10M,
+    status 'I') merges in. Only files containing a matched key are
+    rewritten — affected-file discovery is a distributed semi-join,
+    never a key collect — and the post-merge scan must equal the
+    relational merge the oracle computes. Complements the streaming
+    merge-on-read sink (q_stream_upsert) with the write-side
+    discipline a lakehouse MERGE needs at 100 TB."""
+    from nimble_spark.sources.merge import merge_into
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(*cols)
+        write_table(o, tmp, WriteOptions(cluster_by=["o_orderkey"]))
+        upd = o.filter(F.col("o_orderkey") % 10 == 7).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+        ins = o.filter(F.col("o_orderkey") % 10 == 3).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.lit("I").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        merge_into(spark, tmp, upd.unionByName(ins), "o_orderkey")
+
+    path = ensure_cached(sf_dir, "orders__merged", ["orders"], _build)
+    return (
+        read_table(spark, path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+@register(
+    "q_incremental_read",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {{r}} AS price
+    FROM orders WHERE o_orderkey % 4 = 0
+    """.format(r="FLOOR((o_totalprice) * 10000 + 0.5) / 10000"),
+    category="format",
+)
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (change-feed) read: the commit log records each
+    commit's file additions, so `read_changes(since_commit)` scans
+    exactly the files later commits added — O(changed data), never a
+    table diff. Here orders lands as base (commit 0) + delta append
+    (commit 1); reading changes since commit 0 must return precisely
+    the delta rows. The CDC primitive for continuous training-data
+    refresh: downstream dedup/tokenize/pack stages re-run only on
+    what changed."""
+    from nimble_spark.sources.table import read_changes
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(*cols)
+        write_table(o.filter(F.col("o_orderkey") % 4 != 0), tmp, WriteOptions())
+        write_table(o.filter(F.col("o_orderkey") % 4 == 0), tmp, WriteOptions(), mode="append")
+
+    path = ensure_cached(sf_dir, "orders__incremental", ["orders"], _build)
+    ch = read_changes(spark, path, since_commit=0)
+    return ch.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", rnd("o_totalprice", 4).alias("price")
+    )

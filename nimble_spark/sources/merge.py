@@ -1,0 +1,157 @@
+"""Batch MERGE INTO (copy-on-write upsert) for nimble_spark tables.
+
+The streaming sink (streaming/sink.py) gives merge-ON-READ: blind
+appends + latest-per-key resolution at scan time. This module is the
+complementary merge-ON-WRITE: matched target rows are replaced by
+their source row, unmatched source rows are inserted, and — the part
+that matters at 100 TB — only the files that actually contain a
+matched key are rewritten. Matching uses the same per-file pruning
+metadata the indexes use, so a merge touching 0.1% of keys rewrites
+~0.1% of files, not the table.
+
+The reference's mutation story is scan-time delete masks
+(SelectiveNimbleReader; sources/deletes.py here); MERGE is the
+table-layer operation a lakehouse builds on top, kept append-consistent
+with the manifest commit log (commit mode="merge", removed files
+recorded; snapshots that referenced a rewritten file raise on time
+travel, exactly like compaction)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nimble_spark.sources.table import (
+    MANIFEST_DIR,
+    WriteOptions,
+    _build_manifest,
+    _write_manifest,
+    read_manifest,
+    read_table,
+)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    opts: WriteOptions | None = None,
+) -> dict:
+    """MERGE ``source`` into the table at ``path`` on ``key``:
+    WHEN MATCHED → replace the target row with the source row,
+    WHEN NOT MATCHED → insert the source row. Returns the manifest.
+
+    Copy-on-write at file granularity:
+
+    1. Affected files = target files holding at least one source key,
+       found by a distributed semi-join of the target scan (with
+       ``input_file_name``) against the source keys — the source is
+       never collected; only the distinct FILE list (metadata,
+       bounded by file count) reaches the driver.
+    2. Rewrite = (affected-file rows anti-join source keys) ∪ source.
+       Unaffected files are untouched bytes; the incremental manifest
+       build reuses their entries verbatim (no re-hash).
+    3. Commit: new files staged then moved in, replaced files
+       deleted, manifest rebuilt with a ``mode="merge"`` commit-log
+       entry. A reader holding the old manifest still resolves the
+       old files until the atomic manifest rename lands.
+
+    Directory-shaped layouts (hash buckets / Hive partitions / cut
+    files) would need a layout-preserving rewrite; v1 raises rather
+    than silently scattering files a pruned lookup never visits.
+    Stats-shaped indexes (cluster ranges, blooms, sorted fence) carry
+    forward — per-file min/max stays correct on mixed layouts.
+    """
+    manifest = read_manifest(path)
+    pidx = manifest.get("indexes", {})
+    for k in ("hash", "partition", "cut"):
+        if k in pidx:
+            raise ValueError(
+                f"merge_into does not yet preserve the {k} layout; "
+                "compact to a plain table first or use the streaming upsert sink"
+            )
+    keys = source.select(key).distinct()
+    tgt = read_table(spark, path)
+    if key not in tgt.columns:
+        raise ValueError(f"merge key {key!r} not in table schema {tgt.columns}")
+
+    # 1. affected-file discovery: distributed semi-join, then a
+    # file-granularity distinct — bounded metadata on the driver
+    # (≤ number of table files), same class as the sorted-index file
+    # list in table.py.
+    affected_rows = (
+        tgt.withColumn("_f", F.input_file_name())
+        .join(keys, key, "left_semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    )
+    root = os.path.realpath(path)
+    affected: list[str] = []
+    for r in affected_rows:
+        p = r["_f"]
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        affected.append(os.path.relpath(os.path.realpath(p), root))
+
+    # 2. the rewrite set: survivors of affected files + every source row
+    cols = tgt.columns
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"source schema {sorted(source.columns)} must match target {sorted(cols)}"
+        )
+    if affected:
+        aff_df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f) for f in affected]
+        ).select(*cols)
+        new_rows = aff_df.join(keys, key, "left_anti").unionByName(source.select(*cols))
+    else:
+        new_rows = source.select(*cols)
+
+    # 3. stage → move in → drop replaced → incremental manifest rebuild
+    staging = f"{path}-merge-{uuid.uuid4().hex[:8]}"
+    new_rows.write.mode("overwrite").option(
+        "compression", (opts or WriteOptions()).compression
+    ).parquet(staging)
+    moved: list[str] = []
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            dst = f"merge-{uuid.uuid4().hex[:8]}-{f}"
+            os.rename(os.path.join(staging, f), os.path.join(path, dst))
+            moved.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    for f in affected:
+        os.remove(os.path.join(path, f))
+
+    reuse = {
+        os.path.normpath(e["path"]): e
+        for e in manifest["files"]
+        if "nulls" in e and os.path.normpath(e["path"]) not in set(affected)
+    }
+    index_meta = {
+        k: pidx[k]
+        for k in ("cluster", "zorder", "bloom", "sorted", "sorted_fence")
+        if k in pidx
+    }
+    prior_commits = list(manifest.get("commits", []))
+    prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
+    new_manifest = _build_manifest(spark, tgt.schema, path, opts or WriteOptions(), index_meta, reuse=reuse)
+    new_manifest["commits"] = prior_commits + [
+        {
+            "commit": len(prior_commits),
+            "mode": "merge",
+            "files_added": len(moved),
+            "files_removed": len(affected),
+            "removed": sorted(affected),
+            "rows_added": new_manifest["rows"] - prior_rows,
+            "files": sorted(moved),
+        }
+    ]
+    os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
+    _write_manifest(path, new_manifest)
+    return new_manifest

@@ -31,6 +31,7 @@ ALLOWED = [
     ("sources/table.py", 'idx.select("file").distinct()', "sorted-index file list — file-granularity metadata"),
     ("sources/encoding_report.py", "df.agg(*aggs).first()", "single-row per-column stats (ndv/min/max/bytes) for the encoding-cost report — EncodingSelectionPolicy analogue runs on aggregates, never rows"),
     ("sources/encoding_policy.py", "df.agg(*aggs).first()", "single-row profile pass (one agg row regardless of table size) feeding the policy decision — same bounded shape as encoding_report.py"),
+    ("sources/merge.py", 'select("_f")', "affected-FILE list for copy-on-write MERGE — file-granularity metadata (≤ table file count), produced by a distributed semi-join; source keys never reach the driver"),
     ("tools.py", "", "interactive DSL/dump utilities are driver-side by definition"),
 ]
 

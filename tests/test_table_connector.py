@@ -529,3 +529,78 @@ def test_encoding_policy_write(spark, tmpdir):
     assert {r["category"] for r in back.select("category").distinct().collect()} == {
         str(i) for i in range(7)
     }
+
+
+def test_merge_into_rewrites_only_affected_files(spark, tmpdir):
+    from nimble_spark.sources.merge import merge_into
+    from nimble_spark.sources.table import read_changes
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_merge"
+    # clustered by key → per-file disjoint key ranges, so a merge
+    # touching a narrow key band affects few files
+    m0 = write_table(src, path, WriteOptions(cluster_by=["o_orderkey"], max_rows_per_file=200))
+    n_files0 = len(m0["files"])
+    assert n_files0 >= 4
+
+    lo, hi = 1, 40  # narrow band: only the first file(s) hold these keys
+    upd = src.filter(F.col("o_orderkey").between(lo, hi)).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    ins = spark.createDataFrame(
+        [(99999901, "I", 1.5), (99999902, "I", 2.5)],
+        "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    n_upd = upd.count()
+    m1 = merge_into(spark, path, upd.unionByName(ins), "o_orderkey")
+
+    commit = m1["commits"][-1]
+    assert commit["mode"] == "merge"
+    # copy-on-write: the narrow merge must NOT rewrite the whole table
+    assert 0 < commit["files_removed"] < n_files0
+    # untouched entries carried over verbatim (incremental manifest)
+    prior = {f["path"]: f for f in m0["files"]}
+    reused = [f for f in m1["files"] if f["path"] in prior]
+    assert reused and all(prior[f["path"]] == f for f in reused)
+
+    back = read_table(spark, path)
+    assert back.count() == src.count() + 2
+    assert back.filter(F.col("o_orderstatus") == "U").count() == n_upd
+    assert back.filter(F.col("o_orderstatus") == "I").count() == 2
+    # no duplicate keys after the upsert
+    assert back.select("o_orderkey").distinct().count() == back.count()
+
+    # change feed: the merge commit's additions are exactly its new files
+    ch = read_changes(spark, path, since_commit=m1["commits"][-2]["commit"])
+    assert ch.filter(F.col("o_orderstatus") == "I").count() == 2
+    assert ch.count() >= n_upd + 2
+
+    # layout guards: merging into a bucketed table raises
+    bpath = f"{tmpdir}/orders_merge_bucketed"
+    write_table(src, bpath, WriteOptions(bucket_by="o_orderkey"))
+    with pytest.raises(ValueError, match="hash"):
+        merge_into(spark, bpath, ins, "o_orderkey")
+
+
+def test_read_changes_bounds(spark, tmpdir):
+    from nimble_spark.sources.table import read_changes
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_feed"
+    write_table(src.filter(F.col("o_orderkey") % 2 == 0), path, WriteOptions())
+    write_table(src.filter(F.col("o_orderkey") % 2 == 1), path, WriteOptions(), mode="append")
+
+    all_rows = read_changes(spark, path, since_commit=-1)
+    assert all_rows.count() == src.count()
+    delta = read_changes(spark, path, since_commit=0)
+    assert delta.count() == src.filter(F.col("o_orderkey") % 2 == 1).count()
+    none = read_changes(spark, path, since_commit=1)
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="out of range"):
+        read_changes(spark, path, since_commit=5)
