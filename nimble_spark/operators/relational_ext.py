@@ -548,3 +548,143 @@ def q_raw_size_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _RAW_STRINGS
     ]
     return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Statistical-moment aggregates (variance / stddev / covariance / corr)
+# ---------------------------------------------------------------------------
+
+# Exact-decimal formulation (functions/exact.py): sums of x, x², y, xy
+# go through DECIMAL(27,6) so partial aggregation order cannot move a
+# rounding boundary between engines; the moments derive from those
+# exact sums in IEEE doubles, identically on both sides. Spark's
+# built-in var_pop/corr produce the same values up to float
+# associativity — the decimal path is what makes them oracle-exact.
+
+
+@register(
+    "q_stats_moments",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {rnd_sql("sxx / n - (sx / n) * (sx / n)")} AS var_pop_v,
+           {rnd_sql("sqrt(sxx / n - (sx / n) * (sx / n))")} AS stddev_pop_v,
+           {rnd_sql("(sxx - sx * sx / n) / (n - 1)")} AS var_samp_v,
+           {rnd_sql("sxy / n - (sx / n) * (sy / n)")} AS covar_pop_vu,
+           {rnd_sql("(sxy / n - (sx / n) * (sy / n)) / (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n)))")} AS corr_vu
+    FROM s
+    """,
+    category="statistics",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: population/sample variance,
+    stddev, covariance, and Pearson correlation of (value, user_id).
+    One hash aggregation carrying five exact decimal sums — the same
+    partial+final shape Spark's built-in var_pop/corr use, made
+    order-independent (and thus engine-exact) by the decimal casts.
+    At 100 TB: map-side combine reduces each partition to one row per
+    group before the shuffle."""
+    e = load(spark, sf_dir, "events")
+    DEC = "decimal(27,6)"
+    v = F.col("value")
+    u = F.col("user_id").cast("double")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sx"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("sxx"),
+        F.sum(u.cast(DEC)).cast("double").alias("sy"),
+        F.sum((u * u).cast(DEC)).cast("double").alias("syy"),
+        F.sum((v * u).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_pop = sxx / n - (sx / n) * (sx / n)
+    var_pop_y = syy / n - (sy / n) * (sy / n)
+    covar_pop = sxy / n - (sx / n) * (sy / n)
+    return s.select(
+        "event_type",
+        "n",
+        rnd(var_pop, 4).alias("var_pop_v"),
+        rnd(F.sqrt(var_pop), 4).alias("stddev_pop_v"),
+        rnd((sxx - sx * sx / n) / (n - 1), 4).alias("var_samp_v"),
+        rnd(covar_pop, 4).alias("covar_pop_vu"),
+        rnd(covar_pop / (F.sqrt(var_pop) * F.sqrt(var_pop_y)), 4).alias("corr_vu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_* error-safe arithmetic (ANSI-mode null-on-error semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_try_arith",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE FLOOR((value / (user_id % 3)) * 10000 + 0.5) / 10000 END AS safe_div,
+           TRY_CAST(event_type AS INTEGER) AS cast_int,
+           CASE WHEN user_id > 0 THEN NULL
+                ELSE user_id + 9223372036854775807 END AS safe_add,
+           string_split(event_type, '_')[5] AS elem_oob
+    FROM events
+    """,
+    category="relational",
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar arithmetic: try_divide (null on /0), try_cast
+    (null on bad cast), try_add (null on int64 overflow), and
+    out-of-bounds element access. The null-on-error contract is what
+    lets a 100 TB pipeline survive dirty rows without per-row Python
+    guards or task retries — errors become nulls that flow through
+    aggregation, they don't kill stages."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        rnd(F.expr("try_divide(value, user_id % 3)"), 4).alias("safe_div"),
+        F.expr("try_cast(event_type AS INT)").alias("cast_int"),
+        F.expr("try_add(user_id, 9223372036854775807L)").alias("safe_add"),
+        F.expr("try_element_at(split(event_type, '_'), 5)").alias("elem_oob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boolean / bitwise aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bool_bitwise_agg",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS band,
+           bit_or(user_id) AS bor,
+           bit_xor(user_id) AS bxor,
+           bool_and(value > 0) AS all_pos,
+           bool_or(value > 500) AS any_large
+    FROM events GROUP BY event_type
+    """,
+    category="relational",
+)
+def q_bool_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (bit_and/or/xor) and boolean (bool_and/bool_or)
+    aggregates — the flag-combining primitives of permission masks,
+    feature bitmaps, and data-quality rollups. All associative +
+    commutative, so Spark runs them partial/final with map-side
+    combine; the shuffle carries one 8-byte accumulator per group."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("bit_and(user_id)").alias("band"),
+        F.expr("bit_or(user_id)").alias("bor"),
+        F.expr("bit_xor(user_id)").alias("bxor"),
+        F.expr("bool_and(value > 0)").alias("all_pos"),
+        F.expr("bool_or(value > 500)").alias("any_large"),
+    )
