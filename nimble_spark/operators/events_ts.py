@@ -262,3 +262,54 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         rnd(filled, 4).alias("v"),
     )
+
+
+@register(
+    "q_rollup_cascade",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql("value")} AS sum_v,
+           FLOOR((MAX(value)) * 10000 + 0.5) / 10000 AS max_v,
+           COUNT(DISTINCT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS n_hours
+    FROM events GROUP BY 1, 2
+    """,
+    category="time_window",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: minute → hour → day, each
+    tier re-aggregating the tier below (counts sum, sums sum, maxes
+    max) — the continuous-aggregate discipline where a day of data is
+    86k× smaller by the second rollup. The oracle computes the day
+    tier DIRECTLY from raw events, so the query proves cascade
+    consistency: re-aggregation loses nothing. Decimal sums stay
+    unrounded between tiers (exact, associative — functions/exact.py);
+    only the day-tier output rounds. At 100 TB the raw shuffle
+    happens once (minute tier, map-side combined); every later tier
+    shuffles only aggregate rows."""
+    e = load(spark, sf_dir, "events")
+    minute = e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(
+        F.window(F.col("w.start"), "1 hour").alias("w"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"), F.max("mx").alias("mx"))
+    day = hour.groupBy(
+        F.window(F.col("w.start"), "1 day").alias("w"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.max("mx").alias("mx"),
+        F.countDistinct(F.col("w.start")).alias("n_hours"),
+    )
+    return day.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        rnd(F.col("s").cast("double"), 4).alias("sum_v"),
+        rnd("mx", 4).alias("max_v"),
+        "n_hours",
+    )
