@@ -303,7 +303,9 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"),
         F.sum("s").alias("s"),
         F.max("mx").alias("mx"),
-        F.countDistinct(F.col("w.start")).alias("n_hours"),
+        # hour rows are unique per (window, event_type) by construction,
+        # so distinct-hour count is a plain count — no Expand shuffle
+        F.count(F.lit(1)).alias("n_hours"),
     )
     return day.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),

@@ -269,3 +269,41 @@ def test_nested_struct_pruning(spark):
     rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "price" in rs
     assert "status" not in rs and "when" not in rs, rs
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles,partial_agg",
+    [
+        # map-only passes: the split/chunk/try surfaces must never shuffle
+        ("q_train_split", 0, False),
+        ("q_doc_chunking", 0, False),
+        ("q_try_arith", 0, False),
+        ("q_incremental_read", 0, False),
+        # single hash-agg with map-side combine
+        ("q_bpe_merge_pairs", 1, True),
+        ("q_embedding_covariance", 1, True),
+        ("q_stats_moments", 1, True),
+        ("q_bool_bitwise_agg", 1, True),
+        # cascade: one shuffle per tier, no Expand from distinct aggs
+        ("q_rollup_cascade", 3, True),
+    ],
+)
+def test_round4_additions_posture(spark, name, max_shuffles, partial_agg):
+    assert_posture(
+        _q(name)(spark, SF_MED),
+        max_shuffles=max_shuffles,
+        require_partial_agg=partial_agg,
+        forbid_python_eval=True,
+    )
+
+
+def test_ann_recall_eval_broadcasts_topk_sides(spark):
+    # both top-k result sets are |Q|·k rows — the eval join must
+    # broadcast, never shuffle, the comparison
+    a = assert_posture(
+        _q("q_ann_recall_eval")(spark, SF_MED),
+        max_shuffles=2,
+        forbid_python_eval=True,
+    )
+    assert a.n_broadcast_joins >= 1, a.plan
+    assert a.n_cartesian == 0
