@@ -30,6 +30,10 @@ DEFAULT = [
     "q_containment_pairs", "q_interpolate_linear", "q_asof_join_nearest",
     "q_weighted_sample", "q_balanced_mix", "q_nested_struct_roundtrip",
     "q_array_struct_roundtrip", "q_composite_cluster_scan", "q_cut_stripe_scan",
+    "q_train_split", "q_doc_chunking", "q_bpe_merge_pairs",
+    "q_embedding_covariance", "q_ann_recall_eval", "q_stats_moments",
+    "q_try_arith", "q_bool_bitwise_agg", "q_rollup_cascade",
+    "q_merge_into", "q_incremental_read",
 ]
 
 

@@ -300,9 +300,11 @@ def test_round4_additions_posture(spark, name, max_shuffles, partial_agg):
 def test_ann_recall_eval_broadcasts_topk_sides(spark):
     # both top-k result sets are |Q|·k rows — the eval join must
     # broadcast, never shuffle, the comparison
+    # 2 window shuffles per top-k side; exchange reuse can merge them
+    # (observed 2 warm / 4 cold), so bound at the cold case
     a = assert_posture(
         _q("q_ann_recall_eval")(spark, SF_MED),
-        max_shuffles=2,
+        max_shuffles=4,
         forbid_python_eval=True,
     )
     assert a.n_broadcast_joins >= 1, a.plan
