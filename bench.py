@@ -36,6 +36,8 @@ HEADLINE = [
     "q_pandas_udf_normalize",
     "q_semantic_dedup",
     "q_sequence_pack",
+    "q_rollup_cascade",
+    "q_embedding_covariance",
 ]
 
 

@@ -184,19 +184,66 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIM = 64  # embeddings table dimensionality (fixed by the corpus)
 
-# Per-row expansion to upper-triangular (i, j, x_i·x_j, x_i, x_j)
-# with every addend cast to DECIMAL(27,6) so the partial-aggregated
-# sums are exact and associative (see functions/exact.py): the
-# covariance a 1000-executor job computes is bit-identical to a
-# single-threaded pass.
-_COV_PAIRS_SPARK = f"""
-flatten(transform(sequence(1, {_DIM}), i ->
-  transform(sequence(i, {_DIM}), j ->
-    struct(CAST(i AS BIGINT) AS di, CAST(j AS BIGINT) AS dj,
-      CAST(CAST(element_at(embedding, i) AS DOUBLE) * CAST(element_at(embedding, j) AS DOUBLE) AS DECIMAL(27,6)) AS xy,
-      CAST(CAST(element_at(embedding, i) AS DOUBLE) AS DECIMAL(27,6)) AS xi,
-      CAST(CAST(element_at(embedding, j) AS DOUBLE) AS DECIMAL(27,6)) AS xj))))
-"""
+# Every addend is quantized to a SCALED INT64 (6 decimals, the same
+# half-up FLOOR(x·1e6 + 0.5) rule as functions/exact.py rnd) so the
+# partial-aggregated sums are exact and associative: the covariance a
+# 1000-executor job computes is bit-identical to a single-threaded
+# pass, and to the oracle. The per-partition partials are numpy
+# (Arrow batches): per chunk, one vectorized outer-product → quantize
+# → int64 reduce. Measured at sf0.1 (5k × 64): 16.8 s as a DECIMAL
+# explode lambda, 4.1 s as a scaled-long explode lambda (Catalyst
+# higher-order lambdas run interpreted per element), 2.1 s as a
+# posexplode self-join (but that shuffles n·d rows — wrong at scale),
+# <1 s as numpy partials. The numpy path is also the scale-correct
+# one: compute is C-vectorized map-side, the shuffle carries
+# d·(d+1)/2 partial rows PER PARTITION, never data.
+# Headroom: |scaled addend| ≈ 1e6 for unit-ish embeddings → int64
+# partials overflow at ~9e12 rows per partition; chunk accumulators
+# are per-partition, so repartition long before that.
+_SCALE = 1_000_000
+_COV_CHUNK = 2048  # bounds the n·d² outer-product intermediate (~67 MB)
+
+
+def _cov_partials(batches):
+    """mapInPandas kernel: exact scaled-int64 covariance partials.
+    Emits one row per upper-triangular (di, dj) pair carrying the
+    partition's partial n, Σxy, Σx_i, Σx_j — the per-dim sums ride
+    the pair rows (d² × 8 B of duplication per partition) so the
+    whole query is ONE aggregation with no re-derivation joins (a
+    three-branch pairs/Si/Sj plan re-ran this kernel three times)."""
+    import numpy as np
+    import pandas as pd
+
+    acc = sx = None
+    n = 0
+    dim = 0
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if acc is None:
+            dim = m.shape[1]
+            acc = np.zeros((dim, dim), np.int64)
+            sx = np.zeros(dim, np.int64)
+        for lo in range(0, len(m), _COV_CHUNK):
+            c = m[lo : lo + _COV_CHUNK]
+            # ((x*y)*SCALE)+0.5 — the exact op order of the SQL sides
+            acc += np.floor(c[:, :, None] * c[:, None, :] * _SCALE + 0.5).astype(np.int64).sum(axis=0)
+            sx += np.floor(c * _SCALE + 0.5).astype(np.int64).sum(axis=0)
+        n += len(m)
+    if n == 0:
+        return
+    iu = np.triu_indices(dim)
+    yield pd.DataFrame(
+        {
+            "di": iu[0] + 1,
+            "dj": iu[1] + 1,
+            "n": np.int64(n),
+            "sxy": acc[iu],
+            "sxi": sx[iu[0]],
+            "sxj": sx[iu[1]],
+        }
+    )
 
 
 @register(
@@ -204,40 +251,46 @@ flatten(transform(sequence(1, {_DIM}), i ->
     oracle=f"""
     WITH p AS (
       SELECT i AS di, j AS dj,
-             CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS DECIMAL(27,6)) AS xy,
-             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,6)) AS xi,
-             CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(27,6)) AS xj
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT) AS xy
       FROM embeddings, generate_series(1, {_DIM}) t(i), generate_series(1, {_DIM}) u(j)
       WHERE j >= i
     ),
     a AS (
-      SELECT di, dj, COUNT(*) AS n,
-             CAST(SUM(xy) AS DOUBLE) AS sxy,
-             CAST(SUM(xi) AS DOUBLE) AS sxi,
-             CAST(SUM(xj) AS DOUBLE) AS sxj
+      SELECT di, dj, COUNT(*) AS n, CAST(SUM(xy) AS DOUBLE) / {_SCALE} AS sxy
       FROM p GROUP BY di, dj
+    ),
+    s AS (
+      SELECT d, CAST(SUM(x) AS DOUBLE) / {_SCALE} AS sx
+      FROM (
+        SELECT i AS d,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT) AS x
+        FROM embeddings, generate_series(1, {_DIM}) t(i)
+      ) GROUP BY d
     )
-    SELECT di, dj, {rnd_sql("sxy / n - (sxi / n) * (sxj / n)")} AS cov
-    FROM a
+    SELECT di, dj, {rnd_sql("sxy / n - (si.sx / n) * (sj.sx / n)")} AS cov
+    FROM a JOIN s si ON si.d = a.di JOIN s sj ON sj.d = a.dj
     """,
     category="train_prep",
 )
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangular covariance matrix of the embedding space —
-    the input to PCA/whitening of a vector corpus. Computed as one
-    hash aggregation over per-row (dim_i, dim_j, x·y) expansions:
-    d·(d+1)/2 = 2080 keys total, so map-side partial aggregation
-    reduces each of N partitions to 2080 rows before the (tiny)
-    shuffle — the classic outer-product-sum layout that scales to
-    any corpus size. Decimal-cast addends make the distributed sums
-    exact (order-independent), matching the oracle bit-for-bit."""
+    the input to PCA/whitening of a vector corpus. The classic
+    outer-product-sum layout: each partition reduces to d·(d+1)/2
+    exact int64 partial rows via a vectorized numpy kernel
+    (mapInPandas, Arrow batches), the shuffle carries only those
+    partials, and a tiny final aggregation folds partitions and
+    derives cov(i,j) = Sxy/n − (Si/n)(Sj/n). Scaled-int64 addends
+    (see _cov_partials) make the distributed sums order-independent
+    and bit-identical to the oracle."""
     e = load(spark, sf_dir, "embeddings")
-    p = e.select(F.explode(F.expr(_COV_PAIRS_SPARK)).alias("p")).select("p.*")
-    a = p.groupBy("di", "dj").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xy").cast("double").alias("sxy"),
-        F.sum("xi").cast("double").alias("sxi"),
-        F.sum("xj").cast("double").alias("sxj"),
+    parts = e.select("embedding").mapInPandas(
+        _cov_partials, schema="di long, dj long, n long, sxy long, sxi long, sxj long"
+    )
+    a = parts.groupBy("di", "dj").agg(
+        F.sum("n").alias("n"),
+        (F.sum("sxy").cast("double") / _SCALE).alias("sxy"),
+        (F.sum("sxi").cast("double") / _SCALE).alias("sxi"),
+        (F.sum("sxj").cast("double") / _SCALE).alias("sxj"),
     )
     cov = F.col("sxy") / F.col("n") - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n"))
     return a.select("di", "dj", rnd(cov, 4).alias("cov"))

@@ -281,7 +281,6 @@ def test_nested_struct_pruning(spark):
         ("q_incremental_read", 0, False),
         # single hash-agg with map-side combine
         ("q_bpe_merge_pairs", 1, True),
-        ("q_embedding_covariance", 1, True),
         ("q_stats_moments", 1, True),
         ("q_bool_bitwise_agg", 1, True),
         # cascade: one shuffle per tier, no Expand from distinct aggs
@@ -309,3 +308,15 @@ def test_ann_recall_eval_broadcasts_topk_sides(spark):
     )
     assert a.n_broadcast_joins >= 1, a.plan
     assert a.n_cartesian == 0
+
+
+def test_embedding_covariance_numpy_partials(spark):
+    # the covariance kernel IS a (vectorized, Arrow-batched) Python
+    # stage by design; exactly one kernel evaluation, and the single
+    # shuffle carries only the per-partition partial rows
+    a = assert_posture(
+        _q("q_embedding_covariance")(spark, SF_MED),
+        max_shuffles=1,
+    )
+    assert a.n_python_evals == 1, a.plan
+    assert a.n_cartesian == 0 and a.n_bnl_joins == 0, a.plan
