@@ -1149,3 +1149,77 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.select(
         "o_orderkey", "o_custkey", "o_orderstatus", rnd("o_totalprice", 4).alias("price")
     )
+
+
+@register(
+    "q_update_where",
+    oracle=f"""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           {dsum_sql("CASE WHEN o_orderkey % 100 = 42 THEN o_totalprice * 0.5 ELSE o_totalprice END")} AS total
+    FROM orders GROUP BY 1
+    """,
+    category="format",
+)
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE analogue (sources/merge.py update_where): a 50%
+    price cut is applied WHERE o_orderkey % 100 = 42 on a stored
+    orders table, copy-on-write at file granularity — only files
+    holding a matching row are rewritten; the post-update scan must
+    equal the relational CASE expression the oracle computes."""
+    from nimble_spark.sources.merge import update_where
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(*cols)
+        write_table(o, tmp, WriteOptions(cluster_by=["o_orderkey"]))
+        update_where(
+            spark, tmp, "o_orderkey % 100 = 42",
+            {"o_totalprice": "o_totalprice * 0.5"},
+        )
+
+    path = ensure_cached(sf_dir, "orders__updated", ["orders"], _build)
+    return (
+        read_table(spark, path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "q_partition_overwrite",
+    oracle=f"""
+    WITH cur AS (
+      SELECT event_type, value FROM events WHERE event_type <> 'click'
+      UNION ALL
+      SELECT event_type, value * 2 AS value FROM events WHERE event_type = 'click'
+    )
+    SELECT event_type, COUNT(*) AS n, {dsum_sql("value")} AS total_v
+    FROM cur GROUP BY 1
+    """,
+    category="format",
+)
+def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (sources/merge.py
+    overwrite_partitions): events is stored partitioned by
+    event_type; the 'click' partition is re-published with doubled
+    values (the idempotent-backfill primitive — re-running one day's
+    pipeline replaces that day only). Untouched partitions keep their
+    bytes and manifest entries; the post-overwrite scan must show
+    exactly one changed partition."""
+    from nimble_spark.sources.merge import overwrite_partitions
+
+    def _build(tmp: str) -> None:
+        e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        write_table(e, tmp, WriteOptions(partition_by=["event_type"]))
+        redo = e.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") * 2
+        )
+        overwrite_partitions(spark, redo, tmp)
+
+    path = ensure_cached(sf_dir, "events__part_overwrite", ["events"], _build)
+    return (
+        read_table(spark, path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_v"))
+    )

@@ -84,20 +84,9 @@ def merge_into(
     # file-granularity distinct — bounded metadata on the driver
     # (≤ number of table files), same class as the sorted-index file
     # list in table.py.
-    affected_rows = (
-        tgt.withColumn("_f", F.input_file_name())
-        .join(keys, key, "left_semi")
-        .select("_f")
-        .distinct()
-        .collect()
+    affected = _affected_files(
+        path, tgt.withColumn("_f", F.input_file_name()).join(keys, key, "left_semi")
     )
-    root = os.path.realpath(path)
-    affected: list[str] = []
-    for r in affected_rows:
-        p = r["_f"]
-        if p.startswith("file:"):
-            p = p[len("file:"):]
-        affected.append(os.path.relpath(os.path.realpath(p), root))
 
     # 2. the rewrite set: survivors of affected files + every source row
     cols = tgt.columns
@@ -113,15 +102,49 @@ def merge_into(
     else:
         new_rows = source.select(*cols)
 
-    # 3. stage → move in → drop replaced → incremental manifest rebuild
-    staging = f"{path}-merge-{uuid.uuid4().hex[:8]}"
+    return _commit_rewrite(spark, path, manifest, tgt.schema, affected, new_rows, "merge", opts)
+
+
+def _affected_files(path: str, matched: DataFrame) -> list[str]:
+    """Distinct FILE list (relpaths) of the rows in ``matched``, which
+    must already carry a ``_f`` = input_file_name() column ATTACHED AT
+    THE SCAN (input_file_name is task-input state — evaluated after a
+    shuffle it returns ''). Bounded metadata on the driver (≤ table
+    file count)."""
+    rows = matched.select("_f").distinct().collect()
+    root = os.path.realpath(path)
+    out = []
+    for r in rows:
+        p = r["_f"]
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        out.append(os.path.relpath(os.path.realpath(p), root))
+    return out
+
+
+def _commit_rewrite(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    schema,
+    affected: list[str],
+    new_rows: DataFrame,
+    mode: str,
+    opts: WriteOptions | None,
+) -> dict:
+    """Copy-on-write commit: stage ``new_rows``, move the staged files
+    in, drop the replaced ``affected`` files, rebuild the manifest
+    incrementally (untouched entries reused verbatim) and append a
+    ``mode`` commit-log entry recording additions and removals."""
+    pidx = manifest.get("indexes", {})
+    staging = f"{path}-{mode}-{uuid.uuid4().hex[:8]}"
     new_rows.write.mode("overwrite").option(
         "compression", (opts or WriteOptions()).compression
     ).parquet(staging)
     moved: list[str] = []
     for f in sorted(os.listdir(staging)):
         if f.endswith(".parquet"):
-            dst = f"merge-{uuid.uuid4().hex[:8]}-{f}"
+            dst = f"{mode}-{uuid.uuid4().hex[:8]}-{f}"
             os.rename(os.path.join(staging, f), os.path.join(path, dst))
             moved.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
@@ -140,16 +163,123 @@ def merge_into(
     }
     prior_commits = list(manifest.get("commits", []))
     prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
-    new_manifest = _build_manifest(spark, tgt.schema, path, opts or WriteOptions(), index_meta, reuse=reuse)
+    new_manifest = _build_manifest(spark, schema, path, opts or WriteOptions(), index_meta, reuse=reuse)
     new_manifest["commits"] = prior_commits + [
         {
             "commit": len(prior_commits),
-            "mode": "merge",
+            "mode": mode,
             "files_added": len(moved),
             "files_removed": len(affected),
             "removed": sorted(affected),
             "rows_added": new_manifest["rows"] - prior_rows,
             "files": sorted(moved),
+        }
+    ]
+    os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
+    _write_manifest(path, new_manifest)
+    return new_manifest
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set_exprs: dict[str, str],
+    opts: WriteOptions | None = None,
+) -> dict:
+    """SQL ``UPDATE … SET … WHERE …`` analogue, copy-on-write at file
+    granularity: only files containing a row matching ``condition``
+    are rewritten, with ``set_exprs`` (column → SQL expression)
+    applied to matching rows and everything else copied through.
+    ``condition`` is a SQL boolean expression string pushed into the
+    discovery scan, so pruning metadata (cluster ranges, blooms)
+    limits which files are even inspected. Updating a layout column
+    of a directory-shaped table would move rows across
+    directories — v1 raises for those layouts, like merge_into."""
+    manifest = read_manifest(path)
+    pidx = manifest.get("indexes", {})
+    for k in ("hash", "partition", "cut"):
+        if k in pidx:
+            raise ValueError(
+                f"update_where does not yet preserve the {k} layout; "
+                "compact to a plain table first"
+            )
+    tgt = read_table(spark, path)
+    cond = F.expr(condition)
+    affected = _affected_files(
+        path, tgt.withColumn("_f", F.input_file_name()).filter(cond)
+    )
+    if not affected:
+        return manifest
+    aff_df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f) for f in affected]
+    ).select(*tgt.columns)
+    updated = aff_df.withColumns(
+        {c: F.when(cond, F.expr(e)).otherwise(F.col(c)) for c, e in set_exprs.items()}
+    )
+    return _commit_rewrite(spark, path, manifest, tgt.schema, affected, updated, "update", opts)
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    opts: WriteOptions | None = None,
+) -> dict:
+    """Dynamic partition overwrite: atomically replace ONLY the Hive
+    partition directories whose values appear in ``df``; every other
+    partition keeps its bytes and its manifest entry verbatim. The
+    idempotent-backfill primitive — re-running a day's pipeline
+    replaces that day, never touching the rest of the table. Uses
+    Spark's dynamic partitionOverwriteMode for the directory swap,
+    then rebuilds the manifest incrementally and logs a commit with
+    the added/removed files."""
+    manifest = read_manifest(path)
+    pidx = manifest.get("indexes", {})
+    pkeys = (pidx.get("partition") or {}).get("keys")
+    if not pkeys:
+        raise ValueError("overwrite_partitions requires a partition_by table")
+    prior = {
+        os.path.normpath(e["path"]): e for e in manifest["files"] if "nulls" in e
+    }
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", (opts or WriteOptions()).compression)
+            .partitionBy(*pkeys)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    reuse = {p: e for p, e in prior.items() if os.path.exists(os.path.join(path, p))}
+    removed = sorted(p for p in prior if p not in reuse)
+    index_meta = {
+        k: pidx[k]
+        for k in ("partition", "cluster", "zorder", "bloom", "sorted", "sorted_fence")
+        if k in pidx
+    }
+    prior_commits = list(manifest.get("commits", []))
+    prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
+    new_manifest = _build_manifest(
+        spark, df.schema, path, opts or WriteOptions(), index_meta, reuse=reuse
+    )
+    new_files = sorted(
+        os.path.normpath(f["path"])
+        for f in new_manifest["files"]
+        if os.path.normpath(f["path"]) not in reuse
+    )
+    new_manifest["commits"] = prior_commits + [
+        {
+            "commit": len(prior_commits),
+            "mode": "overwrite_partitions",
+            "files_added": len(new_files),
+            "files_removed": len(removed),
+            "removed": removed,
+            "rows_added": new_manifest["rows"] - prior_rows,
+            "files": new_files,
         }
     ]
     os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)

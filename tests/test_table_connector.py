@@ -604,3 +604,64 @@ def test_read_changes_bounds(spark, tmpdir):
     assert none.count() == 0
     with pytest.raises(ValueError, match="out of range"):
         read_changes(spark, path, since_commit=5)
+
+
+def test_update_where_file_granular(spark, tmpdir):
+    from nimble_spark.sources.merge import update_where
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_update"
+    m0 = write_table(src, path, WriteOptions(cluster_by=["o_orderkey"], max_rows_per_file=200))
+    n_files0 = len(m0["files"])
+
+    m1 = update_where(
+        spark, path, "o_orderkey BETWEEN 1 AND 40",
+        {"o_totalprice": "o_totalprice + 1000000"},
+    )
+    commit = m1["commits"][-1]
+    assert commit["mode"] == "update"
+    assert 0 < commit["files_removed"] < n_files0  # narrow update, narrow rewrite
+
+    back = read_table(spark, path)
+    n_upd = back.filter(F.col("o_totalprice") > 900000).count()
+    assert n_upd == src.filter(F.col("o_orderkey").between(1, 40)).count()
+    assert back.count() == src.count()
+
+    # no-match update is a no-op commit-wise
+    m2 = update_where(spark, path, "o_orderkey = -1", {"o_totalprice": "0.0"})
+    assert len(m2.get("commits", [])) == len(m1["commits"])
+
+
+def test_overwrite_partitions_touches_only_named_dirs(spark, tmpdir):
+    from nimble_spark.sources.merge import overwrite_partitions
+
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    path = f"{tmpdir}/events_dpo"
+    m0 = write_table(src, path, WriteOptions(partition_by=["event_type"]))
+    prior = {f["path"]: f for f in m0["files"]}
+
+    redo = src.filter(F.col("event_type") == "view").withColumn("value", F.lit(0.0))
+    m1 = overwrite_partitions(spark, redo, path)
+    commit = m1["commits"][-1]
+    assert commit["mode"] == "overwrite_partitions"
+    assert commit["files_removed"] >= 1
+
+    # untouched partitions keep their manifest entries verbatim
+    untouched = [f for f in m1["files"] if "event_type=view" not in f["path"]]
+    assert untouched and all(prior[f["path"]] == f for f in untouched)
+    # replaced partition files are new
+    assert all(f["path"] not in prior for f in m1["files"] if "event_type=view" in f["path"])
+
+    back = read_table(spark, path)
+    assert back.count() == src.count()
+    assert back.filter((F.col("event_type") == "view") & (F.col("value") != 0.0)).count() == 0
+    assert back.filter(F.col("event_type") == "click").count() == src.filter(
+        F.col("event_type") == "click"
+    ).count()
+
+    with pytest.raises(ValueError, match="partition_by"):
+        overwrite_partitions(spark, redo, f"{tmpdir}/orders_update")
