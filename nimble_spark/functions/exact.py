@@ -56,3 +56,31 @@ def dsum_sql(expr: str) -> str:
 
 def davg_sql(expr: str) -> str:
     return rnd_sql(f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({expr})")
+
+
+# Scaled-int64 exact sums. The DECIMAL(27,6) path above relies on the
+# JVM's double→decimal cast (BigDecimal.valueOf → shortest decimal
+# string, then HALF_UP) agreeing with DuckDB's binary-value rounding —
+# true for "decimal-ish" doubles (prices generated from 2-dp values)
+# but NOT for arbitrary binary fractions: a float32-roundtripped
+# 123456.78999996… casts to 123456.790000 on the JVM (shortest repr
+# "123456.79") and 123456.789999 in DuckDB. FLOOR(x·10ⁿ + 0.5) uses
+# only IEEE ops, so the scaled-long path is portable for ANY double.
+# Bounds: |x|·10⁶ summed must stay under 2^63 ≈ 9.2e18 — ~9e12 rows
+# of 1e6-scaled unit values; widen per-partition or split the scale
+# before that.
+
+
+def lsum(col: Column | str, scale: int = 6, out_scale: int = R4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**scale
+    total = F.sum(F.floor(c * m + F.lit(0.5)).cast("bigint")).cast("double") / m
+    return rnd(total, out_scale)
+
+
+def lsum_sql(expr: str, scale: int = 6, out_scale: int = R4) -> str:
+    m = 10**scale
+    return rnd_sql(
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)) AS DOUBLE) / {m}",
+        out_scale,
+    )

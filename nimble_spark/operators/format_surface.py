@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nimble_spark.functions.exact import dsum, dsum_sql, rnd
+from nimble_spark.functions.exact import dsum, dsum_sql, lsum, lsum_sql, rnd
 from nimble_spark.registry import register
 from nimble_spark.sources.cache import ensure_cached
 from nimble_spark.sources.table import WriteOptions, read_table, write_table
@@ -1222,4 +1222,48 @@ def q_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, path)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_v"))
+    )
+
+
+@register(
+    "q_type_widening",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           MAX(o_orderkey) AS max_key,
+           {lsum_sql("CAST(CAST(o_totalprice AS REAL) AS DOUBLE)")} AS total
+    FROM orders GROUP BY 1
+    """,
+    category="format",
+)
+def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution: orders is STORED with narrow
+    physical types (int32 key, float32 price — the reference's
+    smaller integer/float streams) and READ under a wider declared
+    schema (bigint/double) via `evolved_types` — the UPCAST read
+    path. Only lossless widenings are honored; narrowing raises. The
+    oracle applies the same store-precision round-trip
+    (double→float→double), so values must agree exactly."""
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        )
+        write_table(o, tmp, WriteOptions())
+
+    path = ensure_cached(sf_dir, "orders__narrow_types", ["orders"], _build)
+    df = read_table(
+        spark,
+        path,
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        evolved_types={"o_orderkey": "bigint", "o_totalprice": "double"},
+    )
+    # lsum, not dsum: float32-roundtripped doubles are exactly the
+    # shape where the JVM's decimal cast (shortest-string HALF_UP)
+    # diverges from DuckDB's binary rounding — see functions/exact.py
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_orderkey").alias("max_key"),
+        lsum("o_totalprice").alias("total"),
     )

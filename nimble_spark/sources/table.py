@@ -853,11 +853,39 @@ def _project_with_evolution(
         for f in manifest.get("schema", {}).get("fields", [])
     }
     evolved_types = evolved_types or {}
+    file_types = dict(df.dtypes)
     sel = []
     for c in columns:
         if c in present:
-            sel.append(F.col(c))
+            declared = evolved_types.get(c)
+            stored = file_types.get(c)
+            if declared and declared != stored:
+                # Type-widening evolution: the reader declares a wider
+                # type than the file stores (the reference's UPCAST
+                # reads, e.g. int32 stream → BIGINT vector). Only
+                # lossless widenings are honored — narrowing silently
+                # truncating data is exactly the bug schema evolution
+                # exists to prevent, so it raises.
+                if not _safe_widening(stored, declared):
+                    raise ValueError(
+                        f"unsafe type evolution for {c!r}: {stored} → {declared}"
+                    )
+                sel.append(F.col(c).cast(declared).alias(c))
+            else:
+                sel.append(F.col(c))
         else:
             dtype = evolved_types.get(c) or manifest_types.get(c) or "string"
             sel.append(F.lit(None).cast(dtype).alias(c))
     return df.select(*sel)
+
+
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _safe_widening(stored: Optional[str], declared: str) -> bool:
+    """Lossless reader-side widenings: integer chain up, float→double."""
+    if stored is None:
+        return False
+    if stored in _INT_RANK and declared in _INT_RANK:
+        return _INT_RANK[declared] > _INT_RANK[stored]
+    return (stored, declared) == ("float", "double")

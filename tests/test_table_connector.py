@@ -665,3 +665,20 @@ def test_overwrite_partitions_touches_only_named_dirs(spark, tmpdir):
 
     with pytest.raises(ValueError, match="partition_by"):
         overwrite_partitions(spark, redo, f"{tmpdir}/orders_update")
+
+
+def test_type_widening_guard(spark, tmpdir):
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_totalprice").cast("float").alias("p"),
+    )
+    path = f"{tmpdir}/orders_narrow"
+    write_table(src, path, WriteOptions())
+    wide = read_table(spark, path, columns=["k", "p"], evolved_types={"k": "bigint", "p": "double"})
+    assert dict(wide.dtypes) == {"k": "bigint", "p": "double"}
+    assert wide.count() == src.count()
+    # narrowing must raise, not truncate
+    with pytest.raises(ValueError, match="unsafe"):
+        read_table(spark, path, columns=["k"], evolved_types={"k": "smallint"})
+    with pytest.raises(ValueError, match="unsafe"):
+        read_table(spark, path, columns=["p"], evolved_types={"p": "int"})
