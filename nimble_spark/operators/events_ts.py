@@ -315,3 +315,51 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("mx", 4).alias("max_v"),
         "n_hours",
     )
+
+
+@register(
+    "q_materialized_rollup",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql("value")} AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+    category="time_window",
+)
+def q_materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED continuous aggregate: the hourly tier is materialized as
+    a nimble table (partitioned by event_type, decimal sums carried
+    unrounded as DECIMAL storage), and the day tier re-aggregates the
+    STORED rollup — proving the materialize → re-aggregate cycle
+    loses nothing vs computing days from raw (the oracle). This is
+    the serving pattern for time-series dashboards at 100 TB: raw
+    events aggregate once into an hourly table 3-4 orders of
+    magnitude smaller; every coarser query reads the rollup, never
+    the raw data."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+    def _build(tmp: str) -> None:
+        e = load(spark, sf_dir, "events")
+        hourly = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+        )
+        flat = hourly.select(
+            F.col("w.start").alias("hour_start"), "event_type", "n", "s"
+        )
+        write_table(flat, tmp, WriteOptions(partition_by=["event_type"]))
+
+    path = ensure_cached(sf_dir, "events__hourly_rollup", ["events"], _build)
+    stored = read_table(spark, path)
+    day = stored.groupBy(
+        F.window(F.col("hour_start"), "1 day").alias("w"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    return day.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        rnd(F.col("s").cast("double"), 4).alias("sum_v"),
+    )

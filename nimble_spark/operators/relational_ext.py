@@ -688,3 +688,50 @@ def q_bool_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bool_and(value > 0)").alias("all_pos"),
         F.expr("bool_or(value > 500)").alias("any_large"),
     )
+
+
+@register(
+    "q_skew_salted_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             len(event_type) * 10 AS weight
+      FROM events
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           {dsum_sql("e.value * d.weight")} AS weighted
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    category="join",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — the join-side twin of q_skew_salted_agg.
+    A fact table whose join key is a low-cardinality hot key (5 event
+    types over billions of rows) would send each type to ONE reducer
+    in a plain shuffle join. Salting fans the fact side over
+    (key, salt ∈ 0..7) and replicates the dim side 8× (explode), so
+    the join key (key, salt) spreads each hot key across 8 reducers.
+    Result provably identical to the plain join the oracle runs.
+    When the dim fits in memory a broadcast join is strictly better —
+    salting is for the mid-size dim / giant skewed fact regime where
+    neither broadcast nor plain shuffle works. shuffle_hash hints keep
+    AQE from flipping to broadcast here, so the audited plan IS the
+    salted shape."""
+    _N_SALT = 8
+    e = load(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type").distinct()
+        .withColumn("weight", (F.length("event_type") * 10).cast("bigint"))
+    )
+    fact = e.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALT)))
+    dim_rep = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1)).cast("array<bigint>"))
+    )
+    j = fact.hint("shuffle_hash").join(
+        dim_rep.hint("shuffle_hash"), ["event_type", "__salt"]
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value") * F.col("weight")).alias("weighted"),
+    )
