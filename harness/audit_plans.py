@@ -33,7 +33,9 @@ DEFAULT = [
     "q_train_split", "q_doc_chunking", "q_bpe_merge_pairs",
     "q_embedding_covariance", "q_ann_recall_eval", "q_stats_moments",
     "q_try_arith", "q_bool_bitwise_agg", "q_rollup_cascade",
-    "q_merge_into", "q_incremental_read",
+    "q_merge_into", "q_incremental_read", "q_update_where",
+    "q_partition_overwrite", "q_type_widening", "q_skew_salted_join",
+    "q_materialized_rollup",
 ]
 
 

@@ -320,3 +320,35 @@ def test_embedding_covariance_numpy_partials(spark):
     )
     assert a.n_python_evals == 1, a.plan
     assert a.n_cartesian == 0 and a.n_bnl_joins == 0, a.plan
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("q_update_where", 1),
+        ("q_partition_overwrite", 1),
+        ("q_type_widening", 1),
+        ("q_materialized_rollup", 1),
+    ],
+)
+def test_mutation_and_rollup_posture(spark, name, max_shuffles):
+    assert_posture(
+        _q(name)(spark, SF_MED),
+        max_shuffles=max_shuffles,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+
+
+def test_skew_salted_join_stays_shuffle_hash(spark):
+    # the whole point: the salted join must stay a shuffled hash join
+    # (the demoed regime is dim-too-big-to-broadcast), fact spread
+    # over (key, salt)
+    a = assert_posture(
+        _q("q_skew_salted_join")(spark, SF_MED),
+        max_shuffles=4,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_shuffled_hash_joins + a.n_sort_merge_joins >= 1, a.plan
+    assert a.n_broadcast_joins == 0, a.plan
