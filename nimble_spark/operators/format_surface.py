@@ -1267,3 +1267,42 @@ def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("max_key"),
         lsum("o_totalprice").alias("total"),
     )
+
+
+@register(
+    "q_pyds_pruned_scan",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id BETWEEN 100 AND 160
+    GROUP BY lang
+    """,
+    category="format",
+)
+def q_pyds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark.read.format("nimble")` — the Python DataSource face of
+    the connector (sources/datasource.py). The range predicate flows
+    through Catalyst into `pushFilters`, which prunes FILES by the
+    manifest's per-file min/max before partition planning (one
+    InputPartition per kept file; tests assert 8 files → 2 for this
+    band), and Spark re-applies the exact row residual. Partitions
+    stream Arrow RecordBatches — pyarrow's C++ parquet reader is the
+    only thing on the data path."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    path = ensure_cached(
+        sf_dir,
+        "documents__pyds_cluster",
+        ["documents"],
+        lambda tmp: write_table(
+            load(spark, sf_dir, "documents"),
+            tmp,
+            WriteOptions(cluster_by=["doc_id"], max_rows_per_file=150),
+        ),
+    )
+    register_nimble_source(spark)
+    df = spark.read.format("nimble").load(path)
+    return (
+        df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 160))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+    )
