@@ -887,3 +887,45 @@ def q_csv_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_d"),
         F.max("o_orderdate").alias("last_d"),
     )
+
+
+@register(
+    "q_stream_changes",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders GROUP BY 1
+    """,
+    category="streaming",
+)
+def q_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC source (sources/datasource.py
+    NimbleStreamReader): `spark.readStream.format("nimble")` consumes
+    the table's COMMIT LOG — each micro-batch is exactly the file
+    additions of new commits, offsets are commit indices stored in
+    the checkpoint. Here a two-commit table (base write + delta
+    append) streams to completion; the drained aggregate must equal
+    the batch aggregate over all commits. The restart-safe increment
+    mechanics (same checkpoint → only new commits) are pytest-gated
+    in tests/test_table_connector.py."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.datasource import register_nimble_source
+    from nimble_spark.sources.table import WriteOptions, write_table
+    from nimble_spark.streaming.windows import run_to_completion
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        write_table(o.filter(F.col("o_orderkey") % 3 != 0), tmp, WriteOptions())
+        write_table(
+            o.filter(F.col("o_orderkey") % 3 == 0), tmp, WriteOptions(), mode="append"
+        )
+
+    path = ensure_cached(sf_dir, "orders__cdc_source", ["orders"], _build)
+    register_nimble_source(spark)
+    stream = spark.readStream.format("nimble").load(path)
+    agg = stream.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("cust_sum")
+    )
+    return run_to_completion(agg, "rq_stream_changes")

@@ -717,3 +717,46 @@ def test_python_datasource_prunes_files(spark, tmpdir):
         r["lang"] for r in df.filter(F.col("doc_id") == 5).select("lang").collect()
     }
     assert langs == {r["lang"] for r in src.filter(F.col("doc_id") == 5).select("lang").collect()}
+
+
+def test_nimble_stream_source_cdc(spark, tmpdir):
+    import time
+
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_cdc_stream"
+    base = src.filter(F.col("o_orderkey") % 2 == 0)
+    delta = src.filter(F.col("o_orderkey") % 2 == 1)
+    write_table(base, path, WriteOptions())
+
+    register_nimble_source(spark)
+    sink = f"{tmpdir}/cdc_out"
+    ckpt = f"{tmpdir}/cdc_ckpt"
+
+    def drain():
+        q = (
+            spark.readStream.format("nimble")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    drain()
+    out1 = spark.read.parquet(sink)
+    assert out1.count() == base.count()  # first run drains commit 0
+
+    # append a commit; the SAME checkpoint resumes from the stored
+    # offset, so the second run appends ONLY the delta to the sink
+    write_table(delta, path, WriteOptions(), mode="append")
+    drain()
+    out2 = spark.read.parquet(sink)
+    assert out2.count() == base.count() + delta.count()
+    odd = out2.filter(F.col("o_orderkey") % 2 == 1)
+    assert odd.count() == delta.count()
