@@ -1306,3 +1306,36 @@ def q_pyds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
     )
+
+
+@register(
+    "q_pyds_write_roundtrip",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    category="format",
+)
+def q_pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.write.format("nimble")` round-trip — the DataSource WRITE
+    face (sources/datasource.py NimbleWriter): executors stream Arrow
+    batches to per-task parquet files, only committed messages enter
+    the manifest (failed-task debris stays invisible and vacuumable),
+    and an overwrite + append pair must read back losslessly through
+    BOTH read_table and the format reader. Commit log included, so
+    plain df.write tables time-travel and CDC-stream like library
+    writes."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+
+    def _build(tmp: str) -> None:
+        d = load(spark, sf_dir, "documents")
+        d.filter(F.col("doc_id") % 2 == 0).write.format("nimble").mode("overwrite").save(tmp)
+        d.filter(F.col("doc_id") % 2 == 1).write.format("nimble").mode("append").save(tmp)
+
+    path = ensure_cached(sf_dir, "documents__pyds_write", ["documents"], _build)
+    df = spark.read.format("nimble").load(path)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )

@@ -31,6 +31,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -39,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -67,6 +69,9 @@ class NimbleDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "NimbleStreamReader":  # noqa: N802
         return NimbleStreamReader(self.options["path"], schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "NimbleWriter":
+        return NimbleWriter(self.options["path"], overwrite)
 
 
 def _file_might_match(entry: dict, col: str, kind: str, value) -> bool:
@@ -201,3 +206,135 @@ class NimbleStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the table's own commit log
+
+
+class NimbleWriteMessage(WriterCommitMessage):
+    def __init__(self, rel_path: str, rows: int):
+        self.rel_path = rel_path
+        self.rows = rows
+
+
+class NimbleWriter(DataSourceArrowWriter):
+    """``df.write.format("nimble").mode("overwrite"|"append").save(path)``.
+
+    Executors stream their partition's Arrow batches straight into a
+    uniquely-named parquet file in the table directory (shared storage
+    on a cluster); only files whose commit message reaches the driver
+    enter the manifest, so a failed task's half-file is invisible to
+    readers and reclaimed by ``vacuum_table`` — the same
+    uncommitted-debris discipline as the library writer. ``commit``
+    (driver) rebuilds the manifest incrementally (append reuses prior
+    entries) and logs the commit, so tables written through plain
+    ``df.write`` are full citizens: indexable, time-travelable,
+    CDC-streamable."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            # clear previous generation up front (driver-side, before
+            # any executor writes land)
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(path, f))
+
+    def write(self, iterator) -> NimbleWriteMessage:
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        rel = f"pyds-{_uuid.uuid4().hex}.parquet"
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.path, rel), batch.schema, compression="zstd"
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return NimbleWriteMessage("", 0)  # empty partition: no file
+        return NimbleWriteMessage(rel, rows)
+
+    def commit(self, messages) -> None:
+        from pyspark.sql.types import StructType as _St
+
+        from nimble_spark.sources.table import (
+            MANIFEST_DIR,
+            WriteOptions,
+            _build_manifest,
+            _write_manifest,
+        )
+
+        committed = {m.rel_path for m in messages if m is not None and m.rel_path}
+        # drop files from failed/retried attempts that never committed
+        for f in os.listdir(self.path):
+            if f.startswith("pyds-") and f.endswith(".parquet") and f not in committed:
+                known = False
+                if not self.overwrite:
+                    try:
+                        prior = read_manifest(self.path)
+                        known = any(e["path"] == f for e in prior["files"])
+                    except (OSError, ValueError, KeyError):
+                        known = False
+                if not known:
+                    os.remove(os.path.join(self.path, f))
+
+        reuse: dict = {}
+        prior_commits: list = []
+        if not self.overwrite:
+            try:
+                prior = read_manifest(self.path)
+                reuse = {e["path"]: e for e in prior["files"] if "nulls" in e}
+                prior_commits = list(prior.get("commits", []))
+            except (OSError, ValueError, KeyError):
+                pass
+
+        import pyarrow.parquet as pq
+
+        any_file = next(iter(committed), None)
+        if any_file is None and not reuse:
+            raise ValueError("nimble write committed zero files")
+        schema_src = os.path.join(self.path, any_file) if any_file else None
+        spark_schema = (
+            _St.fromJson(read_manifest(self.path)["schema"])
+            if any_file is None
+            else _arrow_to_spark_schema(pq.read_schema(schema_src))
+        )
+        manifest = _build_manifest(
+            None, spark_schema, self.path, WriteOptions(), {}, reuse=reuse
+        )
+        prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
+        manifest["commits"] = prior_commits + [
+            {
+                "commit": len(prior_commits),
+                "mode": "overwrite" if self.overwrite else "append",
+                "files_added": len(committed),
+                "rows_added": manifest["rows"] - prior_rows,
+                "files": sorted(committed),
+            }
+        ]
+        os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
+        _write_manifest(self.path, manifest)
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and getattr(m, "rel_path", ""):
+                try:
+                    os.remove(os.path.join(self.path, m.rel_path))
+                except OSError:
+                    pass
+
+
+def _arrow_to_spark_schema(arrow_schema):
+    """Arrow → Spark schema via an empty pandas round-trip-free
+    conversion (pyspark's own converter)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(arrow_schema)

@@ -760,3 +760,36 @@ def test_nimble_stream_source_cdc(spark, tmpdir):
     assert out2.count() == base.count() + delta.count()
     odd = out2.filter(F.col("o_orderkey") % 2 == 1)
     assert odd.count() == delta.count()
+
+
+def test_pyds_writer_roundtrip_and_vacuum(spark, tmpdir):
+    from nimble_spark.sources.compaction import vacuum_table
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    path = f"{tmpdir}/docs_pyds_write"
+    src.write.format("nimble").mode("overwrite").save(path)
+    m = read_manifest(path)
+    assert m["rows"] == src.count()
+    assert m["commits"][-1]["mode"] == "overwrite"
+
+    # append through the format; both readers see the union
+    src.limit(0).unionByName(src.filter(F.col("doc_id") < 10)).write.format(
+        "nimble"
+    ).mode("append").save(path)
+    m2 = read_manifest(path)
+    assert m2["rows"] == src.count() + src.filter(F.col("doc_id") < 10).count()
+    assert m2["commits"][-1]["mode"] == "append"
+    assert read_table(spark, path).count() == m2["rows"]
+
+    # uncommitted debris (simulated task that died after its write but
+    # before its commit message) stays out of the manifest and is
+    # reclaimed by vacuum
+    debris = f"{path}/pyds-deadbeef.parquet"
+    import shutil as _sh
+    _sh.copy(f"{path}/{m2['files'][0]['path']}", debris)
+    assert all("deadbeef" not in f["path"] for f in read_manifest(path)["files"])
+    removed = vacuum_table(path)
+    assert any("pyds-deadbeef" in r for r in removed)
+    assert read_table(spark, path).count() == m2["rows"]
