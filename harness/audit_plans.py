@@ -35,7 +35,7 @@ DEFAULT = [
     "q_try_arith", "q_bool_bitwise_agg", "q_rollup_cascade",
     "q_merge_into", "q_incremental_read", "q_update_where",
     "q_partition_overwrite", "q_type_widening", "q_skew_salted_join",
-    "q_materialized_rollup",
+    "q_materialized_rollup", "q_pyds_pruned_scan", "q_pyds_write_roundtrip",
 ]
 
 
