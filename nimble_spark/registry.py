@@ -99,6 +99,7 @@ _PRIORITY_MODULES = [
     "format_surface",
     "tpch_rest",
     "text",
+    "train_prep",
     "corpus_ext",
     "corpus_pack",
     "__north_star__",
