@@ -337,6 +337,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_write_stats(spark, path)
     if u == "SHOW HISTORY":
         return show_history(spark, path)
+    if u == "ENCODING BENCH":
+        return encoding_bench(spark)
     m = re.match(r"EXPLAIN\s+PRUNING\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)$", c, re.I)
     if m:
         return explain_pruning_df(spark, path, m.group(1), lo=_lit(m.group(2)), hi=_lit(m.group(3)))
@@ -377,3 +379,76 @@ def main() -> None:  # pragma: no cover - thin CLI
 
 if __name__ == "__main__":  # pragma: no cover
     main()
+
+
+# ---------------------------------------------------------------------------
+# Encoding micro-bench (tools/encoding_bench analogue)
+# ---------------------------------------------------------------------------
+
+# The reference ships an offline encoding bench: N elements per
+# encoding × a set of synthetic data patterns, reporting Raw(KB),
+# Encoded(KB), Ratio (dwio/nimble/encodings/benchmarks/README.md:1-70,
+# EncodingComparison.cpp). The Spark-side selection machinery is
+# parquet's (dictionary/RLE/delta + codec), so the analogue measures
+# what PARQUET's encoding stack does to the same patterns — the
+# observability a format engineer uses to sanity-check the
+# encoding-selection policy (sources/encoding_policy.py) against
+# ground truth.
+
+_BENCH_PATTERNS = (
+    # (name, SQL expression over a sequential id column)
+    ("constant", "CAST(42 AS BIGINT)"),
+    ("sequential", "id"),
+    ("run_length", "id DIV 1000"),  # long runs
+    ("low_card_64", "id % 64"),
+    ("random_like", "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT)"),
+    ("zipf_strings", "concat('v', CAST(CAST(sqrt(id % 10000) AS INT) AS STRING))"),
+    ("uuid_strings", "md5(CAST(id AS STRING))"),
+)
+
+
+def encoding_bench(spark: SparkSession, n_rows: int = 100_000) -> DataFrame:
+    """Write each synthetic pattern through the connector and report
+    raw vs encoded size and the encodings parquet selected — the
+    encoding_bench tool analogue. Raw(B) = in-memory width of the
+    logical values (8 B per int64, byte length per string, the
+    reference's rawSize accounting); Encoded(B) = on-disk column
+    bytes from the footers."""
+    import tempfile
+
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    out = []
+    for name, expr in _BENCH_PATTERNS:
+        df = spark.range(n_rows).selectExpr(f"{expr} AS v")
+        is_str = dict(df.dtypes)["v"] == "string"
+        raw = (
+            df.selectExpr("CAST(SUM(length(v)) AS BIGINT) AS b").first()["b"]
+            if is_str
+            else n_rows * 8
+        )
+        tmp = tempfile.mkdtemp(prefix="nimble_encbench_") + "/t"
+        write_table(df, tmp, WriteOptions())
+        encoded = 0
+        encodings: set[str] = set()
+        m = read_manifest(tmp)
+        for f in m["files"]:
+            md = pa_pq.ParquetFile(os.path.join(tmp, f["path"])).metadata
+            for i in range(md.num_row_groups):
+                col = md.row_group(i).column(0)
+                encoded += col.total_compressed_size
+                encodings.update(col.encodings)
+        out.append(
+            (
+                name,
+                n_rows,
+                int(raw),
+                int(encoded),
+                round(raw / encoded, 2) if encoded else None,
+                ",".join(sorted(encodings)),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "pattern STRING, n BIGINT, raw_bytes BIGINT, encoded_bytes BIGINT, ratio DOUBLE, encodings STRING",
+    )

@@ -216,3 +216,21 @@ def test_show_chunks(spark, table_path):
     # clustered table: chunk min/max are usable skip bounds
     assert all(int(r["min"]) <= int(r["max"]) for r in key_chunks)
     assert tools.run_command(spark, table_path, "SHOW CHUNKS").count() == len(chunks)
+
+
+def test_encoding_bench_patterns(spark):
+    from nimble_spark.tools import encoding_bench
+
+    rows = {r["pattern"]: r for r in encoding_bench(spark, 20_000).collect()}
+    assert set(rows) == {
+        "constant", "sequential", "run_length", "low_card_64",
+        "random_like", "zipf_strings", "uuid_strings",
+    }
+    # ordering sanity: compressibility must rank as the patterns predict
+    assert rows["constant"]["ratio"] > rows["run_length"]["ratio"] > rows["random_like"]["ratio"]
+    assert rows["zipf_strings"]["ratio"] > rows["uuid_strings"]["ratio"]
+    # dictionary chosen for low-cardinality, not for unique strings
+    assert "PLAIN_DICTIONARY" in rows["low_card_64"]["encodings"]
+    assert "PLAIN_DICTIONARY" not in rows["uuid_strings"]["encodings"]
+    for r in rows.values():
+        assert r["encoded_bytes"] > 0 and r["raw_bytes"] > 0
