@@ -340,3 +340,172 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.select(
         "qid", "n_hits", rnd(F.col("n_hits").cast("double") / TOP_K, 4).alias("recall_at_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (per-source corpus report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dataset_card",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    top_lang AS (
+      SELECT source, lang AS top_lang,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+      FROM per
+    ),
+    card AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT md5(text)) AS n_unique,
+      FROM documents GROUP BY source
+    )
+    SELECT c.source, c.n_docs, c.total_chars, c.n_langs, t.top_lang,
+           {rnd_sql("1.0 - CAST(c.n_unique AS DOUBLE) / c.n_docs")} AS dup_rate
+    FROM card c JOIN top_lang t ON t.source = c.source AND t.rk = 1
+    """,
+    category="train_prep",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary block of a dataset
+    release: document count, character volume, language spread,
+    dominant language, exact-duplicate rate (md5 digests, never text,
+    cross the aggregation). One grouped pass plus a tiny top-lang
+    window over (source × lang) aggregates — at 100 TB the shuffle
+    carries one row per (source, lang), not documents."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        per.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    card = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+    dup = rnd(F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 4)
+    return card.join(top, "source").select(
+        "source", "n_docs", "total_chars", "n_langs", "top_lang", dup.alias("dup_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary with cumulative coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP = 100
+
+
+@register(
+    "q_tokenizer_vocab",
+    oracle=f"""
+    WITH t AS (SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS tok FROM documents),
+    c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+    tot AS (SELECT SUM(n) AS total FROM c),
+    r AS (
+      SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk,
+             SUM(n) OVER (ORDER BY n DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c
+    )
+    SELECT tok, n, rk,
+           {rnd_sql("CAST(cum AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
+    FROM r WHERE rk <= {_VOCAB_TOP}
+    """,
+    category="train_prep",
+)
+def q_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head with cumulative corpus coverage — the report a
+    tokenizer trainer reads to size its vocab (what share of all
+    token occurrences do the top-k types cover?). Count aggregation
+    is map-side combined; the top-100 is a TakeOrdered; the running
+    coverage window runs over the 100 collected rows plus one
+    broadcast scalar (total), never the vocabulary."""
+    d = load(spark, sf_dir, "documents").select(
+        F.explode(F.regexp_extract_all("text", F.lit(f"({_BPE_RE})"), 0)).alias("tok")
+    )
+    c = d.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = c.agg(F.sum("n").alias("total"))
+    top = c.orderBy(F.col("n").desc(), "tok").limit(_VOCAB_TOP)
+    w = W.orderBy(F.col("n").desc(), "tok").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "tok"))
+    ).withColumn("cum", F.sum("n").over(w))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "tok", "n", "rk",
+        rnd(F.col("cum").cast("double") / F.col("total"), 4).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup detector evaluation (precision/recall of LSH vs exact)
+# ---------------------------------------------------------------------------
+
+from nimble_spark.registry import QUERIES as _Q  # noqa: E402
+
+_EXACT_ND_DUCK = _Q["q_embedding_neardup"].oracle
+_LSH_ND_DUCK = _Q["q_embedding_neardup_lsh"].oracle
+
+
+@register(
+    "q_neardup_eval",
+    oracle=f"""
+    WITH exact_p AS (SELECT id_a, id_b FROM ({_EXACT_ND_DUCK})),
+    approx_p AS (SELECT id_a, id_b FROM ({_LSH_ND_DUCK})),
+    hit AS (
+      SELECT COUNT(*) AS n_hit
+      FROM approx_p a JOIN exact_p e ON a.id_a = e.id_a AND a.id_b = e.id_b
+    )
+    SELECT (SELECT COUNT(*) FROM exact_p) AS n_exact,
+           (SELECT COUNT(*) FROM approx_p) AS n_approx,
+           n_hit,
+           {rnd_sql("CAST(n_hit AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM approx_p), 0)")} AS precision_p,
+           {rnd_sql("CAST(n_hit AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM exact_p), 0)")} AS recall_p
+    FROM hit
+    """,
+    category="train_prep",
+)
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the banded-LSH near-dup detector against
+    the exact all-pairs ground truth — the dedup-family twin of
+    q_ann_recall_eval: every approximate detector this repo ships is
+    held to a measured quality number, not a vibe. Pair sets are
+    id-only (bytes, not vectors) and tiny; the cost is the two
+    underlying detectors. At production scale the exact side runs on
+    a sampled stratum."""
+    from nimble_spark.operators.similarity import (
+        q_embedding_neardup,
+        q_embedding_neardup_lsh,
+    )
+
+    exact_p = q_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    approx_p = q_embedding_neardup_lsh(spark, sf_dir).select("id_a", "id_b")
+    import math
+
+    def _rnd4(x: float) -> float:  # half-up, the rnd()/rnd_sql rule
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    n_exact = exact_p.count()
+    n_approx = approx_p.count()
+    n_hit = approx_p.join(exact_p, ["id_a", "id_b"]).count()
+    prec = _rnd4(n_hit / n_approx) if n_approx else None
+    rec = _rnd4(n_hit / n_exact) if n_exact else None
+    return spark.createDataFrame(
+        [(n_exact, n_approx, n_hit, prec, rec)],
+        "n_exact BIGINT, n_approx BIGINT, n_hit BIGINT, precision_p DOUBLE, recall_p DOUBLE",
+    )
