@@ -929,3 +929,53 @@ def q_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("cust_sum")
     )
     return run_to_completion(agg, "rq_stream_changes")
+
+
+@register(
+    "q_image_ahash",
+    oracle=f"""
+    WITH img AS (
+      SELECT i, CAST(64 + (i % 8) * 32 AS BIGINT) AS w, CAST(64 + (i % 5) * 32 AS BIGINT) AS h,
+             sha256(concat('42:', CAST(i AS VARCHAR))) AS hx
+      FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 0
+    ),
+    q AS (
+      SELECT i, w, h, hx, unnest(generate_series(0, w * h - 1)) AS q
+      FROM img
+    ),
+    g AS (
+      SELECT i, w, h,
+             CAST(concat('0x', substr(hx, CAST(2 * ((3 * q) % 32) + 1 AS INT), 2)) AS BIGINT)
+           + CAST(concat('0x', substr(hx, CAST(2 * ((3 * q + 1) % 32) + 1 AS INT), 2)) AS BIGINT)
+           + CAST(concat('0x', substr(hx, CAST(2 * ((3 * q + 2) % 32) + 1 AS INT), 2)) AS BIGINT) AS gray,
+             (((q // w) * 4) // h) * 4 + ((q % w) * 4) // w AS blk
+      FROM q
+    ),
+    blocks AS (
+      SELECT i, MIN(w) AS w, MIN(h) AS h, blk,
+             CAST(SUM(gray) AS DOUBLE) / (COUNT(*) * 3) AS m
+      FROM g GROUP BY i, blk
+    ),
+    gm AS (SELECT i, SUM(m) / 16 AS gm FROM blocks GROUP BY i)
+    SELECT b.i AS media_id,
+           CAST(MIN(b.w) AS INTEGER) AS width,
+           CAST(MIN(b.h) AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN b.m > gm.gm THEN CAST(1 AS BIGINT) << CAST(b.blk AS INT) ELSE 0 END) AS BIGINT) AS ahash
+    FROM blocks b JOIN gm ON gm.i = b.i
+    GROUP BY b.i
+    """,
+    category="multimodal",
+)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual hash (average-hash, 4×4 grid → 16 bits) over
+    REAL decoded PPM pixels — the image near-dup primitive: visually
+    identical images land on the same (or Hamming-close) hash. The
+    oracle recomputes every pixel from the synthesis formula in SQL
+    (digest-byte indexing → grayscale → integer block sums → block
+    mean vs global mean), so a hash match proves the kernel read the
+    actual pixel bytes, block-mapped them, and thresholded exactly —
+    the strongest decode proof in the multimodal family."""
+    from nimble_spark.operators.multimodal import image_ahash
+
+    media = _media_table(spark, sf_dir)
+    return image_ahash(media)

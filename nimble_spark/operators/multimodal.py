@@ -337,3 +337,57 @@ def sample_frames(media: DataFrame, every_n: int = 10, decode: str = "real") -> 
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(op, schema)
+
+
+AHASH_GRID = 4  # 4×4 blocks → 16-bit hash
+
+
+def image_ahash(media: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
+    """Perceptual average-hash over decoded image pixels — the
+    image-dedup primitive (near-identical images differ in few hash
+    bits). Per image: grayscale each pixel (integer channel sum),
+    integer-sum per grid block (exact, order-free), block mean vs the
+    mean of block means decides each bit. All divisions happen once
+    per block in float64, identically to the SQL oracle, so the hash
+    is bit-for-bit reproducible. Payloads never cross a shuffle; the
+    output is (media_id, 16-bit int)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "ahash": []}
+            import numpy as np
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                w, h = img.width, img.height
+                gray = (
+                    np.frombuffer(img.pixels, np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                    .sum(axis=2)
+                )
+                bx = (np.arange(w) * grid) // w
+                by = (np.arange(h) * grid) // h
+                idx = (by[:, None] * grid + bx[None, :]).ravel()
+                # integer block sums (exact, order-free); one float64
+                # division per block, same op order as the SQL oracle
+                sums = np.bincount(idx, weights=gray.ravel(), minlength=grid * grid)
+                cnts = np.bincount(idx, minlength=grid * grid) * 3
+                means = sums / cnts
+                gm = float(np.sum(means)) / means.size
+                bits = int(sum(1 << j for j, m in enumerate(means) if m > gm))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(bits)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(op, schema)
