@@ -979,3 +979,37 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_table(spark, sf_dir)
     return image_ahash(media)
+
+
+@register(
+    "q_video_motion",
+    oracle=f"""
+    WITH v AS (
+      SELECT i, CAST(30 * (1 + i % 10) AS BIGINT) AS nf
+      FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 2
+    ),
+    p AS (SELECT i, nf, unnest(generate_series(0, nf - 2)) AS fi FROM v),
+    d AS (
+      SELECT i, nf, 5 * abs((fi % 256) - ((fi + 1) % 256)) AS delta FROM p
+    )
+    SELECT i AS media_id,
+           CAST(MIN(nf) AS INTEGER) AS n_frames,
+           CAST(SUM(delta) AS BIGINT) AS total_motion,
+           CAST(MAX(delta) AS BIGINT) AS max_motion
+    FROM d GROUP BY i
+    """,
+    category="multimodal",
+)
+def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video motion profile — Σ|pixel delta| between consecutive
+    decoded frames, the scene-cut / keyframe-sampling signal. The
+    synthesis stamps each frame with its index in a 33-byte repeating
+    pattern, so the oracle derives every pairwise delta in closed
+    form (5 stamped bytes per 192-byte frame); a match proves the
+    kernel walked the container, decoded every frame, and differenced
+    real pixels — including the 255→0 wraparound spike in the longest
+    videos."""
+    from nimble_spark.operators.multimodal import video_motion
+
+    media = _media_table(spark, sf_dir)
+    return video_motion(media)

@@ -391,3 +391,43 @@ def image_ahash(media: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(op, schema)
+
+
+def video_motion(media: DataFrame) -> DataFrame:
+    """Per-video motion profile: decode the RAWVID container, decode
+    every PPM frame, and sum absolute pixel deltas between
+    consecutive frames — the scene-cut / motion-sampling primitive
+    (a training pipeline keyframes videos by exactly this signal,
+    then samples frames near the peaks). Pure integer arithmetic
+    (numpy int64), so the result is exact and oracle-checkable;
+    payloads stay scan-local."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("total_motion", T.LongType()),
+            T.StructField("max_motion", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"media_id": [], "n_frames": [], "total_motion": [], "max_motion": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_rawvid(bytes(payload))
+                pix = [
+                    np.frombuffer(decode_ppm(fb).pixels, np.uint8).astype(np.int64)
+                    for fb in frames
+                ]
+                deltas = [
+                    int(np.abs(a - b).sum()) for a, b in zip(pix, pix[1:])
+                ]
+                out["media_id"].append(mid)
+                out["n_frames"].append(len(frames))
+                out["total_motion"].append(sum(deltas))
+                out["max_motion"].append(max(deltas) if deltas else 0)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(op, schema)
