@@ -1013,3 +1013,41 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_table(spark, sf_dir)
     return video_motion(media)
+
+
+@register(
+    "q_audio_loudness",
+    oracle=f"""
+    WITH a AS (
+      SELECT i, CAST(1600 * (1 + i % 5) AS BIGINT) AS ns,
+             sha256(concat('42:', CAST(i AS VARCHAR))) AS hx
+      FROM range({_N_MEDIA}) t(i) WHERE i % 3 = 1
+    ),
+    s AS (SELECT i, ns, hx, unnest(generate_series(0, ns - 1)) AS j FROM a),
+    v AS (
+      SELECT i, ns,
+             CAST(concat('0x', substr(hx, CAST(2 * ((2 * j) % 32) + 1 AS INT), 2)) AS BIGINT)
+           + 256 * CAST(concat('0x', substr(hx, CAST(2 * ((2 * j) % 32 + 1) + 1 AS INT), 2)) AS BIGINT) AS u
+      FROM s
+    ),
+    sv AS (SELECT i, ns, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM v)
+    SELECT i AS media_id,
+           CAST(MIN(ns) AS BIGINT) AS n_samples,
+           FLOOR(sqrt(CAST(SUM(x * x) AS DOUBLE) / MIN(ns)) / 32768 * 10000 + 0.5) / 10000 AS rms,
+           CAST(SUM(CASE WHEN abs(x) < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet,
+           CAST(MAX(abs(x)) AS BIGINT) AS peak
+    FROM sv GROUP BY i
+    """,
+    category="multimodal",
+)
+def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio loudness/silence profile over REAL decoded PCM16: RMS,
+    quiet-sample count, absolute peak — the silence-trim and
+    loudness-normalization signals. The oracle re-derives every
+    16-bit sample from the synthesis formula (digest bytes →
+    little-endian int16, sign handled explicitly), so a match proves
+    bit-exact PCM decode including negative samples."""
+    from nimble_spark.operators.multimodal import audio_loudness
+
+    media = _media_table(spark, sf_dir)
+    return audio_loudness(media)
