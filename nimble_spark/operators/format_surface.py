@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nimble_spark.functions.exact import dsum, dsum_sql, lsum, lsum_sql, rnd
+from nimble_spark.functions.exact import dsum, dsum_sql, lsum, lsum_sql, rnd, rnd_sql
 from nimble_spark.registry import register
 from nimble_spark.sources.cache import ensure_cached
 from nimble_spark.sources.table import WriteOptions, read_table, write_table
@@ -1338,4 +1338,90 @@ def q_pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.format("nimble").load(path)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+@register(
+    "q_decimal_roundtrip",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           {rnd_sql("CAST(SUM(price) AS DOUBLE)")} AS total,
+           {rnd_sql("CAST(MIN(price) AS DOUBLE)")} AS min_p,
+           {rnd_sql("CAST(MAX(price) AS DOUBLE)")} AS max_p
+    FROM t GROUP BY 1
+    """,
+    category="format",
+)
+def q_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-typed storage roundtrip: prices are stored as
+    DECIMAL(12,2) (parquet fixed-point, the money type), survive the
+    connector, and aggregate with exact decimal arithmetic — the
+    half-up quantization at write happens identically on both
+    engines, and decimal sums are associative so the totals are exact
+    regardless of partitioning."""
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderstatus", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+        )
+        write_table(o, tmp, WriteOptions())
+
+    path = ensure_cached(sf_dir, "orders__decimal", ["orders"], _build)
+    df = read_table(spark, path)
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.sum("price").cast("double"), 4).alias("total"),
+        rnd(F.min("price").cast("double"), 4).alias("min_p"),
+        rnd(F.max("price").cast("double"), 4).alias("max_p"),
+    )
+
+
+@register(
+    "q_tpch_refresh",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'N' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 1
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           {dsum_sql("o_totalprice")} AS total
+    FROM merged WHERE o_orderkey % 13 <> 2
+    GROUP BY 1
+    """,
+    category="format",
+)
+def q_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh streams (the spec's RF1/RF2) on a stored table:
+    RF1 inserts a re-keyed order batch through batch MERGE, RF2
+    logically deletes a predicate slice through the distributed
+    delete mask (no rewrite, no driver keys). The post-refresh scan —
+    merge files + delete anti-join — must equal the relational
+    insert-then-delete the oracle computes. The full lakehouse
+    mutation lifecycle (insert, update, delete, scan) in one
+    oracle-gated query."""
+    from nimble_spark.sources.deletes import delete_where, read_with_deletes
+    from nimble_spark.sources.merge import merge_into
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(*cols)
+        write_table(o, tmp, WriteOptions(cluster_by=["o_orderkey"]))
+        ins = o.filter(F.col("o_orderkey") % 7 == 1).select(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        merge_into(spark, tmp, ins, "o_orderkey")
+        delete_where(spark, tmp, "o_orderkey", "o_orderkey % 13 = 2")
+
+    path = ensure_cached(sf_dir, "orders__refresh", ["orders"], _build)
+    df = read_with_deletes(spark, path)
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
     )

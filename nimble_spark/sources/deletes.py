@@ -72,3 +72,17 @@ def read_with_deletes(spark: SparkSession, path: str, **read_kwargs) -> DataFram
         if masks is not None and key in df.columns:
             df = df.join(F.broadcast(masks.distinct()), key, "left_anti")
     return df
+
+
+def delete_where(spark: SparkSession, path: str, key: str, condition: str) -> None:
+    """Record deletes for every row matching a SQL ``condition`` —
+    the predicate form of :func:`delete_rows`. The matching keyset is
+    computed and persisted DISTRIBUTED (filter → distinct → parquet
+    write into the mask dir); no key ever reaches the driver, so a
+    predicate deleting millions of rows costs one filtered scan."""
+    from nimble_spark.sources.table import read_table
+
+    tgt = read_table(spark, path)
+    keys = tgt.filter(F.expr(condition)).select(key).distinct()
+    out = os.path.join(path, DELETES_DIR, key, uuid.uuid4().hex[:8])
+    keys.write.mode("overwrite").parquet(out)

@@ -364,10 +364,20 @@ def _build_manifest(
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     continue
-                if name not in fmins or st.min < fmins[name]:
-                    fmins[name] = st.min
-                if name not in fmaxs or st.max > fmaxs[name]:
-                    fmaxs[name] = st.max
+                try:
+                    st_min, st_max = st.min, st.max
+                except Exception:  # noqa: BLE001 — pyarrow raises
+                    # engine-specific NotImplemented variants here
+                    # pyarrow can't surface logical min/max for some
+                    # physical types (e.g. FIXED_LEN_BYTE_ARRAY
+                    # decimals): skip stats, keep the file readable —
+                    # pruning on this column degrades to keep-all,
+                    # never to wrong answers.
+                    continue
+                if name not in fmins or st_min < fmins[name]:
+                    fmins[name] = st_min
+                if name not in fmaxs or st_max > fmaxs[name]:
+                    fmaxs[name] = st_max
                 nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
         return {
             # root-relative: the table stays readable after a
