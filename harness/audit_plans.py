@@ -36,6 +36,8 @@ DEFAULT = [
     "q_merge_into", "q_incremental_read", "q_update_where",
     "q_partition_overwrite", "q_type_widening", "q_skew_salted_join",
     "q_materialized_rollup", "q_pyds_pruned_scan", "q_pyds_write_roundtrip",
+    "q_dataset_card", "q_tokenizer_vocab", "q_image_ahash", "q_video_motion",
+    "q_audio_loudness", "q_pagerank", "q_decimal_roundtrip", "q_tpch_refresh",
 ]
 
 

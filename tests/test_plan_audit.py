@@ -352,3 +352,34 @@ def test_skew_salted_join_stays_shuffle_hash(spark):
     )
     assert a.n_shuffled_hash_joins + a.n_sort_merge_joins >= 1, a.plan
     assert a.n_broadcast_joins == 0, a.plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_image_ahash", "q_video_motion", "q_audio_loudness"],
+)
+def test_media_kernels_scan_local(spark, name):
+    # decode kernels: one Arrow-batched Python stage riding the scan,
+    # zero shuffles — payloads never leave their partition
+    a = assert_posture(_q(name)(spark, SF_MED), max_shuffles=0)
+    assert a.n_python_evals == 1, a.plan
+
+
+def test_pagerank_rounds_stay_bounded(spark):
+    # 3 unrolled rounds: AQE broadcasts the (small) rank table into
+    # the edge joins; shuffles are the per-round contribution aggs
+    a = assert_posture(
+        _q("q_pagerank")(spark, SF_MED),
+        max_shuffles=6,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_tpch_refresh_posture(spark):
+    assert_posture(
+        _q("q_tpch_refresh")(spark, SF_MED),
+        max_shuffles=2,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
