@@ -1425,3 +1425,46 @@ def q_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
     )
+
+
+@register(
+    "q_sql_surface",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+    ),
+    agg AS (
+      SELECT status, COUNT(*) AS n, {dsum_sql("price")} AS total
+      FROM base GROUP BY status
+    )
+    SELECT status, n, total FROM agg WHERE n > 0
+    """,
+    category="format",
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL usage of the engine: a nimble table registered as a
+    temp view through the DataSource and queried with spark.sql
+    (CTE + aggregate + HAVING-style filter) — the interface a SQL-only
+    user of the reference would switch to. Everything below the view
+    is the same pruned connector scan; Catalyst sees an ordinary
+    relation."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    path = _ensure_written(
+        spark, sf_dir, "orders", "cluster_orderkey", WriteOptions(cluster_by=["o_orderkey"])
+    )
+    register_nimble_source(spark)
+    spark.read.format("nimble").load(path).createOrReplaceTempView("nimble_orders")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT o_orderstatus AS status, o_totalprice AS price FROM nimble_orders
+        ),
+        agg AS (
+          SELECT status, COUNT(*) AS n,
+                 FLOOR(CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total
+          FROM base GROUP BY status
+        )
+        SELECT status, n, total FROM agg WHERE n > 0
+        """
+    )
