@@ -1468,3 +1468,29 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT status, n, total FROM agg WHERE n > 0
         """
     )
+
+
+@register(
+    "q_token_search",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE list_contains(string_split_regex(trim(text), '\\s+'), 'the')
+    """,
+    category="format",
+)
+def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text point lookup through the inverted sidecar index
+    (sources/inverted.py): token→doc postings are stored clustered by
+    token, so the probe prunes posting files by manifest range, then
+    semi-joins the doc table — document text is never scanned for the
+    search. Must return exactly the rows a full LIKE-scan (the
+    oracle) finds."""
+    from nimble_spark.sources.inverted import build_inverted_index, lookup_token
+
+    def _build(tmp: str) -> None:
+        write_table(load(spark, sf_dir, "documents"), tmp, WriteOptions(cluster_by=["doc_id"]))
+        build_inverted_index(spark, tmp)
+
+    path = ensure_cached(sf_dir, "documents__inverted", ["documents"], _build)
+    return lookup_token(spark, path, "the").select("doc_id", "lang", "n_chars")

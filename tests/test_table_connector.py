@@ -793,3 +793,36 @@ def test_pyds_writer_roundtrip_and_vacuum(spark, tmpdir):
     removed = vacuum_table(path)
     assert any("pyds-deadbeef" in r for r in removed)
     assert read_table(spark, path).count() == m2["rows"]
+
+
+def test_inverted_index_prunes_posting_files(spark, tmpdir):
+    from nimble_spark.sources.inverted import (
+        INVERTED_DIR,
+        build_inverted_index,
+        lookup_token,
+    )
+    from nimble_spark.sources.table import _prune_files
+
+    import os
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    path = f"{tmpdir}/docs_inverted"
+    write_table(src, path, WriteOptions(cluster_by=["doc_id"]))
+    m = build_inverted_index(spark, path)
+    assert m["rows"] > 0
+
+    # probe prunes posting files via the token cluster range
+    side = os.path.join(path, INVERTED_DIR, "text")
+    kept = _prune_files(m, side, "token", "the", "the")
+    assert kept is not None and len(kept) <= len(m["files"])
+
+    got = {r["doc_id"] for r in lookup_token(spark, path, "the").select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in src.filter(
+            F.array_contains(F.split(F.trim("text"), r"\s+"), "the")
+        ).select("doc_id").collect()
+    }
+    assert got == want and got
+    # absent token: empty, no error
+    assert lookup_token(spark, path, "zzz_not_a_token").count() == 0
