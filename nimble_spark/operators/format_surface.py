@@ -1492,5 +1492,44 @@ def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table(load(spark, sf_dir, "documents"), tmp, WriteOptions(cluster_by=["doc_id"]))
         build_inverted_index(spark, tmp)
 
-    path = ensure_cached(sf_dir, "documents__inverted", ["documents"], _build)
+    path = ensure_cached(sf_dir, "documents__inverted_tf", ["documents"], _build)
     return lookup_token(spark, path, "the").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_tfidf_search",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, 'the' AS token, len(list_filter(tk, x -> x = 'the')) AS tf FROM toks
+      UNION ALL
+      SELECT doc_id, 'of' AS token, len(list_filter(tk, x -> x = 'of')) AS tf FROM toks
+    ),
+    tf2 AS (SELECT * FROM tf WHERE tf > 0),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf2 GROUP BY token),
+    part AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(CAST(t.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS pq
+      FROM tf2 t JOIN dfq d USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(SUM(pq) AS DOUBLE) / 10000 AS score
+    FROM part GROUP BY doc_id
+    """,
+    category="format",
+)
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked multi-token search through the inverted sidecar:
+    score(d) = Σ tf·(N/df) over ['the','of'], computed ENTIRELY from
+    pruned posting scans (tf stored in the postings, df aggregated
+    from them, N broadcast) — document text is never read to rank.
+    The oracle recomputes tf/df/N relationally from raw text, so a
+    hash match proves the stored postings carry exact term counts."""
+    from nimble_spark.sources.inverted import build_inverted_index, search_ranked
+
+    def _build(tmp: str) -> None:
+        write_table(load(spark, sf_dir, "documents"), tmp, WriteOptions(cluster_by=["doc_id"]))
+        build_inverted_index(spark, tmp)
+
+    path = ensure_cached(sf_dir, "documents__inverted_tf", ["documents"], _build)
+    return search_ranked(spark, path, ["the", "of"])

@@ -38,7 +38,8 @@ def build_inverted_index(
     postings = (
         docs.select(key, F.explode(F.split(F.trim(F.col(col)), r"\s+")).alias("token"))
         .filter(F.col("token") != "")
-        .distinct()
+        .groupBy("token", key)
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     out = os.path.join(path, INVERTED_DIR, col)
     return write_table(postings, out, WriteOptions(cluster_by=["token"]))
@@ -54,3 +55,40 @@ def lookup_token(
     side = os.path.join(path, INVERTED_DIR, col)
     posting = read_table(spark, side, range_scan=("token", token, token)).select(key)
     return read_table(spark, path).join(posting, key, "left_semi")
+
+
+def search_ranked(
+    spark: SparkSession,
+    path: str,
+    tokens: list[str],
+    col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF-style ranked multi-token search (OR semantics): score(d)
+    = Σ_t tf(d,t) · N/df(t) over the query tokens. Everything derives
+    from pruned posting scans — tf rides the posting rows, df is a
+    per-token aggregate of the same scan, N is a one-row broadcast —
+    document text is never read for scoring. Rational idf (N/df, no
+    log) keeps the score engine-portable; it is monotone in the usual
+    ln(N/df) for ranking purposes."""
+    side = os.path.join(path, INVERTED_DIR, col)
+    posts = None
+    for t in tokens:
+        p = read_table(spark, side, range_scan=("token", t, t))
+        posts = p if posts is None else posts.unionByName(p)
+    dfreq = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = read_table(spark, path).agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        posts.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            key,
+            (
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("part"),
+        )
+        .groupBy(key)
+        .agg(F.sum(F.floor(F.col("part") * 10000 + F.lit(0.5)).cast("bigint")).alias("sq"))
+    )
+    return scored.select(key, (F.col("sq").cast("double") / 10000).alias("score"))
