@@ -339,6 +339,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_history(spark, path)
     if u == "ENCODING BENCH":
         return encoding_bench(spark)
+    if u == "SHOW TABLES":
+        return list_tables(spark, os.path.dirname(path.rstrip("/")))
     m = re.match(r"EXPLAIN\s+PRUNING\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)$", c, re.I)
     if m:
         return explain_pruning_df(spark, path, m.group(1), lo=_lit(m.group(2)), hi=_lit(m.group(3)))
@@ -451,4 +453,31 @@ def encoding_bench(spark: SparkSession, n_rows: int = 100_000) -> DataFrame:
     return spark.createDataFrame(
         out,
         "pattern STRING, n BIGINT, raw_bytes BIGINT, encoded_bytes BIGINT, ratio DOUBLE, encodings STRING",
+    )
+
+
+def list_tables(spark: SparkSession, root: str) -> DataFrame:
+    """SHOW TABLES: catalog listing over a directory of nimble tables
+    (immediate subdirectories holding a manifest). Metadata-only —
+    one manifest read per table, no data touched."""
+    rows = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        try:
+            m = read_manifest(p)
+        except (OSError, ValueError, KeyError):
+            continue
+        idx = m.get("indexes", {})
+        rows.append(
+            (
+                name,
+                int(m.get("rows", 0)),
+                len(m.get("files", [])),
+                int(sum(f.get("bytes", 0) for f in m.get("files", []))),
+                len(m.get("commits", [])),
+                ",".join(sorted(idx.keys())) or None,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "table STRING, rows BIGINT, n_files INT, bytes BIGINT, n_commits INT, indexes STRING"
     )

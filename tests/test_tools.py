@@ -234,3 +234,20 @@ def test_encoding_bench_patterns(spark):
     assert "PLAIN_DICTIONARY" not in rows["uuid_strings"]["encodings"]
     for r in rows.values():
         assert r["encoded_bytes"] > 0 and r["raw_bytes"] > 0
+
+
+def test_list_tables_catalog(spark, tmp_path):
+    from nimble_spark.sources.table import WriteOptions, write_table
+    from nimble_spark.tools import list_tables
+
+    root = str(tmp_path / "warehouse")
+    src = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    write_table(src, f"{root}/a", WriteOptions())
+    write_table(src.limit(10), f"{root}/b", WriteOptions(cluster_by=["k"]))
+    (tmp_path / "warehouse" / "not_a_table").mkdir()
+
+    rows = {r["table"]: r for r in list_tables(spark, root).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["rows"] == 100 and rows["b"]["rows"] == 10
+    assert rows["b"]["indexes"] and "cluster" in rows["b"]["indexes"]
+    assert rows["a"]["n_commits"] >= 1
