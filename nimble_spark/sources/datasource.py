@@ -310,6 +310,15 @@ class NimbleWriter(DataSourceArrowWriter):
         manifest = _build_manifest(
             None, spark_schema, self.path, WriteOptions(), {}, reuse=reuse
         )
+        # writer runtime stats parity with write_table (SHOW WRITE STATS)
+        sizes = [f["bytes"] for f in manifest["files"]] or [0]
+        manifest["write_stats"] = {
+            "n_files": len(manifest["files"]),
+            "n_row_groups": sum(f["row_groups"] for f in manifest["files"]),
+            "total_bytes": sum(sizes),
+            "min_file_bytes": min(sizes),
+            "max_file_bytes": max(sizes),
+        }
         prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
         manifest["commits"] = prior_commits + [
             {
