@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nimble_spark.operators.dedup import _LSH_PAIRS_DUCK, q_minhash_lsh_pairs
+from nimble_spark.functions.exact import rnd
 from nimble_spark.registry import register
 from nimble_spark.tables import load
 
@@ -134,4 +135,69 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
         F.sum("len_c").alias("total_chars"),
+    )
+
+
+@register(
+    "q_rag_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text, generate_series(0, len(text) - 1, 150) AS starts
+      FROM documents WHERE len(text) > 0
+    ),
+    ch AS (
+      SELECT doc_id, lang, s,
+             substr(text, CAST(s + 1 AS INTEGER), 200) AS chunk
+      FROM (SELECT doc_id, lang, text, unnest(starts) AS s FROM t)
+    ),
+    tot AS (SELECT lang, COUNT(*) AS n_total FROM ch GROUP BY lang),
+    canon AS (
+      SELECT lang, len(chunk) AS clen,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, s) AS rk
+      FROM ch
+    ),
+    kept AS (
+      SELECT lang, COUNT(*) AS n_kept, CAST(SUM(clen) AS BIGINT) AS kept_chars
+      FROM canon WHERE rk = 1 GROUP BY lang
+    )
+    SELECT t.lang, t.n_total, k.n_kept,
+           FLOOR((1.0 - CAST(k.n_kept AS DOUBLE) / t.n_total) * 10000 + 0.5) / 10000 AS dup_rate,
+           k.kept_chars
+    FROM tot t JOIN kept k ON k.lang = t.lang
+    """,
+    category="pipeline",
+)
+def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingest pipeline, end-to-end: sliding-window chunking
+    (200/50 overlap, map-only) → exact chunk dedup by content digest
+    (16-byte md5 through the shuffle, never chunk text) → canonical
+    owner per digest (deterministic min over (doc_id, chunk_id)) →
+    per-language retention report. The second oracle-gated
+    composition (with q_corpus_pipeline): what an embedding-index
+    builder runs before any vector is computed. At 100 TB: one chunk
+    expansion in the scan stage, one digest shuffle, one tiny
+    rollup."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    starts = F.expr("sequence(0L, CAST(length(text) - 1 AS BIGINT), 150L)")
+    ch = d.select(
+        "doc_id", "lang", "text", F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("s div 150").alias("chunk_id"),
+        F.expr("substring(text, CAST(s + 1 AS INT), 200)").alias("chunk"),
+    )
+    tot = ch.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    canon = ch.groupBy(F.md5("chunk").alias("dg")).agg(
+        F.min(
+            F.struct("doc_id", "chunk_id", "lang", F.length("chunk").alias("len"))
+        ).alias("own")
+    )
+    kept = canon.groupBy(F.col("own.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("own.len")).cast("bigint").alias("kept_chars"),
+    )
+    dup = rnd(F.lit(1.0) - F.col("n_kept").cast("double") / F.col("n_total"), 4)
+    return tot.join(kept, "lang").select(
+        "lang", "n_total", "n_kept", dup.alias("dup_rate"), "kept_chars"
     )
