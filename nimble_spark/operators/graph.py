@@ -140,3 +140,132 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk", F.row_number().over(W.orderBy(F.col("rank").desc(), "node"))
     ).filter(F.col("rk") <= _TOP)
     return ranked.select("node", "rk", rnd("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's iterations) over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = 10**6
+
+# Exactness: every per-dimension squared difference is quantized to a
+# scaled int64 BEFORE the per-(vector, centroid) sum, so distances are
+# exact integers — argmin needs no float tie luck; centroid updates
+# sum quantized components the same way. Both engines and any
+# partitioning produce identical assignments and centroids.
+
+
+def _km_assign_duck(cent: str, out: str) -> str:
+    return f"""
+    {out}_d AS (
+      SELECT v.vec_id, c.cid,
+             SUM(CAST(FLOOR((v.x - c.x) * (v.x - c.x) * {_KM_SCALE} + 0.5) AS BIGINT)) AS dq
+      FROM vx v JOIN {cent} c ON c.dim = v.dim
+      GROUP BY v.vec_id, c.cid
+    ),
+    {out} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rk
+        FROM {out}_d
+      ) WHERE rk = 1
+    )"""
+
+
+def _km_update_duck(assign: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT a.cid, v.dim,
+             CAST(SUM(CAST(FLOOR(v.x * {_KM_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * {_KM_SCALE}) AS x
+      FROM {assign} a JOIN vx v ON v.vec_id = a.vec_id
+      GROUP BY a.cid, v.dim
+    )"""
+
+
+_KMEANS_DUCK = f"""
+    WITH vx AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) t(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, dim, x FROM vx WHERE vec_id < {_KM_K}
+    ),
+    {_km_assign_duck("c0", "a1")},
+    {_km_update_duck("a1", "c1")},
+    {_km_assign_duck("c1", "a2")},
+    {_km_update_duck("a2", "c2")},
+    {_km_assign_duck("c2", "a3")},
+    sizes AS (SELECT cid, COUNT(*) AS n FROM a3 GROUP BY cid),
+    norms AS (
+      SELECT cid, sqrt(SUM(x * x)) AS nrm FROM c2 GROUP BY cid
+    )
+    SELECT s.cid, s.n,
+           FLOOR((n2.nrm) * 10000 + 0.5) / 10000 AS centroid_norm
+    FROM sizes s JOIN norms n2 ON n2.cid = s.cid
+"""
+
+
+@register("q_kmeans_iter", oracle=_KMEANS_DUCK, category="graph")
+def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 2 update rounds + final assignment) over
+    the embedding corpus — the learned-centroid upgrade to the
+    label-cell IVF index (similarity.py): at production scale these
+    centroids replace the label column as the coarse quantizer.
+    Bulk-synchronous rounds like q_pagerank: assignment is a
+    broadcast join of (tiny) centroids against the exploded vectors
+    with an exact quantized-distance argmin; the update is one
+    partial-aggregated mean per (centroid, dim). Everything is
+    engine- and partitioning-exact, so the unrolled SQL oracle must
+    match bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    vx = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d0", "xf"),
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).cast("bigint").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    ).persist()
+
+    cent = vx.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "dim", "x"
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        dq = (
+            vx.alias("v")
+            .join(F.broadcast(c.alias("c")), F.col("v.dim") == F.col("c.dim"))
+            .select(
+                F.col("v.vec_id").alias("vec_id"),
+                F.col("c.cid").alias("cid"),
+                F.floor(
+                    (F.col("v.x") - F.col("c.x")) * (F.col("v.x") - F.col("c.x")) * _KM_SCALE
+                    + F.lit(0.5)
+                ).cast("bigint").alias("t"),
+            )
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("t").alias("dq"))
+        )
+        best = dq.groupBy("vec_id").agg(F.min(F.struct("dq", "cid")).alias("b"))
+        return best.select("vec_id", F.col("b.cid").alias("cid"))
+
+    def update(a: DataFrame) -> DataFrame:
+        return (
+            a.join(vx, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("x") * _KM_SCALE + F.lit(0.5)).cast("bigint")).cast("double")
+                    / (F.count(F.lit(1)) * _KM_SCALE)
+                ).alias("x")
+            )
+        )
+
+    for _ in range(_KM_ITERS):
+        cent = update(assign(cent))
+    final = assign(cent)
+    sizes = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    norms = cent.groupBy("cid").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    return sizes.join(norms, "cid").select("cid", "n", rnd("nrm", 4).alias("centroid_norm"))
