@@ -383,3 +383,33 @@ def test_tpch_refresh_posture(spark):
         require_partial_agg=True,
         forbid_python_eval=True,
     )
+
+
+def test_token_search_index_only(spark):
+    # full-text lookup: zero shuffles — posting probe (pruned scan) +
+    # broadcast semi-join into the doc scan
+    a = assert_posture(
+        _q("q_token_search")(spark, SF_MED),
+        max_shuffles=0,
+        forbid_python_eval=True,
+    )
+    assert a.n_broadcast_joins >= 1, a.plan
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    # iterative rounds shuffle by design (one agg per assign/update);
+    # centroids must broadcast into every assignment join, and nothing
+    # may degenerate to a cartesian
+    a = assert_posture(_q("q_kmeans_iter")(spark, SF_MED), forbid_python_eval=True)
+    assert a.n_broadcast_joins >= 3, a.plan
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_rag_pipeline_digest_shuffles(spark):
+    # chunk expansion is scan-local; shuffles carry digests + rollups
+    assert_posture(
+        _q("q_rag_pipeline")(spark, SF_MED),
+        max_shuffles=3,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
