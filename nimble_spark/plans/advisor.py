@@ -99,7 +99,17 @@ def advise_layout(
         aggs = [F.approx_count_distinct(c).alias(c) for c, _ in pointed]
         ndv = table.agg(*aggs).first().asDict()
         for c, n in pointed:
-            if ndv[c] <= _PARTITION_MAX_NDV:
+            if ev["join"].get(c):
+                # a join key beats the NDV rule: Hive directories can
+                # skip files but cannot co-locate a join — buckets do
+                recs.append(
+                    Recommendation(
+                        "bucket_by", c, n + ev["join"][c],
+                        f"{n} point predicate(s) and {ev['join'][c]} equi-join use(s): "
+                        "co-located buckets serve both",
+                    )
+                )
+            elif ndv[c] <= _PARTITION_MAX_NDV:
                 recs.append(
                     Recommendation(
                         "partition_by", c, n,
@@ -108,14 +118,13 @@ def advise_layout(
                     )
                 )
             else:
-                opt = "bucket_by" if ev["join"].get(c) else "bloom_cols"
-                why = (
-                    f"{n} point predicate(s), NDV≈{ndv[c]}: "
-                    + ("also a join key — co-located buckets serve both"
-                       if opt == "bucket_by"
-                       else "footer blooms veto files without a directory per value")
+                recs.append(
+                    Recommendation(
+                        "bloom_cols", c, n,
+                        f"{n} point predicate(s), NDV≈{ndv[c]}: footer blooms "
+                        "veto files without a directory per value",
+                    )
                 )
-                recs.append(Recommendation(opt, c, n, why))
 
     for c, n in ev["join"].most_common():
         if c in cols and not any(r.column == c for r in recs):

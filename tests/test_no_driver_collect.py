@@ -32,6 +32,7 @@ ALLOWED = [
     ("sources/encoding_report.py", "df.agg(*aggs).first()", "single-row per-column stats (ndv/min/max/bytes) for the encoding-cost report — EncodingSelectionPolicy analogue runs on aggregates, never rows"),
     ("sources/encoding_policy.py", "df.agg(*aggs).first()", "single-row profile pass (one agg row regardless of table size) feeding the policy decision — same bounded shape as encoding_report.py"),
     ("sources/merge.py", 'select("_f")', "affected-FILE list for copy-on-write MERGE — file-granularity metadata (≤ table file count), produced by a distributed semi-join; source keys never reach the driver"),
+    ("plans/advisor.py", "table.agg(*aggs).first()", "single-row NDV aggregate over the advisor's candidate columns — one row regardless of table size, same bounded shape as encoding_policy.py"),
     ("tools.py", "", "interactive DSL/dump utilities are driver-side by definition"),
 ]
 
