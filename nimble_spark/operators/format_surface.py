@@ -1533,3 +1533,40 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ensure_cached(sf_dir, "documents__inverted_tf", ["documents"], _build)
     return search_ranked(spark, path, ["the", "of"])
+
+
+@register(
+    "q_layout_advice",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('cluster_by', 'o_orderkey', 4),
+      ('bucket_by', 'o_custkey', 2),
+      ('partition_by', 'o_orderstatus', 1)
+    ) AS t(option, column_name, evidence)
+    """,
+    category="tools",
+)
+def q_layout_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor (plans/advisor.py — the §4.1 write-time layout
+    planner): given a fixed workload (two range scans on o_orderkey,
+    a status equality, a customer join + point lookup), the advisor
+    must recommend exactly cluster(o_orderkey), bucket(o_custkey),
+    partition(o_orderstatus) with the observed evidence counts — the
+    recommendation logic is deterministic, so it oracle-checks like
+    any operator."""
+    from nimble_spark.plans.advisor import advise_layout
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    workload = [
+        o.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") <= 200)),
+        o.filter(F.col("o_orderkey").between(5, 50)),
+        o.filter(F.col("o_orderstatus") == "F"),
+        o.join(c, o.o_custkey == c.c_custkey),
+        o.filter(F.col("o_custkey") == 77),
+    ]
+    recs = advise_layout(spark, o, workload)
+    return spark.createDataFrame(
+        [(r.option, r.column, r.evidence) for r in recs],
+        "option STRING, column_name STRING, evidence INT",
+    )
