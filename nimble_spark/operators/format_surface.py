@@ -1570,3 +1570,35 @@ def q_layout_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.option, r.column, r.evidence) for r in recs],
         "option STRING, column_name STRING, evidence INT",
     )
+
+
+@register(
+    "q_advice_applied",
+    oracle=f"""
+    SELECT COUNT(*) AS n, {dsum_sql("o_totalprice")} AS total,
+           TRUE AS pruned_subset
+    FROM orders WHERE o_orderkey BETWEEN 4000 AND 4500
+    """,
+    category="tools",
+)
+def q_advice_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advisory loop closed to ACTION: the advisor's top
+    recommendation (cluster by o_orderkey, from q_layout_advice's
+    workload) is applied as the table's write layout, and the very
+    predicate shape that produced the evidence — a key-range scan —
+    must now (a) answer exactly (the oracle) and (b) provably read a
+    strict subset of files (the pruning dry-run counts). Workload in,
+    layout out, faster scan verified."""
+    from nimble_spark.sources.bloom import explain_pruning
+
+    path = _ensure_written(
+        spark, sf_dir, "orders", "cluster_orderkey", WriteOptions(cluster_by=["o_orderkey"])
+    )
+    dry = explain_pruning(spark, path, "o_orderkey", lo=4000, hi=4500)
+    kept = sum(1 for d in dry if d["kept"])
+    df = read_table(spark, path, range_scan=("o_orderkey", 4000, 4500))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+        F.lit(0 < kept < len(dry)).alias("pruned_subset"),
+    )
