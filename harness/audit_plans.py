@@ -39,7 +39,7 @@ DEFAULT = [
     "q_dataset_card", "q_tokenizer_vocab", "q_image_ahash", "q_video_motion",
     "q_audio_loudness", "q_pagerank", "q_decimal_roundtrip", "q_tpch_refresh",
     "q_sql_surface", "q_token_search", "q_tfidf_search", "q_rag_pipeline",
-    "q_kmeans_iter",
+    "q_kmeans_iter", "q_layout_advice", "q_advice_applied",
 ]
 
 
