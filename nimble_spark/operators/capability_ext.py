@@ -1051,3 +1051,48 @@ def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_table(spark, sf_dir)
     return audio_loudness(media)
+
+
+@register(
+    "q_stream_format_sink",
+    oracle="""
+    SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source
+    """,
+    category="streaming",
+)
+def q_stream_format_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SINK through the plain writeStream surface
+    (`writeStream.format("nimble")`, sources/datasource.py
+    NimbleStreamWriter): micro-batches append committed files with
+    the batch id recorded in the commit log (replayed batches are
+    detected and dropped — idempotent appends). The drained sink
+    table must aggregate exactly like the source — and, being a
+    normal nimble table, it time-travels and CDC-streams onward."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.datasource import register_nimble_source
+    from nimble_spark.sources.table import read_table
+    from nimble_spark.streaming.windows import read_documents_stream
+
+    register_nimble_source(spark)
+
+    def _build(tmp: str) -> None:
+        import os
+
+        stream = read_documents_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
+        q = (
+            stream.writeStream.format("nimble")
+            .option("path", os.path.join(tmp, "table"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    root = ensure_cached(sf_dir, "documents__format_sink", ["documents"], _build)
+    import os
+
+    df = read_table(spark, os.path.join(root, "table"))
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("chars")
+    )

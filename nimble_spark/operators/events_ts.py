@@ -248,14 +248,16 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = F.last(obs_h, ignorenulls=True).over(wp)
     nv = F.first("v", ignorenulls=True).over(wn)
     nh = F.first(obs_h, ignorenulls=True).over(wn)
-    frac = (F.unix_timestamp(F.col("h")) - F.unix_timestamp(ph)) / (
-        F.unix_timestamp(nh) - F.unix_timestamp(ph)
-    )
+    # ((nv-pv) * Δt) / Δspan — the SAME operation order as the oracle
+    # SQL; (nv-pv) * (Δt/Δspan) differs in the last ulp and can flip
+    # the 1e-4 rounding boundary (observed at sf0.001)
+    num = F.unix_timestamp(F.col("h")) - F.unix_timestamp(ph)
+    den = F.unix_timestamp(nh) - F.unix_timestamp(ph)
     filled = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(ph.isNull(), nv)
         .when(nh.isNull(), pv)
-        .otherwise(pv + (nv - pv) * frac)
+        .otherwise(pv + ((nv - pv) * num) / den)
     )
     return j.select(
         "event_type",

@@ -1600,5 +1600,8 @@ def q_advice_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.agg(
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice").alias("total"),
-        F.lit(0 < kept < len(dry)).alias("pruned_subset"),
+        # strict subset of files read — an empty range pruning ALL
+        # files (kept=0, e.g. below the smallest sf's key domain)
+        # counts as pruning too
+        F.lit(kept < len(dry)).alias("pruned_subset"),
     )

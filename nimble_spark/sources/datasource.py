@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -72,6 +73,9 @@ class NimbleDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "NimbleWriter":
         return NimbleWriter(self.options["path"], overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "NimbleStreamWriter":  # noqa: N802
+        return NimbleStreamWriter(self.options["path"])
 
 
 def _file_might_match(entry: dict, col: str, kind: str, value) -> bool:
@@ -347,3 +351,42 @@ def _arrow_to_spark_schema(arrow_schema):
     from pyspark.sql.pandas.types import from_arrow_schema
 
     return from_arrow_schema(arrow_schema)
+
+
+class NimbleStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("nimble")`` — streaming SINK face of
+    the connector (completing the quartet: batch read/write + stream
+    read/write). Each micro-batch appends per-task parquet files and
+    commits them into the manifest with the batch id recorded; a
+    replayed batch id (failure between sink commit and checkpoint
+    advance) is detected against the commit log and dropped instead
+    of double-committing — idempotent per-batch appends on top of the
+    at-least-once foreachBatch contract, same discipline as
+    streaming/sink.py but usable from plain writeStream."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._delegate = NimbleWriter(path, overwrite=False)
+
+    def write(self, iterator):
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        try:
+            prior = read_manifest(self.path)
+            done = {c.get("batch_id") for c in prior.get("commits", [])}
+        except (OSError, ValueError, KeyError):
+            done = set()
+        if batchId in done:
+            self._delegate.abort(messages)  # replay: drop staged files
+            return
+        self._delegate.commit(messages)
+        manifest = read_manifest(self.path)
+        manifest["commits"][-1]["batch_id"] = batchId
+        from nimble_spark.sources.table import _write_manifest
+
+        _write_manifest(self.path, manifest)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._delegate.abort(messages)

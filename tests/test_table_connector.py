@@ -826,3 +826,32 @@ def test_inverted_index_prunes_posting_files(spark, tmpdir):
     assert got == want and got
     # absent token: empty, no error
     assert lookup_token(spark, path, "zzz_not_a_token").count() == 0
+
+
+def test_nimble_stream_sink(spark, tmpdir):
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    src_dir = f"{tmpdir}/sink_src"
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.write.parquet(src_dir)
+
+    out = f"{tmpdir}/sink_out"
+    q = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src_dir)
+        .writeStream.format("nimble")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmpdir}/sink_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+
+    m = read_manifest(out)
+    assert m["rows"] == docs.count()
+    assert "batch_id" in m["commits"][-1]
+    assert read_table(spark, out).count() == docs.count()
+    # and the sink table CDC-streams right back
+    back = spark.read.format("nimble").load(out)
+    assert back.count() == docs.count()
