@@ -53,6 +53,23 @@ def hash32b_sql_duck(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 9, 8)) AS BIGINT)"
 
 
+# Wide portable hash: first 15 hex digits of md5 → 60 bits, always
+# non-negative, fits int64 on both engines. Used to replace long
+# string keys (shingles) with fixed-width ints before shuffles/joins:
+# the dedup pipelines carry 8-byte keys instead of ~30-byte n-gram
+# strings, and equality/sort/array_intersect run on longs. Collisions
+# (~n²/2^61 — immaterial) are CONSISTENT across engines because the
+# oracle applies the same hash, so outputs still compare bit-equal.
+
+
+def hash60_sql_spark(expr: str) -> str:
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hash60_sql_duck(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 # ---- word n-gram shingles --------------------------------------------------
 # Guarded: fewer than n tokens → empty list (Spark's sequence(1,0) would
 # otherwise produce a DESCENDING sequence, not an empty one).
