@@ -339,6 +339,298 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_pairs(sig, sh)
 
 
+# ---------------------------------------------------------------------------
+# Persisted signature index — dedup state as a table
+# ---------------------------------------------------------------------------
+
+_SIG_INDEX_DUCK = f"""
+    {_SHINGLE_CTE_DUCK},
+    {_MD5_ARRAYS_DUCK},
+    sig AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {hash60_sql_duck("s")})) AS shh,
+             {_minhash_cols_duck()}
+      FROM hh
+    ),
+    bands AS (
+      SELECT doc_id, shh, 0 AS band, md5(concat(mh0, '_', mh1)) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, shh, 1, md5(concat(mh2, '_', mh3)) FROM sig
+      UNION ALL
+      SELECT doc_id, shh, 2, md5(concat(mh4, '_', mh5)) FROM sig
+      UNION ALL
+      SELECT doc_id, shh, 3, md5(concat(mh6, '_', mh7)) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid,
+             b.shh AS sh_b, c.shh AS sh_c
+      FROM bands b JOIN bands c ON b.band = c.band AND b.bh = c.bh
+      WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    ),
+    ver AS (
+      SELECT bid, cid,
+             CAST(len(list_intersect(sh_b, sh_c)) AS DOUBLE)
+             / (len(sh_b) + len(sh_c) - len(list_intersect(sh_b, sh_c))) AS jac
+      FROM cand
+    )
+    SELECT bid AS doc_id, COUNT(*) AS n_candidates,
+           COUNT(CASE WHEN jac >= {JACCARD_THR} THEN 1 END) AS n_verified,
+           MIN(CASE WHEN jac >= {JACCARD_THR} THEN cid END) AS best_match
+    FROM ver GROUP BY bid
+"""
+
+
+@register("q_signature_index_probe", oracle=_SIG_INDEX_DUCK, category="dedup")
+def q_signature_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a PERSISTED MinHash signature index: the corpus half's
+    signatures + hashed shingle sets are written once as a table
+    (write-once cached like every roundtrip query), then the batch
+    half probes the STORED index — proving dedup state survives as a
+    table and the daily ingest never recomputes corpus signatures.
+    The index write clusters on doc_id; the probe joins on band
+    hashes and verifies Jaccard from the stored shingle arrays.
+    Oracle recomputes both sides directly — the persisted roundtrip
+    must be value-identical to the in-flight computation."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+    def _corpus_index(spark, sf_dir):
+        sig = q_minhash_signatures(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+        shh = (
+            _shingled(spark, sf_dir)
+            .filter(F.col("doc_id") % 2 == 0)
+            .select(
+                "doc_id",
+                F.array_distinct(
+                    F.expr(f"transform(sh, s -> {hash60_sql_spark('s')})")
+                ).alias("shh"),
+            )
+        )
+        return sig.join(shh, "doc_id")
+
+    path = ensure_cached(
+        sf_dir,
+        "minhash_sig_index",
+        ["documents"],
+        lambda tmp: write_table(
+            _corpus_index(spark, sf_dir), tmp, WriteOptions(cluster_by=["doc_id"])
+        ),
+    )
+    stored = read_table(spark, path)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}")).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id", "shh", F.explode(band_structs).alias("bb")
+        ).select("doc_id", "shh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    batch_sig = q_minhash_signatures(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    batch_shh = (
+        _shingled(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(f"transform(sh, s -> {hash60_sql_spark('s')})")
+            ).alias("shh"),
+        )
+    )
+    probe = _bands(batch_sig.join(batch_shh, "doc_id"))
+    corpus = _bands(stored)
+    # Candidate ids only through the distinct (arrays are functionally
+    # determined by the ids, so de-duplicating (bid, cid) is identical
+    # to the oracle's DISTINCT over ids+arrays — with 16-byte rows in
+    # the shuffle instead of shingle arrays); arrays join back after.
+    cand_ids = (
+        probe.drop("shh")
+        .alias("b")
+        .join(
+            corpus.drop("shh").alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.bh") == F.col("c.bh")),
+        )
+        .select(F.col("b.doc_id").alias("bid"), F.col("c.doc_id").alias("cid"))
+        .distinct()
+    )
+    cand = cand_ids.join(
+        batch_shh.select(F.col("doc_id").alias("bid"), F.col("shh").alias("sh_b")),
+        "bid",
+    ).join(
+        stored.select(F.col("doc_id").alias("cid"), F.col("shh").alias("sh_c")),
+        "cid",
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    jac = inter.cast("double") / (F.size("sh_b") + F.size("sh_c") - inter)
+    verified = F.when(jac >= JACCARD_THR, F.col("cid"))
+    return (
+        cand.groupBy(F.col("bid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(verified).alias("n_verified"),
+            F.min(verified).alias("best_match"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup — the continuous-ingest shape
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_DUCK = f"""
+    {_SHINGLE_CTE_DUCK},
+    {_MD5_ARRAYS_DUCK},
+    sig AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {hash60_sql_duck("s")})) AS shh,
+             {_minhash_cols_duck()}
+      FROM hh
+    ),
+    bands AS (
+      SELECT doc_id, shh, 0 AS band, md5(concat(mh0, '_', mh1)) AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, shh, 1, md5(concat(mh2, '_', mh3)) FROM sig
+      UNION ALL
+      SELECT doc_id, shh, 2, md5(concat(mh4, '_', mh5)) FROM sig
+      UNION ALL
+      SELECT doc_id, shh, 3, md5(concat(mh6, '_', mh7)) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid,
+             b.shh AS sh_b, c.shh AS sh_c
+      FROM bands b JOIN bands c ON b.band = c.band AND b.bh = c.bh
+      WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    ),
+    near AS (
+      SELECT bid, MIN(cid) AS near_id
+      FROM cand
+      WHERE CAST(len(list_intersect(sh_b, sh_c)) AS DOUBLE)
+            / (len(sh_b) + len(sh_c) - len(list_intersect(sh_b, sh_c)))
+            >= {JACCARD_THR}
+      GROUP BY bid
+    ),
+    ex AS (
+      SELECT b.doc_id AS bid, MIN(c.doc_id) AS exact_id
+      FROM documents b JOIN documents c
+        ON md5(b.text) = md5(c.text)
+      WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+                WHEN near.near_id IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS status,
+           COALESCE(ex.exact_id, near.near_id) AS match_id
+    FROM documents d
+    LEFT JOIN ex ON ex.bid = d.doc_id
+    LEFT JOIN near ON near.bid = d.doc_id
+    WHERE d.doc_id % 2 = 1
+"""
+
+
+@register("q_incremental_dedup", oracle=_INCR_DEDUP_DUCK, category="dedup")
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an INCOMING BATCH of documents
+    against an EXISTING CORPUS without recomputing the corpus — the
+    shape every continuously-ingesting training-data lake runs daily.
+    Here the split is deterministic (odd doc_id = batch, even =
+    corpus) so the oracle can reproduce it; in deployment the corpus
+    side is the persisted signature/digest index (written once per
+    ingest with write_table, read back by the next), so the daily cost
+    is O(batch), not O(corpus).
+
+    Each batch doc gets a status:
+      exact — its content md5 exists in the corpus (earliest match);
+      near  — no exact match, but a MinHash-band collision with a
+              corpus doc verifies at Jaccard ≥ 0.4;
+      novel — neither.
+
+    Scale shape: the exact layer joins 16-byte digests; the near
+    layer is an asymmetric banded join — batch bands vs corpus bands
+    on (band, band_hash), so each batch doc probes ~4 buckets of the
+    corpus index rather than scanning it (with a small daily batch
+    the batch side broadcasts). The verify ships 60-bit hashed
+    shingle arrays (see lsh_near_pairs). Production adds the hot-
+    bucket cap exactly as lsh_near_pairs does; it is omitted here so
+    the oracle stays a plain join."""
+    d = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 2 == 1
+
+    # Exact layer: batch digests probe corpus digests.
+    dig = d.select("doc_id", F.md5("text").alias("h"))
+    ex = (
+        dig.filter(is_batch)
+        .alias("b")
+        .join(dig.filter(~is_batch).alias("c"), F.col("b.h") == F.col("c.h"))
+        .groupBy(F.col("b.doc_id").alias("bid"))
+        .agg(F.min(F.col("c.doc_id")).alias("exact_id"))
+    )
+
+    # Near layer: asymmetric banded MinHash join, hashed-shingle verify.
+    sig = q_minhash_signatures(spark, sf_dir)
+    shh = _shingled(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(f"transform(sh, s -> {hash60_sql_spark('s')})")
+        ).alias("shh"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}")).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    cand = (
+        bands.filter(is_batch)
+        .hint("shuffle_hash")
+        .alias("b")
+        .join(
+            bands.filter(~is_batch).hint("shuffle_hash").alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.bh") == F.col("c.bh")),
+        )
+        .select(F.col("b.doc_id").alias("bid"), F.col("c.doc_id").alias("cid"))
+        .distinct()
+    )
+    ver = cand.join(
+        shh.select(F.col("doc_id").alias("bid"), F.col("shh").alias("sh_b")), "bid"
+    ).join(shh.select(F.col("doc_id").alias("cid"), F.col("shh").alias("sh_c")), "cid")
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    jac = inter.cast("double") / (F.size("sh_b") + F.size("sh_c") - inter)
+    near = (
+        ver.filter(jac >= JACCARD_THR)
+        .groupBy("bid")
+        .agg(F.min("cid").alias("near_id"))
+    )
+
+    batch = d.filter(is_batch).select("doc_id")
+    out = (
+        batch.join(ex, batch.doc_id == ex.bid, "left")
+        .join(near, batch.doc_id == near.bid, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+        )
+    )
+    return out
+
+
 @register(
     "q_ngram_jaccard_pairs",
     oracle=f"""
