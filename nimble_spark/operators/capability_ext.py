@@ -581,6 +581,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN c.h IS NULL THEN 'novel' ELSE 'dup' END AS status,
+           c.keep_id AS corpus_id
+    FROM documents d LEFT JOIN corpus c ON md5(d.text) = c.h
+    WHERE d.doc_id % 2 = 1
+    """,
+    category="streaming",
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup against a STATIC corpus index: incoming
+    document shards (the odd-doc_id half, arriving as file
+    micro-batches) stream-static-join the existing corpus's digest
+    table (the even half — in deployment the persisted index of
+    q_signature_index_probe) and every arrival is tagged dup/novel.
+    The static side is a 16-byte-digest table that broadcasts under
+    the session threshold; at 100 TB it becomes a shuffled
+    stream-static join on the digest. A fully-drained bounded stream
+    must reproduce the batch left join exactly."""
+    from nimble_spark.streaming.windows import read_documents_stream, run_to_completion
+
+    corpus = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    stream = read_documents_stream(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet"
+    ).filter(F.col("doc_id") % 2 == 1)
+    tagged = (
+        stream.select("doc_id", "lang", F.md5("text").alias("h"))
+        .join(corpus, "h", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("keep_id").isNull(), F.lit("novel"))
+            .otherwise(F.lit("dup"))
+            .alias("status"),
+            F.col("keep_id").alias("corpus_id"),
+        )
+    )
+    # Explicit append: the static corpus side aggregates (digest
+    # groupBy), which would fool the plan-sniffed mode into complete.
+    return run_to_completion(tagged, "rq_stream_incremental_dedup", mode="append")
+
+
+@register(
     "q_stream_quality_agg",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,

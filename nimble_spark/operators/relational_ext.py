@@ -412,6 +412,137 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV (k-minimum-values) distinct-count sketch. Unlike HLL (whose
+# Spark and DuckDB implementations differ and can never hash-match),
+# KMV is exactly portable: the sketch IS the k smallest 60-bit value
+# hashes, the estimator is pure integer/double arithmetic, and merge
+# = k-smallest of the union — so a sharded computation provably equals
+# the global one, which the query demonstrates by computing both.
+_KMV_K = 64
+_KMV_MAXH = 1 << 60  # hash60 range
+
+
+_KMV_DUCK = f"""
+    WITH hd AS (
+      SELECT DISTINCT l_returnflag AS grp,
+             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    rk AS (
+      SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM hd
+    ),
+    kept AS (
+      SELECT grp, MAX(hv) AS hk, COUNT(*) AS nk
+      FROM rk WHERE rn <= {_KMV_K} GROUP BY grp
+    ),
+    shd AS (
+      SELECT DISTINCT l_linenumber % 2 AS shard, l_returnflag AS grp,
+             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    srk AS (
+      SELECT shard, grp, hv,
+             row_number() OVER (PARTITION BY shard, grp ORDER BY hv) AS rn
+      FROM shd
+    ),
+    merged AS (
+      SELECT DISTINCT grp, hv FROM srk WHERE rn <= {_KMV_K}
+    ),
+    mrk AS (
+      SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM merged
+    ),
+    mkept AS (
+      SELECT grp, MAX(hv) AS hk, COUNT(*) AS nk
+      FROM mrk WHERE rn <= {_KMV_K} GROUP BY grp
+    ),
+    ex AS (
+      SELECT l_returnflag AS grp, COUNT(DISTINCT l_partkey) AS ndv_exact
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ex.grp, ex.ndv_exact,
+           CASE WHEN k.nk < {_KMV_K} THEN k.nk
+                ELSE CAST(FLOOR({_KMV_K - 1}.0 * {_KMV_MAXH} / k.hk) AS BIGINT)
+           END AS kmv_est,
+           CASE WHEN m.nk < {_KMV_K} THEN m.nk
+                ELSE CAST(FLOOR({_KMV_K - 1}.0 * {_KMV_MAXH} / m.hk) AS BIGINT)
+           END AS kmv_est_merged
+    FROM ex JOIN kept k ON k.grp = ex.grp JOIN mkept m ON m.grp = ex.grp
+"""
+
+
+@register("q_kmv_ndv_sketch", oracle=_KMV_DUCK, category="statistics")
+def q_kmv_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch (KMV, Bar-Yossef et al. 2002):
+    per group keep the K=64 smallest 60-bit value hashes; estimate
+    NDV as (K−1)·2⁶⁰/h_K (exact count when fewer than K hashes).
+    The one sketch family that is engine-portable bit-for-bit — HLL
+    registers differ between Spark and DuckDB, KMV is just order
+    statistics of a shared hash.
+
+    The query also computes the estimate a second way — two shard
+    sketches (l_linenumber parity) merged by re-taking the k smallest
+    of the union — and returns both: kmv_est_merged must equal
+    kmv_est because min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B). That
+    equality is the property that lets 1000 executors sketch 100 TB
+    locally and ship 64×8 bytes per group to a single merge.
+
+    Physical shape here is window top-k over distinct (group, hash)
+    pairs — Spark's WindowGroupLimit prunes each partition to its
+    local k before the shuffle, which IS the map-side partial sketch."""
+    l = load(spark, sf_dir, "lineitem")
+    from nimble_spark.functions.text_fns import hash60_sql_spark
+
+    hv = F.expr(hash60_sql_spark("CAST(l_partkey AS STRING)"))
+
+    def _sketch(df: DataFrame, keys: list[str]) -> DataFrame:
+        hd = df.select(*keys, hv.alias("hv")).distinct()
+        w = W.partitionBy(*keys).orderBy("hv")
+        return hd.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= _KMV_K
+        )
+
+    est = F.when(F.col("nk") < _KMV_K, F.col("nk")).otherwise(
+        F.floor(F.lit(float(_KMV_K - 1)) * _KMV_MAXH / F.col("hk")).cast("long")
+    )
+
+    kept = (
+        _sketch(l.withColumnRenamed("l_returnflag", "grp"), ["grp"])
+        .groupBy("grp")
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("nk"))
+        .select("grp", est.alias("kmv_est"))
+    )
+    shards = _sketch(
+        l.select(
+            (F.col("l_linenumber") % 2).alias("shard"),
+            F.col("l_returnflag").alias("grp"),
+            "l_partkey",
+        ),
+        ["shard", "grp"],
+    )
+    mkept = (
+        _sketch_merge(shards)
+        .groupBy("grp")
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("nk"))
+        .select("grp", est.alias("kmv_est_merged"))
+    )
+    ex = l.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").alias("ndv_exact")
+    )
+    return ex.join(kept, "grp").join(mkept, "grp")
+
+
+def _sketch_merge(shard_sketches: DataFrame) -> DataFrame:
+    """Merge per-shard KMV sketches: union the kept hashes, dedupe,
+    re-take the k smallest per group."""
+    merged = shard_sketches.select("grp", "hv").distinct()
+    w = W.partitionBy("grp").orderBy("hv")
+    return merged.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+
+
 @register(
     "q_ndv_stats",
     oracle="""

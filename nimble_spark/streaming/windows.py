@@ -116,17 +116,23 @@ def stream_stream_join(
     )
 
 
-def run_to_completion(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_completion(stream_df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Drive a file-backed stream to completion synchronously and
     return the materialized result (memory sink). Test/dev harness —
-    production uses a real sink + trigger."""
-    plan = stream_df._jdf.queryExecution().analyzed().toString()
-    if "FlatMapGroupsInPandasWithState" in plan:
-        mode = "update"  # required by applyInPandasWithState(update)
-    elif "Aggregate" in plan:
-        mode = "complete"
-    else:
-        mode = "append"
+    production uses a real sink + trigger.
+
+    ``mode`` overrides the plan-sniffed output mode — needed when a
+    STATIC side of a stream-static join aggregates (the textual plan
+    then contains Aggregate but the streaming side has none, and
+    complete mode would be rejected)."""
+    if mode is None:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        if "FlatMapGroupsInPandasWithState" in plan:
+            mode = "update"  # required by applyInPandasWithState(update)
+        elif "Aggregate" in plan:
+            mode = "complete"
+        else:
+            mode = "append"
     q = (
         stream_df.writeStream.outputMode(mode)
         .format("memory")
