@@ -984,9 +984,7 @@ def q_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "rq_stream_changes")
 
 
-@register(
-    "q_image_ahash",
-    oracle=f"""
+_AHASH_DUCK = f"""
     WITH img AS (
       SELECT i, CAST(64 + (i % 8) * 32 AS BIGINT) AS w, CAST(64 + (i % 5) * 32 AS BIGINT) AS h,
              sha256(concat('42:', CAST(i AS VARCHAR))) AS hx
@@ -1016,9 +1014,10 @@ def q_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN b.m > gm.gm THEN CAST(1 AS BIGINT) << CAST(b.blk AS INT) ELSE 0 END) AS BIGINT) AS ahash
     FROM blocks b JOIN gm ON gm.i = b.i
     GROUP BY b.i
-    """,
-    category="multimodal",
-)
+"""
+
+
+@register("q_image_ahash", oracle=_AHASH_DUCK, category="multimodal")
 def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual hash (average-hash, 4×4 grid → 16 bits) over
     REAL decoded PPM pixels — the image near-dup primitive: visually
@@ -1032,6 +1031,71 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_table(spark, sf_dir)
     return image_ahash(media)
+
+
+_IMG_HAM_THR = 3
+
+
+@register(
+    "q_image_neardup",
+    oracle=f"""
+    WITH ah AS ({_AHASH_DUCK})
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.ahash, b.ahash)) AS hamming
+    FROM ah a JOIN ah b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {_IMG_HAM_THR}
+    """,
+    category="multimodal",
+)
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: perceptual aHash within Hamming
+    distance 3 — the visual arm of the dedup family (re-encoded,
+    resized, or slightly-edited images keep a nearby hash). The Spark
+    side is the SimHash banding pattern over the 16-bit hash: 4 × 4-bit
+    bands; by pigeonhole any pair within Hamming 3 agrees on ≥ 1 band,
+    so the band-equi join finds every qualifying pair while carving
+    the corpus into per-band buckets (the oracle verifies with the
+    plain quadratic join — identical pairs by the pigeonhole argument).
+    Each pair is emitted at its FIRST matching band (free post-join
+    filter), so no DISTINCT shuffle; at 100 TB the join key is
+    (band, 4 bits) per image — 2 ints in flight, payloads never move."""
+    sig = q_image_ahash(spark, sf_dir).select("media_id", "ahash")
+    bands = sig.select(
+        "media_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[F.shiftright("ahash", 4 * j).bitwiseAND(F.lit(15)) for j in range(4)]
+            )
+        ).alias("j", "bv"),
+    )
+    a = bands.hint("shuffle_hash").alias("a")
+    b = bands.hint("shuffle_hash").alias("b")
+
+    def _band(side: str, k: int):
+        return F.shiftright(F.col(f"{side}.ahash"), 4 * k).bitwiseAND(F.lit(15))
+
+    first_match = F.lit(True)
+    for k in range(3):
+        first_match = first_match & (
+            (F.col("a.j") <= k) | (_band("a", k) != _band("b", k))
+        )
+    ham = F.expr("bit_count(a.ahash ^ b.ahash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .filter(first_match)
+        .filter(ham <= _IMG_HAM_THR)
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )
 
 
 @register(
