@@ -365,3 +365,169 @@ def q_materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rnd(F.col("s").cast("double"), 4).alias("sum_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-analytics surface: OHLC bars, ordered funnel, retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('day', ts) AS d, value,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           FLOOR((MAX(value)) * 10000 + 0.5) / 10000 AS high,
+           FLOOR((MIN(value)) * 10000 + 0.5) / 10000 AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM r GROUP BY d
+    """,
+    category="time_window",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open-high-low-close) bars over the event value
+    stream — the downsampling shape every time-series store serves.
+    Open/close are the first/last values in strict (ts, event_id)
+    order (deterministic tie-break); high/low are plain MIN/MAX with
+    map-side partials. Scale: the two row_number windows share one
+    Exchange(day) with the final aggregation — one shuffle total, and
+    at 100 TB `day` is also the partition key so the window sort is
+    partition-local."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), "ts", "event_id", "value"
+    )
+    wa = W.partitionBy("d").orderBy("ts", "event_id")
+    wd = W.partitionBy("d").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = e.select(
+        "d",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        rnd(F.max("value"), 4).alias("high"),
+        rnd(F.min("value"), 4).alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n", "open", "high", "low", "close")
+
+
+@register(
+    "q_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END AS did_view,
+           CASE WHEN c.t2 IS NOT NULL THEN 1 ELSE 0 END AS did_click,
+           CASE WHEN p.t3 IS NOT NULL THEN 1 ELSE 0 END AS did_purchase
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+    category="time_window",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, each step
+    STRICTLY after the previous step's first occurrence) — the
+    product-analytics operator behind every conversion dashboard.
+    Three stage aggregations, each a (user_id) groupBy joined to the
+    previous stage; all joins are key-equi on user_id so at scale the
+    stages reuse one hash partitioning, and each stage's input is
+    filtered to a single event type at the scan (predicate pushed)."""
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(F.col("e.ts") > F.col("v.t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(c.alias("c"), "user_id")
+        .filter(F.col("e.ts") > F.col("c.t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("did_view"),
+            F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("did_click"),
+            F.when(F.col("t3").isNotNull(), 1).otherwise(0).alias("did_purchase"),
+        )
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM a JOIN f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    category="time_window",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users grouped by first-activity day,
+    counted on each later active day as an offset from their cohort —
+    the other half of the product-analytics pair with q_funnel_steps.
+    Two (user_id) aggregations sharing one hash partitioning, then a
+    small (cohort, offset) rollup; no row ever carries more than
+    (user_id, two dates)."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    a = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
