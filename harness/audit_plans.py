@@ -40,6 +40,8 @@ DEFAULT = [
     "q_audio_loudness", "q_pagerank", "q_decimal_roundtrip", "q_tpch_refresh",
     "q_sql_surface", "q_token_search", "q_tfidf_search", "q_rag_pipeline",
     "q_kmeans_iter", "q_layout_advice", "q_advice_applied",
+    "q_incremental_dedup", "q_signature_index_probe", "q_kmv_ndv_sketch",
+    "q_image_neardup", "q_ohlc_bars", "q_funnel_steps", "q_retention_cohorts",
 ]
 
 

@@ -413,3 +413,81 @@ def test_rag_pipeline_digest_shuffles(spark):
         require_partial_agg=True,
         forbid_python_eval=True,
     )
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    # digest probe + asymmetric banded join: everything key-equi,
+    # batch-side aggregates broadcast, no products
+    a = assert_posture(
+        _q("q_incremental_dedup")(spark, SF_MED),
+        max_shuffles=8,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
+    assert a.n_broadcast_joins >= 2, a.plan
+
+
+def test_signature_index_probe_broadcast_probe(spark):
+    # stored-index probe: the (small) batch side broadcasts into the
+    # band join and the verify joins — one shuffle total
+    a = assert_posture(
+        _q("q_signature_index_probe")(spark, SF_MED),
+        max_shuffles=2,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_broadcast_joins >= 2, a.plan
+
+
+def test_kmv_sketch_partial_agg(spark):
+    # three computations in one query (global sketch, sharded+merged
+    # sketch, exact NDV) — all hash aggs stay map-side partial and
+    # nothing degenerates to a product
+    a = assert_posture(
+        _q("q_kmv_ndv_sketch")(spark, SF_MED),
+        max_shuffles=9,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_image_neardup_single_kernel(spark):
+    # the aHash decode kernel must run ONCE (ReusedExchange feeds both
+    # self-join sides); band join is key-equi
+    a = assert_posture(_q("q_image_neardup")(spark, SF_MED), max_shuffles=3)
+    assert a.n_python_evals == 1, a.plan
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_ohlc_single_exchange(spark):
+    # both row_number windows and the final aggregation share one
+    # Exchange(day) — the whole query is a single shuffle
+    assert_posture(
+        _q("q_ohlc_bars")(spark, SF_MED),
+        max_shuffles=1,
+        require_partial_agg=True,
+    )
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    # per-stage aggs + left joins all key on user_id; small stage
+    # outputs broadcast; no products
+    a = assert_posture(
+        _q("q_funnel_steps")(spark, SF_MED),
+        max_shuffles=6,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_retention_cohorts_posture(spark):
+    assert_posture(
+        _q("q_retention_cohorts")(spark, SF_MED),
+        max_shuffles=4,
+        require_partial_agg=True,
+        require_pushed_filters=True,
+        forbid_python_eval=True,
+    )
