@@ -593,3 +593,75 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rnd(max_err, 6).alias("max_err"),
     )
+
+
+@register("q_ivf_index_partition_probe", oracle=_IVF_DUCK, category="similarity")
+def q_ivf_index_partition_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a PERSISTED, cell-partitioned vector index: the corpus
+    is written once as a table partitioned by its coarse cell (here
+    the label), so each probed cell is a directory and the candidate
+    scan prunes at the directory level — the deployment shape the
+    in-flight q_ann_ivf_topk docstring promises. Centroids are
+    re-derived from the STORED table (roundtrip must be value-exact),
+    broadcast into cell ranking, and only the top-2 cells' directories
+    are read for the brute-force verify. The oracle is byte-identical
+    to q_ann_ivf_topk's: a persisted index must not change a single
+    result bit."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+    path = ensure_cached(
+        sf_dir,
+        "embeddings__ivf_cells",
+        ["embeddings"],
+        lambda tmp: write_table(
+            load(spark, sf_dir, "embeddings"),
+            tmp,
+            WriteOptions(partition_by=["label"]),
+        ),
+    )
+    stored = read_table(spark, path)
+
+    flat = stored.select("label", F.posexplode("embedding").alias("dim0", "v0"))
+    cdim = flat.groupBy("label", "dim0").agg(
+        (F.sum(F.col("v0").cast("double").cast("decimal(27,6)")).cast("double")
+         / F.count(F.lit(1))).alias("cv")
+    )
+    centroids = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+
+    q = stored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
+    )
+    cell_sim = F.expr(_DOT_SPARK.format(a="qv", b="cvec")) / (
+        F.col("qn") * F.expr(_norm_spark("cvec"))
+    )
+    wc = W.partitionBy("qid").orderBy(rnd(cell_sim, 6).desc(), "label")
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_rk", F.row_number().over(wc))
+        .filter(F.col("cell_rk") <= N_PROBE)
+        .select("qid", "label")
+    )
+    cand = stored.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "label"
+    ).join(F.broadcast(probed), "label")
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="cv")) / (
+        F.col("qn") * F.expr(_norm_spark("cv"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", sim.alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
+    )

@@ -342,3 +342,69 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
     )
+
+
+@register(
+    "q_keyword_extract",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ),
+    filt AS (SELECT doc_id, term FROM tok WHERE LENGTH(term) >= 4),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM filt GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM filt GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM filt),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, rk,
+           FLOOR((score) * 10000 + 0.5) / 10000 AS score
+    FROM ranked WHERE rk <= 3
+    """,
+    category="text",
+)
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF·(N/df) — the
+    integer-ratio TF-IDF variant (no log, so the score is exact
+    identical double arithmetic on both engines). Terms shorter than 4
+    chars drop out (stopword-ish floor). Scale: tf is a partial-agged
+    (doc, term) count; df is a (term) count joined back term-equi;
+    the per-doc top-3 goes through WindowGroupLimit so each partition
+    pre-prunes to its local 3 before the rank shuffle."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(F.length("term") >= 4)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "rk", rnd("score", 4).alias("score"))
+    )
