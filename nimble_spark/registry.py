@@ -119,9 +119,9 @@ _PRIORITY_MODULES = [
 _PRIORITY_NAMES = {
     "__fixes__": ["q_case_agg", "q_sessionize"],
     "__north_star__": ["q_ann_lsh_topk", "q_ann_ivf_topk", "q_corpus_pipeline"],
-    # rows-only streaming checks carry the weakest signal — run last
-    # among the unproven tiers so they never displace an oracle-backed
-    # query from a truncated driver window
+    # Historical tier: these three were rows-only until round 3, when
+    # they gained batch-equivalence oracles; the tier label stays so
+    # their position in the static tiebreak is stable round-to-round.
     "__rows_only__": ["q_stream_tumbling", "q_stream_session", "q_stream_stateful"],
 }
 
