@@ -359,3 +359,87 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("nx_event")).alias("fwd_event"),
         F.when(in_tol, rnd("nx_value", 4)).alias("fwd_value"),
     )
+
+
+@register(
+    "q_interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d0,
+             CAST(o_orderdate AS DATE) + 7 AS d1
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS s0,
+             CAST(l_shipdate AS DATE) + (l_linenumber * 2) AS s1
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-02-15'
+        AND l_shipdate < TIMESTAMP '1995-04-15'
+    )
+    SELECT a.o_orderkey, COUNT(*) AS n_overlaps,
+           CAST(MIN(b.l_orderkey) AS BIGINT) AS min_lkey,
+           CAST(MAX(b.l_orderkey) AS BIGINT) AS max_lkey
+    FROM a JOIN b ON a.d0 <= b.s1 AND b.s0 < a.d1
+    GROUP BY a.o_orderkey
+    """,
+    category="join_ext",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — pairs of time intervals that intersect
+    ([d0, d1) order-fulfilment windows × [s0, s1] shipment windows) —
+    an operator Spark has no native physical strategy for (the naive
+    form is a cartesian with a theta filter). The scale path is BIN
+    JOINING: each interval explodes into its covered day bins, the
+    join is bin-equi (shuffle-friendly, skew = interval density per
+    day), the true overlap predicate re-checks after the join, and
+    each qualifying pair is emitted EXACTLY ONCE at the canonical bin
+    `greatest(d0, s0)` — a bin both intervals provably cover — so no
+    DISTINCT shuffle is needed. The oracle runs the plain theta join
+    over the same (filter-bounded) inputs; identical pair set by
+    construction. Cost: O(Σ interval_days) exploded rows instead of
+    O(|A|·|B|) candidate pairs."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    a = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-03-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("d0"),
+            F.date_add(F.to_date("o_orderdate"), 7).alias("d1"),
+        )
+    )
+    b = (
+        l.filter(
+            (F.col("l_shipdate") >= "1995-02-15") & (F.col("l_shipdate") < "1995-04-15")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("s0"),
+            F.expr("date_add(to_date(l_shipdate), l_linenumber * 2)").alias("s1"),
+        )
+    )
+    # [d0, d1) covers bins d0 .. d1-1; [s0, s1] covers s0 .. s1.
+    ab = a.select(
+        "o_orderkey", "d0", "d1",
+        F.explode(F.expr("sequence(d0, date_sub(d1, 1), interval 1 day)")).alias("bin"),
+    )
+    bb = b.select(
+        "l_orderkey", "l_linenumber", "s0", "s1",
+        F.explode(F.expr("sequence(s0, s1, interval 1 day)")).alias("bin"),
+    )
+    pairs = (
+        ab.join(bb, "bin")
+        .filter((F.col("d0") <= F.col("s1")) & (F.col("s0") < F.col("d1")))
+        .filter(F.col("bin") == F.greatest("d0", "s0"))
+    )
+    return pairs.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("l_orderkey").alias("min_lkey"),
+        F.max("l_orderkey").alias("max_lkey"),
+    )
