@@ -408,3 +408,100 @@ def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "rk", rnd("score", 4).alias("score"))
     )
+
+
+@register(
+    "q_grouped_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT lang, doc_id, rk FROM r WHERE rk <= 5
+    """,
+    category="text",
+)
+def q_grouped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group fixed-k deterministic sample: exactly 5 docs per
+    language, chosen by hash order — the reservoir-sampling analogue
+    that is reproducible across runs, engines, and append order
+    changes that don't touch the sampled ids. Hash order is a uniform
+    random permutation for any adversarial id distribution, and
+    WindowGroupLimit pre-prunes each partition to its local 5 before
+    the per-group shuffle — the same map-side-k mechanics a reservoir
+    merge would hand-roll."""
+    from pyspark.sql import Window as W
+
+    from nimble_spark.functions.text_fns import hash60_sql_spark
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(hash60_sql_spark("CAST(doc_id AS STRING)")).alias("hv"),
+    )
+    w = W.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM c
+    ),
+    r AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM c
+    )
+    SELECT r.user_id, CAST(r.n AS BIGINT) AS n_rows, r.rk,
+           FLOOR((CAST(r.n AS DOUBLE) / t.total) * 1000000 + 0.5) / 1000000 AS share,
+           FLOOR((CAST(t.max_n AS DOUBLE) * t.n_keys / t.total) * 10000 + 0.5) / 10000 AS skew_factor
+    FROM r CROSS JOIN t WHERE r.rk <= 10
+    """,
+    category="statistics",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: the top-10 heavy-hitter keys with
+    their row share, plus the global skew factor (max key count ÷ mean
+    key count — 1.0 is perfectly uniform). This is the measurement
+    that decides when to reach for the salted-join/agg operators
+    (q_skew_salted_join/_agg) or AQE skew splitting: at 100 TB it runs
+    as one partial-agged count per key plus a driver-size top-10."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    r = c.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "user_id"))
+    ).filter(F.col("rk") <= 10)
+    return r.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        F.col("n").alias("n_rows"),
+        "rk",
+        rnd(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        rnd(F.col("max_n").cast("double") * F.col("n_keys") / F.col("total"), 4).alias(
+            "skew_factor"
+        ),
+    )
