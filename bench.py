@@ -59,6 +59,11 @@ HEADLINE = [
     "q_sequence_pack",
     "q_rollup_cascade",
     "q_embedding_covariance",
+    # round-4 flagships
+    "q_incremental_dedup",
+    "q_kmv_ndv_sketch",
+    "q_interval_overlap_join",
+    "q_image_neardup",
 ]
 
 
