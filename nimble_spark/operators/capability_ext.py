@@ -5,9 +5,10 @@ delete masks, Arrow serde, multimodal plumbing, and streaming windows.
 Each query exercises the real library code path (sources/flatmap.py,
 sources/deletes.py, sources/serde.py, operators/multimodal.py,
 streaming/windows.py) and, where SQL-expressible, ships a DuckDB oracle
-so the driver's differential gate covers it. Streaming entries have no
-oracle (stateful/streaming semantics are not ANSI-SQL) — the driver
-records a rows-only check, as the contract allows.
+so the driver's differential gate covers it. Streaming entries carry
+batch-equivalence oracles: a fully-drained bounded stream must equal
+the corresponding batch computation (and q_stream_late_data drains a
+multi-batch replay where watermark drops are part of that equality).
 
 Reference parity (SURVEY.md §1.3, §2.1, §2.3):
 - FlatMap: dwio/nimble/velox/FieldWriter.cpp:1415 (write),
@@ -1213,3 +1214,66 @@ def q_stream_format_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("chars")
     )
+
+
+@register(
+    "q_stream_late_data",
+    oracle=f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+    live AS (
+      SELECT ts, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-11' OR ts >= TIMESTAMP '2024-01-20'
+    )
+    SELECT strftime(date_trunc('day', live.ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n, {dsum_sql("value")} AS sum_v
+    FROM live, wm
+    WHERE date_trunc('day', live.ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1
+    """,
+    category="streaming",
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, ACTUALLY exercised: a 3-commit
+    replay table (early days / recent days / genuinely-late rows whose
+    event times sit weeks behind the watermark) streamed one commit
+    per micro-batch via the nimble CDC source's admission control
+    (`maxCommitsPerTrigger=1` — commit order IS batch order, so the
+    watermark trajectory is deterministic). Append-mode daily windows
+    with a 2-hour watermark must therefore (a) DROP every row of the
+    late third commit — their windows closed weeks before it arrived —
+    and (b) withhold the still-open trailing windows. The oracle
+    computes exactly that from the batch data: commits 1∪2, windows
+    whose end precedes final-watermark = max(ts) − 2 h. Every other
+    streaming query here drains a single batch where nothing is ever
+    late; this one is the proof the watermark machinery does what the
+    docstrings claim."""
+    from nimble_spark.streaming.windows import run_to_completion
+
+    def _build(tmp: str) -> None:
+        e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+        early = e.filter(F.col("ts") < "2024-01-11")
+        recent = e.filter(F.col("ts") >= "2024-01-20")
+        late = (
+            e.filter((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-20"))
+            .withColumn("ts", F.col("ts") - F.expr("INTERVAL 15 DAYS"))
+        )
+        write_table(early, tmp, WriteOptions())
+        write_table(recent, tmp, mode="append")
+        write_table(late, tmp, mode="append")
+
+    path = ensure_cached(sf_dir, "events__late_replay", ["events"], _build)
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    stream = (
+        spark.readStream.format("nimble")
+        .option("maxCommitsPerTrigger", "1")
+        .load(path)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_v"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "n", "sum_v")
+    )
+    return run_to_completion(agg, "rq_stream_late_data", mode="append")

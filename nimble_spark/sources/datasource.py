@@ -69,13 +69,38 @@ class NimbleDataSource(DataSource):
         return NimbleReader(self.options["path"], schema)
 
     def streamReader(self, schema: StructType) -> "NimbleStreamReader":  # noqa: N802
-        return NimbleStreamReader(self.options["path"], schema)
+        return NimbleStreamReader(
+            self.options["path"],
+            schema,
+            max_commits_per_trigger=int(
+                self.options.get("maxcommitspertrigger", 0) or 0
+            ),
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> "NimbleWriter":
         return NimbleWriter(self.options["path"], overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "NimbleStreamWriter":  # noqa: N802
         return NimbleStreamWriter(self.options["path"])
+
+
+def _read_file_batches(file_path: str, columns) -> Iterator:
+    """Read one parquet file as Arrow batches for the DataSource
+    bridge. Spark writes TimestampType as INT96, which pyarrow
+    surfaces as timestamp[ns]; the Arrow bridge rejects NANOSECOND, so
+    timestamp columns down-cast to the microseconds Spark stores."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(file_path, columns=columns or None)
+    fields = [
+        pa.field(f.name, pa.timestamp("us", f.type.tz))
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        else f
+        for f in table.schema
+    ]
+    table = table.cast(pa.schema(fields))
+    yield from table.to_batches()
 
 
 def _file_might_match(entry: dict, col: str, kind: str, value) -> bool:
@@ -151,10 +176,7 @@ class NimbleReader(DataSourceReader):
         return [NimbleFilePartition(p) for p in self.kept_files()]
 
     def read(self, partition: NimbleFilePartition) -> Iterator:
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.file_path, columns=self.columns or None)
-        yield from table.to_batches()
+        yield from _read_file_batches(partition.file_path, self.columns)
 
 
 def register_nimble_source(spark) -> None:
@@ -175,15 +197,28 @@ class NimbleStreamReader(DataSourceStreamReader):
     restart-safe (offsets live in the checkpoint), no directory
     diffing, O(changed data) per batch no matter the table size."""
 
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType, max_commits_per_trigger: int = 0):
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        # Admission control (maxFilesPerTrigger analogue, in commits).
+        # 0 = unbounded: each micro-batch takes everything available.
+        # N > 0: each micro-batch advances at most N commits — this is
+        # what makes multi-commit replays DETERMINISTIC micro-batch
+        # sequences (commit order == batch order), so watermark
+        # semantics over a replay are exactly reproducible.
+        self.max_commits = max_commits_per_trigger
+        self._served = -1
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"commit": -1}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        return {"commit": len(read_manifest(self.path).get("commits", [])) - 1}
+        latest = len(read_manifest(self.path).get("commits", [])) - 1
+        if self.max_commits <= 0:
+            self._served = latest
+            return {"commit": latest}
+        self._served = min(self._served + self.max_commits, latest)
+        return {"commit": self._served}
 
     def partitions(self, start: dict, end: dict):
         manifest = read_manifest(self.path)
@@ -203,10 +238,7 @@ class NimbleStreamReader(DataSourceStreamReader):
         return [NimbleFilePartition(os.path.join(self.path, f)) for f in added]
 
     def read(self, partition: NimbleFilePartition) -> Iterator:
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.file_path, columns=self.columns or None)
-        yield from table.to_batches()
+        yield from _read_file_batches(partition.file_path, self.columns)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the table's own commit log

@@ -855,3 +855,69 @@ def test_nimble_stream_sink(spark, tmpdir):
     # and the sink table CDC-streams right back
     back = spark.read.format("nimble").load(out)
     assert back.count() == docs.count()
+
+
+def test_stream_admission_control_one_commit_per_batch(spark, tmpdir):
+    """maxCommitsPerTrigger=1: a 3-commit table drains as exactly 3
+    micro-batches in commit order — the determinism q_stream_late_data
+    relies on for reproducible watermark trajectories."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_throttled"
+    parts = [src.filter(F.col("o_orderkey") % 3 == k) for k in range(3)]
+    write_table(parts[0], path, WriteOptions())
+    write_table(parts[1], path, WriteOptions(), mode="append")
+    write_table(parts[2], path, WriteOptions(), mode="append")
+
+    register_nimble_source(spark)
+    q = (
+        spark.readStream.format("nimble")
+        .option("maxCommitsPerTrigger", "1")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("t_throttled")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert len(batches) == 3, q.recentProgress
+    assert spark.sql("SELECT COUNT(*) FROM t_throttled").first()[0] == src.count()
+
+
+def test_stream_source_timestamp_columns(spark, tmpdir):
+    """Timestamp columns survive the Arrow bridge (Spark writes INT96
+    → pyarrow reads ns → reader down-casts to us)."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    path = f"{tmpdir}/orders_ts_stream"
+    write_table(src, path, WriteOptions())
+    register_nimble_source(spark)
+    q = (
+        spark.readStream.format("nimble")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("t_ts_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT COUNT(*), MIN(o_orderdate), MAX(o_orderdate) FROM t_ts_stream"
+    ).first()
+    exp = src.agg(
+        F.count(F.lit(1)), F.min("o_orderdate"), F.max("o_orderdate")
+    ).first()
+    assert tuple(got) == tuple(exp)
