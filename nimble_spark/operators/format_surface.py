@@ -1605,3 +1605,54 @@ def q_advice_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         # counts as pruning too
         F.lit(kept < len(dry)).alias("pruned_subset"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH changed AS (
+      SELECT o_totalprice FROM orders WHERE o_orderkey % 100 = 42
+    )
+    SELECT (SELECT COUNT(*) FROM changed) AS n_added,
+           (SELECT COUNT(*) FROM changed) AS n_removed,
+           (SELECT {dsum_sql("o_totalprice")} FROM changed) AS removed_total,
+           (SELECT {dsum_sql("o_totalprice * 0.5")} FROM changed) AS added_total
+    """,
+    category="format",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two snapshots ACROSS A REWRITE — the
+    query retention makes possible: an UPDATE halves prices WHERE
+    o_orderkey % 100 = 42, tombstoning the replaced files into the
+    metadata trash instead of deleting them, so
+    ``read_table(as_of_commit=0)`` still reconstructs the pre-update
+    table. The diff (exceptAll both ways) must be exactly the changed
+    rows: originals on the removed side, halved versions on the added
+    side (0.5× is a power-of-two scale, so totals stay float-exact).
+    Vacuum reclaims the trash and ends this query's history — the
+    explicit history-for-space trade, tested in pytest."""
+    from nimble_spark.sources.merge import update_where
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(*cols)
+        write_table(o, tmp, WriteOptions(cluster_by=["o_orderkey"]))
+        update_where(
+            spark, tmp, "o_orderkey % 100 = 42",
+            {"o_totalprice": "o_totalprice * 0.5"},
+        )
+
+    path = ensure_cached(sf_dir, "orders__updated_retained", ["orders"], _build)
+    snap0 = read_table(spark, path, as_of_commit=0).select(*cols)
+    head = read_table(spark, path).select(*cols)
+    added = head.exceptAll(snap0)
+    removed = snap0.exceptAll(head)
+    a = added.agg(
+        F.count(F.lit(1)).alias("n_added"), dsum("o_totalprice").alias("added_total")
+    )
+    r = removed.agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        dsum("o_totalprice").alias("removed_total"),
+    )
+    return a.crossJoin(r).select("n_added", "n_removed", "removed_total", "added_total")

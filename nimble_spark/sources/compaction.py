@@ -78,6 +78,8 @@ def vacuum_table(path: str) -> list[str]:
     keeps directory state and manifest state equal. Returns the
     root-relative paths removed. Metadata (the manifest dir) and
     non-parquet markers are never touched."""
+    import shutil
+
     m = read_manifest(path)
     referenced = {os.path.normpath(f["path"]) for f in m["files"]}
     removed: list[str] = []
@@ -93,6 +95,19 @@ def vacuum_table(path: str) -> list[str]:
                 if os.path.exists(crc):
                     os.remove(crc)
                 removed.append(rel)
+    # Reclaim the retention trash: merge/update rewrites tombstone
+    # their replaced files into _nimble/trash (keeping snapshots and
+    # CDC replays readable); vacuum is the explicit point history is
+    # traded for space.
+    trash = os.path.join(path, MANIFEST_DIR, "trash")
+    if os.path.isdir(trash):
+        for root, _dirs, files in os.walk(trash):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    removed.append(
+                        os.path.normpath(os.path.join("_trash", os.path.relpath(os.path.join(root, fn), trash)))
+                    )
+        shutil.rmtree(trash, ignore_errors=True)
     return sorted(removed)
 
 

@@ -221,6 +221,8 @@ class NimbleStreamReader(DataSourceStreamReader):
         return {"commit": self._served}
 
     def partitions(self, start: dict, end: dict):
+        from nimble_spark.sources.table import resolve_historical_file
+
         manifest = read_manifest(self.path)
         commits = manifest.get("commits", [])
         added = [
@@ -228,14 +230,14 @@ class NimbleStreamReader(DataSourceStreamReader):
             for c in commits[start["commit"] + 1 : end["commit"] + 1]
             for f in c.get("files", [])
         ]
-        live = {os.path.normpath(f["path"]) for f in manifest["files"]}
-        gone = [f for f in added if f not in live]
+        resolved = [resolve_historical_file(self.path, f) for f in added]
+        gone = [f for f, r in zip(added, resolved) if r is None]
         if gone:
             raise ValueError(
                 f"stream window ({start['commit']}, {end['commit']}] is gone "
-                f"(compaction/vacuum/merge removed {gone[:3]}…)"
+                f"(compaction/vacuum removed {gone[:3]}…)"
             )
-        return [NimbleFilePartition(os.path.join(self.path, f)) for f in added]
+        return [NimbleFilePartition(r) for r in resolved]
 
     def read(self, partition: NimbleFilePartition) -> Iterator:
         yield from _read_file_batches(partition.file_path, self.columns)

@@ -148,8 +148,18 @@ def _commit_rewrite(
             os.rename(os.path.join(staging, f), os.path.join(path, dst))
             moved.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
+    # Replaced files are REMOVED LOGICALLY only: tombstoned in the
+    # commit entry below, dropped from manifest["files"], and moved
+    # into the metadata directory's trash (retained until vacuum_table
+    # reclaims them) — the Delta/Iceberg retention discipline. This
+    # keeps snapshot reads (read_table(as_of_commit=N)) and CDC
+    # replays that span the rewrite readable, while directory-based
+    # current-state scans never see them (the `_nimble` metadata dir
+    # is invisible to Spark's file listing).
+    trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(manifest.get('commits', []))}")
+    os.makedirs(trash, exist_ok=True)
     for f in affected:
-        os.remove(os.path.join(path, f))
+        os.rename(os.path.join(path, f), os.path.join(trash, f))
 
     reuse = {
         os.path.normpath(e["path"]): e

@@ -627,27 +627,38 @@ def read_table(
             raise IOError(f"checksum mismatch in {path}: {bad}")
     if as_of_commit is not None:
         # Time travel: the commit log doubles as a snapshot index —
-        # the table as of commit N is the union of file additions in
-        # commits 0..N (appends never rewrite). Compaction/vacuum
-        # trade history for layout: a snapshot whose files were
-        # merged away raises instead of silently returning less.
+        # the table as of commit N is the file additions of commits
+        # 0..N minus the files those commits logically removed
+        # (merge/update rewrites tombstone their replaced files into
+        # the metadata trash instead of deleting them). Vacuum trades
+        # history for space: a snapshot whose files were reclaimed
+        # raises instead of silently returning less.
         if range_scan is not None or point_lookup is not None or row_range is not None:
             raise ValueError("as_of_commit is a plain snapshot scan; combine with filters on the result")
         commits = manifest.get("commits", [])
         if not 0 <= as_of_commit < len(commits):
             raise ValueError(f"as_of_commit {as_of_commit} out of range (have {len(commits)} commits)")
-        snap = [f for c in commits[: as_of_commit + 1] for f in c.get("files", [])]
-        live = {os.path.normpath(f["path"]) for f in manifest["files"]}
-        missing = [f for f in snap if f not in live]
+        snap: list[str] = []
+        for c in commits[: as_of_commit + 1]:
+            snap.extend(c.get("files", []))
+            gone = set(c.get("removed", []))
+            if gone:
+                snap = [f for f in snap if f not in gone]
+        resolved = [resolve_historical_file(path, f) for f in snap]
+        missing = [f for f, r in zip(snap, resolved) if r is None]
         if missing:
             raise ValueError(
                 f"snapshot at commit {as_of_commit} is gone (compaction/vacuum removed {missing[:3]}…)"
             )
         if not snap:
             return _empty_df(spark, manifest)
-        df = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, f) for f in snap]
-        )
+        if all(r == os.path.join(path, f) for f, r in zip(snap, resolved)):
+            # All files still live: basePath keeps Hive partition
+            # columns visible (directory-shaped layouts only append,
+            # so their snapshots always take this branch).
+            df = spark.read.option("basePath", path).parquet(*resolved)
+        else:
+            df = spark.read.parquet(*resolved)
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         if columns:
@@ -740,6 +751,20 @@ def read_table(
     return df
 
 
+def resolve_historical_file(path: str, rel: str) -> Optional[str]:
+    """Locate a commit-log file that may have been logically removed:
+    live tables hold it at ``path/rel``; a merge/update rewrite moves
+    its replacement victims to ``_nimble/trash/commit-N/rel`` until
+    vacuum. Returns the absolute path, or None once reclaimed."""
+    import glob as _glob
+
+    live = os.path.join(path, rel)
+    if os.path.exists(live):
+        return live
+    hits = _glob.glob(os.path.join(path, MANIFEST_DIR, "trash", "commit-*", rel))
+    return hits[0] if hits else None
+
+
 def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame:
     """Change feed: rows added by commits AFTER ``since_commit``
     (``-1`` = everything). The commit log records each commit's file
@@ -757,16 +782,21 @@ def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame
             f"since_commit {since_commit} out of range (have {len(commits)} commits)"
         )
     added = [f for c in commits[since_commit + 1 :] for f in c.get("files", [])]
-    live = {os.path.normpath(f["path"]) for f in manifest["files"]}
-    missing = [f for f in added if f not in live]
+    resolved = [resolve_historical_file(path, f) for f in added]
+    missing = [f for f, r in zip(added, resolved) if r is None]
     if missing:
         raise ValueError(
             f"changes since commit {since_commit} are gone "
-            f"(compaction/vacuum/merge removed {missing[:3]}…)"
+            f"(compaction/vacuum removed {missing[:3]}…)"
         )
     if not added:
         return _empty_df(spark, manifest)
-    df = spark.read.option("basePath", path).parquet(*[os.path.join(path, f) for f in added])
+    if all(r == os.path.join(path, f) for f, r in zip(added, resolved)):
+        df = spark.read.option("basePath", path).parquet(*resolved)
+    else:
+        # Window spans files later rewritten away (retained in trash):
+        # flat layouts only, no partition columns to recover.
+        df = spark.read.parquet(*resolved)
     if BUCKET_COL in df.columns:
         df = df.drop(BUCKET_COL)
     return df

@@ -921,3 +921,45 @@ def test_stream_source_timestamp_columns(spark, tmpdir):
         F.count(F.lit(1)), F.min("o_orderdate"), F.max("o_orderdate")
     ).first()
     assert tuple(got) == tuple(exp)
+
+
+def test_retention_snapshot_across_update_until_vacuum(spark, tmpdir):
+    """Rewrites tombstone replaced files into the metadata trash:
+    snapshots and CDC replays spanning the rewrite stay readable,
+    directory scans never see the tombstones, and vacuum is the
+    explicit point history ends."""
+    from nimble_spark.sources.compaction import vacuum_table
+    from nimble_spark.sources.merge import update_where
+    from nimble_spark.sources.table import read_changes
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_retained"
+    write_table(src, path, WriteOptions(cluster_by=["o_orderkey"]))
+    update_where(
+        spark, path, "o_orderkey BETWEEN 1 AND 40", {"o_totalprice": "0.0"}
+    )
+
+    # head sees the update, and the directory-visible row count is
+    # unchanged (tombstones are invisible to the live scan)
+    head = read_table(spark, path)
+    assert head.count() == src.count()
+    assert head.filter(F.col("o_totalprice") == 0.0).count() == src.filter(
+        F.col("o_orderkey").between(1, 40)
+    ).count()
+
+    # snapshot BEFORE the update still reconstructs the original rows
+    snap0 = read_table(spark, path, as_of_commit=0)
+    assert snap0.count() == src.count()
+    assert snap0.filter(F.col("o_totalprice") == 0.0).count() == 0
+
+    # CDC window from the beginning replays both commits' additions
+    assert read_changes(spark, path, -1).count() > src.count()
+
+    # vacuum reclaims the trash; the old snapshot now raises
+    assert any("trash" in r or "commit-" in r for r in vacuum_table(path))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gone"):
+        read_table(spark, path, as_of_commit=0).count()
