@@ -1656,3 +1656,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("removed_total"),
     )
     return a.crossJoin(r).select("n_added", "n_removed", "removed_total", "added_total")
+
+
+@register(
+    "q_fast_minmax",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           FLOOR((MIN(o_totalprice)) * 10000 + 0.5) / 10000 AS min_price,
+           FLOOR((MAX(o_totalprice)) * 10000 + 0.5) / 10000 AS max_price
+    FROM orders
+    """,
+    category="format",
+)
+def q_fast_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-answered MIN/MAX (the tablet footer min/max stats as
+    a query short-circuit): global extremes come straight from the
+    manifest's per-file bounds — zero data IO at any table size, the
+    companion of q_fast_count. Guarded against pending delete masks
+    (which would make stats over-report); both columns must equal the
+    full-scan aggregates the oracle computes."""
+    from nimble_spark.sources.compaction import fast_minmax
+
+    path = _ensure_written(
+        spark, sf_dir, "orders", "cluster_orderkey", WriteOptions(cluster_by=["o_orderkey"])
+    )
+    kmin, kmax = fast_minmax(spark, path, "o_orderkey")
+    pmin, pmax = fast_minmax(spark, path, "o_totalprice")
+    return spark.createDataFrame(
+        [(int(kmin), int(kmax), pmin, pmax)],
+        "min_key BIGINT, max_key BIGINT, min_price DOUBLE, max_price DOUBLE",
+    ).select(
+        "min_key",
+        "max_key",
+        F.expr("FLOOR(min_price * 10000 + 0.5) / 10000").alias("min_price"),
+        F.expr("FLOOR(max_price * 10000 + 0.5) / 10000").alias("max_price"),
+    )

@@ -251,3 +251,25 @@ def compact_table(
         "files_after": len(new_m["files"]),
         "rows": new_m["rows"],
     }
+
+
+def fast_minmax(spark: SparkSession, path: str, col: str):
+    """Statistics-answered MIN/MAX: the global extremes of a column are
+    the min/max over the manifest's per-file bounds — zero IO, any
+    table size. Correctness fence: per-file bounds are exact (written
+    from the data at commit time) and deletes are merge-on-read masks
+    that do NOT update bounds, so a table with pending delete masks
+    raises rather than over-reporting; compact_deletes first."""
+    import os
+
+    m = read_manifest(path)
+    if os.path.isdir(os.path.join(path, MANIFEST_DIR, "deletes")):
+        raise ValueError(
+            "fast_minmax on a table with pending delete masks would "
+            "over-report; run compact_deletes first"
+        )
+    mins = [f["min"].get(col) for f in m["files"]]
+    maxs = [f["max"].get(col) for f in m["files"]]
+    if any(v is None for v in mins + maxs) or not mins:
+        raise ValueError(f"no complete stats for column {col!r}")
+    return min(mins), max(maxs)
