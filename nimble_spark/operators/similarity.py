@@ -665,3 +665,68 @@ def q_ivf_index_partition_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
     )
+
+
+@register(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv,
+             {_norm_duck("embedding")} AS qn
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id AS cid, e.label AS clabel,
+             {_DOT_DUCK.format(a="q.qv", b="e.embedding")}
+               / (q.qn * {_norm_duck("e.embedding")}) AS sim
+      FROM q JOIN embeddings e ON e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT qid, qlabel, cid, clabel, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR((sim) * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, qlabel, cid, clabel, rk,
+           FLOOR((sim) * 10000 + 0.5) / 10000 AS sim
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+    category="similarity",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: per query
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    the negatives that actually move an embedding model, as opposed to
+    random negatives a dot product already separates. Same physical
+    shape as q_cosine_topk (broadcast query set × partition-local
+    candidate stream, zero candidate shuffle) with the label
+    inequality pushed into the join condition so same-label rows never
+    reach the dot product. At 100 TB the candidate side is the
+    IVF-pruned scan of q_ivf_index_partition_probe; this query is the
+    exact calibrator."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
+    )
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="embedding")) / (
+        F.col("qn") * F.expr(_norm_spark("embedding"))
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            sim.alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "qlabel", "cid", "clabel", "rk", rnd("sim", 4).alias("sim"))
+    )
