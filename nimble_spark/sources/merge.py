@@ -13,8 +13,8 @@ The reference's mutation story is scan-time delete masks
 (SelectiveNimbleReader; sources/deletes.py here); MERGE is the
 table-layer operation a lakehouse builds on top, kept append-consistent
 with the manifest commit log (commit mode="merge", removed files
-recorded; snapshots that referenced a rewritten file raise on time
-travel, exactly like compaction)."""
+recorded AND retained in the metadata trash until vacuum, so time
+travel and CDC replays across the rewrite stay readable)."""
 
 from __future__ import annotations
 
@@ -295,3 +295,27 @@ def overwrite_partitions(
     os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
     _write_manifest(path, new_manifest)
     return new_manifest
+
+
+def _serialize_writes(fn, path_pos: int):
+    """Every mutation holds the table write lock for its whole
+    read-discover-rewrite-commit span: concurrent mutations (or a
+    mutation racing an append) serialize instead of last-wins-ing the
+    manifest and silently dropping the loser's commit. See
+    table_write_lock for the object-store translation."""
+    import functools
+
+    from nimble_spark.sources.table import table_write_lock
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        path = kwargs.get("path") or args[path_pos]
+        with table_write_lock(path):
+            return fn(*args, **kwargs)
+
+    return inner
+
+
+merge_into = _serialize_writes(merge_into, 1)
+update_where = _serialize_writes(update_where, 1)
+overwrite_partitions = _serialize_writes(overwrite_partitions, 2)

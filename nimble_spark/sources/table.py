@@ -225,6 +225,22 @@ def write_table(
         writer = writer.option(f"parquet.enable.dictionary#{c}", "false")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    # Writers serialize from here (prior-manifest read → data write →
+    # manifest publication): without the lock, two concurrent appends
+    # could both read commit log v0 and the last manifest rename wins,
+    # silently dropping the other writer's files from the log.
+    _lock = table_write_lock(path)
+    _lock.__enter__()
+    try:
+        return _write_table_locked(df, path, opts, mode, writer, index_meta)
+    finally:
+        _lock.__exit__()
+
+
+def _write_table_locked(
+    df: DataFrame, path: str, opts: WriteOptions, mode: str, writer, index_meta: dict
+) -> dict:
+    spark = df.sparkSession
     # Incremental append: entries of files already committed are
     # reused verbatim (no re-hash / footer re-read) — append cost is
     # O(new files). Old-format entries without per-file null counts
@@ -448,6 +464,54 @@ def read_manifest(path: str) -> dict:
         m = json.load(fh)
     _MANIFEST_CACHE[mf] = (mtime, m)
     return m
+
+
+class table_write_lock:
+    """Table-level commit lock: serializes writers so concurrent
+    appends/rewrites cannot lose each other's commits (two writers
+    both reading manifest v0 and publishing last-wins would silently
+    drop the loser's files from the log). O_CREAT|O_EXCL lockfile in
+    the metadata dir — correct on a local/posix FS, which is where
+    this engine's multi-writer tests run; on an object store the same
+    protocol rides a conditional-put of the manifest (ETag
+    compare-and-swap), which is exactly how Delta commits on S3.
+    Locks older than ``stale_s`` are broken (crashed writer)."""
+
+    def __init__(self, path: str, timeout_s: float = 120.0, stale_s: float = 600.0):
+        self.lock_path = os.path.join(path, MANIFEST_DIR, "_commit.lock")
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.lock_path), exist_ok=True)
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()}@{time.time()}".encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(self.lock_path).st_mtime
+                    if age > self.stale_s:
+                        os.unlink(self.lock_path)  # crashed holder
+                        continue
+                except OSError:
+                    continue  # holder released between stat and unlink
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire table write lock {self.lock_path} "
+                        f"within {self.timeout_s}s"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock_path)
+        except OSError:
+            pass
+        return False
 
 
 def _write_manifest(path: str, manifest: dict) -> None:

@@ -963,3 +963,59 @@ def test_retention_snapshot_across_update_until_vacuum(spark, tmpdir):
 
     with _pytest.raises(ValueError, match="gone"):
         read_table(spark, path, as_of_commit=0).count()
+
+
+def test_concurrent_appends_no_lost_update(spark, tmpdir):
+    """Two appends racing from separate threads must BOTH land in the
+    commit log (the write lock serializes read-manifest → write-data →
+    publish; without it the last manifest rename wins and silently
+    drops the loser's files)."""
+    import threading
+
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    path = f"{tmpdir}/region_mw"
+    write_table(src, path, WriteOptions())
+
+    errs = []
+
+    def _append(tag: int) -> None:
+        try:
+            write_table(src.withColumn("r_regionkey", F.col("r_regionkey") + 100 * tag),
+                        path, WriteOptions(), mode="append")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=_append, args=(k,)) for k in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    m = read_manifest(path)
+    assert len(m.get("commits", [])) == 3  # overwrite + both appends
+    assert read_table(spark, path).count() == 3 * src.count()
+
+
+def test_write_lock_times_out_and_breaks_stale(spark, tmpdir):
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from nimble_spark.sources.table import table_write_lock
+
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    path = f"{tmpdir}/region_locked"
+    write_table(src, path, WriteOptions())
+
+    with table_write_lock(path):
+        with _pytest.raises(TimeoutError):
+            with table_write_lock(path, timeout_s=0.3):
+                pass
+    # stale lock (old mtime) is broken, not waited on
+    lock = table_write_lock(path)
+    with lock:
+        old = _time.time() - 10_000
+        os.utime(lock.lock_path, (old, old))
+        with table_write_lock(path, timeout_s=5):
+            pass
