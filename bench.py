@@ -117,6 +117,21 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
 
+    # Format-layer throughput — the shape of the reference's own
+    # published benchmark (encoding micro-bench: Decode ns/element per
+    # pattern + compression ratio, dwio/nimble/encodings/benchmarks).
+    # Our decode number includes the full scan path (parquet decode +
+    # whole-stage agg), which is what a query actually pays.
+    fmt: dict = {}
+    try:
+        fmt = _format_bench(spark, sf_dir)
+        for k, v in fmt.items():
+            if isinstance(v, dict):
+                continue
+            print(f"# format.{k}: {v}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["_format_bench"] = f"{type(exc).__name__}: {exc}"[:300]
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -133,9 +148,95 @@ def main() -> None:
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if fmt:
+        out["format"] = fmt
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+
+def _format_bench(spark, sf_dir: str) -> dict:
+    """Connector write/scan throughput + per-pattern decode rates.
+
+    - write/scan MB/s over the bench-SF lineitem through write_table /
+      a full projected scan (raw size = in-memory column widths, the
+      reference's rawSize accounting).
+    - decode ns/element per synthetic encoding pattern (best of 3
+      warm scans of a 100k-element written column), mirroring the
+      reference's encoding_comparison metric.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nimble_spark.sources.table import WriteOptions, write_table
+    from nimble_spark.tools import _BENCH_PATTERNS
+
+    out: dict = {}
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_rows = l.count()
+    # raw bytes: fixed-width columns at their in-memory width + string
+    # columns at byte length (rawSize accounting).
+    widths = {"bigint": 8, "double": 8, "int": 4, "date": 4, "timestamp": 8}
+    raw_fixed = sum(widths.get(t, 0) for _, t in l.dtypes) * n_rows
+    raw_str = 0
+    str_cols = [c for c, t in l.dtypes if t == "string"]
+    if str_cols:
+        raw_str = l.select(
+            sum(F.sum(F.length(c)) for c in str_cols).alias("b")
+        ).first()["b"]
+    raw_mb = (raw_fixed + raw_str) / 1e6
+
+    tmp = tempfile.mkdtemp(prefix="nimble_bench_fmt_") + "/t"
+    try:
+        t0 = time.time()
+        write_table(l, tmp, WriteOptions())
+        w_s = time.time() - t0
+        scans = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.read.parquet(tmp).select(*[c for c, _ in l.dtypes]).agg(
+                F.count(F.lit(1))
+            ).collect()
+            scans.append(time.time() - t0)
+        s_s = min(scans)
+        out["lineitem_rows"] = n_rows
+        out["raw_mb"] = round(raw_mb, 1)
+        out["write_mb_s"] = round(raw_mb / w_s, 1)
+        out["scan_mb_s"] = round(raw_mb / s_s, 1)
+        out["scan_rows_per_s"] = int(n_rows / s_s)
+    finally:
+        shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+
+    # Per-element decode rate by DIFFERENCING two sizes: a single scan
+    # of n elements costs fixed-overhead + n·rate, and at local[32] the
+    # fixed part (job scheduling, task launch) dwarfs 100k elements of
+    # decode — so rate = (t(n_big) − t(n_small)) / (n_big − n_small),
+    # best-of-3 each, which cancels the constant term.
+    decode: dict[str, float] = {}
+    n_small, n_big = 100_000, 5_000_000
+    for name, expr in _BENCH_PATTERNS:
+        times = {}
+        for n in (n_small, n_big):
+            df = spark.range(n).selectExpr(f"{expr} AS v")
+            is_str = dict(df.dtypes)["v"] == "string"
+            tmp = tempfile.mkdtemp(prefix="nimble_bench_enc_") + "/t"
+            try:
+                write_table(df.coalesce(4), tmp, WriteOptions())
+                agg = F.sum(F.length("v")) if is_str else F.sum("v")
+                best = []
+                for _ in range(3):
+                    t0 = time.time()
+                    spark.read.parquet(tmp).agg(agg).collect()
+                    best.append(time.time() - t0)
+                times[n] = min(best)
+            finally:
+                shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+        rate = (times[n_big] - times[n_small]) / (n_big - n_small)
+        decode[name] = round(max(rate, 0.0) * 1e9, 2)  # ns/element
+    out["decode_ns_per_el"] = decode
+    return out
 
 
 if __name__ == "__main__":
