@@ -303,13 +303,42 @@ def select(
     return df.limit(limit)
 
 
+def show_trash(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW TRASH: retained tombstones from rewrite retention — the
+    files replaced by merge/update commits, kept for snapshot/CDC
+    reads until VACUUM reclaims them. One row per retained file with
+    the commit that removed it."""
+    from nimble_spark.sources.table import MANIFEST_DIR
+
+    trash = os.path.join(path, MANIFEST_DIR, "trash")
+    rows = []
+    if os.path.isdir(trash):
+        for d in sorted(os.listdir(trash)):
+            full = os.path.join(trash, d)
+            if not os.path.isdir(full) or not d.startswith("commit-"):
+                continue
+            commit = int(d.split("-", 1)[1])
+            for root, _dirs, files in os.walk(full):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(root, fn)
+                        rows.append(
+                            (commit, os.path.relpath(p, full), os.path.getsize(p))
+                        )
+    return spark.createDataFrame(
+        rows or [(None, None, None)],
+        "removed_by_commit INT, file STRING, bytes BIGINT",
+    ).filter("file IS NOT NULL")
+
+
 def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     """Dispatch one DSL command string (the NimbleDSL VM analogue,
     dwio/nimble/tools/NimbleDslVm.cpp):
 
       DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES | SHOW CHUNKS |
       SHOW ENCODING | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
-      SHOW HISTORY | SHOW SCAN METRICS [WHERE expr] |
+      SHOW HISTORY | SHOW TRASH | VACUUM |
+      SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
       SELECT col[,col...] [LIMIT n] [OFFSET n]
     """
@@ -341,6 +370,17 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return encoding_bench(spark)
     if u == "SHOW TABLES":
         return list_tables(spark, os.path.dirname(path.rstrip("/")))
+    if u == "SHOW TRASH":
+        return show_trash(spark, path)
+    if u == "VACUUM":
+        from pyspark.sql import functions as F
+
+        from nimble_spark.sources.compaction import vacuum_table
+
+        removed = vacuum_table(path)
+        return spark.createDataFrame(
+            [(r,) for r in removed] or [(None,)], "removed_file STRING"
+        ).filter(F.col("removed_file").isNotNull())
     m = re.match(r"EXPLAIN\s+PRUNING\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)$", c, re.I)
     if m:
         return explain_pruning_df(spark, path, m.group(1), lo=_lit(m.group(2)), hi=_lit(m.group(3)))

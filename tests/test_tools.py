@@ -251,3 +251,23 @@ def test_list_tables_catalog(spark, tmp_path):
     assert rows["a"]["rows"] == 100 and rows["b"]["rows"] == 10
     assert rows["b"]["indexes"] and "cluster" in rows["b"]["indexes"]
     assert rows["a"]["n_commits"] >= 1
+
+
+def test_show_trash_and_vacuum_dsl(spark, tmpdir):
+    from nimble_spark.sources.merge import update_where
+    from nimble_spark.sources.table import WriteOptions, write_table
+    from nimble_spark.tools import run_command
+
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    path = f"{tmpdir}/region_trash_dsl"
+    write_table(src, path, WriteOptions())
+    update_where(spark, path, "r_regionkey >= 0", {"r_name": "upper(r_name)"})
+
+    trash = run_command(spark, path, "SHOW TRASH")
+    assert trash.count() >= 1
+    assert set(trash.columns) == {"removed_by_commit", "file", "bytes"}
+    assert trash.filter("removed_by_commit = 1").count() == trash.count()
+
+    removed = run_command(spark, path, "VACUUM")
+    assert removed.count() >= trash.count()
+    assert run_command(spark, path, "SHOW TRASH").count() == 0
