@@ -335,3 +335,50 @@ def q_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
         )
     )
+
+
+@register(
+    "q_temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n,
+             CAST(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(27,6)) AS DOUBLE) AS wt
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(SUM(CAST(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(27,6)) AS DECIMAL(27,6))) AS DOUBLE) AS tot
+      FROM c
+    )
+    SELECT w.source, CAST(w.n AS BIGINT) AS n_docs,
+           FLOOR((w.wt / t.tot) * 1000000 + 0.5) / 1000000 AS share,
+           CAST(FLOOR(10000 * w.wt / t.tot) AS BIGINT) AS quota
+    FROM w CROSS JOIN t
+    """,
+    category="pipeline",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (T=2): each source's sampling
+    budget is proportional to n^(1/T) = sqrt(n) — the standard
+    upweighting of small domains when assembling a multilingual /
+    multi-domain training mix (raw proportions drown minority
+    sources; uniform mixing over-trains them; temperature
+    interpolates). T=2 is the one temperature whose power is exactly
+    portable across engines (sqrt is a correctly-rounded IEEE op;
+    general pow is not), and the sqrt weights pass through
+    DECIMAL(27,6) before summing so the normalizer is
+    order-independent. Output: per-source share and an integer quota
+    out of a 10k-document budget."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wt_dec = F.sqrt(F.col("n").cast("double")).cast("decimal(27,6)")
+    w = c.select("source", "n", wt_dec.cast("double").alias("wt"))
+    t = c.agg(F.sum(wt_dec).cast("double").alias("tot"))
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        rnd(F.col("wt") / F.col("tot"), 6).alias("share"),
+        F.floor(F.lit(10000) * F.col("wt") / F.col("tot")).cast("long").alias("quota"),
+    )
