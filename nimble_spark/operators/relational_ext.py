@@ -866,3 +866,65 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value") * F.col("weight")).alias("weighted"),
     )
+
+
+@register(
+    "q_value_outliers",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY user_id
+    ),
+    z AS (
+      SELECT e.event_id, e.user_id, e.value,
+             (e.value - s.sx / s.n)
+               / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS zscore
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE s.n >= 30
+    )
+    SELECT event_id, user_id,
+           {rnd_sql("value")} AS value,
+           {rnd_sql("zscore")} AS zscore
+    FROM z WHERE abs(zscore) > 3
+    """,
+    category="statistics",
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly detection: events whose value sits more than
+    3 population standard deviations from THEIR OWN user's mean —
+    the per-key z-score filter every telemetry pipeline runs before
+    training on metrics. Two passes sharing one hash partitioning on
+    user_id: an exact-decimal moments aggregation (map-side partials,
+    one row per user) broadcast-joined back into the scan, then a
+    purely row-local z filter — no window, no sort, no second
+    shuffle. Users with < 30 events are excluded (z-scores from tiny
+    samples are noise, and zero-variance users would divide by 0)."""
+    e = load(spark, sf_dir, "events")
+    DEC = "decimal(27,6)"
+    v = F.col("value")
+    s = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v.cast(DEC)).cast("double").alias("sx"),
+            F.sum((v * v).cast(DEC)).cast("double").alias("sxx"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(s), "user_id")
+        .select("event_id", "user_id", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3)
+        .select(
+            "event_id",
+            "user_id",
+            rnd("value", 4).alias("value"),
+            rnd("zscore", 4).alias("zscore"),
+        )
+    )
