@@ -478,12 +478,16 @@ class table_write_lock:
     Locks older than ``stale_s`` are broken (crashed writer)."""
 
     def __init__(self, path: str, timeout_s: float = 120.0, stale_s: float = 600.0):
-        self.lock_path = os.path.join(path, MANIFEST_DIR, "_commit.lock")
+        # SIBLING of the table dir, not inside it: an overwrite write
+        # deletes the table directory's contents (including _nimble),
+        # which would destroy an in-flight lockfile held there and let
+        # a second writer acquire a fresh lock mid-overwrite.
+        self.lock_path = f"{path.rstrip('/')}.__commit.lock"
         self.timeout_s = timeout_s
         self.stale_s = stale_s
 
     def __enter__(self):
-        os.makedirs(os.path.dirname(self.lock_path), exist_ok=True)
+        os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
         deadline = time.monotonic() + self.timeout_s
         while True:
             try:
