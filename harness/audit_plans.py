@@ -42,6 +42,9 @@ DEFAULT = [
     "q_kmeans_iter", "q_layout_advice", "q_advice_applied",
     "q_incremental_dedup", "q_signature_index_probe", "q_kmv_ndv_sketch",
     "q_image_neardup", "q_ohlc_bars", "q_funnel_steps", "q_retention_cohorts",
+    "q_hard_negative_mining", "q_temperature_mix", "q_value_outliers",
+    "q_keyword_extract", "q_grouped_sample", "q_skew_report",
+    "q_snapshot_diff",
 ]
 
 

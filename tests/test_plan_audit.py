@@ -491,3 +491,50 @@ def test_retention_cohorts_posture(spark):
         require_pushed_filters=True,
         forbid_python_eval=True,
     )
+
+
+def test_value_outliers_single_shuffle(spark):
+    # moments agg + broadcast-join-back: one shuffle, no window/sort
+    a = assert_posture(
+        _q("q_value_outliers")(spark, SF_MED),
+        max_shuffles=1,
+        require_partial_agg=True,
+        require_pushed_filters=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_broadcast_joins >= 1, a.plan
+
+
+def test_hard_negatives_broadcast_queries(spark):
+    # broadcast query set × partition-local candidates — the designed
+    # BNL, never a shuffled cartesian; one shuffle (the rank window)
+    a = assert_posture(_q("q_hard_negative_mining")(spark, SF_MED), max_shuffles=1)
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_interval_overlap_no_cartesian(spark):
+    # the whole point: interval×interval overlap WITHOUT a cartesian —
+    # bin-equi join (broadcast at this scale) + one agg shuffle
+    a = assert_posture(
+        _q("q_interval_overlap_join")(spark, SF_MED),
+        max_shuffles=2,
+        require_partial_agg=True,
+        require_pushed_filters=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_keyword_extract_posture(spark):
+    assert_posture(
+        _q("q_keyword_extract")(spark, SF_MED),
+        max_shuffles=7,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+
+
+def test_grouped_sample_single_shuffle(spark):
+    # WindowGroupLimit pre-prunes per-partition top-k before the one
+    # per-group shuffle
+    assert_posture(_q("q_grouped_sample")(spark, SF_MED), max_shuffles=1)
