@@ -608,3 +608,61 @@ def q_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rnd(F.col("s").cast("double"), 4).alias("sum_v"),
     )
+
+
+@register(
+    "q_sequence_ngrams",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS trigram
+      FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ),
+    c AS (SELECT trigram, COUNT(*) AS n FROM tri GROUP BY trigram),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    r AS (
+      SELECT trigram, n, row_number() OVER (ORDER BY n DESC, trigram) AS rk
+      FROM c
+    )
+    SELECT r.trigram, CAST(r.n AS BIGINT) AS n, r.rk,
+           FLOOR((CAST(r.n AS DOUBLE) / t.total) * 1000000 + 0.5) / 1000000 AS share
+    FROM r CROSS JOIN t WHERE r.rk <= 20
+    """,
+    category="time_window",
+)
+def q_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the 20 most frequent per-user
+    event-type TRIGRAMS in strict (ts, event_id) order — the pattern
+    inventory behind funnel discovery and session modeling (which
+    3-step paths actually happen, before you pick one to funnel).
+    One window partitioned by user_id (two LEADs ride the same sort),
+    then a partial-agged count and a driver-size top-20; no global
+    event sort anywhere."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    c = o.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    r = c.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("n").desc(), "trigram"))
+    ).filter(F.col("rk") <= 20)
+    return r.crossJoin(F.broadcast(t)).select(
+        "trigram",
+        "n",
+        "rk",
+        rnd(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
