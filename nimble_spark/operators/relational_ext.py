@@ -928,3 +928,43 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("zscore", 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "q_mode_stats",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rk
+      FROM c
+    )
+    SELECT event_type, user_id AS mode_user, CAST(n AS BIGINT) AS n_occurrences
+    FROM r WHERE rk = 1
+    """,
+    category="statistics",
+)
+def q_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group with a deterministic
+    tie-break (smallest value wins) — the one classic aggregate Spark
+    and DuckDB both ship with UNDEFINED tie order, made
+    differential-testable by ranking explicitly. Count + rank share
+    one hash partitioning on the group key; WindowGroupLimit prunes
+    to each partition's local top-1 before the rank shuffle."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("n").desc(), "user_id")
+        ),
+    )
+    return r.filter(F.col("rk") == 1).select(
+        "event_type", F.col("user_id").alias("mode_user"), F.col("n").alias("n_occurrences")
+    )
