@@ -968,3 +968,58 @@ def q_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("rk") == 1).select(
         "event_type", F.col("user_id").alias("mode_user"), F.col("n").alias("n_occurrences")
     )
+
+
+@register(
+    "q_winsorized_stats",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT e.event_type,
+             GREATEST(p.lo, LEAST(p.hi, e.value)) AS v,
+             CASE WHEN e.value < p.lo OR e.value > p.hi THEN 1 ELSE 0 END AS clipped
+      FROM events e JOIN p ON p.event_type = e.event_type
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+           {rnd_sql("CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)")} AS wins_mean
+    FROM w GROUP BY event_type
+    """,
+    category="statistics",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: values clipped to their group's
+    [P5, P95] before averaging — the outlier-robust aggregate every
+    metrics pipeline wants when a few stragglers would swamp a plain
+    mean (the complement of q_value_outliers, which FINDS the
+    stragglers). Both engines compute the same linearly-interpolated
+    percentiles, the clip is branch-free LEAST/GREATEST, and the mean
+    goes through exact decimal sums. Shape: one percentile agg per
+    group (tiny) broadcast back into the scan; at 100 TB swap the
+    exact percentiles for approx_percentile (documented divergence,
+    same as q_percentiles)."""
+    e = load(spark, sf_dir, "events")
+    p = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = e.join(F.broadcast(p), "event_type")
+    v = F.greatest("lo", F.least("hi", F.col("value")))
+    clipped = F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0)
+    return (
+        j.select("event_type", v.alias("v"), clipped.alias("clipped"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clipped").cast("long").alias("n_clipped"),
+            rnd(
+                F.sum(F.col("v").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("wins_mean"),
+        )
+    )
