@@ -74,9 +74,7 @@ def _marker_count_duck(lang: str) -> str:
     return f"len(list_filter(toks, x -> x IN ({lst})))"
 
 
-@register(
-    "q_lang_id",
-    oracle=f"""
+_LANG_ID_DUCK = f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
     scored AS (
       SELECT doc_id, lang,
@@ -96,9 +94,10 @@ def _marker_count_duck(lang: str) -> str:
                 WHEN s_de >= s_es THEN 'de'
                 ELSE 'es' END) = lang THEN 1 ELSE 0 END AS hit
     FROM scored
-    """,
-    category="text",
-)
+"""
+
+
+@register("q_lang_id", oracle=_LANG_ID_DUCK, category="text")
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-marker counts per language,
     argmax with fixed precedence (en > fr > de > es on ties)."""
@@ -504,4 +503,100 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("max_n").cast("double") * F.col("n_keys") / F.col("total"), 4).alias(
             "skew_factor"
         ),
+    )
+
+
+@register(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH li AS ({_LANG_ID_DUCK}),
+    cm AS (
+      SELECT lang, pred, COUNT(*) AS n FROM li GROUP BY lang, pred
+    ),
+    per_true AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY lang),
+    per_pred AS (SELECT pred, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY pred)
+    SELECT cm.lang, cm.pred, CAST(cm.n AS BIGINT) AS n,
+           FLOOR((CAST(cm.n AS DOUBLE) / t.n_true) * 1000000 + 0.5) / 1000000 AS recall_cell,
+           FLOOR((CAST(cm.n AS DOUBLE) / p.n_pred) * 1000000 + 0.5) / 1000000 AS precision_cell
+    FROM cm
+    JOIN per_true t ON t.lang = cm.lang
+    JOIN per_pred p ON p.pred = cm.pred
+    """,
+    category="text",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID detector against the
+    labeled corpus — the eval row every heuristic classifier needs
+    before it gates a training mix: per (true, predicted) cell, the
+    count plus its share of the true class (recall on the diagonal)
+    and of the predicted class (precision on the diagonal). Composes
+    the q_lang_id detector, so detector changes re-verify their eval
+    for free; the rollup is two tiny broadcast joins over an
+    already-aggregated matrix."""
+    li = q_lang_id(spark, sf_dir).select("lang", "pred")
+    cm = li.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n"))
+    per_true = cm.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    per_pred = cm.groupBy("pred").agg(F.sum("n").alias("n_pred"))
+    return (
+        cm.join(F.broadcast(per_true), "lang")
+        .join(F.broadcast(per_pred), "pred")
+        .select(
+            "lang",
+            "pred",
+            "n",
+            rnd(F.col("n").cast("double") / F.col("n_true"), 6).alias("recall_cell"),
+            rnd(F.col("n").cast("double") / F.col("n_pred"), 6).alias("precision_cell"),
+        )
+    )
+
+
+@register(
+    "q_pareto_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+             CAST(SUM(n) OVER (ORDER BY n DESC, user_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+             (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS total,
+             (SELECT COUNT(*) FROM c) AS n_users
+      FROM c
+    )
+    SELECT rk, user_id, CAST(n AS BIGINT) AS n_events,
+           FLOOR((CAST(cum_n AS DOUBLE) / total) * 1000000 + 0.5) / 1000000 AS cum_share,
+           FLOOR((CAST(rk AS DOUBLE) / n_users) * 1000000 + 0.5) / 1000000 AS user_share
+    FROM r WHERE rk <= 15
+    """,
+    category="statistics",
+)
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz concentration: ranking entities by activity,
+    what share of all events do the top k account for — the
+    "top 1% of keys produce X% of rows" curve that quantifies both
+    data skew (q_skew_report's heavy hitters, now cumulative) and
+    corpus concentration risk. The per-key counts are partial-agged;
+    the running share is a window over the TINY aggregated key table
+    (one row per key), never over raw events."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), "user_id")
+    totals = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    r = (
+        c.withColumn("rk", F.row_number().over(w))
+        .withColumn("cum_n", F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .filter(F.col("rk") <= 15)
+    )
+    return r.crossJoin(F.broadcast(totals)).select(
+        "rk",
+        "user_id",
+        F.col("n").alias("n_events"),
+        rnd(F.col("cum_n").cast("double") / F.col("total"), 6).alias("cum_share"),
+        rnd(F.col("rk").cast("double") / F.col("n_users"), 6).alias("user_share"),
     )
