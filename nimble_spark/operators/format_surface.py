@@ -1692,3 +1692,35 @@ def q_fast_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("FLOOR(min_price * 10000 + 0.5) / 10000").alias("min_price"),
         F.expr("FLOOR(max_price * 10000 + 0.5) / 10000").alias("max_price"),
     )
+
+
+@register(
+    "q_binary_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS payload_md5,
+           CAST(octet_length(CAST(encode(text) AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    category="format",
+)
+def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY column storage roundtrip: documents' text is stored as a
+    binary payload column through the connector (the multimodal
+    tables' type — image/audio/video bytes ride exactly this path)
+    and read back byte-identical, proven by md5 over the binary value
+    on both engines. Write-side column stats skip the unorderable
+    binary type rather than failing (same discipline as DECIMAL)."""
+    def _build(tmp: str) -> None:
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        write_table(d, tmp, WriteOptions())
+
+    path = ensure_cached(sf_dir, "documents__binary", ["documents"], _build)
+    back = read_table(spark, path)
+    return back.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
