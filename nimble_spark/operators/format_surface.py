@@ -1724,3 +1724,35 @@ def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("payload_md5"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "q_map_type_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+    FROM events
+    """,
+    category="format",
+)
+def q_map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE map<string,bigint> column through the connector — the
+    logical MAP type stored as-is (parquet key_value repeated groups),
+    complementing the FLAT storage of q_flatmap_roundtrip: flat maps
+    trade write-time key discovery for per-key column pruning; native
+    maps keep arbitrary key sets without schema growth. Values and
+    key cardinality must survive the roundtrip exactly."""
+    def _build(tmp: str) -> None:
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", F.from_json("props", "map<string,bigint>").alias("pm")
+        )
+        write_table(ev, tmp, WriteOptions())
+
+    path = ensure_cached(sf_dir, "events__native_map", ["events"], _build)
+    back = read_table(spark, path)
+    return back.select(
+        "event_id",
+        F.element_at("pm", "k").alias("k_val"),
+        F.size(F.map_keys("pm")).cast("long").alias("n_keys"),
+    )
