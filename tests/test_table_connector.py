@@ -1019,3 +1019,36 @@ def test_write_lock_times_out_and_breaks_stale(spark, tmpdir):
         os.utime(lock.lock_path, (old, old))
         with table_write_lock(path, timeout_s=5):
             pass
+
+
+def test_interop_sees_committed_state_only(spark, tmpdir):
+    """pyarrow/DuckDB interop reads exactly the manifest's live files:
+    write debris and retained rewrite tombstones are invisible, and an
+    update's new state is what every engine sees."""
+    import duckdb
+
+    from nimble_spark.sources.interop import arrow_dataset, duckdb_relation, live_files
+    from nimble_spark.sources.merge import update_where
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_interop"
+    write_table(src, path, WriteOptions(cluster_by=["o_orderkey"]))
+    update_where(spark, path, "o_orderkey < 10", {"o_totalprice": "0.0"})
+    # debris a naive glob would read
+    with open(f"{path}/zz-debris.parquet", "wb") as fh:
+        fh.write(b"not a real file")
+
+    ds = arrow_dataset(path)
+    assert ds.count_rows() == src.count()
+    zeroed = src.filter(F.col("o_orderkey") < 10).count()
+
+    con = duckdb.connect()
+    rel = duckdb_relation(con, path)
+    n, z = con.execute(
+        f"SELECT COUNT(*), SUM(CASE WHEN o_totalprice = 0 THEN 1 ELSE 0 END) "
+        f"FROM read_parquet({live_files(path)!r})"
+    ).fetchone()
+    assert n == src.count() and z == zeroed
+    assert rel.count("*").fetchone()[0] == src.count()
