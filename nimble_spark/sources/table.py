@@ -88,6 +88,13 @@ class WriteOptions:
     row_group_rows: Optional[int] = None  # stripe size analogue
     user_metadata: dict[str, str] = field(default_factory=dict)
     column_attributes: dict[str, dict[str, str]] = field(default_factory=dict)
+    # CHECK constraints (name → SQL boolean expression): the incoming
+    # DataFrame is validated BEFORE any file lands (one distributed
+    # scan counting violations); a violating write raises and commits
+    # nothing. Constraints persist in the manifest and re-validate
+    # every append, so readers may assume them (e.g. non-negativity
+    # for stats short-circuits) the same way they assume the schema.
+    check_constraints: dict[str, str] = field(default_factory=dict)
 
 
 def _stats_exprs(schema: T.StructType) -> list:
@@ -247,6 +254,7 @@ def _write_table_locked(
     # are reprocessed.
     reuse: dict[str, dict] = {}
     prior_commits: list[dict] = []
+    prior_constraints: dict[str, str] = {}
     if mode == "append":
         try:
             prior = read_manifest(path)
@@ -256,6 +264,7 @@ def _write_table_locked(
                 if "nulls" in f
             }
             prior_commits = list(prior.get("commits", []))
+            prior_constraints = dict(prior.get("constraints", {}))
             pidx = prior.get("indexes", {})
         except (OSError, KeyError, ValueError):
             reuse, pidx = {}, {}
@@ -278,6 +287,20 @@ def _write_table_locked(
             if k in pidx and k not in index_meta:
                 index_meta[k] = pidx[k]
 
+    # CHECK constraints: table-declared (appends inherit) + this
+    # write's. Validated against the INCOMING rows before any file
+    # lands; a violation aborts with nothing committed. limit(1)
+    # short-circuits the scan at the first violating row.
+    constraints = {**prior_constraints, **(opts.check_constraints or {})}
+    for cname, expr in constraints.items():
+        bad = df.filter(~F.expr(expr)).limit(1).count()
+        if bad:
+            sample = df.filter(~F.expr(expr)).limit(1).collect()[0].asDict()
+            raise ValueError(
+                f"CHECK constraint {cname!r} ({expr}) violated; "
+                f"example row: {sample}"
+            )
+
     t0 = time.monotonic()
     writer.parquet(path)
     write_wall_ms = int((time.monotonic() - t0) * 1000)
@@ -290,6 +313,8 @@ def _write_table_locked(
     # stripe size distribution). Spark's encode CPU lives inside the
     # JVM write tasks; the surfaced shape is wall per phase + the
     # file/row-group size distribution from the written footers.
+    if constraints:
+        manifest["constraints"] = constraints
     sizes = [f["bytes"] for f in manifest["files"]] or [0]
     manifest["write_stats"] = {
         "write_wall_ms": write_wall_ms,

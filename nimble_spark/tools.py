@@ -337,7 +337,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
 
       DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES | SHOW CHUNKS |
       SHOW ENCODING | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
-      SHOW HISTORY | SHOW TRASH | VACUUM |
+      SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | VACUUM |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
       SELECT col[,col...] [LIMIT n] [OFFSET n]
@@ -372,6 +372,12 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return list_tables(spark, os.path.dirname(path.rstrip("/")))
     if u == "SHOW TRASH":
         return show_trash(spark, path)
+    if u == "SHOW CONSTRAINTS":
+        m = read_manifest(path)
+        rows = sorted(m.get("constraints", {}).items())
+        return spark.createDataFrame(
+            rows or [(None, None)], "name STRING, expression STRING"
+        ).filter("name IS NOT NULL")
     if u == "VACUUM":
         from pyspark.sql import functions as F
 

@@ -33,6 +33,7 @@ ALLOWED = [
     ("sources/encoding_policy.py", "df.agg(*aggs).first()", "single-row profile pass (one agg row regardless of table size) feeding the policy decision — same bounded shape as encoding_report.py"),
     ("sources/merge.py", 'select("_f")', "affected-FILE list for copy-on-write MERGE — file-granularity metadata (≤ table file count), produced by a distributed semi-join; source keys never reach the driver"),
     ("plans/advisor.py", "table.agg(*aggs).first()", "single-row NDV aggregate over the advisor's candidate columns — one row regardless of table size, same bounded shape as encoding_policy.py"),
+    ("sources/table.py", "limit(1).collect()[0]", "one-row diagnostic sample on a CHECK-constraint violation, only on the write-abort error path"),
     ("tools.py", "", "interactive DSL/dump utilities are driver-side by definition"),
 ]
 

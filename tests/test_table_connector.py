@@ -1052,3 +1052,38 @@ def test_interop_sees_committed_state_only(spark, tmpdir):
     ).fetchone()
     assert n == src.count() and z == zeroed
     assert rel.count("*").fetchone()[0] == src.count()
+
+
+def test_check_constraints_gate_writes(spark, tmpdir):
+    """CHECK constraints validate before any file lands, persist in the
+    manifest, and re-validate appends."""
+    import pytest as _pytest
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_checked"
+    m = write_table(
+        src, path,
+        WriteOptions(check_constraints={"price_pos": "o_totalprice > 0",
+                                        "key_nonnull": "o_orderkey IS NOT NULL"}),
+    )
+    assert set(m["constraints"]) == {"price_pos", "key_nonnull"}
+
+    # violating overwrite to a new table: raises, nothing committed
+    bad = src.withColumn("o_totalprice", F.lit(-1.0))
+    path2 = f"{tmpdir}/orders_checked_bad"
+    with _pytest.raises(ValueError, match="price_pos"):
+        write_table(bad, path2, WriteOptions(check_constraints={"price_pos": "o_totalprice > 0"}))
+    import os
+    assert not os.path.exists(os.path.join(path2, "_nimble"))
+
+    # violating APPEND to the constrained table: inherited check fires
+    with _pytest.raises(ValueError, match="price_pos"):
+        write_table(bad, path, mode="append")
+    # table unchanged
+    assert read_table(spark, path).count() == src.count()
+
+    # clean append passes and keeps the constraints in the manifest
+    m2 = write_table(src.limit(5), path, mode="append")
+    assert set(m2["constraints"]) == {"price_pos", "key_nonnull"}

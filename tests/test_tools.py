@@ -271,3 +271,14 @@ def test_show_trash_and_vacuum_dsl(spark, tmpdir):
     removed = run_command(spark, path, "VACUUM")
     assert removed.count() >= trash.count()
     assert run_command(spark, path, "SHOW TRASH").count() == 0
+
+
+def test_show_constraints_dsl(spark, tmpdir):
+    from nimble_spark.sources.table import WriteOptions, write_table
+    from nimble_spark.tools import run_command
+
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    path = f"{tmpdir}/region_constraints"
+    write_table(src, path, WriteOptions(check_constraints={"key_pos": "r_regionkey >= 0"}))
+    rows = run_command(spark, path, "SHOW CONSTRAINTS").collect()
+    assert [(r["name"], r["expression"]) for r in rows] == [("key_pos", "r_regionkey >= 0")]
