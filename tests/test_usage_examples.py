@@ -85,3 +85,25 @@ def test_usage_registry_invocation(spark):
 
     df = query_map()["q_dedup_exact"](spark, SF_SMALL)
     assert df.count() > 0
+
+
+def test_usage_constraints_and_interop(spark, tmpdir):
+    import duckdb
+    import pytest as _pytest
+
+    from nimble_spark.sources.interop import arrow_dataset, duckdb_relation
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = f"{tmpdir}/usage_checked"
+    write_table(src, path, WriteOptions(
+        check_constraints={"price_pos": "o_totalprice > 0"},
+    ))
+    with _pytest.raises(ValueError, match="price_pos"):
+        write_table(src.withColumn("o_totalprice", F.lit(-1.0)), path, mode="append")
+
+    assert arrow_dataset(path).count_rows() == src.count()
+    rel = duckdb_relation(duckdb.connect(), path)
+    assert rel.count("*").fetchone()[0] == src.count()
