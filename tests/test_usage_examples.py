@@ -105,5 +105,6 @@ def test_usage_constraints_and_interop(spark, tmpdir):
         write_table(src.withColumn("o_totalprice", F.lit(-1.0)), path, mode="append")
 
     assert arrow_dataset(path).count_rows() == src.count()
-    rel = duckdb_relation(duckdb.connect(), path)
+    con = duckdb.connect()  # hold the connection past the relation's use
+    rel = duckdb_relation(con, path)
     assert rel.count("*").fetchone()[0] == src.count()
