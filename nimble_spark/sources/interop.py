@@ -11,8 +11,9 @@ sees the same committed state Spark does:
     import duckdb
     from nimble_spark.sources.interop import arrow_dataset, duckdb_relation
 
-    ds = arrow_dataset(path)                      # pyarrow.dataset
-    rel = duckdb_relation(duckdb.connect(), path) # DuckDB relation
+    ds = arrow_dataset(path)              # pyarrow.dataset
+    con = duckdb.connect()                # hold while querying
+    rel = duckdb_relation(con, path)      # DuckDB relation
 
 Cross-engine reads are read-only; writers go through write_table so
 manifest, stats, and the commit log stay authoritative.
