@@ -1023,3 +1023,42 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wins_mean"),
         )
     )
+
+
+@register(
+    "q_quality_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           CAST(SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_value,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
+           CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS nan_value,
+           CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_props,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndv_type,
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts
+    FROM events
+    """,
+    category="statistics",
+)
+def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column data-quality profile — the pre-ingest audit every
+    pipeline runs before trusting a new drop: null / zero / negative /
+    NaN counts for the measure column, empty payloads, key
+    cardinality, null timestamps. One partial-agged pass; at 100 TB
+    this is the query that decides whether a shard is quarantined
+    before it ever reaches dedup (NaN handling is explicit — Spark
+    and DuckDB both exclude NaN from `< 0` but count it in isnan)."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("null_value"),
+        F.sum(F.when(v == 0, 1).otherwise(0)).cast("long").alias("zero_value"),
+        F.sum(F.when(v < 0, 1).otherwise(0)).cast("long").alias("neg_value"),
+        F.sum(F.when(F.isnan(v), 1).otherwise(0)).cast("long").alias("nan_value"),
+        F.sum(
+            F.when(F.col("props").isNull() | (F.col("props") == ""), 1).otherwise(0)
+        ).cast("long").alias("empty_props"),
+        F.countDistinct("event_type").alias("ndv_type"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).cast("long").alias("null_ts"),
+    )
