@@ -600,3 +600,86 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("cum_n").cast("double") / F.col("total"), 6).alias("cum_share"),
         rnd(F.col("rk").cast("double") / F.col("n_users"), 6).alias("user_share"),
     )
+
+
+@register(
+    "q_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2 AND len(toks[i]) >= 3 AND len(toks[i + 1]) >= 3
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2),
+    u1 AS (SELECT w1 AS w, COUNT(*) AS n FROM bi GROUP BY w1),
+    u2 AS (SELECT w2 AS w, COUNT(*) AS n FROM bi GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bi),
+    scored AS (
+      SELECT pc.w1, pc.w2, pc.n_pair,
+             CAST(pc.n_pair AS DOUBLE) * tot.total / (u1.n * u2.n) AS lift
+      FROM pc
+      JOIN u1 ON u1.w = pc.w1
+      JOIN u2 ON u2.w = pc.w2
+      CROSS JOIN tot
+      WHERE pc.n_pair >= 5
+    ),
+    r AS (
+      SELECT w1, w2, n_pair, lift,
+             row_number() OVER (
+               ORDER BY FLOOR(lift * 1000000 + 0.5) / 1000000 DESC, w1, w2) AS rk
+      FROM scored
+    )
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, rk,
+           FLOOR((lift) * 10000 + 0.5) / 10000 AS lift
+    FROM r WHERE rk <= 20
+    """,
+    category="text",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent word pairs ranked by LIFT —
+    n_pair·N / (n_left·n_right), the log-free PMI variant that stays
+    exact double arithmetic on both engines (log-based PMI would
+    diverge in libm). Pairs seen < 5 times drop (rare-pair lift is
+    noise), short tokens drop (stopword-ish floor). The phrase-mining
+    primitive behind tokenizer vocab seeding and multi-word-entity
+    detection. Shape: one bigram explode (scan-local), two unigram
+    rollups joined back word-equi, a tiny top-20."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim("text"), r"\s+")
+    )
+    bi = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.length("w1") >= 3) & (F.length("w2") >= 3))
+    )
+    pc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    u1 = bi.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("n1"))
+    u2 = bi.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("n2"))
+    tot = bi.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        pc.filter(F.col("n_pair") >= 5)
+        .join(u1, pc.w1 == u1.w)
+        .join(u2, pc.w2 == u2.w)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (F.col("n_pair").cast("double") * F.col("total") / (F.col("n1") * F.col("n2"))).alias("lift"),
+        )
+    )
+    r = scored.withColumn(
+        "rk", F.row_number().over(W.orderBy(rnd("lift", 6).desc(), "w1", "w2"))
+    ).filter(F.col("rk") <= 20)
+    return r.select("w1", "w2", "n_pair", "rk", rnd("lift", 4).alias("lift"))
