@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nimble_spark.functions.exact import davg, davg_sql, dsum, dsum_sql, rnd
+from nimble_spark.functions.exact import davg, davg_sql, dsum, dsum_sql, rnd, rnd_sql
 from nimble_spark.registry import register
 from nimble_spark.tables import load
 
@@ -665,4 +665,73 @@ def q_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "rk",
         rnd(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+@register(
+    "q_anomaly_windows",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    season AS (
+      SELECT CAST(EXTRACT(hour FROM h) AS BIGINT) AS hod,
+             COUNT(*) AS k,
+             CAST(SUM(CAST(CAST(n AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      FROM hourly GROUP BY 1
+    ),
+    z AS (
+      SELECT hourly.h, hourly.n, season.hod,
+             (CAST(hourly.n AS DOUBLE) - season.sx / season.k)
+               / sqrt(season.sxx / season.k - (season.sx / season.k) * (season.sx / season.k)) AS zscore
+      FROM hourly JOIN season ON season.hod = CAST(EXTRACT(hour FROM hourly.h) AS BIGINT)
+      WHERE season.k >= 10
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, CAST(n AS BIGINT) AS n, hod,
+           {rnd_sql("zscore")} AS zscore
+    FROM z WHERE abs(zscore) > 2.5
+    """,
+    category="time_window",
+)
+def q_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: hours whose event count
+    deviates more than 2.5σ from the mean of THE SAME HOUR-OF-DAY —
+    the monitoring query that catches a quiet 3 a.m. spike a global
+    threshold never sees (3 a.m. is always below the global mean).
+    Hourly rollup (partial-agged), 24-row seasonal baseline with
+    exact decimal moments, broadcast back — the same one-shuffle
+    moments-join-z shape as q_value_outliers, applied over time
+    instead of entities."""
+    from pyspark.sql import Window as W  # noqa: F401  (symmetry with siblings)
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    nd = F.col("n").cast("double")
+    season = (
+        hourly.groupBy(F.hour("h").cast("long").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(nd.cast("decimal(27,6)")).cast("double").alias("sx"),
+            F.sum((nd * nd).cast("decimal(27,6)")).cast("double").alias("sxx"),
+        )
+        .filter(F.col("k") >= 10)
+    )
+    mean = F.col("sx") / F.col("k")
+    std = F.sqrt(F.col("sxx") / F.col("k") - mean * mean)
+    z = (F.col("n").cast("double") - mean) / std
+    return (
+        hourly.withColumn("hod", F.hour("h").cast("long"))
+        .join(F.broadcast(season), "hod")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "hod",
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.5)
+        .select("hour", "n", "hod", rnd("zscore", 4).alias("zscore"))
     )
