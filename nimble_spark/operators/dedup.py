@@ -1069,3 +1069,64 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(cont >= 0.5).select(
         "id_a", "id_b", rnd(cont, 4).alias("containment")
     )
+
+
+@register(
+    "q_dedup_report",
+    oracle=f"""
+    WITH ex AS (
+      SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY md5(text)
+    ),
+    mh AS ({_LSH_PAIRS_DUCK}),
+    sh_pairs AS (
+      {_SIMHASH_CTE_DUCK},
+      sb AS (
+        SELECT doc_id, sh, j, (sh >> (16 * j)) & 65535 AS bv
+        FROM sig, generate_series(0, {_SIMHASH_BANDS - 1}) AS t(j)
+      ),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(CAST(xor(a.sh, b.sh) AS BIGINT)) AS INTEGER) AS hamming
+        FROM sb a JOIN sb b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+      )
+      SELECT id_a, id_b FROM pairs WHERE hamming <= {_HAM_THR}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_distinct_contents,
+           (SELECT CAST(SUM(n - 1) AS BIGINT) FROM ex WHERE n > 1) AS n_exact_dup_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_minhash_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sh_pairs) AS n_simhash_pairs
+    """,
+    category="dedup",
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup scorecard across the family's methods: corpus
+    size, distinct contents, rows exact dedup would drop, and the
+    near-dup pair counts MinHash-LSH and SimHash each surface — the
+    summary a dataset card quotes and the sanity check that the
+    approximate detectors stay in the same order of magnitude as
+    each other run over run. Composes the production pipelines
+    (each already oracle-gated on its own); the rollup itself is
+    three single-row aggregates."""
+    d = load(spark, sf_dir, "documents")
+    ex = d.groupBy(F.md5("text").alias("h")).agg(F.count(F.lit(1)).alias("n"))
+    exact = ex.agg(
+        F.count(F.lit(1)).alias("n_distinct_contents"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1)).cast("long").alias("n_exact_dup_rows"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    mh = q_minhash_lsh_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_minhash_pairs")
+    )
+    sh = q_simhash_near_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_simhash_pairs")
+    )
+    return (
+        n_docs.crossJoin(exact).crossJoin(mh).crossJoin(sh).select(
+            "n_docs",
+            "n_distinct_contents",
+            "n_exact_dup_rows",
+            "n_minhash_pairs",
+            "n_simhash_pairs",
+        )
+    )
