@@ -509,3 +509,68 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_approx, n_hit, prec, rec)],
         "n_exact BIGINT, n_approx BIGINT, n_hit BIGINT, precision_p DOUBLE, recall_p DOUBLE",
     )
+
+
+@register(
+    "q_class_scatter",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, i AS dim_i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_SCALE} + 0.5) AS BIGINT) AS x
+      FROM embeddings, generate_series(1, {_DIM}) t(i)
+    ),
+    per_class AS (
+      SELECT label, dim_i, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM flat GROUP BY label, dim_i
+    ),
+    agg AS (
+      SELECT dim_i,
+             CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(sx) AS BIGINT) AS sx_tot,
+             CAST(SUM(sxx) AS BIGINT) AS sxx_tot,
+             CAST(SUM(CAST(sx AS DOUBLE) * sx / n) AS DOUBLE) AS sum_cm
+      FROM per_class GROUP BY dim_i
+    )
+    SELECT dim_i,
+           {rnd_sql(f"(CAST(sxx_tot AS DOUBLE) - CAST(sx_tot AS DOUBLE) * sx_tot / n_tot) / n_tot / {_SCALE} / {_SCALE}")} AS var_total,
+           {rnd_sql(f"(sum_cm - CAST(sx_tot AS DOUBLE) * sx_tot / n_tot) / n_tot / {_SCALE} / {_SCALE}")} AS var_between,
+           {rnd_sql(f"(sum_cm - CAST(sx_tot AS DOUBLE) * sx_tot / n_tot) / (CAST(sxx_tot AS DOUBLE) - CAST(sx_tot AS DOUBLE) * sx_tot / n_tot)")} AS discriminability
+    FROM agg
+    """,
+    category="train_prep",
+)
+def q_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension class scatter: total variance decomposed into
+    between-class and within-class parts (ANOVA identity); the
+    between/total ratio is each dimension's label-discriminability —
+    the feature-selection diagnostic run before training a probe or
+    pruning embedding dims. Scaled-int64 sums make every partial
+    order-independent and bit-exact; the per-(label, dim) partials
+    are tiny (k·d rows), so the two-level aggregation shuffles
+    metadata, never vectors."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("dim0", "v0")).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim_i"),
+        F.floor(F.col("v0").cast("double") * _SCALE + 0.5).cast("long").alias("x"),
+    )
+    per_class = flat.groupBy("label", "dim_i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    agg = per_class.groupBy("dim_i").agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("sx").alias("sx_tot"),
+        F.sum("sxx").alias("sxx_tot"),
+        F.sum(F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("sum_cm"),
+    )
+    ss_tot = F.col("sxx_tot").cast("double") - F.col("sx_tot").cast("double") * F.col("sx_tot") / F.col("n_tot")
+    ss_btw = F.col("sum_cm") - F.col("sx_tot").cast("double") * F.col("sx_tot") / F.col("n_tot")
+    return agg.select(
+        "dim_i",
+        rnd(ss_tot / F.col("n_tot") / _SCALE / _SCALE, 4).alias("var_total"),
+        rnd(ss_btw / F.col("n_tot") / _SCALE / _SCALE, 4).alias("var_between"),
+        rnd(ss_btw / ss_tot, 4).alias("discriminability"),
+    )
