@@ -44,7 +44,11 @@ DEFAULT = [
     "q_image_neardup", "q_ohlc_bars", "q_funnel_steps", "q_retention_cohorts",
     "q_hard_negative_mining", "q_temperature_mix", "q_value_outliers",
     "q_keyword_extract", "q_grouped_sample", "q_skew_report",
-    "q_snapshot_diff",
+    "q_snapshot_diff", "q_mode_stats", "q_winsorized_stats",
+    "q_pareto_concentration", "q_lang_confusion", "q_sequence_ngrams",
+    "q_collocations", "q_anomaly_windows", "q_class_scatter",
+    "q_quality_profile", "q_binary_roundtrip", "q_map_type_roundtrip",
+    "q_fast_minmax",
 ]
 
 

@@ -538,3 +538,26 @@ def test_grouped_sample_single_shuffle(spark):
     # WindowGroupLimit pre-prunes per-partition top-k before the one
     # per-group shuffle
     assert_posture(_q("q_grouped_sample")(spark, SF_MED), max_shuffles=1)
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("q_mode_stats", 2),
+        ("q_winsorized_stats", 2),
+        ("q_anomaly_windows", 3),
+        ("q_class_scatter", 2),
+        ("q_quality_profile", 2),
+        ("q_collocations", 5),
+        ("q_sequence_ngrams", 4),
+    ],
+)
+def test_round4_statistics_postures(spark, name, max_shuffles):
+    # all partial-agged, none degenerate to a cartesian product
+    a = assert_posture(
+        _q(name)(spark, SF_MED),
+        max_shuffles=max_shuffles,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
