@@ -1277,3 +1277,59 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"), "n", "sum_v")
     )
     return run_to_completion(agg, "rq_stream_late_data", mode="append")
+
+
+@register(
+    "q_image_dedup_canonical",
+    oracle=f"""
+    WITH ah AS ({_AHASH_DUCK}),
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM ah a JOIN ah b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= {_IMG_HAM_THR}
+    ),
+    nbr AS (
+      SELECT id_b AS media_id, id_a AS nbr FROM pairs
+      UNION ALL
+      SELECT id_a AS media_id, id_b AS nbr FROM pairs
+    ),
+    canon AS (
+      SELECT ah.media_id,
+             LEAST(ah.media_id, COALESCE(MIN(nbr.nbr), ah.media_id)) AS canonical
+      FROM ah LEFT JOIN nbr ON nbr.media_id = ah.media_id
+      GROUP BY ah.media_id
+    )
+    SELECT media_id, canonical,
+           CASE WHEN canonical = media_id THEN 1 ELSE 0 END AS is_kept
+    FROM canon
+    """,
+    category="multimodal",
+)
+def q_image_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual dedup retention decision: every image maps to the
+    smallest media_id among itself and its Hamming≤3 aHash neighbors
+    (one propagation hop — the full transitive closure is
+    q_dedup_clusters' iterated min-label pattern; one hop is the
+    conservative daily-ingest policy that never drops two mutually
+    distant members of a chain). is_kept marks the survivors a
+    downstream filter joins against. Reuses the banded pair generation
+    of q_image_neardup; the canonical pick is a per-image MIN."""
+    pairs = q_image_neardup(spark, sf_dir).select("id_a", "id_b")
+    ah = q_image_ahash(spark, sf_dir).select("media_id")
+    nbr = pairs.select(
+        F.col("id_b").alias("media_id"), F.col("id_a").alias("nbr")
+    ).unionByName(pairs.select(F.col("id_a").alias("media_id"), F.col("id_b").alias("nbr")))
+    canon = (
+        ah.join(nbr, "media_id", "left")
+        .groupBy("media_id")
+        .agg(
+            F.least(
+                F.col("media_id"), F.coalesce(F.min("nbr"), F.col("media_id"))
+            ).alias("canonical")
+        )
+    )
+    return canon.select(
+        "media_id",
+        "canonical",
+        F.when(F.col("canonical") == F.col("media_id"), 1).otherwise(0).alias("is_kept"),
+    )

@@ -683,3 +683,43 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk", F.row_number().over(W.orderBy(rnd("lift", 6).desc(), "w1", "w2"))
     ).filter(F.col("rk") <= 20)
     return r.select("w1", "w2", "n_pair", "rk", rnd("lift", 4).alias("lift"))
+
+
+@register(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    th AS (SELECT CAST(v AS BIGINT) AS cutoff FROM unnest([100, 200, 300, 400, 500]) AS u(v))
+    SELECT th.cutoff,
+           CAST(COUNT(DISTINCT CASE WHEN tok.doc_id < th.cutoff THEN tok.w END) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN tok.doc_id < th.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens
+    FROM th CROSS JOIN tok
+    GROUP BY th.cutoff
+    """,
+    category="text",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct token types vs
+    corpus prefix size at five cutoffs — the measurement that sizes a
+    tokenizer vocabulary and predicts how much new text still grows
+    it. One pass: tokens cross-join the tiny cutoff list (5 rows
+    broadcast) and aggregate conditionally per cutoff, so the corpus
+    is read once, not once per point on the curve."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.trim("text"), r"\s+")
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("w"))
+    cutoffs = spark.range(1, 6).select((F.col("id") * 100).alias("cutoff"))
+    return (
+        tok.crossJoin(F.broadcast(cutoffs))
+        .groupBy("cutoff")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("doc_id") < F.col("cutoff"), F.col("w"))
+            ).alias("vocab"),
+            F.sum(F.when(F.col("doc_id") < F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
