@@ -735,3 +735,61 @@ def q_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 2.5)
         .select("hour", "n", "hod", rnd("zscore", 4).alias("zscore"))
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, value,
+             CAST(date_diff('second', ts, nxt) AS BIGINT) AS held_s
+      FROM o WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(held_s) AS BIGINT) AS total_s,
+           {rnd_sql(
+               "CAST(SUM(CAST(value * held_s AS DECIMAL(27,6))) AS DOUBLE)"
+               " / SUM(held_s)"
+           )} AS twap
+    FROM w GROUP BY user_id HAVING SUM(held_s) > 0
+    """,
+    category="time_window",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per entity: each observation is
+    weighted by how long it was the latest value (seconds until the
+    next event, via LEAD in strict order) — the correct average for
+    irregularly-sampled state, where the plain mean over-weights busy
+    periods. Integer second weights keep the products exact through
+    the decimal sum; one window and the aggregation share the user_id
+    partitioning."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "value",
+        (F.unix_timestamp(F.lead("ts", 1).over(w)) - F.unix_timestamp("ts")).alias(
+            "held_s"
+        ),
+    ).filter(F.col("held_s").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.sum("held_s").cast("long").alias("total_s"),
+            rnd(
+                F.sum((F.col("value") * F.col("held_s")).cast("decimal(27,6)")).cast(
+                    "double"
+                )
+                / F.sum("held_s"),
+                4,
+            ).alias("twap"),
+        )
+        .filter(F.col("total_s") > 0)
+    )
