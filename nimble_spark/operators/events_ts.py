@@ -793,3 +793,57 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_s") > 0)
     )
+
+
+@register(
+    "q_rfm_features",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS now FROM events),
+    base AS (
+      SELECT e.user_id,
+             CAST(date_diff('day', MAX(e.ts), ANY_VALUE(mx.now)) AS BIGINT) AS recency_d,
+             COUNT(*) AS frequency,
+             {dsum_sql("e.value")} AS monetary
+      FROM events e CROSS JOIN mx
+      GROUP BY e.user_id
+    )
+    SELECT user_id, recency_d, CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_d ASC, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+    FROM base
+    """,
+    category="time_window",
+)
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature engineering: per entity recency (days since last
+    activity, anchored to the corpus max so the feature is
+    reproducible), frequency, exact-decimal monetary sum, and the
+    classic 1–5 quintile scores (deterministic tie-breaks) — the
+    behavioral feature vector behind churn/LTV models and the
+    standard segmentation input. One groupBy over events; the three
+    ntiles run over the TINY per-user table, and at 100 TB the
+    quintile boundaries come from approx_percentile instead of a
+    global sort (documented divergence, same as q_percentiles)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("now"))
+    base = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("now"), F.max("ts")).cast("long").alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+    )
+    return base.select(
+        "user_id",
+        "recency_d",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(W.orderBy(F.asc("recency_d"), "user_id")).cast("long").alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.desc("frequency"), "user_id")).cast("long").alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.desc("monetary"), "user_id")).cast("long").alias("m_score"),
+    )
