@@ -847,3 +847,44 @@ def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(W.orderBy(F.desc("frequency"), "user_id")).cast("long").alias("f_score"),
         F.ntile(5).over(W.orderBy(F.desc("monetary"), "user_id")).cast("long").alias("m_score"),
     )
+
+
+@register(
+    "q_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    rowsum AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY src)
+    SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+           FLOOR((CAST(c.n AS DOUBLE) / r.row_n) * 1000000 + 0.5) / 1000000 AS p
+    FROM c JOIN rowsum r ON r.src = c.src
+    """,
+    category="time_window",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov matrix: per-user consecutive
+    event-type transitions (strict order) counted and row-normalized
+    into transition probabilities — the model behind next-action
+    prediction and the bigram base of q_sequence_ngrams' trigrams.
+    One user window, then metadata-size aggregations (|types|² rows)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = o.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    rowsum = c.groupBy("src").agg(F.sum("n").alias("row_n"))
+    return c.join(F.broadcast(rowsum), "src").select(
+        "src", "dst", "n", rnd(F.col("n").cast("double") / F.col("row_n"), 6).alias("p")
+    )
