@@ -1062,3 +1062,116 @@ def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("ndv_type"),
         F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).cast("long").alias("null_ts"),
     )
+
+
+@register(
+    "q_ab_test_analysis",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT grp, n, sx / n AS mean,
+             (sxx - sx * sx / n) / (n - 1) AS var_s
+      FROM g
+    ),
+    ab AS (
+      SELECT a.n AS n_a, a.mean AS mean_a, a.var_s AS var_a,
+             b.n AS n_b, b.mean AS mean_b, b.var_s AS var_b
+      FROM m a JOIN m b ON a.grp = 'A' AND b.grp = 'B'
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           {rnd_sql("mean_a")} AS mean_a, {rnd_sql("mean_b")} AS mean_b,
+           {rnd_sql("mean_a - mean_b")} AS lift,
+           {rnd_sql("(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)")} AS t_welch
+    FROM ab
+    """,
+    category="statistics",
+)
+def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout: group means, lift, and the Welch
+    t-statistic for unequal variances — the A/B analysis every
+    event-logging pipeline terminates in (significance thresholds are
+    a lookup on t; the statistic itself is pure portable arithmetic —
+    sample variances from exact decimal sums, one sqrt). The split
+    here is user-id parity as a deterministic stand-in for an
+    assignment column. One partial-agged pass; the two-row join is
+    driver-size."""
+    e = load(spark, sf_dir, "events")
+    DEC = "decimal(27,6)"
+    v = F.col("value")
+    g = e.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sx"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("sxx"),
+    )
+    m = g.select(
+        "grp",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("var_s"),
+    )
+    a = m.filter(F.col("grp") == "A").alias("a")
+    b = m.filter(F.col("grp") == "B").alias("b")
+    ab = a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"), F.col("a.mean").alias("mean_a"), F.col("a.var_s").alias("var_a"),
+        F.col("b.n").alias("n_b"), F.col("b.mean").alias("mean_b"), F.col("b.var_s").alias("var_b"),
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return ab.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        rnd("mean_a", 4).alias("mean_a"),
+        rnd("mean_b", 4).alias("mean_b"),
+        rnd(F.col("mean_a") - F.col("mean_b"), 4).alias("lift"),
+        rnd(t, 4).alias("t_welch"),
+    )
+
+
+@register(
+    "q_equi_depth_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bkt
+      FROM lineitem
+    )
+    SELECT bkt, COUNT(*) AS n,
+           FLOOR((MIN(v)) * 10000 + 0.5) / 10000 AS lo,
+           FLOOR((MAX(v)) * 10000 + 0.5) / 10000 AS hi
+    FROM r GROUP BY bkt
+    """,
+    category="statistics",
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram: 10 buckets of equal row
+    count with their value boundaries — the selectivity-estimation
+    statistic every cost-based optimizer keeps per column (uniform-
+    width histograms lie under skew; equi-depth doesn't). Ties break
+    deterministically on the row key so both engines cut identical
+    buckets. The global ntile is the test-scale construction; at
+    100 TB the boundaries come from approx_percentile and the counts
+    from one pass over the boundaries (documented divergence, same
+    family as q_percentiles)."""
+    from pyspark.sql import Window as W
+
+    l = load(spark, sf_dir, "lineitem")
+    r = l.select(
+        F.col("l_extendedprice").alias("v"),
+        F.ntile(10)
+        .over(W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("bkt"),
+    )
+    return r.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.min("v"), 4).alias("lo"),
+        rnd(F.max("v"), 4).alias("hi"),
+    )
