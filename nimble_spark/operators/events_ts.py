@@ -888,3 +888,61 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(rowsum), "src").select(
         "src", "dst", "n", rnd(F.col("n").cast("double") / F.col("row_n"), 6).alias("p")
     )
+
+
+@register(
+    "q_funnel_latency",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(date_diff('second', v.t1, p.t2) AS BIGINT) AS s
+      FROM v JOIN p ON p.user_id = v.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           {rnd_sql("quantile_cont(s, 0.5)")} AS p50_s,
+           {rnd_sql("quantile_cont(s, 0.9)")} AS p90_s,
+           CAST(MIN(s) AS BIGINT) AS min_s, CAST(MAX(s) AS BIGINT) AS max_s
+    FROM lat
+    """,
+    category="time_window",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency distribution: seconds from first view to
+    first subsequent purchase per converting user, summarized as
+    count / p50 / p90 / extremes — the metric that turns
+    q_funnel_steps' WHO into HOW FAST (integer second latencies keep
+    every percentile input exact). Two first-occurrence aggregations
+    on one user_id partitioning feed a tiny percentile over the
+    converted set."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(F.col("e.ts") > F.col("v.t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    lat = v.join(p, "user_id").select(
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).alias("s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        rnd(F.expr("percentile(s, 0.5)"), 4).alias("p50_s"),
+        rnd(F.expr("percentile(s, 0.9)"), 4).alias("p90_s"),
+        F.min("s").cast("long").alias("min_s"),
+        F.max("s").cast("long").alias("max_s"),
+    )

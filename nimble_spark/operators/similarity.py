@@ -730,3 +730,70 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("qid", "qlabel", "cid", "clabel", "rk", rnd("sim", 4).alias("sim"))
     )
+
+
+@register(
+    "q_label_noise_detect",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv,
+             {_norm_duck("embedding")} AS qn
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id AS cid, e.label AS clabel,
+             {_DOT_DUCK.format(a="q.qv", b="e.embedding")}
+               / (q.qn * {_norm_duck("e.embedding")}) AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, qlabel, clabel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR((sim) * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT qid, qlabel,
+             CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM ranked WHERE rk <= {TOP_K} GROUP BY qid, qlabel
+    )
+    SELECT qid, qlabel, n_agree,
+           CASE WHEN n_agree * 2 < {TOP_K} THEN 1 ELSE 0 END AS suspect
+    FROM votes
+    """,
+    category="similarity",
+)
+def q_label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency check: for each query vector, how many of
+    its top-k nearest neighbors share its label; a minority vote
+    flags the label as suspect — the cheap label-noise detector run
+    before training on weak annotations (confident-learning's first
+    stage). Same broadcast-queries/partition-local-candidates shape
+    as q_cosine_topk; the verdict is a per-query count over k rows."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
+    )
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="embedding")) / (
+        F.col("qn") * F.expr(_norm_spark("embedding"))
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "qlabel", F.col("label").alias("clabel"), F.col("vec_id").alias("cid"), sim.alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+    votes = topk.groupBy("qid", "qlabel").agg(
+        F.sum(F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree")
+    )
+    return votes.select(
+        "qid",
+        "qlabel",
+        "n_agree",
+        F.when(F.col("n_agree") * 2 < TOP_K, 1).otherwise(0).alias("suspect"),
+    )
