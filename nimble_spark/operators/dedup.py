@@ -1130,3 +1130,62 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_simhash_pairs",
         )
     )
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+    WITH d AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+    sizes AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT sa.source AS src_a, sb.source AS src_b,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+           FLOOR((CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / LEAST(sa.n, sb.n)) * 1000000 + 0.5) / 1000000
+             AS containment
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN shared sh ON sh.src_a = sa.source AND sh.src_b = sb.source
+    """,
+    category="dedup",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap: for every source pair, how many
+    distinct contents they share and the containment ratio
+    (shared / smaller side) — the dataset-diligence matrix that
+    catches one crawl being a subset of another before both are
+    weighted into a mix. Every source pair appears (zero rows when
+    disjoint, as this synthetic corpus is — the matrix proving
+    disjointness IS the diligence result). Digests only in the join
+    (16 bytes/row); sources × sources output is metadata-size."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h")
+    ).distinct()
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        d.alias("a")
+        .join(d.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    grid = (
+        sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    return (
+        grid.join(F.broadcast(shared), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            rnd(
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+    )
