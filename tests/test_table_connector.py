@@ -1087,3 +1087,34 @@ def test_check_constraints_gate_writes(spark, tmpdir):
     # clean append passes and keeps the constraints in the manifest
     m2 = write_table(src.limit(5), path, mode="append")
     assert set(m2["constraints"]) == {"price_pos", "key_nonnull"}
+
+
+def test_fast_minmax_fenced_by_delete_masks(spark, tmpdir):
+    """Stats-answered MIN/MAX must refuse tables with pending
+    merge-on-read delete masks (bounds would over-report) and work
+    again after compact_deletes materializes them."""
+    import pytest as _pytest
+
+    from nimble_spark.sources.compaction import fast_minmax
+    from nimble_spark.sources.deletes import compact_deletes, delete_rows
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = f"{tmpdir}/orders_fence"
+    write_table(src, path, WriteOptions())
+    lo, hi = fast_minmax(spark, path, "o_orderkey")
+    exp = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert (lo, hi) == tuple(exp)
+
+    max_key = int(exp[1])
+    delete_rows(spark, path, "o_orderkey", [max_key])
+    with _pytest.raises(ValueError, match="delete masks"):
+        fast_minmax(spark, path, "o_orderkey")
+
+    compact_deletes(spark, path)
+    lo2, hi2 = fast_minmax(spark, path, "o_orderkey")
+    exp2 = src.filter(F.col("o_orderkey") != max_key).agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    assert (lo2, hi2) == tuple(exp2)
