@@ -946,3 +946,48 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").cast("long").alias("min_s"),
         F.max("s").cast("long").alias("max_s"),
     )
+
+
+@register(
+    "q_gap_stats",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prv
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(date_diff('second', prv, ts) AS BIGINT) AS gap_s
+      FROM o WHERE prv IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n_gaps,
+           {rnd_sql("quantile_cont(gap_s, 0.5)")} AS p50_s,
+           {rnd_sql("quantile_cont(gap_s, 0.9)")} AS p90_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_s
+    FROM g GROUP BY event_type
+    """,
+    category="time_window",
+)
+def q_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (within each
+    user's own stream): the measurement that picks a session gap
+    threshold (q_sessionize's 30 minutes should sit in this
+    distribution's tail, not its body) and sizes streaming watermarks.
+    Integer second gaps keep percentile inputs exact; one (user,
+    type) window then a per-type rollup."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        rnd(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_s"),
+        rnd(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )
