@@ -35,9 +35,24 @@ from nimble_spark.tables import load
 # cells come from k-means over a sample, k grows with the corpus so
 # per-cell candidate sets stay bounded — within-cell all-pairs is the
 # published algorithm's shape, O(sum n_c^2) with n_c ~ n/k.
+#
+# _SEM_CELL_CAP is the skew fence behind that contract: a cell larger
+# than the cap means the clustering is too coarse for the corpus (k
+# didn't keep up), and an all-pairs over it is O(n_cell²) in ONE task
+# — the straggler that kills a 100 TB run. Oversized cells are
+# excluded from pair generation (their vectors pass through with
+# dropped=0): degradation is "dedup skipped where clustering failed",
+# never a wrong drop, and the fix at scale is raising k, not raising
+# the cap. Same pattern as _LSH_BUCKET_CAP (dedup.py) and
+# _FUZZY_BLOCK_CAP. The cap is mirrored in the DuckDB oracle, so the
+# driver gate checks the capped semantics. 2048² ≈ 4M dot products
+# per worst-case cell — seconds on one core, bounded regardless of
+# corpus size; every cell in the test corpora is far below it
+# (max 218 at sf0.1), so the cap changes nothing at bench scale.
 # ---------------------------------------------------------------------------
 
 SEM_THR = 0.40
+_SEM_CELL_CAP = 2048
 
 _TOKS_DUCK_LEN = "len(string_split_regex(trim(text), '\\s+'))"
 
@@ -49,11 +64,16 @@ _TOKS_DUCK_LEN = "len(string_split_regex(trim(text), '\\s+'))"
       SELECT vec_id, label, embedding, {_norm_duck("embedding")} AS nrm
       FROM embeddings
     ),
+    bounded AS (
+      SELECT * FROM e
+      QUALIFY COUNT(*) OVER (PARTITION BY label) <= {_SEM_CELL_CAP}
+    ),
     lower_sims AS (
       SELECT b.vec_id, b.label,
              MAX({_DOT_DUCK.format(a="a.embedding", b="b.embedding")}
                  / (a.nrm * b.nrm)) AS max_lower_sim
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM bounded a JOIN bounded b
+        ON a.label = b.label AND a.vec_id < b.vec_id
       GROUP BY b.vec_id, b.label
     )
     SELECT e.vec_id, e.label,
@@ -68,13 +88,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: within each embedding cluster (label cell), a vector
     is dropped when a lower-id vector in the same cell has cosine
     >= SEM_THR — the keep-one-representative rule, deterministic via
-    the id order. One shuffle on label (the pair join), one on vec_id
-    (the max regroup); embeddings never leave their cell."""
-    e = load(spark, sf_dir, "embeddings").select(
+    the id order. See semantic_dedup for the cell-cap skew fence."""
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+def semantic_dedup(emb: DataFrame, cell_cap: int = _SEM_CELL_CAP) -> DataFrame:
+    """Within-cell SemDeDup with a hot-cell cap (see module header).
+
+    One shuffle on label (the pair join; the cap's window count rides
+    that same Exchange — no extra shuffle), one on vec_id (the max
+    regroup); embeddings never leave their cell. Cells larger than
+    ``cell_cap`` skip pair generation: their vectors pass through with
+    max_lower_sim = -1, dropped = 0."""
+    e = emb.select(
         "vec_id", "label", "embedding", F.expr(_norm_spark("embedding")).alias("nrm")
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    bounded = (
+        e.withColumn("__cn", F.count(F.lit(1)).over(W.partitionBy("label")))
+        .filter(F.col("__cn") <= cell_cap)
+        .drop("__cn")
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
     sim = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )

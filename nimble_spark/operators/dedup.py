@@ -828,18 +828,20 @@ def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fuzzy_prefix_pairs",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT doc_id, lang, substring(text, 1, 8) AS blk,
              substring(text, 1, 40) AS p40
       FROM documents
+      QUALIFY COUNT(*) OVER (PARTITION BY lang, substring(text, 1, 8))
+              <= {{cap}}
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.p40, b.p40) AS BIGINT) AS dist
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE levenshtein(a.p40, b.p40) <= 6
-    """,
+    """.replace("{cap}", "64"),
     category="dedup",
 )
 def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,17 +849,46 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive for boilerplate-opening detection: documents whose
     40-char prefixes are within Levenshtein distance 6, candidate
     generation BLOCKED on (lang, 8-char prefix) so the quadratic
-    verify runs only inside blocks. At 100 TB blocking is the whole
-    game: block sizes are bounded by content diversity, the
-    cross-block join is a hash join on the block key, and levenshtein
-    (JVM built-in) runs only on the surviving candidates."""
-    d = load(spark, sf_dir, "documents").select(
+    verify runs only inside blocks — see fuzzy_prefix_pairs for the
+    hot-block skew cap that bounds each block's B² verify cost."""
+    return fuzzy_prefix_pairs(load(spark, sf_dir, "documents"))
+
+
+_FUZZY_BLOCK_CAP = 64
+
+
+def fuzzy_prefix_pairs(
+    docs: DataFrame, block_cap: int = _FUZZY_BLOCK_CAP
+) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs with a hot-block cap.
+
+    At 100 TB blocking is the whole game — but blocking ALONE is not
+    enough: a boilerplate-heavy corpus ("Copyright …", "<!DOCTYPE …")
+    concentrates millions of documents in one (lang, prefix) block,
+    and the within-block verify is B² Levenshtein calls in a single
+    straggler task. Blocks larger than ``block_cap`` are therefore
+    excluded from candidate generation entirely (the same skew
+    control as _LSH_BUCKET_CAP at lsh_near_pairs): an oversized block
+    is by definition boilerplate, and boilerplate collisions are
+    better handled by the exact-hash dedup path. The count rides the
+    join's own Exchange — the window partitions by exactly the keys
+    the self-join shuffles on, so the cap adds no extra shuffle — and
+    the shuffle_hash hint makes both join sides share one
+    ReusedExchange."""
+    from pyspark.sql.window import Window
+
+    d = docs.select(
         "doc_id",
         "lang",
         F.substring("text", 1, 8).alias("blk"),
         F.substring("text", 1, 40).alias("p40"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    d = (
+        d.withColumn("__bn", F.count(F.lit(1)).over(Window.partitionBy("lang", "blk")))
+        .filter(F.col("__bn") <= block_cap)
+        .drop("__bn")
+    )
+    a, b = d.hint("shuffle_hash").alias("a"), d.hint("shuffle_hash").alias("b")
     dist = F.levenshtein(F.col("a.p40"), F.col("b.p40"))
     return (
         a.join(

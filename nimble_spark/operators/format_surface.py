@@ -399,6 +399,14 @@ def q_write_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         and 1 <= ws["n_files"] <= ws["n_row_groups"]
         and 0 < ws["min_file_bytes"] <= ws["max_file_bytes"] <= ws["total_bytes"]
         and sum(f["rows"] for f in m["files"]) == m["rows"]
+        # distribution surface (rowsPerStripe / stripeSize dists,
+        # VeloxWriter.h:78-115): ordered quantiles, row accounting
+        # consistent with the per-file entries, and the row-group size
+        # distribution actually populated from the footers
+        and 0 < ws["min_file_rows"] <= ws["p50_file_rows"] <= ws["max_file_rows"] <= m["rows"]
+        and 0 < ws["min_rg_bytes"] <= ws["p50_rg_bytes"] <= ws["max_rg_bytes"]
+        and ws["min_file_rows"] == min(f["rows"] for f in m["files"])
+        and ws["max_rg_bytes"] == max(b for f in m["files"] for b in f["rg_bytes"])
     )
     return spark.createDataFrame([(m["rows"], bool(ok))], "n_rows BIGINT, stats_ok BOOLEAN")
 

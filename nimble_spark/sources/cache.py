@@ -26,6 +26,12 @@ from collections.abc import Callable, Iterable
 
 CACHE_ROOT = "/tmp/nimble_spark_tables"
 
+# Manifest-layout generation: bump when the WRITER changes what a
+# manifest records (e.g. r5 added per-row-group rg_bytes/rg_rows and
+# the write_stats distributions) so cached tables built by an older
+# writer rebuild instead of serving manifests missing the new fields.
+MANIFEST_GEN = 2
+
 
 def source_fingerprint(sf_dir: str, tables: Iterable[str]) -> str:
     parts = []
@@ -39,7 +45,7 @@ def source_fingerprint(sf_dir: str, tables: Iterable[str]) -> str:
 def cached_path(sf_dir: str, variant: str, tables: Iterable[str]) -> str:
     sf = sf_dir.rstrip("/").replace("/", "_")
     fp = source_fingerprint(sf_dir, tables)
-    return os.path.join(CACHE_ROOT, f"{sf}__{variant}__fp{fp}")
+    return os.path.join(CACHE_ROOT, f"{sf}__{variant}__g{MANIFEST_GEN}fp{fp}")
 
 
 def ensure_cached(

@@ -104,8 +104,11 @@ def vacuum_table(path: str) -> list[str]:
         for root, _dirs, files in os.walk(trash):
             for fn in files:
                 if fn.endswith(".parquet"):
+                    # real root-relative path (_nimble/trash/...), so
+                    # callers (e.g. the VACUUM DSL) report paths that
+                    # actually existed in the table
                     removed.append(
-                        os.path.normpath(os.path.join("_trash", os.path.relpath(os.path.join(root, fn), trash)))
+                        os.path.normpath(os.path.relpath(os.path.join(root, fn), path))
                     )
         shutil.rmtree(trash, ignore_errors=True)
     return sorted(removed)
@@ -234,15 +237,11 @@ def compact_table(
         if os.path.normpath(f["path"]) not in merged_away and "nulls" in f
     }
     new_m = _build_manifest(spark, schema, path, _OptsShim(), idx, reuse=untouched)
+    from nimble_spark.sources.table import _layout_stats, _write_manifest
+
     new_m["write_stats"] = dict(
-        m.get("write_stats", {}),
-        n_files=len(new_m["files"]),
-        n_row_groups=sum(f["row_groups"] for f in new_m["files"]),
-        total_bytes=sum(f["bytes"] for f in new_m["files"]),
-        min_file_bytes=min((f["bytes"] for f in new_m["files"]), default=0),
-        max_file_bytes=max((f["bytes"] for f in new_m["files"]), default=0),
+        m.get("write_stats", {}), **_layout_stats(new_m["files"])
     )
-    from nimble_spark.sources.table import _write_manifest
 
     _write_manifest(path, new_m)
     return {
@@ -273,3 +272,14 @@ def fast_minmax(spark: SparkSession, path: str, col: str):
     if any(v is None for v in mins + maxs) or not mins:
         raise ValueError(f"no complete stats for column {col!r}")
     return min(mins), max(maxs)
+
+
+# Compaction and vacuum are manifest mutations like any other write:
+# hold the table write lock for the whole read-rewrite-publish span so
+# a compaction racing a locked append cannot read the pre-append
+# manifest and last-wins-publish it (silently dropping the append's
+# commit). Same discipline as merge.py's _serialize_writes.
+from nimble_spark.sources.merge import _serialize_writes  # noqa: E402
+
+compact_table = _serialize_writes(compact_table, 1)
+vacuum_table = _serialize_writes(vacuum_table, 0)

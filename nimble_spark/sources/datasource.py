@@ -207,9 +207,27 @@ class NimbleStreamReader(DataSourceStreamReader):
         # sequences (commit order == batch order), so watermark
         # semantics over a replay are exactly reproducible.
         self.max_commits = max_commits_per_trigger
-        self._served = -1
+        # High-water mark of offsets this reader has ever exposed.
+        # ``None`` = unseeded. Restart safety rests on the observed
+        # Spark protocol (python_streaming_source_runner → JVM
+        # PythonMicroBatchStream): when a checkpoint exists, Spark
+        # re-plans the last checkpointed batch — partitions(K_prev, K)
+        # — BEFORE its first latestOffset() call, and that call seeds
+        # the mark at K via the clamp in partitions(). An unseeded
+        # latestOffset() therefore means a FRESH query (no checkpoint;
+        # traced order there is latestOffset → initialOffset →
+        # partitions(-1, end)), where rate-limiting from -1 is exactly
+        # right. Without the seed-from-partitions clamp, a restarted
+        # rate-limited reader would emit min(-1+N, latest) — an end
+        # offset BELOW the checkpoint — Spark would record that
+        # regressed offset in the WAL, and commits already processed
+        # before the restart would replay (duplicate rows).
+        # commit() also clamps, as defense in depth.
+        self._served: int | None = None
 
     def initialOffset(self) -> dict:  # noqa: N802
+        if self._served is None:
+            self._served = -1  # fresh start: rate-limit from the very first batch
         return {"commit": -1}
 
     def latestOffset(self) -> dict:  # noqa: N802
@@ -217,10 +235,17 @@ class NimbleStreamReader(DataSourceStreamReader):
         if self.max_commits <= 0:
             self._served = latest
             return {"commit": latest}
-        self._served = min(self._served + self.max_commits, latest)
+        base = -1 if self._served is None else self._served
+        self._served = min(base + self.max_commits, latest)
         return {"commit": self._served}
 
     def partitions(self, start: dict, end: dict):
+        # Replayed batches (restart with a WAL-pending batch) reach
+        # partitions() without a prior latestOffset() — seed the mark
+        # from the checkpointed window so later offsets stay monotone.
+        hwm = max(start["commit"], end["commit"])
+        if self._served is None or self._served < hwm:
+            self._served = hwm
         from nimble_spark.sources.table import resolve_historical_file
 
         manifest = read_manifest(self.path)
@@ -243,7 +268,10 @@ class NimbleStreamReader(DataSourceStreamReader):
         yield from _read_file_batches(partition.file_path, self.columns)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the table's own commit log
+        # Offsets are durable in the table's own commit log; just keep
+        # the in-process high-water mark monotone.
+        if self._served is None or self._served < end["commit"]:
+            self._served = end["commit"]
 
 
 class NimbleWriteMessage(WriterCommitMessage):
@@ -349,14 +377,9 @@ class NimbleWriter(DataSourceArrowWriter):
             None, spark_schema, self.path, WriteOptions(), {}, reuse=reuse
         )
         # writer runtime stats parity with write_table (SHOW WRITE STATS)
-        sizes = [f["bytes"] for f in manifest["files"]] or [0]
-        manifest["write_stats"] = {
-            "n_files": len(manifest["files"]),
-            "n_row_groups": sum(f["row_groups"] for f in manifest["files"]),
-            "total_bytes": sum(sizes),
-            "min_file_bytes": min(sizes),
-            "max_file_bytes": max(sizes),
-        }
+        from nimble_spark.sources.table import _layout_stats
+
+        manifest["write_stats"] = _layout_stats(manifest["files"])
         prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
         manifest["commits"] = prior_commits + [
             {

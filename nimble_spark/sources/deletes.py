@@ -86,3 +86,18 @@ def delete_where(spark: SparkSession, path: str, key: str, condition: str) -> No
     keys = tgt.filter(F.expr(condition)).select(key).distinct()
     out = os.path.join(path, DELETES_DIR, key, uuid.uuid4().hex[:8])
     keys.write.mode("overwrite").parquet(out)
+
+
+# Delete-mask mutations serialize with every other table mutation:
+# compact_deletes rewrites + swaps the whole table, and a delete_rows/
+# delete_where racing that swap would land its mask in the directory
+# that is about to be renamed away (silently lost). Hold the table
+# write lock for the full span — same discipline as merge.py's
+# _serialize_writes over merge/update/overwrite and compaction.py's
+# compact/vacuum. The lockfile is a SIBLING of the table dir, so it
+# survives compact_deletes' directory swap.
+from nimble_spark.sources.merge import _serialize_writes  # noqa: E402
+
+delete_rows = _serialize_writes(delete_rows, 1)
+delete_where = _serialize_writes(delete_where, 1)
+compact_deletes = _serialize_writes(compact_deletes, 1)

@@ -148,19 +148,6 @@ def _commit_rewrite(
             os.rename(os.path.join(staging, f), os.path.join(path, dst))
             moved.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
-    # Replaced files are REMOVED LOGICALLY only: tombstoned in the
-    # commit entry below, dropped from manifest["files"], and moved
-    # into the metadata directory's trash (retained until vacuum_table
-    # reclaims them) — the Delta/Iceberg retention discipline. This
-    # keeps snapshot reads (read_table(as_of_commit=N)) and CDC
-    # replays that span the rewrite readable, while directory-based
-    # current-state scans never see them (the `_nimble` metadata dir
-    # is invisible to Spark's file listing).
-    trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(manifest.get('commits', []))}")
-    os.makedirs(trash, exist_ok=True)
-    for f in affected:
-        os.rename(os.path.join(path, f), os.path.join(trash, f))
-
     reuse = {
         os.path.normpath(e["path"]): e
         for e in manifest["files"]
@@ -173,7 +160,25 @@ def _commit_rewrite(
     }
     prior_commits = list(manifest.get("commits", []))
     prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
-    new_manifest = _build_manifest(spark, schema, path, opts or WriteOptions(), index_meta, reuse=reuse)
+    # Replaced files are still at their recorded paths here — the new
+    # manifest is built around them via ``exclude`` so it can be
+    # PUBLISHED FIRST. Order matters for crash safety: staged files
+    # are invisible to old-manifest readers, so publishing the new
+    # manifest while the replaced files still exist means neither the
+    # old nor the new manifest ever references a missing path. Only
+    # after the atomic publish do the replaced files move to trash
+    # (retained for snapshot/CDC reads until vacuum_table) — a crash
+    # in between leaves them as harmless unreferenced debris that
+    # snapshot reads still resolve at their original paths.
+    new_manifest = _build_manifest(
+        spark,
+        schema,
+        path,
+        opts or WriteOptions(),
+        index_meta,
+        reuse=reuse,
+        exclude={os.path.normpath(f) for f in affected},
+    )
     new_manifest["commits"] = prior_commits + [
         {
             "commit": len(prior_commits),
@@ -187,6 +192,18 @@ def _commit_rewrite(
     ]
     os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
     _write_manifest(path, new_manifest)
+    # Commit point passed — only now tombstone the replaced files into
+    # the retention trash (kept for read_table(as_of_commit=N) and CDC
+    # replays until vacuum_table reclaims them; directory-based
+    # current-state scans never see the `_nimble` metadata dir). A
+    # crash before this loop completes leaves the stragglers as
+    # unreferenced debris at their ORIGINAL paths, where snapshot
+    # reads still resolve them — the live manifest never references a
+    # trashed path.
+    trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
+    os.makedirs(trash, exist_ok=True)
+    for f in affected:
+        os.rename(os.path.join(path, f), os.path.join(trash, f))
     return new_manifest
 
 

@@ -315,16 +315,11 @@ def _write_table_locked(
     # file/row-group size distribution from the written footers.
     if constraints:
         manifest["constraints"] = constraints
-    sizes = [f["bytes"] for f in manifest["files"]] or [0]
-    manifest["write_stats"] = {
-        "write_wall_ms": write_wall_ms,
-        "manifest_wall_ms": stats_wall_ms,
-        "n_files": len(manifest["files"]),
-        "n_row_groups": sum(f["row_groups"] for f in manifest["files"]),
-        "total_bytes": sum(sizes),
-        "min_file_bytes": min(sizes),
-        "max_file_bytes": max(sizes),
-    }
+    manifest["write_stats"] = dict(
+        _layout_stats(manifest["files"]),
+        write_wall_ms=write_wall_ms,
+        manifest_wall_ms=stats_wall_ms,
+    )
     # Commit log — append-only provenance (SHOW HISTORY): one entry
     # per write with what it added; an overwrite starts a new log.
     # Each entry lists its file additions, which makes the log a
@@ -351,6 +346,38 @@ def _write_table_locked(
     return manifest
 
 
+def _layout_stats(files: list[dict]) -> dict:
+    """Physical-layout distribution stats for manifest ``write_stats``
+    — the VeloxWriter::RunStats distribution surface
+    (dwio/nimble/velox/VeloxWriter.h:78-115 publishes rowsPerStripe
+    and stripeSize *distributions*, not just totals): per-file bytes
+    min/max, per-file rows min/p50/max, and per-row-group byte size
+    min/p50/max across every row group of the table. Row-group sizes
+    come from the per-file ``rg_bytes`` footer capture; entries reused
+    from pre-distribution manifests may lack it, in which case the
+    row-group distribution covers the files that have it."""
+
+    def _p50(vals: list[int]) -> int:
+        return sorted(vals)[len(vals) // 2] if vals else 0
+
+    sizes = [f["bytes"] for f in files] or [0]
+    rows = [f["rows"] for f in files] or [0]
+    rg_bytes = [b for f in files for b in f.get("rg_bytes", [])]
+    return {
+        "n_files": len(files),
+        "n_row_groups": sum(f["row_groups"] for f in files),
+        "total_bytes": sum(sizes),
+        "min_file_bytes": min(sizes),
+        "max_file_bytes": max(sizes),
+        "min_file_rows": min(rows),
+        "p50_file_rows": _p50(rows),
+        "max_file_rows": max(rows),
+        "min_rg_bytes": min(rg_bytes, default=0),
+        "p50_rg_bytes": _p50(rg_bytes),
+        "max_rg_bytes": max(rg_bytes, default=0),
+    }
+
+
 def _build_manifest(
     spark: SparkSession,
     schema: T.StructType,
@@ -358,6 +385,7 @@ def _build_manifest(
     opts: WriteOptions,
     index_meta: dict,
     reuse: dict[str, dict] | None = None,
+    exclude: set[str] | None = None,
 ) -> dict:
     """Collect per-file (stripe-group) and per-column stats from the
     written parquet footers — metadata-only reads, no data scan.
@@ -370,8 +398,15 @@ def _build_manifest(
     (quadratic over stream lifetime). Entries store per-file null
     counts (``nulls``) so table-level column_stats fold from entries
     alone.
+
+    ``exclude`` (normalized relpaths) drops files from the directory
+    scan even though they are still physically present — the
+    copy-on-write commit uses it to build the successor manifest
+    BEFORE moving replaced files to trash, so the live manifest never
+    references a trashed path (publish-first crash safety).
     """
     reuse = reuse or {}
+    exclude = exclude or set()
     hive = index_meta.get("hash") or index_meta.get("partition")
     dataset = pa_ds.dataset(path, format="parquet", partitioning="hive" if hive else None)
     files_info: list[dict] = []
@@ -395,8 +430,12 @@ def _build_manifest(
         fmins: dict[str, Any] = {}
         fmaxs: dict[str, Any] = {}
         nulls: dict[str, int] = {}
+        rg_bytes: list[int] = []
+        rg_rows: list[int] = []
         for rg_i in range(md.num_row_groups):
             rg = md.row_group(rg_i)
+            rg_bytes.append(int(rg.total_byte_size))
+            rg_rows.append(int(rg.num_rows))
             for ci in range(rg.num_columns):
                 col = rg.column(ci)
                 name = col.path_in_schema.split(".")[0]
@@ -431,6 +470,11 @@ def _build_manifest(
             "min": {k: _json_safe(v) for k, v in fmins.items()},
             "max": {k: _json_safe(v) for k, v in fmaxs.items()},
             "nulls": {k: int(v) for k, v in nulls.items()},
+            # per-row-group (uncompressed) sizes and row counts — the
+            # stripe-size distribution source for write_stats
+            # (VeloxWriter.h:78-115 rowsPerStripe / stripeSize dists)
+            "rg_bytes": rg_bytes,
+            "rg_rows": rg_rows,
         }
 
     # Hashing + footer reads release the GIL — describe new files in
@@ -438,12 +482,17 @@ def _build_manifest(
     # order (cluster range order, row_range positions) stays stable.
     from concurrent.futures import ThreadPoolExecutor
 
+    live_files = [
+        p
+        for p in dataset.files
+        if os.path.normpath(os.path.relpath(p, path)) not in exclude
+    ]
     new_paths = [
-        p for p in dataset.files if os.path.normpath(os.path.relpath(p, path)) not in reuse
+        p for p in live_files if os.path.normpath(os.path.relpath(p, path)) not in reuse
     ]
     with ThreadPoolExecutor(max_workers=8) as pool:
         described = dict(zip(new_paths, pool.map(_describe_file, new_paths)))
-    for frag_path in dataset.files:
+    for frag_path in live_files:
         rel = os.path.normpath(os.path.relpath(frag_path, path))
         entry = reuse.get(rel) or described[frag_path]
         files_info.append(entry)
@@ -472,22 +521,29 @@ def _build_manifest(
     }
 
 
-# Manifest cache keyed by (path, mtime) — the metadata-cache analogue
-# (dwio/nimble/tablet/MetadataCache.h): repeated queries over the same
-# table skip the footer/manifest parse; an append bumps the mtime and
-# invalidates naturally.
-_MANIFEST_CACHE: dict[str, tuple[float, dict]] = {}
+# Manifest cache keyed by (path → (mtime_ns, size)) — the
+# metadata-cache analogue (dwio/nimble/tablet/MetadataCache.h,
+# tablet/TabletReaderCache.cpp): repeated queries over a hot table
+# skip the manifest parse entirely; a commit publishes via
+# _write_manifest's atomic rename, which gives the path a fresh
+# mtime_ns (+ usually a new size), so invalidation is natural and
+# needs no explicit hook. mtime_ns + size (not float seconds) so two
+# publishes inside one clock tick still miss. Parsed manifests are
+# treated as immutable by every reader (pruning copies, never
+# mutates), which is what makes sharing one dict safe.
+_MANIFEST_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
 
 
 def read_manifest(path: str) -> dict:
     mf = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
-    mtime = os.path.getmtime(mf)
+    st = os.stat(mf)
+    version = (st.st_mtime_ns, st.st_size)
     hit = _MANIFEST_CACHE.get(mf)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and hit[0] == version:
         return hit[1]
     with open(mf) as fh:
         m = json.load(fh)
-    _MANIFEST_CACHE[mf] = (mtime, m)
+    _MANIFEST_CACHE[mf] = (version, m)
     return m
 
 
@@ -524,10 +580,23 @@ class table_write_lock:
                 try:
                     age = time.time() - os.stat(self.lock_path).st_mtime
                     if age > self.stale_s:
-                        os.unlink(self.lock_path)  # crashed holder
+                        # Break the stale lock ATOMICALLY: rename it to a
+                        # unique tombstone instead of unlinking. Two
+                        # waiters that both saw the stale file race on the
+                        # rename; exactly one wins (rename of a missing
+                        # source raises), and the loser goes back to
+                        # waiting — an unlink here could instead delete
+                        # the WINNER's freshly created lock (stat/unlink
+                        # TOCTOU) and let two writers commit at once.
+                        tomb = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                        os.rename(self.lock_path, tomb)
+                        try:
+                            os.unlink(tomb)
+                        except OSError:
+                            pass
                         continue
                 except OSError:
-                    continue  # holder released between stat and unlink
+                    continue  # holder released (or another waiter broke it) first
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"could not acquire table write lock {self.lock_path} "
@@ -638,7 +707,12 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
     df.repartitionByRange(1, key).sortWithinPartitions(key).write.mode(
         "overwrite"
     ).parquet(out)
-    m = read_manifest(path)
+    import copy
+
+    # deep-copy before mutating: read_manifest returns the SHARED
+    # cached dict (one parse per manifest version); mutating it in
+    # place would expose a half-updated manifest to concurrent readers
+    m = copy.deepcopy(read_manifest(path))
     m.setdefault("indexes", {}).setdefault("sorted", []).append(key)
     m["indexes"]["sorted"] = sorted(set(m["indexes"]["sorted"]))
     # Staleness fence: the index is valid only for the files present

@@ -292,15 +292,48 @@ def show_scan_metrics(spark: SparkSession, path: str, where: str | None = None) 
 
 
 def select(
-    spark: SparkSession, path: str, columns: list[str] | None = None, limit: int = 20, offset: int = 0
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    limit: int = 20,
+    offset: int = 0,
+    stripe: int | None = None,
 ) -> DataFrame:
-    """SELECT cols [LIMIT n] [OFFSET n] — the DSL's data peek."""
-    from nimble_spark.sources.table import read_table
+    """SELECT cols [STRIPE s] [LIMIT n] [OFFSET n] — the DSL's data
+    peek (docs/NimbleDSL.md:27-35). ``STRIPE s`` scopes the peek to
+    the s-th row group in manifest file order (the stripe ordinal
+    SHOW STRIPES enumerates): only the files intersecting that row
+    span are opened — the seekToRow stripe-skip path, so peeking
+    stripe 40000 of a 100 TB table costs one file read."""
+    from nimble_spark.sources.table import _read_row_range, read_table
 
-    df = read_table(spark, path, columns=columns)
-    if offset:
-        df = df.offset(offset)
-    return df.limit(limit)
+    if stripe is None:
+        df = read_table(spark, path, columns=columns)
+        if offset:
+            df = df.offset(offset)
+        return df.limit(limit)
+
+    m = read_manifest(path)
+    span = None
+    off = idx = 0
+    for f in m["files"]:
+        rg_rows = f.get("rg_rows")
+        if rg_rows is None:  # pre-distribution manifest: footer read
+            md = pa_pq.ParquetFile(os.path.join(path, f["path"])).metadata
+            rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        for n in rg_rows:
+            if idx == stripe:
+                span = (off, off + n)
+                break
+            off += n
+            idx += 1
+        if span:
+            break
+    if span is None:
+        raise ValueError(f"stripe {stripe} out of range (table has {idx} stripes)")
+    lo = span[0] + offset
+    df = _read_row_range(spark, path, m, lo, min(span[1], lo + limit))
+    return df.select(*columns) if columns else df
 
 
 def show_trash(spark: SparkSession, path: str) -> DataFrame:
@@ -340,7 +373,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | VACUUM |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
-      SELECT col[,col...] [LIMIT n] [OFFSET n]
+      SELECT col[,col...] [STRIPE s] [LIMIT n] [OFFSET n]
     """
     import re
 
@@ -402,13 +435,18 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         from nimble_spark.sources.encoding_report import encoding_report
 
         return encoding_report(spark, path)
-    m = re.match(r"SELECT\s+(.+?)(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?$", c, re.I)
+    m = re.match(
+        r"SELECT\s+(.+?)(?:\s+STRIPE\s+(\d+))?(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?$",
+        c,
+        re.I,
+    )
     if m:
         cols = [x.strip() for x in m.group(1).split(",")]
         cols = None if cols == ["*"] else cols
         return select(
             spark, path, columns=cols,
-            limit=int(m.group(2) or 20), offset=int(m.group(3) or 0),
+            limit=int(m.group(3) or 20), offset=int(m.group(4) or 0),
+            stripe=int(m.group(2)) if m.group(2) else None,
         )
     raise ValueError(f"unknown DSL command: {command!r}")
 

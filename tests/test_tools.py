@@ -58,6 +58,33 @@ def test_select_limit_offset(spark, table_path):
     assert len(rows) == 5
 
 
+def test_select_stripe_scoped(spark, table_path):
+    """SELECT … STRIPE s (docs/NimbleDSL.md:27-35): the peek returns
+    rows from exactly the s-th row group in manifest order — verified
+    against the stripe's own row span via SHOW STRIPES + the full
+    table in manifest row order."""
+    stripes = tools.show_stripes(spark, table_path).collect()
+    assert len(stripes) >= 2
+    # global row offset of stripe 1 (file order = SHOW STRIPES order)
+    n0 = stripes[0]["rows"]
+    n1 = stripes[1]["rows"]
+    got = tools.run_command(
+        spark, table_path, "SELECT o_orderkey STRIPE 1 LIMIT 1000000"
+    ).collect()
+    assert len(got) == n1
+    from nimble_spark.sources.table import _read_row_range, read_manifest
+
+    want = _read_row_range(
+        spark, table_path, read_manifest(table_path), n0, n0 + n1
+    ).select("o_orderkey").collect()
+    assert {r["o_orderkey"] for r in got} == {r["o_orderkey"] for r in want}
+    # LIMIT scopes within the stripe
+    assert len(tools.select(spark, table_path, stripe=1, limit=3).collect()) == 3
+    # out-of-range stripe raises, not returns wrong data
+    with pytest.raises(ValueError):
+        tools.select(spark, table_path, stripe=10_000)
+
+
 def test_show_metrics_reader_stats(spark, table_path):
     rows = tools.show_metrics(spark, table_path).collect()
     by_metric = {}
