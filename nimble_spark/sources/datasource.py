@@ -173,9 +173,19 @@ class NimbleReader(DataSourceReader):
         return keep
 
     def partitions(self) -> list[NimbleFilePartition]:
-        return [NimbleFilePartition(p) for p in self.kept_files()]
+        kept = self.kept_files()
+        if not kept:
+            # Stats pruning can exclude EVERY file (filter provably
+            # empty). Spark's Python source still plans one task and
+            # calls read(partition) with it — an empty partition list
+            # here surfaces as read(None) in the worker — so return a
+            # single no-file sentinel that read() treats as empty.
+            return [NimbleFilePartition(None)]
+        return [NimbleFilePartition(p) for p in kept]
 
     def read(self, partition: NimbleFilePartition) -> Iterator:
+        if partition is None or partition.file_path is None:
+            return  # all files pruned: provably-empty scan
         yield from _read_file_batches(partition.file_path, self.columns)
 
 
