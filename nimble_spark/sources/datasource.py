@@ -339,6 +339,16 @@ class NimbleWriter(DataSourceArrowWriter):
         return NimbleWriteMessage(rel, rows)
 
     def commit(self, messages) -> None:
+        from nimble_spark.sources.table import table_write_lock
+
+        # Same serialization discipline as write_table/merge/compact:
+        # the cleanup + manifest rebuild + publish span holds the table
+        # write lock, so a plain df.write.format("nimble") append racing
+        # a library mutation cannot last-wins-publish a stale manifest.
+        with table_write_lock(self.path):
+            self._commit_unlocked(messages)
+
+    def _commit_unlocked(self, messages) -> None:
         from pyspark.sql.types import StructType as _St
 
         from nimble_spark.sources.table import (
@@ -440,20 +450,29 @@ class NimbleStreamWriter(DataSourceStreamArrowWriter):
         return self._delegate.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
-        try:
-            prior = read_manifest(self.path)
-            done = {c.get("batch_id") for c in prior.get("commits", [])}
-        except (OSError, ValueError, KeyError):
-            done = set()
-        if batchId in done:
-            self._delegate.abort(messages)  # replay: drop staged files
-            return
-        self._delegate.commit(messages)
-        manifest = read_manifest(self.path)
-        manifest["commits"][-1]["batch_id"] = batchId
-        from nimble_spark.sources.table import _write_manifest
+        from nimble_spark.sources.table import _write_manifest, table_write_lock
 
-        _write_manifest(self.path, manifest)
+        # One lock span covers replay-check → append-commit → batch-id
+        # stamp, so the check and the commit are atomic against any
+        # concurrent writer (the lock is not reentrant — hence the
+        # delegate's unlocked entry point).
+        with table_write_lock(self.path):
+            try:
+                prior = read_manifest(self.path)
+                done = {c.get("batch_id") for c in prior.get("commits", [])}
+            except (OSError, ValueError, KeyError):
+                done = set()
+            if batchId in done:
+                self._delegate.abort(messages)  # replay: drop staged files
+                return
+            self._delegate._commit_unlocked(messages)
+            # copy-on-write stamp: read_manifest returns the SHARED
+            # cached dict — never mutate it in place
+            cached = read_manifest(self.path)
+            commits = list(cached.get("commits", []))
+            commits[-1] = {**commits[-1], "batch_id": batchId}
+            manifest = {**cached, "commits": commits}
+            _write_manifest(self.path, manifest)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._delegate.abort(messages)
