@@ -27,10 +27,12 @@ from collections.abc import Callable, Iterable
 CACHE_ROOT = "/tmp/nimble_spark_tables"
 
 # Manifest-layout generation: bump when the WRITER changes what a
-# manifest records (e.g. r5 added per-row-group rg_bytes/rg_rows and
-# the write_stats distributions) so cached tables built by an older
-# writer rebuild instead of serving manifests missing the new fields.
-MANIFEST_GEN = 2
+# manifest records (r5: per-row-group rg_bytes/rg_rows + write_stats
+# distributions; then the bucket-directory discovery fix that gives
+# bucketed manifests their file entries) so cached tables built by an
+# older writer rebuild instead of serving manifests missing the new
+# fields.
+MANIFEST_GEN = 3
 
 
 def source_fingerprint(sf_dir: str, tables: Iterable[str]) -> str:

@@ -47,8 +47,10 @@ def encoding_report(spark: SparkSession, path: str) -> DataFrame:
     """Per column: candidate-encoding size estimates from one stats
     pass, the predicted (min-size) encoding, and the parquet-actual
     encodings + encoded bytes from the footers."""
+    from nimble_spark.sources.table import _scan_manifest_files
+
     manifest = read_manifest(path)
-    df = spark.read.parquet(path)
+    df = _scan_manifest_files(spark, path, manifest)
     schema = {f.name: f.dataType for f in df.schema.fields}
     cols = [
         c for c, t in schema.items()

@@ -408,7 +408,17 @@ def _build_manifest(
     reuse = reuse or {}
     exclude = exclude or set()
     hive = index_meta.get("hash") or index_meta.get("partition")
-    dataset = pa_ds.dataset(path, format="parquet", partitioning="hive" if hive else None)
+    # Explicit ignore list instead of pyarrow's default ['.', '_']:
+    # the default silently ignores EVERY '__nimble_bucket=N' partition
+    # directory (it starts with '_'), which left bucketed-table
+    # manifests with zero file entries — no per-file stats, rows=0 in
+    # fast_count, nothing for the manifest-driven scan to read.
+    dataset = pa_ds.dataset(
+        path,
+        format="parquet",
+        partitioning="hive" if hive else None,
+        ignore_prefixes=[".", "_SUCCESS", "_nimble", "_temporary", "_started", "_committed"],
+    )
     files_info: list[dict] = []
     col_stats: dict[str, dict[str, Any]] = {}
     total_rows = 0
@@ -696,7 +706,7 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
     # survives a table rename/move
     abs_prefix = os.path.abspath(path).rstrip("/") + "/"
     df = (
-        spark.read.parquet(path)
+        _scan_manifest_files(spark, path, read_manifest(path))
         .select(
             F.substring_index(F.input_file_name(), abs_prefix, -1).alias("file"),
             F.col(key),
@@ -711,17 +721,21 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
 
     # deep-copy before mutating: read_manifest returns the SHARED
     # cached dict (one parse per manifest version); mutating it in
-    # place would expose a half-updated manifest to concurrent readers
-    m = copy.deepcopy(read_manifest(path))
-    m.setdefault("indexes", {}).setdefault("sorted", []).append(key)
-    m["indexes"]["sorted"] = sorted(set(m["indexes"]["sorted"]))
-    # Staleness fence: the index is valid only for the files present
-    # when it was built. Record the file set's fingerprint; reads
-    # consult it and bypass a stale index (fall back to scan paths
-    # that are always correct) rather than silently missing rows
-    # appended after index creation.
-    m["indexes"].setdefault("sorted_fence", {})[key] = _files_fingerprint(m)
-    _write_manifest(path, m)
+    # place would expose a half-updated manifest to concurrent readers.
+    # The read-mutate-publish span holds the table write lock like
+    # every other manifest mutation (an unlocked publish racing an
+    # append could last-wins-drop the append's commit entry).
+    with table_write_lock(path):
+        m = copy.deepcopy(read_manifest(path))
+        m.setdefault("indexes", {}).setdefault("sorted", []).append(key)
+        m["indexes"]["sorted"] = sorted(set(m["indexes"]["sorted"]))
+        # Staleness fence: the index is valid only for the files present
+        # when it was built. Record the file set's fingerprint; reads
+        # consult it and bypass a stale index (fall back to scan paths
+        # that are always correct) rather than silently missing rows
+        # appended after index creation.
+        m["indexes"].setdefault("sorted_fence", {})[key] = _files_fingerprint(m)
+        _write_manifest(path, m)
     return spark.read.parquet(out).count()
 
 
@@ -871,7 +885,7 @@ def read_table(
                     .collect()
                 }
             )
-            df = spark.read.parquet(path)
+            df = _scan_manifest_files(spark, path, manifest)
             return df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL).select(
                 *(columns or [c for c in df.columns if c != BUCKET_COL])
             )
@@ -908,7 +922,7 @@ def read_table(
         else:
             df = _empty_df(spark, manifest)
     else:
-        df = spark.read.parquet(path)
+        df = _scan_manifest_files(spark, path, manifest)
     if BUCKET_COL in df.columns:
         df = df.drop(BUCKET_COL)
     if residual is not None:
@@ -916,6 +930,21 @@ def read_table(
     if columns:
         df = _project_with_evolution(df, manifest, columns, evolved_types)
     return df
+
+
+def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
+    """Full-table scan over exactly the manifest's file list — never a
+    directory listing. The manifest is the table's source of truth
+    (the tablet-footer analogue): a directory scan would also read
+    uncommitted debris from failed writers and the replaced files a
+    crashed rewrite had published past but not yet moved to trash
+    (publish-first crash window). Explicit paths are also the cheaper
+    plan on an object store (no LIST). basePath keeps Hive partition
+    columns visible and partition pruning effective."""
+    files = [os.path.join(path, f["path"]) for f in manifest["files"]]
+    if not files:
+        return _empty_df(spark, manifest)
+    return spark.read.option("basePath", path).parquet(*files)
 
 
 def resolve_historical_file(path: str, rel: str) -> Optional[str]:
