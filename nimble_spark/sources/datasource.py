@@ -39,6 +39,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -49,8 +51,11 @@ from nimble_spark.sources.table import read_manifest
 
 
 class NimbleFilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, constraints: list | None = None):
         self.file_path = file_path
+        # (col, kind, value) tuples — picklable, rebuilt into a
+        # pyarrow expression inside the worker (read())
+        self.constraints = constraints or []
 
 
 class NimbleDataSource(DataSource):
@@ -84,7 +89,43 @@ class NimbleDataSource(DataSource):
         return NimbleStreamWriter(self.options["path"])
 
 
-def _read_file_batches(file_path: str, columns) -> Iterator:
+def _pa_filter(constraints: list):
+    """(col, kind, value) constraint tuples → a pyarrow dataset filter
+    expression, or None. Applying the filter inside the pyarrow read
+    is the stride/chunk-skipping tier the file-level manifest pruning
+    can't reach: row groups whose stats exclude the predicate are
+    never decoded, and surviving rows are filtered before they cross
+    the Arrow bridge. Over-filtering is impossible — the expressions
+    are the exact SQL semantics (NULL comparisons drop, as Spark's
+    residual would) and Spark re-applies every filter anyway."""
+    import pyarrow.compute as pc
+
+    expr = None
+    for col, kind, value in constraints:
+        f = pc.field(col)
+        if kind == "eq":
+            e = f == value
+        elif kind == "in":
+            e = f.isin(list(value))
+        elif kind == "gt":
+            e = f > value
+        elif kind == "ge":
+            e = f >= value
+        elif kind == "lt":
+            e = f < value
+        elif kind == "le":
+            e = f <= value
+        elif kind == "isnull":
+            e = f.is_null()
+        elif kind == "notnull":
+            e = f.is_valid()
+        else:
+            continue
+        expr = e if expr is None else expr & e
+    return expr
+
+
+def _read_file_batches(file_path: str, columns, constraints: list | None = None) -> Iterator:
     """Read one parquet file as Arrow batches for the DataSource
     bridge. Spark writes TimestampType as INT96, which pyarrow
     surfaces as timestamp[ns]; the Arrow bridge rejects NANOSECOND, so
@@ -92,7 +133,13 @@ def _read_file_batches(file_path: str, columns) -> Iterator:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(file_path, columns=columns or None)
+    filt = None
+    if constraints:
+        try:
+            filt = _pa_filter(constraints)
+        except Exception:  # noqa: BLE001 — unfilterable type/value:
+            filt = None  # fall back to a full read (Spark re-filters)
+    table = pq.read_table(file_path, columns=columns or None, filters=filt)
     fields = [
         pa.field(f.name, pa.timestamp("us", f.type.tz))
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
@@ -105,8 +152,16 @@ def _read_file_batches(file_path: str, columns) -> Iterator:
 
 def _file_might_match(entry: dict, col: str, kind: str, value) -> bool:
     """Conservative per-file stats check: False ONLY when the file's
-    [min, max] for ``col`` provably excludes every row the filter can
+    stats for ``col`` provably exclude every row the filter can
     accept. Type-mismatched or missing stats keep the file."""
+    if kind == "isnull":
+        # per-file null counts in the manifest: a file with zero nulls
+        # in the column cannot contain an IS NULL row
+        nulls = (entry.get("nulls") or {}).get(col)
+        return not (nulls == 0)
+    if kind == "notnull":
+        nulls = (entry.get("nulls") or {}).get(col)
+        return not (nulls is not None and nulls == entry.get("rows"))
     fmin = (entry.get("min") or {}).get(col)
     fmax = (entry.get("max") or {}).get(col)
     if fmin is None or fmax is None:
@@ -160,6 +215,10 @@ class NimbleReader(DataSourceReader):
                 self._constraints.append((col, "lt", f.value))
             elif isinstance(f, LessThanOrEqual):
                 self._constraints.append((col, "le", f.value))
+            elif isinstance(f, IsNull):
+                self._constraints.append((col, "isnull", None))
+            elif isinstance(f, IsNotNull):
+                self._constraints.append((col, "notnull", None))
         return filters  # all residual — Spark re-applies row-exact
 
     def kept_files(self) -> list[str]:
@@ -181,12 +240,14 @@ class NimbleReader(DataSourceReader):
             # here surfaces as read(None) in the worker — so return a
             # single no-file sentinel that read() treats as empty.
             return [NimbleFilePartition(None)]
-        return [NimbleFilePartition(p) for p in kept]
+        return [NimbleFilePartition(p, self._constraints) for p in kept]
 
     def read(self, partition: NimbleFilePartition) -> Iterator:
         if partition is None or partition.file_path is None:
             return  # all files pruned: provably-empty scan
-        yield from _read_file_batches(partition.file_path, self.columns)
+        yield from _read_file_batches(
+            partition.file_path, self.columns, getattr(partition, "constraints", None)
+        )
 
 
 def register_nimble_source(spark) -> None:

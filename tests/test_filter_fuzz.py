@@ -112,3 +112,20 @@ def test_pushdown_filters_match_duckdb(spark, fuzz_table, preds):
     got = spark.read.format("nimble").load(path).filter(where).collect()
     want = con.sql(f"SELECT k, cat, v FROM t WHERE {where}").fetchall()
     assert _bag(got) == _bag(want), where
+
+
+def test_filter_applies_before_arrow_bridge(spark, fuzz_table):
+    """The pushed filter runs inside the pyarrow read (row-group stats
+    skip + pre-bridge row filter): the scan node's own numOutputRows
+    metric — rows that crossed the Arrow bridge — equals the filtered
+    count, not the table size."""
+    from nimble_spark.plans.scan_metrics import totals
+
+    path, con = fuzz_table
+    df = spark.read.format("nimble").load(path).filter("k = 3 AND cat = 'a'")
+    t = totals(df)
+    matched = con.sql("SELECT COUNT(*) FROM t WHERE k = 3 AND cat = 'a'").fetchone()[0]
+    assert matched > 0
+    rows_out = t["numOutputRows"]
+    assert rows_out == matched  # decode-side filtering, not post-scan
+    assert rows_out < len(_DATA)
