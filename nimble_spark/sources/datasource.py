@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -119,6 +120,8 @@ def _pa_filter(constraints: list):
             e = f.is_null()
         elif kind == "notnull":
             e = f.is_valid()
+        elif kind == "startswith":
+            e = pc.starts_with(f, value)
         else:
             continue
         expr = e if expr is None else expr & e
@@ -166,7 +169,32 @@ def _file_might_match(entry: dict, col: str, kind: str, value) -> bool:
     fmax = (entry.get("max") or {}).get(col)
     if fmin is None or fmax is None:
         return True
+    if kind == "startswith":
+        # a string with prefix P exists in [fmin, fmax] only if
+        # fmax >= P (anything with the prefix sorts >= P) and fmin's
+        # own P-length prefix is <= P (else every value sorts above
+        # the whole prefix range). Conservative under parquet's
+        # truncated string stats (min truncates down, max up).
+        if not isinstance(fmin, str) or not isinstance(value, str):
+            return True
+        return fmax >= value and fmin[: len(value)] <= value
+    import datetime as _dt
+
     probe = value[0] if kind == "in" and value else value
+    if (
+        type(probe) is _dt.date
+        and isinstance(fmin, str)
+        and len(fmin) == 10
+        and isinstance(fmax, str)
+        and len(fmax) == 10
+    ):
+        # DATE stats are JSON-stringified ISO dates in the manifest
+        # ("2024-01-15", which sorts like the value itself) — compare
+        # in string space. Timestamps stay conservative (kept): their
+        # stringified stats have varying precision and a truncated
+        # compare could wrongly prune.
+        value = tuple(str(v) for v in value) if kind == "in" else str(value)
+        probe = str(probe)
     if not isinstance(fmin, (int, float, str)) or type(probe) is not type(fmin) and not (
         isinstance(probe, (int, float)) and isinstance(fmin, (int, float))
     ):
@@ -219,6 +247,8 @@ class NimbleReader(DataSourceReader):
                 self._constraints.append((col, "isnull", None))
             elif isinstance(f, IsNotNull):
                 self._constraints.append((col, "notnull", None))
+            elif isinstance(f, StringStartsWith):
+                self._constraints.append((col, "startswith", f.value))
         return filters  # all residual — Spark re-applies row-exact
 
     def kept_files(self) -> list[str]:

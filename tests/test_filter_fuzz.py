@@ -26,24 +26,35 @@ from hypothesis import strategies as st
 
 from nimble_spark.sources.table import WriteOptions, write_table
 
-_SCHEMA = "k LONG, cat STRING, v DOUBLE"
-
 # boundary-heavy fixed corpus: duplicates, nulls, empty + unicode
 # strings, negatives, exact file-boundary values (cluster_by k → the
 # 4 files split on k ranges, so eq/range filters straddle boundaries)
 _DATA = [
-    (k, c, v)
+    (k, c, v, d)
     for k in [-5, -1, 0, 1, 3, 3, 7, 12, 19, 20]
-    for c, v in [("a", 0.5), ("b", -2.25), (None, None), ("", 3.0), ("é", 1e9)]
+    for c, v, d in [
+        ("a", 0.5, "2024-01-05"),
+        ("abc", -2.25, "2024-02-29"),
+        (None, None, None),
+        ("", 3.0, "2023-12-31"),
+        ("é", 1e9, "2024-01-05"),
+    ]
 ]
+_SCHEMA = "k LONG, cat STRING, v DOUBLE, d DATE"
 
 
 @pytest.fixture(scope="module")
 def fuzz_table(spark):
+    import datetime as dt
+
     d = tempfile.mkdtemp(prefix="nimble_filter_fuzz_")
     path = f"{d}/t"
+    rows = [
+        (k, c, v, dt.date.fromisoformat(day) if day else None)
+        for k, c, v, day in _DATA
+    ]
     write_table(
-        spark.createDataFrame(_DATA, _SCHEMA),
+        spark.createDataFrame(rows, _SCHEMA),
         path,
         WriteOptions(cluster_by=["k"], n_cluster_files=4),
     )
@@ -51,7 +62,7 @@ def fuzz_table(spark):
 
     register_nimble_source(spark)
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW t AS SELECT k, cat, v FROM '{path}/*.parquet'")
+    con.execute(f"CREATE VIEW t AS SELECT k, cat, v, d FROM '{path}/*.parquet'")
     yield path, con
     con.close()
     shutil.rmtree(d, ignore_errors=True)
@@ -71,6 +82,11 @@ _pred = st.one_of(
     st.tuples(st.just("cat"), st.just("is null"), st.none()),
     st.tuples(st.just("cat"), st.just("is not null"), st.none()),
     st.tuples(st.just("v"), st.just("is null"), st.none()),
+    st.tuples(st.just("cat"), st.just("like"), st.sampled_from(["a", "ab", "é", "z"])),
+    st.tuples(
+        st.just("d"), _NUM_OPS,
+        st.sampled_from(["2023-12-31", "2024-01-05", "2024-02-29", "2024-06-01"]),
+    ),
 )
 
 
@@ -86,16 +102,23 @@ def _to_sql(p) -> str:
         return f"{col} IN ({', '.join(_lit(v) for v in val)})"
     if op in ("is null", "is not null"):
         return f"{col} {op.upper()}"
+    if op == "like":
+        return f"{col} LIKE '{val}%'"  # Spark pushes as StringStartsWith
+    if col == "d":
+        return f"{col} {op} DATE '{val}'"
     return f"{col} {op} {_lit(val)}"
 
 
 def _bag(rows):
+    import datetime as dt
+
     return sorted(
-        ((r[0], r[1], r[2]) for r in rows),
+        ((r[0], r[1], r[2], r[3]) for r in rows),
         key=lambda t: (
             t[0] is None, t[0] or 0,
             t[1] is None, t[1] or "",
             t[2] is None, t[2] or 0.0,
+            t[3] is None, t[3] or dt.date.min,
         ),
     )
 
@@ -110,7 +133,7 @@ def test_pushdown_filters_match_duckdb(spark, fuzz_table, preds):
     path, con = fuzz_table
     where = " AND ".join(_to_sql(p) for p in preds)
     got = spark.read.format("nimble").load(path).filter(where).collect()
-    want = con.sql(f"SELECT k, cat, v FROM t WHERE {where}").fetchall()
+    want = con.sql(f"SELECT k, cat, v, d FROM t WHERE {where}").fetchall()
     assert _bag(got) == _bag(want), where
 
 
