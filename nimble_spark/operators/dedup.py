@@ -826,6 +826,11 @@ def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.select("doc_id", sh.cast("long").alias("simhash"))
 
 
+# defined before the @register block so the DuckDB oracle interpolates
+# the SAME constant the Spark side caps on (one value, two engines)
+_FUZZY_BLOCK_CAP = 64
+
+
 @register(
     "q_fuzzy_prefix_pairs",
     oracle=f"""
@@ -834,14 +839,14 @@ def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
              substring(text, 1, 40) AS p40
       FROM documents
       QUALIFY COUNT(*) OVER (PARTITION BY lang, substring(text, 1, 8))
-              <= {{cap}}
+              <= {_FUZZY_BLOCK_CAP}
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.p40, b.p40) AS BIGINT) AS dist
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE levenshtein(a.p40, b.p40) <= 6
-    """.replace("{cap}", "64"),
+    """,
     category="dedup",
 )
 def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,9 +857,6 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify runs only inside blocks — see fuzzy_prefix_pairs for the
     hot-block skew cap that bounds each block's B² verify cost."""
     return fuzzy_prefix_pairs(load(spark, sf_dir, "documents"))
-
-
-_FUZZY_BLOCK_CAP = 64
 
 
 def fuzzy_prefix_pairs(

@@ -38,7 +38,6 @@ from pyspark.sql import SparkSession
 
 from nimble_spark.sources.table import (
     MANIFEST_DIR,
-    _build_manifest,
     read_manifest,
 )
 
@@ -70,31 +69,49 @@ def plan_compaction(
     return bins
 
 
-def vacuum_table(path: str) -> list[str]:
+def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
     """Delete data files the manifest does not reference — debris from
     failed/interrupted writes. The manifest is the table's source of
     truth (the tablet footer analogue): a plain directory listing
     would happily read half-written or superseded files, so vacuuming
     keeps directory state and manifest state equal. Returns the
     root-relative paths removed. Metadata (the manifest dir) and
-    non-parquet markers are never touched."""
+    non-parquet markers are never touched.
+
+    ``min_age_s`` is the in-flight-write grace period (the Delta
+    VACUUM retention analogue): a concurrent DataSource write's
+    executors stage files into the table dir BEFORE its driver-side
+    locked commit references them — during that window the files are
+    unreferenced but must not be reclaimed, or a write that reports
+    success silently loses rows. Only unreferenced files older than
+    the grace are deleted; the retention trash (already superseded and
+    manifest-tracked) is always reclaimed in full."""
     import shutil
+    import time as _time
 
     m = read_manifest(path)
     referenced = {os.path.normpath(f["path"]) for f in m["files"]}
     removed: list[str] = []
+    now = _time.time()
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if d != MANIFEST_DIR]
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
-            rel = os.path.normpath(os.path.relpath(os.path.join(root, fn), path))
-            if rel not in referenced:
-                os.remove(os.path.join(root, fn))
-                crc = os.path.join(root, f".{fn}.crc")
-                if os.path.exists(crc):
-                    os.remove(crc)
-                removed.append(rel)
+            full = os.path.join(root, fn)
+            rel = os.path.normpath(os.path.relpath(full, path))
+            if rel in referenced:
+                continue
+            try:
+                if now - os.stat(full).st_mtime < min_age_s:
+                    continue  # possibly a concurrent write's staged file
+            except OSError:
+                continue  # vanished (its own commit/cleanup) — skip
+            os.remove(full)
+            crc = os.path.join(root, f".{fn}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            removed.append(rel)
     # Reclaim the retention trash: merge/update rewrites tombstone
     # their replaced files into _nimble/trash (keeping snapshots and
     # CDC replays readable); vacuum is the explicit point history is
@@ -160,12 +177,28 @@ def compact_table(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
-    """Merge small adjacent files into ~target-size files and rebuild
-    the manifest. Returns ``{"bins": n, "files_before": ..., "files_after":
-    ..., "rows": ...}``. Raises on hash-bucketed / Hive-partitioned
-    tables (their directory structure IS the index — compact within a
+    """Merge small adjacent files into ~target-size files and publish
+    the rebuilt manifest ATOMICALLY BEFORE deleting any source file —
+    the same publish-first crash discipline as the copy-on-write
+    rewrites (merge.py): readers are manifest-true, so the staged
+    merged files are invisible until the publish, the old files stay
+    readable until it, and a crash anywhere leaves either the old or
+    the new table fully intact (stranded files are unreferenced debris
+    for vacuum's age-gated sweep).
+
+    Returns ``{"bins": n, "files_before": ..., "files_after": ...,
+    "rows": ...}``. Raises on hash-bucketed / Hive-partitioned tables
+    (their directory structure IS the index — compact within a
     bucket/partition by pointing at that directory instead)."""
     import pyspark.sql.types as T
+
+    from nimble_spark.sources.table import (
+        _describe_parquet_file,
+        _fold_column_stats,
+        _layout_stats,
+        _stat_cols,
+        _write_manifest,
+    )
 
     m = read_manifest(path)
     idx = m.get("indexes", {})
@@ -179,7 +212,15 @@ def compact_table(
     if not bins:
         return {"bins": 0, "files_before": files_before, "files_after": files_before, "rows": m["rows"]}
 
+    schema = T.StructType.fromJson(m["schema"])
+    stat_cols = _stat_cols(schema)
     cluster_keys = (idx.get("cluster") or {}).get("keys", [])
+    # Stage every bin's merged output into the table dir under a fresh
+    # name, describe it, and remember which ORIGINAL position it takes
+    # — the new manifest splices each merged entry where its bin's
+    # first member sat, so cluster range order and row_range positions
+    # survive (manifest order is the authority; see _build_manifest).
+    merged_entry_at: dict[str, dict] = {}
     for b in bins:
         srcs = [os.path.join(path, f["path"]) for f in b]
         tmp = os.path.join(path, MANIFEST_DIR, f"compact-tmp-{uuid.uuid4().hex}")
@@ -199,51 +240,54 @@ def compact_table(
         writer.parquet(tmp)
         part = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
         assert len(part) == 1, f"expected one output file per bin, got {part}"
-        # The merged file takes the FIRST source file's name: manifest
-        # order is alphabetical, so replacing an adjacent run
-        # [f3,f4,f5] with a new f3 keeps the table's file order (and
-        # therefore cluster range order and row_range positions)
-        # exactly as before, minus the merged gaps.
-        out_name = os.path.basename(b[0]["path"])
-        for s in srcs:
-            os.remove(s)
-            # Hadoop LocalFileSystem checksum sidecar: a stale .crc
-            # under the reused name would fail every future read
-            crc = os.path.join(os.path.dirname(s), f".{os.path.basename(s)}.crc")
-            if os.path.exists(crc):
-                os.remove(crc)
+        out_name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
         shutil.move(os.path.join(tmp, part[0]), os.path.join(path, out_name))
         shutil.rmtree(tmp, ignore_errors=True)
+        merged_entry_at[os.path.normpath(b[0]["path"])] = _describe_parquet_file(
+            os.path.join(path, out_name), path, stat_cols
+        )
 
-    # Rebuild the manifest from the surviving footers; index/user
-    # metadata carries over (cluster bounds stay valid — bins were
-    # adjacent in range order, so merged min/max spans stay disjoint).
-    schema = T.StructType.fromJson(m["schema"])
+    # Splice: untouched entries verbatim at their positions, each
+    # merged entry at its bin's first-member position.
+    merged_away = {os.path.normpath(f["path"]) for b in bins for f in b}
+    files_info: list[dict] = []
+    for f in m["files"]:
+        rel = os.path.normpath(f["path"])
+        if rel in merged_entry_at:
+            files_info.append(merged_entry_at[rel])
+        elif rel not in merged_away:
+            files_info.append(f)
 
-    class _OptsShim:
-        column_attributes = m.get("column_attributes", {})
-        user_metadata = {
+    new_m = {
+        "format_version": 1,
+        "schema": m["schema"],
+        "column_attributes": m.get("column_attributes", {}),
+        "rows": sum(f["rows"] for f in files_info),
+        "files": files_info,
+        "column_stats": _fold_column_stats(files_info),
+        "indexes": idx,
+        "user_metadata": {
             **m.get("user_metadata", {}),
             "compaction.files_before": str(files_before),
             "compaction.bins": str(len(bins)),
-        }
-
-    # Untouched (large) files keep their manifest entries verbatim —
-    # only the freshly merged bin outputs are hashed/footer-read.
-    merged_away = {os.path.normpath(f["path"]) for b in bins for f in b}
-    untouched = {
-        os.path.normpath(f["path"]): f
-        for f in m["files"]
-        if os.path.normpath(f["path"]) not in merged_away and "nulls" in f
+        },
+        "write_stats": dict(m.get("write_stats", {}), **_layout_stats(files_info)),
     }
-    new_m = _build_manifest(spark, schema, path, _OptsShim(), idx, reuse=untouched)
-    from nimble_spark.sources.table import _layout_stats, _write_manifest
+    _write_manifest(path, new_m)  # ATOMIC commit point
 
-    new_m["write_stats"] = dict(
-        m.get("write_stats", {}), **_layout_stats(new_m["files"])
-    )
-
-    _write_manifest(path, new_m)
+    # Only after the publish: remove the merged-away sources. A crash
+    # mid-loop strands some as unreferenced debris (vacuum reclaims);
+    # the live manifest never references them again either way.
+    for b in bins:
+        for f in b:
+            src = os.path.join(path, f["path"])
+            try:
+                os.remove(src)
+            except OSError:
+                pass  # already gone — harmless
+            crc = os.path.join(os.path.dirname(src), f".{os.path.basename(src)}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
     return {
         "bins": len(bins),
         "files_before": files_before,

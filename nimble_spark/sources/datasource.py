@@ -396,8 +396,18 @@ class NimbleWriter(DataSourceArrowWriter):
     CDC-streamable."""
 
     def __init__(self, path: str, overwrite: bool):
+        import uuid as _uuid
+
         self.path = path
         self.overwrite = overwrite
+        # Job token: generated once on the driver and carried to every
+        # executor task via pickling, so all of THIS job's staged files
+        # share one recognizable prefix. The commit-time debris sweep
+        # then removes only this job's own failed/retried attempts —
+        # never a CONCURRENT writer's in-flight files, whose rows would
+        # otherwise silently vanish from that writer's commit (the
+        # write phase holds no lock; only commits serialize).
+        self.job_token = _uuid.uuid4().hex[:12]
         os.makedirs(path, exist_ok=True)
         if overwrite:
             # clear previous generation up front (driver-side, before
@@ -411,7 +421,7 @@ class NimbleWriter(DataSourceArrowWriter):
 
         import pyarrow.parquet as pq
 
-        rel = f"pyds-{_uuid.uuid4().hex}.parquet"
+        rel = f"pyds-{self.job_token}-{_uuid.uuid4().hex}.parquet"
         writer = None
         rows = 0
         try:
@@ -450,18 +460,15 @@ class NimbleWriter(DataSourceArrowWriter):
         )
 
         committed = {m.rel_path for m in messages if m is not None and m.rel_path}
-        # drop files from failed/retried attempts that never committed
+        # Drop OUR OWN failed/retried task attempts that never
+        # committed — matched by this job's token prefix, so a
+        # concurrent job's in-flight files are never touched (they are
+        # invisible to the manifest-true readers and, if their job
+        # dies, vacuum_table's age-gated debris sweep reclaims them).
+        mine = f"pyds-{self.job_token}-"
         for f in os.listdir(self.path):
-            if f.startswith("pyds-") and f.endswith(".parquet") and f not in committed:
-                known = False
-                if not self.overwrite:
-                    try:
-                        prior = read_manifest(self.path)
-                        known = any(e["path"] == f for e in prior["files"])
-                    except (OSError, ValueError, KeyError):
-                        known = False
-                if not known:
-                    os.remove(os.path.join(self.path, f))
+            if f.startswith(mine) and f.endswith(".parquet") and f not in committed:
+                os.remove(os.path.join(self.path, f))
 
         reuse: dict = {}
         prior_commits: list = []
@@ -484,8 +491,22 @@ class NimbleWriter(DataSourceArrowWriter):
             if any_file is None
             else _arrow_to_spark_schema(pq.read_schema(schema_src))
         )
+        # Exclude stray pyds files from the manifest build: a
+        # CONCURRENT job's in-flight staged files (different token,
+        # not yet committed — possibly half-written, so describing
+        # them could even fail) and crashed jobs' leftovers. They stay
+        # on disk for their own commit or vacuum's age-gated sweep;
+        # they must simply not enter OUR manifest.
+        stray = {
+            f
+            for f in os.listdir(self.path)
+            if f.startswith("pyds-")
+            and f.endswith(".parquet")
+            and f not in committed
+            and f not in reuse
+        }
         manifest = _build_manifest(
-            None, spark_schema, self.path, WriteOptions(), {}, reuse=reuse
+            None, spark_schema, self.path, WriteOptions(), {}, reuse=reuse, exclude=stray
         )
         # writer runtime stats parity with write_table (SHOW WRITE STATS)
         from nimble_spark.sources.table import _layout_stats

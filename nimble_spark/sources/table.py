@@ -378,6 +378,81 @@ def _layout_stats(files: list[dict]) -> dict:
     }
 
 
+def _stat_cols(schema: T.StructType) -> list[str]:
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType))
+    ]
+
+
+def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]) -> dict:
+    """Describe one written parquet file as a manifest entry: footer
+    stats, per-row-group sizes, and the file-integrity sha256 (the
+    postscript-checksum analogue, dwio/nimble/tablet/Postscript.h:27-30).
+    Module-level so compaction can describe merged files without a
+    directory scan (publish-first protocol)."""
+    md = pa_pq.ParquetFile(frag_path).metadata
+    # File integrity checksum — the postscript-checksum analogue
+    # (dwio/nimble/tablet/Postscript.h:27-30, ChecksumTest.cpp).
+    # Computed here at manifest-build time; on a cluster each
+    # writer task hashes its own file as it closes it.
+    h = hashlib.sha256()
+    with open(frag_path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    fmins: dict[str, Any] = {}
+    fmaxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    rg_bytes: list[int] = []
+    rg_rows: list[int] = []
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        rg_bytes.append(int(rg.total_byte_size))
+        rg_rows.append(int(rg.num_rows))
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            if name not in stat_cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            try:
+                st_min, st_max = st.min, st.max
+            except Exception:  # noqa: BLE001 — pyarrow raises
+                # engine-specific NotImplemented variants here
+                # pyarrow can't surface logical min/max for some
+                # physical types (e.g. FIXED_LEN_BYTE_ARRAY
+                # decimals): skip stats, keep the file readable —
+                # pruning on this column degrades to keep-all,
+                # never to wrong answers.
+                continue
+            if name not in fmins or st_min < fmins[name]:
+                fmins[name] = st_min
+            if name not in fmaxs or st_max > fmaxs[name]:
+                fmaxs[name] = st_max
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    return {
+        # root-relative: the table stays readable after a
+        # rename/move (atomic cache publication, distcp, …)
+        "path": os.path.relpath(frag_path, table_root),
+        "rows": md.num_rows,
+        "row_groups": md.num_row_groups,
+        "bytes": os.path.getsize(frag_path),
+        "sha256": h.hexdigest(),
+        "min": {k: _json_safe(v) for k, v in fmins.items()},
+        "max": {k: _json_safe(v) for k, v in fmaxs.items()},
+        "nulls": {k: int(v) for k, v in nulls.items()},
+        # per-row-group (uncompressed) sizes and row counts — the
+        # stripe-size distribution source for write_stats
+        # (VeloxWriter.h:78-115 rowsPerStripe / stripeSize dists)
+        "rg_bytes": rg_bytes,
+        "rg_rows": rg_rows,
+    }
+
+
+
 def _build_manifest(
     spark: SparkSession,
     schema: T.StructType,
@@ -420,72 +495,11 @@ def _build_manifest(
         ignore_prefixes=[".", "_SUCCESS", "_nimble", "_temporary", "_started", "_committed"],
     )
     files_info: list[dict] = []
-    col_stats: dict[str, dict[str, Any]] = {}
     total_rows = 0
-    stat_cols = [
-        f.name
-        for f in schema.fields
-        if isinstance(f.dataType, (T.NumericType, T.StringType, T.TimestampType, T.DateType))
-    ]
+    stat_cols = _stat_cols(schema)
+
     def _describe_file(frag_path: str) -> dict:
-        md = pa_pq.ParquetFile(frag_path).metadata
-        # File integrity checksum — the postscript-checksum analogue
-        # (dwio/nimble/tablet/Postscript.h:27-30, ChecksumTest.cpp).
-        # Computed here at manifest-build time; on a cluster each
-        # writer task hashes its own file as it closes it.
-        h = hashlib.sha256()
-        with open(frag_path, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                h.update(chunk)
-        fmins: dict[str, Any] = {}
-        fmaxs: dict[str, Any] = {}
-        nulls: dict[str, int] = {}
-        rg_bytes: list[int] = []
-        rg_rows: list[int] = []
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            rg_bytes.append(int(rg.total_byte_size))
-            rg_rows.append(int(rg.num_rows))
-            for ci in range(rg.num_columns):
-                col = rg.column(ci)
-                name = col.path_in_schema.split(".")[0]
-                if name not in stat_cols:
-                    continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                try:
-                    st_min, st_max = st.min, st.max
-                except Exception:  # noqa: BLE001 — pyarrow raises
-                    # engine-specific NotImplemented variants here
-                    # pyarrow can't surface logical min/max for some
-                    # physical types (e.g. FIXED_LEN_BYTE_ARRAY
-                    # decimals): skip stats, keep the file readable —
-                    # pruning on this column degrades to keep-all,
-                    # never to wrong answers.
-                    continue
-                if name not in fmins or st_min < fmins[name]:
-                    fmins[name] = st_min
-                if name not in fmaxs or st_max > fmaxs[name]:
-                    fmaxs[name] = st_max
-                nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
-        return {
-            # root-relative: the table stays readable after a
-            # rename/move (atomic cache publication, distcp, …)
-            "path": os.path.relpath(frag_path, path),
-            "rows": md.num_rows,
-            "row_groups": md.num_row_groups,
-            "bytes": os.path.getsize(frag_path),
-            "sha256": h.hexdigest(),
-            "min": {k: _json_safe(v) for k, v in fmins.items()},
-            "max": {k: _json_safe(v) for k, v in fmaxs.items()},
-            "nulls": {k: int(v) for k, v in nulls.items()},
-            # per-row-group (uncompressed) sizes and row counts — the
-            # stripe-size distribution source for write_stats
-            # (VeloxWriter.h:78-115 rowsPerStripe / stripeSize dists)
-            "rg_bytes": rg_bytes,
-            "rg_rows": rg_rows,
-        }
+        return _describe_parquet_file(frag_path, path, stat_cols)
 
     # Hashing + footer reads release the GIL — describe new files in
     # parallel, then assemble in dataset order so the manifest's file
@@ -502,13 +516,41 @@ def _build_manifest(
     ]
     with ThreadPoolExecutor(max_workers=8) as pool:
         described = dict(zip(new_paths, pool.map(_describe_file, new_paths)))
+    # Assembly order: reused entries keep their PRIOR-MANIFEST order
+    # (the reuse dict preserves it), fresh files append after in
+    # dataset order. Prior-manifest order — not directory/alphabetical
+    # order — is the authority for cluster range order and row_range
+    # positions: compaction gives merged files new names, and relying
+    # on name sort would scramble their positions on the next append.
+    live_rels = {os.path.normpath(os.path.relpath(p, path)) for p in live_files}
+    for rel, entry in reuse.items():
+        if rel in live_rels:
+            files_info.append(entry)
+            total_rows += entry["rows"]
     for frag_path in live_files:
         rel = os.path.normpath(os.path.relpath(frag_path, path))
-        entry = reuse.get(rel) or described[frag_path]
+        if rel in reuse:
+            continue
+        entry = described[frag_path]
         files_info.append(entry)
         total_rows += entry["rows"]
-    # Table-level column stats fold from the per-file entries (works
-    # identically for fresh and reused entries).
+
+    return {
+        "format_version": 1,
+        "schema": json.loads(schema.json()),
+        "column_attributes": opts.column_attributes,
+        "rows": total_rows,
+        "files": files_info,
+        "column_stats": _fold_column_stats(files_info),
+        "indexes": index_meta,
+        "user_metadata": opts.user_metadata,
+    }
+
+
+def _fold_column_stats(files_info: list[dict]) -> dict:
+    """Table-level column stats folded from the per-file entries
+    (works identically for fresh and reused entries)."""
+    col_stats: dict[str, dict[str, Any]] = {}
     for f in files_info:
         f_nulls = f.get("nulls", {})
         for name in f["min"]:
@@ -518,16 +560,8 @@ def _build_manifest(
             if "max" not in cs or f["max"][name] > cs["max"]:
                 cs["max"] = f["max"][name]
             cs["null_count"] += f_nulls.get(name, 0)
-
     return {
-        "format_version": 1,
-        "schema": json.loads(schema.json()),
-        "column_attributes": opts.column_attributes,
-        "rows": total_rows,
-        "files": files_info,
-        "column_stats": {k: {kk: _json_safe(vv) for kk, vv in v.items()} for k, v in col_stats.items()},
-        "indexes": index_meta,
-        "user_metadata": opts.user_metadata,
+        k: {kk: _json_safe(vv) for kk, vv in v.items()} for k, v in col_stats.items()
     }
 
 
@@ -705,8 +739,9 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
     # absolute-table-dir prefix from the scan's file URI) so the index
     # survives a table rename/move
     abs_prefix = os.path.abspath(path).rstrip("/") + "/"
+    built_from = read_manifest(path)  # the file set the index will cover
     df = (
-        _scan_manifest_files(spark, path, read_manifest(path))
+        _scan_manifest_files(spark, path, built_from)
         .select(
             F.substring_index(F.input_file_name(), abs_prefix, -1).alias("file"),
             F.col(key),
@@ -729,12 +764,15 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
         m = copy.deepcopy(read_manifest(path))
         m.setdefault("indexes", {}).setdefault("sorted", []).append(key)
         m["indexes"]["sorted"] = sorted(set(m["indexes"]["sorted"]))
-        # Staleness fence: the index is valid only for the files present
-        # when it was built. Record the file set's fingerprint; reads
-        # consult it and bypass a stale index (fall back to scan paths
-        # that are always correct) rather than silently missing rows
-        # appended after index creation.
-        m["indexes"].setdefault("sorted_fence", {})[key] = _files_fingerprint(m)
+        # Staleness fence: the index is valid only for the files it was
+        # BUILT from — fingerprint the manifest the index scan actually
+        # read (built_from), not the current one: an append landing
+        # between the build and this publish would otherwise stamp the
+        # post-append fingerprint onto an index that has no entries for
+        # the appended files, making reads trust it and silently miss
+        # rows. With built_from, that race yields a fence mismatch and
+        # reads fall back to the always-correct scan paths.
+        m["indexes"].setdefault("sorted_fence", {})[key] = _files_fingerprint(built_from)
         _write_manifest(path, m)
     return spark.read.parquet(out).count()
 

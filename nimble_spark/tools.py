@@ -54,18 +54,26 @@ def show_files(spark: SparkSession, path: str) -> DataFrame:
 
 def show_stripes(spark: SparkSession, path: str) -> DataFrame:
     """SHOW STRIPES: per row group (the stripe analogue) rows + bytes +
-    per-column compressed sizes, read from parquet footers."""
+    per-column compressed sizes, read from parquet footers. ``stripe``
+    is the row group's ordinal WITHIN its file; ``ordinal`` is the
+    global position in manifest order — the number ``SELECT … STRIPE
+    s`` addresses (per-file ordinals restart at 0 for every file, so
+    they would mis-address any multi-file table)."""
     m = read_manifest(path)
     rows = []
+    g = 0
     for f in m["files"]:
         md = pa_pq.ParquetFile(os.path.join(path, f["path"])).metadata
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             comp = sum(rg.column(c).total_compressed_size for c in range(rg.num_columns))
             raw = sum(rg.column(c).total_uncompressed_size for c in range(rg.num_columns))
-            rows.append((f["path"], i, rg.num_rows, comp, raw))
+            rows.append((g, f["path"], i, rg.num_rows, comp, raw))
+            g += 1
     return spark.createDataFrame(
-        rows, "file STRING, stripe INT, rows BIGINT, compressed_bytes BIGINT, raw_bytes BIGINT"
+        rows,
+        "ordinal INT, file STRING, stripe INT, rows BIGINT, "
+        "compressed_bytes BIGINT, raw_bytes BIGINT",
     )
 
 
@@ -301,10 +309,12 @@ def select(
 ) -> DataFrame:
     """SELECT cols [STRIPE s] [LIMIT n] [OFFSET n] — the DSL's data
     peek (docs/NimbleDSL.md:27-35). ``STRIPE s`` scopes the peek to
-    the s-th row group in manifest file order (the stripe ordinal
-    SHOW STRIPES enumerates): only the files intersecting that row
-    span are opened — the seekToRow stripe-skip path, so peeking
-    stripe 40000 of a 100 TB table costs one file read."""
+    the s-th row group globally in manifest file order — the
+    ``ordinal`` column SHOW STRIPES reports (NOT its per-file
+    ``stripe`` column, which restarts at 0 for every file): only the
+    files intersecting that row span are opened — the seekToRow
+    stripe-skip path, so peeking stripe 40000 of a 100 TB table costs
+    one file read."""
     from nimble_spark.sources.table import _read_row_range, read_table
 
     if stripe is None:

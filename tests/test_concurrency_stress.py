@@ -117,6 +117,73 @@ def test_crash_between_publish_and_trash_leaves_table_readable(spark, tmpdir, mo
     # reclaims them and the table still reads identically
     from nimble_spark.sources.compaction import vacuum_table
 
-    removed = vacuum_table(path)
+    removed = vacuum_table(path, min_age_s=0.0)
     assert removed  # the un-trashed originals were collected
     assert read_table(spark, path).filter("v = k * 2 + 7").count() == 50
+
+
+def test_compaction_crash_before_source_delete_is_safe(spark, tmpdir, monkeypatch):
+    """compact_table publishes the merged manifest BEFORE deleting the
+    merged-away sources; a crash in the delete loop leaves the table
+    reading the compacted state exactly, with the stragglers as
+    vacuum-able debris."""
+    import nimble_spark.sources.compaction as comp
+
+    path = f"{tmpdir}/compact_crashy"
+    for j in range(6):  # six tiny commits → six small files
+        df = spark.range(100 * j, 100 * (j + 1)).selectExpr("id AS k", "id AS v")
+        write_table(df, path, WriteOptions(), mode="append" if j else "overwrite")
+    before = read_table(spark, path)
+    assert before.count() == 600
+
+    real_remove = os.remove
+    calls = {"n": 0}
+
+    def crashing_remove(p):
+        if p.endswith(".parquet") and "compact" not in os.path.basename(p):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("simulated crash mid source-delete")
+        return real_remove(p)
+
+    monkeypatch.setattr(comp.os, "remove", crashing_remove)
+    try:
+        comp.compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    m = read_manifest(path)
+    # the publish landed: manifest is the compacted one and fully readable
+    assert any("compact-" in f["path"] for f in m["files"])
+    out = read_table(spark, path)
+    assert out.count() == 600
+    assert out.select("k").distinct().count() == 600
+    for f in m["files"]:
+        assert os.path.exists(os.path.join(path, f["path"]))
+    # stragglers are unreferenced; vacuum reclaims, table unchanged
+    from nimble_spark.sources.compaction import vacuum_table
+
+    vacuum_table(path, min_age_s=0.0)
+    assert read_table(spark, path).count() == 600
+
+
+def test_compaction_preserves_manifest_order_and_row_range(spark, tmpdir):
+    """Merged files take their bin's first-member POSITION in the
+    manifest (order is the authority, not filenames), so row_range
+    reads over a compacted clustered table stay range-ordered."""
+    from nimble_spark.sources.compaction import compact_table
+
+    path = f"{tmpdir}/compact_order"
+    df = spark.range(1000).selectExpr("id AS k", "id * 3 AS v")
+    write_table(df, path, WriteOptions(cluster_by=["k"], n_cluster_files=5))
+    r = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert r["files_after"] < r["files_before"]
+    m = read_manifest(path)
+    # cluster range order still strictly increasing across the manifest
+    bounds = [(f["min"]["k"], f["max"]["k"]) for f in m["files"]]
+    for (_lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
+    # row_range addresses rows in manifest (range) order
+    got = read_table(spark, path, row_range=(100, 110))
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 110))

@@ -93,6 +93,30 @@ def test_stream_reader_fresh_start_is_throttled(spark, tmpdir):
     assert r.latestOffset()["commit"] == 1  # then one commit per trigger
 
 
+def test_stream_reader_regressed_window_self_heals(spark, tmpdir):
+    """Defense in depth for a hypothetical Spark path that calls
+    latestOffset() on a restarted reader BEFORE any seeding callback:
+    the emitted offset may sit below the checkpoint, but the resulting
+    end<start window serves ZERO partitions (no duplicate rows), the
+    window seeds the high-water mark at the checkpoint, and offsets
+    are monotone ≥ checkpoint from then on."""
+    from nimble_spark.sources.datasource import NimbleStreamReader
+
+    path = f"{tmpdir}/stream_regressed"
+    _small_table(spark, path)
+    for i in range(5):
+        _append(spark, path, 100 * (i + 1), 100 * (i + 1) + 5)
+    k = len(read_manifest(path).get("commits", [])) - 1  # checkpointed position
+
+    r = NimbleStreamReader(path, _schema(), max_commits_per_trigger=1)
+    off = r.latestOffset()["commit"]  # unseeded: may regress below K
+    assert off < k
+    parts = r.partitions({"commit": k}, {"commit": off})  # end < start
+    assert parts == []  # empty batch — nothing replays
+    # the window seeded the mark at K: strictly monotone from here
+    assert r.latestOffset()["commit"] >= k
+
+
 def test_stream_restart_exactly_once_end_to_end(spark, tmpdir):
     """Full restart drill through the real engine: run a throttled
     stream to completion against a checkpoint, stop it, append new

@@ -404,8 +404,11 @@ def test_vacuum_and_fast_count(spark, tmpdir):
     )
     assert spark.read.parquet(path).count() > total  # the hazard
     spark.catalog.clearCache()
-    assert vacuum_table(path) == ["zz-debris.parquet"]
-    assert vacuum_table(path) == []  # idempotent
+    # default grace skips fresh unreferenced files (in-flight-write
+    # protection); min_age_s=0 forces the sweep for this simulated old debris
+    assert vacuum_table(path) == []
+    assert vacuum_table(path, min_age_s=0.0) == ["zz-debris.parquet"]
+    assert vacuum_table(path, min_age_s=0.0) == []  # idempotent
     spark.catalog.refreshByPath(path)
     assert read_table(spark, path).count() == total
 
@@ -790,7 +793,7 @@ def test_pyds_writer_roundtrip_and_vacuum(spark, tmpdir):
     import shutil as _sh
     _sh.copy(f"{path}/{m2['files'][0]['path']}", debris)
     assert all("deadbeef" not in f["path"] for f in read_manifest(path)["files"])
-    removed = vacuum_table(path)
+    removed = vacuum_table(path, min_age_s=0.0)
     assert any("pyds-deadbeef" in r for r in removed)
     assert read_table(spark, path).count() == m2["rows"]
 

@@ -63,9 +63,10 @@ def test_select_stripe_scoped(spark, table_path):
     rows from exactly the s-th row group in manifest order — verified
     against the stripe's own row span via SHOW STRIPES + the full
     table in manifest row order."""
-    stripes = tools.show_stripes(spark, table_path).collect()
+    stripes = sorted(tools.show_stripes(spark, table_path).collect(), key=lambda r: r["ordinal"])
     assert len(stripes) >= 2
-    # global row offset of stripe 1 (file order = SHOW STRIPES order)
+    assert [r["ordinal"] for r in stripes] == list(range(len(stripes)))
+    # global row offset of stripe ordinal 1
     n0 = stripes[0]["rows"]
     n1 = stripes[1]["rows"]
     got = tools.run_command(
