@@ -187,3 +187,15 @@ def test_compaction_preserves_manifest_order_and_row_range(spark, tmpdir):
     # row_range addresses rows in manifest (range) order
     got = read_table(spark, path, row_range=(100, 110))
     assert sorted(r["k"] for r in got.collect()) == list(range(100, 110))
+
+    # an APPEND after compaction must not scramble the compacted
+    # entries' positions (prior-manifest order is the authority even
+    # though compact-* names sort differently from part-* names)
+    extra = spark.range(5000, 5100).selectExpr("id AS k", "id * 3 AS v")
+    write_table(extra, path, WriteOptions(), mode="append")
+    m2 = read_manifest(path)
+    assert [f["path"] for f in m2["files"][: len(m["files"])]] == [
+        f["path"] for f in m["files"]
+    ]
+    got = read_table(spark, path, row_range=(100, 110))
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 110))
