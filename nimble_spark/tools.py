@@ -35,6 +35,65 @@ def describe(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "column STRING, type STRING, nullable BOOLEAN, attributes STRING")
 
 
+def show_schema(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW SCHEMA: the full schema TREE including nested types
+    (arrays, maps, structs) — one row per node with its dotted path,
+    type kind, and nullability (reference docs/NimbleDSL.md SHOW
+    SCHEMA: the nested view DESCRIBE's top-level table flattens
+    away)."""
+    m = read_manifest(path)
+    rows: list[tuple] = []
+
+    def kind(t) -> str:
+        return t if isinstance(t, str) else t.get("type", "struct")
+
+    def walk(prefix: str, field: dict, depth: int) -> None:
+        t = field["type"]
+        rows.append((prefix, kind(t), bool(field.get("nullable", True)), depth))
+        if isinstance(t, dict):
+            tt = t.get("type")
+            if tt == "struct":
+                for sub in t.get("fields", []):
+                    walk(f"{prefix}.{sub['name']}", sub, depth + 1)
+            elif tt == "array":
+                walk(
+                    f"{prefix}.element",
+                    {"type": t["elementType"], "nullable": t.get("containsNull", True)},
+                    depth + 1,
+                )
+            elif tt == "map":
+                walk(f"{prefix}.key", {"type": t["keyType"], "nullable": False}, depth + 1)
+                walk(
+                    f"{prefix}.value",
+                    {"type": t["valueType"], "nullable": t.get("valueContainsNull", True)},
+                    depth + 1,
+                )
+
+    for f in m["schema"]["fields"]:
+        walk(f["name"], f, 0)
+    return spark.createDataFrame(
+        rows, "path STRING, kind STRING, nullable BOOLEAN, depth INT"
+    )
+
+
+def show_info(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW INFO: file-level metadata — format version, total size,
+    checksum type, stripe/file/row counts, and the user-metadata
+    key-value pairs (reference docs/NimbleDSL.md SHOW INFO)."""
+    m = read_manifest(path)
+    info = [
+        ("format_version", str(m.get("format_version", 1))),
+        ("total_bytes", str(sum(f["bytes"] for f in m["files"]))),
+        ("checksum_type", "SHA256"),
+        ("n_files", str(len(m["files"]))),
+        ("n_stripes", str(sum(f["row_groups"] for f in m["files"]))),
+        ("rows", str(m["rows"])),
+        ("n_commits", str(len(m.get("commits", [])))),
+    ]
+    info += [(f"user.{k}", str(v)) for k, v in sorted(m.get("user_metadata", {}).items())]
+    return spark.createDataFrame(info, "key STRING, value STRING")
+
+
 def show_stats(spark: SparkSession, path: str) -> DataFrame:
     """SHOW STATS: per-column min/max/null-count from the manifest."""
     m = read_manifest(path)
@@ -378,12 +437,13 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     """Dispatch one DSL command string (the NimbleDSL VM analogue,
     dwio/nimble/tools/NimbleDslVm.cpp):
 
-      DESCRIBE | SHOW STATS | SHOW FILES | SHOW STRIPES | SHOW CHUNKS |
+      DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW FILES |
+      SHOW STRIPES | SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
-      SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | VACUUM |
+      SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | VACUUM | HELP |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
-      SELECT col[,col...] [STRIPE s] [LIMIT n] [OFFSET n]
+      SELECT col[,col...] [LIMIT n] [OFFSET n] [STRIPE s] (any clause order)
     """
     import re
 
@@ -391,14 +451,42 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     u = c.upper()
     if u == "DESCRIBE":
         return describe(spark, path)
+    if u == "SHOW SCHEMA":
+        return show_schema(spark, path)
+    if u == "SHOW INFO":
+        return show_info(spark, path)
     if u == "SHOW STATS":
         return show_stats(spark, path)
     if u == "SHOW FILES":
         return show_files(spark, path)
     if u == "SHOW STRIPES":
         return show_stripes(spark, path)
-    if u == "SHOW CHUNKS":
-        return show_chunks(spark, path)
+    m = re.match(r"SHOW (?:CHUNKS|STREAMS)(?:\s+STRIPE\s+(\d+))?$", c, re.I)
+    if m:
+        # SHOW STREAMS ≡ SHOW CHUNKS: the reference's stream-level view
+        # maps to parquet column chunks (docs/NimbleDSL.md SHOW STREAMS
+        # [STRIPE s]); the optional filter scopes to one global stripe
+        # ordinal — the same number SELECT … STRIPE and SHOW STRIPES'
+        # `ordinal` use.
+        df = show_chunks(spark, path)
+        if m.group(1) is None:
+            return df
+        target = int(m.group(1))
+        stripes = show_stripes(spark, path).collect()
+        match = [r for r in stripes if r["ordinal"] == target]
+        if not match:
+            raise ValueError(f"stripe {target} out of range (table has {len(stripes)} stripes)")
+        from pyspark.sql import functions as F
+
+        return df.filter(
+            (F.col("file") == match[0]["file"]) & (F.col("stripe") == match[0]["stripe"])
+        )
+    if u == "HELP":
+        cmds = run_command.__doc__.split("\n\n")[1].split("\n")
+        return spark.createDataFrame(
+            [(x.strip().rstrip("|").strip(),) for x in cmds if x.strip()],
+            "commands STRING",
+        )
     if u in ("SHOW ENCODING", "SHOW ENCODINGS"):
         return show_encodings(spark, path)
     if u == "SHOW INDEX":
@@ -445,19 +533,34 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         from nimble_spark.sources.encoding_report import encoding_report
 
         return encoding_report(spark, path)
-    m = re.match(
-        r"SELECT\s+(.+?)(?:\s+STRIPE\s+(\d+))?(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?$",
-        c,
-        re.I,
-    )
+    m = re.match(r"SELECT\s+(.+)$", c, re.I | re.S)
     if m:
-        cols = [x.strip() for x in m.group(1).split(",")]
+        # Reference grammar (docs/NimbleDSL.md:27-35): LIMIT / OFFSET /
+        # STRIPE may appear in ANY order after the column list, and a
+        # FROM clause is accepted and silently ignored for SQL
+        # familiarity. Columns are space- or comma-separated.
+        rest = m.group(1)
+        limit, offset, stripe = 20, 0, None
+        clause = re.compile(r"\s+(LIMIT|OFFSET|STRIPE|FROM)\s+(\S+)\s*$", re.I)
+        while True:
+            cm = clause.search(rest)
+            if not cm:
+                break
+            kw = cm.group(1).upper()
+            if kw == "FROM":
+                pass  # accepted, ignored
+            elif not cm.group(2).isdigit():
+                raise ValueError(f"{kw} expects a number, got {cm.group(2)!r}")
+            elif kw == "LIMIT":
+                limit = int(cm.group(2))
+            elif kw == "OFFSET":
+                offset = int(cm.group(2))
+            else:
+                stripe = int(cm.group(2))
+            rest = rest[: cm.start()]
+        cols = [x for x in re.split(r"[\s,]+", rest.strip()) if x]
         cols = None if cols == ["*"] else cols
-        return select(
-            spark, path, columns=cols,
-            limit=int(m.group(3) or 20), offset=int(m.group(4) or 0),
-            stripe=int(m.group(2)) if m.group(2) else None,
-        )
+        return select(spark, path, columns=cols, limit=limit, offset=offset, stripe=stripe)
     raise ValueError(f"unknown DSL command: {command!r}")
 
 

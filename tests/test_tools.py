@@ -84,6 +84,21 @@ def test_select_stripe_scoped(spark, table_path):
     # out-of-range stripe raises, not returns wrong data
     with pytest.raises(ValueError):
         tools.select(spark, table_path, stripe=10_000)
+    # reference grammar: clauses in ANY order, FROM tolerated
+    # (docs/NimbleDSL.md — "SELECT * LIMIT 50 STRIPE 0")
+    assert (
+        tools.run_command(spark, table_path, "SELECT * LIMIT 3 STRIPE 1").count() == 3
+    )
+    assert (
+        tools.run_command(
+            spark, table_path, "SELECT o_orderkey, o_totalprice FROM t LIMIT 4"
+        ).count()
+        == 4
+    )
+    assert (
+        tools.run_command(spark, table_path, "SELECT o_orderkey OFFSET 2 LIMIT 5").count()
+        == 5
+    )
 
 
 def test_show_metrics_reader_stats(spark, table_path):
@@ -310,3 +325,43 @@ def test_show_constraints_dsl(spark, tmpdir):
     write_table(src, path, WriteOptions(check_constraints={"key_pos": "r_regionkey >= 0"}))
     rows = run_command(spark, path, "SHOW CONSTRAINTS").collect()
     assert [(r["name"], r["expression"]) for r in rows] == [("key_pos", "r_regionkey >= 0")]
+
+
+def test_show_schema_nested_tree(spark, tmpdir):
+    """SHOW SCHEMA walks nested types (docs/NimbleDSL.md SHOW SCHEMA)."""
+    from nimble_spark.tools import run_command
+
+    path = f"{tmpdir}/nested_schema"
+    df = spark.sql(
+        "SELECT 1 AS k, struct(2 AS a, array(3) AS xs) AS s, map('x', 4) AS m"
+    )
+    write_table(df, path, WriteOptions())
+    rows = {r["path"]: r for r in run_command(spark, path, "SHOW SCHEMA").collect()}
+    assert rows["s"]["kind"] == "struct"
+    assert rows["s.xs"]["kind"] == "array"
+    assert rows["s.xs.element"]["kind"] == "integer"
+    assert rows["m.key"]["kind"] == "string" and rows["m.key"]["nullable"] is False
+    assert rows["m.value"]["kind"] == "integer"
+    assert rows["s.a"]["depth"] == 1 and rows["k"]["depth"] == 0
+
+
+def test_show_info_and_help(spark, table_path):
+    info = {r["key"]: r["value"] for r in tools.run_command(spark, table_path, "SHOW INFO").collect()}
+    m_rows = int(info["rows"])
+    assert m_rows > 0
+    assert int(info["n_files"]) >= 2
+    assert int(info["n_stripes"]) >= int(info["n_files"])
+    assert info["checksum_type"] == "SHA256"
+    assert int(info["total_bytes"]) > 0
+    assert tools.run_command(spark, table_path, "HELP").count() >= 5
+
+
+def test_show_streams_stripe_scoped(spark, table_path):
+    """SHOW STREAMS [STRIPE s]: the chunk view scoped to one global
+    stripe ordinal (the reference's per-stripe stream listing)."""
+    all_chunks = tools.run_command(spark, table_path, "SHOW STREAMS").collect()
+    one = tools.run_command(spark, table_path, "SHOW STREAMS STRIPE 1").collect()
+    assert 0 < len(one) < len(all_chunks)
+    assert len({(r["file"], r["stripe"]) for r in one}) == 1
+    with pytest.raises(ValueError):
+        tools.run_command(spark, table_path, "SHOW STREAMS STRIPE 9999")
