@@ -247,8 +247,11 @@ def compact_table(
             os.path.join(path, out_name), path, stat_cols
         )
 
-    # Splice: untouched entries verbatim at their positions, each
-    # merged entry at its bin's first-member position.
+    # Splice: untouched entries keep their positions (verbatim when
+    # their stats are complete, re-described from the footer when a
+    # legacy entry lacks them — same completeness rule as the
+    # incremental build's reuse filter); each merged entry takes its
+    # bin's first-member position.
     merged_away = {os.path.normpath(f["path"]) for b in bins for f in b}
     files_info: list[dict] = []
     for f in m["files"]:
@@ -256,8 +259,21 @@ def compact_table(
         if rel in merged_entry_at:
             files_info.append(merged_entry_at[rel])
         elif rel not in merged_away:
-            files_info.append(f)
+            if "nulls" in f and "min" in f:
+                files_info.append(f)
+            else:  # legacy/partial entry: re-read its footer
+                files_info.append(
+                    _describe_parquet_file(os.path.join(path, rel), path, stat_cols)
+                )
 
+    # The commit log, CHECK constraints, and column attributes carry
+    # forward: a compaction is a physical rewrite, not a new table.
+    # Streaming offsets (commit indices) stay valid — replays of
+    # windows whose files were merged away fail LOUDLY via
+    # resolve_historical_file until vacuum, like any rewrite — and
+    # appends keep validating the table's constraints. The compaction
+    # itself logs a commit recording what it added and removed.
+    prior_commits = list(m.get("commits", []))
     new_m = {
         "format_version": 1,
         "schema": m["schema"],
@@ -272,17 +288,36 @@ def compact_table(
             "compaction.bins": str(len(bins)),
         },
         "write_stats": dict(m.get("write_stats", {}), **_layout_stats(files_info)),
+        "commits": prior_commits
+        + [
+            {
+                "commit": len(prior_commits),
+                "mode": "compact",
+                "files_added": len(merged_entry_at),
+                "files_removed": len(merged_away),
+                "removed": sorted(merged_away),
+                "rows_added": 0,
+                "files": sorted(e["path"] for e in merged_entry_at.values()),
+            }
+        ],
     }
+    if m.get("constraints"):
+        new_m["constraints"] = m["constraints"]
     _write_manifest(path, new_m)  # ATOMIC commit point
 
-    # Only after the publish: remove the merged-away sources. A crash
-    # mid-loop strands some as unreferenced debris (vacuum reclaims);
-    # the live manifest never references them again either way.
+    # Only after the publish: tombstone the merged-away sources into
+    # the retention trash (same discipline as merge.py — snapshots and
+    # CDC replays spanning the compaction stay readable until VACUUM).
+    # A crash mid-loop strands some at their original paths, where
+    # historical reads still resolve them; the live manifest never
+    # references them again either way.
+    trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
+    os.makedirs(trash, exist_ok=True)
     for b in bins:
         for f in b:
             src = os.path.join(path, f["path"])
             try:
-                os.remove(src)
+                os.rename(src, os.path.join(trash, os.path.basename(src)))
             except OSError:
                 pass  # already gone — harmless
             crc = os.path.join(os.path.dirname(src), f".{os.path.basename(src)}.crc")

@@ -409,12 +409,10 @@ class NimbleWriter(DataSourceArrowWriter):
         # write phase holds no lock; only commits serialize).
         self.job_token = _uuid.uuid4().hex[:12]
         os.makedirs(path, exist_ok=True)
-        if overwrite:
-            # clear previous generation up front (driver-side, before
-            # any executor writes land)
-            for f in os.listdir(path):
-                if f.endswith(".parquet"):
-                    os.remove(os.path.join(path, f))
+        # NOTE: mode=overwrite clears the previous generation inside the
+        # LOCKED commit, not here — staging the new generation alongside
+        # the old keeps the table readable (manifest-true readers see
+        # the old version) until the atomic manifest publish.
 
     def write(self, iterator) -> NimbleWriteMessage:
         import uuid as _uuid
@@ -460,25 +458,45 @@ class NimbleWriter(DataSourceArrowWriter):
         )
 
         committed = {m.rel_path for m in messages if m is not None and m.rel_path}
+
+        reuse: dict = {}
+        prior_commits: list = []
+        prior_files: set = set()
+        if not self.overwrite:
+            try:
+                prior = read_manifest(self.path)
+                reuse = {e["path"]: e for e in prior["files"] if "nulls" in e}
+                prior_files = {e["path"] for e in prior["files"]}
+                prior_commits = list(prior.get("commits", []))
+            except (OSError, ValueError, KeyError):
+                pass
+
         # Drop OUR OWN failed/retried task attempts that never
         # committed — matched by this job's token prefix, so a
         # concurrent job's in-flight files are never touched (they are
         # invisible to the manifest-true readers and, if their job
         # dies, vacuum_table's age-gated debris sweep reclaims them).
+        # Same-token files in the PRIOR manifest are earlier
+        # micro-batches of the streaming sink (one delegate writer —
+        # one token — serves every batch) and must survive.
         mine = f"pyds-{self.job_token}-"
         for f in os.listdir(self.path):
-            if f.startswith(mine) and f.endswith(".parquet") and f not in committed:
+            if (
+                f.startswith(mine)
+                and f.endswith(".parquet")
+                and f not in committed
+                and f not in prior_files
+            ):
                 os.remove(os.path.join(self.path, f))
 
-        reuse: dict = {}
-        prior_commits: list = []
-        if not self.overwrite:
-            try:
-                prior = read_manifest(self.path)
-                reuse = {e["path"]: e for e in prior["files"] if "nulls" in e}
-                prior_commits = list(prior.get("commits", []))
-            except (OSError, ValueError, KeyError):
-                pass
+        if self.overwrite:
+            # Clear the previous generation INSIDE the locked commit:
+            # everything but this job's committed files goes (overwrite
+            # replaces the table wholesale; staging happened alongside
+            # the old generation, which stayed readable until here).
+            for f in os.listdir(self.path):
+                if f.endswith(".parquet") and f not in committed:
+                    os.remove(os.path.join(self.path, f))
 
         import pyarrow.parquet as pq
 
@@ -491,23 +509,30 @@ class NimbleWriter(DataSourceArrowWriter):
             if any_file is None
             else _arrow_to_spark_schema(pq.read_schema(schema_src))
         )
-        # Exclude stray pyds files from the manifest build: a
-        # CONCURRENT job's in-flight staged files (different token,
-        # not yet committed — possibly half-written, so describing
-        # them could even fail) and crashed jobs' leftovers. They stay
-        # on disk for their own commit or vacuum's age-gated sweep;
-        # they must simply not enter OUR manifest.
+        # Exclude stray files from the manifest build: a CONCURRENT
+        # job's in-flight staged files (not yet committed — possibly
+        # half-written, so describing them could even fail), crashed
+        # jobs' leftovers, and a crashed compaction's staged merge
+        # outputs. They stay on disk for their own commit or vacuum's
+        # age-gated sweep; they must simply not enter OUR manifest.
         stray = {
             f
             for f in os.listdir(self.path)
-            if f.startswith("pyds-")
-            and f.endswith(".parquet")
-            and f not in committed
-            and f not in reuse
+            if f.endswith(".parquet") and f not in committed and f not in prior_files
         }
         manifest = _build_manifest(
             None, spark_schema, self.path, WriteOptions(), {}, reuse=reuse, exclude=stray
         )
+        # A concurrent OVERWRITE may have swept our staged files before
+        # this commit ran (overwrite replaces the table wholesale).
+        # Refuse to publish a silent partial result — fail loudly.
+        produced = {f["path"] for f in manifest["files"]}
+        missing = committed - produced
+        if missing:
+            raise RuntimeError(
+                f"commit lost {len(missing)} staged files (concurrent "
+                f"overwrite replaced the table?): {sorted(missing)[:3]}…"
+            )
         # writer runtime stats parity with write_table (SHOW WRITE STATS)
         from nimble_spark.sources.table import _layout_stats
 

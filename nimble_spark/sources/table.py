@@ -306,7 +306,27 @@ def _write_table_locked(
     write_wall_ms = int((time.monotonic() - t0) * 1000)
 
     t1 = time.monotonic()
-    manifest = _build_manifest(spark, df.schema, path, opts, index_meta, reuse=reuse)
+    # Exclude staged strays from the directory scan: a concurrent
+    # DataSource job's in-flight pyds-* files (its write phase holds
+    # no lock; possibly half-written) and a crashed compaction's
+    # orphaned compact-* merge output — describing them could fail,
+    # and adopting them would publish rows that were never committed
+    # (phantom duplicates). They belong to their own commit, or to
+    # vacuum's age-gated sweep.
+    try:
+        prior_paths = {f["path"] for f in read_manifest(path)["files"]}
+    except (OSError, KeyError, ValueError):
+        prior_paths = set()
+    stray = {
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+        and (f.startswith("pyds-") or f.startswith("compact-"))
+        and f not in prior_paths
+    }
+    manifest = _build_manifest(
+        spark, df.schema, path, opts, index_meta, reuse=reuse, exclude=stray
+    )
     stats_wall_ms = int((time.monotonic() - t1) * 1000)
     # Writer runtime stats — the VeloxWriter::RunStats analogue
     # (dwio/nimble/velox/VeloxWriter.h:78-115: flush/encode CPU+wall,

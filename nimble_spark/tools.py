@@ -440,7 +440,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW FILES |
       SHOW STRIPES | SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
-      SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | VACUUM | HELP |
+      SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | VACUUM [MIN AGE n] | HELP |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
       SELECT col[,col...] [LIMIT n] [OFFSET n] [STRIPE s] (any clause order)
@@ -472,15 +472,24 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         if m.group(1) is None:
             return df
         target = int(m.group(1))
-        stripes = show_stripes(spark, path).collect()
-        match = [r for r in stripes if r["ordinal"] == target]
-        if not match:
-            raise ValueError(f"stripe {target} out of range (table has {len(stripes)} stripes)")
+        # locate (file, per-file stripe) from the manifest's per-file
+        # row-group counts — zero footer reads, any table size
+        mf = read_manifest(path)
+        ordinal = 0
+        hit = None
+        for f in mf["files"]:
+            n = f.get("row_groups", 0)
+            if ordinal + n > target:
+                hit = (f["path"], target - ordinal)
+                break
+            ordinal += n
+        if hit is None:
+            raise ValueError(
+                f"stripe {target} out of range (table has {ordinal + 0} stripes)"
+            )
         from pyspark.sql import functions as F
 
-        return df.filter(
-            (F.col("file") == match[0]["file"]) & (F.col("stripe") == match[0]["stripe"])
-        )
+        return df.filter((F.col("file") == hit[0]) & (F.col("stripe") == hit[1]))
     if u == "HELP":
         cmds = run_command.__doc__.split("\n\n")[1].split("\n")
         return spark.createDataFrame(
@@ -509,12 +518,17 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return spark.createDataFrame(
             rows or [(None, None)], "name STRING, expression STRING"
         ).filter("name IS NOT NULL")
-    if u == "VACUUM":
+    m = re.match(r"VACUUM(?:\s+MIN\s+AGE\s+(\d+))?$", c, re.I)
+    if m:
+        # VACUUM [MIN AGE seconds] — default grace 600 s protects a
+        # concurrent write's staged files; MIN AGE 0 forces the sweep
+        # when no writer can be in flight.
         from pyspark.sql import functions as F
 
         from nimble_spark.sources.compaction import vacuum_table
 
-        removed = vacuum_table(path)
+        kwargs = {"min_age_s": float(m.group(1))} if m.group(1) is not None else {}
+        removed = vacuum_table(path, **kwargs)
         return spark.createDataFrame(
             [(r,) for r in removed] or [(None,)], "removed_file STRING"
         ).filter(F.col("removed_file").isNotNull())

@@ -309,3 +309,42 @@ def test_manifest_cache_one_parse_per_version(spark, tmpdir, monkeypatch):
     read_manifest(path)
     assert parses["n"] - before == 1
     assert m2["rows"] == m1["rows"] + 5
+
+
+def test_stream_sink_multi_batch_keeps_prior_batches(spark, tmpdir):
+    """The streaming SINK shares one writer (one job token) across
+    micro-batches: batch N's commit-time debris sweep must not delete
+    batch N-1's committed files (they match the token but live in the
+    prior manifest). Drives a throttled nimble→nimble pipe so the sink
+    commits 3 separate batches, then checks every batch's rows
+    survived."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    src_path = f"{tmpdir}/sink_src"
+    dst_path = f"{tmpdir}/sink_dst"
+    ckpt = f"{tmpdir}/sink_ckpt"
+    _small_table(spark, src_path, n=100)
+    _append(spark, src_path, 100, 200)
+    _append(spark, src_path, 200, 300)
+    register_nimble_source(spark)
+
+    q = (
+        spark.readStream.format("nimble")
+        .option("maxCommitsPerTrigger", "1")
+        .load(src_path)
+        .writeStream.format("nimble")
+        .option("path", dst_path)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    m = read_manifest(dst_path)
+    assert m["rows"] == 300
+    assert len(m.get("commits", [])) == 3  # one commit per micro-batch
+    out = read_table(spark, dst_path)
+    assert out.count() == 300
+    assert out.select("k").distinct().count() == 300
+    for f in m["files"]:
+        assert os.path.exists(os.path.join(dst_path, f["path"]))

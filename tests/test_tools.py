@@ -365,3 +365,20 @@ def test_show_streams_stripe_scoped(spark, table_path):
     assert len({(r["file"], r["stripe"]) for r in one}) == 1
     with pytest.raises(ValueError):
         tools.run_command(spark, table_path, "SHOW STREAMS STRIPE 9999")
+
+
+def test_vacuum_min_age_dsl(spark, tmpdir):
+    """VACUUM [MIN AGE n]: plain VACUUM respects the 600 s grace for
+    fresh root debris; MIN AGE 0 forces the sweep."""
+    import shutil as _sh
+
+    from nimble_spark.sources.table import read_manifest
+
+    path = f"{tmpdir}/vac_age"
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    m = write_table(src, path, WriteOptions())
+    _sh.copy(f"{path}/{m['files'][0]['path']}", f"{path}/zz-fresh-debris.parquet")
+    assert tools.run_command(spark, path, "VACUUM").count() == 0  # grace skips it
+    removed = [r["removed_file"] for r in tools.run_command(spark, path, "VACUUM MIN AGE 0").collect()]
+    assert removed == ["zz-fresh-debris.parquet"]
+    assert read_manifest(path)["rows"] == src.count()
