@@ -293,6 +293,14 @@ def compact_table(
             {
                 "commit": len(prior_commits),
                 "mode": "compact",
+                # data_change=False: the commit rewrites bytes, not rows
+                # (same marker as Delta's OPTIMIZE). Snapshot replays
+                # APPLY it (files + removed reconstruct the post-compact
+                # layout); CDC/stream consumers SKIP it — re-emitting
+                # 100 TB of unchanged rows through every downstream
+                # stream because the layout changed would be the scale
+                # anti-pattern.
+                "data_change": False,
                 "files_added": len(merged_entry_at),
                 "files_removed": len(merged_away),
                 "removed": sorted(merged_away),

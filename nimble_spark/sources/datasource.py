@@ -354,6 +354,10 @@ class NimbleStreamReader(DataSourceStreamReader):
         added = [
             f
             for c in commits[start["commit"] + 1 : end["commit"] + 1]
+            # data_change=False commits (compaction) rewrite bytes, not
+            # rows — a stream must not re-emit the whole table because
+            # the layout changed (Delta-OPTIMIZE semantics).
+            if c.get("data_change", True)
             for f in c.get("files", [])
         ]
         resolved = [resolve_historical_file(self.path, f) for f in added]

@@ -1025,9 +1025,12 @@ def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame
     additions, so an incremental consumer reads exactly the new files
     — cost O(changed data), never O(table) — the CDC pattern a 100 TB
     pipeline needs for continuous training-data refresh. A merge or
-    compaction re-adds its rewritten rows as changes (consumers
-    dedupe by key downstream, standard upsert-feed semantics); files
-    from the requested window that were later merged away raise
+    update re-adds its rewritten rows as changes (consumers dedupe by
+    key downstream, standard upsert-feed semantics); a COMPACTION is
+    skipped entirely — its commit carries ``data_change: false``
+    (Delta-OPTIMIZE semantics: bytes moved, no row changed), so the
+    feed never re-delivers the whole table because the layout changed.
+    Files from the requested window that were later merged away raise
     rather than silently under-delivering."""
     manifest = read_manifest(path)
     commits = manifest.get("commits", [])
@@ -1035,7 +1038,12 @@ def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame
         raise ValueError(
             f"since_commit {since_commit} out of range (have {len(commits)} commits)"
         )
-    added = [f for c in commits[since_commit + 1 :] for f in c.get("files", [])]
+    added = [
+        f
+        for c in commits[since_commit + 1 :]
+        if c.get("data_change", True)
+        for f in c.get("files", [])
+    ]
     resolved = [resolve_historical_file(path, f) for f in added]
     missing = [f for f, r in zip(added, resolved) if r is None]
     if missing:

@@ -348,3 +348,56 @@ def test_stream_sink_multi_batch_keeps_prior_batches(spark, tmpdir):
     assert out.select("k").distinct().count() == 300
     for f in m["files"]:
         assert os.path.exists(os.path.join(dst_path, f["path"]))
+
+
+def test_compaction_is_not_a_data_change(spark, tmpdir):
+    """A compaction rewrites bytes, not rows (Delta-OPTIMIZE
+    semantics): its commit carries data_change=false, so (a) the CDC
+    feed and a live stream across it emit NOTHING new, while (b) a
+    snapshot AT the compact commit still reconstructs the full table
+    (files + removed are applied), and (c) a stream that was BEHIND
+    the compaction still replays the pre-compact commits from the
+    tombstoned trash copies."""
+    from nimble_spark.sources.compaction import compact_table
+    from nimble_spark.sources.datasource import register_nimble_source
+    from nimble_spark.sources.table import read_changes
+
+    path = f"{tmpdir}/compact_cdc"
+    _small_table(spark, path, n=100)
+    _append(spark, path, 100, 200)
+    _append(spark, path, 200, 300)
+    pre = len(read_manifest(path).get("commits", []))
+
+    summary = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert summary["files_after"] < summary["files_before"]
+    m = read_manifest(path)
+    commits = m.get("commits", [])
+    assert len(commits) == pre + 1
+    assert commits[-1]["mode"] == "compact"
+    assert commits[-1]["data_change"] is False
+
+    # (a) CDC feed: nothing changed since the last data commit
+    assert read_changes(spark, path, since_commit=pre - 1).count() == 0
+
+    # (b) snapshot at the compact commit == the live table
+    snap = read_table(spark, path, as_of_commit=len(commits) - 1)
+    assert snap.count() == 300
+
+    # (c) a stream starting from scratch replays the 3 DATA commits
+    # (from trash tombstones) and skips the compact commit entirely
+    register_nimble_source(spark)
+    out = f"{tmpdir}/compact_cdc_out"
+    q = (
+        spark.readStream.format("nimble")
+        .option("maxCommitsPerTrigger", "1")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmpdir}/compact_cdc_ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 300  # no re-emission of compacted rows
+    assert got.select("k").distinct().count() == 300
