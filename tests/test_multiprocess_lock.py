@@ -1,0 +1,118 @@
+"""Cross-PROCESS drills for table_write_lock.
+
+The thread-based stress tests (test_concurrency_stress.py) share one
+interpreter; the lock's real job is serializing SEPARATE writer
+processes on shared storage (driver A and driver B both committing to
+the same table path). These drills run real child processes — no Spark
+needed, the lock is pure file ops — and check the two properties every
+commit depends on:
+
+  * mutual exclusion: N processes × M read-modify-write cycles on a
+    shared counter lose no update (a lost update here IS the lost
+    commit the lock exists to prevent);
+  * stale-lock break is race-free: many waiters confronted with the
+    same crashed-writer lockfile elect exactly one breaker (the atomic
+    rename tombstone), and still serialize correctly afterwards.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+
+
+def _hammer(path: str, counter: str, cycles: int) -> None:
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from nimble_spark.sources.table import table_write_lock
+
+    for _ in range(cycles):
+        with table_write_lock(path):
+            with open(counter) as f:
+                n = json.load(f)["n"]
+            # non-atomic read-modify-write: only the lock protects it
+            with open(counter + ".tmp", "w") as f:
+                json.dump({"n": n + 1}, f)
+            os.replace(counter + ".tmp", counter)
+
+
+def test_lock_mutual_exclusion_across_processes(tmpdir):
+    path = f"{tmpdir}/mp_lock"
+    os.makedirs(path, exist_ok=True)
+    counter = os.path.join(path, "counter.json")
+    with open(counter, "w") as f:
+        json.dump({"n": 0}, f)
+
+    nproc, cycles = 8, 25
+    ctx = mp.get_context("spawn")  # fresh interpreters, like real drivers
+    procs = [
+        ctx.Process(target=_hammer, args=(path, counter, cycles))
+        for _ in range(nproc)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+    with open(counter) as f:
+        assert json.load(f)["n"] == nproc * cycles  # zero lost updates
+
+
+def _break_and_hammer(path: str, counter: str, barrier_dir: str) -> None:
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from nimble_spark.sources.table import table_write_lock
+
+    # crude start barrier: wait until every sibling has registered, so
+    # all waiters confront the stale lockfile TOGETHER
+    open(os.path.join(barrier_dir, f"ready-{os.getpid()}"), "w").close()
+    while len(os.listdir(barrier_dir)) < 6:
+        time.sleep(0.01)
+    with table_write_lock(path, stale_s=0.5):
+        with open(counter) as f:
+            n = json.load(f)["n"]
+        with open(counter + ".tmp", "w") as f:
+            json.dump({"n": n + 1}, f)
+        os.replace(counter + ".tmp", counter)
+
+
+def test_stale_lock_break_elects_one_winner_across_processes(tmpdir):
+    """A crashed writer's lockfile (old mtime) faces 6 fresh waiter
+    processes at once. The atomic rename-to-tombstone break must let
+    exactly one in at a time — the counter ends at exactly 6."""
+    import time
+
+    path = f"{tmpdir}/mp_stale"
+    os.makedirs(os.path.join(path, "_nimble"), exist_ok=True)
+    counter = os.path.join(path, "counter.json")
+    with open(counter, "w") as f:
+        json.dump({"n": 0}, f)
+
+    # plant the crashed writer's stale lock
+    from nimble_spark.sources.table import table_write_lock
+
+    probe = table_write_lock(path)
+    with open(probe.lock_path, "w") as f:
+        f.write("crashed-writer")
+    old = time.time() - 3600
+    os.utime(probe.lock_path, (old, old))
+
+    barrier_dir = f"{tmpdir}/mp_stale_barrier"
+    os.makedirs(barrier_dir, exist_ok=True)
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_break_and_hammer, args=(path, counter, barrier_dir))
+        for _ in range(6)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+    with open(counter) as f:
+        assert json.load(f)["n"] == 6
+    assert not os.path.exists(probe.lock_path)  # released, not stranded
