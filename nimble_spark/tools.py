@@ -433,13 +433,27 @@ def show_trash(spark: SparkSession, path: str) -> DataFrame:
     ).filter("file IS NOT NULL")
 
 
+def _locate_stripe(path: str, target: int) -> tuple[str, int]:
+    """Map a global stripe ordinal to (file, per-file stripe) from the
+    manifest's per-file row-group counts — zero footer reads, any
+    table size."""
+    mf = read_manifest(path)
+    ordinal = 0
+    for f in mf["files"]:
+        n = f.get("row_groups", 0)
+        if ordinal + n > target:
+            return (f["path"], target - ordinal)
+        ordinal += n
+    raise ValueError(f"stripe {target} out of range (table has {ordinal} stripes)")
+
+
 def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     """Dispatch one DSL command string (the NimbleDSL VM analogue,
     dwio/nimble/tools/NimbleDslVm.cpp):
 
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW FILES |
       SHOW STRIPES | SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
-      SHOW ENCODING | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
+      SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | VACUUM [MIN AGE n] | HELP |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
@@ -447,7 +461,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     """
     import re
 
-    c = command.strip()
+    # trailing semicolons/commas are optional (docs/NimbleDSL.md)
+    c = command.strip().rstrip(";,").strip()
     u = c.upper()
     if u == "DESCRIBE":
         return describe(spark, path)
@@ -461,32 +476,18 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_files(spark, path)
     if u == "SHOW STRIPES":
         return show_stripes(spark, path)
-    m = re.match(r"SHOW (?:CHUNKS|STREAMS)(?:\s+STRIPE\s+(\d+))?$", c, re.I)
+    m = re.match(r"SHOW (CHUNKS|STREAMS|ENCODINGS?)(?:\s+STRIPE\s+(\d+))?$", c, re.I)
     if m:
         # SHOW STREAMS ≡ SHOW CHUNKS: the reference's stream-level view
         # maps to parquet column chunks (docs/NimbleDSL.md SHOW STREAMS
-        # [STRIPE s]); the optional filter scopes to one global stripe
-        # ordinal — the same number SELECT … STRIPE and SHOW STRIPES'
-        # `ordinal` use.
-        df = show_chunks(spark, path)
-        if m.group(1) is None:
+        # [STRIPE s] / SHOW ENCODING [STRIPE s]); the optional filter
+        # scopes to one global stripe ordinal — the same number
+        # SELECT … STRIPE and SHOW STRIPES' `ordinal` use.
+        kind = m.group(1).upper()
+        df = show_encodings(spark, path) if kind.startswith("ENCODING") else show_chunks(spark, path)
+        if m.group(2) is None:
             return df
-        target = int(m.group(1))
-        # locate (file, per-file stripe) from the manifest's per-file
-        # row-group counts — zero footer reads, any table size
-        mf = read_manifest(path)
-        ordinal = 0
-        hit = None
-        for f in mf["files"]:
-            n = f.get("row_groups", 0)
-            if ordinal + n > target:
-                hit = (f["path"], target - ordinal)
-                break
-            ordinal += n
-        if hit is None:
-            raise ValueError(
-                f"stripe {target} out of range (table has {ordinal + 0} stripes)"
-            )
+        hit = _locate_stripe(path, int(m.group(2)))
         from pyspark.sql import functions as F
 
         return df.filter((F.col("file") == hit[0]) & (F.col("stripe") == hit[1]))
@@ -496,8 +497,6 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
             [(x.strip().rstrip("|").strip(),) for x in cmds if x.strip()],
             "commands STRING",
         )
-    if u in ("SHOW ENCODING", "SHOW ENCODINGS"):
-        return show_encodings(spark, path)
     if u == "SHOW INDEX":
         return show_index(spark, path)
     if u == "SHOW METRICS":
@@ -579,15 +578,38 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
 
 
 def main() -> None:  # pragma: no cover - thin CLI
-    """`python -m nimble_spark.tools <table-path> "<command>"` — the
-    inspection REPL's one-shot mode."""
+    """The NimbleDSL CLI (docs/NimbleDSL.md `./nimble_dsl -- <file>`):
+
+      python -m nimble_spark.tools <table-path>               # REPL
+      python -m nimble_spark.tools <table-path> "<command>"   # one-shot
+
+    The REPL matches the reference's ergonomics: `nimble>` prompt,
+    case-insensitive commands, optional trailing semicolons/commas,
+    HELP for a summary, QUIT / EXIT / Ctrl-D to leave, and errors
+    printed without killing the session."""
     import sys
 
     from nimble_spark.session import get_spark
 
-    path, command = sys.argv[1], " ".join(sys.argv[2:]) or "DESCRIBE"
+    path = sys.argv[1]
     spark = get_spark("nimble-dsl")
-    run_command(spark, path, command).show(100, truncate=False)
+    command = " ".join(sys.argv[2:])
+    if command:
+        run_command(spark, path, command).show(100, truncate=False)
+        return
+    while True:
+        try:
+            line = input("nimble> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        if line.strip().rstrip(";,").strip().upper() in ("QUIT", "EXIT"):
+            break
+        try:
+            run_command(spark, path, line).show(100, truncate=False)
+        except Exception as exc:  # surface, keep the session alive
+            print(f"error: {exc}")
 
 
 if __name__ == "__main__":  # pragma: no cover

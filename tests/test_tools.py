@@ -382,3 +382,39 @@ def test_vacuum_min_age_dsl(spark, tmpdir):
     removed = [r["removed_file"] for r in tools.run_command(spark, path, "VACUUM MIN AGE 0").collect()]
     assert removed == ["zz-fresh-debris.parquet"]
     assert read_manifest(path)["rows"] == src.count()
+
+
+def test_show_encoding_stripe_scoped_and_trailing_semicolon(spark, table_path):
+    """SHOW ENCODING [STRIPE s] (docs/NimbleDSL.md) scopes the encoding
+    tree to one global stripe ordinal; trailing semicolons/commas are
+    optional on every command."""
+    full = tools.run_command(spark, table_path, "SHOW ENCODING;").collect()
+    assert len(full) > 0
+    one = tools.run_command(spark, table_path, "show encoding stripe 0 ;").collect()
+    assert 0 < len(one) < len(full)
+    assert len({(r["file"], r["stripe"]) for r in one}) == 1
+    # the scoped rows are exactly the full rows for that (file, stripe)
+    f0, s0 = one[0]["file"], one[0]["stripe"]
+    assert len([r for r in full if r["file"] == f0 and r["stripe"] == s0]) == len(one)
+    with pytest.raises(ValueError):
+        tools.run_command(spark, table_path, "SHOW ENCODING STRIPE 9999")
+    assert tools.run_command(spark, table_path, "DESCRIBE;").count() > 0
+
+
+def test_repl_loop(spark, table_path, monkeypatch, capsys):
+    """The interactive REPL: prompts, dispatches, prints errors without
+    dying, and exits on QUIT (case-insensitive, trailing ;)."""
+    import sys
+
+    import nimble_spark.tools as tools_mod
+
+    lines = iter(["DESCRIBE", "SHOW BOGUS", "", "quit;"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
+    monkeypatch.setattr(sys, "argv", ["tools", table_path])
+    monkeypatch.setattr(
+        "nimble_spark.session.get_spark", lambda name=None: spark
+    )
+    tools_mod.main()
+    out = capsys.readouterr().out
+    assert "column" in out or "name" in out  # DESCRIBE table printed
+    assert "error:" in out  # SHOW BOGUS surfaced, session survived
