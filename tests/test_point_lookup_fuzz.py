@@ -1,0 +1,116 @@
+"""Randomized differential fuzz for the POINT-LOOKUP index paths.
+
+test_filter_fuzz.py drills the pushdown scan; this drills the other
+read entry point — ``read_table(point_lookup=(key, values))`` — across
+every index layout that serves it, against DuckDB ``WHERE k IN (...)``
+over the same parquet files:
+
+  * hash-bucketed (bucket directory pruning + residual),
+  * sorted secondary index (index scan → exact file list),
+  * bloom sidecar over unsorted data (probe-or-keep, never drop),
+  * clustered min/max pruning (the fallback when no bloom matches).
+
+The key sets are hypothesis-generated mixes of present keys, absent
+keys, and file-boundary values — the generator's reach is the point: a
+wrong bucket computation, a stale sorted-index fence, an over-eager
+bloom skip, or an off-by-one in min/max pruning each loses rows
+relative to the oracle.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nimble_spark.sources.table import (
+    WriteOptions,
+    create_sorted_index,
+    read_table,
+    write_table,
+)
+
+# duplicates, negatives, and exact cluster-file boundary keys
+_KEYS = [-5, -1, 0, 1, 3, 3, 7, 12, 19, 20, 20, 42]
+_SCHEMA = "k LONG, payload STRING"
+
+
+@pytest.fixture(scope="module")
+def lookup_tables(spark):
+    d = tempfile.mkdtemp(prefix="nimble_pl_fuzz_")
+    rows = [(k, f"p{k}_{i}") for i, k in enumerate(_KEYS)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+
+    paths = {}
+    paths["hash"] = f"{d}/hash"
+    write_table(df, paths["hash"], WriteOptions(bucket_by="k", n_buckets=4))
+
+    paths["sorted"] = f"{d}/sorted"
+    write_table(df, paths["sorted"], WriteOptions(cluster_by=["k"], n_cluster_files=3))
+    create_sorted_index(spark, paths["sorted"], "k")
+
+    paths["bloom"] = f"{d}/bloom"
+    from nimble_spark.sources.bloom import build_bloom_sidecar
+
+    # unsorted 3-file layout: min/max spans everything, bloom is the
+    # only mechanism that can skip a file
+    write_table(df.repartition(3), paths["bloom"], WriteOptions())
+    build_bloom_sidecar(spark, paths["bloom"], "k")
+
+    paths["cluster"] = f"{d}/cluster"
+    write_table(df, paths["cluster"], WriteOptions(cluster_by=["k"], n_cluster_files=3))
+
+    yield paths
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _oracle(path: str, values: list[int]) -> list[tuple]:
+    import os
+
+    from nimble_spark.sources.table import read_manifest
+
+    files = [os.path.join(path, f["path"]) for f in read_manifest(path)["files"]]
+    con = duckdb.connect()
+    try:
+        vs = ", ".join(str(v) for v in values)
+        fl = ", ".join(f"'{f}'" for f in files)
+        return sorted(
+            con.execute(
+                f"SELECT k, payload FROM read_parquet([{fl}]) WHERE k IN ({vs})"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+
+
+_KEYSETS = st.lists(
+    st.one_of(
+        st.sampled_from(_KEYS),  # present
+        st.integers(min_value=-30, max_value=60),  # mostly absent
+    ),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=_KEYSETS)
+def test_point_lookup_matches_oracle_all_layouts(spark, lookup_tables, values):
+    for layout, path in lookup_tables.items():
+        got = sorted(
+            tuple(r)
+            for r in read_table(spark, path, point_lookup=("k", values))
+            .select("k", "payload")
+            .collect()
+        )
+        want = _oracle(path, values)
+        assert got == want, f"layout={layout} values={values}"
