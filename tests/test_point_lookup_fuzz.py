@@ -114,3 +114,130 @@ def test_point_lookup_matches_oracle_all_layouts(spark, lookup_tables, values):
         )
         want = _oracle(path, values)
         assert got == want, f"layout={layout} values={values}"
+
+
+# ---------------------------------------------------------------- strings
+
+_SKEYS = ["", "a", "abc", "é", "zz", "a", "m1", "m2", "boundary", "ZZZ"]
+
+
+@pytest.fixture(scope="module")
+def string_tables(spark):
+    """String keys hash differently (xxhash64 over UTF-8 bytes for
+    buckets, the JVM bloom hash for sidecars) — a distinct bug class
+    from longs, so the same drill runs on a string-keyed corpus
+    (empty string, unicode, case variants)."""
+    d = tempfile.mkdtemp(prefix="nimble_pls_fuzz_")
+    rows = [(k, f"p{i}") for i, k in enumerate(_SKEYS)]
+    df = spark.createDataFrame(rows, "k STRING, payload STRING")
+
+    paths = {}
+    paths["hash"] = f"{d}/hash"
+    write_table(df, paths["hash"], WriteOptions(bucket_by="k", n_buckets=3))
+
+    paths["bloom"] = f"{d}/bloom"
+    from nimble_spark.sources.bloom import build_bloom_sidecar
+
+    write_table(df.repartition(3), paths["bloom"], WriteOptions())
+    build_bloom_sidecar(spark, paths["bloom"], "k")
+
+    yield paths
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _oracle_str(path: str, values: list[str]) -> list[tuple]:
+    import os
+
+    from nimble_spark.sources.table import read_manifest
+
+    files = [os.path.join(path, f["path"]) for f in read_manifest(path)["files"]]
+    con = duckdb.connect()
+    try:
+        fl = ", ".join(f"'{f}'" for f in files)
+        vs = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+        return sorted(
+            con.execute(
+                f"SELECT k, payload FROM read_parquet([{fl}]) WHERE k IN ({vs})"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+
+
+_SKEYSETS = st.lists(
+    st.one_of(
+        st.sampled_from(_SKEYS),
+        st.sampled_from(["missing", "A", "ab", "éé", "z", "0"]),
+    ),
+    min_size=1,
+    max_size=5,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=_SKEYSETS)
+def test_string_point_lookup_matches_oracle(spark, string_tables, values):
+    for layout, path in string_tables.items():
+        got = sorted(
+            tuple(r)
+            for r in read_table(spark, path, point_lookup=("k", values))
+            .select("k", "payload")
+            .collect()
+        )
+        assert got == _oracle_str(path, values), f"layout={layout} values={values}"
+
+
+# ---------------------------------------------------------------- range scan
+
+
+_BOUNDS = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-30, max_value=60)),
+    st.one_of(st.none(), st.integers(min_value=-30, max_value=60)),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(bounds=_BOUNDS)
+def test_range_scan_matches_oracle(spark, lookup_tables, bounds):
+    """range_scan=(k, lo, hi): cluster-index file pruning + residual,
+    inclusive bounds, None = open end — vs DuckDB BETWEEN over the
+    same files. Open/closed/empty/inverted ranges all generated."""
+    import os
+
+    from nimble_spark.sources.table import read_manifest
+
+    lo, hi = bounds
+    path = lookup_tables["cluster"]
+    got = sorted(
+        tuple(r)
+        for r in read_table(spark, path, range_scan=("k", lo, hi))
+        .select("k", "payload")
+        .collect()
+    )
+    files = [os.path.join(path, f["path"]) for f in read_manifest(path)["files"]]
+    con = duckdb.connect()
+    try:
+        fl = ", ".join(f"'{f}'" for f in files)
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"k >= {lo}")
+        if hi is not None:
+            conds.append(f"k <= {hi}")
+        want = sorted(
+            con.execute(
+                f"SELECT k, payload FROM read_parquet([{fl}]) "
+                f"WHERE {' AND '.join(conds)}"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, f"bounds={bounds}"
