@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 import threading
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nimble_spark.sources.table import (
@@ -123,10 +125,11 @@ def test_crash_between_publish_and_trash_leaves_table_readable(spark, tmpdir, mo
 
 
 def test_compaction_crash_before_source_delete_is_safe(spark, tmpdir, monkeypatch):
-    """compact_table publishes the merged manifest BEFORE deleting the
-    merged-away sources; a crash in the delete loop leaves the table
-    reading the compacted state exactly, with the stragglers as
-    vacuum-able debris."""
+    """compact_table publishes the merged manifest BEFORE tombstoning
+    the merged-away sources into trash; a crash in the tombstone loop
+    leaves the table reading the compacted state exactly, with the
+    stragglers still at their original paths (where historical reads
+    resolve them) as vacuum-able debris."""
     import nimble_spark.sources.compaction as comp
 
     path = f"{tmpdir}/compact_crashy"
@@ -136,22 +139,25 @@ def test_compaction_crash_before_source_delete_is_safe(spark, tmpdir, monkeypatc
     before = read_table(spark, path)
     assert before.count() == 600
 
-    real_remove = os.remove
+    real_rename = os.rename
     calls = {"n": 0}
 
-    def crashing_remove(p):
-        if p.endswith(".parquet") and "compact" not in os.path.basename(p):
+    def crashing_rename(src, dst):
+        # sources tombstone via rename into _nimble/trash — crash on
+        # the second move, stranding the rest at their original paths
+        if "/trash/" in dst.replace(os.sep, "/") and src.endswith(".parquet"):
             calls["n"] += 1
             if calls["n"] == 2:
-                raise OSError("simulated crash mid source-delete")
-        return real_remove(p)
+                # NOT OSError: the loop deliberately swallows OSError
+                # per file ("already gone"); a process crash doesn't
+                raise RuntimeError("simulated crash mid tombstone-move")
+        return real_rename(src, dst)
 
-    monkeypatch.setattr(comp.os, "remove", crashing_remove)
-    try:
+    monkeypatch.setattr(comp.os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
         comp.compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
-    except OSError:
-        pass
     monkeypatch.undo()
+    assert calls["n"] == 2  # the simulated crash actually fired
 
     m = read_manifest(path)
     # the publish landed: manifest is the compacted one and fully readable
