@@ -148,6 +148,8 @@ def fast_count(
     if range_filter is None:
         return int(m["rows"])
     key, lo, hi = range_filter
+    # dedup_columns tables: stats live under the stored twin
+    key = m.get("column_aliases", {}).get(key, key)
     full = 0
     boundary: list[dict] = []
     for f in m["files"]:
@@ -311,6 +313,12 @@ def compact_table(
     }
     if m.get("constraints"):
         new_m["constraints"] = m["constraints"]
+    # dedup_columns contract survives a physical rewrite: merged files
+    # are read from (and written with) the stored schema, so the alias
+    # map and logical order stay exactly as recorded.
+    for k in ("column_aliases", "logical_columns"):
+        if m.get(k):
+            new_m[k] = m[k]
     _write_manifest(path, new_m)  # ATOMIC commit point
 
     # Only after the publish: tombstone the merged-away sources into
@@ -354,6 +362,7 @@ def fast_minmax(spark: SparkSession, path: str, col: str):
             "fast_minmax on a table with pending delete masks would "
             "over-report; run compact_deletes first"
         )
+    col = m.get("column_aliases", {}).get(col, col)  # stats under the stored twin
     mins = [f["min"].get(col) for f in m["files"]]
     maxs = [f["max"].get(col) for f in m["files"]]
     if any(v is None for v in mins + maxs) or not mins:

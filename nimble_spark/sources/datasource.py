@@ -466,14 +466,26 @@ class NimbleWriter(DataSourceArrowWriter):
         reuse: dict = {}
         prior_commits: list = []
         prior_files: set = set()
+        aliased = False
         if not self.overwrite:
             try:
                 prior = read_manifest(self.path)
+                aliased = bool(prior.get("column_aliases"))
                 reuse = {e["path"]: e for e in prior["files"] if "nulls" in e}
                 prior_files = {e["path"] for e in prior["files"]}
                 prior_commits = list(prior.get("commits", []))
             except (OSError, ValueError, KeyError):
                 pass
+        if aliased:
+            # dedup_columns tables store a reduced physical schema;
+            # this writer stages full-schema files, which would
+            # produce a mixed layout. write_table (which validates +
+            # drops the aliases) is the append path for such tables.
+            raise ValueError(
+                "append via format('nimble') to a dedup_columns table "
+                "is unsupported; use write_table (it validates and "
+                "applies the column aliases)"
+            )
 
         # Drop OUR OWN failed/retried task attempts that never
         # committed — matched by this job's token prefix, so a

@@ -35,6 +35,20 @@ from nimble_spark.sources.table import (
 )
 
 
+def _reject_aliased(manifest: dict) -> None:
+    """Copy-on-write rewrites read and rewrite raw files; a table
+    stored with dedup_columns omits its duplicate columns physically,
+    so a partial rewrite would produce a mixed layout the alias
+    restore cannot describe. Materialize first (full rewrite via
+    write_table(read_table(...)) or compact_deletes), then mutate."""
+    if manifest.get("column_aliases"):
+        raise ValueError(
+            "table stores deduplicated columns (column_aliases in the "
+            "manifest); copy-on-write rewrites require materialized "
+            "columns - rewrite the table without dedup_columns first"
+        )
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -68,6 +82,7 @@ def merge_into(
     forward — per-file min/max stays correct on mixed layouts.
     """
     manifest = read_manifest(path)
+    _reject_aliased(manifest)
     pidx = manifest.get("indexes", {})
     for k in ("hash", "partition", "cut"):
         if k in pidx:
@@ -224,6 +239,7 @@ def update_where(
     of a directory-shaped table would move rows across
     directories — v1 raises for those layouts, like merge_into."""
     manifest = read_manifest(path)
+    _reject_aliased(manifest)
     pidx = manifest.get("indexes", {})
     for k in ("hash", "partition", "cut"):
         if k in pidx:
@@ -262,6 +278,7 @@ def overwrite_partitions(
     then rebuilds the manifest incrementally and logs a commit with
     the added/removed files."""
     manifest = read_manifest(path)
+    _reject_aliased(manifest)
     pidx = manifest.get("indexes", {})
     pkeys = (pidx.get("partition") or {}).get("keys")
     if not pkeys:

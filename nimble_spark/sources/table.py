@@ -95,6 +95,70 @@ class WriteOptions:
     # every append, so readers may assume them (e.g. non-negativity
     # for stats short-circuits) the same way they assume the schema.
     check_constraints: dict[str, str] = field(default_factory=dict)
+    # Duplicate-column storage dedup — the TabletWriter stream-dedup
+    # analogue (dwio/nimble/tablet/TabletWriter.cpp:98-109,313: streams
+    # with identical bytes are stored once per stripe, found by
+    # SpookyHash + exact compare). Here the unit is the COLUMN: exact
+    # duplicate columns (fingerprint agg + exact null-safe verify) are
+    # stored once; the manifest records {duplicate: kept} aliases and
+    # read_table restores them, so the logical schema is unchanged
+    # while the physical table stores/pays for one copy. Appends must
+    # satisfy the recorded aliases (validated like CHECK constraints).
+    dedup_columns: bool = False
+
+
+def _find_duplicate_columns(df: DataFrame, protected: set) -> dict[str, str]:
+    """Exact duplicate-column detection, distributed and two-phase
+    like the reference's stream dedup (hash then exact compare):
+
+    1. one aggregation pass computes an order-insensitive fingerprint
+       per same-typed candidate column (count + overflow-free sum of
+       per-value xxhash64) — cheap, one job, no shuffle of data rows;
+    2. fingerprint-equal pairs are confirmed by an exact null-safe
+       per-row comparison with limit(1) short-circuit, so a hash
+       collision can never create a false alias.
+
+    Returns {duplicate_column: kept_column}, keeping the first column
+    in schema order; columns in ``protected`` (layout/index keys) are
+    never chosen as the duplicate side."""
+    by_type: dict[str, list[str]] = {}
+    for f in df.schema.fields:
+        by_type.setdefault(f.dataType.simpleString(), []).append(f.name)
+    cand = [c for cols in by_type.values() if len(cols) > 1 for c in cols]
+    if not cand:
+        return {}
+    exprs = []
+    for c in cand:
+        h = F.xxhash64(F.col(c)).cast("decimal(38,0)")
+        exprs.append(F.sum(h).alias(f"__h_{c}"))
+        exprs.append(F.count(F.col(c)).alias(f"__n_{c}"))
+    row = df.agg(*exprs).first()
+
+    def same(a: str, b: str) -> bool:
+        return df.filter(~F.col(a).eqNullSafe(F.col(b))).limit(1).count() == 0
+
+    aliases: dict[str, str] = {}
+    for cols in by_type.values():
+        if len(cols) < 2:
+            continue
+        first_with: dict[tuple, str] = {}
+        for c in cols:
+            fp = (row[f"__h_{c}"], row[f"__n_{c}"])
+            kept = first_with.get(fp)
+            if kept is None:
+                first_with[fp] = c
+            elif c not in protected and same(c, kept):
+                aliases[c] = kept
+            elif kept not in protected and same(c, kept):
+                # the later twin is a protected layout/index key: keep
+                # IT physical, drop the earlier unprotected copy (and
+                # re-point any alias that targeted it)
+                aliases[kept] = c
+                for d, t in list(aliases.items()):
+                    if t == kept and d != kept:
+                        aliases[d] = c
+                first_with[fp] = c
+    return aliases
 
 
 def _stats_exprs(schema: T.StructType) -> list:
@@ -146,6 +210,42 @@ def write_table(
 
     index_meta: dict[str, Any] = {}
     partition_by: list[str] = list(opts.partition_by or [])
+
+    # Duplicate-column storage dedup (TabletWriter stream-dedup
+    # analogue — see WriteOptions.dedup_columns). The physical table
+    # stores one copy per distinct column; the manifest's alias map is
+    # the logical-schema contract read_table restores.
+    column_aliases: dict[str, str] = {}
+    if mode == "append":
+        # An aliased table's stored schema is fixed: the incoming
+        # batch must satisfy every recorded alias (validated like a
+        # CHECK constraint — limit(1) short-circuit), then drops the
+        # duplicate columns to match the stored layout.
+        try:
+            column_aliases = dict(read_manifest(path).get("column_aliases", {}))
+        except (OSError, KeyError, ValueError):
+            column_aliases = {}
+        for dup, kept in column_aliases.items():
+            if out.filter(~F.col(dup).eqNullSafe(F.col(kept))).limit(1).count():
+                raise ValueError(
+                    f"append violates column alias {dup!r} == {kept!r} "
+                    f"(table stored with dedup_columns; rewrite it to "
+                    f"materialize diverging columns)"
+                )
+        if column_aliases:
+            out = out.drop(*column_aliases)
+    elif opts.dedup_columns:
+        protected = set(
+            (opts.cluster_by or [])
+            + (opts.zorder_by or [])
+            + ([opts.bucket_by] if opts.bucket_by else [])
+            + (opts.partition_by or [])
+            + ([opts.cut_by] if opts.cut_by else [])
+            + list(opts.bloom_cols or [])
+        )
+        column_aliases = _find_duplicate_columns(out, protected)
+        if column_aliases:
+            out = out.drop(*column_aliases)
 
     if opts.cluster_by:
         # Cluster index: key-ordered data + per-file key bounds.
@@ -239,13 +339,26 @@ def write_table(
     _lock = table_write_lock(path)
     _lock.__enter__()
     try:
-        return _write_table_locked(df, path, opts, mode, writer, index_meta)
+        return _write_table_locked(
+            df, path, opts, mode, writer, index_meta,
+            stored_schema=out.schema if column_aliases else None,
+            aliases=column_aliases,
+            logical_columns=[f.name for f in df.schema.fields] if column_aliases else None,
+        )
     finally:
         _lock.__exit__()
 
 
 def _write_table_locked(
-    df: DataFrame, path: str, opts: WriteOptions, mode: str, writer, index_meta: dict
+    df: DataFrame,
+    path: str,
+    opts: WriteOptions,
+    mode: str,
+    writer,
+    index_meta: dict,
+    stored_schema=None,
+    aliases: Optional[dict] = None,
+    logical_columns: Optional[list] = None,
 ) -> dict:
     spark = df.sparkSession
     # Incremental append: entries of files already committed are
@@ -325,9 +438,16 @@ def _write_table_locked(
         and f not in prior_paths
     }
     manifest = _build_manifest(
-        spark, df.schema, path, opts, index_meta, reuse=reuse, exclude=stray
+        spark, stored_schema or df.schema, path, opts, index_meta, reuse=reuse, exclude=stray
     )
     stats_wall_ms = int((time.monotonic() - t1) * 1000)
+    if aliases:
+        # Duplicate-column dedup contract: the stored (physical) schema
+        # above omits the duplicates; the alias map + logical column
+        # order let read_table restore the logical schema exactly.
+        manifest["column_aliases"] = aliases
+        if logical_columns:
+            manifest["logical_columns"] = logical_columns
     # Writer runtime stats — the VeloxWriter::RunStats analogue
     # (dwio/nimble/velox/VeloxWriter.h:78-115: flush/encode CPU+wall,
     # stripe size distribution). Spark's encode CPU lives inside the
@@ -864,6 +984,16 @@ def read_table(
         bad = verify_table(path)
         if bad:
             raise IOError(f"checksum mismatch in {path}: {bad}")
+    # Duplicate-column dedup (TabletWriter stream-dedup analogue): the
+    # files store one copy per distinct column. Index probes on a
+    # deduplicated name serve from its stored twin, and every returned
+    # frame restores the logical schema via _restore_aliases.
+    _aliases = manifest.get("column_aliases", {})
+    if _aliases:
+        if range_scan is not None and range_scan[0] in _aliases:
+            range_scan = (_aliases[range_scan[0]], range_scan[1], range_scan[2])
+        if point_lookup is not None and point_lookup[0] in _aliases:
+            point_lookup = (_aliases[point_lookup[0]], point_lookup[1])
     if as_of_commit is not None:
         # Time travel: the commit log doubles as a snapshot index —
         # the table as of commit N is the file additions of commits
@@ -890,7 +1020,7 @@ def read_table(
                 f"snapshot at commit {as_of_commit} is gone (compaction/vacuum removed {missing[:3]}…)"
             )
         if not snap:
-            return _empty_df(spark, manifest)
+            return _restore_aliases(_empty_df(spark, manifest), manifest)
         if all(r == os.path.join(path, f) for f, r in zip(snap, resolved)):
             # All files still live: basePath keeps Hive partition
             # columns visible (directory-shaped layouts only append,
@@ -900,11 +1030,12 @@ def read_table(
             df = spark.read.parquet(*resolved)
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
+        df = _restore_aliases(df, manifest)
         if columns:
             df = _project_with_evolution(df, manifest, columns, evolved_types)
         return df
     if row_range is not None:
-        df = _read_row_range(spark, path, manifest, *row_range)
+        df = _restore_aliases(_read_row_range(spark, path, manifest, *row_range), manifest)
         if columns:
             df = _project_with_evolution(df, manifest, columns, evolved_types)
         return df
@@ -944,9 +1075,11 @@ def read_table(
                 }
             )
             df = _scan_manifest_files(spark, path, manifest)
-            return df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL).select(
-                *(columns or [c for c in df.columns if c != BUCKET_COL])
+            df = _restore_aliases(
+                df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL),
+                manifest,
             )
+            return df.select(*(columns or df.columns))
         elif key in manifest.get("indexes", {}).get("sorted", []) and manifest[
             "indexes"
         ].get("sorted_fence", {}).get(key) in (None, _files_fingerprint(manifest)):
@@ -985,9 +1118,32 @@ def read_table(
         df = df.drop(BUCKET_COL)
     if residual is not None:
         df = df.filter(residual)
+    df = _restore_aliases(df, manifest)
     if columns:
         df = _project_with_evolution(df, manifest, columns, evolved_types)
     return df
+
+
+def _restore_aliases(df: DataFrame, manifest: dict) -> DataFrame:
+    """Restore deduplicated columns (manifest ``column_aliases``) on a
+    frame read from the physical files: each duplicate re-materializes
+    as a zero-cost reference to its stored twin (Catalyst projects it;
+    nothing extra is read or shuffled), then columns return to the
+    recorded logical order. The reader half of the TabletWriter
+    stream-dedup analogue (tablet/TabletWriter.cpp:313: deduped
+    streams are served from the single stored copy)."""
+    aliases = manifest.get("column_aliases")
+    if not aliases:
+        return df
+    out = df
+    for dup, kept in aliases.items():
+        if dup not in out.columns and kept in out.columns:
+            out = out.withColumn(dup, F.col(kept))
+    order = manifest.get("logical_columns")
+    if order and all(c in out.columns for c in order):
+        extra = [c for c in out.columns if c not in order]
+        out = out.select(*order, *extra)
+    return out
 
 
 def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
