@@ -144,3 +144,62 @@ def test_lifecycle_model(spark, tmpdir, seed):
     vacuum_table(path, min_age_s=0.0)
     check()
     assert _raw(spark, path) == committed
+
+
+@pytest.mark.parametrize("seed", [5, 1234])
+def test_lifecycle_model_dedup_table(spark, tmpdir, seed):
+    """The aliased-table (dedup_columns) variant: appends must keep
+    satisfying the alias contract, compactions must carry it forward,
+    snapshots must reconstruct the LOGICAL schema at every commit, and
+    the CDC feed over the compact commit stays empty."""
+    from nimble_spark.sources.compaction import compact_table, vacuum_table
+    from nimble_spark.sources.table import read_changes
+
+    rng = random.Random(seed)
+    path = f"{tmpdir}/life_dedup_{seed}"
+
+    def _ddf(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k", "id * 2 AS v", "id * 2 AS v_copy",
+            "CAST(id % 3 AS STRING) AS tag"
+        )
+
+    from nimble_spark.sources.table import WriteOptions as WO
+
+    write_table(_ddf(0, 50), path, WO(dedup_columns=True))
+    assert read_manifest(path)["column_aliases"] == {"v_copy": "v"}
+    hi = 50
+    committed = {k: k * 2 for k in range(50)}
+    snapshots = {len(read_manifest(path)["commits"]) - 1: dict(committed)}
+
+    for _ in range(8):
+        op = rng.choice(["append", "append", "compact"])
+        if op == "append":
+            n = rng.randint(5, 30)
+            write_table(_ddf(hi, hi + n), path, WO(), mode="append")
+            committed.update({k: k * 2 for k in range(hi, hi + n)})
+            hi += n
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        else:
+            before = len(read_manifest(path)["commits"]) - 1
+            try:
+                compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+            except ValueError:
+                continue
+            assert read_changes(spark, path, since_commit=before).count() == 0
+            assert read_manifest(path)["column_aliases"] == {"v_copy": "v"}
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        out = read_table(spark, path)
+        assert out.columns == ["k", "v", "v_copy", "tag"]
+        assert {r["k"]: r["v"] for r in out.collect()} == committed
+        assert out.filter("v_copy != v").count() == 0
+
+    for ci, want in snapshots.items():
+        snap = read_table(spark, path, as_of_commit=ci)
+        assert {r["k"]: r["v_copy"] for r in snap.collect()} == want, (
+            f"snapshot at commit {ci} diverged (seed {seed})"
+        )
+
+    vacuum_table(path, min_age_s=0.0)
+    out = read_table(spark, path)
+    assert {r["k"]: r["v_copy"] for r in out.collect()} == committed
