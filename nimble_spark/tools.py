@@ -20,18 +20,29 @@ from nimble_spark.sources.table import read_manifest
 
 
 def describe(spark: SparkSession, path: str) -> DataFrame:
-    """DESCRIBE: column name, type, nullability, attribute bag."""
+    """DESCRIBE: column name, type, nullability, attribute bag —
+    the LOGICAL schema: columns deduplicated away by
+    ``dedup_columns`` (stored once, restored on read) appear with an
+    ``alias_of`` attribute naming their stored twin."""
     m = read_manifest(path)
     attrs = m.get("column_attributes", {})
-    rows = [
-        (
-            f["name"],
-            f["type"] if isinstance(f["type"], str) else json.dumps(f["type"]),
-            bool(f.get("nullable", True)),
-            json.dumps(attrs.get(f["name"], {})),
+    by_name = {f["name"]: f for f in m["schema"]["fields"]}
+    aliases = m.get("column_aliases", {})
+    order = m.get("logical_columns") or list(by_name)
+    rows = []
+    for name in order:
+        f = by_name.get(name) or by_name[aliases[name]]
+        a = dict(attrs.get(name, {}))
+        if name in aliases:
+            a["alias_of"] = aliases[name]
+        rows.append(
+            (
+                name,
+                f["type"] if isinstance(f["type"], str) else json.dumps(f["type"]),
+                bool(f.get("nullable", True)),
+                json.dumps(a),
+            )
         )
-        for f in m["schema"]["fields"]
-    ]
     return spark.createDataFrame(rows, "column STRING, type STRING, nullable BOOLEAN, attributes STRING")
 
 

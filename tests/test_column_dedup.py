@@ -161,3 +161,17 @@ def test_dedup_layout_keys_never_dropped(spark, tmpdir):
     out = read_table(spark, path)
     assert out.filter("v != v_copy").count() == 0
     assert out.columns[:3] == ["k", "v", "v_copy"]
+
+
+def test_describe_shows_logical_schema_with_alias_attribute(spark, tmpdir):
+    import json as _json
+
+    from nimble_spark import tools
+
+    path = f"{tmpdir}/dedup_desc"
+    write_table(_dup_df(spark, 50), path, WriteOptions(dedup_columns=True))
+    rows = {r["column"]: r for r in tools.describe(spark, path).collect()}
+    assert list(rows) == ["k", "v", "v_copy", "tag", "tag_copy", "other", "v_near"]
+    assert _json.loads(rows["v_copy"]["attributes"])["alias_of"] == "v"
+    assert rows["v_copy"]["type"] == rows["v"]["type"]
+    assert "alias_of" not in _json.loads(rows["v"]["attributes"])
