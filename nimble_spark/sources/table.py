@@ -371,16 +371,30 @@ def _write_table_locked(
     if mode == "append":
         try:
             prior = read_manifest(path)
+        except (OSError, KeyError, ValueError):
+            prior = None
+        if prior is not None:
+            # The alias contract was validated and applied OUTSIDE the
+            # lock (the writer is built from the transformed frame); a
+            # concurrent overwrite could have replaced the table with a
+            # different contract in between. Re-check under the lock —
+            # a mismatch would commit files whose physical schema does
+            # not match the table's stored layout.
+            if prior.get("column_aliases", {}) != (aliases or {}):
+                raise ValueError(
+                    "table's column_aliases changed while this append was "
+                    "staging (concurrent overwrite?) — retry the append"
+                )
             reuse = {
                 os.path.normpath(f["path"]): f
-                for f in prior["files"]
+                for f in prior.get("files", [])
                 if "nulls" in f
             }
             prior_commits = list(prior.get("commits", []))
             prior_constraints = dict(prior.get("constraints", {}))
             pidx = prior.get("indexes", {})
-        except (OSError, KeyError, ValueError):
-            reuse, pidx = {}, {}
+        else:
+            pidx = {}
         # Index metadata must survive appends. Directory-shaped
         # indexes (hash buckets, Hive partitions, cut files) are
         # layout contracts — an append that doesn't reproduce them
