@@ -123,7 +123,10 @@ def _find_duplicate_columns(df: DataFrame, protected: set) -> dict[str, str]:
     never chosen as the duplicate side."""
     by_type: dict[str, list[str]] = {}
     for f in df.schema.fields:
-        by_type.setdefault(f.dataType.simpleString(), []).append(f.name)
+        t = f.dataType.simpleString()
+        if "map<" in t:
+            continue  # maps are neither hashable nor orderable in Spark
+        by_type.setdefault(t, []).append(f.name)
     cand = [c for cols in by_type.values() if len(cols) > 1 for c in cols]
     if not cand:
         return {}

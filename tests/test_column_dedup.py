@@ -175,3 +175,25 @@ def test_describe_shows_logical_schema_with_alias_attribute(spark, tmpdir):
     assert _json.loads(rows["v_copy"]["attributes"])["alias_of"] == "v"
     assert rows["v_copy"]["type"] == rows["v"]["type"]
     assert "alias_of" not in _json.loads(rows["v"]["attributes"])
+
+
+def test_dedup_skips_map_columns_and_handles_nested(spark, tmpdir):
+    """Maps are neither hashable nor orderable in Spark — two
+    same-typed map columns must be skipped (not crash the fingerprint
+    agg); arrays and structs ARE hashable/comparable and dedup."""
+    path = f"{tmpdir}/dedup_nested"
+    df = spark.range(100).selectExpr(
+        "id AS k",
+        "map('a', id) AS m1",
+        "map('a', id) AS m2",             # same-typed map twin: skipped
+        "array(id, id * 2) AS arr1",
+        "array(id, id * 2) AS arr2",      # exact duplicate array
+        "named_struct('x', id) AS s1",
+        "named_struct('x', id) AS s2",    # exact duplicate struct
+    )
+    m = write_table(df, path, WriteOptions(dedup_columns=True))
+    assert m["column_aliases"] == {"arr2": "arr1", "s2": "s1"}
+    out = read_table(spark, path)
+    assert out.columns == df.columns
+    assert out.filter("arr1 != arr2 OR s1.x != s2.x").count() == 0
+    assert out.selectExpr("m2['a']").collect() == out.selectExpr("m1['a']").collect()
