@@ -1163,6 +1163,38 @@ def _restore_aliases(df: DataFrame, manifest: dict) -> DataFrame:
     return out
 
 
+def materialize_columns(spark: SparkSession, path: str) -> dict:
+    """Rewrite a ``dedup_columns`` table with every aliased column
+    physically materialized — the escape hatch before copy-on-write
+    rewrites (merge_into / update_where reject aliased tables). A
+    full-table rewrite: the logical frame (aliases restored) is
+    written back over the same path, preserving stats-shaped layout
+    (cluster keys re-applied) but starting a fresh commit log like
+    any overwrite. No-op (returns the live manifest) when the table
+    has no aliases."""
+    manifest = read_manifest(path)
+    aliases = manifest.get("column_aliases")
+    if not aliases:
+        return manifest
+    idx = manifest.get("indexes", {})
+    for k in ("hash", "partition", "cut"):
+        if k in idx:
+            raise ValueError(
+                f"materialize_columns on a {k}-layout table needs a "
+                f"layout-preserving rewrite; write it explicitly with "
+                f"the original WriteOptions"
+            )
+    opts = WriteOptions()
+    if "cluster" in idx:
+        opts = WriteOptions(cluster_by=list(idx["cluster"]["keys"]))
+    df = read_table(spark, path)
+    # The read plans lazily over the CURRENT files while the overwrite
+    # stages new ones; localCheckpoint pins the source rows so the
+    # self-overwrite cannot scan its own half-written output.
+    df = df.localCheckpoint(eager=True)
+    return write_table(df, path, opts)
+
+
 def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
     """Full-table scan over exactly the manifest's file list — never a
     directory listing. The manifest is the table's source of truth

@@ -197,3 +197,30 @@ def test_dedup_skips_map_columns_and_handles_nested(spark, tmpdir):
     assert out.columns == df.columns
     assert out.filter("arr1 != arr2 OR s1.x != s2.x").count() == 0
     assert out.selectExpr("m2['a']").collect() == out.selectExpr("m1['a']").collect()
+
+
+def test_materialize_columns_enables_rewrites(spark, tmpdir):
+    """materialize_columns rewrites the aliased table with physical
+    copies; merge/update work afterwards and data is unchanged."""
+    from nimble_spark.sources.merge import update_where
+    from nimble_spark.sources.table import materialize_columns
+
+    path = f"{tmpdir}/dedup_mat"
+    write_table(
+        _dup_df(spark, 100),
+        path,
+        WriteOptions(dedup_columns=True, cluster_by=["v"], n_cluster_files=2),
+    )
+    before = sorted(tuple(r) for r in read_table(spark, path).collect())
+    m = materialize_columns(spark, path)
+    assert "column_aliases" not in m
+    assert m["indexes"]["cluster"]["keys"] == ["v"]  # layout preserved
+    after = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert after == before
+    # physical files now hold every column
+    for f in m["files"]:
+        assert "v_copy" in pq.read_schema(os.path.join(path, f["path"])).names
+    update_where(spark, path, "k < 10", {"v": "v + 1"})  # no longer rejected
+    assert read_table(spark, path).filter("v = k * 3 + 1").count() == 10
+    # idempotent no-op on a plain table
+    assert "column_aliases" not in materialize_columns(spark, path)
