@@ -34,6 +34,7 @@ ALLOWED = [
     ("sources/merge.py", 'select("_f")', "affected-FILE list for copy-on-write MERGE — file-granularity metadata (≤ table file count), produced by a distributed semi-join; source keys never reach the driver"),
     ("plans/advisor.py", "table.agg(*aggs).first()", "single-row NDV aggregate over the advisor's candidate columns — one row regardless of table size, same bounded shape as encoding_policy.py"),
     ("sources/table.py", "limit(1).collect()[0]", "one-row diagnostic sample on a CHECK-constraint violation, only on the write-abort error path"),
+    ("sources/table.py", "__h_{c}", "single-row fingerprint aggregate for duplicate-column detection (dedup_columns write option) — one row regardless of table size; the per-pair verify is a limit(1) count"),
     ("tools.py", "", "interactive DSL/dump utilities are driver-side by definition"),
 ]
 
