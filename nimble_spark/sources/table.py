@@ -1096,7 +1096,11 @@ def read_table(
                 df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL),
                 manifest,
             )
-            return df.select(*(columns or df.columns))
+            if columns:
+                # same evolution contract as every other path: absent
+                # (added-later) names come back as typed nulls
+                return _project_with_evolution(df, manifest, columns, evolved_types)
+            return df
         elif key in manifest.get("indexes", {}).get("sorted", []) and manifest[
             "indexes"
         ].get("sorted_fence", {}).get(key) in (None, _files_fingerprint(manifest)):

@@ -1121,3 +1121,23 @@ def test_fast_minmax_fenced_by_delete_masks(spark, tmpdir):
         F.min("o_orderkey"), F.max("o_orderkey")
     ).first()
     assert (lo2, hi2) == tuple(exp2)
+
+
+def test_bucket_point_lookup_projects_evolved_columns(spark, tmpdir):
+    """Projection through the hash-bucket point-lookup path follows the
+    same schema-evolution contract as every other read path: a column
+    added later (absent from the files) comes back as a typed null
+    instead of raising."""
+    path = f"{tmpdir}/bucket_evolve"
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_table(df, path, WriteOptions(bucket_by="k", n_buckets=4))
+    out = read_table(
+        spark, path,
+        columns=["k", "added_later"],
+        point_lookup=("k", [3, 7]),
+        evolved_types={"added_later": "double"},
+    )
+    rows = out.collect()
+    assert sorted(r["k"] for r in rows) == [3, 7]
+    assert all(r["added_later"] is None for r in rows)
+    assert dict(out.dtypes)["added_later"] == "double"
