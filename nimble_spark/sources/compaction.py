@@ -316,7 +316,7 @@ def compact_table(
     # dedup_columns contract survives a physical rewrite: merged files
     # are read from (and written with) the stored schema, so the alias
     # map and logical order stay exactly as recorded.
-    for k in ("column_aliases", "logical_columns"):
+    for k in ("column_aliases", "logical_columns", "tags"):
         if m.get(k):
             new_m[k] = m[k]
     _write_manifest(path, new_m)  # ATOMIC commit point

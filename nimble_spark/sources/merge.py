@@ -194,6 +194,12 @@ def _commit_rewrite(
         reuse=reuse,
         exclude={os.path.normpath(f) for f in affected},
     )
+    # Table-level contracts survive a rewrite: CHECK constraints keep
+    # gating appends, and snapshot tags keep resolving (their commits
+    # stay replayable until vacuum reclaims the trash).
+    for k in ("constraints", "tags"):
+        if manifest.get(k):
+            new_manifest[k] = manifest[k]
     new_manifest["commits"] = prior_commits + [
         {
             "commit": len(prior_commits),

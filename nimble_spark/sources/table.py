@@ -371,6 +371,7 @@ def _write_table_locked(
     reuse: dict[str, dict] = {}
     prior_commits: list[dict] = []
     prior_constraints: dict[str, str] = {}
+    prior_tags: dict[str, int] = {}
     if mode == "append":
         try:
             prior = read_manifest(path)
@@ -395,6 +396,7 @@ def _write_table_locked(
             }
             prior_commits = list(prior.get("commits", []))
             prior_constraints = dict(prior.get("constraints", {}))
+            prior_tags = dict(prior.get("tags", {}))
             pidx = prior.get("indexes", {})
         else:
             pidx = {}
@@ -472,6 +474,8 @@ def _write_table_locked(
     # file/row-group size distribution from the written footers.
     if constraints:
         manifest["constraints"] = constraints
+    if prior_tags:
+        manifest["tags"] = prior_tags  # snapshot tags survive appends
     manifest["write_stats"] = dict(
         _layout_stats(manifest["files"]),
         write_wall_ms=write_wall_ms,
@@ -975,6 +979,7 @@ def read_table(
     row_range: Optional[tuple[int, int]] = None,
     verify_checksums: bool = False,
     as_of_commit: Optional[int] = None,
+    as_of_tag: Optional[str] = None,
 ) -> DataFrame:
     """Projected / index-pruned scan of a nimble_spark table.
 
@@ -1011,6 +1016,15 @@ def read_table(
             range_scan = (_aliases[range_scan[0]], range_scan[1], range_scan[2])
         if point_lookup is not None and point_lookup[0] in _aliases:
             point_lookup = (_aliases[point_lookup[0]], point_lookup[1])
+    if as_of_tag is not None:
+        # named snapshot (tag_commit): resolve to its commit index
+        if as_of_commit is not None:
+            raise ValueError("pass as_of_commit or as_of_tag, not both")
+        as_of_commit = manifest.get("tags", {}).get(as_of_tag)
+        if as_of_commit is None:
+            raise ValueError(
+                f"no tag {as_of_tag!r} (have {sorted(manifest.get('tags', {}))})"
+            )
     if as_of_commit is not None:
         # Time travel: the commit log doubles as a snapshot index —
         # the table as of commit N is the file additions of commits
@@ -1024,12 +1038,7 @@ def read_table(
         commits = manifest.get("commits", [])
         if not 0 <= as_of_commit < len(commits):
             raise ValueError(f"as_of_commit {as_of_commit} out of range (have {len(commits)} commits)")
-        snap: list[str] = []
-        for c in commits[: as_of_commit + 1]:
-            snap.extend(c.get("files", []))
-            gone = set(c.get("removed", []))
-            if gone:
-                snap = [f for f in snap if f not in gone]
+        snap = _snapshot_file_set(commits, as_of_commit)
         resolved = [resolve_historical_file(path, f) for f in snap]
         missing = [f for f, r in zip(snap, resolved) if r is None]
         if missing:
@@ -1226,6 +1235,146 @@ def resolve_historical_file(path: str, rel: str) -> Optional[str]:
         return live
     hits = _glob.glob(os.path.join(path, MANIFEST_DIR, "trash", "commit-*", rel))
     return hits[0] if hits else None
+
+
+def _snapshot_file_set(commits: list[dict], as_of_commit: int) -> list[str]:
+    """Replay the commit log to the file list as of a commit: the
+    union of every entry's additions minus the files later entries
+    logically removed (rewrites tombstone; the log records both)."""
+    snap: list[str] = []
+    for c in commits[: as_of_commit + 1]:
+        snap.extend(c.get("files", []))
+        gone = set(c.get("removed", []))
+        if gone:
+            snap = [f for f in snap if f not in gone]
+    return snap
+
+
+def tag_commit(path: str, name: str, commit: Optional[int] = None) -> dict:
+    """Name a commit (Iceberg tag / Delta version-label analogue):
+    ``read_table(as_of_tag=name)`` then reads that snapshot without
+    the caller tracking commit numbers. Tags are immutable — re-tagging
+    an existing name raises (delete_tag first). Defaults to the
+    current commit."""
+    with table_write_lock(path):
+        m = read_manifest(path)
+        commits = m.get("commits", [])
+        if commit is None:
+            commit = len(commits) - 1
+        if not 0 <= commit < len(commits):
+            raise ValueError(f"commit {commit} out of range (have {len(commits)})")
+        tags = dict(m.get("tags", {}))
+        if name in tags:
+            raise ValueError(f"tag {name!r} already points at commit {tags[name]}")
+        tags[name] = int(commit)
+        m["tags"] = tags
+        _write_manifest(path, m)
+        return m
+
+
+def delete_tag(path: str, name: str) -> dict:
+    with table_write_lock(path):
+        m = read_manifest(path)
+        tags = dict(m.get("tags", {}))
+        if name not in tags:
+            raise ValueError(f"no tag {name!r} (have {sorted(tags)})")
+        del tags[name]
+        m["tags"] = tags
+        _write_manifest(path, m)
+        return m
+
+
+def rollback_table(
+    spark: SparkSession,
+    path: str,
+    commit: Optional[int] = None,
+    tag: Optional[str] = None,
+) -> dict:
+    """RESTORE the live table to an earlier commit's snapshot (Delta
+    RESTORE / Iceberg rollback analogue) — history-preserving: the
+    rollback is itself a commit (mode="rollback") recording what it
+    re-added and removed, so time travel still reaches the states it
+    rolled back past (until VACUUM). Mechanics ride the existing
+    machinery: snapshot members now in the retention trash move back
+    to their recorded paths (where historical reads still resolve
+    them), rolled-back-past files tombstone INTO the trash like any
+    rewrite, and the manifest republishes atomically. Raises if the
+    target snapshot was vacuumed."""
+    with table_write_lock(path):
+        m = read_manifest(path)
+        commits = m.get("commits", [])
+        if tag is not None:
+            if commit is not None:
+                raise ValueError("pass commit or tag, not both")
+            commit = m.get("tags", {}).get(tag)
+            if commit is None:
+                raise ValueError(f"no tag {tag!r} (have {sorted(m.get('tags', {}))})")
+        if commit is None or not 0 <= commit < len(commits):
+            raise ValueError(f"commit {commit} out of range (have {len(commits)})")
+
+        target = [os.path.normpath(f) for f in _snapshot_file_set(commits, commit)]
+        current_entries = {os.path.normpath(f["path"]): f for f in m["files"]}
+        if set(target) == set(current_entries):
+            return m  # already at that snapshot — no-op
+
+        # Re-home snapshot members that a later rewrite tombstoned.
+        for rel in target:
+            live = os.path.join(path, rel)
+            if os.path.exists(live):
+                continue
+            src = resolve_historical_file(path, rel)
+            if src is None:
+                raise ValueError(
+                    f"snapshot at commit {commit} is gone (vacuum removed {rel})"
+                )
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(src, live)
+
+        stat_cols = _stat_cols(T.StructType.fromJson(m["schema"]))
+        files_info = [
+            current_entries[rel]
+            if rel in current_entries and "nulls" in current_entries[rel]
+            else _describe_parquet_file(os.path.join(path, rel), path, stat_cols)
+            for rel in target
+        ]
+        removed = sorted(set(current_entries) - set(target))
+        added = sorted(set(target) - set(current_entries))
+        new_rows = int(sum(f["rows"] for f in files_info))
+        prior_rows = sum(c.get("rows_added", 0) for c in commits)
+        new_m = dict(m)
+        new_m["files"] = files_info
+        new_m["rows"] = new_rows
+        new_m["column_stats"] = _fold_column_stats(files_info)
+        new_m["write_stats"] = dict(m.get("write_stats", {}), **_layout_stats(files_info))
+        new_m["commits"] = commits + [
+            {
+                "commit": len(commits),
+                "mode": "rollback",
+                "rolled_back_to": int(commit),
+                "files_added": len(added),
+                "files_removed": len(removed),
+                "removed": removed,
+                # keeps the commit-log row arithmetic exact (appends
+                # compute rows_added = total - sum(prior)); negative
+                # when the rollback dropped rows
+                "rows_added": new_rows - prior_rows,
+                "files": added,
+            }
+        ]
+        _write_manifest(path, new_m)  # ATOMIC commit point
+
+        # Only after the publish: tombstone the rolled-back-past files
+        # (same discipline as merge/compaction — forward history stays
+        # readable until VACUUM).
+        trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(commits)}")
+        os.makedirs(trash, exist_ok=True)
+        for rel in removed:
+            src = os.path.join(path, rel)
+            try:
+                os.rename(src, os.path.join(trash, os.path.basename(src)))
+            except OSError:
+                pass  # already gone — harmless
+        return new_m
 
 
 def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame:

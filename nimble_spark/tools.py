@@ -465,7 +465,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW FILES |
       SHOW STRIPES | SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
-      SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | VACUUM [MIN AGE n] | HELP |
+      SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
       SELECT col[,col...] [LIMIT n] [OFFSET n] [STRIPE s] (any clause order)
@@ -528,6 +528,12 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return spark.createDataFrame(
             rows or [(None, None)], "name STRING, expression STRING"
         ).filter("name IS NOT NULL")
+    if u == "SHOW TAGS":
+        m = read_manifest(path)
+        rows = sorted((t, int(ci)) for t, ci in m.get("tags", {}).items())
+        return spark.createDataFrame(
+            rows or [(None, None)], "tag STRING, commit BIGINT"
+        ).filter("tag IS NOT NULL")
     m = re.match(r"VACUUM(?:\s+MIN\s+AGE\s+(\d+))?$", c, re.I)
     if m:
         # VACUUM [MIN AGE seconds] — default grace 600 s protects a

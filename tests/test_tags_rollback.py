@@ -1,0 +1,121 @@
+"""Snapshot tags + history-preserving rollback (Delta RESTORE /
+Iceberg refs parity), riding the commit-log machinery: tags name
+commits and survive appends/rewrites/compactions; rollback republishes
+an earlier snapshot as a NEW commit (mode="rollback"), re-homing
+tombstoned members from trash and tombstoning rolled-back-past files,
+so time travel still reaches both sides until VACUUM."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nimble_spark.sources.table import (
+    WriteOptions,
+    delete_tag,
+    read_manifest,
+    read_table,
+    rollback_table,
+    tag_commit,
+    write_table,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id AS k", "id * 10 AS v")
+
+
+@pytest.fixture()
+def tagged(spark, tmpdir):
+    path = f"{tmpdir}/tags"
+    write_table(_df(spark, 0, 100), path, WriteOptions())
+    tag_commit(path, "v1")  # commit 0
+    write_table(_df(spark, 100, 200), path, WriteOptions(), mode="append")
+    tag_commit(path, "v2")  # commit 1
+    write_table(_df(spark, 200, 300), path, WriteOptions(), mode="append")
+    return path
+
+
+def test_tags_name_snapshots_and_are_immutable(spark, tagged):
+    assert read_table(spark, tagged, as_of_tag="v1").count() == 100
+    assert read_table(spark, tagged, as_of_tag="v2").count() == 200
+    assert read_table(spark, tagged).count() == 300
+    with pytest.raises(ValueError, match="already points"):
+        tag_commit(tagged, "v1", commit=1)
+    with pytest.raises(ValueError, match="no tag"):
+        read_table(spark, tagged, as_of_tag="nope")
+    delete_tag(tagged, "v1")
+    with pytest.raises(ValueError, match="no tag"):
+        read_table(spark, tagged, as_of_tag="v1")
+
+
+def test_tags_survive_append_update_and_compaction(spark, tagged):
+    from nimble_spark.sources.compaction import compact_table
+    from nimble_spark.sources.merge import update_where
+
+    write_table(_df(spark, 300, 350), tagged, WriteOptions(), mode="append")
+    update_where(spark, tagged, "k < 10", {"v": "v + 1"})
+    compact_table(spark, tagged, target_file_bytes=64 * 1024 * 1024)
+    m = read_manifest(tagged)
+    assert m["tags"] == {"v1": 0, "v2": 1}
+    # v1 predates the update — its rows are the ORIGINAL values,
+    # served from the trash tombstones
+    snap = read_table(spark, tagged, as_of_tag="v1")
+    assert snap.count() == 100
+    assert snap.filter("v != k * 10").count() == 0
+
+
+def test_rollback_restores_and_preserves_history(spark, tagged):
+    path = tagged
+    pre_commits = len(read_manifest(path)["commits"])  # 3
+
+    m = rollback_table(spark, path, tag="v2")
+    assert m["commits"][-1]["mode"] == "rollback"
+    assert m["commits"][-1]["rolled_back_to"] == 1
+    assert len(m["commits"]) == pre_commits + 1
+    assert read_table(spark, path).count() == 200  # live = v2 snapshot
+    live = read_table(spark, path)
+    assert live.agg(F.max("k")).first()[0] == 199
+
+    # history on BOTH sides of the rollback still reads
+    assert read_table(spark, path, as_of_commit=0).count() == 100
+    assert read_table(spark, path, as_of_commit=2).count() == 300  # pre-rollback
+    assert read_table(spark, path, as_of_commit=3).count() == 200
+
+    # roll FORWARD again: the pre-rollback state is itself a commit
+    m2 = rollback_table(spark, path, commit=2)
+    assert read_table(spark, path).count() == 300
+    assert m2["rows"] == 300
+
+    # appends continue normally after a rollback (commit-log row
+    # arithmetic survives the negative rows_added entry)
+    write_table(_df(spark, 300, 320), path, WriteOptions(), mode="append")
+    assert read_table(spark, path).count() == 320
+    h = read_manifest(path)["commits"]
+    assert h[-1]["rows_added"] == 20
+
+
+def test_rollback_noop_and_vacuumed_target_raises(spark, tagged):
+    from nimble_spark.sources.compaction import vacuum_table
+    from nimble_spark.sources.merge import update_where
+
+    path = tagged
+    before = len(read_manifest(path)["commits"])
+    m = rollback_table(spark, path, commit=before - 1)  # current state
+    assert len(m["commits"]) == before  # no-op: no new commit
+
+    # rewrite then vacuum: the old snapshot's files are reclaimed
+    update_where(spark, path, "k >= 0", {"v": "v + 1"})
+    vacuum_table(path, min_age_s=0.0)
+    with pytest.raises(ValueError, match="gone|vacuum"):
+        rollback_table(spark, path, tag="v1")
+
+
+def test_show_tags_dsl(spark, tagged):
+    from nimble_spark import tools
+
+    rows = {r["tag"]: r["commit"] for r in tools.run_command(spark, tagged, "SHOW TAGS").collect()}
+    assert rows == {"v1": 0, "v2": 1}
+    assert "SHOW TAGS" in " ".join(
+        r["commands"] for r in tools.run_command(spark, tagged, "HELP").collect()
+    )
