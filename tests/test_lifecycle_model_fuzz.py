@@ -74,7 +74,10 @@ def test_lifecycle_model(spark, tmpdir, seed):
         }
         assert read_manifest(path)["rows"] == len(committed)
 
-    ops = ["append", "merge", "update", "delete", "compact_deletes", "compact"]
+    ops = [
+        "append", "merge", "update", "delete",
+        "compact_deletes", "compact", "rollback",
+    ]
     for step in range(12):
         op = rng.choice(ops)
         if op == "append":
@@ -128,6 +131,17 @@ def test_lifecycle_model(spark, tmpdir, seed):
                 continue  # nothing to compact (single file) — fine
             # data_change=false: CDC feed over the compact commit is empty
             assert read_changes(spark, path, since_commit=before).count() == 0
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        elif op == "rollback":
+            # restore a random recorded snapshot; the rollback is
+            # itself a commit, so it too lands in `snapshots`. Delete
+            # masks are NOT commit-logged: pending masks keep hiding
+            # their keys across the rollback (modeled by `masked`).
+            from nimble_spark.sources.table import rollback_table
+
+            target_ci = rng.choice(sorted(snapshots))
+            rollback_table(spark, path, commit=target_ci)
+            committed = dict(snapshots[target_ci])
             snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
         check()
 
