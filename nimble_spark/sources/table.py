@@ -1377,7 +1377,9 @@ def rollback_table(
         return new_m
 
 
-def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame:
+def read_changes(
+    spark: SparkSession, path: str, since_commit: int, with_commit: bool = False
+) -> DataFrame:
     """Change feed: rows added by commits AFTER ``since_commit``
     (``-1`` = everything). The commit log records each commit's file
     additions, so an incremental consumer reads exactly the new files
@@ -1389,7 +1391,13 @@ def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame
     (Delta-OPTIMIZE semantics: bytes moved, no row changed), so the
     feed never re-delivers the whole table because the layout changed.
     Files from the requested window that were later merged away raise
-    rather than silently under-delivering."""
+    rather than silently under-delivering.
+
+    ``with_commit=True`` appends a ``_commit`` BIGINT column — which
+    commit delivered each row (Delta's _commit_version analogue) — via
+    a broadcast join of the file→commit map (metadata-sized) against
+    each row's source file name; consumers use it to order upserts or
+    checkpoint mid-window."""
     manifest = read_manifest(path)
     commits = manifest.get("commits", [])
     if not -1 <= since_commit < len(commits):
@@ -1397,21 +1405,23 @@ def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame
             f"since_commit {since_commit} out of range (have {len(commits)} commits)"
         )
     added = [
-        f
-        for c in commits[since_commit + 1 :]
+        (int(c.get("commit", i + since_commit + 1)), f)
+        for i, c in enumerate(commits[since_commit + 1 :])
         if c.get("data_change", True)
         for f in c.get("files", [])
     ]
-    resolved = [resolve_historical_file(path, f) for f in added]
-    missing = [f for f, r in zip(added, resolved) if r is None]
+    resolved = [resolve_historical_file(path, f) for _, f in added]
+    missing = [f for (_, f), r in zip(added, resolved) if r is None]
     if missing:
         raise ValueError(
             f"changes since commit {since_commit} are gone "
             f"(compaction/vacuum removed {missing[:3]}…)"
         )
     if not added:
-        return _empty_df(spark, manifest)
-    if all(r == os.path.join(path, f) for f, r in zip(added, resolved)):
+        df = _empty_df(spark, manifest)
+        df = _restore_aliases(df, manifest)
+        return df.withColumn("_commit", F.lit(None).cast("long")) if with_commit else df
+    if all(r == os.path.join(path, f) for (_, f), r in zip(added, resolved)):
         df = spark.read.option("basePath", path).parquet(*resolved)
     else:
         # Window spans files later rewritten away (retained in trash):
@@ -1419,6 +1429,19 @@ def read_changes(spark: SparkSession, path: str, since_commit: int) -> DataFrame
         df = spark.read.parquet(*resolved)
     if BUCKET_COL in df.columns:
         df = df.drop(BUCKET_COL)
+    df = _restore_aliases(df, manifest)
+    if with_commit:
+        lookup = spark.createDataFrame(
+            [(os.path.basename(r), ci) for (ci, _), r in zip(added, resolved)],
+            "__file STRING, _commit LONG",
+        )
+        df = (
+            df.withColumn(
+                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .join(F.broadcast(lookup), "__file")
+            .drop("__file")
+        )
     return df
 
 

@@ -119,3 +119,26 @@ def test_show_tags_dsl(spark, tagged):
     assert "SHOW TAGS" in " ".join(
         r["commands"] for r in tools.run_command(spark, tagged, "HELP").collect()
     )
+
+
+def test_read_changes_with_commit_provenance(spark, tmpdir):
+    """with_commit=True: each row carries the commit that delivered it
+    (Delta _commit_version analogue) via a broadcast file→commit map;
+    default output shape is unchanged."""
+    from nimble_spark.sources.table import read_changes
+
+    path = f"{tmpdir}/cdc_prov"
+    write_table(_df(spark, 0, 50), path, WriteOptions())
+    write_table(_df(spark, 50, 80), path, WriteOptions(), mode="append")
+    write_table(_df(spark, 80, 100), path, WriteOptions(), mode="append")
+
+    plain = read_changes(spark, path, since_commit=-1)
+    assert "_commit" not in plain.columns and plain.count() == 100
+
+    ch = read_changes(spark, path, since_commit=0, with_commit=True)
+    by_commit = {r["_commit"]: r["n"] for r in ch.groupBy("_commit").agg(F.count("*").alias("n")).collect()}
+    assert by_commit == {1: 30, 2: 20}
+    assert ch.filter("k >= 80 AND _commit != 2").count() == 0
+
+    empty = read_changes(spark, path, since_commit=2, with_commit=True)
+    assert empty.count() == 0 and "_commit" in empty.columns
