@@ -1367,11 +1367,16 @@ def rollback_table(
         # (same discipline as merge/compaction — forward history stays
         # readable until VACUUM).
         trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(commits)}")
-        os.makedirs(trash, exist_ok=True)
         for rel in removed:
             src = os.path.join(path, rel)
+            # preserve the RELATIVE path inside the trash dir —
+            # resolve_historical_file globs trash/commit-*/<rel>, so a
+            # partitioned/bucketed file (subdirs in rel) must keep its
+            # directory shape to stay replayable
+            dst = os.path.join(trash, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:
-                os.rename(src, os.path.join(trash, os.path.basename(src)))
+                os.rename(src, dst)
             except OSError:
                 pass  # already gone — harmless
         return new_m
