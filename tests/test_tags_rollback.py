@@ -172,3 +172,68 @@ def test_rollback_partitioned_table_preserves_layout(spark, tmpdir):
     assert out.filter("p = '0'").count() == 54
     # CDC across the whole history still resolves every window
     assert read_changes(spark, path, since_commit=-1).count() >= 160
+
+
+def test_rollback_append_compact_contention(spark, tmpdir):
+    """8 threads interleave appends, compactions, tags, and rollbacks
+    on one table. Every mutation serializes on the table write lock,
+    so the final state must be internally consistent: commit-log row
+    arithmetic sums to the manifest total, the live read matches the
+    manifest, and every live file exists."""
+    import os as _os
+    import random as _random
+    import threading
+
+    from nimble_spark.sources.compaction import compact_table
+    from nimble_spark.sources.table import rollback_table, tag_commit
+
+    path = f"{tmpdir}/contend"
+    write_table(_df(spark, 0, 50), path, WriteOptions())
+    errors: list = []
+
+    def worker(wid: int) -> None:
+        rng = _random.Random(wid)
+        try:
+            for i in range(4):
+                op = rng.choice(["append", "append", "compact", "rollback", "tag"])
+                if op == "append":
+                    lo = 1000 * wid + 100 * i
+                    write_table(
+                        _df(spark, lo, lo + 20), path, WriteOptions(), mode="append"
+                    )
+                elif op == "compact":
+                    try:
+                        compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+                    except ValueError:
+                        pass  # single file — nothing to do
+                elif op == "rollback":
+                    n = len(read_manifest(path).get("commits", []))
+                    try:
+                        rollback_table(spark, path, commit=rng.randrange(n))
+                    except ValueError:
+                        pass  # racing vacuum/rollback moved a member — acceptable
+                else:
+                    try:
+                        tag_commit(path, f"w{wid}i{i}")
+                    except ValueError:
+                        pass  # name collision across retries
+        except Exception as exc:  # noqa: BLE001 — collected for the assert
+            errors.append((wid, repr(exc)))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    m = read_manifest(path)
+    commits = m.get("commits", [])
+    assert sum(c.get("rows_added", 0) for c in commits) == m["rows"]
+    live = read_table(spark, path)
+    assert live.count() == m["rows"]
+    for f in m["files"]:
+        assert _os.path.exists(_os.path.join(path, f["path"]))
+    # every tag still resolves to a replayable commit index
+    for name, ci in m.get("tags", {}).items():
+        assert 0 <= ci < len(commits), (name, ci)
