@@ -77,3 +77,53 @@ def deserialize_partitioned(payloads: DataFrame, schema) -> DataFrame:
                 yield pd.DataFrame()
 
     return payloads.mapInPandas(per_batch, schema)
+
+
+def serve_lookups(
+    spark: SparkSession,
+    path: str,
+    requests: DataFrame,
+    key: str,
+    columns: list[str],
+) -> DataFrame:
+    """Batched index-lookup serving — the full NimbleIndexProjector
+    loop (velox/index/NimbleIndexProjector.h:35-43: a BATCH of point
+    lookup requests + column projections → index-located rows,
+    serialized for transport).
+
+    ``requests`` is a DataFrame ``(request_id, <key value>)`` (second
+    column named ``key``). The distinct probe keys (bounded by the
+    request batch, metadata-sized) prune the scan through whatever
+    index the table has — hash buckets, sorted index, bloom sidecar,
+    or cluster ranges — then each request's projected rows serialize
+    to ONE Arrow IPC payload row ``(request_id, n_rows, payload)``,
+    grouped and encoded executor-side (applyInPandas; no driver
+    collect). Requests matching nothing yield n_rows=0 with an
+    empty-schema payload, so the response always covers the batch."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from nimble_spark.sources.table import read_table
+
+    keys = [r[0] for r in requests.select(key).distinct().collect()]
+    proj = list(dict.fromkeys([key, *columns]))
+    hits = read_table(spark, path, columns=proj, point_lookup=(key, keys))
+    joined = requests.join(hits, key, "left")
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = pdf["request_id"].iloc[0]
+        rows = pdf.dropna(subset=[c for c in proj if c != key] or [key])
+        tbl = pa.Table.from_pandas(rows[proj], preserve_index=False)
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        return pd.DataFrame(
+            {"request_id": [rid], "n_rows": [len(rows)], "payload": [sink.getvalue()]}
+        )
+
+    return (
+        joined.repartition(F.col("request_id"))
+        .groupBy("request_id")
+        .applyInPandas(encode, "request_id long, n_rows long, payload binary")
+    )

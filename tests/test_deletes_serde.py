@@ -70,3 +70,32 @@ def test_serde_partitioned_distributed(spark):
         with pa.ipc.open_stream(io.BytesIO(bytes(r["payload"]))) as rd:
             total += rd.read_all().num_rows
     assert total == src.count()
+
+
+def test_serve_lookups_batched_index_projection(spark, tmpdir):
+    """serve_lookups: a BATCH of point-lookup requests against a
+    cluster-indexed table returns one Arrow IPC payload per request,
+    encoded executor-side; missing keys come back n_rows=0."""
+    import pyarrow as pa
+    import io as _io
+
+    from nimble_spark.sources.serde import serve_lookups
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    path = f"{tmpdir}/serve"
+    df = spark.range(1000).selectExpr("id AS k", "id * 7 AS v", "CAST(id AS STRING) AS s")
+    write_table(df, path, WriteOptions(cluster_by=["k"], n_cluster_files=4))
+
+    reqs = spark.createDataFrame(
+        [(1, 10), (2, 500), (3, 999), (4, 123456)], "request_id LONG, k LONG"
+    )
+    out = {r["request_id"]: r for r in serve_lookups(spark, path, reqs, "k", ["v", "s"]).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4]["n_rows"] == 0
+    for rid, want_k in [(1, 10), (2, 500), (3, 999)]:
+        assert out[rid]["n_rows"] == 1
+        with pa.ipc.open_stream(_io.BytesIO(out[rid]["payload"])) as rd:
+            tbl = rd.read_all()
+        assert tbl.column("k").to_pylist() == [want_k]
+        assert tbl.column("v").to_pylist() == [want_k * 7]
+        assert tbl.column("s").to_pylist() == [str(want_k)]
