@@ -406,7 +406,11 @@ def q_write_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         and 0 < ws["min_file_rows"] <= ws["p50_file_rows"] <= ws["max_file_rows"] <= m["rows"]
         and 0 < ws["min_rg_bytes"] <= ws["p50_rg_bytes"] <= ws["max_rg_bytes"]
         and ws["min_file_rows"] == min(f["rows"] for f in m["files"])
-        and ws["max_rg_bytes"] == max(b for f in m["files"] for b in f["rg_bytes"])
+        # .get: entries reused from pre-distribution manifests may lack
+        # rg_bytes — _layout_stats covers the files that have it, and
+        # the audit must report stats_ok=False, not crash
+        and ws["max_rg_bytes"]
+        == max((b for f in m["files"] for b in f.get("rg_bytes", [])), default=-1)
     )
     return spark.createDataFrame([(m["rows"], bool(ok))], "n_rows BIGINT, stats_ok BOOLEAN")
 

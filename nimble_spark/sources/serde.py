@@ -109,11 +109,14 @@ def serve_lookups(
     keys = [r[0] for r in requests.select(key).distinct().collect()]
     proj = list(dict.fromkeys([key, *columns]))
     hits = read_table(spark, path, columns=proj, point_lookup=(key, keys))
-    joined = requests.join(hits, key, "left")
+    # explicit hit marker: a left-join miss and a matched row that
+    # happens to contain NULLs in projected columns must be
+    # distinguishable (dropna over data columns would conflate them)
+    joined = requests.join(hits.withColumn("__hit", F.lit(1)), key, "left")
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         rid = pdf["request_id"].iloc[0]
-        rows = pdf.dropna(subset=[c for c in proj if c != key] or [key])
+        rows = pdf[pdf["__hit"].notna()]
         tbl = pa.Table.from_pandas(rows[proj], preserve_index=False)
         sink = io.BytesIO()
         with pa.ipc.new_stream(sink, tbl.schema) as w:
@@ -122,8 +125,8 @@ def serve_lookups(
             {"request_id": [rid], "n_rows": [len(rows)], "payload": [sink.getvalue()]}
         )
 
-    return (
-        joined.repartition(F.col("request_id"))
-        .groupBy("request_id")
-        .applyInPandas(encode, "request_id long, n_rows long, payload binary")
+    # groupBy alone enforces the request_id clustering; no extra
+    # repartition needed
+    return joined.groupBy("request_id").applyInPandas(
+        encode, "request_id long, n_rows long, payload binary"
     )

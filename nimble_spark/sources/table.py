@@ -150,9 +150,11 @@ def _find_duplicate_columns(df: DataFrame, protected: set) -> dict[str, str]:
             kept = first_with.get(fp)
             if kept is None:
                 first_with[fp] = c
-            elif c not in protected and same(c, kept):
+                continue
+            eq = same(c, kept)  # one exact-compare job per collision
+            if eq and c not in protected:
                 aliases[c] = kept
-            elif kept not in protected and same(c, kept):
+            elif eq and kept not in protected:
                 # the later twin is a protected layout/index key: keep
                 # IT physical, drop the earlier unprotected copy (and
                 # re-point any alias that targeted it)
@@ -779,6 +781,11 @@ class table_write_lock:
             try:
                 fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, f"{os.getpid()}@{time.time()}".encode())
+                # remember OUR lockfile's identity: unlock releases only
+                # this exact inode, so a racing breaker that (wrongly)
+                # swapped the file out can never make us delete a lock
+                # that is not ours
+                self._ino = os.fstat(fd).st_ino
                 os.close(fd)
                 return self
             except FileExistsError:
@@ -786,15 +793,27 @@ class table_write_lock:
                     age = time.time() - os.stat(self.lock_path).st_mtime
                     if age > self.stale_s:
                         # Break the stale lock ATOMICALLY: rename it to a
-                        # unique tombstone instead of unlinking. Two
-                        # waiters that both saw the stale file race on the
-                        # rename; exactly one wins (rename of a missing
-                        # source raises), and the loser goes back to
-                        # waiting — an unlink here could instead delete
-                        # the WINNER's freshly created lock (stat/unlink
-                        # TOCTOU) and let two writers commit at once.
+                        # unique tombstone instead of unlinking (an unlink
+                        # here could delete another waiter's FRESH lock —
+                        # the stat/unlink TOCTOU). Renaming narrows the
+                        # race but cannot close it: a breaker stalled
+                        # between its stat and its rename can still move a
+                        # lock that was replaced in the interim. So VERIFY
+                        # after the move: only a tombstone that is itself
+                        # stale is discarded; a fresh one was stolen from
+                        # a live writer and is put back atomically
+                        # (link(2) fails if the path was re-taken — then
+                        # the inode-checked unlock keeps the live writer
+                        # from clobbering the newcomer, and the stolen
+                        # file ages out as a plain stale break later).
                         tomb = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
                         os.rename(self.lock_path, tomb)
+                        t_age = time.time() - os.stat(tomb).st_mtime
+                        if t_age <= self.stale_s:
+                            try:
+                                os.link(tomb, self.lock_path)  # restore, never clobber
+                            except OSError:
+                                pass
                         try:
                             os.unlink(tomb)
                         except OSError:
@@ -811,7 +830,11 @@ class table_write_lock:
 
     def __exit__(self, *exc):
         try:
-            os.unlink(self.lock_path)
+            # release only OUR lockfile (inode match): if a confused
+            # breaker swapped the path in the meantime, the newcomer's
+            # lock must survive our unlock
+            if os.stat(self.lock_path).st_ino == getattr(self, "_ino", None):
+                os.unlink(self.lock_path)
         except OSError:
             pass
         return False
@@ -1257,7 +1280,10 @@ def tag_commit(path: str, name: str, commit: Optional[int] = None) -> dict:
     an existing name raises (delete_tag first). Defaults to the
     current commit."""
     with table_write_lock(path):
-        m = read_manifest(path)
+        # shallow-copy before mutating: read_manifest returns the
+        # shared cached dict, and a failed _write_manifest must not
+        # leave a phantom tag in the cache (copy-on-write invariant)
+        m = dict(read_manifest(path))
         commits = m.get("commits", [])
         if commit is None:
             commit = len(commits) - 1
@@ -1274,7 +1300,7 @@ def tag_commit(path: str, name: str, commit: Optional[int] = None) -> dict:
 
 def delete_tag(path: str, name: str) -> dict:
     with table_write_lock(path):
-        m = read_manifest(path)
+        m = dict(read_manifest(path))  # copy-on-write vs the manifest cache
         tags = dict(m.get("tags", {}))
         if name not in tags:
             raise ValueError(f"no tag {name!r} (have {sorted(tags)})")
@@ -1399,55 +1425,62 @@ def read_changes(
     rather than silently under-delivering.
 
     ``with_commit=True`` appends a ``_commit`` BIGINT column — which
-    commit delivered each row (Delta's _commit_version analogue) — via
-    a broadcast join of the file→commit map (metadata-sized) against
-    each row's source file name; consumers use it to order upserts or
-    checkpoint mid-window."""
+    commit delivered each row (Delta's _commit_version analogue), read
+    per-commit so re-delivered files (e.g. a rollback re-adding an
+    earlier commit's file) attribute correctly; consumers use it to
+    order upserts or checkpoint mid-window."""
     manifest = read_manifest(path)
     commits = manifest.get("commits", [])
     if not -1 <= since_commit < len(commits):
         raise ValueError(
             f"since_commit {since_commit} out of range (have {len(commits)} commits)"
         )
-    added = [
-        (int(c.get("commit", i + since_commit + 1)), f)
-        for i, c in enumerate(commits[since_commit + 1 :])
-        if c.get("data_change", True)
-        for f in c.get("files", [])
-    ]
-    resolved = [resolve_historical_file(path, f) for _, f in added]
-    missing = [f for (_, f), r in zip(added, resolved) if r is None]
+    # One read per commit (files never repeat WITHIN a commit; the same
+    # file CAN reappear across commits — e.g. a rollback re-adding what
+    # an earlier commit delivered — and upsert-feed semantics re-deliver
+    # it, correctly attributed, which a single flat read keyed by file
+    # name could not express).
+    per_commit: list[tuple[int, list[str]]] = []
+    missing: list[str] = []
+    for i, c in enumerate(commits[since_commit + 1 :]):
+        if not c.get("data_change", True) or not c.get("files"):
+            continue
+        ci = int(c.get("commit", i + since_commit + 1))
+        resolved = []
+        for f in c["files"]:
+            r = resolve_historical_file(path, f)
+            if r is None:
+                missing.append(f)
+            else:
+                resolved.append((f, r))
+        per_commit.append((ci, resolved))
     if missing:
         raise ValueError(
             f"changes since commit {since_commit} are gone "
             f"(compaction/vacuum removed {missing[:3]}…)"
         )
-    if not added:
-        df = _empty_df(spark, manifest)
+    parts: list[DataFrame] = []
+    for ci, resolved in per_commit:
+        if all(r == os.path.join(path, f) for f, r in resolved):
+            df = spark.read.option("basePath", path).parquet(*[r for _, r in resolved])
+        else:
+            # Window spans files later rewritten away (retained in
+            # trash): flat layouts only, no partition columns to
+            # recover.
+            df = spark.read.parquet(*[r for _, r in resolved])
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
         df = _restore_aliases(df, manifest)
+        if with_commit:
+            df = df.withColumn("_commit", F.lit(ci).cast("long"))
+        parts.append(df)
+    if not parts:
+        df = _restore_aliases(_empty_df(spark, manifest), manifest)
         return df.withColumn("_commit", F.lit(None).cast("long")) if with_commit else df
-    if all(r == os.path.join(path, f) for (_, f), r in zip(added, resolved)):
-        df = spark.read.option("basePath", path).parquet(*resolved)
-    else:
-        # Window spans files later rewritten away (retained in trash):
-        # flat layouts only, no partition columns to recover.
-        df = spark.read.parquet(*resolved)
-    if BUCKET_COL in df.columns:
-        df = df.drop(BUCKET_COL)
-    df = _restore_aliases(df, manifest)
-    if with_commit:
-        lookup = spark.createDataFrame(
-            [(os.path.basename(r), ci) for (ci, _), r in zip(added, resolved)],
-            "__file STRING, _commit LONG",
-        )
-        df = (
-            df.withColumn(
-                "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-            )
-            .join(F.broadcast(lookup), "__file")
-            .drop("__file")
-        )
-    return df
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
 
 
 def seek_to_row(spark: SparkSession, path: str, row: int) -> DataFrame:

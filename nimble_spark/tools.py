@@ -413,7 +413,13 @@ def select(
         raise ValueError(f"stripe {stripe} out of range (table has {idx} stripes)")
     lo = span[0] + offset
     df = _read_row_range(spark, path, m, lo, min(span[1], lo + limit))
-    return df.select(*columns) if columns else df
+    # same read contract as every other path: deduplicated columns
+    # restore from their stored twin, projections follow the
+    # schema-evolution rules (absent names → typed nulls)
+    from nimble_spark.sources.table import _project_with_evolution, _restore_aliases
+
+    df = _restore_aliases(df, m)
+    return _project_with_evolution(df, m, columns, None) if columns else df
 
 
 def show_trash(spark: SparkSession, path: str) -> DataFrame:

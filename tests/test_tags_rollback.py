@@ -170,8 +170,18 @@ def test_rollback_partitioned_table_preserves_layout(spark, tmpdir):
     out = read_table(spark, path)
     assert out.count() == 160
     assert out.filter("p = '0'").count() == 54
-    # CDC across the whole history still resolves every window
-    assert read_changes(spark, path, since_commit=-1).count() >= 160
+    # CDC across the whole history resolves every window EXACTLY:
+    # c0 adds 100, c1 adds 60, c2 (rollback→0) adds nothing, c3
+    # (roll-forward→1) RE-delivers the 60 (upsert-feed semantics,
+    # attributed to c3 — the per-commit read keeps re-added files
+    # from fanning out against their first delivery)
+    feed = read_changes(spark, path, since_commit=-1, with_commit=True)
+    assert feed.count() == 220
+    by_commit = {
+        r["_commit"]: r["n"]
+        for r in feed.groupBy("_commit").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_commit == {0: 100, 1: 60, 3: 60}
 
 
 def test_rollback_append_compact_contention(spark, tmpdir):
