@@ -31,8 +31,10 @@ CACHE_ROOT = "/tmp/nimble_spark_tables"
 # distributions; then the bucket-directory discovery fix that gives
 # bucketed manifests their file entries) so cached tables built by an
 # older writer rebuild instead of serving manifests missing the new
-# fields.
-MANIFEST_GEN = 3
+# fields. r6: null-count accounting fix — manifests built before r6
+# can record nulls=0 for columns with all-null row groups (wrong
+# IS NULL pruning), so they must rebuild.
+MANIFEST_GEN = 4
 
 
 def source_fingerprint(sf_dir: str, tables: Iterable[str]) -> str:

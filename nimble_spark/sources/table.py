@@ -567,6 +567,16 @@ def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]
     fmins: dict[str, Any] = {}
     fmaxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
+    # Columns whose null count is UNKNOWN for >=1 row group (stats
+    # absent, or null_count not written). Such columns must be dropped
+    # from ``nulls`` entirely: a partial sum (e.g. counting only the
+    # row groups that carry min/max — an all-null row group has
+    # null_count but NO min/max) understates the true count, and
+    # datasource._file_might_match(kind='isnull') would then prune a
+    # file that does contain NULL rows — a wrong-answer, not a
+    # perf-only, failure. Absence from the dict degrades both
+    # isnull/notnull pruning to keep-file.
+    nulls_incomplete: set[str] = set()
     rg_bytes: list[int] = []
     rg_rows: list[int] = []
     for rg_i in range(md.num_row_groups):
@@ -579,6 +589,13 @@ def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]
             if name not in stat_cols:
                 continue
             st = col.statistics
+            # null_count is present even when min/max are absent
+            # (all-null row groups): accumulate it BEFORE the
+            # has_min_max gate.
+            if st is not None and st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            else:
+                nulls_incomplete.add(name)
             if st is None or not st.has_min_max:
                 continue
             try:
@@ -595,7 +612,8 @@ def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]
                 fmins[name] = st_min
             if name not in fmaxs or st_max > fmaxs[name]:
                 fmaxs[name] = st_max
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    for name in nulls_incomplete:
+        nulls.pop(name, None)
     return {
         # root-relative: the table stays readable after a
         # rename/move (atomic cache publication, distcp, …)

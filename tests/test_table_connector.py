@@ -1141,3 +1141,66 @@ def test_bucket_point_lookup_projects_evolved_columns(spark, tmpdir):
     assert sorted(r["k"] for r in rows) == [3, 7]
     assert all(r["added_later"] is None for r in rows)
     assert dict(out.dtypes)["added_later"] == "double"
+
+
+def test_isnull_pushdown_all_null_file(spark, tmpdir):
+    """Round-6 ADVICE-high regression: a file (or row group) that is
+    ALL NULL in a column carries no min/max stats; the manifest build
+    used to skip its null_count too, record nulls=0, and the isnull
+    pruning then dropped the file — silently losing IS NULL rows."""
+    from pyspark.sql import Row, types as T
+
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    rows = [Row(k=i, v=None) for i in range(50)] + [
+        Row(k=i, v=float(i)) for i in range(50, 100)
+    ]
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    # two files: one entirely null in v, one non-null
+    src = spark.createDataFrame(rows, schema).repartitionByRange(2, "k")
+    path = f"{tmpdir}/allnull_isnull"
+    write_table(src, path, WriteOptions())
+    m = read_manifest(path)
+    # the all-null file must NOT record nulls=0 for v
+    for e in m["files"]:
+        nv = (e.get("nulls") or {}).get("v")
+        if nv is not None:
+            assert nv in (0, 50)
+    got = (
+        spark.read.format("nimble")
+        .load(path)
+        .filter(F.col("v").isNull())
+        .count()
+    )
+    assert got == 50
+    # notnull side stays correct too
+    got_nn = (
+        spark.read.format("nimble")
+        .load(path)
+        .filter(F.col("v").isNotNull())
+        .count()
+    )
+    assert got_nn == 50
+
+
+def test_mixed_row_group_null_counts(tmpdir):
+    """Unit repro of the exact advice case: one parquet file mixing an
+    all-null row group (null_count present, min/max absent) with a
+    non-null row group must record the FULL null count, or none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from nimble_spark.sources.table import _describe_parquet_file
+
+    p = f"{tmpdir}/mixed_rg.parquet"
+    t1 = pa.table({"x": pa.array([None, None, None], type=pa.int64())})
+    t2 = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    w = pa_pq.ParquetWriter(p, t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    e = _describe_parquet_file(p, tmpdir, ["x"])
+    assert e["nulls"].get("x", 3) == 3
