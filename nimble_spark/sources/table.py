@@ -188,7 +188,11 @@ def _json_safe(v: Any) -> Any:
 
 
 def write_table(
-    df: DataFrame, path: str, opts: WriteOptions | None = None, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    opts: WriteOptions | None = None,
+    mode: str = "overwrite",
+    _caller_holds_lock: bool = False,
 ) -> dict:
     """Write a DataFrame as a nimble_spark table and return the manifest.
 
@@ -341,6 +345,19 @@ def write_table(
     # manifest publication): without the lock, two concurrent appends
     # could both read commit log v0 and the last manifest rename wins,
     # silently dropping the other writer's files from the log.
+    # ``_caller_holds_lock`` is the internal entry point for callers
+    # whose critical section is WIDER than the write itself
+    # (materialize_columns holds the lock across its read→rewrite span
+    # so a concurrent append cannot commit between the source read and
+    # the overwrite publish); the lock is non-reentrant so they must
+    # not re-acquire here.
+    if _caller_holds_lock:
+        return _write_table_locked(
+            df, path, opts, mode, writer, index_meta,
+            stored_schema=out.schema if column_aliases else None,
+            aliases=column_aliases,
+            logical_columns=[f.name for f in df.schema.fields] if column_aliases else None,
+        )
     _lock = table_write_lock(path)
     _lock.__enter__()
     try:
@@ -371,6 +388,7 @@ def _write_table_locked(
     # O(new files). Old-format entries without per-file null counts
     # are reprocessed.
     reuse: dict[str, dict] = {}
+    prior: Optional[dict] = None
     prior_commits: list[dict] = []
     prior_constraints: dict[str, str] = {}
     prior_tags: dict[str, int] = {}
@@ -467,7 +485,13 @@ def _write_table_locked(
         # above omits the duplicates; the alias map + logical column
         # order let read_table restore the logical schema exactly.
         manifest["column_aliases"] = aliases
-        if logical_columns:
+        if mode == "append" and prior is not None and prior.get("logical_columns"):
+            # The table's logical read order is a TABLE property, not a
+            # batch property: an append whose frame has reordered
+            # columns must not change what every reader sees (ADVICE
+            # r5) — carry the prior order forward.
+            manifest["logical_columns"] = prior["logical_columns"]
+        elif logical_columns:
             manifest["logical_columns"] = logical_columns
     # Writer runtime stats — the VeloxWriter::RunStats analogue
     # (dwio/nimble/velox/VeloxWriter.h:78-115: flush/encode CPU+wall,
@@ -783,6 +807,31 @@ class table_write_lock:
     compare-and-swap), which is exactly how Delta commits on S3.
     Locks older than ``stale_s`` are broken (crashed writer)."""
 
+    @staticmethod
+    def _holder_alive(lock_path: str) -> bool:
+        """True when the lockfile names a pid that is a LIVE process on
+        this host. Single-host protection against breaking the lock of
+        a stalled-but-alive writer: age alone cannot distinguish a
+        crash from a long GC pause / stop-the-world stall, so a live
+        local holder is never broken regardless of mtime age. On a
+        cross-host deployment the pid is not checkable and staleness
+        falls back to mtime — there ``stale_s`` MUST exceed any
+        plausible writer stall (it is the only guard)."""
+        try:
+            with open(lock_path, "rb") as fh:
+                pid = int(fh.read(64).split(b"@")[0])
+        except (OSError, ValueError):
+            return False  # unreadable/unparseable → fall back to mtime
+        try:
+            os.kill(pid, 0)
+            return True
+        except PermissionError:
+            # the pid EXISTS but is another user's — alive
+            # (conservative: don't break)
+            return True
+        except OSError:
+            return False
+
     def __init__(self, path: str, timeout_s: float = 120.0, stale_s: float = 600.0):
         # SIBLING of the table dir, not inside it: an overwrite write
         # deletes the table directory's contents (including _nimble),
@@ -809,7 +858,7 @@ class table_write_lock:
             except FileExistsError:
                 try:
                     age = time.time() - os.stat(self.lock_path).st_mtime
-                    if age > self.stale_s:
+                    if age > self.stale_s and not self._holder_alive(self.lock_path):
                         # Break the stale lock ATOMICALLY: rename it to a
                         # unique tombstone instead of unlinking (an unlink
                         # here could delete another waiter's FRESH lock —
@@ -827,11 +876,21 @@ class table_write_lock:
                         tomb = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
                         os.rename(self.lock_path, tomb)
                         t_age = time.time() - os.stat(tomb).st_mtime
-                        if t_age <= self.stale_s:
+                        if t_age <= self.stale_s or self._holder_alive(tomb):
                             try:
                                 os.link(tomb, self.lock_path)  # restore, never clobber
+                                os.unlink(tomb)
                             except OSError:
+                                # The path was re-taken by another waiter
+                                # while we held the stolen fresh lock:
+                                # lost contention. KEEP the tombstone —
+                                # it is the live writer's only surviving
+                                # lock record; unlinking it here would
+                                # erase the evidence of the double-hold
+                                # window (ADVICE r5). It ages out as a
+                                # plain stale file later.
                                 pass
+                            continue
                         try:
                             os.unlink(tomb)
                         except OSError:
@@ -1226,27 +1285,37 @@ def materialize_columns(spark: SparkSession, path: str) -> dict:
     (cluster keys re-applied) but starting a fresh commit log like
     any overwrite. No-op (returns the live manifest) when the table
     has no aliases."""
-    manifest = read_manifest(path)
-    aliases = manifest.get("column_aliases")
-    if not aliases:
-        return manifest
-    idx = manifest.get("indexes", {})
-    for k in ("hash", "partition", "cut"):
-        if k in idx:
-            raise ValueError(
-                f"materialize_columns on a {k}-layout table needs a "
-                f"layout-preserving rewrite; write it explicitly with "
-                f"the original WriteOptions"
-            )
-    opts = WriteOptions()
-    if "cluster" in idx:
-        opts = WriteOptions(cluster_by=list(idx["cluster"]["keys"]))
-    df = read_table(spark, path)
-    # The read plans lazily over the CURRENT files while the overwrite
-    # stages new ones; localCheckpoint pins the source rows so the
-    # self-overwrite cannot scan its own half-written output.
-    df = df.localCheckpoint(eager=True)
-    return write_table(df, path, opts)
+    # Hold the table write lock across the WHOLE read→rewrite span
+    # (like merge/update/compact): without it a concurrent append
+    # committing between the eager checkpoint and the overwrite commit
+    # would be silently erased from the rewritten table (ADVICE r5).
+    # ALL planning (alias check, layout check) happens under the lock
+    # so it reflects the manifest the rewrite will actually replace.
+    # The lock is non-reentrant, so the write goes through the
+    # _caller_holds_lock entry point.
+    with table_write_lock(path):
+        manifest = read_manifest(path)
+        aliases = manifest.get("column_aliases")
+        if not aliases:
+            return manifest
+        idx = manifest.get("indexes", {})
+        for k in ("hash", "partition", "cut"):
+            if k in idx:
+                raise ValueError(
+                    f"materialize_columns on a {k}-layout table needs a "
+                    f"layout-preserving rewrite; write it explicitly with "
+                    f"the original WriteOptions"
+                )
+        opts = WriteOptions()
+        if "cluster" in idx:
+            opts = WriteOptions(cluster_by=list(idx["cluster"]["keys"]))
+        df = read_table(spark, path)
+        # The read plans lazily over the CURRENT files while the
+        # overwrite stages new ones; localCheckpoint pins the source
+        # rows so the self-overwrite cannot scan its own half-written
+        # output.
+        df = df.localCheckpoint(eager=True)
+        return write_table(df, path, opts, _caller_holds_lock=True)
 
 
 def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
@@ -1260,6 +1329,29 @@ def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> Data
     columns visible and partition pruning effective."""
     files = [os.path.join(path, f["path"]) for f in manifest["files"]]
     if not files:
+        # Legacy-manifest guard (ADVICE r5): bucketed tables written
+        # before the ignore_prefixes fix have ZERO-entry manifests
+        # (the old pyarrow default skipped __nimble_bucket=N dirs at
+        # manifest build). Scanning "exactly the manifest" would read
+        # such a table as silently EMPTY while its data sits on disk.
+        # Detect data the manifest doesn't know about and refuse.
+        if "hash" in manifest.get("indexes", {}):
+            try:
+                has_orphans = any(
+                    e.startswith(f"{BUCKET_COL}=")
+                    for e in os.listdir(path)
+                )
+            except OSError:
+                has_orphans = False
+            if has_orphans:
+                raise ValueError(
+                    f"table {path} has a zero-entry manifest but "
+                    f"{BUCKET_COL}=N data directories exist — a legacy "
+                    f"manifest written before the bucket-discovery fix. "
+                    f"Repair: rebuild with write_table(read-from-dirs, "
+                    f"path, WriteOptions(bucket_by=...)), or delete the "
+                    f"_nimble dir and rewrite the table."
+                )
         return _empty_df(spark, manifest)
     return spark.read.option("basePath", path).parquet(*files)
 

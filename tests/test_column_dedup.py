@@ -224,3 +224,17 @@ def test_materialize_columns_enables_rewrites(spark, tmpdir):
     assert read_table(spark, path).filter("v = k * 3 + 1").count() == 10
     # idempotent no-op on a plain table
     assert "column_aliases" not in materialize_columns(spark, path)
+
+
+def test_append_preserves_logical_column_order(spark, tmpdir):
+    """ADVICE r5: an append whose DataFrame has REORDERED columns must
+    not change the table's logical read order for existing readers."""
+    path = f"{tmpdir}/dedup_order"
+    write_table(_dup_df(spark, 100), path, WriteOptions(dedup_columns=True))
+    order_before = list(read_manifest(path)["logical_columns"])
+    cols_before = read_table(spark, path).columns
+    # append with reversed column order (same data contract)
+    batch = _dup_df(spark, 50).select(*reversed(_dup_df(spark, 1).columns))
+    write_table(batch, path, mode="append")
+    assert read_manifest(path)["logical_columns"] == order_before
+    assert read_table(spark, path).columns == cols_before

@@ -116,3 +116,52 @@ def test_stale_lock_break_elects_one_winner_across_processes(tmpdir):
     with open(counter) as f:
         assert json.load(f)["n"] == 6
     assert not os.path.exists(probe.lock_path)  # released, not stranded
+
+
+def test_live_holder_never_broken_despite_old_mtime(tmpdir):
+    """r6: a stalled-but-ALIVE writer's lock (pid live on this host)
+    must not be broken regardless of mtime age — age alone cannot
+    distinguish a crash from a long stall."""
+    import time
+
+    import pytest
+
+    from nimble_spark.sources.table import table_write_lock
+
+    path = f"{tmpdir}/live_holder"
+    os.makedirs(path, exist_ok=True)
+    holder = table_write_lock(path)
+    holder.__enter__()
+    try:
+        old = time.time() - 3600
+        os.utime(holder.lock_path, (old, old))
+        waiter = table_write_lock(path, timeout_s=1.5, stale_s=0.5)
+        t0 = time.monotonic()
+        with pytest.raises(TimeoutError):
+            waiter.__enter__()
+        assert time.monotonic() - t0 >= 1.0  # waited, didn't break
+        assert os.path.exists(holder.lock_path)
+    finally:
+        holder.__exit__()
+
+
+def test_dead_holder_still_broken(tmpdir):
+    """A crashed writer's lock (dead pid, old mtime) is still broken."""
+    import subprocess
+    import time
+
+    from nimble_spark.sources.table import table_write_lock
+
+    path = f"{tmpdir}/dead_holder"
+    os.makedirs(path, exist_ok=True)
+    probe = table_write_lock(path)
+    # a real pid that has exited
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(probe.lock_path, "w") as f:
+        f.write(f"{p.pid}@{time.time()}")
+    old = time.time() - 3600
+    os.utime(probe.lock_path, (old, old))
+    with table_write_lock(path, timeout_s=5.0, stale_s=0.5):
+        pass  # acquired by breaking the dead holder's lock
+    assert not os.path.exists(probe.lock_path)

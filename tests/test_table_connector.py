@@ -1015,13 +1015,18 @@ def test_write_lock_times_out_and_breaks_stale(spark, tmpdir):
         with _pytest.raises(TimeoutError):
             with table_write_lock(path, timeout_s=0.3):
                 pass
-    # stale lock (old mtime) is broken, not waited on
-    lock = table_write_lock(path)
-    with lock:
-        old = _time.time() - 10_000
-        os.utime(lock.lock_path, (old, old))
-        with table_write_lock(path, timeout_s=5):
-            pass
+    # stale lock (old mtime, holder not a live pid) is broken, not
+    # waited on. r6: a LIVE holder's lock is never broken (see
+    # test_multiprocess_lock.test_live_holder_never_broken...), so the
+    # crashed writer is simulated with unparseable lock content.
+    probe = table_write_lock(path)
+    with open(probe.lock_path, "w") as f:
+        f.write("crashed-writer")
+    old = _time.time() - 10_000
+    os.utime(probe.lock_path, (old, old))
+    with table_write_lock(path, timeout_s=5):
+        pass
+    assert not os.path.exists(probe.lock_path)
 
 
 def test_interop_sees_committed_state_only(spark, tmpdir):
@@ -1204,3 +1209,65 @@ def test_mixed_row_group_null_counts(tmpdir):
     w.close()
     e = _describe_parquet_file(p, tmpdir, ["x"])
     assert e["nulls"].get("x", 3) == 3
+
+
+def test_legacy_bucketed_zero_entry_manifest_raises(spark, tmpdir):
+    """ADVICE r5: a bucketed table whose manifest has a hash index but
+    ZERO file entries (written before the bucket-discovery fix) must
+    raise with a repair hint, not silently read as empty."""
+    import json
+    import os
+
+    from nimble_spark.sources.table import MANIFEST_DIR
+
+    path = f"{tmpdir}/legacy_bucketed"
+    src = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_table(src, path, WriteOptions(bucket_by="k", n_buckets=4))
+    mf = os.path.join(path, MANIFEST_DIR, "manifest.json")
+    with open(mf) as f:
+        m = json.load(f)
+    m["files"] = []  # simulate the legacy zero-entry manifest
+    with open(mf, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="legacy manifest"):
+        read_table(spark, path).count()
+    with pytest.raises(ValueError, match="legacy manifest"):
+        read_table(spark, path, point_lookup=("k", [5])).count()
+
+
+def test_materialize_columns_holds_lock(spark, tmpdir):
+    """ADVICE r5: materialize_columns must hold the table write lock
+    across its whole read→rewrite span so a concurrent append cannot
+    land between the source read and the overwrite commit."""
+    import threading
+
+    from nimble_spark.sources.table import materialize_columns, table_write_lock
+
+    path = f"{tmpdir}/mat_lock"
+    src = spark.range(200).selectExpr("id AS k", "id * 3 AS v", "id * 3 AS v_copy")
+    write_table(src, path, WriteOptions(dedup_columns=True))
+
+    seen = {}
+
+    def contender():
+        # grabs the lock as soon as materialize releases it; if
+        # materialize did NOT hold the lock during its span, this
+        # acquisition would succeed DURING the rewrite instead.
+        with table_write_lock(path, timeout_s=30):
+            seen["acquired_after"] = True
+
+    # hold the lock ourselves; materialize must WAIT for it
+    blocker = table_write_lock(path)
+    blocker.__enter__()
+    t = threading.Thread(
+        target=lambda: seen.update(m=materialize_columns(spark, path))
+    )
+    t.start()
+    t.join(timeout=2)
+    assert t.is_alive()  # blocked on our lock — proof it acquires one
+    blocker.__exit__()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert not seen["m"].get("column_aliases")
+    out = read_table(spark, path)
+    assert out.count() == 200 and "v_copy" in out.columns
