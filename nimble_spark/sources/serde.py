@@ -79,12 +79,23 @@ def deserialize_partitioned(payloads: DataFrame, schema) -> DataFrame:
     return payloads.mapInPandas(per_batch, schema)
 
 
+# Serving request batches are metadata-sized by contract (the
+# reference's NimbleIndexProjector also takes an in-memory request
+# batch, velox/index/NimbleIndexProjector.h:35-43). The cap ENFORCES
+# the contract: the key probe collects at most cap+1 distinct keys, so
+# a caller passing a 100M-row request frame gets a clear error instead
+# of a silent driver OOM. 100k keys ≈ a few MB — far below any
+# realistic driver heap, far above any realistic serving batch.
+SERVE_MAX_BATCH_KEYS = 100_000
+
+
 def serve_lookups(
     spark: SparkSession,
     path: str,
     requests: DataFrame,
     key: str,
     columns: list[str],
+    max_batch_keys: int = SERVE_MAX_BATCH_KEYS,
 ) -> DataFrame:
     """Batched index-lookup serving — the full NimbleIndexProjector
     loop (velox/index/NimbleIndexProjector.h:35-43: a BATCH of point
@@ -92,21 +103,36 @@ def serve_lookups(
     serialized for transport).
 
     ``requests`` is a DataFrame ``(request_id, <key value>)`` (second
-    column named ``key``). The distinct probe keys (bounded by the
-    request batch, metadata-sized) prune the scan through whatever
-    index the table has — hash buckets, sorted index, bloom sidecar,
-    or cluster ranges — then each request's projected rows serialize
-    to ONE Arrow IPC payload row ``(request_id, n_rows, payload)``,
-    grouped and encoded executor-side (applyInPandas; no driver
-    collect). Requests matching nothing yield n_rows=0 with an
-    empty-schema payload, so the response always covers the batch."""
+    column named ``key``). The distinct probe keys (bounded by
+    ``max_batch_keys`` — the collect is a ``limit(cap+1)`` probe, so
+    driver memory is capped no matter how large the request frame is)
+    prune the scan through whatever index the table has — hash
+    buckets, sorted index, bloom sidecar, or cluster ranges — then
+    each request's projected rows serialize to ONE Arrow IPC payload
+    row ``(request_id, n_rows, payload)``, grouped and encoded
+    executor-side (applyInPandas; no driver collect of data rows).
+    Requests matching nothing yield n_rows=0 with an empty-schema
+    payload, so the response always covers the batch.
+
+    Raises ``ValueError`` when the batch exceeds ``max_batch_keys``
+    distinct keys: that is no longer a serving workload — run a
+    distributed semi-join (``read_table(...).join(requests, key,
+    'left_semi')``) instead."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
     from nimble_spark.sources.table import read_table
 
-    keys = [r[0] for r in requests.select(key).distinct().collect()]
+    probe = requests.select(key).distinct().limit(max_batch_keys + 1).collect()
+    if len(probe) > max_batch_keys:
+        raise ValueError(
+            f"serve_lookups request batch exceeds {max_batch_keys} distinct "
+            f"keys — this is a bulk-join workload, not a serving batch; use "
+            f"read_table(...).join(requests, {key!r}, 'left_semi') or raise "
+            f"max_batch_keys explicitly"
+        )
+    keys = [r[0] for r in probe]
     proj = list(dict.fromkeys([key, *columns]))
     hits = read_table(spark, path, columns=proj, point_lookup=(key, keys))
     # explicit hit marker: a left-join miss and a matched row that

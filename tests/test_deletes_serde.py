@@ -99,3 +99,23 @@ def test_serve_lookups_batched_index_projection(spark, tmpdir):
         assert tbl.column("k").to_pylist() == [want_k]
         assert tbl.column("v").to_pylist() == [want_k * 7]
         assert tbl.column("s").to_pylist() == [str(want_k)]
+
+
+def test_serve_lookups_batch_cap_enforced(spark, tmpdir):
+    """r6 (VERDICT): the request-batch contract is ENFORCED — an
+    oversized batch raises instead of collecting unbounded keys at the
+    driver; the probe itself is limit(cap+1)-bounded."""
+    import pytest
+
+    from nimble_spark.sources.serde import serve_lookups
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    path = f"{tmpdir}/serve_cap"
+    df = spark.range(100).selectExpr("id AS k", "id * 7 AS v")
+    write_table(df, path, WriteOptions(cluster_by=["k"], n_cluster_files=2))
+
+    reqs = spark.range(50).selectExpr("id AS request_id", "id AS k")
+    with pytest.raises(ValueError, match="distinct keys"):
+        serve_lookups(spark, path, reqs, "k", ["v"], max_batch_keys=10)
+    # at the cap: fine
+    assert serve_lookups(spark, path, reqs, "k", ["v"], max_batch_keys=50).count() == 50
