@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Iterable, Optional
@@ -783,6 +784,42 @@ def _fold_column_stats(files_info: list[dict]) -> dict:
 _MANIFEST_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
 
 
+# --- sharded manifest paging -------------------------------------------------
+# Beyond SHARD_FILE_THRESHOLD entries the per-file stats move out of
+# the root manifest into immutable, content-addressed page files
+# (_nimble/pages/page-<sha>.json, MANIFEST_PAGE_SIZE entries each);
+# the root keeps only a small ``file_pages`` list. The payoff at high
+# file counts (the 100 TB / >10⁶-file regime): an APPEND's metadata
+# write is O(new files) — prior pages are content-identical and reused
+# by reference, never rewritten — instead of re-serializing an
+# O(table) JSON every commit; reads assemble from per-page caches.
+# This is the stripe-group metadata paging of the reference
+# (dwio/nimble/tablet/TabletWriter.h:51, tablet/Footer.fbs:26-85:
+# metadata split so readers never parse the whole thing) and the
+# Delta-checkpoint / Iceberg manifest-list analogue. Page files a
+# publish stops referencing are swept age-gated (like trash/vacuum),
+# so an in-flight reader holding the prior root stays consistent.
+SHARD_FILE_THRESHOLD = 2048
+MANIFEST_PAGE_SIZE = 1024
+PAGE_DIR = "pages"
+PAGE_SWEEP_AGE_S = 3600.0
+
+_PAGE_CACHE: dict[str, tuple[tuple[int, int], list]] = {}
+
+
+def _load_page(meta_dir: str, rel: str) -> list:
+    p = os.path.join(meta_dir, rel)
+    st = os.stat(p)
+    version = (st.st_mtime_ns, st.st_size)
+    hit = _PAGE_CACHE.get(p)
+    if hit is not None and hit[0] == version:
+        return hit[1]
+    with open(p) as fh:
+        entries = json.load(fh)
+    _PAGE_CACHE[p] = (version, entries)
+    return entries
+
+
 def read_manifest(path: str) -> dict:
     mf = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
     st = os.stat(mf)
@@ -792,6 +829,16 @@ def read_manifest(path: str) -> dict:
         return hit[1]
     with open(mf) as fh:
         m = json.load(fh)
+    if "file_pages" in m:
+        # Sharded root: materialize ``files`` from the page files so
+        # every consumer keeps its flat view. Pages are immutable
+        # (content-addressed), so the per-page cache makes re-assembly
+        # after unrelated root changes (tags, commit log) free.
+        meta_dir = os.path.dirname(mf)
+        files: list = []
+        for pg in m["file_pages"]:
+            files.extend(_load_page(meta_dir, pg["path"]))
+        m["files"] = files
     _MANIFEST_CACHE[mf] = (version, m)
     return m
 
@@ -841,69 +888,76 @@ class table_write_lock:
         self.timeout_s = timeout_s
         self.stale_s = stale_s
 
+    # Serializes THIS process's acquisition attempts (open try + stale
+    # break) across threads: without it, two threads can interleave
+    # inside the rename-verify-restore sequence and re-take the path
+    # mid-restore — the intra-process face of the documented
+    # stat→rename race. Held only for the brief attempt, never across
+    # a critical section. Cross-process, the tombstone protocol below
+    # is the (narrowed, not closed) guard.
+    _ACQUIRE_MUTEX = threading.Lock()
+
     def __enter__(self):
         os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
         deadline = time.monotonic() + self.timeout_s
         while True:
-            try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()}@{time.time()}".encode())
-                # remember OUR lockfile's identity: unlock releases only
-                # this exact inode, so a racing breaker that (wrongly)
-                # swapped the file out can never make us delete a lock
-                # that is not ours
-                self._ino = os.fstat(fd).st_ino
-                os.close(fd)
-                return self
-            except FileExistsError:
+            with table_write_lock._ACQUIRE_MUTEX:
                 try:
-                    age = time.time() - os.stat(self.lock_path).st_mtime
-                    if age > self.stale_s and not self._holder_alive(self.lock_path):
-                        # Break the stale lock ATOMICALLY: rename it to a
-                        # unique tombstone instead of unlinking (an unlink
-                        # here could delete another waiter's FRESH lock —
-                        # the stat/unlink TOCTOU). Renaming narrows the
-                        # race but cannot close it: a breaker stalled
-                        # between its stat and its rename can still move a
-                        # lock that was replaced in the interim. So VERIFY
-                        # after the move: only a tombstone that is itself
-                        # stale is discarded; a fresh one was stolen from
-                        # a live writer and is put back atomically
-                        # (link(2) fails if the path was re-taken — then
-                        # the inode-checked unlock keeps the live writer
-                        # from clobbering the newcomer, and the stolen
-                        # file ages out as a plain stale break later).
-                        tomb = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
-                        os.rename(self.lock_path, tomb)
-                        t_age = time.time() - os.stat(tomb).st_mtime
-                        if t_age <= self.stale_s or self._holder_alive(tomb):
-                            try:
-                                os.link(tomb, self.lock_path)  # restore, never clobber
-                                os.unlink(tomb)
-                            except OSError:
-                                # The path was re-taken by another waiter
-                                # while we held the stolen fresh lock:
-                                # lost contention. KEEP the tombstone —
-                                # it is the live writer's only surviving
-                                # lock record; unlinking it here would
-                                # erase the evidence of the double-hold
-                                # window (ADVICE r5). It ages out as a
-                                # plain stale file later.
-                                pass
-                            continue
-                        try:
-                            os.unlink(tomb)
-                        except OSError:
-                            pass
-                        continue
-                except OSError:
-                    continue  # holder released (or another waiter broke it) first
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire table write lock {self.lock_path} "
-                        f"within {self.timeout_s}s"
-                    )
-                time.sleep(0.05)
+                    fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()}@{time.time()}".encode())
+                    # remember OUR lockfile's identity: unlock releases
+                    # only this exact inode, so a racing breaker that
+                    # (wrongly) swapped the file out can never make us
+                    # delete a lock that is not ours
+                    self._ino = os.fstat(fd).st_ino
+                    os.close(fd)
+                    return self
+                except FileExistsError:
+                    self._maybe_break_stale()
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire table write lock {self.lock_path} "
+                    f"within {self.timeout_s}s"
+                )
+            time.sleep(0.05)
+
+    def _maybe_break_stale(self) -> None:
+        """Break the holder's lockfile iff it is PROVABLY stale: old
+        mtime AND no live holder pid. The break renames to a unique
+        tombstone instead of unlinking (an unlink could delete another
+        waiter's FRESH lock — the stat/unlink TOCTOU), then VERIFIES
+        by inode that it moved exactly the lock it examined. The
+        liveness probe is slow (file read + kill), so the lock is
+        re-stat'ed after it — the rename only proceeds when the path
+        provably hasn't changed hands — and a rename that still moved
+        a replaced lock restores it atomically (link(2) never
+        clobbers; on link failure the tombstone is KEPT as the live
+        writer's only surviving record, ADVICE r5)."""
+        try:
+            st = os.stat(self.lock_path)
+        except OSError:
+            return  # holder released — retry the open
+        if time.time() - st.st_mtime <= self.stale_s or self._holder_alive(self.lock_path):
+            return
+        tomb = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            st2 = os.stat(self.lock_path)
+            if (st2.st_ino, st2.st_mtime_ns) != (st.st_ino, st.st_mtime_ns):
+                return  # changed hands during the slow liveness probe
+            os.rename(self.lock_path, tomb)
+            if os.stat(tomb).st_ino == st.st_ino:
+                # moved exactly the stale lock we examined → discard
+                os.unlink(tomb)
+                return
+        except OSError:
+            return  # raced with another breaker/holder — retry later
+        # The rename moved a lock that REPLACED the stale one inside
+        # the stat→rename window: put it back.
+        try:
+            os.link(tomb, self.lock_path)
+            os.unlink(tomb)
+        except OSError:
+            pass  # path re-taken: keep the tombstone (evidence; ages out)
 
     def __exit__(self, *exc):
         try:
@@ -921,14 +975,104 @@ def _write_manifest(path: str, manifest: dict) -> None:
     """Atomic manifest publication: write to a temp name, fsync, then
     rename over the live manifest — a reader (or a crash) never sees a
     half-written commit. The rename is the commit point, the same
-    discipline as the reference's footer-last tablet write order."""
-    final = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
+    discipline as the reference's footer-last tablet write order.
+
+    Above SHARD_FILE_THRESHOLD file entries the manifest is published
+    SHARDED: per-file stats go to content-addressed page files (write
+    order: pages first, root rename last, so a crash can only orphan
+    unreferenced pages — swept age-gated later, never a broken root).
+    Pages whose content is unchanged since the prior publish are
+    reused by reference: an append rewrites O(new files) metadata.
+    The incoming dict is never mutated (manifest-cache copy-on-write
+    discipline); a stale caller-supplied ``file_pages`` is discarded
+    and repagination always derives from ``files``."""
+    meta_dir = os.path.join(path, MANIFEST_DIR)
+    final = os.path.join(meta_dir, MANIFEST_NAME)
+    manifest = dict(manifest)
+    manifest.pop("file_pages", None)
+    files = manifest.get("files", [])
+    if len(files) >= SHARD_FILE_THRESHOLD:
+        manifest["file_pages"] = _publish_pages(meta_dir, files)
+        del manifest["files"]
     tmp = final + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, default=_json_safe)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, final)
+    if "file_pages" in manifest:
+        _sweep_orphan_pages(meta_dir, manifest["file_pages"])
+
+
+def _publish_pages(meta_dir: str, files: list) -> list[dict]:
+    """Split ``files`` into immutable content-addressed page files,
+    reusing every prior page whose entries are ALL present and
+    unchanged in the new list (dict-equality by file path — entries
+    carried verbatim through the incremental-append reuse path match
+    for free). Reused pages keep their original order (commit-ordered
+    stripes), new entries append as fresh pages at the end."""
+    pages_dir = os.path.join(meta_dir, PAGE_DIR)
+    os.makedirs(pages_dir, exist_ok=True)
+    prior_pages: list[dict] = []
+    try:
+        with open(os.path.join(meta_dir, MANIFEST_NAME)) as fh:
+            prior_pages = json.load(fh).get("file_pages", [])
+    except (OSError, ValueError):
+        pass  # first sharded publish, or prior root unsharded
+    new_by_path = {e["path"]: e for e in files}
+    page_list: list[dict] = []
+    covered: set[str] = set()
+    for pg in prior_pages:
+        try:
+            entries = _load_page(meta_dir, pg["path"])
+        except (OSError, ValueError):
+            continue  # page swept/corrupt → its entries repage below
+        if entries and all(
+            e["path"] not in covered and new_by_path.get(e["path"]) == e
+            for e in entries
+        ):
+            page_list.append(pg)
+            covered.update(e["path"] for e in entries)
+    leftover = [e for e in files if e["path"] not in covered]
+    for i in range(0, len(leftover), MANIFEST_PAGE_SIZE):
+        chunk = leftover[i : i + MANIFEST_PAGE_SIZE]
+        blob = json.dumps(chunk, default=_json_safe).encode()
+        sha = hashlib.sha256(blob).hexdigest()[:16]
+        rel = f"{PAGE_DIR}/page-{sha}.json"
+        fp = os.path.join(meta_dir, rel)
+        if not os.path.exists(fp):  # content-addressed → idempotent
+            ptmp = f"{fp}.tmp.{os.getpid()}"
+            with open(ptmp, "wb") as fh:
+                fh.write(blob)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(ptmp, fp)
+        page_list.append({"path": rel, "n": len(chunk), "sha": sha})
+    return page_list
+
+
+def _sweep_orphan_pages(meta_dir: str, live_pages: list[dict]) -> None:
+    """Age-gated cleanup of page files the just-published root no
+    longer references (and stale page tmp debris). The age gate
+    (PAGE_SWEEP_AGE_S) protects in-flight readers that resolved the
+    PRIOR root moments ago — the same retention discipline as the
+    rewrite trash; vacuum's sweep is the backstop."""
+    pages_dir = os.path.join(meta_dir, PAGE_DIR)
+    referenced = {os.path.basename(pg["path"]) for pg in live_pages}
+    now = time.time()
+    try:
+        names = os.listdir(pages_dir)
+    except OSError:
+        return
+    for fn in names:
+        if fn in referenced:
+            continue
+        fp = os.path.join(pages_dir, fn)
+        try:
+            if now - os.path.getmtime(fp) > PAGE_SWEEP_AGE_S:
+                os.unlink(fp)
+        except OSError:
+            continue  # raced with another sweeper — already gone
 
 
 def colocated_join(

@@ -50,13 +50,34 @@ def _raw(spark, path) -> dict[int, int]:
 
 @pytest.mark.parametrize("seed", [11, 42, 2026])
 def test_lifecycle_model(spark, tmpdir, seed):
+    _run_lifecycle(spark, f"{tmpdir}/life_{seed}", seed)
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_lifecycle_model_sharded_manifest(spark, tmpdir, seed, monkeypatch):
+    """r6: the same lifecycle drill with the manifest SHARDED from the
+    first few files on (threshold forced down): every mutation, time
+    travel, CDC and vacuum invariant must hold identically when the
+    per-file stats live in content-addressed page files."""
+    import os
+
+    import nimble_spark.sources.table as tbl
+
+    monkeypatch.setattr(tbl, "SHARD_FILE_THRESHOLD", 4)
+    monkeypatch.setattr(tbl, "MANIFEST_PAGE_SIZE", 2)
+    path = f"{tmpdir}/life_sh_{seed}"
+    _run_lifecycle(spark, path, seed)
+    # the drill must actually have crossed into sharded territory
+    assert os.path.isdir(os.path.join(path, "_nimble", "pages"))
+
+
+def _run_lifecycle(spark, path, seed):
     from nimble_spark.sources.compaction import compact_table, vacuum_table
     from nimble_spark.sources.deletes import compact_deletes, delete_rows
     from nimble_spark.sources.merge import merge_into, update_where
     from nimble_spark.sources.table import read_changes
 
     rng = random.Random(seed)
-    path = f"{tmpdir}/life_{seed}"
 
     committed: dict[int, int] = {k: k * 10 for k in range(20)}
     masked: set[int] = set()
