@@ -475,7 +475,7 @@ class NimbleWriter(DataSourceArrowWriter):
                 prior_files = {e["path"] for e in prior["files"]}
                 prior_commits = list(prior.get("commits", []))
             except (OSError, ValueError, KeyError):
-                pass
+                pass  # no/corrupt prior manifest → first commit semantics
         if aliased:
             # dedup_columns tables store a reduced physical schema;
             # this writer stages full-schema files, which would
@@ -572,7 +572,8 @@ class NimbleWriter(DataSourceArrowWriter):
                 try:
                     os.remove(os.path.join(self.path, m.rel_path))
                 except OSError:
-                    pass
+                    pass  # abort cleanup is best-effort; leftover
+                    # debris is excluded by the stray sweep + vacuum
 
 
 def _arrow_to_spark_schema(arrow_schema):

@@ -967,7 +967,7 @@ class table_write_lock:
             if os.stat(self.lock_path).st_ino == getattr(self, "_ino", None):
                 os.unlink(self.lock_path)
         except OSError:
-            pass
+            pass  # lock already broken/stolen — nothing of ours to free
         return False
 
 

@@ -1,0 +1,75 @@
+"""Guard: every silent exception swallow (``except: pass``) in the
+package is enumerated here with a justification, and each site carries
+an inline comment saying why the swallowed case is benign.
+
+The round-5 review caught a swallowed tag-publish failure
+(git 3a79a40); the round-5 verdict flagged the swallow count trending
+up. This gate pins the inventory: adding a new ``except …: pass``
+fails the suite until the site is justified below AND commented in
+place — the failure mode this forbids is an error path silently eating
+a COMMIT/PUBLISH failure.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "nimble_spark"
+
+# (file relative to nimble_spark/, count, justification)
+ALLOWED = {
+    # no/corrupt prior manifest at append staging → first-commit
+    # semantics; the locked re-check inside _write_table_locked is the
+    # authoritative read
+    "sources/datasource.py": 2,  # + abort() cleanup: debris is excluded
+    # by the stray sweep and reclaimed by vacuum
+    # compaction + rollback tombstone moves: source already gone means
+    # another actor (crash replay, earlier rename) moved it — the
+    # manifest, already published, is the source of truth
+    "sources/compaction.py": 1,
+    # table.py: lock release (inode mismatch = nothing of ours to
+    # free), lost-contention tombstone keep, prior-root probe before
+    # the first sharded publish, rollback tombstone move
+    "sources/table.py": 4,
+}
+
+PASS_RE = re.compile(r"^\s*pass\s*(#.*)?$")
+
+
+def _swallow_sites():
+    sites = []
+    for py in sorted(PKG.rglob("*.py")):
+        rel = py.relative_to(PKG).as_posix()
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not PASS_RE.match(line):
+                continue
+            for j in range(max(0, i - 3), i):
+                if re.search(r"\bexcept\b", lines[j]):
+                    # justification = trailing comment on the pass line
+                    # or a comment on the following line (continuation)
+                    commented = "#" in line or (
+                        i + 1 < len(lines) and lines[i + 1].strip().startswith("#")
+                    )
+                    sites.append((rel, i + 1, commented))
+                    break
+    return sites
+
+
+def test_swallow_inventory_pinned():
+    sites = _swallow_sites()
+    by_file: dict[str, int] = {}
+    for rel, _ln, _c in sites:
+        by_file[rel] = by_file.get(rel, 0) + 1
+    assert by_file == ALLOWED, (
+        f"exception-swallow inventory changed: {by_file} != {ALLOWED}. "
+        f"If the new site is a genuinely benign best-effort path, comment "
+        f"it in place and update ALLOWED with a justification; otherwise "
+        f"log-and-continue or propagate."
+    )
+
+
+def test_every_swallow_site_commented():
+    bare = [(r, ln) for r, ln, commented in _swallow_sites() if not commented]
+    assert not bare, f"uncommented except-pass sites: {bare}"
