@@ -213,6 +213,109 @@ def show_encodings(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def show_layout(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW LAYOUT: the byte-accurate physical layout map — every
+    section of every file in byte order: the 4-byte magic header,
+    each column chunk's [offset, offset+bytes) range (dictionary +
+    data pages), and the footer (thrift metadata block + trailing
+    length word + magic). Gaps between the last chunk and the footer
+    hold the optional page/column indexes and bloom bitsets — the
+    'optional sections' of the reference's layout dump. The
+    emitLayout/emitFileLayout/emitStripesMetadata analogue
+    (tools/NimbleDumpLib.h:52-60) over parquet physical layout."""
+    m = read_manifest(path)
+    rows = []
+    for f in m["files"]:
+        fp = os.path.join(path, f["path"])
+        size = os.path.getsize(fp)
+        md = pa_pq.ParquetFile(fp).metadata
+        sections: list[tuple] = [("magic", None, None, 0, 4)]
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                start = (
+                    col.dictionary_page_offset
+                    if col.dictionary_page_offset is not None
+                    else col.data_page_offset
+                )
+                sections.append(
+                    (
+                        "column_chunk",
+                        i,
+                        col.path_in_schema,
+                        int(start),
+                        int(col.total_compressed_size),
+                    )
+                )
+        # parquet tail: [footer thrift][4-byte LE length]["PAR1"]
+        with open(fp, "rb") as fh:
+            fh.seek(size - 8)
+            flen = int.from_bytes(fh.read(4), "little")
+        sections.append(("footer", None, None, size - 8 - flen, flen))
+        sections.append(("footer_len_magic", None, None, size - 8, 8))
+        for sec in sorted(sections, key=lambda s: s[3]):
+            rows.append((f["path"], *sec))
+    return spark.createDataFrame(
+        rows,
+        "file STRING, section STRING, stripe INT, column STRING, "
+        "offset BIGINT, bytes BIGINT",
+    )
+
+
+def dump_binary(
+    spark: SparkSession,
+    path: str,
+    stripe: int,
+    column: str | None = None,
+    limit: int = 256,
+) -> DataFrame:
+    """DUMP BINARY STRIPE s [COLUMN c] [LIMIT n]: bounded raw hex peek
+    of a stripe's column-chunk bytes straight off disk — 16 bytes per
+    output row (offset, hex, ascii), capped at ``limit`` bytes per
+    chunk (default 256). The emitBinary analogue
+    (tools/NimbleDumpLib.h:52, NimbleDumpLibTest.cpp binary cases);
+    the bound keeps the peek driver-safe at any chunk size."""
+    rel, rg_i = _locate_stripe(path, stripe)
+    fp = os.path.join(path, rel)
+    md = pa_pq.ParquetFile(fp).metadata
+    rg = md.row_group(rg_i)
+    rows = []
+    with open(fp, "rb") as fh:
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if column is not None and column not in (name, name.split(".")[0]):
+                continue
+            start = (
+                col.dictionary_page_offset
+                if col.dictionary_page_offset is not None
+                else col.data_page_offset
+            )
+            n = min(int(col.total_compressed_size), int(limit))
+            fh.seek(int(start))
+            blob = fh.read(n)
+            for off in range(0, len(blob), 16):
+                chunk = blob[off : off + 16]
+                rows.append(
+                    (
+                        rel,
+                        rg_i,
+                        name,
+                        int(start) + off,
+                        " ".join(f"{b:02x}" for b in chunk),
+                        "".join(chr(b) if 32 <= b < 127 else "." for b in chunk),
+                    )
+                )
+    if column is not None and not rows:
+        raise ValueError(f"no column {column!r} in stripe {stripe}")
+    return spark.createDataFrame(
+        rows,
+        "file STRING, stripe INT, column STRING, offset BIGINT, "
+        "hex STRING, ascii STRING",
+    )
+
+
 def show_index(spark: SparkSession, path: str) -> DataFrame:
     """SHOW INDEX: declared indexes + per-file key bounds (cluster)."""
     m = read_manifest(path)
@@ -472,6 +575,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW STRIPES | SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
+      SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
       SELECT col[,col...] [LIMIT n] [OFFSET n] [STRIPE s] (any clause order)
@@ -513,6 +617,21 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return spark.createDataFrame(
             [(x.strip().rstrip("|").strip(),) for x in cmds if x.strip()],
             "commands STRING",
+        )
+    if u == "SHOW LAYOUT":
+        return show_layout(spark, path)
+    m = re.match(
+        r"DUMP\s+BINARY\s+STRIPE\s+(\d+)(?:\s+COLUMN\s+(\w+))?(?:\s+LIMIT\s+(\d+))?$",
+        c,
+        re.I,
+    )
+    if m:
+        return dump_binary(
+            spark,
+            path,
+            int(m.group(1)),
+            column=m.group(2),
+            limit=int(m.group(3)) if m.group(3) else 256,
         )
     if u == "SHOW INDEX":
         return show_index(spark, path)

@@ -444,6 +444,8 @@ def test_dsl_full_surface_sweep(spark, table_path):
         "SHOW HISTORY",
         "SHOW TRASH",
         "SHOW CONSTRAINTS",
+        "SHOW LAYOUT",
+        "DUMP BINARY STRIPE 0 LIMIT 64",
         "SHOW SCAN METRICS",
         "SHOW SCAN METRICS WHERE o_orderkey <= 100",
         "EXPLAIN PRUNING o_orderkey BETWEEN 1 AND 100",
@@ -463,5 +465,58 @@ def test_dsl_full_surface_sweep(spark, table_path):
         r["commands"] for r in tools.run_command(spark, table_path, "HELP").collect()
     )
     for kw in ("DESCRIBE", "SHOW SCHEMA", "SHOW ENCODING", "VACUUM", "SELECT",
-               "EXPLAIN PRUNING", "SHOW SCAN METRICS", "SHOW WRITE STATS"):
+               "EXPLAIN PRUNING", "SHOW SCAN METRICS", "SHOW WRITE STATS",
+               "SHOW LAYOUT", "DUMP BINARY"):
         assert kw in help_text, kw
+
+
+def test_show_layout_byte_accurate(spark, table_path):
+    """SHOW LAYOUT (emitFileLayout analogue, NimbleDumpLib.h:52-60):
+    per file, sections in byte order — magic at 0, column chunks with
+    in-file offsets, footer ending exactly at file size."""
+    import os
+
+    rows = tools.run_command(spark, table_path, "SHOW LAYOUT").collect()
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r["file"], []).append(r)
+    assert by_file
+    for rel, secs in by_file.items():
+        size = os.path.getsize(os.path.join(table_path, rel))
+        secs = sorted(secs, key=lambda r: r["offset"])
+        assert secs[0]["section"] == "magic" and secs[0]["offset"] == 0
+        assert secs[-1]["section"] == "footer_len_magic"
+        assert secs[-1]["offset"] + secs[-1]["bytes"] == size
+        footer = [r for r in secs if r["section"] == "footer"]
+        assert len(footer) == 1 and footer[0]["offset"] + footer[0]["bytes"] == size - 8
+        chunks = [r for r in secs if r["section"] == "column_chunk"]
+        # one chunk per (stripe, column); all within the data region
+        assert chunks and all(
+            4 <= r["offset"] and r["offset"] + r["bytes"] <= footer[0]["offset"]
+            for r in chunks
+        )
+        # non-overlapping, sorted chunks
+        for a, b in zip(chunks, chunks[1:]):
+            assert a["offset"] + a["bytes"] <= b["offset"]
+
+
+def test_dump_binary_bounded_hex(spark, table_path):
+    """DUMP BINARY (emitBinary analogue): 16-byte hex rows, capped at
+    LIMIT bytes per chunk, byte-accurate against the file on disk."""
+    import os
+
+    rows = tools.run_command(
+        spark, table_path, "DUMP BINARY STRIPE 0 COLUMN o_orderkey LIMIT 48"
+    ).collect()
+    assert rows and all(r["column"].startswith("o_orderkey") for r in rows)
+    assert len(rows) <= 3  # 48 bytes → ≤3 hex rows
+    first = rows[0]
+    with open(os.path.join(table_path, first["file"]), "rb") as fh:
+        fh.seek(first["offset"])
+        want = fh.read(16)
+    assert first["hex"] == " ".join(f"{b:02x}" for b in want)
+    # unknown column raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no column"):
+        tools.run_command(spark, table_path, "DUMP BINARY STRIPE 0 COLUMN nope")
