@@ -49,6 +49,8 @@ DEFAULT = [
     "q_collocations", "q_anomaly_windows", "q_class_scatter",
     "q_quality_profile", "q_binary_roundtrip", "q_map_type_roundtrip",
     "q_fast_minmax",
+    "q_serve_lookups", "q_cdc_commit_provenance", "q_dedup_columns_roundtrip",
+    "q_snapshot_tag_read", "q_rollback_restore",
 ]
 
 

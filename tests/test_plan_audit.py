@@ -561,3 +561,37 @@ def test_round4_statistics_postures(spark, name, max_shuffles):
         forbid_python_eval=True,
     )
     assert a.n_cartesian == 0, a.plan
+
+
+def test_serve_lookups_posture(spark):
+    """Serving: ONE shuffle (the per-request grouping), requests join
+    broadcast, both Python stages Arrow-batched; no cartesian. The
+    served rows never hit the driver (capped key probe only)."""
+    a = assert_posture(
+        _q("q_serve_lookups")(spark, SF_MED),
+        max_shuffles=1,
+        min_broadcast_joins=1,
+    )
+    assert a.n_cartesian == 0
+    assert a.n_python_evals == 2  # applyInPandas encode + mapInPandas decode
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("q_cdc_commit_provenance", 1),
+        ("q_dedup_columns_roundtrip", 1),
+        ("q_snapshot_tag_read", 2),
+        ("q_rollback_restore", 2),
+    ],
+)
+def test_lifecycle_postures(spark, name, max_shuffles):
+    # single-aggregation shapes; the 1-row-x-1-row totals crossJoin on
+    # tag/rollback is the designed BNL, never a shuffled cartesian
+    a = assert_posture(
+        _q(name)(spark, SF_MED),
+        max_shuffles=max_shuffles,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
