@@ -212,6 +212,90 @@ def q_cdc_commit_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _learned_oracle() -> str:
+    """The oracle recomputes the learned model's per-column scores in
+    pure SQL from the same data: exact NDV / null / byte statistics →
+    the identical fixed-order linear arithmetic → the identical
+    decision. Weights are baked constants (offline-trained, like the
+    reference's EncodingPredictionModel params)."""
+    from nimble_spark.sources.encoding_policy import DEFAULT_ENCODING_MODEL as M
+
+    def col_sql(name: str, is_str: bool, width: int) -> str:
+        lab = (
+            f"LOG10(SUM(LENGTH({name})) * 1.0 / COUNT(*))"
+            if is_str
+            else f"LOG10({width}.0)"
+        )
+        return f"""
+        SELECT '{name}' AS col,
+               COUNT(DISTINCT {name}) * 1.0 / COUNT(*) AS ndv_ratio,
+               LOG10(COUNT(*) * 1.0) AS log_n,
+               (COUNT(*) - COUNT({name})) * 1.0 / COUNT(*) AS null_ratio,
+               {lab} AS log_avg_bytes
+        FROM orders"""
+
+    prof = "\n    UNION ALL".join(
+        [
+            col_sql("o_orderkey", False, 8),
+            col_sql("o_custkey", False, 8),
+            col_sql("o_orderstatus", True, 0),
+            col_sql("o_totalprice", False, 8),
+            col_sql("o_orderpriority", True, 0),
+        ]
+    )
+    raw = (
+        f"{M.w_ndv_ratio} * ndv_ratio + {M.w_log_n} * log_n + "
+        f"{M.w_null_ratio} * null_ratio + {M.w_log_avg_bytes} * log_avg_bytes + "
+        f"{M.bias}"
+    )
+    return f"""
+    WITH prof AS ({prof})
+    SELECT col,
+           FLOOR(({raw}) * 1000000 + 0.5) / 1000000 AS score,
+           FLOOR(({raw}) * 1000000 + 0.5) / 1000000 > 0 AS dict_on
+    FROM prof
+    """
+
+
+@register(
+    "q_learned_encoding_policy",
+    oracle=_learned_oracle(),
+    category="encoding",
+)
+def q_learned_encoding_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned encoding selection (LearnedEncodingSelectionPolicy,
+    encodings/selection/EncodingSelectionPolicy.h:339-365): an
+    offline-trained linear model over the profile statistics predicts
+    per-column whether dictionary encoding shrinks the column. The
+    differential check is real: the oracle recomputes the exact
+    feature statistics AND the fixed-order model arithmetic in SQL —
+    any drift in the profile pass or the scoring flips the hash. The
+    weights are validated against MEASURED write-both-ways outcomes in
+    tests/test_learned_encoding.py."""
+    import math
+
+    from nimble_spark.sources.encoding_policy import (
+        DEFAULT_ENCODING_MODEL,
+        profile_columns,
+    )
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    df = load(spark, sf_dir, "orders").select(*cols)
+    profiles = profile_columns(df, approx=False)
+    rows = []
+    for name in cols:
+        s = DEFAULT_ENCODING_MODEL.score(profiles[name])
+        s = math.floor(s * 1000000 + 0.5) / 1000000
+        rows.append((name, s, s > 0))
+    return spark.createDataFrame(rows, "col STRING, score DOUBLE, dict_on BOOLEAN")
+
+
 @register(
     "q_serve_lookups",
     oracle="""

@@ -222,6 +222,175 @@ def write_table_with_replay(
     return manifest, decision, drift
 
 
+# ---------------------------------------------------------------------------
+# Learned encoding selection — LearnedEncodingSelectionPolicy analogue
+# (dwio/nimble/encodings/selection/EncodingSelectionPolicy.h:339-365:
+# an offline-trained linear model over stream statistics predicts
+# per-encoding cost; parameters are baked constants "trained offline",
+# robust across data). The Spark decision surface is the per-column
+# dictionary on/off choice, so the analogue is a logistic model over
+# the same profile features the rule policy sees, TRAINED ON MEASURED
+# OUTCOMES: measure_dictionary_outcomes writes each column both ways
+# and labels which was smaller; fit_encoding_model fits the weights;
+# DEFAULT_ENCODING_MODEL carries the offline-trained constants (like
+# the reference's 1.52 / 1.13 / 2.589).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EncodingPredictionModel:
+    """score(profile) > 0 ⇔ dictionary encoding predicted to SHRINK
+    the column. Features deliberately mirror ColumnProfile (what the
+    selection pass already computes — no extra scan): ndv/n ratio,
+    log10(n), null ratio, log10(avg bytes/value). The arithmetic is
+    fixed-order so an external engine (the DuckDB oracle) reproduces
+    the exact same doubles."""
+
+    w_ndv_ratio: float
+    w_log_n: float
+    w_null_ratio: float
+    w_log_avg_bytes: float
+    bias: float
+
+    def features(self, p: ColumnProfile) -> list[float]:
+        import math
+
+        avg_bytes = (p.data_bytes / p.n) if p.n else 1.0
+        return [
+            p.ndv_ratio,
+            math.log10(p.n) if p.n else 0.0,
+            (p.null_count / p.n) if p.n else 0.0,
+            math.log10(max(avg_bytes, 1e-9)),
+        ]
+
+    def score(self, p: ColumnProfile) -> float:
+        x = self.features(p)
+        return (
+            self.w_ndv_ratio * x[0]
+            + self.w_log_n * x[1]
+            + self.w_null_ratio * x[2]
+            + self.w_log_avg_bytes * x[3]
+            + self.bias
+        )
+
+    def predict_dictionary(self, p: ColumnProfile) -> bool:
+        return self.score(p) > 0.0
+
+
+# Offline-trained constants — fit by harness/train_encoding_model.py
+# over measure_dictionary_outcomes of the 7 synthetic encoding
+# patterns at two sizes + orders/lineitem/customer columns at sf0.01
+# (34 measured examples, 31/34 agreement; the 3 misses are
+# byte-borderline cases where dict-on and dict-off sizes differ <2%).
+# tests/test_learned_encoding.py re-measures a held-out column set and
+# asserts agreement. Dominated by the NDV ratio — dictionary stops
+# paying as values approach unique — with a bonus for wide values
+# (wide strings amortize the index stream; ~1-3-byte values often
+# don't, which the rule policy's plain NDV threshold gets wrong).
+DEFAULT_ENCODING_MODEL = EncodingPredictionModel(
+    w_ndv_ratio=-6.4924,
+    w_log_n=-0.329,
+    w_null_ratio=0.0,
+    w_log_avg_bytes=1.2271,
+    bias=2.6116,
+)
+
+
+def measure_dictionary_outcomes(
+    df: DataFrame, columns: Optional[list[str]] = None
+) -> list[tuple[ColumnProfile, bool]]:
+    """Ground-truth generator for training: write each column BOTH
+    ways (dictionary on / off) and label whether dictionary was
+    smaller on disk. This is the offline-training half of the
+    reference's learned policy — expensive by design, run once per
+    corpus, never on the write path."""
+    import shutil
+    import tempfile
+
+    profiles = profile_columns(df, approx=False)
+    out: list[tuple[ColumnProfile, bool]] = []
+    for name, prof in profiles.items():
+        if columns is not None and name not in columns:
+            continue
+        one = df.select(name).coalesce(1)
+        sizes: dict[bool, int] = {}
+        for dict_on in (True, False):
+            tmp = tempfile.mkdtemp(prefix="nimble_enc_train_") + "/t"
+            try:
+                write_table(
+                    one,
+                    tmp,
+                    WriteOptions(
+                        no_dictionary_cols=[] if dict_on else [name]
+                    ),
+                )
+                from nimble_spark.sources.table import read_manifest
+
+                sizes[dict_on] = sum(
+                    f["bytes"] for f in read_manifest(tmp)["files"]
+                )
+            finally:
+                shutil.rmtree(tmp.rsplit("/", 1)[0], ignore_errors=True)
+        out.append((prof, sizes[True] < sizes[False]))
+    return out
+
+
+def fit_encoding_model(
+    examples: list[tuple[ColumnProfile, bool]],
+    epochs: int = 4000,
+    lr: float = 0.1,
+) -> EncodingPredictionModel:
+    """Plain logistic regression (numpy batch gradient descent) over
+    the measured outcomes — the smallest model that closes the
+    reference's learned-selection row; deterministic (no random
+    init)."""
+    import numpy as np
+
+    probe = EncodingPredictionModel(0, 0, 0, 0, 0)
+    X = np.array([probe.features(p) for p, _ in examples], dtype=float)
+    y = np.array([1.0 if label else 0.0 for _, label in examples])
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    for _ in range(epochs):
+        z = X @ w + b
+        pred = 1.0 / (1.0 + np.exp(-z))
+        grad = pred - y
+        w -= lr * (X.T @ grad) / len(y)
+        b -= lr * float(grad.mean())
+    return EncodingPredictionModel(
+        w_ndv_ratio=float(w[0]),
+        w_log_n=float(w[1]),
+        w_null_ratio=float(w[2]),
+        w_log_avg_bytes=float(w[3]),
+        bias=float(b),
+    )
+
+
+def learned_policy(
+    model: Optional[EncodingPredictionModel] = None,
+    bloom_max_ndv_ratio: float = 0.05,
+    bloom_min_ndv: int = 2,
+) -> EncodingPolicy:
+    """LearnedEncodingSelectionPolicy analogue: the dictionary on/off
+    choice comes from the trained model's prediction instead of the
+    rule threshold; the bloom choice (a pruning-index decision the
+    reference's model does not cover) keeps the rule."""
+    m = model or DEFAULT_ENCODING_MODEL
+
+    def policy(profiles: dict[str, ColumnProfile]) -> PolicyDecision:
+        d = PolicyDecision()
+        for p in profiles.values():
+            if p.n == 0:
+                continue
+            if not m.predict_dictionary(p):
+                d.no_dictionary_cols.append(p.name)
+            elif p.ndv >= bloom_min_ndv and p.ndv_ratio <= bloom_max_ndv_ratio:
+                d.bloom_cols.append(p.name)
+        return d
+
+    return policy
+
+
 def write_table_with_policy(
     df: DataFrame,
     path: str,
