@@ -820,25 +820,41 @@ def _load_page(meta_dir: str, rel: str) -> list:
     return entries
 
 
-def read_manifest(path: str) -> dict:
+def read_manifest(path: str, materialize: bool = True) -> dict:
+    """Load the table manifest. ``materialize=False`` returns the ROOT
+    only — on a sharded manifest the dict has ``file_pages`` but no
+    ``files`` (zero page I/O) — for callers that can prune at page
+    granularity (read_table's index paths) or need only root fields
+    (schema, indexes, commits, tags, aliases). The default
+    materializes ``files`` from the page files so every consumer keeps
+    its flat view; pages are immutable (content-addressed), so the
+    per-page cache makes re-assembly after unrelated root changes
+    (tags, commit log) free."""
     mf = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
     st = os.stat(mf)
     version = (st.st_mtime_ns, st.st_size)
     hit = _MANIFEST_CACHE.get(mf)
     if hit is not None and hit[0] == version:
-        return hit[1]
-    with open(mf) as fh:
-        m = json.load(fh)
-    if "file_pages" in m:
-        # Sharded root: materialize ``files`` from the page files so
-        # every consumer keeps its flat view. Pages are immutable
-        # (content-addressed), so the per-page cache makes re-assembly
-        # after unrelated root changes (tags, commit log) free.
-        meta_dir = os.path.dirname(mf)
-        files: list = []
-        for pg in m["file_pages"]:
-            files.extend(_load_page(meta_dir, pg["path"]))
-        m["files"] = files
+        return hit[1]  # materialized superset serves both modes
+    root_key = mf + "::root"
+    rhit = _MANIFEST_CACHE.get(root_key)
+    if rhit is not None and rhit[0] == version:
+        m = rhit[1]
+    else:
+        with open(mf) as fh:
+            m = json.load(fh)
+        if "file_pages" not in m:
+            _MANIFEST_CACHE[mf] = (version, m)  # complete as-is
+            return m
+        _MANIFEST_CACHE[root_key] = (version, m)
+    if not materialize:
+        return m
+    meta_dir = os.path.dirname(mf)
+    files: list = []
+    for pg in m["file_pages"]:
+        files.extend(_load_page(meta_dir, pg["path"]))
+    m = dict(m)  # the root cache entry must stay file-less
+    m["files"] = files
     _MANIFEST_CACHE[mf] = (version, m)
     return m
 
@@ -1031,6 +1047,9 @@ def _publish_pages(meta_dir: str, files: list) -> list[dict]:
             e["path"] not in covered and new_by_path.get(e["path"]) == e
             for e in entries
         ):
+            if "min" not in pg:  # pre-bounds page entry: backfill
+                pg = dict(pg)
+                pg["min"], pg["max"] = _page_bounds(entries)
             page_list.append(pg)
             covered.update(e["path"] for e in entries)
     leftover = [e for e in files if e["path"] not in covered]
@@ -1047,8 +1066,37 @@ def _publish_pages(meta_dir: str, files: list) -> list[dict]:
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(ptmp, fp)
-        page_list.append({"path": rel, "n": len(chunk), "sha": sha})
+        mins, maxs = _page_bounds(chunk)
+        page_list.append(
+            {"path": rel, "n": len(chunk), "sha": sha, "min": mins, "max": maxs}
+        )
     return page_list
+
+
+def _page_bounds(entries: list) -> tuple[dict, dict]:
+    """Fold per-entry min/max into PAGE-level bounds — the root-side
+    index that lets a point/range lookup skip loading whole pages
+    (the reference's stripe-group metadata sections exist for exactly
+    this: locate without parsing everything, Footer.fbs:26-85). A
+    column gets a page bound only when EVERY entry carries its
+    min/max: an entry with unknown bounds must be kept by pruning,
+    which page-level skipping could otherwise violate."""
+    if not entries:
+        return {}, {}
+    keys = set(entries[0].get("min") or {}) & set(entries[0].get("max") or {})
+    for e in entries[1:]:
+        keys &= set(e.get("min") or {}) & set(e.get("max") or {})
+    # An entry may carry an explicit None bound (all-null file): the
+    # key's page bound must then be dropped, not folded — None is not
+    # ordered against values, and such a file must survive pruning.
+    keys = {
+        k
+        for k in keys
+        if all(e["min"][k] is not None and e["max"][k] is not None for e in entries)
+    }
+    mins = {k: min(e["min"][k] for e in entries) for k in keys}
+    maxs = {k: max(e["max"][k] for e in entries) for k in keys}
+    return mins, maxs
 
 
 def _sweep_orphan_pages(meta_dir: str, live_pages: list[dict]) -> None:
@@ -1190,12 +1238,36 @@ def _files_fingerprint(manifest: dict) -> str:
     return h.hexdigest()[:16]
 
 
+def _entries_for_bounds(manifest: dict, root: str, key: str, lo: Any, hi: Any) -> list:
+    """File entries possibly intersecting [lo,hi] on ``key``. On a
+    materialized manifest: all entries (per-entry pruning follows).
+    On a sharded ROOT (read_manifest(materialize=False)): load ONLY
+    the pages whose folded bounds intersect — pages provably disjoint
+    are never read off disk. At 10⁶ files a point lookup touches the
+    small root + a handful of pages instead of the whole metadata —
+    the 'locate without parsing everything' property of the
+    reference's paged stripe-group metadata."""
+    if "files" in manifest:
+        return manifest["files"]
+    meta_dir = os.path.join(root, MANIFEST_DIR)
+    out: list = []
+    for pg in manifest.get("file_pages", []):
+        pmin = (pg.get("min") or {}).get(key)
+        pmax = (pg.get("max") or {}).get(key)
+        if pmin is not None and pmax is not None:
+            if (hi is not None and pmin > hi) or (lo is not None and pmax < lo):
+                continue  # page provably disjoint — skip the read
+        out.extend(_load_page(meta_dir, pg["path"]))
+    return out
+
+
 def _prune_files(manifest: dict, root: str, key: str, lo: Any, hi: Any) -> list[str] | None:
     """Cluster/zorder-index pruning: keep files whose [min,max] for
     `key` intersects [lo,hi] (binary-search-over-boundary-keys
     analogue, dwio/nimble/index/ClusterIndex.h:76-197). Cluster files
     have disjoint ranges (exact pruning); zorder files have selective
-    but overlapping ranges on every zorder key."""
+    but overlapping ranges on every zorder key. Accepts a sharded
+    ROOT manifest (page-granular skipping via _entries_for_bounds)."""
     idx = manifest.get("indexes", {})
     indexed_keys = list((idx.get("cluster") or {}).get("keys", [])) + list(
         (idx.get("zorder") or {}).get("keys", [])
@@ -1203,7 +1275,7 @@ def _prune_files(manifest: dict, root: str, key: str, lo: Any, hi: Any) -> list[
     if key not in indexed_keys:
         return None
     keep = []
-    for f in manifest["files"]:
+    for f in _entries_for_bounds(manifest, root, key, lo, hi):
         fmin, fmax = f["min"].get(key), f["max"].get(key)
         if fmin is None or fmax is None:
             keep.append(os.path.join(root, f["path"]))
@@ -1245,7 +1317,19 @@ def read_table(
       manifest sha256 before scanning (Postscript checksum analogue);
       raises on corruption.
     """
-    manifest = read_manifest(path)
+    # Root-only read: on a sharded manifest this touches ZERO page
+    # files. Branches that genuinely need the full file list (row
+    # ranges, bucket scans, sorted-index fences, blooms, full scans)
+    # materialize via _full(); the cluster range/point paths prune at
+    # page granularity instead and may never load most pages.
+    manifest = read_manifest(path, materialize=False)
+
+    def _full() -> dict:
+        nonlocal manifest
+        if "files" not in manifest:
+            manifest = read_manifest(path)
+        return manifest
+
     if verify_checksums:
         bad = verify_table(path)
         if bad:
@@ -1305,7 +1389,7 @@ def read_table(
             df = _project_with_evolution(df, manifest, columns, evolved_types)
         return df
     if row_range is not None:
-        df = _restore_aliases(_read_row_range(spark, path, manifest, *row_range), manifest)
+        df = _restore_aliases(_read_row_range(spark, path, _full(), *row_range), manifest)
         if columns:
             df = _project_with_evolution(df, manifest, columns, evolved_types)
         return df
@@ -1344,7 +1428,7 @@ def read_table(
                     .collect()
                 }
             )
-            df = _scan_manifest_files(spark, path, manifest)
+            df = _scan_manifest_files(spark, path, _full())
             df = _restore_aliases(
                 df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL),
                 manifest,
@@ -1356,7 +1440,7 @@ def read_table(
             return df
         elif key in manifest.get("indexes", {}).get("sorted", []) and manifest[
             "indexes"
-        ].get("sorted_fence", {}).get(key) in (None, _files_fingerprint(manifest)):
+        ].get("sorted_fence", {}).get(key) in (None, _files_fingerprint(_full())):
             # Secondary sorted index: the index scan (small, sorted,
             # min/max-prunable) yields exactly the files holding the
             # probe keys; only those are read. A fence mismatch
@@ -1374,7 +1458,14 @@ def read_table(
             # so blooms are the only mechanism that can skip files.
             from nimble_spark.sources.bloom import bloom_prune_files
 
-            file_list = bloom_prune_files(spark, manifest, path, key, values)
+            # bloom probing needs per-file rows; only consulted when
+            # the table HAS a bloom index, else it declines cheaply
+            has_bloom = "bloom" in manifest.get("indexes", {})
+            file_list = (
+                bloom_prune_files(spark, _full(), path, key, values)
+                if has_bloom
+                else None
+            )
             if file_list is None:
                 lo, hi = min(values), max(values)
                 file_list = _prune_files(manifest, path, key, lo, hi)
@@ -1471,6 +1562,8 @@ def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> Data
     (publish-first crash window). Explicit paths are also the cheaper
     plan on an object store (no LIST). basePath keeps Hive partition
     columns visible and partition pruning effective."""
+    if "files" not in manifest:
+        manifest = read_manifest(path)  # sharded root → materialize
     files = [os.path.join(path, f["path"]) for f in manifest["files"]]
     if not files:
         # Legacy-manifest guard (ADVICE r5): bucketed tables written

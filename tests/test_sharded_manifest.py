@@ -131,6 +131,56 @@ def test_orphan_pages_swept_age_gated(tmpdir, monkeypatch):
     assert not os.path.exists(orphan)
 
 
+def test_point_lookup_skips_disjoint_pages(spark, tmpdir, monkeypatch):
+    """The lazy-root property: a cluster point/range lookup on a
+    sharded manifest reads the root + ONLY the pages whose folded
+    [min,max] intersect the probe — provably-disjoint pages are never
+    opened (the reference's 'locate without parsing everything'
+    stripe-group paging, tablet/Footer.fbs:26-85)."""
+    monkeypatch.setattr(tbl, "SHARD_FILE_THRESHOLD", 4)
+    monkeypatch.setattr(tbl, "MANIFEST_PAGE_SIZE", 2)
+    path = f"{tmpdir}/page_skip"
+    base = spark.range(10_000).selectExpr("id AS k", "id * 3 AS v")
+    write_table(base, path, WriteOptions(cluster_by=["k"], n_cluster_files=16))
+
+    tbl._MANIFEST_CACHE.clear()  # force real page I/O accounting
+    loads: list[str] = []
+    real = tbl._load_page
+
+    def counting(meta_dir, rel):
+        loads.append(rel)
+        return real(meta_dir, rel)
+
+    monkeypatch.setattr(tbl, "_load_page", counting)
+    got = read_table(spark, path, point_lookup=("k", [7]))
+    assert [r["k"] for r in got.collect()] == [7]
+    # 16 cluster files / 2-entry pages = 8 pages; the probe key lives
+    # in exactly one file → exactly one page touched.
+    assert len(set(loads)) == 1
+
+    tbl._MANIFEST_CACHE.clear()
+    loads.clear()
+    got = read_table(spark, path, range_scan=("k", 0, 1300))
+    assert got.count() == 1301
+    # keys 0..1300 span ceil(1301/625)=3 cluster files → 2 pages.
+    assert 1 <= len(set(loads)) <= 2
+
+
+def test_page_bounds_drop_null_and_missing_keys():
+    """A key folds into a page bound only when EVERY entry carries a
+    non-None min AND max for it — None (all-null file) or absent
+    bounds poison the key, because such files must survive pruning."""
+    entries = [_fake_entry(0), _fake_entry(1)]
+    entries[1]["min"]["k"] = None  # all-null file for k
+    entries[0]["min"]["only0"] = entries[0]["max"]["only0"] = 5
+    mins, maxs = tbl._page_bounds(entries)
+    assert "k" not in mins and "only0" not in mins
+    assert mins == {} and maxs == {}
+    ok = [_fake_entry(3), _fake_entry(9)]
+    mins, maxs = tbl._page_bounds(ok)
+    assert mins == {"k": 300} and maxs == {"k": 999}
+
+
 def test_end_to_end_sharded_index_cdc_rollback(spark, tmpdir, monkeypatch):
     """Every read path — range pruning, point lookup, CDC, time
     travel, tags, rollback — against a table whose manifest shards
