@@ -152,6 +152,18 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_lifecycle_bench"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # Metadata-plane scaling — the >10⁶-file regime is approximated by
+    # a synthetic 100k-entry sharded manifest: publish cost, full
+    # materialization cost, and the lazy-root point probe that must
+    # touch only the intersecting page(s).
+    meta: dict = {}
+    try:
+        meta = _metadata_bench()
+        for k, v in meta.items():
+            print(f"# metadata.{k}: {v}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["_metadata_bench"] = f"{type(exc).__name__}: {exc}"[:300]
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -172,6 +184,8 @@ def main() -> None:
         out["format"] = fmt
     if life:
         out["lifecycle"] = life
+    if meta:
+        out["metadata"] = meta
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
@@ -233,6 +247,82 @@ def _lifecycle_bench(spark, sf_dir: str) -> dict:
         read_changes(spark, cdc_path, since_commit=-1).count()
         best.append(time.time() - t0)
     out["read_changes_replay_s"] = round(min(best), 3)
+    return out
+
+
+def _metadata_bench() -> dict:
+    """Metadata-plane cost at high file counts (driver-side, no Spark).
+
+    A synthetic 100k-entry manifest (≈100 content-addressed pages)
+    stands in for the >10⁶-file regime scaled down 10×:
+
+    - manifest_publish_100k_s: full sharded publish (page hashing +
+      atomic root swap) — paid once per commit; appends reuse pages.
+    - manifest_full_load_s: cold full materialization (every page
+      parsed) — the cost lazy-root reads avoid.
+    - manifest_point_probe_s: cold root-only load + cluster point
+      probe via folded page bounds — touches only intersecting pages.
+    """
+    import shutil
+    import tempfile
+
+    import nimble_spark.sources.table as tbl
+
+    out: dict = {}
+    d = tempfile.mkdtemp(prefix="nimble_bench_meta_")
+    try:
+        path = os.path.join(d, "t")
+        os.makedirs(os.path.join(path, tbl.MANIFEST_DIR), exist_ok=True)
+        n = 100_000
+        files = [
+            {
+                "path": f"part-{i:07d}.parquet",
+                "rows": 1000,
+                "bytes": 1 << 20,
+                "min": {"k": i * 100},
+                "max": {"k": i * 100 + 99},
+                "nulls": {"k": 0},
+            }
+            for i in range(n)
+        ]
+        m = {
+            "rows": 1000 * n,
+            "files": files,
+            "commits": [],
+            "indexes": {"cluster": {"keys": ["k"]}},
+        }
+        t0 = time.time()
+        tbl._write_manifest(path, m)
+        out["manifest_publish_100k_s"] = round(time.time() - t0, 3)
+
+        tbl._MANIFEST_CACHE.clear()
+        t0 = time.time()
+        full = tbl.read_manifest(path)
+        out["manifest_full_load_s"] = round(time.time() - t0, 3)
+        assert len(full["files"]) == n
+
+        tbl._MANIFEST_CACHE.clear()
+        probed = [0]
+        real = tbl._load_page
+
+        def counting(meta_dir, rel):
+            probed[0] += 1
+            return real(meta_dir, rel)
+
+        tbl._load_page = counting
+        try:
+            t0 = time.time()
+            root = tbl.read_manifest(path, materialize=False)
+            kept = tbl._prune_files(root, path, "k", 4_242_442, 4_242_442)
+            out["manifest_point_probe_s"] = round(time.time() - t0, 4)
+        finally:
+            tbl._load_page = real
+        out["pages_total"] = len(root["file_pages"])
+        out["pages_probed"] = probed[0]
+        out["files_kept"] = len(kept)
+        assert out["files_kept"] == 1 and out["pages_probed"] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return out
 
 
