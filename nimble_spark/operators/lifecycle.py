@@ -81,7 +81,7 @@ def q_dedup_columns_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table(src, tmp, WriteOptions(dedup_columns=True))
 
     path = ensure_cached(sf_dir, "orders__dedup_cols", ["orders"], _build)
-    n_aliases = len(read_manifest(path).get("column_aliases", {}))
+    n_aliases = len(read_manifest(path, materialize=False).get("column_aliases", {}))
     back = read_table(spark, path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -159,7 +159,7 @@ def q_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollback_table(spark, tmp, commit=0)
 
     path = ensure_cached(sf_dir, "orders__rolledback", ["orders"], _build)
-    n_commits = len(read_manifest(path).get("commits", []))
+    n_commits = len(read_manifest(path, materialize=False).get("commits", []))
     live = read_table(spark, path).agg(
         F.count(F.lit(1)).alias("live_rows"), dsum("o_totalprice").alias("live_total")
     )

@@ -68,7 +68,8 @@ class NimbleDataSource(DataSource):
         return "nimble"
 
     def schema(self) -> StructType:
-        manifest = read_manifest(self.options["path"])
+        # schema lives in the root — never materialize pages for it
+        manifest = read_manifest(self.options["path"], materialize=False)
         return StructType.fromJson(manifest["schema"])
 
     def reader(self, schema: StructType) -> "NimbleReader":
@@ -217,7 +218,10 @@ def _file_might_match(entry: dict, col: str, kind: str, value) -> bool:
 class NimbleReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
-        self.manifest = read_manifest(path)
+        # Root-only on sharded manifests: pages load lazily in
+        # kept_files, and only those the pushed filters can't exclude
+        # at page granularity (folded per-page min/max bounds).
+        self.manifest = read_manifest(path, materialize=False)
         self.columns = [f.name for f in schema.fields]
         self._constraints: list[tuple[str, str, object]] = []
 
@@ -251,9 +255,32 @@ class NimbleReader(DataSourceReader):
                 self._constraints.append((col, "startswith", f.value))
         return filters  # all residual — Spark re-applies row-exact
 
+    def _iter_entries(self) -> Iterator[dict]:
+        """File entries, loading sharded-manifest pages lazily: a
+        page whose FOLDED [min,max] bounds provably exclude every row
+        a pushed filter accepts is skipped without being read — the
+        folded bounds are a superset range, so _file_might_match's
+        conservative semantics apply verbatim (a page lacking bounds
+        for a column, or any null-count constraint, keeps the page;
+        per-file checks then run on the loaded entries as before)."""
+        m = self.manifest
+        if "files" in m:
+            yield from m["files"]
+            return
+        from nimble_spark.sources.table import MANIFEST_DIR, _load_page
+
+        meta_dir = os.path.join(self.path, MANIFEST_DIR)
+        for pg in m.get("file_pages", []):
+            pseudo = {"min": pg.get("min") or {}, "max": pg.get("max") or {}}
+            if all(
+                _file_might_match(pseudo, col, kind, value)
+                for col, kind, value in self._constraints
+            ):
+                yield from _load_page(meta_dir, pg["path"])
+
     def kept_files(self) -> list[str]:
         keep = []
-        for entry in self.manifest["files"]:
+        for entry in self._iter_entries():
             if all(
                 _file_might_match(entry, col, kind, value)
                 for col, kind, value in self._constraints
@@ -332,7 +359,9 @@ class NimbleStreamReader(DataSourceStreamReader):
         return {"commit": -1}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        latest = len(read_manifest(self.path).get("commits", [])) - 1
+        # root-only: the commit log lives in the root and this polls
+        # every trigger — never page-materialize a huge table here
+        latest = len(read_manifest(self.path, materialize=False).get("commits", [])) - 1
         if self.max_commits <= 0:
             self._served = latest
             return {"commit": latest}
@@ -349,7 +378,7 @@ class NimbleStreamReader(DataSourceStreamReader):
             self._served = hwm
         from nimble_spark.sources.table import resolve_historical_file
 
-        manifest = read_manifest(self.path)
+        manifest = read_manifest(self.path, materialize=False)
         commits = manifest.get("commits", [])
         added = [
             f

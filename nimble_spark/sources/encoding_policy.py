@@ -155,7 +155,7 @@ def captured_layout(path: str) -> PolicyDecision:
     captured from a written file, writer/EncodingLayoutTree.cpp)."""
     from nimble_spark.sources.table import read_manifest
 
-    md = read_manifest(path).get("user_metadata", {})
+    md = read_manifest(path, materialize=False).get("user_metadata", {})
 
     def _split(key: str) -> list[str]:
         return [c for c in md.get(f"encoding_policy.{key}", "").split(",") if c]

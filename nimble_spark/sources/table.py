@@ -1776,7 +1776,10 @@ def read_changes(
     per-commit so re-delivered files (e.g. a rollback re-adding an
     earlier commit's file) attribute correctly; consumers use it to
     order upserts or checkpoint mid-window."""
-    manifest = read_manifest(path)
+    # Root-only: commits, aliases and schema all live in the root, so
+    # an incremental consumer's metadata cost is O(changed commits),
+    # never O(table files) — even on a sharded 10⁶-file table.
+    manifest = read_manifest(path, materialize=False)
     commits = manifest.get("commits", [])
     if not -1 <= since_commit < len(commits):
         raise ValueError(

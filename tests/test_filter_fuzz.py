@@ -58,12 +58,27 @@ def fuzz_table(spark):
         path,
         WriteOptions(cluster_by=["k"], n_cluster_files=4),
     )
+    # Sharded-manifest twin (threshold forced low at write): the same
+    # pushdown must page-skip via folded bounds and still match.
+    import nimble_spark.sources.table as tbl
+
+    path_sharded = f"{d}/t_sharded"
+    old = tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE
+    tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE = 2, 2
+    try:
+        write_table(
+            spark.createDataFrame(rows, _SCHEMA),
+            path_sharded,
+            WriteOptions(cluster_by=["k"], n_cluster_files=4),
+        )
+    finally:
+        tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE = old
     from nimble_spark.sources.datasource import register_nimble_source
 
     register_nimble_source(spark)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW t AS SELECT k, cat, v, d FROM '{path}/*.parquet'")
-    yield path, con
+    yield path, path_sharded, con
     con.close()
     shutil.rmtree(d, ignore_errors=True)
 
@@ -130,11 +145,12 @@ def _bag(rows):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 def test_pushdown_filters_match_duckdb(spark, fuzz_table, preds):
-    path, con = fuzz_table
+    path, path_sharded, con = fuzz_table
     where = " AND ".join(_to_sql(p) for p in preds)
-    got = spark.read.format("nimble").load(path).filter(where).collect()
     want = con.sql(f"SELECT k, cat, v, d FROM t WHERE {where}").fetchall()
-    assert _bag(got) == _bag(want), where
+    for p in (path, path_sharded):
+        got = spark.read.format("nimble").load(p).filter(where).collect()
+        assert _bag(got) == _bag(want), f"{p}: {where}"
 
 
 def test_filter_applies_before_arrow_bridge(spark, fuzz_table):
@@ -144,7 +160,7 @@ def test_filter_applies_before_arrow_bridge(spark, fuzz_table):
     count, not the table size."""
     from nimble_spark.plans.scan_metrics import totals
 
-    path, con = fuzz_table
+    path, _path_sharded, con = fuzz_table
     df = spark.read.format("nimble").load(path).filter("k = 3 AND cat = 'a'")
     t = totals(df)
     matched = con.sql("SELECT COUNT(*) FROM t WHERE k = 3 AND cat = 'a'").fetchone()[0]

@@ -64,6 +64,21 @@ def lookup_tables(spark):
     paths["cluster"] = f"{d}/cluster"
     write_table(df, paths["cluster"], WriteOptions(cluster_by=["k"], n_cluster_files=3))
 
+    # Same clustered data with a SHARDED manifest (threshold forced
+    # low at write): lookups must survive the lazy-root path — folded
+    # page bounds, page-granular skipping — with identical answers.
+    import nimble_spark.sources.table as tbl
+
+    paths["sharded"] = f"{d}/sharded"
+    old = tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE
+    tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE = 2, 2
+    try:
+        write_table(
+            df, paths["sharded"], WriteOptions(cluster_by=["k"], n_cluster_files=3)
+        )
+    finally:
+        tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE = old
+
     yield paths
     shutil.rmtree(d, ignore_errors=True)
 
@@ -216,28 +231,29 @@ def test_range_scan_matches_oracle(spark, lookup_tables, bounds):
     from nimble_spark.sources.table import read_manifest
 
     lo, hi = bounds
-    path = lookup_tables["cluster"]
-    got = sorted(
-        tuple(r)
-        for r in read_table(spark, path, range_scan=("k", lo, hi))
-        .select("k", "payload")
-        .collect()
-    )
-    files = [os.path.join(path, f["path"]) for f in read_manifest(path)["files"]]
-    con = duckdb.connect()
-    try:
-        fl = ", ".join(f"'{f}'" for f in files)
-        conds = ["TRUE"]
-        if lo is not None:
-            conds.append(f"k >= {lo}")
-        if hi is not None:
-            conds.append(f"k <= {hi}")
-        want = sorted(
-            con.execute(
-                f"SELECT k, payload FROM read_parquet([{fl}]) "
-                f"WHERE {' AND '.join(conds)}"
-            ).fetchall()
+    for layout in ("cluster", "sharded"):
+        path = lookup_tables[layout]
+        got = sorted(
+            tuple(r)
+            for r in read_table(spark, path, range_scan=("k", lo, hi))
+            .select("k", "payload")
+            .collect()
         )
-    finally:
-        con.close()
-    assert got == want, f"bounds={bounds}"
+        files = [os.path.join(path, f["path"]) for f in read_manifest(path)["files"]]
+        con = duckdb.connect()
+        try:
+            fl = ", ".join(f"'{f}'" for f in files)
+            conds = ["TRUE"]
+            if lo is not None:
+                conds.append(f"k >= {lo}")
+            if hi is not None:
+                conds.append(f"k <= {hi}")
+            want = sorted(
+                con.execute(
+                    f"SELECT k, payload FROM read_parquet([{fl}]) "
+                    f"WHERE {' AND '.join(conds)}"
+                ).fetchall()
+            )
+        finally:
+            con.close()
+        assert got == want, f"layout={layout} bounds={bounds}"

@@ -166,6 +166,55 @@ def test_point_lookup_skips_disjoint_pages(spark, tmpdir, monkeypatch):
     assert 1 <= len(set(loads)) <= 2
 
 
+def test_pyds_pushdown_skips_disjoint_pages(spark, tmpdir, monkeypatch):
+    """The Python-DataSource scan prunes at page granularity too: a
+    pushed filter whose range a page's folded bounds provably exclude
+    skips the page read entirely, and the per-file check then runs
+    only on the loaded entries. Spark runs the planner in a separate
+    Python worker, so the page-I/O accounting drives NimbleReader
+    directly (same code path); an end-to-end format('nimble') read
+    then confirms identical answers on the sharded table."""
+    from pyspark.sql.datasource import EqualTo
+
+    from nimble_spark.sources.datasource import NimbleReader, register_nimble_source
+
+    monkeypatch.setattr(tbl, "SHARD_FILE_THRESHOLD", 4)
+    monkeypatch.setattr(tbl, "MANIFEST_PAGE_SIZE", 2)
+    path = f"{tmpdir}/pyds_page_skip"
+    base = spark.range(10_000).selectExpr("id AS k", "id * 3 AS v")
+    write_table(base, path, WriteOptions(cluster_by=["k"], n_cluster_files=16))
+
+    tbl._MANIFEST_CACHE.clear()
+    loads: list[str] = []
+    real = tbl._load_page
+
+    def counting(meta_dir, rel):
+        loads.append(rel)
+        return real(meta_dir, rel)
+
+    monkeypatch.setattr(tbl, "_load_page", counting)
+    from pyspark.sql.types import StructType
+
+    reader = NimbleReader(
+        path, StructType.fromJson(read_manifest(path, materialize=False)["schema"])
+    )
+    assert loads == []  # root-only construction: zero page I/O
+    reader.pushFilters([EqualTo(("k",), 7)])
+    kept = reader.kept_files()
+    assert len(kept) == 1 and len(set(loads)) == 1  # 1 of 8 pages read
+
+    monkeypatch.setattr(tbl, "_load_page", real)
+    register_nimble_source(spark)
+    got = (
+        spark.read.format("nimble")
+        .option("path", path)
+        .load()
+        .filter("k = 7")
+        .collect()
+    )
+    assert [r["k"] for r in got] == [7]
+
+
 def test_page_bounds_drop_null_and_missing_keys():
     """A key folds into a page bound only when EVERY entry carries a
     non-None min AND max for it — None (all-null file) or absent
