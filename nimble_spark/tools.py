@@ -16,7 +16,7 @@ import pyarrow.parquet as pa_pq
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nimble_spark.sources.table import read_manifest
+from nimble_spark.sources.table import MANIFEST_DIR, MANIFEST_NAME, read_manifest
 
 
 def describe(spark: SparkSession, path: str) -> DataFrame:
@@ -120,6 +120,50 @@ def show_files(spark: SparkSession, path: str) -> DataFrame:
     m = read_manifest(path)
     rows = [(f["path"], f["rows"], f["bytes"], f["row_groups"]) for f in m["files"]]
     return spark.createDataFrame(rows, "file STRING, rows BIGINT, bytes BIGINT, row_groups BIGINT")
+
+
+def show_pages(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW PAGES: the sharded-manifest page layer — one row per
+    content-addressed metadata page with its entry count, on-disk
+    size, content hash, and folded [min,max] bounds (the root-side
+    index page-granular pruning consults; the stripe-group metadata
+    sections view, tablet/Footer.fbs:26-85). An unsharded table
+    reports its single inline root."""
+    import json as _json
+
+    m = read_manifest(path, materialize=False)
+    meta_dir = os.path.join(path, MANIFEST_DIR)
+    if "file_pages" not in m:
+        root = os.path.join(meta_dir, MANIFEST_NAME)
+        rows = [
+            (
+                0,
+                "(inline root)",
+                len(m.get("files", [])),
+                os.path.getsize(root),
+                "",
+                "",
+                "",
+            )
+        ]
+    else:
+        rows = [
+            (
+                i,
+                pg["path"],
+                int(pg["n"]),
+                os.path.getsize(os.path.join(meta_dir, pg["path"])),
+                pg.get("sha", ""),
+                _json.dumps(pg.get("min", {}), sort_keys=True, default=str),
+                _json.dumps(pg.get("max", {}), sort_keys=True, default=str),
+            )
+            for i, pg in enumerate(m["file_pages"])
+        ]
+    return spark.createDataFrame(
+        rows,
+        "ordinal INT, page STRING, entries BIGINT, bytes BIGINT, "
+        "sha STRING, min STRING, max STRING",
+    )
 
 
 def show_stripes(spark: SparkSession, path: str) -> DataFrame:
@@ -572,7 +616,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     dwio/nimble/tools/NimbleDslVm.cpp):
 
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW FILES |
-      SHOW STRIPES | SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
+      SHOW PAGES | SHOW STRIPES | SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
@@ -595,6 +639,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_stats(spark, path)
     if u == "SHOW FILES":
         return show_files(spark, path)
+    if u == "SHOW PAGES":
+        return show_pages(spark, path)
     if u == "SHOW STRIPES":
         return show_stripes(spark, path)
     m = re.match(r"SHOW (CHUNKS|STREAMS|ENCODINGS?)(?:\s+STRIPE\s+(\d+))?$", c, re.I)

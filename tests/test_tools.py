@@ -43,6 +43,42 @@ def test_show_files_and_stripes(spark, table_path):
     assert all(r["compressed_bytes"] > 0 for r in stripes)
 
 
+def test_show_pages(spark, table_path, tmp_path):
+    """SHOW PAGES: inline root for small tables; per-page rows with
+    entry counts summing to the file count and parseable folded
+    bounds on a sharded table."""
+    import json
+
+    import nimble_spark.sources.table as tbl
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    inline = tools.show_pages(spark, table_path).collect()
+    assert len(inline) == 1 and inline[0]["page"] == "(inline root)"
+    assert inline[0]["bytes"] > 0
+
+    path = str(tmp_path / "sharded_pages")
+    old = tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE
+    tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE = 2, 2
+    try:
+        write_table(
+            spark.range(1000).selectExpr("id AS k", "id * 2 AS v"),
+            path,
+            WriteOptions(cluster_by=["k"], n_cluster_files=6),
+        )
+    finally:
+        tbl.SHARD_FILE_THRESHOLD, tbl.MANIFEST_PAGE_SIZE = old
+    pages = tools.show_pages(spark, path).collect()
+    assert len(pages) == 3 and sum(r["entries"] for r in pages) == 6
+    for r in pages:
+        assert r["sha"] and r["bytes"] > 0
+        bounds = json.loads(r["min"])
+        assert "k" in bounds  # folded cluster-key bound present
+    # pages are disjoint on the cluster key, in manifest order
+    maxs = [json.loads(r["max"])["k"] for r in pages]
+    mins = [json.loads(r["min"])["k"] for r in pages]
+    assert all(maxs[i] < mins[i + 1] for i in range(len(pages) - 1))
+
+
 def test_show_encodings(spark, table_path):
     encs = tools.show_encodings(spark, table_path).collect()
     assert any("ZSTD" in r["codec"].upper() for r in encs)
@@ -431,6 +467,7 @@ def test_dsl_full_surface_sweep(spark, table_path):
         "SHOW INFO",
         "SHOW STATS",
         "SHOW FILES",
+        "SHOW PAGES",
         "SHOW STRIPES",
         "SHOW CHUNKS",
         "SHOW CHUNKS STRIPE 0",
