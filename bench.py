@@ -302,6 +302,7 @@ def _metadata_bench() -> dict:
         assert len(full["files"]) == n
 
         tbl._MANIFEST_CACHE.clear()
+        tbl._PAGE_CACHE.clear()  # probe must pay real page I/O
         probed = [0]
         real = tbl._load_page
 

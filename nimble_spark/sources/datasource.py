@@ -48,6 +48,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from nimble_spark.sources.table import STATS_GEN as _STATS_GEN
 from nimble_spark.sources.table import read_manifest
 
 
@@ -255,6 +256,16 @@ class NimbleReader(DataSourceReader):
                 self._constraints.append((col, "startswith", f.value))
         return filters  # all residual — Spark re-applies row-exact
 
+    def _prunable_constraints(self) -> list[tuple[str, str, object]]:
+        """Constraints safe to prune files with. On a pre-STATS_GEN
+        manifest the per-file null counts can be WRONG (all-null row
+        groups skipped at describe time, recorded as nulls=0 —
+        table.STATS_GEN), so null-count kinds are dropped there:
+        pruning degrades to keep-file, Spark's residual stays exact."""
+        if self.manifest.get("stats_gen", 1) >= _STATS_GEN:
+            return self._constraints
+        return [c for c in self._constraints if c[1] not in ("isnull", "notnull")]
+
     def _iter_entries(self) -> Iterator[dict]:
         """File entries, loading sharded-manifest pages lazily: a
         page whose FOLDED [min,max] bounds provably exclude every row
@@ -270,20 +281,22 @@ class NimbleReader(DataSourceReader):
         from nimble_spark.sources.table import MANIFEST_DIR, _load_page
 
         meta_dir = os.path.join(self.path, MANIFEST_DIR)
+        cons = self._prunable_constraints()
         for pg in m.get("file_pages", []):
             pseudo = {"min": pg.get("min") or {}, "max": pg.get("max") or {}}
             if all(
                 _file_might_match(pseudo, col, kind, value)
-                for col, kind, value in self._constraints
+                for col, kind, value in cons
             ):
                 yield from _load_page(meta_dir, pg["path"])
 
     def kept_files(self) -> list[str]:
         keep = []
+        cons = self._prunable_constraints()
         for entry in self._iter_entries():
             if all(
                 _file_might_match(entry, col, kind, value)
-                for col, kind, value in self._constraints
+                for col, kind, value in cons
             ):
                 keep.append(os.path.join(self.path, entry["path"]))
         return keep
@@ -501,6 +514,10 @@ class NimbleWriter(DataSourceArrowWriter):
                 prior = read_manifest(self.path)
                 aliased = bool(prior.get("column_aliases"))
                 reuse = {e["path"]: e for e in prior["files"] if "nulls" in e}
+                if prior.get("stats_gen", 1) < _STATS_GEN:
+                    # pre-fix entries may under-count nulls (see
+                    # table.STATS_GEN): re-describe instead of reusing
+                    reuse = {}
                 prior_files = {e["path"] for e in prior["files"]}
                 prior_commits = list(prior.get("commits", []))
             except (OSError, ValueError, KeyError):

@@ -42,6 +42,14 @@ from pyspark.sql import types as T
 
 MANIFEST_DIR = "_nimble"
 MANIFEST_NAME = "manifest.json"
+# Per-file-stats generation stamped into manifests whose entries all
+# went through the CURRENT _describe_parquet_file. Gen 1 (or absent)
+# predates the all-null-row-group null-count fix (a pre-fix entry can
+# record nulls=0 for a file that DOES hold null rows — the r5-high
+# wrong-answer bug): appends refuse to reuse gen<2 entries (one-time
+# re-describe permanently repairs the manifest) and the pushdown
+# reader disables null-count pruning on gen<2 manifests.
+STATS_GEN = 2
 BUCKET_COL = "__nimble_bucket"
 
 
@@ -415,6 +423,12 @@ def _write_table_locked(
                 for f in prior.get("files", [])
                 if "nulls" in f
             }
+            if prior.get("stats_gen", 1) < STATS_GEN:
+                # Pre-fix entries may under-count nulls (see STATS_GEN):
+                # refuse reuse so this append re-describes every file
+                # through the fixed path, permanently repairing the
+                # manifest (one-time footer-read cost).
+                reuse = {}
             prior_commits = list(prior.get("commits", []))
             prior_constraints = dict(prior.get("constraints", {}))
             prior_tags = dict(prior.get("tags", {}))
@@ -743,6 +757,9 @@ def _build_manifest(
 
     return {
         "format_version": 1,
+        # every entry here is current-describe output or gen-gated
+        # reuse (callers drop pre-STATS_GEN reuse), so stamp the gen
+        "stats_gen": STATS_GEN,
         "schema": json.loads(schema.json()),
         "column_attributes": opts.column_attributes,
         "rows": total_rows,
@@ -873,18 +890,23 @@ class table_write_lock:
     @staticmethod
     def _holder_alive(lock_path: str) -> bool:
         """True when the lockfile names a pid that is a LIVE process on
-        this host. Single-host protection against breaking the lock of
+        THIS host. Single-host protection against breaking the lock of
         a stalled-but-alive writer: age alone cannot distinguish a
-        crash from a long GC pause / stop-the-world stall, so a live
-        local holder is never broken regardless of mtime age. On a
-        cross-host deployment the pid is not checkable and staleness
-        falls back to mtime — there ``stale_s`` MUST exceed any
-        plausible writer stall (it is the only guard)."""
+        crash from a long GC pause / stop-the-world stall. A lockfile
+        recording a DIFFERENT hostname is not probeable here (its pid
+        namespace is foreign) — return False and let mtime decide; the
+        holder's heartbeat keeps a live cross-host lock's mtime fresh."""
+        import socket
+
         try:
             with open(lock_path, "rb") as fh:
-                pid = int(fh.read(64).split(b"@")[0])
+                parts = fh.read(256).split(b"@")
+            pid = int(parts[0])
+            host = parts[2].decode() if len(parts) >= 3 else None
         except (OSError, ValueError):
             return False  # unreadable/unparseable → fall back to mtime
+        if host is not None and host != socket.gethostname():
+            return False  # foreign host's pid: meaningless locally
         try:
             os.kill(pid, 0)
             return True
@@ -916,17 +938,33 @@ class table_write_lock:
     def __enter__(self):
         os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
         deadline = time.monotonic() + self.timeout_s
+        import socket
+
         while True:
             with table_write_lock._ACQUIRE_MUTEX:
                 try:
                     fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, f"{os.getpid()}@{time.time()}".encode())
+                    os.write(
+                        fd,
+                        f"{os.getpid()}@{time.time()}@{socket.gethostname()}".encode(),
+                    )
                     # remember OUR lockfile's identity: unlock releases
                     # only this exact inode, so a racing breaker that
                     # (wrongly) swapped the file out can never make us
                     # delete a lock that is not ours
                     self._ino = os.fstat(fd).st_ino
                     os.close(fd)
+                    # Heartbeat: refresh the lockfile mtime while held,
+                    # so a LIVE writer's lock never looks mtime-stale no
+                    # matter how long the critical section runs (full-
+                    # table rewrites like materialize_columns can exceed
+                    # stale_s) — cross-host waiters, who cannot probe our
+                    # pid, then see staleness only on a real crash.
+                    self._hb_stop = threading.Event()
+                    self._hb = threading.Thread(
+                        target=self._heartbeat, daemon=True, name="nimble-lock-hb"
+                    )
+                    self._hb.start()
                     return self
                 except FileExistsError:
                     self._maybe_break_stale()
@@ -936,6 +974,19 @@ class table_write_lock:
                     f"within {self.timeout_s}s"
                 )
             time.sleep(0.05)
+
+    def _heartbeat(self) -> None:
+        # stale_s/4 cadence: three missed beats of margin before any
+        # waiter can even consider the lock stale. Stops the moment the
+        # path no longer holds OUR inode (released / broken / stolen) —
+        # never refreshes someone else's lock.
+        while not self._hb_stop.wait(self.stale_s / 4):
+            try:
+                if os.stat(self.lock_path).st_ino != self._ino:
+                    return
+                os.utime(self.lock_path, None)
+            except OSError:
+                return
 
     def _maybe_break_stale(self) -> None:
         """Break the holder's lockfile iff it is PROVABLY stale: old
@@ -953,7 +1004,16 @@ class table_write_lock:
             st = os.stat(self.lock_path)
         except OSError:
             return  # holder released — retry the open
-        if time.time() - st.st_mtime <= self.stale_s or self._holder_alive(self.lock_path):
+        age = time.time() - st.st_mtime
+        if age <= self.stale_s:
+            return
+        # Live-pid veto, itself age-bounded: a live holder heartbeats
+        # at stale_s/4, so a lock whose mtime is 4x stale with an
+        # apparently-alive pid means the pid was RECYCLED to an
+        # unrelated process after the holder crashed — without the
+        # bound that table would be unwritable until the impostor
+        # process exits.
+        if age <= 4 * self.stale_s and self._holder_alive(self.lock_path):
             return
         tomb = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
         try:
@@ -976,6 +1036,10 @@ class table_write_lock:
             pass  # path re-taken: keep the tombstone (evidence; ages out)
 
     def __exit__(self, *exc):
+        hb = getattr(self, "_hb", None)
+        if hb is not None:
+            self._hb_stop.set()
+            hb.join(timeout=1.0)
         try:
             # release only OUR lockfile (inode match): if a confused
             # breaker swapped the path in the meantime, the newcomer's
@@ -984,7 +1048,24 @@ class table_write_lock:
                 os.unlink(self.lock_path)
         except OSError:
             pass  # lock already broken/stolen — nothing of ours to free
+        self._sweep_tombstones()
         return False
+
+    def _sweep_tombstones(self) -> None:
+        """Aged tombstone cleanup (the rename-to-tombstone break keeps
+        a lost-contention tombstone as the displaced writer's record;
+        nothing reads it once the involved writers exit). 2x stale_s
+        age gate — by then the displaced holder is either long done or
+        its protection was already gone."""
+        import glob as _glob
+
+        now = time.time()
+        for fp in _glob.glob(self.lock_path + ".stale.*"):
+            try:
+                if now - os.path.getmtime(fp) > 2 * self.stale_s:
+                    os.unlink(fp)
+            except OSError:
+                continue  # raced with another sweeper
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -1005,19 +1086,29 @@ def _write_manifest(path: str, manifest: dict) -> None:
     meta_dir = os.path.join(path, MANIFEST_DIR)
     final = os.path.join(meta_dir, MANIFEST_NAME)
     manifest = dict(manifest)
-    manifest.pop("file_pages", None)
-    files = manifest.get("files", [])
-    if len(files) >= SHARD_FILE_THRESHOLD:
-        manifest["file_pages"] = _publish_pages(meta_dir, files)
-        del manifest["files"]
+    if "files" not in manifest and "file_pages" in manifest:
+        # Root-only republish (tag edits on a sharded manifest, via
+        # read_manifest(materialize=False)): the page set carries
+        # through untouched — zero page I/O and no repagination for a
+        # change that lives entirely in the root.
+        pass
+    else:
+        manifest.pop("file_pages", None)
+        files = manifest.get("files", [])
+        if len(files) >= SHARD_FILE_THRESHOLD:
+            manifest["file_pages"] = _publish_pages(meta_dir, files)
+            del manifest["files"]
     tmp = final + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, default=_json_safe)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, final)
-    if "file_pages" in manifest:
-        _sweep_orphan_pages(meta_dir, manifest["file_pages"])
+    # Sweep pages the new root no longer references — INCLUDING the
+    # unshard case (new root inline, empty live list): otherwise page
+    # files from a previously-sharded incarnation would leak forever,
+    # since vacuum never walks the metadata dir.
+    _sweep_orphan_pages(meta_dir, manifest.get("file_pages", []))
 
 
 def _publish_pages(meta_dir: str, files: list) -> list[dict]:
@@ -1629,8 +1720,10 @@ def tag_commit(path: str, name: str, commit: Optional[int] = None) -> dict:
     with table_write_lock(path):
         # shallow-copy before mutating: read_manifest returns the
         # shared cached dict, and a failed _write_manifest must not
-        # leave a phantom tag in the cache (copy-on-write invariant)
-        m = dict(read_manifest(path))
+        # leave a phantom tag in the cache (copy-on-write invariant).
+        # Root-only: tags live in the root; on a sharded manifest this
+        # touches zero pages end-to-end (root-only republish).
+        m = dict(read_manifest(path, materialize=False))
         commits = m.get("commits", [])
         if commit is None:
             commit = len(commits) - 1
@@ -1647,7 +1740,8 @@ def tag_commit(path: str, name: str, commit: Optional[int] = None) -> dict:
 
 def delete_tag(path: str, name: str) -> dict:
     with table_write_lock(path):
-        m = dict(read_manifest(path))  # copy-on-write vs the manifest cache
+        # copy-on-write vs the manifest cache; root-only (see tag_commit)
+        m = dict(read_manifest(path, materialize=False))
         tags = dict(m.get("tags", {}))
         if name not in tags:
             raise ValueError(f"no tag {name!r} (have {sorted(tags)})")

@@ -667,7 +667,9 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     if u == "SHOW LAYOUT":
         return show_layout(spark, path)
     m = re.match(
-        r"DUMP\s+BINARY\s+STRIPE\s+(\d+)(?:\s+COLUMN\s+(\w+))?(?:\s+LIMIT\s+(\d+))?$",
+        # [\w.]+ so dotted nested-column names (a.b) reach dump_binary,
+        # which matches both the leaf path and its root column
+        r"DUMP\s+BINARY\s+STRIPE\s+(\d+)(?:\s+COLUMN\s+([\w.]+))?(?:\s+LIMIT\s+(\d+))?$",
         c,
         re.I,
     )

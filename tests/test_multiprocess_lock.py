@@ -118,10 +118,11 @@ def test_stale_lock_break_elects_one_winner_across_processes(tmpdir):
     assert not os.path.exists(probe.lock_path)  # released, not stranded
 
 
-def test_live_holder_never_broken_despite_old_mtime(tmpdir):
+def test_live_holder_not_broken_within_veto_window(tmpdir):
     """r6: a stalled-but-ALIVE writer's lock (pid live on this host)
-    must not be broken regardless of mtime age — age alone cannot
-    distinguish a crash from a long stall."""
+    is not broken while its mtime age stays under the 4x-stale_s veto
+    bound — age alone cannot distinguish a crash from a long stall,
+    and the holder's heartbeat keeps a truly live lock fresh anyway."""
     import time
 
     import pytest
@@ -133,9 +134,9 @@ def test_live_holder_never_broken_despite_old_mtime(tmpdir):
     holder = table_write_lock(path)
     holder.__enter__()
     try:
-        old = time.time() - 3600
+        old = time.time() - 3.0  # stale to the waiter, inside its 4x bound
         os.utime(holder.lock_path, (old, old))
-        waiter = table_write_lock(path, timeout_s=1.5, stale_s=0.5)
+        waiter = table_write_lock(path, timeout_s=1.5, stale_s=2.0)
         t0 = time.monotonic()
         with pytest.raises(TimeoutError):
             waiter.__enter__()
@@ -143,6 +144,96 @@ def test_live_holder_never_broken_despite_old_mtime(tmpdir):
         assert os.path.exists(holder.lock_path)
     finally:
         holder.__exit__()
+
+
+def test_recycled_pid_veto_expires(tmpdir):
+    """A lock whose pid is alive but whose mtime is older than
+    4x stale_s IS broken: a live holder heartbeats at stale_s/4, so
+    that combination means the pid was recycled to an unrelated
+    process after the real holder crashed — without the bound the
+    table would be unwritable until the impostor exits."""
+    import socket
+    import time
+
+    from nimble_spark.sources.table import table_write_lock
+
+    path = f"{tmpdir}/recycled_pid"
+    os.makedirs(path, exist_ok=True)
+    probe = table_write_lock(path)
+    # "recycled": a genuinely live pid (ours) with an ancient mtime
+    with open(probe.lock_path, "w") as f:
+        f.write(f"{os.getpid()}@0@{socket.gethostname()}")
+    old = time.time() - 3600
+    os.utime(probe.lock_path, (old, old))
+    with table_write_lock(path, timeout_s=5.0, stale_s=0.5):
+        pass  # acquired: the aged veto did not wedge the table
+    assert not os.path.exists(probe.lock_path)
+
+
+def test_foreign_host_lock_falls_back_to_mtime(tmpdir):
+    """A lockfile recording another HOST's pid is not probeable here:
+    liveness must fall back to mtime (the foreign pid number being
+    coincidentally alive locally must not veto the break)."""
+    import time
+
+    from nimble_spark.sources.table import table_write_lock
+
+    path = f"{tmpdir}/foreign_host"
+    os.makedirs(path, exist_ok=True)
+    probe = table_write_lock(path)
+    with open(probe.lock_path, "w") as f:
+        f.write(f"{os.getpid()}@0@some-other-host")  # live pid, wrong host
+    old = time.time() - 10
+    os.utime(probe.lock_path, (old, old))
+    with table_write_lock(path, timeout_s=5.0, stale_s=0.5):
+        pass  # mtime-stale + unprobeable host → broken
+    assert not os.path.exists(probe.lock_path)
+
+
+def test_heartbeat_keeps_held_lock_fresh_then_stops(tmpdir):
+    """While held, the lock's mtime refreshes at stale_s/4 — a live
+    writer inside a LONG critical section (materialize_columns-scale
+    rewrite) never looks stale to cross-host waiters. The heartbeat
+    thread dies with the release."""
+    import time
+
+    from nimble_spark.sources.table import table_write_lock
+
+    path = f"{tmpdir}/heartbeat"
+    os.makedirs(path, exist_ok=True)
+    lock = table_write_lock(path, stale_s=2.0)  # beat every 0.5 s
+    with lock:
+        first = os.path.getmtime(lock.lock_path)
+        time.sleep(1.3)
+        assert os.path.getmtime(lock.lock_path) > first  # refreshed
+        assert lock._hb.is_alive()
+    lock._hb.join(timeout=2.0)
+    assert not lock._hb.is_alive()
+
+
+def test_aged_tombstones_swept_on_release(tmpdir):
+    """Tombstones from lost-contention stale breaks are litter once
+    the involved writers exit: any lock release sweeps those older
+    than 2x stale_s (and leaves fresh ones alone)."""
+    import time
+
+    from nimble_spark.sources.table import table_write_lock
+
+    path = f"{tmpdir}/tomb_sweep"
+    os.makedirs(path, exist_ok=True)
+    probe = table_write_lock(path, stale_s=1.0)
+    aged = f"{probe.lock_path}.stale.999.111"
+    fresh = f"{probe.lock_path}.stale.999.222"
+    for fp in (aged, fresh):
+        with open(fp, "w") as f:
+            f.write("tomb")
+    old = time.time() - 3600
+    os.utime(aged, (old, old))
+    with table_write_lock(path, stale_s=1.0):
+        pass
+    assert not os.path.exists(aged)
+    assert os.path.exists(fresh)  # in-window evidence survives
+    os.unlink(fresh)
 
 
 def test_dead_holder_still_broken(tmpdir):

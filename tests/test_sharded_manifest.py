@@ -102,6 +102,8 @@ def test_append_reuses_pages_o_new_files(tmpdir):
 
 
 def test_shrink_below_threshold_unshards(tmpdir):
+    import time as _time
+
     path = _mk_root(f"{tmpdir}/shrink")
     files = [_fake_entry(i) for i in range(3_000)]
     tbl._write_manifest(path, {"rows": 1, "files": files, "commits": []})
@@ -110,6 +112,53 @@ def test_shrink_below_threshold_unshards(tmpdir):
         raw = json.load(fh)
     assert "file_pages" not in raw and len(raw["files"]) == 10
     assert len(read_manifest(path)["files"]) == 10
+    # The sharded incarnation's pages must not leak forever: fresh
+    # ones survive the unshard (in-flight reader protection), aged
+    # ones sweep on the next publish even though the root is inline.
+    pages_dir = os.path.join(path, tbl.MANIFEST_DIR, tbl.PAGE_DIR)
+    remaining = os.listdir(pages_dir)
+    assert remaining
+    old = _time.time() - 2 * tbl.PAGE_SWEEP_AGE_S
+    for fn in remaining:
+        os.utime(os.path.join(pages_dir, fn), (old, old))
+    tbl._write_manifest(path, {"rows": 1, "files": files[:10], "commits": []})
+    assert os.listdir(pages_dir) == []
+
+
+def test_tag_publish_is_root_only_on_sharded(tmpdir, monkeypatch):
+    """tag_commit/delete_tag on a sharded manifest are metadata-ROOT
+    operations end-to-end: zero page reads, zero page writes, the
+    page list republished by reference — O(1) regardless of table
+    file count."""
+    from nimble_spark.sources.table import delete_tag, tag_commit
+
+    path = _mk_root(f"{tmpdir}/tag_root_only")
+    files = [_fake_entry(i) for i in range(3_000)]
+    commits = [{"commit": 0, "mode": "overwrite", "rows_added": 1, "files": []}]
+    tbl._write_manifest(path, {"rows": 1, "files": files, "commits": commits})
+    pages_dir = os.path.join(path, tbl.MANIFEST_DIR, tbl.PAGE_DIR)
+    mtimes = {fn: os.path.getmtime(os.path.join(pages_dir, fn)) for fn in os.listdir(pages_dir)}
+
+    tbl._MANIFEST_CACHE.clear()
+    tbl._PAGE_CACHE.clear()
+    loads: list[str] = []
+    real = tbl._load_page
+
+    def counting(meta_dir, rel):
+        loads.append(rel)
+        return real(meta_dir, rel)
+
+    monkeypatch.setattr(tbl, "_load_page", counting)
+    tag_commit(path, "v0")
+    delete_tag(path, "v0")
+    tag_commit(path, "v1", commit=0)
+    assert loads == []  # zero page I/O for three tag edits
+    monkeypatch.setattr(tbl, "_load_page", real)
+
+    assert read_manifest(path, materialize=False)["tags"] == {"v1": 0}
+    assert read_manifest(path)["files"] == files  # pages intact
+    for fn, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(pages_dir, fn)) == mt  # untouched
 
 
 def test_orphan_pages_swept_age_gated(tmpdir, monkeypatch):

@@ -79,6 +79,23 @@ def test_show_pages(spark, table_path, tmp_path):
     assert all(maxs[i] < mins[i + 1] for i in range(len(pages) - 1))
 
 
+def test_dump_binary_dotted_nested_column(spark, tmp_path):
+    """DUMP BINARY COLUMN accepts dotted nested paths through the DSL
+    (the regex must not stop at \\w): the hex peek scopes to exactly
+    that leaf chunk."""
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    path = str(tmp_path / "nested_dump")
+    df = spark.range(100).selectExpr(
+        "id AS k", "named_struct('x', id * 2, 'y', CAST(id AS STRING)) AS s"
+    )
+    write_table(df.coalesce(1), path, WriteOptions())
+    rows = tools.run_command(
+        spark, path, "DUMP BINARY STRIPE 0 COLUMN s.x LIMIT 32"
+    ).collect()
+    assert rows and all(r["column"] == "s.x" for r in rows)
+
+
 def test_show_encodings(spark, table_path):
     encs = tools.show_encodings(spark, table_path).collect()
     assert any("ZSTD" in r["codec"].upper() for r in encs)
