@@ -322,6 +322,23 @@ def _metadata_bench() -> dict:
         out["pages_probed"] = probed[0]
         out["files_kept"] = len(kept)
         assert out["files_kept"] == 1 and out["pages_probed"] == 1
+
+        # Append publish: prior pages are reuse-verified by content
+        # hash (zero page READS — on an object store, zero GETs); the
+        # remaining cost is serialize+sha CPU over the carried entries.
+        appended = files + [
+            dict(files[0], path=f"part-a{j:04d}.parquet") for j in range(1000)
+        ]
+        probed[0] = 0
+        tbl._load_page = counting
+        try:
+            t0 = time.time()
+            tbl._write_manifest(path, {**m, "files": appended})
+            out["manifest_append_1k_s"] = round(time.time() - t0, 3)
+        finally:
+            tbl._load_page = real
+        out["append_pages_read"] = probed[0]
+        assert out["append_pages_read"] == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

@@ -1129,7 +1129,31 @@ def _publish_pages(meta_dir: str, files: list) -> list[dict]:
     new_by_path = {e["path"]: e for e in files}
     page_list: list[dict] = []
     covered: set[str] = set()
+    # Fast path — ZERO page reads for the pure-append shape: reused
+    # entries keep their prior-manifest (= page) order at the head of
+    # ``files``, so each prior page's content, if unchanged, is
+    # exactly the next pg["n"] entries; re-serializing that run and
+    # comparing against the page's content hash proves byte-identity
+    # without opening the page. Any divergence (compaction removed an
+    # entry, a delete-mask updated one) falls back to loading that
+    # page for the per-entry check — worst case is the old behavior.
+    ptr = 0
     for pg in prior_pages:
+        n = int(pg.get("n", 0))
+        run = files[ptr : ptr + n]
+        if (
+            n
+            and len(run) == n
+            and "min" in pg  # pre-bounds pages need the load to backfill
+            and hashlib.sha256(
+                json.dumps(run, default=_json_safe).encode()
+            ).hexdigest()[:16]
+            == pg.get("sha")
+        ):
+            page_list.append(pg)
+            covered.update(e["path"] for e in run)
+            ptr += n
+            continue
         try:
             entries = _load_page(meta_dir, pg["path"])
         except (OSError, ValueError):
@@ -1143,6 +1167,7 @@ def _publish_pages(meta_dir: str, files: list) -> list[dict]:
                 pg["min"], pg["max"] = _page_bounds(entries)
             page_list.append(pg)
             covered.update(e["path"] for e in entries)
+            ptr += len(entries)  # stay aligned for later sha probes
     leftover = [e for e in files if e["path"] not in covered]
     for i in range(0, len(leftover), MANIFEST_PAGE_SIZE):
         chunk = leftover[i : i + MANIFEST_PAGE_SIZE]

@@ -76,10 +76,12 @@ def test_ten_k_entries_roundtrip_and_small_root(tmpdir):
     assert back["rows"] == m["rows"]
 
 
-def test_append_reuses_pages_o_new_files(tmpdir):
+def test_append_reuses_pages_o_new_files(tmpdir, monkeypatch):
     """The 100 TB property: publishing an appended manifest rewrites
     only the NEW entries' pages — every prior page file is reused by
-    reference (same inode content, untouched mtime)."""
+    reference (same inode content, untouched mtime) — and, for the
+    pure-append shape, reuse is proven by CONTENT HASH without even
+    READING the prior pages (zero page I/O per commit)."""
     path = _mk_root(f"{tmpdir}/append_reuse")
     files = [_fake_entry(i) for i in range(5_000)]
     tbl._write_manifest(path, {"rows": 1, "files": files, "commits": []})
@@ -88,8 +90,18 @@ def test_append_reuses_pages_o_new_files(tmpdir):
     with open(os.path.join(path, tbl.MANIFEST_DIR, tbl.MANIFEST_NAME)) as fh:
         pages1 = json.load(fh)["file_pages"]
 
+    loads: list[str] = []
+    real = tbl._load_page
+
+    def counting(meta_dir, rel):
+        loads.append(rel)
+        return real(meta_dir, rel)
+
+    monkeypatch.setattr(tbl, "_load_page", counting)
     appended = files + [_fake_entry(i) for i in range(5_000, 5_100)]
     tbl._write_manifest(path, {"rows": 1, "files": appended, "commits": []})
+    monkeypatch.setattr(tbl, "_load_page", real)
+    assert loads == []  # sha fast path: append verified page reuse read-free
     with open(os.path.join(path, tbl.MANIFEST_DIR, tbl.MANIFEST_NAME)) as fh:
         pages2 = json.load(fh)["file_pages"]
     # every prior page reused verbatim, in order, untouched on disk
