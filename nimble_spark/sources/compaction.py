@@ -278,6 +278,11 @@ def compact_table(
     prior_commits = list(m.get("commits", []))
     new_m = {
         "format_version": 1,
+        # carry the prior stats generation: untouched entries pass
+        # through verbatim, so a pre-fix table stays marked pre-fix
+        # (read guard active, next append repairs) and a healthy
+        # gen-2 table is not silently downgraded
+        "stats_gen": m.get("stats_gen", 1),
         "schema": m["schema"],
         "column_attributes": m.get("column_attributes", {}),
         "rows": sum(f["rows"] for f in files_info),

@@ -563,7 +563,12 @@ class NimbleWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
 
         any_file = next(iter(committed), None)
-        if any_file is None and not reuse:
+        if any_file is None and not reuse and not prior_files:
+            # zero files AND no prior table = a broken first write.
+            # With a prior table this is a valid no-op commit (empty
+            # streaming micro-batch) — republish; note reuse may be
+            # empty on a pre-STATS_GEN table (repair gate), where the
+            # build below re-describes the prior files from disk.
             raise ValueError("nimble write committed zero files")
         schema_src = os.path.join(self.path, any_file) if any_file else None
         spark_schema = (

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from nimble_spark.sources.table import (
     MANIFEST_DIR,
+    STATS_GEN,
     WriteOptions,
     _build_manifest,
     _write_manifest,
@@ -168,6 +169,12 @@ def _commit_rewrite(
         for e in manifest["files"]
         if "nulls" in e and os.path.normpath(e["path"]) not in set(affected)
     }
+    if manifest.get("stats_gen", 1) < STATS_GEN:
+        # pre-fix entries may under-count nulls (table.STATS_GEN):
+        # re-describe instead of reusing — _build_manifest stamps the
+        # current gen, so carrying poisoned entries would mislabel
+        # the rewritten table as repaired
+        reuse = {}
     index_meta = {
         k: pidx[k]
         for k in ("cluster", "zorder", "bloom", "sorted", "sorted_fence")
@@ -306,6 +313,11 @@ def overwrite_partitions(
 
     reuse = {p: e for p, e in prior.items() if os.path.exists(os.path.join(path, p))}
     removed = sorted(p for p in prior if p not in reuse)
+    # commit-log membership (which files this commit ADDED) is about
+    # survival, not describe-reuse — keep it before any repair gate
+    carried = set(reuse)
+    if manifest.get("stats_gen", 1) < STATS_GEN:
+        reuse = {}  # pre-fix entries: re-describe (see table.STATS_GEN)
     index_meta = {
         k: pidx[k]
         for k in ("partition", "cluster", "zorder", "bloom", "sorted", "sorted_fence")
@@ -319,7 +331,7 @@ def overwrite_partitions(
     new_files = sorted(
         os.path.normpath(f["path"])
         for f in new_manifest["files"]
-        if os.path.normpath(f["path"]) not in reuse
+        if os.path.normpath(f["path"]) not in carried
     )
     new_manifest["commits"] = prior_commits + [
         {

@@ -888,14 +888,34 @@ class table_write_lock:
     Locks older than ``stale_s`` are broken (crashed writer)."""
 
     @staticmethod
+    def _proc_start_ticks(pid: int) -> int | None:
+        """The process's kernel start time (clock ticks since boot,
+        /proc/<pid>/stat field 22): pid + start time uniquely identify
+        a process INCARNATION, so a recycled pid — same number, new
+        process — is distinguishable from the original holder. None
+        where /proc is unavailable (parse is ')'-anchored: comm may
+        contain spaces and parens)."""
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                data = fh.read()
+            return int(data.rsplit(b") ", 1)[1].split()[19])
+        except (OSError, ValueError, IndexError):
+            return None
+
+    @staticmethod
     def _holder_alive(lock_path: str) -> bool:
-        """True when the lockfile names a pid that is a LIVE process on
+        """True when the lockfile names a LIVE process incarnation on
         THIS host. Single-host protection against breaking the lock of
         a stalled-but-alive writer: age alone cannot distinguish a
-        crash from a long GC pause / stop-the-world stall. A lockfile
-        recording a DIFFERENT hostname is not probeable here (its pid
-        namespace is foreign) — return False and let mtime decide; the
-        holder's heartbeat keeps a live cross-host lock's mtime fresh."""
+        crash from a long GC pause / SIGSTOP / VM freeze (which stops
+        the heartbeat too), so a live local holder is never broken
+        regardless of mtime age. Pid RECYCLING is caught by the
+        recorded start time (a different incarnation is not the
+        holder). A lockfile recording a DIFFERENT hostname is not
+        probeable here — return False and let mtime decide; the
+        holder's heartbeat keeps a live cross-host lock's mtime
+        fresh, so there stale mtime ⇒ crashed (writers must share
+        one stale_s config for that arithmetic to hold)."""
         import socket
 
         try:
@@ -909,13 +929,19 @@ class table_write_lock:
             return False  # foreign host's pid: meaningless locally
         try:
             os.kill(pid, 0)
-            return True
         except PermissionError:
-            # the pid EXISTS but is another user's — alive
-            # (conservative: don't break)
-            return True
+            pass  # the pid EXISTS (another user's) — keep checking
         except OSError:
             return False
+        try:
+            recorded = int(parts[3]) if len(parts) >= 4 and parts[3] else None
+        except ValueError:
+            recorded = None
+        if recorded is not None:
+            actual = table_write_lock._proc_start_ticks(pid)
+            if actual is not None and actual != recorded:
+                return False  # recycled pid: same number, new process
+        return True
 
     def __init__(self, path: str, timeout_s: float = 120.0, stale_s: float = 600.0):
         # SIBLING of the table dir, not inside it: an overwrite write
@@ -944,9 +970,11 @@ class table_write_lock:
             with table_write_lock._ACQUIRE_MUTEX:
                 try:
                     fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    start = self._proc_start_ticks(os.getpid())
                     os.write(
                         fd,
-                        f"{os.getpid()}@{time.time()}@{socket.gethostname()}".encode(),
+                        f"{os.getpid()}@{time.time()}@{socket.gethostname()}"
+                        f"@{'' if start is None else start}".encode(),
                     )
                     # remember OUR lockfile's identity: unlock releases
                     # only this exact inode, so a racing breaker that
@@ -1004,16 +1032,15 @@ class table_write_lock:
             st = os.stat(self.lock_path)
         except OSError:
             return  # holder released — retry the open
-        age = time.time() - st.st_mtime
-        if age <= self.stale_s:
+        if time.time() - st.st_mtime <= self.stale_s:
             return
-        # Live-pid veto, itself age-bounded: a live holder heartbeats
-        # at stale_s/4, so a lock whose mtime is 4x stale with an
-        # apparently-alive pid means the pid was RECYCLED to an
-        # unrelated process after the holder crashed — without the
-        # bound that table would be unwritable until the impostor
-        # process exits.
-        if age <= 4 * self.stale_s and self._holder_alive(self.lock_path):
+        # Live-HOLDER veto, unconditional on age: a suspended holder
+        # (SIGSTOP / VM pause) stops heartbeating too, and breaking it
+        # risks two concurrent publishers when it resumes. Recycled
+        # pids don't wedge the table — _holder_alive checks the
+        # recorded process START TIME, so a different incarnation of
+        # the same pid number is not the holder.
+        if self._holder_alive(self.lock_path):
             return
         tomb = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
         try:
@@ -1747,8 +1774,12 @@ def tag_commit(path: str, name: str, commit: Optional[int] = None) -> dict:
         # shared cached dict, and a failed _write_manifest must not
         # leave a phantom tag in the cache (copy-on-write invariant).
         # Root-only: tags live in the root; on a sharded manifest this
-        # touches zero pages end-to-end (root-only republish).
+        # touches zero pages end-to-end (root-only republish). A warm
+        # cache hit returns the materialized SUPERSET — strip `files`
+        # so the publish stays root-only instead of repaginating.
         m = dict(read_manifest(path, materialize=False))
+        if "file_pages" in m:
+            m.pop("files", None)
         commits = m.get("commits", [])
         if commit is None:
             commit = len(commits) - 1
@@ -1767,6 +1798,8 @@ def delete_tag(path: str, name: str) -> dict:
     with table_write_lock(path):
         # copy-on-write vs the manifest cache; root-only (see tag_commit)
         m = dict(read_manifest(path, materialize=False))
+        if "file_pages" in m:
+            m.pop("files", None)
         tags = dict(m.get("tags", {}))
         if name not in tags:
             raise ValueError(f"no tag {name!r} (have {sorted(tags)})")

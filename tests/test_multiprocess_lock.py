@@ -118,11 +118,11 @@ def test_stale_lock_break_elects_one_winner_across_processes(tmpdir):
     assert not os.path.exists(probe.lock_path)  # released, not stranded
 
 
-def test_live_holder_not_broken_within_veto_window(tmpdir):
-    """r6: a stalled-but-ALIVE writer's lock (pid live on this host)
-    is not broken while its mtime age stays under the 4x-stale_s veto
-    bound — age alone cannot distinguish a crash from a long stall,
-    and the holder's heartbeat keeps a truly live lock fresh anyway."""
+def test_live_holder_never_broken_despite_old_mtime(tmpdir):
+    """A stalled-but-ALIVE writer's lock (same host, same process
+    incarnation) is never broken regardless of mtime age: a suspended
+    holder (SIGSTOP / VM pause) stops heartbeating too, and breaking
+    it would risk two concurrent publishers when it resumes."""
     import time
 
     import pytest
@@ -134,9 +134,9 @@ def test_live_holder_not_broken_within_veto_window(tmpdir):
     holder = table_write_lock(path)
     holder.__enter__()
     try:
-        old = time.time() - 3.0  # stale to the waiter, inside its 4x bound
+        old = time.time() - 3600
         os.utime(holder.lock_path, (old, old))
-        waiter = table_write_lock(path, timeout_s=1.5, stale_s=2.0)
+        waiter = table_write_lock(path, timeout_s=1.5, stale_s=0.5)
         t0 = time.monotonic()
         with pytest.raises(TimeoutError):
             waiter.__enter__()
@@ -146,12 +146,12 @@ def test_live_holder_not_broken_within_veto_window(tmpdir):
         holder.__exit__()
 
 
-def test_recycled_pid_veto_expires(tmpdir):
-    """A lock whose pid is alive but whose mtime is older than
-    4x stale_s IS broken: a live holder heartbeats at stale_s/4, so
-    that combination means the pid was recycled to an unrelated
-    process after the real holder crashed — without the bound the
-    table would be unwritable until the impostor exits."""
+def test_recycled_pid_lock_broken_by_starttime_mismatch(tmpdir):
+    """A crashed holder whose pid the OS recycled to an unrelated
+    live process must NOT wedge the table: the lockfile records the
+    holder's process START TIME, and a same-pid process with a
+    different start time is a different incarnation — broken once
+    mtime-stale."""
     import socket
     import time
 
@@ -160,13 +160,16 @@ def test_recycled_pid_veto_expires(tmpdir):
     path = f"{tmpdir}/recycled_pid"
     os.makedirs(path, exist_ok=True)
     probe = table_write_lock(path)
-    # "recycled": a genuinely live pid (ours) with an ancient mtime
+    ours = table_write_lock._proc_start_ticks(os.getpid())
+    assert ours is not None  # linux test host
+    # "recycled": a genuinely live pid (ours) recorded with the START
+    # TIME of a different incarnation
     with open(probe.lock_path, "w") as f:
-        f.write(f"{os.getpid()}@0@{socket.gethostname()}")
+        f.write(f"{os.getpid()}@0@{socket.gethostname()}@{ours + 777}")
     old = time.time() - 3600
     os.utime(probe.lock_path, (old, old))
     with table_write_lock(path, timeout_s=5.0, stale_s=0.5):
-        pass  # acquired: the aged veto did not wedge the table
+        pass  # acquired: the impostor pid did not wedge the table
     assert not os.path.exists(probe.lock_path)
 
 

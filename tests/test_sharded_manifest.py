@@ -172,6 +172,18 @@ def test_tag_publish_is_root_only_on_sharded(tmpdir, monkeypatch):
     for fn, mt in mtimes.items():
         assert os.path.getmtime(os.path.join(pages_dir, fn)) == mt  # untouched
 
+    # Root-only must hold on a WARM cache too: read_manifest returns
+    # the materialized superset there, and tag_commit has to strip it
+    # back to the root — repagination must never run for a tag edit.
+    read_manifest(path)  # warm the materialized entry
+    monkeypatch.setattr(
+        tbl,
+        "_publish_pages",
+        lambda *a, **k: pytest.fail("tag edit repaginated a warm manifest"),
+    )
+    tag_commit(path, "v2")
+    assert read_manifest(path, materialize=False)["tags"] == {"v1": 0, "v2": 0}
+
 
 def test_orphan_pages_swept_age_gated(tmpdir, monkeypatch):
     path = _mk_root(f"{tmpdir}/sweep")

@@ -85,6 +85,58 @@ def test_append_repairs_pre_fix_manifest(spark, tmpdir):
     assert sum(f["nulls"].get("v", 0) for f in m["files"]) == n_nulls
 
 
+def test_update_where_repairs_pre_fix_manifest(spark, tmpdir):
+    """Copy-on-write rewrites stamp the current gen, so they must not
+    carry poisoned entries: update_where over a pre-fix manifest
+    re-describes the untouched files too."""
+    from nimble_spark.sources.merge import update_where
+
+    path = f"{tmpdir}/update_repair"
+    n_nulls = _write_nullable(spark, path)
+    _poison(path)
+    update_where(spark, path, "k = 1", {"v": "99.0"})
+    m = read_manifest(path)
+    assert m["stats_gen"] == STATS_GEN
+    assert sum(f["nulls"].get("v", 0) for f in m["files"]) == n_nulls
+
+
+def test_compaction_carries_stats_gen(spark, tmpdir):
+    """Compaction passes untouched entries through verbatim, so it
+    carries the PRIOR generation — a pre-fix table stays guarded, a
+    healthy table is not downgraded."""
+    from nimble_spark.sources.compaction import compact_table
+
+    healthy = f"{tmpdir}/compact_healthy"
+    _write_nullable(spark, healthy)
+    compact_table(spark, healthy)
+    assert read_manifest(healthy).get("stats_gen", 1) == STATS_GEN
+
+    prefix = f"{tmpdir}/compact_prefix"
+    _write_nullable(spark, prefix)
+    _poison(prefix)
+    compact_table(spark, prefix)
+    assert read_manifest(prefix).get("stats_gen", 1) < STATS_GEN  # still guarded
+
+
+def test_empty_append_commit_over_pre_fix_manifest(spark, tmpdir):
+    """A zero-new-file commit (empty streaming micro-batch shape) on a
+    pre-fix table must not crash on the repair gate: with a prior
+    manifest it is a valid republish, and the re-describe repairs."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    path = f"{tmpdir}/empty_append"
+    n_nulls = _write_nullable(spark, path)
+    _poison(path)
+    register_nimble_source(spark)
+    empty = spark.createDataFrame([], "k LONG, v DOUBLE").repartition(1)
+    empty.write.format("nimble").mode("append").save(path)
+    m = read_manifest(path)
+    assert m["stats_gen"] == STATS_GEN  # repaired by the re-describe
+    assert sum(f["nulls"].get("v", 0) for f in m["files"]) == n_nulls
+    got = spark.read.format("nimble").load(path).count()
+    assert got == 90
+
+
 def test_current_gen_append_still_reuses_entries(spark, tmpdir):
     """The repair path must not tax healthy tables: appending to a
     current-gen manifest reuses prior entries verbatim (no re-hash)."""
