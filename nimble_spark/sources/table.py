@@ -2033,9 +2033,9 @@ def _read_row_range(
 def verify_table(path: str) -> list[str]:
     """Re-hash every data file against the manifest's sha256 entries
     (tablet/Postscript.h:27-30 checksum analogue); returns the
-    relative paths that mismatch. Local/driver implementation — on a
-    cluster the same check distributes as a binaryFile scan mapping
-    each file to (path, sha256)."""
+    relative paths that mismatch. Local/driver implementation for
+    metadata-sized tables; at cluster scale use
+    ``verify_table_distributed`` (same contract, executor-parallel)."""
     manifest = read_manifest(path)
     bad = []
     for f in manifest["files"]:
@@ -2049,6 +2049,46 @@ def verify_table(path: str) -> list[str]:
         if h.hexdigest() != want:
             bad.append(f["path"])
     return bad
+
+
+def verify_table_distributed(spark: SparkSession, path: str) -> list[str]:
+    """``verify_table`` at cluster scale: the (path, expected-sha)
+    list parallelizes over executors and each task streams ITS files
+    off shared storage in 1 MiB chunks — wall-clock scales with
+    table-bytes / cluster-read-bandwidth instead of one driver's, and
+    nothing larger than a chunk is ever held in memory (no binaryFile
+    whole-file rows). Arrow-batched mapInPandas; returns mismatching
+    relative paths like the driver variant."""
+    import pandas as pd
+
+    manifest = read_manifest(path)
+    pairs = [
+        (f["path"], f["sha256"]) for f in manifest["files"] if f.get("sha256")
+    ]
+    if not pairs:
+        return []
+    df = spark.createDataFrame(pairs, "rel STRING, want STRING")
+    root = path  # captured by value in the closure below
+
+    def _check(batches):
+        for pdf in batches:
+            bad = []
+            for rel, want in zip(pdf["rel"], pdf["want"]):
+                h = hashlib.sha256()
+                try:
+                    with open(os.path.join(root, rel), "rb") as fh:
+                        for chunk in iter(lambda: fh.read(1 << 20), b""):
+                            h.update(chunk)
+                except OSError:
+                    bad.append(rel)  # unreadable counts as corrupt
+                    continue
+                if h.hexdigest() != want:
+                    bad.append(rel)
+            yield pd.DataFrame({"rel": bad})
+
+    n_parts = min(len(pairs), spark.sparkContext.defaultParallelism)
+    out = df.repartition(n_parts).mapInPandas(_check, schema="rel STRING")
+    return sorted(r["rel"] for r in out.collect())
 
 
 def _empty_df(spark: SparkSession, manifest: dict) -> DataFrame:

@@ -30,8 +30,10 @@ ALLOWED = {
     "sources/compaction.py": 1,
     # table.py: lock release (inode mismatch = nothing of ours to
     # free), lost-contention tombstone keep, prior-root probe before
-    # the first sharded publish, rollback tombstone move
-    "sources/table.py": 4,
+    # the first sharded publish, rollback tombstone move, and the
+    # liveness probe's EPERM (pid exists but is another user's —
+    # conservatively treated as alive, never breaks the lock)
+    "sources/table.py": 5,
 }
 
 PASS_RE = re.compile(r"^\s*pass\s*(#.*)?$")

@@ -37,6 +37,7 @@ ALLOWED = [
     ("sources/table.py", "limit(1).collect()[0]", "one-row diagnostic sample on a CHECK-constraint violation, only on the write-abort error path"),
     ("sources/table.py", "__h_{c}", "single-row fingerprint aggregate for duplicate-column detection (dedup_columns write option) — one row regardless of table size; the per-pair verify is a limit(1) count"),
     ("tools.py", "", "interactive DSL/dump utilities are driver-side by definition"),
+    ("sources/table.py", 'pd.DataFrame({"rel": bad})', "verify_table_distributed result: one relative PATH per corrupt file (expected: zero) — hashing distributes, only mismatch names return"),
 ]
 
 

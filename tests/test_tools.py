@@ -256,6 +256,11 @@ def test_checksum_detects_corruption(spark, table_path):
             fh.seek(100)
             fh.write(b"\x00\xff\x00\xff")
         assert verify_table(corrupt) == [victim]
+        # executor-parallel variant: same contract, distributed hash
+        from nimble_spark.sources.table import verify_table_distributed
+
+        assert verify_table_distributed(spark, corrupt) == [victim]
+        assert verify_table_distributed(spark, table_path) == []
         with _pytest.raises(IOError):
             read_table(spark, corrupt, verify_checksums=True)
     finally:
