@@ -257,6 +257,46 @@ def show_encodings(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def show_histogram(
+    spark: SparkSession, path: str, stripe: int | None = None
+) -> DataFrame:
+    """SHOW HISTOGRAM [STRIPE s]: encoding-usage histogram — one row
+    per (encodings, physical type, codec) triple with how many column
+    chunks use it and their total compressed bytes, across the table
+    or one global stripe ordinal. The emitHistogram analogue
+    (tools/NimbleDumpLib.cpp:753: count+bytes per encodingType ×
+    dataType × compression across all streams)."""
+    m = read_manifest(path)
+    agg: dict[tuple[str, str, str], list[int]] = {}
+    want = _locate_stripe(path, stripe) if stripe is not None else None
+    for f in m["files"]:
+        if want is not None and f["path"] != want[0]:
+            continue
+        md = pa_pq.ParquetFile(os.path.join(path, f["path"])).metadata
+        for i in range(md.num_row_groups):
+            if want is not None and i != want[1]:
+                continue
+            rg = md.row_group(i)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                key = (
+                    ",".join(sorted(str(e) for e in col.encodings)),
+                    str(col.physical_type),
+                    str(col.compression),
+                )
+                v = agg.setdefault(key, [0, 0])
+                v[0] += 1
+                v[1] += col.total_compressed_size
+    rows = sorted(
+        (enc, typ, codec, n, b) for (enc, typ, codec), (n, b) in agg.items()
+    )
+    return spark.createDataFrame(
+        rows,
+        "encodings STRING, type STRING, codec STRING, chunks BIGINT, "
+        "compressed_bytes BIGINT",
+    )
+
+
 def show_layout(spark: SparkSession, path: str) -> DataFrame:
     """SHOW LAYOUT: the byte-accurate physical layout map — every
     section of every file in byte order: the 4-byte magic header,
@@ -616,7 +656,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     dwio/nimble/tools/NimbleDslVm.cpp):
 
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW FILES |
-      SHOW PAGES | SHOW STRIPES | SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
+      SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
+      SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
@@ -641,6 +682,11 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_files(spark, path)
     if u == "SHOW PAGES":
         return show_pages(spark, path)
+    m = re.match(r"SHOW HISTOGRAM(?:\s+STRIPE\s+(\d+))?$", c, re.I)
+    if m:
+        return show_histogram(
+            spark, path, int(m.group(1)) if m.group(1) else None
+        )
     if u == "SHOW STRIPES":
         return show_stripes(spark, path)
     m = re.match(r"SHOW (CHUNKS|STREAMS|ENCODINGS?)(?:\s+STRIPE\s+(\d+))?$", c, re.I)

@@ -101,6 +101,21 @@ def test_show_encodings(spark, table_path):
     assert any("ZSTD" in r["codec"].upper() for r in encs)
 
 
+def test_show_histogram(spark, table_path):
+    """SHOW HISTOGRAM: the encoding-usage rollup must account for
+    every column chunk and every compressed byte SHOW ENCODING lists,
+    and the STRIPE scope must subset it."""
+    encs = tools.show_encodings(spark, table_path).collect()
+    hist = tools.show_histogram(spark, table_path).collect()
+    assert sum(r["chunks"] for r in hist) == len(encs)
+    assert sum(r["compressed_bytes"] for r in hist) == sum(
+        r["compressed_bytes"] for r in encs
+    )
+    assert all("," not in r["type"] for r in hist)  # one physical type per row
+    one = tools.show_histogram(spark, table_path, stripe=0).collect()
+    assert 0 < sum(r["chunks"] for r in one) < len(encs)
+
+
 def test_show_index(spark, table_path):
     idx = tools.show_index(spark, table_path).collect()
     assert any(r["index"] == "cluster" and r["key"] == "o_orderkey" for r in idx)
@@ -491,6 +506,8 @@ def test_dsl_full_surface_sweep(spark, table_path):
         "SHOW FILES",
         "SHOW PAGES",
         "SHOW STRIPES",
+        "SHOW HISTOGRAM",
+        "SHOW HISTOGRAM STRIPE 0",
         "SHOW CHUNKS",
         "SHOW CHUNKS STRIPE 0",
         "SHOW STREAMS",
