@@ -393,9 +393,22 @@ class NimbleStreamReader(DataSourceStreamReader):
 
         manifest = read_manifest(self.path, materialize=False)
         commits = manifest.get("commits", [])
+        window = commits[start["commit"] + 1 : end["commit"] + 1]
+        for c in window:
+            # A rollback that REMOVED rows cannot be expressed by an
+            # append-only stream (emitting its window would silently
+            # resurrect the rolled-back keys downstream) — fail the
+            # batch loudly; the consumer re-bootstraps from a snapshot.
+            if c.get("mode") == "rollback" and c.get("rows_added", 0) < 0:
+                raise ValueError(
+                    f"stream window ({start['commit']}, {end['commit']}] "
+                    f"contains commit {c.get('commit')}: a rollback that "
+                    f"removed rows — an append-only stream cannot replay "
+                    f"it; restart the query from a fresh snapshot"
+                )
         added = [
             f
-            for c in commits[start["commit"] + 1 : end["commit"] + 1]
+            for c in window
             # data_change=False commits (compaction) rewrite bytes, not
             # rows — a stream must not re-emit the whole table because
             # the layout changed (Delta-OPTIMIZE semantics).

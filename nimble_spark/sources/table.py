@@ -1522,9 +1522,9 @@ def read_table(
             # All files still live: basePath keeps Hive partition
             # columns visible (directory-shaped layouts only append,
             # so their snapshots always take this branch).
-            df = spark.read.option("basePath", path).parquet(*resolved)
+            df = _plan_parquet(spark, resolved, path, f"snapshot at commit {as_of_commit}")
         else:
-            df = spark.read.parquet(*resolved)
+            df = _plan_parquet(spark, resolved, None, f"snapshot at commit {as_of_commit}")
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         df = _restore_aliases(df, manifest)
@@ -1617,7 +1617,7 @@ def read_table(
         if file_list:
             # basePath keeps Hive partition columns visible when
             # reading a pruned subset of leaf files.
-            df = spark.read.option("basePath", path).parquet(*file_list)
+            df = _plan_parquet(spark, file_list, path, "pruned scan")
         else:
             df = _empty_df(spark, manifest)
     else:
@@ -1696,6 +1696,33 @@ def materialize_columns(spark: SparkSession, path: str) -> dict:
         return write_table(df, path, opts, _caller_holds_lock=True)
 
 
+def _plan_parquet(
+    spark: SparkSession, paths: list[str], base_path: str | None, what: str
+) -> DataFrame:
+    """Plan a parquet scan over explicit file paths, translating the
+    plan-time schema-inference failure Spark raises when EVERY listed
+    file vanished mid-plan (UNABLE_TO_INFER_SCHEMA — a concurrent
+    rewrite moved them to trash between the manifest read and this
+    call) into the standard retryable gone-window error the
+    consistency contract documents (USAGE.md: a racing read either
+    returns a full snapshot or fails cleanly; retry it). Execution-
+    time file loss already surfaces cleanly (FILE_NOT_EXIST)."""
+    from pyspark.errors import AnalysisException
+
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    try:
+        return reader.parquet(*paths)
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc) or "PATH_NOT_FOUND" in str(exc):
+            raise ValueError(
+                f"{what} planned against files that are gone (concurrent "
+                f"rewrite/compaction moved them; retry the read)"
+            ) from exc
+        raise
+
+
 def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
     """Full-table scan over exactly the manifest's file list — never a
     directory listing. The manifest is the table's source of truth
@@ -1733,7 +1760,7 @@ def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> Data
                     f"_nimble dir and rewrite the table."
                 )
         return _empty_df(spark, manifest)
-    return spark.read.option("basePath", path).parquet(*files)
+    return _plan_parquet(spark, files, path, "scan")
 
 
 def resolve_historical_file(path: str, rel: str) -> Optional[str]:
@@ -1908,7 +1935,11 @@ def rollback_table(
 
 
 def read_changes(
-    spark: SparkSession, path: str, since_commit: int, with_commit: bool = False
+    spark: SparkSession,
+    path: str,
+    since_commit: int,
+    with_commit: bool = False,
+    with_change_type: bool = False,
 ) -> DataFrame:
     """Change feed: rows added by commits AFTER ``since_commit``
     (``-1`` = everything). The commit log records each commit's file
@@ -1927,7 +1958,18 @@ def read_changes(
     commit delivered each row (Delta's _commit_version analogue), read
     per-commit so re-delivered files (e.g. a rollback re-adding an
     earlier commit's file) attribute correctly; consumers use it to
-    order upserts or checkpoint mid-window."""
+    order upserts or checkpoint mid-window.
+
+    ROLLBACKS AND DELETIONS: a rollback past an append REMOVES rows —
+    something an upsert-only feed cannot express (replaying it would
+    resurrect the rolled-back keys; caught by the round-6 reader-race
+    soak). The Delta-CDF answer applies: ``with_change_type=True``
+    adds a ``_change_type`` STRING column ('insert' for added files,
+    'delete' for the rows of files a ROLLBACK removed, read back from
+    the retention trash) — consumers reduce per key by newest
+    (_commit, insert-beats-delete-within-a-commit) and drop keys whose
+    winner is a delete. Without it, a window containing a row-removing
+    rollback raises rather than silently resurrecting rows."""
     # Root-only: commits, aliases and schema all live in the root, so
     # an incremental consumer's metadata cost is O(changed commits),
     # never O(table files) — even on a sharded 10⁶-file table.
@@ -1942,43 +1984,81 @@ def read_changes(
     # an earlier commit delivered — and upsert-feed semantics re-deliver
     # it, correctly attributed, which a single flat read keyed by file
     # name could not express).
-    per_commit: list[tuple[int, list[str]]] = []
+    per_commit: list[tuple[int, list[str], list[str]]] = []
     missing: list[str] = []
     for i, c in enumerate(commits[since_commit + 1 :]):
-        if not c.get("data_change", True) or not c.get("files"):
-            continue
         ci = int(c.get("commit", i + since_commit + 1))
+        # Row-removing rollback (appends are the only row adders, so
+        # net-negative rows_added ⇔ keys disappeared): the upsert view
+        # cannot express it — the removed files' rows become 'delete'
+        # events, or the replay refuses rather than resurrect rows.
+        removes_rows = c.get("mode") == "rollback" and c.get("rows_added", 0) < 0
+        if removes_rows and not with_change_type:
+            raise ValueError(
+                f"changes window contains commit {ci}: a rollback that "
+                f"REMOVED rows, which an upsert-only replay would "
+                f"silently resurrect — pass with_change_type=True and "
+                f"apply the 'delete' events, or re-bootstrap from a "
+                f"snapshot read"
+            )
+        deleted = list(c.get("removed", [])) if removes_rows else []
+        if not c.get("data_change", True) or not (c.get("files") or deleted):
+            continue
         resolved = []
-        for f in c["files"]:
+        for f in c.get("files", []):
             r = resolve_historical_file(path, f)
             if r is None:
                 missing.append(f)
             else:
                 resolved.append((f, r))
-        per_commit.append((ci, resolved))
+        del_resolved = []
+        for f in deleted:
+            r = resolve_historical_file(path, f)
+            if r is None:
+                missing.append(f)
+            else:
+                del_resolved.append((f, r))
+        per_commit.append((ci, resolved, del_resolved))
     if missing:
         raise ValueError(
             f"changes since commit {since_commit} are gone "
             f"(compaction/vacuum removed {missing[:3]}…)"
         )
     parts: list[DataFrame] = []
-    for ci, resolved in per_commit:
+
+    def _part(ci: int, resolved: list, change_type: str) -> DataFrame:
         if all(r == os.path.join(path, f) for f, r in resolved):
-            df = spark.read.option("basePath", path).parquet(*[r for _, r in resolved])
+            df = _plan_parquet(
+                spark, [r for _, r in resolved], path, f"changes window (commit {ci})"
+            )
         else:
             # Window spans files later rewritten away (retained in
             # trash): flat layouts only, no partition columns to
             # recover.
-            df = spark.read.parquet(*[r for _, r in resolved])
+            df = _plan_parquet(
+                spark, [r for _, r in resolved], None, f"changes window (commit {ci})"
+            )
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         df = _restore_aliases(df, manifest)
         if with_commit:
             df = df.withColumn("_commit", F.lit(ci).cast("long"))
-        parts.append(df)
+        if with_change_type:
+            df = df.withColumn("_change_type", F.lit(change_type))
+        return df
+
+    for ci, resolved, del_resolved in per_commit:
+        if resolved:
+            parts.append(_part(ci, resolved, "insert"))
+        if del_resolved:
+            parts.append(_part(ci, del_resolved, "delete"))
     if not parts:
         df = _restore_aliases(_empty_df(spark, manifest), manifest)
-        return df.withColumn("_commit", F.lit(None).cast("long")) if with_commit else df
+        if with_commit:
+            df = df.withColumn("_commit", F.lit(None).cast("long"))
+        if with_change_type:
+            df = df.withColumn("_change_type", F.lit(None).cast("string"))
+        return df
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
@@ -2013,7 +2093,7 @@ def _read_row_range(
         off += n
     if not needed or end <= start:
         return _empty_df(spark, manifest)
-    df = spark.read.option("basePath", path).parquet(*[p for p, _ in needed])
+    df = _plan_parquet(spark, [p for p, _ in needed], path, "row-range scan")
     # basename → cumulative offset (parquet part files have unique
     # uuid-bearing basenames); map lookup keeps the plan one projection
     kv = []

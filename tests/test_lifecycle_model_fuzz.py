@@ -287,16 +287,28 @@ def test_concurrent_readers_never_see_torn_state(spark, tmpdir, seed):
                 if mode == "scan":
                     got = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
                 elif mode == "changes":
+                    # typed feed: rollbacks past appends REMOVE rows,
+                    # which only 'delete' events can express — reduce
+                    # per key by newest (_commit, insert-beats-delete
+                    # within a commit), drop keys whose winner deletes
                     rows = read_changes(
-                        spark, path, since_commit=-1, with_commit=True
+                        spark,
+                        path,
+                        since_commit=-1,
+                        with_commit=True,
+                        with_change_type=True,
                     ).collect()
-                    # newest delivery per key == the live upsert view
-                    best: dict[int, tuple[int, int]] = {}
+                    best: dict[int, tuple[tuple[int, int], int]] = {}
                     for r in rows:
                         ci = r["_commit"] if r["_commit"] is not None else -1
-                        if r["k"] not in best or ci >= best[r["k"]][0]:
-                            best[r["k"]] = (ci, r["v"])
-                    got = {k: v for k, (_ci, v) in best.items()}
+                        rank = (ci, 1 if r["_change_type"] == "insert" else 0)
+                        if r["k"] not in best or rank >= best[r["k"]][0]:
+                            best[r["k"]] = (rank, r["v"])
+                    got = {
+                        k: v
+                        for k, ((_ci, ins), v) in best.items()
+                        if ins == 1
+                    }
                 else:
                     res = serve_lookups(
                         spark,
@@ -348,15 +360,27 @@ def test_concurrent_readers_never_see_torn_state(spark, tmpdir, seed):
         next_key = 1000
         for step in range(10):
             op = rng.choice(["append", "update", "compact", "rollback"])
+            # The post-state registers BEFORE the mutation runs: the
+            # commit becomes reader-visible at the manifest rename,
+            # which happens INSIDE the op — registering after it would
+            # flag a reader that legitimately observed the fresh commit
+            # in that window as torn (seed-31 false positive). A state
+            # listed slightly early can't mask a real tear: a torn mix
+            # of two commits still matches no list entry.
             if op == "append":
                 fresh = {next_key + i: (next_key + i) * 10 for i in range(3)}
                 next_key += 3
-                write_table(_df(spark, fresh.items()), path, WriteOptions(), mode="append")
                 state.update(fresh)
+                with pub_lock:
+                    published.append(dict(state))
+                write_table(_df(spark, fresh.items()), path, WriteOptions(), mode="append")
             elif op == "update":
-                update_where(spark, path, "k < 40", {"v": "v + 1"})
                 state = {k: (v + 1 if k < 40 else v) for k, v in state.items()}
+                with pub_lock:
+                    published.append(dict(state))
+                update_where(spark, path, "k < 40", {"v": "v + 1"})
             elif op == "compact":
+                # no state change (data_change=False) — nothing to register
                 try:
                     compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
                 except ValueError:
@@ -366,12 +390,12 @@ def test_concurrent_readers_never_see_torn_state(spark, tmpdir, seed):
                 n = len(m.get("commits", []))
                 if n < 2:
                     continue
+                # the restored state is some EARLIER published entry, so
+                # readers match it even before the post-hoc re-read here
                 rollback_table(spark, path, commit=n - 2)
-                # the restored state is the one published two commits ago;
-                # recompute from a fresh read under no concurrent writer
                 state = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
-            with pub_lock:
-                published.append(dict(state))
+                with pub_lock:
+                    published.append(dict(state))
     finally:
         stop.set()
         for t in threads:

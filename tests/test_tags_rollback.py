@@ -144,6 +144,55 @@ def test_read_changes_with_commit_provenance(spark, tmpdir):
     assert empty.count() == 0 and "_commit" in empty.columns
 
 
+def test_rollback_past_append_emits_delete_events(spark, tmpdir):
+    """A rollback past an APPEND removes rows — upsert-only replay
+    would resurrect them (caught by the r6 reader-race soak). The
+    default feed refuses such a window; with_change_type=True emits
+    'delete' events for exactly the rolled-back rows, and the
+    documented reduction (newest _commit, insert beats delete within
+    a commit, drop delete winners) reproduces the live table."""
+    from nimble_spark.sources.table import read_changes
+
+    path = f"{tmpdir}/rb_append_cdc"
+    write_table(_df(spark, 0, 10), path, WriteOptions())
+    write_table(_df(spark, 100, 103), path, WriteOptions(), mode="append")
+    rollback_table(spark, path, commit=0)
+
+    with pytest.raises(ValueError, match="REMOVED rows"):
+        read_changes(spark, path, since_commit=-1)
+
+    rows = read_changes(
+        spark, path, since_commit=-1, with_commit=True, with_change_type=True
+    ).collect()
+    dels = {r["k"] for r in rows if r["_change_type"] == "delete"}
+    assert dels == {100, 101, 102}
+    best: dict = {}
+    for r in rows:
+        rank = (r["_commit"], 1 if r["_change_type"] == "insert" else 0)
+        if r["k"] not in best or rank >= best[r["k"]][0]:
+            best[r["k"]] = (rank, r["v"])
+    reduced = {k: v for k, ((_c, ins), v) in best.items() if ins == 1}
+    live = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
+    assert reduced == live
+
+    # rollback past an UPDATE only (no net row change): re-adds cover
+    # the upsert view, so the default feed stays usable
+    path2 = f"{tmpdir}/rb_update_cdc"
+    write_table(_df(spark, 0, 10), path2, WriteOptions())
+    from nimble_spark.sources.merge import update_where
+
+    update_where(spark, path2, "k < 5", {"v": "v + 1"})
+    rollback_table(spark, path2, commit=0)
+    rows2 = read_changes(spark, path2, since_commit=-1, with_commit=True).collect()
+    best2: dict = {}
+    for r in rows2:
+        if r["k"] not in best2 or r["_commit"] >= best2[r["k"]][0]:
+            best2[r["k"]] = (r["_commit"], r["v"])
+    assert {k: v for k, (_c, v) in best2.items()} == {
+        r["k"]: r["v"] for r in read_table(spark, path2).collect()
+    }
+
+
 def test_rollback_partitioned_table_preserves_layout(spark, tmpdir):
     """Rollback on a Hive-partitioned table: file paths include
     partition subdirectories; tombstones keep the relative path shape
@@ -171,17 +220,25 @@ def test_rollback_partitioned_table_preserves_layout(spark, tmpdir):
     assert out.count() == 160
     assert out.filter("p = '0'").count() == 54
     # CDC across the whole history resolves every window EXACTLY:
-    # c0 adds 100, c1 adds 60, c2 (rollback→0) adds nothing, c3
-    # (roll-forward→1) RE-delivers the 60 (upsert-feed semantics,
-    # attributed to c3 — the per-commit read keeps re-added files
-    # from fanning out against their first delivery)
-    feed = read_changes(spark, path, since_commit=-1, with_commit=True)
-    assert feed.count() == 220
+    # c0 adds 100, c1 adds 60, c2 (rollback→0) REMOVES the 60 — a
+    # row-removing window needs the typed feed (the default upsert
+    # view refuses it rather than resurrect rows) — and c3
+    # (roll-forward→1) re-delivers the 60 (attributed to c3)
+    with pytest.raises(ValueError, match="REMOVED rows"):
+        read_changes(spark, path, since_commit=-1)
+    feed = read_changes(
+        spark, path, since_commit=-1, with_commit=True, with_change_type=True
+    )
+    ins = feed.filter("_change_type = 'insert'")
+    assert ins.count() == 220
     by_commit = {
         r["_commit"]: r["n"]
-        for r in feed.groupBy("_commit").agg(F.count("*").alias("n")).collect()
+        for r in ins.groupBy("_commit").agg(F.count("*").alias("n")).collect()
     }
     assert by_commit == {0: 100, 1: 60, 3: 60}
+    dels = feed.filter("_change_type = 'delete'")
+    assert dels.count() == 60
+    assert [r["_commit"] for r in dels.select("_commit").distinct().collect()] == [2]
 
 
 def test_rollback_append_compact_contention(spark, tmpdir):
