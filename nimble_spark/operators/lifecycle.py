@@ -176,6 +176,54 @@ def q_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_delete_events",
+    oracle=f"""
+    SELECT CAST(0 AS BIGINT) AS _commit, 'insert' AS _change_type,
+           COUNT(*) AS n_rows, {dsum_sql("o_totalprice")} AS total
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert',
+           COUNT(*), {dsum_sql("o_totalprice")}
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete',
+           COUNT(*), {dsum_sql("o_totalprice")}
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'insert',
+           COUNT(*), {dsum_sql("o_totalprice")}
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    category="lifecycle",
+)
+def q_cdc_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed change feed across a row-removing rollback (Delta CDF
+    _change_type analogue; found-by-fuzz r6): commit 0 lands a third
+    of orders, commit 1 appends another third, commit 2 ROLLS BACK
+    past that append (removing its rows — something an upsert-only
+    replay would silently resurrect), commit 3 appends the last
+    third. ``read_changes(with_change_type=True)`` must deliver the
+    rollback's removals as 'delete' events (read back from the
+    retention trash) attributed to commit 2, alongside the three
+    insert deliveries."""
+
+    def _build(tmp: str) -> None:
+        o = _orders(spark, sf_dir)
+        write_table(o.filter("o_orderkey % 3 = 1"), tmp, WriteOptions())
+        write_table(o.filter("o_orderkey % 3 = 2"), tmp, mode="append")
+        rollback_table(spark, tmp, commit=0)
+        write_table(o.filter("o_orderkey % 3 = 0"), tmp, mode="append")
+
+    path = ensure_cached(sf_dir, "orders__cdc_rollback", ["orders"], _build)
+    ch = read_changes(
+        spark, path, since_commit=-1, with_commit=True, with_change_type=True
+    )
+    return ch.groupBy("_commit", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
     "q_cdc_commit_provenance",
     oracle=f"""
     SELECT CAST(1 AS BIGINT) AS _commit,
