@@ -83,6 +83,7 @@ class NimbleDataSource(DataSource):
             max_commits_per_trigger=int(
                 self.options.get("maxcommitspertrigger", 0) or 0
             ),
+            starting_commit=int(self.options.get("startingcommit", -1)),
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> "NimbleWriter":
@@ -338,9 +339,22 @@ class NimbleStreamReader(DataSourceStreamReader):
     restart-safe (offsets live in the checkpoint), no directory
     diffing, O(changed data) per batch no matter the table size."""
 
-    def __init__(self, path: str, schema: StructType, max_commits_per_trigger: int = 0):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        max_commits_per_trigger: int = 0,
+        starting_commit: int = -1,
+    ):
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        # startingCommit (Delta startingVersion analogue): a FRESH
+        # query begins AFTER this commit instead of -1. This is the
+        # documented re-bootstrap path for a table whose history
+        # contains a row-removing rollback (which an append-only
+        # stream refuses to replay): read a snapshot, then stream
+        # with startingCommit = the snapshot's commit.
+        self.starting = starting_commit
         # Admission control (maxFilesPerTrigger analogue, in commits).
         # 0 = unbounded: each micro-batch takes everything available.
         # N > 0: each micro-batch advances at most N commits — this is
@@ -368,18 +382,19 @@ class NimbleStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:  # noqa: N802
         if self._served is None:
-            self._served = -1  # fresh start: rate-limit from the very first batch
-        return {"commit": -1}
+            # fresh start: rate-limit from the configured start
+            self._served = self.starting
+        return {"commit": self.starting}
 
     def latestOffset(self) -> dict:  # noqa: N802
         # root-only: the commit log lives in the root and this polls
         # every trigger — never page-materialize a huge table here
         latest = len(read_manifest(self.path, materialize=False).get("commits", [])) - 1
         if self.max_commits <= 0:
-            self._served = latest
-            return {"commit": latest}
-        base = -1 if self._served is None else self._served
-        self._served = min(base + self.max_commits, latest)
+            self._served = max(latest, self.starting)
+            return {"commit": self._served}
+        base = self.starting if self._served is None else self._served
+        self._served = max(min(base + self.max_commits, latest), self.starting)
         return {"commit": self._served}
 
     def partitions(self, start: dict, end: dict):

@@ -915,12 +915,24 @@ class table_write_lock:
         probeable here — return False and let mtime decide; the
         holder's heartbeat keeps a live cross-host lock's mtime
         fresh, so there stale mtime ⇒ crashed (writers must share
-        one stale_s config for that arithmetic to hold)."""
+        one stale_s config for that arithmetic to hold).
+
+        Limitation: on hosts WITHOUT procfs (macOS/BSD) there is no
+        start-time identity, so a crashed writer whose pid the OS
+        recycled to a long-lived process keeps the veto alive —
+        correctness over availability: delete the lockfile manually
+        (it names the pid) rather than risk breaking a live stalled
+        holder and publishing concurrently."""
         import socket
 
         try:
             with open(lock_path, "rb") as fh:
-                parts = fh.read(256).split(b"@")
+                data = fh.read(4096)  # lockfiles are < 1 KiB; a full
+                # read keeps the trailing start-ticks field intact
+                # even for maximal (253-char) hostnames — a truncated
+                # tick value would wrongly fail the incarnation check
+                # and break a live holder's lock
+            parts = data.split(b"@")
             pid = int(parts[0])
             host = parts[2].decode() if len(parts) >= 3 else None
         except (OSError, ValueError):
@@ -1518,13 +1530,21 @@ def read_table(
             )
         if not snap:
             return _restore_aliases(_empty_df(spark, manifest), manifest)
-        if all(r == os.path.join(path, f) for f, r in zip(snap, resolved)):
-            # All files still live: basePath keeps Hive partition
-            # columns visible (directory-shaped layouts only append,
-            # so their snapshots always take this branch).
-            df = _plan_parquet(spark, resolved, path, f"snapshot at commit {as_of_commit}")
-        else:
-            df = _plan_parquet(spark, resolved, None, f"snapshot at commit {as_of_commit}")
+        # Group by resolution base (table root vs trash/commit-N
+        # roots) so Hive partition columns survive even when the
+        # snapshot spans files later rewritten into the trash — the
+        # relative path keeps its p=X/ shape in both locations.
+        sgroups: dict[str, list[str]] = {}
+        for f, r in zip(snap, resolved):
+            base = r[: len(r) - len(f)].rstrip("/") or "/"
+            sgroups.setdefault(base, []).append(r)
+        sdfs = [
+            _plan_parquet(spark, paths, base, f"snapshot at commit {as_of_commit}")
+            for base, paths in sorted(sgroups.items())
+        ]
+        df = sdfs[0]
+        for d2 in sdfs[1:]:
+            df = df.unionByName(d2, allowMissingColumns=True)
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         df = _restore_aliases(df, manifest)
@@ -2027,17 +2047,24 @@ def read_changes(
     parts: list[DataFrame] = []
 
     def _part(ci: int, resolved: list, change_type: str) -> DataFrame:
-        if all(r == os.path.join(path, f) for f, r in resolved):
-            df = _plan_parquet(
-                spark, [r for _, r in resolved], path, f"changes window (commit {ci})"
-            )
-        else:
-            # Window spans files later rewritten away (retained in
-            # trash): flat layouts only, no partition columns to
-            # recover.
-            df = _plan_parquet(
-                spark, [r for _, r in resolved], None, f"changes window (commit {ci})"
-            )
+        # Group by resolution base so Hive partition columns SURVIVE:
+        # live files resolve under the table root, trash-resolved ones
+        # under their trash/commit-N root — the relative path (and so
+        # the p=X/ directory shape) is preserved in both, so basePath
+        # recovery works per group. Without this, a delete event on a
+        # partitioned table would carry NULL partition columns and
+        # could never be matched to its insert downstream.
+        groups: dict[str, list[str]] = {}
+        for f, r in resolved:
+            base = r[: len(r) - len(f)].rstrip("/") or "/"
+            groups.setdefault(base, []).append(r)
+        dfs = [
+            _plan_parquet(spark, paths, base, f"changes window (commit {ci})")
+            for base, paths in sorted(groups.items())
+        ]
+        df = dfs[0]
+        for d2 in dfs[1:]:
+            df = df.unionByName(d2, allowMissingColumns=True)
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         df = _restore_aliases(df, manifest)
@@ -2155,13 +2182,13 @@ def verify_table_distributed(spark: SparkSession, path: str) -> list[str]:
             bad = []
             for rel, want in zip(pdf["rel"], pdf["want"]):
                 h = hashlib.sha256()
-                try:
-                    with open(os.path.join(root, rel), "rb") as fh:
-                        for chunk in iter(lambda: fh.read(1 << 20), b""):
-                            h.update(chunk)
-                except OSError:
-                    bad.append(rel)  # unreadable counts as corrupt
-                    continue
+                # an unreadable file PROPAGATES (task failure → job
+                # error), same contract as the driver variant: a
+                # transient I/O error or a missing mount must not be
+                # reported as data corruption
+                with open(os.path.join(root, rel), "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
                 if h.hexdigest() != want:
                     bad.append(rel)
             yield pd.DataFrame({"rel": bad})

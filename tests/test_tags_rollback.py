@@ -241,6 +241,73 @@ def test_rollback_partitioned_table_preserves_layout(spark, tmpdir):
     assert [r["_commit"] for r in dels.select("_commit").distinct().collect()] == [2]
 
 
+def test_partitioned_delete_events_keep_partition_columns(spark, tmpdir):
+    """Typed-feed delete events on a Hive-partitioned table: the
+    removed files resolve from trash/commit-N/p=X/… , and basePath
+    grouping must recover the partition column — a delete with p=NULL
+    could never match its insert downstream."""
+    from nimble_spark.sources.table import read_changes
+
+    path = f"{tmpdir}/part_del_cdc"
+    d0 = spark.range(30).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p")
+    write_table(d0, path, WriteOptions(partition_by=["p"]))
+    d1 = spark.range(100, 112).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p")
+    write_table(d1, path, WriteOptions(partition_by=["p"]), mode="append")
+    rollback_table(spark, path, commit=0)  # removes the append's rows
+
+    feed = read_changes(
+        spark, path, since_commit=-1, with_commit=True, with_change_type=True
+    )
+    dels = feed.filter("_change_type = 'delete'").collect()
+    assert {r["k"] for r in dels} == set(range(100, 112))
+    assert all(r["p"] is not None for r in dels)  # partition col recovered
+    # directory-value inference may type p as int — value equality is
+    # what matters for downstream key matching
+    assert {str(r["p"]) for r in dels} == {"0", "1", "2"}
+    # the documented reduction over (k) reproduces the live table
+    best: dict = {}
+    for r in feed.collect():
+        rank = (r["_commit"], 1 if r["_change_type"] == "insert" else 0)
+        if r["k"] not in best or rank >= best[r["k"]][0]:
+            best[r["k"]] = (rank, r["p"])
+    reduced = {k for k, ((_c, ins), _p) in best.items() if ins == 1}
+    assert reduced == set(range(30))
+    # snapshot read across the trashed append keeps partition columns
+    snap = read_table(spark, path, as_of_commit=1)
+    assert snap.count() == 42 and snap.filter("p IS NULL").count() == 0
+
+
+def test_stream_starting_commit_skips_rollback(spark, tmpdir):
+    """startingCommit (Delta startingVersion analogue): a table whose
+    history holds a row-removing rollback refuses to stream from the
+    beginning — the documented re-bootstrap is snapshot + stream from
+    the rollback commit onward, which must work."""
+    from pyspark.sql.types import StructType
+
+    from nimble_spark.sources.datasource import NimbleStreamReader
+    from nimble_spark.sources.table import read_manifest
+
+    path = f"{tmpdir}/stream_start"
+    write_table(_df(spark, 0, 10), path, WriteOptions())
+    write_table(_df(spark, 100, 103), path, WriteOptions(), mode="append")
+    rollback_table(spark, path, commit=0)  # commit 2: removes rows
+    write_table(_df(spark, 200, 205), path, WriteOptions(), mode="append")  # commit 3
+
+    schema = StructType.fromJson(read_manifest(path)["schema"])
+    # from the beginning: the row-removing window must fail loudly
+    r0 = NimbleStreamReader(path, schema)
+    assert r0.initialOffset() == {"commit": -1}
+    with pytest.raises(ValueError, match="removed rows"):
+        r0.partitions({"commit": -1}, r0.latestOffset())
+    # re-bootstrapped: start AFTER the rollback → only commit 3 flows
+    r1 = NimbleStreamReader(path, schema, starting_commit=2)
+    assert r1.initialOffset() == {"commit": 2}
+    end = r1.latestOffset()
+    assert end == {"commit": 3}
+    parts = r1.partitions({"commit": 2}, end)
+    assert len(parts) == len(read_manifest(path)["commits"][3]["files"])
+
+
 def test_rollback_append_compact_contention(spark, tmpdir):
     """8 threads interleave appends, compactions, tags, and rollbacks
     on one table. Every mutation serializes on the table write lock,
