@@ -83,7 +83,7 @@ class NimbleDataSource(DataSource):
             max_commits_per_trigger=int(
                 self.options.get("maxcommitspertrigger", 0) or 0
             ),
-            starting_commit=int(self.options.get("startingcommit", -1)),
+            starting_commit=int(self.options.get("startingcommit") or -1),
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> "NimbleWriter":
@@ -390,6 +390,14 @@ class NimbleStreamReader(DataSourceStreamReader):
         # root-only: the commit log lives in the root and this polls
         # every trigger — never page-materialize a huge table here
         latest = len(read_manifest(self.path, materialize=False).get("commits", [])) - 1
+        if self.starting > latest:
+            # validated like read_changes' since_commit: a typo'd
+            # startingCommit must not run as a silently-empty stream
+            # that later skips real commits
+            raise ValueError(
+                f"startingCommit {self.starting} is beyond the table's "
+                f"latest commit {latest}"
+            )
         if self.max_commits <= 0:
             self._served = max(latest, self.starting)
             return {"commit": self._served}

@@ -1530,21 +1530,12 @@ def read_table(
             )
         if not snap:
             return _restore_aliases(_empty_df(spark, manifest), manifest)
-        # Group by resolution base (table root vs trash/commit-N
-        # roots) so Hive partition columns survive even when the
-        # snapshot spans files later rewritten into the trash — the
-        # relative path keeps its p=X/ shape in both locations.
-        sgroups: dict[str, list[str]] = {}
-        for f, r in zip(snap, resolved):
-            base = r[: len(r) - len(f)].rstrip("/") or "/"
-            sgroups.setdefault(base, []).append(r)
-        sdfs = [
-            _plan_parquet(spark, paths, base, f"snapshot at commit {as_of_commit}")
-            for base, paths in sorted(sgroups.items())
-        ]
-        df = sdfs[0]
-        for d2 in sdfs[1:]:
-            df = df.unionByName(d2, allowMissingColumns=True)
+        df = _plan_grouped_parquet(
+            spark,
+            list(zip(snap, resolved)),
+            manifest,
+            f"snapshot at commit {as_of_commit}",
+        )
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         df = _restore_aliases(df, manifest)
@@ -1733,7 +1724,7 @@ def _plan_parquet(
     if base_path is not None:
         reader = reader.option("basePath", base_path)
     try:
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
     except AnalysisException as exc:
         if "UNABLE_TO_INFER_SCHEMA" in str(exc) or "PATH_NOT_FOUND" in str(exc):
             raise ValueError(
@@ -1741,6 +1732,57 @@ def _plan_parquet(
                 f"rewrite/compaction moved them; retry the read)"
             ) from exc
         raise
+    # Above spark.sql.sources.parallelPartitionDiscovery.threshold
+    # (default 32) root paths, Spark lists them with a distributed job
+    # that SILENTLY DROPS files vanishing mid-listing ("deleted during
+    # listing") instead of raising — a scan racing a rewrite would
+    # return partial rows with no error (caught by the r6 reader-race
+    # soak, seed 60041). The file index is already materialized, so
+    # comparing its size against the requested list is free and turns
+    # the silent loss into the same retryable gone-window error.
+    if len(df.inputFiles()) != len(set(paths)):
+        raise ValueError(
+            f"{what} planned against files that are gone (concurrent "
+            f"rewrite/compaction moved them during listing; retry the read)"
+        )
+    return df
+
+
+def _plan_grouped_parquet(
+    spark: SparkSession, pairs: list[tuple[str, str]], manifest: dict, what: str
+) -> DataFrame:
+    """Plan a scan over (relative, resolved-absolute) file pairs that
+    may span the table root AND trash/commit-N roots (historical
+    reads): grouping by resolution base keeps Hive partition columns
+    recoverable (the relative path preserves its p=X/ shape in both
+    locations — a delete event or snapshot row with NULL partition
+    values could never be matched downstream). Each group's columns
+    then cast to the DECLARED schema: partition-type inference runs
+    per group and can disagree — a live group of p='x' infers STRING
+    while a trash group of p='1' infers INT — which would crash the
+    union (CAST_INVALID_INPUT under ANSI) or silently retype p."""
+    schema = T.StructType.fromJson(manifest["schema"])
+    types = {f.name: f.dataType for f in schema.fields}
+    groups: dict[str, list[str]] = {}
+    for f, r in pairs:
+        base = r[: len(r) - len(f)].rstrip("/") or "/"
+        groups.setdefault(base, []).append(r)
+    dfs = []
+    for base, paths in sorted(groups.items()):
+        df = _plan_parquet(spark, paths, base, what)
+        df = df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c)
+                if c in types and df.schema[c].dataType != types[c]
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        dfs.append(df)
+    out = dfs[0]
+    for d2 in dfs[1:]:
+        out = out.unionByName(d2, allowMissingColumns=True)
+    return out
 
 
 def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> DataFrame:
@@ -2047,24 +2089,9 @@ def read_changes(
     parts: list[DataFrame] = []
 
     def _part(ci: int, resolved: list, change_type: str) -> DataFrame:
-        # Group by resolution base so Hive partition columns SURVIVE:
-        # live files resolve under the table root, trash-resolved ones
-        # under their trash/commit-N root — the relative path (and so
-        # the p=X/ directory shape) is preserved in both, so basePath
-        # recovery works per group. Without this, a delete event on a
-        # partitioned table would carry NULL partition columns and
-        # could never be matched to its insert downstream.
-        groups: dict[str, list[str]] = {}
-        for f, r in resolved:
-            base = r[: len(r) - len(f)].rstrip("/") or "/"
-            groups.setdefault(base, []).append(r)
-        dfs = [
-            _plan_parquet(spark, paths, base, f"changes window (commit {ci})")
-            for base, paths in sorted(groups.items())
-        ]
-        df = dfs[0]
-        for d2 in dfs[1:]:
-            df = df.unionByName(d2, allowMissingColumns=True)
+        df = _plan_grouped_parquet(
+            spark, resolved, manifest, f"changes window (commit {ci})"
+        )
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
         df = _restore_aliases(df, manifest)

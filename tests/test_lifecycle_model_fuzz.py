@@ -277,6 +277,12 @@ def test_concurrent_readers_never_see_torn_state(spark, tmpdir, seed):
         "are gone",
         "No such file",
         "FILE_NOT_EXIST",
+        # Spark wraps executor-side file loss as FAILED_READ_FILE.*;
+        # the NO_HINT subclass hides the FileNotFoundException cause,
+        # and a raw Py4JJavaError's string may omit the Java cause
+        # chain entirely. Nothing in this fuzz corrupts bytes — every
+        # read failure is the documented maintenance-move window.
+        "FAILED_READ_FILE",
     )
 
     def reader():

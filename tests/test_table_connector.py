@@ -589,6 +589,35 @@ def test_merge_into_rewrites_only_affected_files(spark, tmpdir):
         merge_into(spark, bpath, ins, "o_orderkey")
 
 
+def test_plan_over_vanished_files_raises_not_partial(spark, tmpdir):
+    """Above the parallel-partition-discovery threshold (32 root
+    paths) Spark's distributed listing SILENTLY DROPS files that
+    vanish mid-listing — a scan racing a rewrite would return partial
+    rows with no error (r6 race-soak seed 60041). _plan_parquet must
+    turn that into the retryable gone-window error instead."""
+    import os
+
+    import pytest
+
+    from nimble_spark.sources.table import _plan_parquet, read_manifest, write_table
+
+    path = f"{tmpdir}/vanish"
+    write_table(
+        spark.range(4000).selectExpr("id AS k").repartition(40), path, WriteOptions()
+    )
+    entries = read_manifest(path)["files"]
+    files = [os.path.join(path, f["path"]) for f in entries]
+    assert len(files) == 40  # > the 32-path parallel-listing threshold
+    for f in files[:2]:
+        os.remove(f)
+    with pytest.raises(ValueError, match="are gone"):
+        _plan_parquet(spark, files, path, "scan")
+    # intact list still plans cleanly and completely
+    df = _plan_parquet(spark, files[2:], path, "scan")
+    want = sum(f["rows"] for f in entries[2:])
+    assert len(df.inputFiles()) == 38 and df.count() == want
+
+
 def test_read_changes_bounds(spark, tmpdir):
     from nimble_spark.sources.table import read_changes
 

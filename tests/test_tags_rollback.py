@@ -277,6 +277,34 @@ def test_partitioned_delete_events_keep_partition_columns(spark, tmpdir):
     assert snap.count() == 42 and snap.filter("p IS NULL").count() == 0
 
 
+def test_partition_type_inference_conflict_across_trash(spark, tmpdir):
+    """Per-group Hive partition-type inference can DISAGREE: a live
+    group of p='x' infers STRING while the trash group of p='1'
+    infers INT — unioning raw would crash (CAST_INVALID_INPUT, ANSI)
+    or silently retype p. Grouped reads must cast each group to the
+    declared schema first."""
+    from nimble_spark.sources.table import read_changes
+
+    path = f"{tmpdir}/part_type_conflict"
+    d0 = spark.createDataFrame([(1, "x"), (2, "y")], "k LONG, p STRING")
+    write_table(d0, path, WriteOptions(partition_by=["p"]))
+    d1 = spark.createDataFrame([(100, "1"), (101, "1")], "k LONG, p STRING")
+    write_table(d1, path, WriteOptions(partition_by=["p"]), mode="append")
+    rollback_table(spark, path, commit=0)  # p=1 files land in trash
+
+    feed = read_changes(
+        spark, path, since_commit=-1, with_commit=True, with_change_type=True
+    )
+    assert dict(feed.dtypes)["p"] == "string"  # declared type wins
+    rows = feed.collect()  # pre-fix: SparkNumberFormatException here
+    dels = [r for r in rows if r["_change_type"] == "delete"]
+    assert {(r["k"], r["p"]) for r in dels} == {(100, "1"), (101, "1")}
+
+    snap = read_table(spark, path, as_of_commit=1)
+    assert dict(snap.dtypes)["p"] == "string"
+    assert snap.count() == 4 and snap.filter("p = '1'").count() == 2
+
+
 def test_stream_starting_commit_skips_rollback(spark, tmpdir):
     """startingCommit (Delta startingVersion analogue): a table whose
     history holds a row-removing rollback refuses to stream from the
@@ -306,6 +334,10 @@ def test_stream_starting_commit_skips_rollback(spark, tmpdir):
     assert end == {"commit": 3}
     parts = r1.partitions({"commit": 2}, end)
     assert len(parts) == len(read_manifest(path)["commits"][3]["files"])
+    # a typo'd startingCommit must fail loudly, not stream emptily
+    r2 = NimbleStreamReader(path, schema, starting_commit=99)
+    with pytest.raises(ValueError, match="beyond the table"):
+        r2.latestOffset()
 
 
 def test_rollback_append_compact_contention(spark, tmpdir):
