@@ -82,6 +82,7 @@ def _load_all() -> None:
     import nimble_spark.operators.train_prep  # noqa: F401
     import nimble_spark.operators.graph  # noqa: F401
     import nimble_spark.operators.lifecycle  # noqa: F401
+    import nimble_spark.operators.sketches  # noqa: F401
 
     _reorder()
     _LOADED = True

@@ -45,6 +45,86 @@ def build_inverted_index(
     return write_table(postings, out, WriteOptions(cluster_by=["token"]))
 
 
+DOCLEN_SUFFIX = "_doclen"
+
+
+def build_doclen_sidecar(
+    spark: SparkSession, path: str, col: str = "text", key: str = "doc_id"
+) -> dict:
+    """Companion sidecar for length-normalized ranking (BM25): one
+    row per document with its token count under the SAME tokenizer
+    the posting build uses. Doc-count rows — a rounding error next to
+    corpus bytes — clustered by key so ranked probes join it with a
+    pruned scan."""
+    docs = read_table(spark, path)
+    dl = (
+        docs.select(
+            key,
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != ""
+                )
+            ).alias("dl"),
+        )
+    )
+    out = os.path.join(path, INVERTED_DIR, col + DOCLEN_SUFFIX)
+    return write_table(dl, out, WriteOptions(cluster_by=[key]))
+
+
+def search_bm25(
+    spark: SparkSession,
+    path: str,
+    tokens: list[str],
+    col: str = "text",
+    key: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked multi-token search (OR semantics) served entirely
+    from sidecars: tf from pruned posting scans, df aggregated from
+    the same scan, document length from the doclen sidecar, N/avgdl
+    one-row broadcasts. score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b + b·dl/avgdl)). Rational idf (N/df — monotone in
+    the usual ln form) keeps every term pure IEEE arithmetic, so the
+    score is engine-portable bit-for-bit; per-(doc,token) partials
+    are quantized to integers at 1e-4 BEFORE the final sum, making
+    the aggregate order-independent (functions/exact.py rationale).
+
+    Scale: probes read O(posting lists) + a doc-keyed join against a
+    doc-count-row sidecar; document text is never touched. Reference
+    analogue: index-serving projection without base-table scans
+    (velox/index/NimbleIndexProjector.h:35)."""
+    side = os.path.join(path, INVERTED_DIR, col)
+    posts = None
+    for t in tokens:
+        p = read_table(spark, side, range_scan=("token", t, t))
+        posts = p if posts is None else posts.unionByName(p)
+    dfreq = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = read_table(spark, os.path.join(path, INVERTED_DIR, col + DOCLEN_SUFFIX))
+    stats = dl.agg(
+        F.sum("dl").cast("bigint").alias("sdl"), F.count(F.lit(1)).alias("n")
+    ).select(
+        (F.col("sdl").cast("double") / F.col("n").cast("double")).alias("avgdl"),
+        "n",
+    )
+    tfd = F.col("tf").cast("double")
+    idf = F.col("n").cast("double") / F.col("df").cast("double")
+    sat = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        posts.join(F.broadcast(dfreq), "token")
+        .join(dl, key)
+        .crossJoin(F.broadcast(stats))
+        .select(key, (idf * sat).alias("part"))
+        .groupBy(key)
+        .agg(F.sum(F.floor(F.col("part") * 10000 + F.lit(0.5)).cast("bigint")).alias("sq"))
+    )
+    return scored.select(key, (F.col("sq").cast("double") / 10000).alias("score"))
+
+
 def lookup_token(
     spark: SparkSession, path: str, token: str, col: str = "text", key: str = "doc_id"
 ) -> DataFrame:
