@@ -51,6 +51,8 @@ DEFAULT = [
     "q_fast_minmax",
     "q_serve_lookups", "q_cdc_commit_provenance", "q_dedup_columns_roundtrip",
     "q_snapshot_tag_read", "q_rollback_restore",
+    "q_quantile_sketch_merge", "q_countmin_heavy_hitters",
+    "q_kmv_set_ops", "q_bm25_search",
 ]
 
 
