@@ -131,21 +131,173 @@ def _pa_filter(constraints: list):
     return expr
 
 
-def _read_file_batches(file_path: str, columns, constraints: list | None = None) -> Iterator:
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _path_partition_values(file_path: str) -> dict:
+    """Raw Hive ``key=value`` directory segments along the file's
+    path (partition values exist ONLY here — the leaf parquet does
+    not store the column). URL-escaped values are unquoted; the Hive
+    null sentinel maps to None."""
+    import os as _os
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in file_path.split(_os.sep)[:-1]:
+        if "=" in seg and not seg.startswith("."):
+            k, _, v = seg.partition("=")
+            out[k] = None if v == _HIVE_NULL else unquote(v)
+    return out
+
+
+def _parse_partition_value(raw, dtype: str):
+    """Path-string → typed Python value per the DECLARED Spark type.
+    STRING is identity (no lossy re-inference: '01' stays '01' — the
+    same fidelity contract as table._plan_parquet's declared-schema
+    replan)."""
+    if raw is None:
+        return None
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if dtype in ("float", "double"):
+        return float(raw)
+    if dtype == "boolean":
+        return raw.lower() == "true"
+    if dtype == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if dtype.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(raw)
+    if dtype.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    return raw  # string and fallback
+
+
+def _pa_partition_type(dtype: str):
+    import pyarrow as pa
+
+    fixed = {
+        "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+        "boolean": pa.bool_(), "date": pa.date32(), "string": pa.string(),
+    }
+    if dtype in fixed:
+        return fixed[dtype]
+    if dtype.startswith("decimal"):
+        import re as _re
+
+        m = _re.match(r"decimal\((\d+),\s*(\d+)\)", dtype)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    if dtype.startswith("timestamp"):
+        return pa.timestamp("us")
+    return pa.string()
+
+
+def _partition_file_admitted(pvals: dict, constraints: list | None) -> bool:
+    """File-level partition pruning: evaluate pushed constraints that
+    reference partition columns against the file's (already-typed)
+    partition values. Conservative — incomparable types keep the file
+    (Spark re-applies every filter row-exactly)."""
+    for col, kind, cv in constraints or ():
+        if col not in pvals:
+            continue
+        val = pvals[col]
+        if kind == "isnull":
+            if val is not None:
+                return False
+            continue
+        if kind == "notnull":
+            if val is None:
+                return False
+            continue
+        if val is None:
+            return False  # non-null comparison over the null partition
+        try:
+            if kind == "eq" and not val == cv:
+                return False
+            if kind == "in" and val not in cv:
+                return False
+            if kind == "gt" and not val > cv:
+                return False
+            if kind == "ge" and not val >= cv:
+                return False
+            if kind == "lt" and not val < cv:
+                return False
+            if kind == "le" and not val <= cv:
+                return False
+            if kind == "startswith" and not (
+                isinstance(val, str) and val.startswith(cv)
+            ):
+                return False
+        except TypeError:
+            continue  # incomparable: keep
+    return True
+
+
+def _read_file_batches(
+    file_path: str,
+    columns,
+    constraints: list | None = None,
+    part_types: dict | None = None,
+) -> Iterator:
     """Read one parquet file as Arrow batches for the DataSource
     bridge. Spark writes TimestampType as INT96, which pyarrow
     surfaces as timestamp[ns]; the Arrow bridge rejects NANOSECOND, so
-    timestamp columns down-cast to the microseconds Spark stores."""
+    timestamp columns down-cast to the microseconds Spark stores.
+
+    ``part_types`` (partition column → declared simpleString type)
+    makes Hive-partitioned tables readable: partition values live
+    only in directory names, so requested partition columns are
+    parsed from the path at their DECLARED type (string '01' stays
+    '01'), attached as constant arrays, and pushed constraints on
+    them prune the whole file before any byte is read."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    part_types = part_types or {}
+    pvals = {}
+    if part_types:
+        raw = _path_partition_values(file_path)
+        pvals = {
+            k: _parse_partition_value(raw[k], t)
+            for k, t in part_types.items()
+            if k in raw
+        }
+        if not _partition_file_admitted(pvals, constraints):
+            return
+        # partition columns are not in the file: keep them out of the
+        # pyarrow read and its filter expression
+        constraints = [c for c in (constraints or []) if c[0] not in pvals]
     filt = None
     if constraints:
         try:
             filt = _pa_filter(constraints)
         except Exception:  # noqa: BLE001 — unfilterable type/value:
             filt = None  # fall back to a full read (Spark re-filters)
-    table = pq.read_table(file_path, columns=columns or None, filters=filt)
+    file_cols = [c for c in columns if c not in pvals] if columns else None
+    if columns and not file_cols:
+        # Pure-partition projection (e.g. SELECT p): no data column
+        # needs decoding — the row count comes from the footer, zero
+        # data bytes are read, and every output column is a path
+        # constant. (A zero-column pyarrow read reports num_rows=0,
+        # which would silently drop the rows.) Any pushed data-column
+        # filter would have forced its column into ``columns``, so no
+        # filter is lost here; Spark re-applies residuals regardless.
+        n = pq.ParquetFile(file_path).metadata.num_rows
+        arrays = []
+        for c in columns:
+            t = _pa_partition_type(part_types[c])
+            v = pvals.get(c)
+            arrays.append(pa.nulls(n, t) if v is None else pa.array([v] * n, type=t))
+        yield from pa.Table.from_arrays(arrays, names=list(columns)).to_batches()
+        return
+    table = pq.read_table(file_path, columns=file_cols, filters=filt)
     fields = [
         pa.field(f.name, pa.timestamp("us", f.type.tz))
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
@@ -153,6 +305,23 @@ def _read_file_batches(file_path: str, columns, constraints: list | None = None)
         for f in table.schema
     ]
     table = table.cast(pa.schema(fields))
+    if pvals:
+        n = table.num_rows
+        want = list(columns) if columns else list(table.schema.names) + [
+            k for k in part_types if k in pvals
+        ]
+        arrays, names = [], []
+        for c in want:
+            if c in pvals and c not in table.schema.names:
+                t = _pa_partition_type(part_types[c])
+                v = pvals[c]
+                arrays.append(
+                    pa.nulls(n, t) if v is None else pa.array([v] * n, type=t)
+                )
+            else:
+                arrays.append(table.column(c))
+            names.append(c)
+        table = pa.Table.from_arrays(arrays, names=names)
     yield from table.to_batches()
 
 
@@ -217,6 +386,18 @@ def _file_might_match(entry: dict, col: str, kind: str, value) -> bool:
     return True
 
 
+def _manifest_partition_types(manifest: dict, schema: StructType) -> dict:
+    """Partition column → declared simpleString type, from the
+    manifest's partition index keys ∩ the reader schema. Empty for
+    unpartitioned tables (the common case pays nothing)."""
+    keys = manifest.get("indexes", {}).get("partition", {}).get("keys") or []
+    if not keys:
+        return {}
+    return {
+        f.name: f.dataType.simpleString() for f in schema.fields if f.name in keys
+    }
+
+
 class NimbleReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
@@ -225,6 +406,7 @@ class NimbleReader(DataSourceReader):
         # at page granularity (folded per-page min/max bounds).
         self.manifest = read_manifest(path, materialize=False)
         self.columns = [f.name for f in schema.fields]
+        self.part_types = _manifest_partition_types(self.manifest, schema)
         self._constraints: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
@@ -317,7 +499,10 @@ class NimbleReader(DataSourceReader):
         if partition is None or partition.file_path is None:
             return  # all files pruned: provably-empty scan
         yield from _read_file_batches(
-            partition.file_path, self.columns, getattr(partition, "constraints", None)
+            partition.file_path,
+            self.columns,
+            getattr(partition, "constraints", None),
+            self.part_types,
         )
 
 
@@ -348,6 +533,9 @@ class NimbleStreamReader(DataSourceStreamReader):
     ):
         self.path = path
         self.columns = [f.name for f in schema.fields]
+        self.part_types = _manifest_partition_types(
+            read_manifest(path, materialize=False), schema
+        )
         # startingCommit (Delta startingVersion analogue): a FRESH
         # query begins AFTER this commit instead of -1. This is the
         # documented re-bootstrap path for a table whose history
@@ -448,7 +636,9 @@ class NimbleStreamReader(DataSourceStreamReader):
         return [NimbleFilePartition(r) for r in resolved]
 
     def read(self, partition: NimbleFilePartition) -> Iterator:
-        yield from _read_file_batches(partition.file_path, self.columns)
+        yield from _read_file_batches(
+            partition.file_path, self.columns, None, self.part_types
+        )
 
     def commit(self, end: dict) -> None:
         # Offsets are durable in the table's own commit log; just keep

@@ -1628,7 +1628,7 @@ def read_table(
         if file_list:
             # basePath keeps Hive partition columns visible when
             # reading a pruned subset of leaf files.
-            df = _plan_parquet(spark, file_list, path, "pruned scan")
+            df = _plan_parquet(spark, file_list, path, "pruned scan", manifest)
         else:
             df = _empty_df(spark, manifest)
     else:
@@ -1707,8 +1707,32 @@ def materialize_columns(spark: SparkSession, path: str) -> dict:
         return write_table(df, path, opts, _caller_holds_lock=True)
 
 
+def _partition_declared_types(manifest: Optional[dict]) -> dict[str, T.DataType]:
+    """Declared types of the table's Hive partition columns (manifest
+    ``indexes.partition.keys`` ∩ schema). Partition values live only
+    in directory NAMES, so Spark re-infers their type from the
+    rendered strings at every plan — lossily: a STRING column of
+    '01','02' infers INT 1,2 and the leading zero is unrecoverable.
+    Scans must re-plan with the declared type when inference
+    disagrees (see _plan_parquet)."""
+    if not manifest:
+        return {}
+    keys = manifest.get("indexes", {}).get("partition", {}).get("keys") or []
+    if not keys:
+        return {}
+    types = {
+        f["name"]: T.StructField.fromJson(f).dataType
+        for f in manifest.get("schema", {}).get("fields", [])
+    }
+    return {k: types[k] for k in keys if k in types}
+
+
 def _plan_parquet(
-    spark: SparkSession, paths: list[str], base_path: str | None, what: str
+    spark: SparkSession,
+    paths: list[str],
+    base_path: str | None,
+    what: str,
+    manifest: Optional[dict] = None,
 ) -> DataFrame:
     """Plan a parquet scan over explicit file paths, translating the
     plan-time schema-inference failure Spark raises when EVERY listed
@@ -1717,7 +1741,20 @@ def _plan_parquet(
     call) into the standard retryable gone-window error the
     consistency contract documents (USAGE.md: a racing read either
     returns a full snapshot or fails cleanly; retry it). Execution-
-    time file loss already surfaces cleanly (FILE_NOT_EXIST)."""
+    time file loss already surfaces cleanly (FILE_NOT_EXIST).
+
+    When ``manifest`` is given, Hive partition columns keep their
+    DECLARED types and exact values: partition values exist only as
+    directory-name strings, and Spark's per-plan type inference is
+    lossy — p STRING of '01','02' infers INT 1,2, silently retyping
+    the column AND destroying the leading zero (a '01' vs '1' key
+    mismatch downstream). On a declared-vs-inferred conflict the scan
+    re-plans with an explicit schema (inferred data columns + declared
+    partition columns), under which Spark parses the raw path string
+    with the declared type — identity for STRING, so values survive
+    verbatim. Conflict-free tables (non-string partition keys, or
+    string values that don't look numeric/boolean) stay on the
+    single-pass inference plan."""
     from pyspark.errors import AnalysisException
 
     reader = spark.read
@@ -1732,6 +1769,20 @@ def _plan_parquet(
                 f"rewrite/compaction moved them; retry the read)"
             ) from exc
         raise
+    declared = _partition_declared_types(manifest)
+    conflicts = {
+        f.name: declared[f.name]
+        for f in df.schema.fields
+        if f.name in declared and f.dataType != declared[f.name]
+    }
+    if conflicts:
+        fixed = T.StructType(
+            [
+                T.StructField(f.name, conflicts.get(f.name, f.dataType), f.nullable)
+                for f in df.schema.fields
+            ]
+        )
+        df = reader.schema(fixed).parquet(*paths)
     # Above spark.sql.sources.parallelPartitionDiscovery.threshold
     # (default 32) root paths, Spark lists them with a distributed job
     # that SILENTLY DROPS files vanishing mid-listing ("deleted during
@@ -1769,7 +1820,7 @@ def _plan_grouped_parquet(
         groups.setdefault(base, []).append(r)
     dfs = []
     for base, paths in sorted(groups.items()):
-        df = _plan_parquet(spark, paths, base, what)
+        df = _plan_parquet(spark, paths, base, what, manifest)
         df = df.select(
             *[
                 F.col(c).cast(types[c]).alias(c)
@@ -1822,7 +1873,7 @@ def _scan_manifest_files(spark: SparkSession, path: str, manifest: dict) -> Data
                     f"_nimble dir and rewrite the table."
                 )
         return _empty_df(spark, manifest)
-    return _plan_parquet(spark, files, path, "scan")
+    return _plan_parquet(spark, files, path, "scan", manifest)
 
 
 def resolve_historical_file(path: str, rel: str) -> Optional[str]:
@@ -2147,7 +2198,7 @@ def _read_row_range(
         off += n
     if not needed or end <= start:
         return _empty_df(spark, manifest)
-    df = _plan_parquet(spark, [p for p, _ in needed], path, "row-range scan")
+    df = _plan_parquet(spark, [p for p, _ in needed], path, "row-range scan", manifest)
     # basename → cumulative offset (parquet part files have unique
     # uuid-bearing basenames); map lookup keeps the plan one projection
     kv = []

@@ -1300,3 +1300,95 @@ def test_materialize_columns_holds_lock(spark, tmpdir):
     assert not seen["m"].get("column_aliases")
     out = read_table(spark, path)
     assert out.count() == 200 and "v_copy" in out.columns
+
+
+def test_partition_values_keep_declared_type_and_fidelity(spark, tmpdir):
+    """Partition values live only in directory names, and Spark
+    re-infers their type per plan — LOSSILY: p STRING of '01','02'
+    infers INT 1,2, silently retyping the column AND destroying the
+    leading zero ('01' joins/filters as '1' downstream). Every read
+    path must re-plan with the declared type so values survive
+    verbatim: normal scan, partition-pruned scan, snapshot, and the
+    typed change feed (which spans trash groups after a rollback)."""
+    from nimble_spark.sources.table import read_changes, rollback_table
+
+    path = f"{tmpdir}/part_fidelity"
+    d0 = spark.createDataFrame([(1, "01"), (2, "02")], "k LONG, p STRING")
+    write_table(d0, path, WriteOptions(partition_by=["p"]))
+
+    full = read_table(spark, path)
+    assert dict(full.dtypes)["p"] == "string"
+    assert sorted((r.k, r.p) for r in full.collect()) == [(1, "01"), (2, "02")]
+
+    pruned = read_table(spark, path, range_scan=("p", "01", "01"))
+    assert [(r.k, r.p) for r in pruned.collect()] == [(1, "01")]
+
+    snap = read_table(spark, path, as_of_commit=0)
+    assert sorted((r.k, r.p) for r in snap.collect()) == [(1, "01"), (2, "02")]
+
+    # change feed across a rollback: delete events read from trash
+    # groups must carry the same faithful partition values
+    d1 = spark.createDataFrame([(3, "03")], "k LONG, p STRING")
+    write_table(d1, path, WriteOptions(partition_by=["p"]), mode="append")
+    rollback_table(spark, path, commit=0)
+    feed = read_changes(
+        spark, path, since_commit=-1, with_commit=True, with_change_type=True
+    )
+    assert dict(feed.dtypes)["p"] == "string"
+    got = sorted((r.k, r.p, r["_change_type"]) for r in feed.collect())
+    assert got == [
+        (1, "01", "insert"),
+        (2, "02", "insert"),
+        (3, "03", "delete"),
+        (3, "03", "insert"),
+    ]
+
+
+def test_pyds_partitioned_table_reads(spark, tmpdir):
+    """The Python DataSource must read Hive-partitioned tables:
+    partition values exist only in directory names, so the reader
+    parses them from the path at the DECLARED type (string '01' stays
+    '01'), attaches them as constant Arrow arrays, and prunes whole
+    files on pushed partition constraints — previously any read
+    crashed with ArrowInvalid (no such field in the file)."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    path = f"{tmpdir}/pyds_part"
+    df = spark.createDataFrame(
+        [(1, "01", 10.0), (2, "02", 20.0), (3, None, 30.0)],
+        "k LONG, p STRING, v DOUBLE",
+    )
+    write_table(df, path, WriteOptions(partition_by=["p"]))
+
+    out = spark.read.format("nimble").load(path)
+    assert dict(out.dtypes)["p"] == "string"
+    assert sorted(((r.k, r.p, r.v) for r in out.collect()), key=str) == sorted(
+        [(1, "01", 10.0), (2, "02", 20.0), (3, None, 30.0)], key=str
+    )
+    # pure-partition projection: rows come from footer counts only
+    assert sorted(((r.p,) for r in out.select("p").collect()), key=str) == sorted(
+        [("01",), ("02",), (None,)], key=str
+    )
+    # partition constraint prunes at file level; declared-type match
+    assert [(r.v, r.p) for r in out.filter("p = '02'").select("v", "p").collect()] == [
+        (20.0, "02")
+    ]
+    # Hive null-partition sentinel round-trips as SQL NULL
+    assert [r.k for r in out.filter("p IS NULL").select("k").collect()] == [3]
+
+    # streaming CDC source over the same partitioned table
+    q = (
+        spark.readStream.format("nimble")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("pyds_part_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        ((r.k, r.p, r.v) for r in spark.sql("SELECT * FROM pyds_part_stream").collect()),
+        key=str,
+    )
+    assert got == sorted([(1, "01", 10.0), (2, "02", 20.0), (3, None, 30.0)], key=str)
