@@ -403,3 +403,125 @@ def q_serve_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = served.mapInPandas(_decode, "request_id long, n_rows long, total double")
     return decoded.select("request_id", "n_rows", rnd(F.col("total")).alias("total"))
+
+
+@register(
+    "q_partitioned_merge",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'X', 1.0
+      FROM orders WHERE o_orderkey % 100 = 7
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           {dsum_sql("o_totalprice")} AS total,
+           1 AS layout_ok
+    FROM merged GROUP BY 1
+    """,
+    category="lifecycle",
+)
+def q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-preserving MERGE on a Hive-partitioned table (Delta
+    partitioned-MERGE analogue; sources/merge.py): orders is stored
+    partitioned by o_orderstatus; the source updates every key
+    ending in 07 (price doubled, partition unchanged) and inserts
+    shifted keys into a brand-new 'X' partition. File-granular
+    copy-on-write: only files holding matched keys rewrite, and every
+    rewritten/inserted row lands under its partition directory — the
+    in-query ``layout_ok`` literal proves from the manifest that the
+    post-merge layout is still 100% directory-shaped (partition
+    pruning stays exact at any scale)."""
+    from nimble_spark.sources.merge import merge_into
+
+    def _build(tmp: str) -> None:
+        o = _orders(spark, sf_dir)
+        write_table(o, tmp, WriteOptions(partition_by=["o_orderstatus"]))
+        src = o.filter("o_orderkey % 100 = 7").select(
+            "o_orderkey", "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ).unionByName(
+            o.filter("o_orderkey % 100 = 7").select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("X").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+        merge_into(spark, tmp, src, key="o_orderkey")
+
+    path = ensure_cached(sf_dir, "orders__part_merged", ["orders"], _build)
+    m = read_manifest(path)
+    layout_ok = int(
+        all(f["path"].startswith("o_orderstatus=") for f in m["files"])
+        and m["commits"][-1]["mode"] == "merge"
+    )
+    return (
+        read_table(spark, path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+            F.lit(layout_ok).cast("int").alias("layout_ok"),
+        )
+    )
+
+
+@register(
+    "q_partitioned_compaction",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {dsum_sql("value")} AS total_v,
+           1 AS compacted
+    FROM events GROUP BY 1
+    """,
+    category="lifecycle",
+)
+def q_partitioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-directory compaction of a Hive-partitioned table (the
+    OPTIMIZE primitive where the directory IS the index): events is
+    written partitioned by event_type, then three small appends pile
+    per-partition small-file debt; compact_table merges WITHIN each
+    partition directory (bins never cross one — plan_compaction
+    groups by directory), so every partition-pruning path stays
+    exactly as selective over fewer files. The in-query ``compacted``
+    literal proves from the manifest that files shrank, the layout
+    stayed directory-shaped, and the compaction commit is
+    data_change=false (CDC consumers never re-see the table because
+    bytes moved)."""
+    from nimble_spark.sources.compaction import compact_table
+
+    def _build(tmp: str) -> None:
+        e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        write_table(
+            e.filter("event_id % 5 != 0"), tmp, WriteOptions(partition_by=["event_type"])
+        )
+        for i in range(3):
+            write_table(
+                e.filter(f"event_id % 5 = 0 AND event_id % 3 = {i}"),
+                tmp,
+                WriteOptions(partition_by=["event_type"]),
+                mode="append",
+            )
+        compact_table(spark, tmp, target_file_bytes=256 * 1024 * 1024)
+
+    path = ensure_cached(sf_dir, "events__part_compacted", ["events"], _build)
+    m = read_manifest(path)
+    before = int(m.get("user_metadata", {}).get("compaction.files_before", "0"))
+    last = m["commits"][-1]
+    compacted = int(
+        0 < len(m["files"]) < before
+        and all(f["path"].startswith("event_type=") for f in m["files"])
+        and last["mode"] == "compact"
+        and last.get("data_change") is False
+    )
+    return (
+        read_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_v"),
+            F.lit(compacted).cast("int").alias("compacted"),
+        )
+    )

@@ -48,24 +48,34 @@ def plan_compaction(
     """Greedy adjacent binning: walk files in manifest order, pack
     consecutive small files (< target/2) into bins of ~target bytes.
     Files at or above half the target ride as-is. Returns only the
-    bins worth rewriting (2+ files)."""
-    bins: list[list[dict]] = []
-    cur: list[dict] = []
-    cur_bytes = 0
+    bins worth rewriting (2+ files).
+
+    Directory-shaped tables (Hive partitions, hash buckets) bin
+    WITHIN each leaf directory — the directory IS the index, so a bin
+    never spans two directories and the merged file stays inside the
+    partition its members came from. Plain tables have a single
+    implicit directory and behave exactly as before."""
+    groups: dict[str, list[dict]] = {}
     for f in manifest["files"]:
-        if f["bytes"] >= target_file_bytes // 2:
-            if len(cur) > 1:
-                bins.append(cur)
-            cur, cur_bytes = [], 0
-            continue
-        if cur_bytes + f["bytes"] > target_file_bytes and cur:
-            if len(cur) > 1:
-                bins.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(f)
-        cur_bytes += f["bytes"]
-    if len(cur) > 1:
-        bins.append(cur)
+        groups.setdefault(os.path.dirname(os.path.normpath(f["path"])), []).append(f)
+    bins: list[list[dict]] = []
+    for _dir, files in groups.items():  # insertion = manifest order
+        cur: list[dict] = []
+        cur_bytes = 0
+        for f in files:
+            if f["bytes"] >= target_file_bytes // 2:
+                if len(cur) > 1:
+                    bins.append(cur)
+                cur, cur_bytes = [], 0
+                continue
+            if cur_bytes + f["bytes"] > target_file_bytes and cur:
+                if len(cur) > 1:
+                    bins.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(f)
+            cur_bytes += f["bytes"]
+        if len(cur) > 1:
+            bins.append(cur)
     return bins
 
 
@@ -189,9 +199,13 @@ def compact_table(
     for vacuum's age-gated sweep).
 
     Returns ``{"bins": n, "files_before": ..., "files_after": ...,
-    "rows": ...}``. Raises on hash-bucketed / Hive-partitioned tables
-    (their directory structure IS the index — compact within a
-    bucket/partition by pointing at that directory instead)."""
+    "rows": ...}``. Hash-bucketed / Hive-partitioned tables compact
+    WITHIN each leaf directory (the directory IS the index; bins
+    never cross one — plan_compaction groups by directory), so every
+    pruning path stays exactly as selective, just over fewer files.
+    Merged files are read from the raw leaves with no partition
+    discovery, so they carry exactly the physical (non-partition)
+    columns every other leaf in the directory carries."""
     import pyspark.sql.types as T
 
     from nimble_spark.sources.table import (
@@ -204,11 +218,6 @@ def compact_table(
 
     m = read_manifest(path)
     idx = m.get("indexes", {})
-    if "hash" in idx or "partition" in idx:
-        raise ValueError(
-            "compact_table operates on plain/clustered tables; for "
-            "bucketed or partitioned tables compact each leaf directory"
-        )
     files_before = len(m["files"])
     bins = plan_compaction(m, target_file_bytes)
     if not bins:
@@ -242,7 +251,11 @@ def compact_table(
         writer.parquet(tmp)
         part = [p for p in os.listdir(tmp) if p.endswith(".parquet")]
         assert len(part) == 1, f"expected one output file per bin, got {part}"
-        out_name = f"compact-{uuid.uuid4().hex[:12]}.parquet"
+        # the merged file lives in its bin's directory — on a
+        # partitioned/bucketed table that directory IS the index, and
+        # plan_compaction guarantees the bin never crossed one
+        bin_dir = os.path.dirname(os.path.normpath(b[0]["path"]))
+        out_name = os.path.join(bin_dir, f"compact-{uuid.uuid4().hex[:12]}.parquet")
         shutil.move(os.path.join(tmp, part[0]), os.path.join(path, out_name))
         shutil.rmtree(tmp, ignore_errors=True)
         merged_entry_at[os.path.normpath(b[0]["path"])] = _describe_parquet_file(
@@ -337,8 +350,13 @@ def compact_table(
     for b in bins:
         for f in b:
             src = os.path.join(path, f["path"])
+            # rel-path-preserving, like merge/rollback:
+            # resolve_historical_file globs trash/commit-*/<rel>, so
+            # partitioned/bucketed rels must keep their subdirs
+            dst = os.path.join(trash, os.path.normpath(f["path"]))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:
-                os.rename(src, os.path.join(trash, os.path.basename(src)))
+                os.rename(src, dst)
             except OSError:
                 pass  # already gone — harmless
             crc = os.path.join(os.path.dirname(src), f".{os.path.basename(src)}.crc")

@@ -26,10 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nimble_spark.sources.table import (
+    BUCKET_COL,
     MANIFEST_DIR,
     STATS_GEN,
     WriteOptions,
     _build_manifest,
+    _plan_parquet,
     _write_manifest,
     read_manifest,
     read_table,
@@ -48,6 +50,82 @@ def _reject_aliased(manifest: dict) -> None:
             "manifest); copy-on-write rewrites require materialized "
             "columns - rewrite the table without dedup_columns first"
         )
+
+
+def _guard_pending_masks(
+    spark: SparkSession,
+    path: str,
+    what: str,
+    source: DataFrame | None = None,
+    rewritten_cols: set[str] | None = None,
+) -> None:
+    """Delete masks are VALUE sets (deletes.py), so a copy-on-write
+    rewrite composes with them cleanly: masked rows ride through into
+    the new files where the still-standing mask keeps hiding them —
+    no resurrection. Exactly two compositions are hazardous, and both
+    raise EXPLICITLY instead of silently corrupting reads:
+
+    (a) a merge whose SOURCE carries a masked value would commit a
+        row the standing mask swallows at every subsequent read —
+        probed per pending mask column via a broadcast semi-join
+        ``limit(1).count()`` (masks are broadcast-small by design;
+        the probe only runs while masks are pending);
+    (b) an update rewriting a MASK COLUMN's values moves rows into /
+        out of the mask's shadow unpredictably — rejected by column
+        name, no data read."""
+    from nimble_spark.sources.deletes import DELETES_DIR
+
+    root = os.path.join(path, DELETES_DIR)
+    if not os.path.isdir(root):
+        return
+    mask_cols = [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+    if rewritten_cols is not None:
+        hit = sorted(set(mask_cols) & rewritten_cols)
+        if hit:
+            raise ValueError(
+                f"{what} rewrites mask column(s) {hit} while delete masks "
+                "are pending — updated values would move rows into/out of "
+                "the mask's shadow; run compact_deletes first"
+            )
+    if source is None:
+        return
+    for mc in mask_cols:
+        if mc not in source.columns:
+            continue
+        mask = spark.read.parquet(
+            *[os.path.join(root, mc, d) for d in os.listdir(os.path.join(root, mc))]
+        )
+        swallowed = (
+            source.select(mc)
+            .join(F.broadcast(mask.select(mc).distinct()), mc, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if swallowed:
+            raise ValueError(
+                f"{what} source carries value(s) masked by a pending delete "
+                f"on {mc!r} — the standing mask would silently swallow the "
+                "merged row; run compact_deletes first or drop those rows "
+                "from the source"
+            )
+
+
+def _layout_rewrite(manifest: dict, new_rows: DataFrame):
+    """Directory-shaped layouts a copy-on-write rewrite must
+    reproduce: Hive partitions write rows under their partition
+    directories, hash buckets recompute the bucket column with the
+    writer's exact formula (table.py write_table) so every rewritten
+    row lands in the directory its point lookups prune to. Returns
+    (rows-with-layout-columns, [layout partition columns])."""
+    pidx = manifest.get("indexes", {})
+    layout_cols = list((pidx.get("partition") or {}).get("keys") or [])
+    h = pidx.get("hash")
+    if h:
+        new_rows = new_rows.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(h["key"])), F.lit(h["n_buckets"]))
+        )
+        layout_cols.append(BUCKET_COL)
+    return new_rows, layout_cols
 
 
 def merge_into(
@@ -76,21 +154,30 @@ def merge_into(
        entry. A reader holding the old manifest still resolves the
        old files until the atomic manifest rename lands.
 
-    Directory-shaped layouts (hash buckets / Hive partitions / cut
-    files) would need a layout-preserving rewrite; v1 raises rather
-    than silently scattering files a pruned lookup never visits.
-    Stats-shaped indexes (cluster ranges, blooms, sorted fence) carry
-    forward — per-file min/max stays correct on mixed layouts.
+    Directory-shaped layouts: Hive partitions and hash buckets are
+    PRESERVED — rewritten rows are staged with the table's own
+    partitionBy layout (buckets recomputed with the writer's exact
+    hash) and moved under their directories, so every pruning path
+    stays exactly as selective after the merge. Merging ON the
+    bucket key additionally prunes the DISCOVERY scan to the
+    candidate bucket directories (≤ n_buckets of metadata at the
+    driver) — a 0.1%-of-keys merge on a bucketed 100 TB table scans
+    only the buckets those keys hash to. ``cut`` files (whole groups
+    per file) still raise: a partial rewrite cannot re-cut without
+    re-shuffling the whole table. Stats-shaped indexes (cluster
+    ranges, blooms, sorted fence) carry forward — per-file min/max
+    stays correct on mixed layouts.
     """
     manifest = read_manifest(path)
     _reject_aliased(manifest)
+    _guard_pending_masks(spark, path, "merge_into", source=source)
     pidx = manifest.get("indexes", {})
-    for k in ("hash", "partition", "cut"):
-        if k in pidx:
-            raise ValueError(
-                f"merge_into does not yet preserve the {k} layout; "
-                "compact to a plain table first or use the streaming upsert sink"
-            )
+    if "cut" in pidx:
+        raise ValueError(
+            "merge_into does not preserve the cut layout (whole groups "
+            "per file need a full re-shuffle); compact to a plain table "
+            "first or use the streaming upsert sink"
+        )
     keys = source.select(key).distinct()
     tgt = read_table(spark, path)
     if key not in tgt.columns:
@@ -99,9 +186,39 @@ def merge_into(
     # 1. affected-file discovery: distributed semi-join, then a
     # file-granularity distinct — bounded metadata on the driver
     # (≤ number of table files), same class as the sorted-index file
-    # list in table.py.
+    # list in table.py. Merging on the hash index key narrows the
+    # scan itself first: the source keys' bucket set (≤ n_buckets
+    # values — bounded metadata) prunes to the candidate directories
+    # before any data byte is read.
+    h = pidx.get("hash")
+    if h and h["key"] == key and manifest.get("files"):
+        hit = {
+            r["b"]
+            for r in keys.select(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(h["n_buckets"])).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        cand = [
+            f["path"]
+            for f in manifest["files"]
+            # None = outside any bucket dir (shouldn't happen on a
+            # bucketed table, but conservatively keep such files as
+            # candidates rather than silently skipping their keys)
+            if _bucket_of(f["path"]) in hit or _bucket_of(f["path"]) is None
+        ]
+        scan = (
+            _plan_parquet(
+                spark, [os.path.join(path, f) for f in cand], path, "merge discovery", manifest
+            ).select(*tgt.columns)
+            if cand
+            else tgt.limit(0)
+        )
+    else:
+        scan = tgt
     affected = _affected_files(
-        path, tgt.withColumn("_f", F.input_file_name()).join(keys, key, "left_semi")
+        path, scan.withColumn("_f", F.input_file_name()).join(keys, key, "left_semi")
     )
 
     # 2. the rewrite set: survivors of affected files + every source row
@@ -111,14 +228,30 @@ def merge_into(
             f"source schema {sorted(source.columns)} must match target {sorted(cols)}"
         )
     if affected:
-        aff_df = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, f) for f in affected]
+        # _plan_parquet, not a raw reader: partition values exist only
+        # as directory strings, and re-inferring their type here would
+        # REWRITE '01' as the integer 1 — durable corruption, not a
+        # read-side glitch (see table._plan_parquet).
+        aff_df = _plan_parquet(
+            spark, [os.path.join(path, f) for f in affected], path, "merge rewrite", manifest
         ).select(*cols)
         new_rows = aff_df.join(keys, key, "left_anti").unionByName(source.select(*cols))
     else:
         new_rows = source.select(*cols)
 
     return _commit_rewrite(spark, path, manifest, tgt.schema, affected, new_rows, "merge", opts)
+
+
+def _bucket_of(rel: str) -> int | None:
+    """Bucket ordinal of a manifest relpath (``__nimble_bucket=N/...``),
+    None for files outside a bucket directory (kept candidates)."""
+    for seg in os.path.normpath(rel).split(os.sep)[:-1]:
+        if seg.startswith(f"{BUCKET_COL}="):
+            try:
+                return int(seg.split("=", 1)[1])
+            except ValueError:
+                return None
+    return None
 
 
 def _affected_files(path: str, matched: DataFrame) -> list[str]:
@@ -151,18 +284,36 @@ def _commit_rewrite(
     """Copy-on-write commit: stage ``new_rows``, move the staged files
     in, drop the replaced ``affected`` files, rebuild the manifest
     incrementally (untouched entries reused verbatim) and append a
-    ``mode`` commit-log entry recording additions and removals."""
+    ``mode`` commit-log entry recording additions and removals.
+
+    Directory-shaped layouts are reproduced: the staged write uses
+    the table's own partitionBy columns (Hive partition keys and/or
+    the recomputed hash-bucket column), and each staged leaf moves in
+    UNDER its partition directory, so directory pruning stays exact
+    across the rewrite."""
     pidx = manifest.get("indexes", {})
+    new_rows, layout_cols = _layout_rewrite(manifest, new_rows)
     staging = f"{path}-{mode}-{uuid.uuid4().hex[:8]}"
-    new_rows.write.mode("overwrite").option(
+    writer = new_rows.write.mode("overwrite").option(
         "compression", (opts or WriteOptions()).compression
-    ).parquet(staging)
+    )
+    if layout_cols:
+        writer = writer.partitionBy(*layout_cols)
+    writer.parquet(staging)
     moved: list[str] = []
-    for f in sorted(os.listdir(staging)):
-        if f.endswith(".parquet"):
-            dst = f"{mode}-{uuid.uuid4().hex[:8]}-{f}"
-            os.rename(os.path.join(staging, f), os.path.join(path, dst))
-            moved.append(dst)
+    for root, _dirs, fs in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{mode}-{uuid.uuid4().hex[:8]}-{f}"
+            if rel_dir == ".":
+                dst_rel = name
+            else:
+                dst_rel = os.path.join(rel_dir, name)
+                os.makedirs(os.path.join(path, rel_dir), exist_ok=True)
+            os.rename(os.path.join(root, f), os.path.join(path, dst_rel))
+            moved.append(os.path.normpath(dst_rel))
     shutil.rmtree(staging, ignore_errors=True)
     reuse = {
         os.path.normpath(e["path"]): e
@@ -177,7 +328,7 @@ def _commit_rewrite(
         reuse = {}
     index_meta = {
         k: pidx[k]
-        for k in ("cluster", "zorder", "bloom", "sorted", "sorted_fence")
+        for k in ("cluster", "zorder", "bloom", "sorted", "sorted_fence", "partition", "hash")
         if k in pidx
     }
     prior_commits = list(manifest.get("commits", []))
@@ -231,7 +382,13 @@ def _commit_rewrite(
     trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
     os.makedirs(trash, exist_ok=True)
     for f in affected:
-        os.rename(os.path.join(path, f), os.path.join(trash, f))
+        # preserve the RELATIVE path inside the trash dir —
+        # resolve_historical_file globs trash/commit-*/<rel>, so a
+        # partitioned/bucketed file (subdirs in rel) must keep its
+        # directory shape to stay replayable
+        dst = os.path.join(trash, f)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(path, f), dst)
     return new_manifest
 
 
@@ -248,18 +405,20 @@ def update_where(
     applied to matching rows and everything else copied through.
     ``condition`` is a SQL boolean expression string pushed into the
     discovery scan, so pruning metadata (cluster ranges, blooms)
-    limits which files are even inspected. Updating a layout column
-    of a directory-shaped table would move rows across
-    directories — v1 raises for those layouts, like merge_into."""
+    limits which files are even inspected. Hive partitions and hash
+    buckets are preserved like merge_into — updating a layout column
+    MOVES the updated rows to their new directory (the staged
+    partitionBy re-derives every row's directory from its
+    post-update values); ``cut`` layouts raise."""
     manifest = read_manifest(path)
     _reject_aliased(manifest)
+    _guard_pending_masks(spark, path, "update_where", rewritten_cols=set(set_exprs))
     pidx = manifest.get("indexes", {})
-    for k in ("hash", "partition", "cut"):
-        if k in pidx:
-            raise ValueError(
-                f"update_where does not yet preserve the {k} layout; "
-                "compact to a plain table first"
-            )
+    if "cut" in pidx:
+        raise ValueError(
+            "update_where does not preserve the cut layout; "
+            "compact to a plain table first"
+        )
     tgt = read_table(spark, path)
     cond = F.expr(condition)
     affected = _affected_files(
@@ -267,8 +426,10 @@ def update_where(
     )
     if not affected:
         return manifest
-    aff_df = spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, f) for f in affected]
+    # _plan_parquet keeps partition values at their declared type —
+    # a raw re-inferring reader here would REWRITE '01' as 1.
+    aff_df = _plan_parquet(
+        spark, [os.path.join(path, f) for f in affected], path, "update rewrite", manifest
     ).select(*tgt.columns)
     updated = aff_df.withColumns(
         {c: F.when(cond, F.expr(e)).otherwise(F.col(c)) for c, e in set_exprs.items()}

@@ -1650,16 +1650,27 @@ def _restore_aliases(df: DataFrame, manifest: dict) -> DataFrame:
     nothing extra is read or shuffled), then columns return to the
     recorded logical order. The reader half of the TabletWriter
     stream-dedup analogue (tablet/TabletWriter.cpp:313: deduped
-    streams are served from the single stored copy)."""
-    aliases = manifest.get("column_aliases")
-    if not aliases:
-        return df
+    streams are served from the single stored copy).
+
+    Also restores the DECLARED column order: Hive-partitioned scans
+    surface partition columns last (data columns, then directory
+    columns), but the schema contract is the order the table was
+    written with — a (k, p, v) table must not read back (k, v, p).
+    The reorder is a zero-cost Catalyst projection, and is skipped
+    entirely (no plan node) when the scan order already matches."""
+    aliases = manifest.get("column_aliases") or {}
     out = df
     for dup, kept in aliases.items():
         if dup not in out.columns and kept in out.columns:
             out = out.withColumn(dup, F.col(kept))
-    order = manifest.get("logical_columns")
-    if order and all(c in out.columns for c in order):
+    order = manifest.get("logical_columns") or [
+        f["name"] for f in manifest.get("schema", {}).get("fields", [])
+    ]
+    if (
+        order
+        and all(c in out.columns for c in order)
+        and list(out.columns)[: len(order)] != order
+    ):
         extra = [c for c in out.columns if c not in order]
         out = out.select(*order, *extra)
     return out

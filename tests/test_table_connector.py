@@ -278,11 +278,14 @@ def test_compaction_merges_small_files(spark, tmpdir):
     again = compact_table(spark, path, target_file_bytes=10 * 1024 * 1024)
     assert again["bins"] in (0, 1) and again["files_after"] <= summary["files_after"]
 
-    # partitioned/bucketed tables are rejected
+    # partitioned tables compact WITHIN each leaf directory (layout
+    # preserved — full coverage in test_partitioned_rewrites.py)
     p2 = f"{tmpdir}/li_compact_part"
     write_table(src, p2, WriteOptions(partition_by=["l_returnflag"]))
-    with pytest.raises(ValueError):
-        compact_table(spark, p2)
+    compact_table(spark, p2, target_file_bytes=10 * 1024 * 1024)
+    m3 = read_manifest(p2)
+    assert all(f["path"].startswith("l_returnflag=") for f in m3["files"])
+    assert read_table(spark, p2).count() == src.count()
 
 
 def test_sorted_index_stale_fence(spark, tmpdir):
@@ -582,11 +585,15 @@ def test_merge_into_rewrites_only_affected_files(spark, tmpdir):
     assert ch.filter(F.col("o_orderstatus") == "I").count() == 2
     assert ch.count() >= n_upd + 2
 
-    # layout guards: merging into a bucketed table raises
+    # bucketed merges preserve the bucket layout and keep point
+    # lookups exact (full coverage in test_partitioned_rewrites.py)
     bpath = f"{tmpdir}/orders_merge_bucketed"
     write_table(src, bpath, WriteOptions(bucket_by="o_orderkey"))
-    with pytest.raises(ValueError, match="hash"):
-        merge_into(spark, bpath, ins, "o_orderkey")
+    mb = merge_into(spark, bpath, ins, "o_orderkey")
+    assert all(f["path"].startswith("__nimble_bucket=") for f in mb["files"])
+    new_key = ins.select(F.min("o_orderkey")).first()[0]
+    hit = read_table(spark, bpath, point_lookup=("o_orderkey", [new_key]))
+    assert hit.count() == 1
 
 
 def test_plan_over_vanished_files_raises_not_partial(spark, tmpdir):
