@@ -53,7 +53,7 @@ DEFAULT = [
     "q_snapshot_tag_read", "q_rollback_restore",
     "q_quantile_sketch_merge", "q_countmin_heavy_hitters",
     "q_kmv_set_ops", "q_bm25_search",
-    "q_partitioned_merge", "q_partitioned_compaction",
+    "q_partitioned_merge", "q_partitioned_compaction", "q_recluster_scan",
 ]
 
 

@@ -525,3 +525,55 @@ def q_partitioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(compacted).cast("int").alias("compacted"),
         )
     )
+
+
+@register(
+    "q_recluster_scan",
+    oracle=f"""
+    SELECT COUNT(*) AS n, {dsum_sql("l_extendedprice")} AS revenue,
+           1 AS reclustered_ok
+    FROM lineitem WHERE l_orderkey BETWEEN 100 AND 1900
+    """,
+    category="lifecycle",
+)
+def q_recluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-health metric + OPTIMIZE-style recluster
+    (compaction.py clustering_depth / recluster_table; Delta OPTIMIZE
+    ZORDER analogue — the reference's ClusterIndex keeps depth 1 by
+    construction, dwio/nimble/index/ClusterIndex.h:76-197). Four
+    interleaved clustered writes each re-range only their own rows, so
+    every point of the key space is covered by ~4 files
+    (clustering_depth ≈ commits, measured from manifest bounds — zero
+    IO); recluster_table's one global range shuffle restores disjoint
+    ranges. The in-query ``reclustered_ok`` literal proves depth
+    collapsed (≥4 → ≤2) and the range scan below prunes over the
+    restored index."""
+    from nimble_spark.sources.compaction import clustering_depth, recluster_table
+
+    def _write(tmp: str, rows: DataFrame, mode: str = "overwrite") -> None:
+        write_table(
+            rows, tmp,
+            WriteOptions(cluster_by=["l_orderkey"], n_cluster_files=6),
+            mode=mode,
+        )
+
+    def _build_degraded(tmp: str) -> None:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        _write(tmp, li.filter("l_orderkey % 4 = 0"))
+        for i in (1, 2, 3):
+            _write(tmp, li.filter(f"l_orderkey % 4 = {i}"), mode="append")
+
+    def _build_reclustered(tmp: str) -> None:
+        _build_degraded(tmp)
+        recluster_table(spark, tmp, n_files=6)
+
+    deg = ensure_cached(sf_dir, "li__cluster_degraded", ["lineitem"], _build_degraded)
+    rec = ensure_cached(sf_dir, "li__reclustered", ["lineitem"], _build_reclustered)
+    d0 = clustering_depth(read_manifest(deg))
+    d1 = clustering_depth(read_manifest(rec))
+    ok = int(d0["max_depth"] >= 4 and d1["max_depth"] <= 2 and d1["avg_depth"] <= 2)
+    return read_table(spark, rec, range_scan=("l_orderkey", 100, 1900)).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+        F.lit(ok).cast("int").alias("reclustered_ok"),
+    )

@@ -393,6 +393,161 @@ def fast_minmax(spark: SparkSession, path: str, col: str):
     return min(mins), max(maxs)
 
 
+def clustering_depth(manifest: dict, key: str | None = None) -> dict:
+    """Clustering health of the cluster/zorder key: a sweep-line over
+    the per-file [min,max] ranges already in the manifest. depth(x) =
+    number of files whose range covers key value x = files a point
+    probe at x must open; a freshly clustered table has depth 1
+    (disjoint ranges), and every append degrades it (each append
+    re-ranges only its own rows, so its files span the whole key
+    space). Driver cost O(F log F) over manifest entries — bounded
+    metadata, the same class as plan_compaction. The metric that says
+    WHEN to pay for recluster_table (Delta OPTIMIZE-ZORDER /
+    clustering-metrics analogue; the reference's ClusterIndex keeps
+    depth 1 by construction because stripes are written key-ordered,
+    dwio/nimble/index/ClusterIndex.h:76-197).
+
+    Returns ``{"key", "files", "ranged_files", "max_depth",
+    "avg_depth"}``. ``avg_depth`` is length-weighted over the covered
+    key span for numeric keys (expected files opened by a uniform
+    point probe), event-weighted otherwise. Files without stats for
+    the key can never be pruned, so they count toward every probe."""
+    idx = manifest.get("indexes", {})
+    if key is None:
+        keys = list((idx.get("cluster") or {}).get("keys", [])) + list(
+            (idx.get("zorder") or {}).get("keys", [])
+        )
+        if not keys:
+            raise ValueError("table has no cluster/zorder key; pass key= explicitly")
+        key = keys[0]
+    events: list[tuple] = []
+    unranged = 0
+    n = 0
+    for f in manifest["files"]:
+        n += 1
+        mn = (f.get("min") or {}).get(key)
+        mx = (f.get("max") or {}).get(key)
+        if mn is None or mx is None:
+            unranged += 1
+            continue
+        events.append((mn, 0, 1))  # opens sort before closes at the
+        events.append((mx, 1, -1))  # same x: touching ranges overlap
+    events.sort(key=lambda e: (e[0], e[1]))
+    numeric = bool(events) and isinstance(events[0][0], (int, float)) and not isinstance(
+        events[0][0], bool
+    )
+    depth = unranged
+    max_depth = depth if (depth or not events) else 0
+    span = 0.0
+    weighted = 0.0
+    seg_sum = 0
+    seg_n = 0
+    prev_x = None
+    for x, _tie, d in events:
+        if prev_x is not None and depth > unranged:
+            if numeric:
+                seg = float(x) - float(prev_x)
+                span += seg
+                weighted += seg * depth
+            seg_sum += depth
+            seg_n += 1
+        depth += d
+        if depth > max_depth:
+            max_depth = depth
+        prev_x = x
+    if numeric and span > 0:
+        avg = weighted / span
+    elif seg_n:
+        avg = seg_sum / seg_n
+    else:
+        avg = float(max_depth)
+    return {
+        "key": key,
+        "files": n,
+        "ranged_files": n - unranged,
+        "max_depth": max_depth,
+        "avg_depth": round(avg, 3),
+    }
+
+
+def recluster_table(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> dict:
+    """Restore the declared cluster/zorder layout after append
+    degradation — the OPTIMIZE ZORDER analogue. Appends keep pruning
+    CORRECT (per-file min/max bounds are always exact) but degrade
+    SELECTIVITY: each append range-partitions only its own rows, so
+    file key ranges overlap and a range probe opens
+    ``clustering_depth``-many files instead of ~1. recluster_table
+    rewrites the table with its ORIGINAL layout options — cluster or
+    zorder keys re-ranged globally, Hive partitions / hash buckets
+    re-derived with the writer's exact formulas, CHECK constraints
+    carried forward — restoring depth ≈ 1.
+
+    Full-table rewrite BY DESIGN: one global range shuffle + write,
+    the same cost as the initial clustered write. Run it when
+    clustering_depth crosses a threshold (amortize over many appends),
+    not per-append; small-file debt alone wants the far cheaper
+    compact_table. Like compaction, the rewrite resets history
+    (snapshots/tags do not span a recluster — it exists to change
+    layout). ``n_files`` defaults to total-bytes/128 MB so output
+    files land at scan-friendly sizes regardless of how small the
+    appends were. Holds the table write lock across the whole
+    read→rewrite span (same discipline as materialize_columns)."""
+    from nimble_spark.sources.table import (
+        WriteOptions,
+        read_manifest,
+        read_table,
+        table_write_lock,
+        write_table,
+    )
+
+    with table_write_lock(path):
+        m = read_manifest(path)
+        if m.get("column_aliases"):
+            raise ValueError(
+                "recluster_table on an aliased (dedup_columns) table: "
+                "run materialize_columns first"
+            )
+        idx = m.get("indexes", {})
+        if "cut" in idx:
+            raise ValueError("cut layouts re-cut whole groups on every write; "
+                             "recluster does not apply")
+        if os.path.isdir(os.path.join(path, "_nimble", "deletes")):
+            raise ValueError(
+                "recluster_table with pending delete masks would carry "
+                "masked rows into the fresh layout's history; run "
+                "compact_deletes first"
+            )
+        kw: dict = {}
+        if "cluster" in idx:
+            kw["cluster_by"] = list(idx["cluster"]["keys"])
+        if "zorder" in idx:
+            kw["zorder_by"] = list(idx["zorder"]["keys"])
+        if not kw:
+            raise ValueError("table has no cluster/zorder layout to restore")
+        if "partition" in idx:
+            kw["partition_by"] = list(idx["partition"]["keys"])
+        if "hash" in idx:
+            kw["bucket_by"] = idx["hash"]["key"]
+            kw["n_buckets"] = idx["hash"]["n_buckets"]
+        if "bloom" in idx:
+            kw["bloom_cols"] = list(idx["bloom"]["keys"])
+        if m.get("constraints"):
+            kw["check_constraints"] = dict(m["constraints"])
+        total = sum(f.get("bytes", 0) for f in m["files"])
+        kw["n_cluster_files"] = n_files or max(1, min(4096, -(-total // (128 << 20))))
+        kw["user_metadata"] = {
+            "recluster.files_before": str(len(m["files"])),
+            "recluster.commits_before": str(len(m.get("commits", []))),
+        }
+        df = read_table(spark, path)
+        # pin the source rows: the overwrite stages into the same path
+        # and a lazy plan would scan its own half-written output
+        df = df.localCheckpoint(eager=True)
+        return write_table(df, path, WriteOptions(**kw), _caller_holds_lock=True)
+
+
 # Compaction and vacuum are manifest mutations like any other write:
 # hold the table write lock for the whole read-rewrite-publish span so
 # a compaction racing a locked append cannot read the pre-append

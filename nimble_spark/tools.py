@@ -414,6 +414,21 @@ def show_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "index STRING, key STRING, location STRING, min STRING, max STRING")
 
 
+def show_clustering(spark: SparkSession, path: str, key: str | None = None) -> DataFrame:
+    """SHOW CLUSTERING [KEY k]: clustering health of the cluster/
+    zorder key — files, max/avg probe depth (files a point probe must
+    open; 1 = perfectly clustered, ≈ commit count after interleaved
+    appends). Computed from manifest bounds only (zero data IO); the
+    signal for when recluster_table is worth its full rewrite."""
+    from nimble_spark.sources.compaction import clustering_depth
+
+    d = clustering_depth(read_manifest(path), key=key)
+    return spark.createDataFrame(
+        [(d["key"], d["files"], d["ranged_files"], d["max_depth"], float(d["avg_depth"]))],
+        "key STRING, files LONG, ranged_files LONG, max_depth LONG, avg_depth DOUBLE",
+    )
+
+
 def show_metrics(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
     """SHOW METRICS: reader runtime statistics from an actual scan —
     the VeloxReader metrics surface (dwio/nimble/velox/VeloxReader.h:
@@ -658,7 +673,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW FILES |
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
-      SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW METRICS | SHOW WRITE STATS |
+      SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
+      SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
       SHOW SCAN METRICS [WHERE expr] |
@@ -729,6 +745,9 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         )
     if u == "SHOW INDEX":
         return show_index(spark, path)
+    m = re.match(r"SHOW CLUSTERING(?:\s+KEY\s+([\w.]+))?$", c, re.I)
+    if m:
+        return show_clustering(spark, path, key=m.group(1))
     if u == "SHOW METRICS":
         return show_metrics(spark, path)
     if u == "SHOW WRITE STATS":

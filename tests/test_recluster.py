@@ -1,0 +1,142 @@
+"""Clustering-health metric + OPTIMIZE-style recluster.
+
+clustering_depth is pure manifest arithmetic (zero data IO, O(F log F)
+driver work — bounded metadata); recluster_table is the full-rewrite
+maintenance op it justifies. Reference: the ClusterIndex keeps depth 1
+by construction because stripes are written key-ordered
+(dwio/nimble/index/ClusterIndex.h:76-197); appends break that here, so
+the depth metric + recluster restore it retroactively (Delta OPTIMIZE
+ZORDER analogue).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nimble_spark.sources.compaction import clustering_depth, recluster_table
+from nimble_spark.sources.table import (
+    WriteOptions,
+    read_manifest,
+    read_table,
+    write_table,
+)
+
+
+def _mf(ranges, key="k"):
+    files = []
+    for i, r in enumerate(ranges):
+        if r is None:
+            files.append({"path": f"f{i}.parquet", "min": {}, "max": {}})
+        else:
+            files.append({"path": f"f{i}.parquet", "min": {key: r[0]}, "max": {key: r[1]}})
+    return {"files": files, "indexes": {"cluster": {"keys": [key]}}}
+
+
+def test_depth_disjoint_is_one():
+    d = clustering_depth(_mf([(0, 9), (10, 19), (20, 29)]))
+    assert d["max_depth"] == 1 and d["avg_depth"] == 1.0 and d["files"] == 3
+
+
+def test_depth_interleaved_commits():
+    # 2 commits × 3 files each, both spanning [0,30): every point is
+    # covered by one file per commit
+    d = clustering_depth(_mf([(0, 9), (10, 19), (20, 29), (0, 11), (12, 21), (22, 29)]))
+    assert d["max_depth"] == 2
+    assert 1.5 <= d["avg_depth"] <= 2.0
+
+
+def test_depth_touching_ranges_overlap():
+    # a probe AT key 10 must open both files
+    d = clustering_depth(_mf([(0, 10), (10, 20)]))
+    assert d["max_depth"] == 2
+
+
+def test_depth_unranged_file_counts_everywhere():
+    d = clustering_depth(_mf([(0, 9), (10, 19), None]))
+    assert d["max_depth"] == 2 and d["ranged_files"] == 2
+    assert d["avg_depth"] == 2.0  # 1 ranged + 1 unprunable at every point
+
+
+def test_depth_string_key_event_mean():
+    d = clustering_depth(_mf([("a", "f"), ("c", "k"), ("m", "z")]))
+    assert d["max_depth"] == 2 and d["files"] == 3
+
+
+def test_depth_requires_key():
+    with pytest.raises(ValueError, match="cluster/zorder key"):
+        clustering_depth({"files": [], "indexes": {}})
+
+
+def test_recluster_restores_depth_and_rows(spark, tmpdir):
+    path = f"{tmpdir}/recluster"
+    rows = spark.range(0, 4000).selectExpr("id AS k", "id * 1.5 AS v")
+    opts = WriteOptions(cluster_by=["k"], n_cluster_files=4)
+    write_table(rows.filter("k % 4 = 0"), path, opts)
+    for i in (1, 2, 3):
+        write_table(rows.filter(f"k % 4 = {i}"), path, opts, mode="append")
+    before = clustering_depth(read_manifest(path))
+    assert before["max_depth"] >= 4  # one covering file per commit
+
+    m = recluster_table(spark, path, n_files=4)
+    after = clustering_depth(m)
+    assert after["max_depth"] <= 2 and after["avg_depth"] <= 2
+    assert m["user_metadata"]["recluster.files_before"] == str(before["files"])
+    got = read_table(spark, path)
+    assert got.count() == 4000
+    # the restored index prunes: a 10% range opens ~1 of 4 files
+    hit = read_table(spark, path, range_scan=("k", 100, 400))
+    assert hit.count() == 301
+
+
+def test_recluster_carries_constraints_and_layout(spark, tmpdir):
+    path = f"{tmpdir}/recluster_part"
+    rows = spark.range(0, 1000).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN '01' ELSE '02' END AS p", "id * 1.0 AS v"
+    )
+    opts = WriteOptions(
+        cluster_by=["k"], n_cluster_files=3, partition_by=["p"],
+        check_constraints={"v_nonneg": "v >= 0"},
+    )
+    write_table(rows.filter("k < 500"), path, opts)
+    write_table(rows.filter("k >= 500"), path, opts, mode="append")
+    m = recluster_table(spark, path, n_files=3)
+    assert m["constraints"] == {"v_nonneg": "v >= 0"}
+    assert all(f["path"].startswith("p=") for f in m["files"])
+    got = read_table(spark, path)
+    assert dict(got.dtypes)["p"] == "string"  # declared type survives
+    assert got.count() == 1000
+    # the carried constraint still gates appends
+    bad = spark.createDataFrame([(1, "01", -5.0)], "k LONG, p STRING, v DOUBLE")
+    with pytest.raises(Exception, match="v_nonneg"):
+        write_table(bad, path, WriteOptions(partition_by=["p"]), mode="append")
+
+
+def test_recluster_refusals(spark, tmpdir):
+    plain = f"{tmpdir}/plain"
+    write_table(spark.range(5).selectExpr("id AS k"), plain, WriteOptions())
+    with pytest.raises(ValueError, match="no cluster/zorder"):
+        recluster_table(spark, plain)
+
+    masked = f"{tmpdir}/masked"
+    write_table(
+        spark.range(10).selectExpr("id AS k"), masked,
+        WriteOptions(cluster_by=["k"]),
+    )
+    from nimble_spark.sources.deletes import delete_rows
+
+    delete_rows(spark, masked, "k", [3])
+    with pytest.raises(ValueError, match="delete masks"):
+        recluster_table(spark, masked)
+
+
+def test_show_clustering_dsl(spark, tmpdir):
+    from nimble_spark.tools import run_command
+
+    path = f"{tmpdir}/dsl_cluster"
+    opts = WriteOptions(cluster_by=["k"], n_cluster_files=2)
+    write_table(spark.range(100).selectExpr("id AS k"), path, opts)
+    write_table(spark.range(100).selectExpr("id AS k"), path, opts, mode="append")
+    row = run_command(spark, path, "SHOW CLUSTERING").collect()[0]
+    assert row.key == "k" and row.max_depth == 2 and row.files == 4
+    row2 = run_command(spark, path, "SHOW CLUSTERING KEY k").collect()[0]
+    assert row2.max_depth == 2
