@@ -234,3 +234,56 @@ def test_rewrites_refuse_pending_delete_masks(spark, tmpdir):
     assert [
         (r.k, r.name) for r in read_with_deletes(spark, path).orderBy("k").collect()
     ] == [(1, "A")]
+
+
+def test_stream_sink_partitioned_layout(spark, tmp_path):
+    """A partitioned streaming ingest (the canonical 100 TB shape:
+    date/type-partitioned append-only feed): stream_to_table with
+    WriteOptions(partition_by=...) must land every micro-batch's rows
+    under their partition directories, keep partition pruning exact
+    across batches, and preserve declared partition types ('01' stays
+    the STRING '01')."""
+    import os
+    import time
+
+    from nimble_spark.streaming.sink import stream_to_table
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "01", 10.0), (2, "02", 20.0)], "k LONG, p STRING, v DOUBLE"
+    ).coalesce(1).write.parquet(src + "/b0")
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, "01", 30.0), (4, "03", 40.0)], "k LONG, p STRING, v DOUBLE"
+    ).coalesce(1).write.parquet(src + "/b1")
+    for d in ("b0", "b1"):
+        for f in os.listdir(f"{src}/{d}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/{d}/{f}", f"{src}/{d}_{f}")
+
+    stream = (
+        spark.readStream.schema("k LONG, p STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    table = str(tmp_path / "table")
+    q = stream_to_table(
+        stream, table, checkpoint=str(tmp_path / "ckpt"),
+        opts=WriteOptions(partition_by=["p"]),
+    )
+    q.awaitTermination()
+
+    m = read_manifest(table)
+    assert len(m["commits"]) == 2  # one commit per micro-batch
+    assert all(f["path"].startswith("p=") for f in m["files"])
+    got = read_table(spark, table)
+    assert dict(got.dtypes)["p"] == "string"
+    assert _rows(got) == [
+        (1, "01", 10.0), (2, "02", 20.0), (3, "01", 30.0), (4, "03", 40.0)
+    ]
+    # partition pruning spans both batches' files
+    assert _rows(read_table(spark, table, range_scan=("p", "01", "01"))) == [
+        (1, "01", 10.0), (3, "01", 30.0)
+    ]
