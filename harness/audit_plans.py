@@ -54,6 +54,7 @@ DEFAULT = [
     "q_quantile_sketch_merge", "q_countmin_heavy_hitters",
     "q_kmv_set_ops", "q_bm25_search",
     "q_partitioned_merge", "q_partitioned_compaction", "q_recluster_scan",
+    "q_maintenance_advice",
 ]
 
 

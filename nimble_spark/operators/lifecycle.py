@@ -577,3 +577,42 @@ def q_recluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice").alias("revenue"),
         F.lit(ok).cast("int").alias("reclustered_ok"),
     )
+
+
+@register(
+    "q_maintenance_advice",
+    oracle="""
+    SELECT action FROM (VALUES
+      ('compact_deletes'), ('compact_table'),
+      ('recluster_table'), ('vacuum_table')
+    ) AS t(action)
+    """,
+    category="tools",
+)
+def q_maintenance_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance advisor (compaction.py advise_maintenance; SHOW
+    MAINTENANCE in the DSL) — the WHEN half of the advisor story
+    (plans/advisor.py says how to lay a table out; this says when to
+    pay for upkeep), all from driver-side metadata arithmetic with
+    zero data IO. The fixture deterministically accumulates all four
+    debts: interleaved clustered appends (probe depth 4), small files
+    (8 undersized), an UPDATE (retention trash), a delete mask — and
+    the advisor must name exactly the four remedies."""
+    from nimble_spark.sources.compaction import advise_maintenance
+    from nimble_spark.sources.deletes import delete_rows
+    from nimble_spark.sources.merge import update_where
+
+    def _build(tmp: str) -> None:
+        o = _orders(spark, sf_dir)
+        opts = WriteOptions(cluster_by=["o_orderkey"], n_cluster_files=2)
+        write_table(o.filter("o_orderkey % 4 = 0"), tmp, opts)
+        for i in (1, 2, 3):
+            write_table(o.filter(f"o_orderkey % 4 = {i}"), tmp, opts, mode="append")
+        update_where(spark, tmp, "o_orderkey < 50", {"o_totalprice": "o_totalprice"})
+        delete_rows(spark, tmp, "o_orderkey", [7])
+
+    path = ensure_cached(sf_dir, "orders__maintenance_debt", ["orders"], _build)
+    recs = advise_maintenance(path)
+    return spark.createDataFrame(
+        [(r["action"],) for r in recs], "action STRING"
+    )

@@ -493,13 +493,16 @@ def recluster_table(
     layout). ``n_files`` defaults to total-bytes/128 MB so output
     files land at scan-friendly sizes regardless of how small the
     appends were. Holds the table write lock across the whole
-    read→rewrite span (same discipline as materialize_columns)."""
+    read→rewrite span, and stages into a sibling dir swapped in whole
+    (staged_swap_rewrite) — a crash mid-rewrite leaves the old table
+    intact, never a half-deleted one."""
+    from nimble_spark.sources.deletes import DELETES_DIR
     from nimble_spark.sources.table import (
-        WriteOptions,
+        layout_options_of,
         read_manifest,
         read_table,
+        staged_swap_rewrite,
         table_write_lock,
-        write_table,
     )
 
     with table_write_lock(path):
@@ -513,39 +516,104 @@ def recluster_table(
         if "cut" in idx:
             raise ValueError("cut layouts re-cut whole groups on every write; "
                              "recluster does not apply")
-        if os.path.isdir(os.path.join(path, "_nimble", "deletes")):
+        if not ("cluster" in idx or "zorder" in idx):
+            raise ValueError("table has no cluster/zorder layout to restore")
+        if os.path.isdir(os.path.join(path, DELETES_DIR)):
             raise ValueError(
                 "recluster_table with pending delete masks would carry "
                 "masked rows into the fresh layout's history; run "
                 "compact_deletes first"
             )
-        kw: dict = {}
-        if "cluster" in idx:
-            kw["cluster_by"] = list(idx["cluster"]["keys"])
-        if "zorder" in idx:
-            kw["zorder_by"] = list(idx["zorder"]["keys"])
-        if not kw:
-            raise ValueError("table has no cluster/zorder layout to restore")
-        if "partition" in idx:
-            kw["partition_by"] = list(idx["partition"]["keys"])
-        if "hash" in idx:
-            kw["bucket_by"] = idx["hash"]["key"]
-            kw["n_buckets"] = idx["hash"]["n_buckets"]
-        if "bloom" in idx:
-            kw["bloom_cols"] = list(idx["bloom"]["keys"])
-        if m.get("constraints"):
-            kw["check_constraints"] = dict(m["constraints"])
-        total = sum(f.get("bytes", 0) for f in m["files"])
-        kw["n_cluster_files"] = n_files or max(1, min(4096, -(-total // (128 << 20))))
-        kw["user_metadata"] = {
+        opts = layout_options_of(m, n_cluster_files=n_files)
+        opts.user_metadata = {
             "recluster.files_before": str(len(m["files"])),
             "recluster.commits_before": str(len(m.get("commits", []))),
         }
         df = read_table(spark, path)
-        # pin the source rows: the overwrite stages into the same path
-        # and a lazy plan would scan its own half-written output
-        df = df.localCheckpoint(eager=True)
-        return write_table(df, path, WriteOptions(**kw), _caller_holds_lock=True)
+        return staged_swap_rewrite(spark, path, df, opts)
+
+
+def advise_maintenance(
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_depth: int = 2,
+) -> list[dict]:
+    """The maintenance half of the advisor (plans/advisor.py covers
+    INITIAL layout; this covers WHEN to pay for upkeep): one pass of
+    driver-side metadata arithmetic — the manifest, the deletes dir
+    listing, the trash listing; zero data IO at any table size —
+    returning the maintenance actions currently worth their cost:
+
+    * ``compact_table``     — small-file debt (plan_compaction bins)
+    * ``recluster_table``   — clustering_depth above ``max_depth``
+    * ``compact_deletes``   — pending delete masks taxing every scan
+    * ``vacuum_table``      — reclaimable retention-trash bytes
+
+    Each row: {"action", "evidence", "reason"}. Empty list = healthy.
+    The Delta/Iceberg maintenance-policy analogue, driven by the same
+    stats the reference's writer keeps per stripe (Statistics.h:31)."""
+    from nimble_spark.sources.deletes import DELETES_DIR
+
+    m = read_manifest(path)
+    recs: list[dict] = []
+    bins = plan_compaction(m, target_file_bytes)
+    if bins:
+        small = sum(len(b) for b in bins)
+        recs.append(
+            {
+                "action": "compact_table",
+                "evidence": small,
+                "reason": f"{small} undersized files merge into {len(bins)} bin(s)",
+            }
+        )
+    idx = m.get("indexes", {})
+    if "cluster" in idx or "zorder" in idx:
+        d = clustering_depth(m)
+        if d["max_depth"] > max_depth:
+            recs.append(
+                {
+                    "action": "recluster_table",
+                    "evidence": d["max_depth"],
+                    "reason": (
+                        f"point probes on {d['key']!r} open up to "
+                        f"{d['max_depth']} files (avg {d['avg_depth']})"
+                    ),
+                }
+            )
+    droot = os.path.join(path, DELETES_DIR)
+    if os.path.isdir(droot):
+        n_masks = sum(
+            len(os.listdir(os.path.join(droot, c)))
+            for c in os.listdir(droot)
+            if os.path.isdir(os.path.join(droot, c))
+        )
+        if n_masks:
+            recs.append(
+                {
+                    "action": "compact_deletes",
+                    "evidence": n_masks,
+                    "reason": f"{n_masks} pending delete mask(s) anti-join every scan",
+                }
+            )
+    trash = os.path.join(path, MANIFEST_DIR, "trash")
+    if os.path.isdir(trash):
+        tbytes = 0
+        for root, _dirs, fs in os.walk(trash):
+            for f in fs:
+                try:
+                    tbytes += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass  # racing vacuum — size is advisory only
+        if tbytes:
+            recs.append(
+                {
+                    "action": "vacuum_table",
+                    "evidence": tbytes,
+                    "reason": f"{tbytes} retention-trash bytes reclaimable "
+                    "(costs snapshot/CDC history)",
+                }
+            )
+    return recs
 
 
 # Compaction and vacuum are manifest mutations like any other write:

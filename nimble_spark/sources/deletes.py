@@ -35,21 +35,26 @@ def compact_deletes(spark: SparkSession, path: str) -> dict:
     mask-applied view and clear ``_nimble/deletes/`` — the
     'compaction = rewrite + clear' step of the deletion-vector
     discipline, run when accumulated masks start to cost every scan
-    their anti-join. Staged into a temp dir and swapped whole, so a
-    concurrent reader sees the old table or the new, never a mix."""
-    import shutil
-    import uuid
+    their anti-join. Staged into a sibling dir and swapped whole
+    (staged_swap_rewrite), so a concurrent reader sees the old table
+    or the new, never a mix, and a crash leaves the old table intact.
+    The declared layout and contracts survive (layout_options_of):
+    cluster/zorder keys re-ranged, partitions/buckets re-derived,
+    CHECK constraints carried — the guards that say 'run
+    compact_deletes first' never cost the table its pruning paths.
+    dedup_columns aliases are the one exception: the mask-applied view
+    is written with aliases physically materialized (re-apply
+    dedup_columns on a later write if wanted)."""
+    from nimble_spark.sources.table import (
+        layout_options_of,
+        read_manifest,
+        staged_swap_rewrite,
+    )
 
-    from nimble_spark.sources.table import WriteOptions, read_manifest, write_table
-
+    manifest = read_manifest(path)
+    opts = layout_options_of(manifest)
     resolved = read_with_deletes(spark, path)
-    staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
-    manifest = write_table(resolved, staging, WriteOptions())
-    trash = f"{path}-old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, trash)
-    os.rename(staging, path)
-    shutil.rmtree(trash, ignore_errors=True)
-    return manifest
+    return staged_swap_rewrite(spark, path, resolved, opts)
 
 
 def read_with_deletes(spark: SparkSession, path: str, **read_kwargs) -> DataFrame:

@@ -178,10 +178,25 @@ def merge_into(
             "per file need a full re-shuffle); compact to a plain table "
             "first or use the streaming upsert sink"
         )
-    keys = source.select(key).distinct()
     tgt = read_table(spark, path)
     if key not in tgt.columns:
         raise ValueError(f"merge key {key!r} not in table schema {tgt.columns}")
+    if sorted(source.columns) != sorted(tgt.columns):
+        raise ValueError(
+            f"source schema {sorted(source.columns)} must match target "
+            f"{sorted(tgt.columns)}"
+        )
+    # Align source TYPES to the table schema before anything hashes or
+    # stores them: xxhash64 is width-sensitive (an INT source key
+    # hashes differently from the declared LONG for the same value),
+    # so a type-mismatched key would compute wrong bucket ordinals —
+    # missed matches in discovery, and rewritten rows landing in
+    # directories the table's point lookups never read.
+    tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
+    source = source.select(
+        [F.col(c).cast(tgt_types[c]).alias(c) for c in tgt.columns]
+    )
+    keys = source.select(key).distinct()
 
     # 1. affected-file discovery: distributed semi-join, then a
     # file-granularity distinct — bounded metadata on the driver
@@ -206,7 +221,7 @@ def merge_into(
             # None = outside any bucket dir (shouldn't happen on a
             # bucketed table, but conservatively keep such files as
             # candidates rather than silently skipping their keys)
-            if _bucket_of(f["path"]) in hit or _bucket_of(f["path"]) is None
+            if (b := _bucket_of(f["path"])) in hit or b is None
         ]
         scan = (
             _plan_parquet(
@@ -223,10 +238,6 @@ def merge_into(
 
     # 2. the rewrite set: survivors of affected files + every source row
     cols = tgt.columns
-    if sorted(source.columns) != sorted(cols):
-        raise ValueError(
-            f"source schema {sorted(source.columns)} must match target {sorted(cols)}"
-        )
     if affected:
         # _plan_parquet, not a raw reader: partition values exist only
         # as directory strings, and re-inferring their type here would

@@ -28,8 +28,10 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import threading
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterable, Optional
 
@@ -481,16 +483,26 @@ def _write_table_locked(
     # (phantom duplicates). They belong to their own commit, or to
     # vacuum's age-gated sweep.
     try:
-        prior_paths = {f["path"] for f in read_manifest(path)["files"]}
+        prior_paths = {os.path.normpath(f["path"]) for f in read_manifest(path)["files"]}
     except (OSError, KeyError, ValueError):
         prior_paths = set()
-    stray = {
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-        and (f.startswith("pyds-") or f.startswith("compact-"))
-        and f not in prior_paths
-    }
+    # os.walk, not os.listdir: partitioned/bucketed compaction stages
+    # its merged output INSIDE partition directories (p=01/compact-*),
+    # and a crashed run's orphan there would otherwise be adopted by
+    # the next append's dataset scan as phantom duplicate rows.
+    stray = set()
+    for root, dirs, fs in os.walk(path):
+        if MANIFEST_DIR in dirs:
+            dirs.remove(MANIFEST_DIR)  # metadata is never scanned
+        rel_dir = os.path.relpath(root, path)
+        for f in fs:
+            if (
+                f.endswith(".parquet")
+                and (f.startswith("pyds-") or f.startswith("compact-"))
+            ):
+                rel = f if rel_dir == "." else os.path.join(rel_dir, f)
+                if os.path.normpath(rel) not in prior_paths:
+                    stray.add(os.path.normpath(rel))
     manifest = _build_manifest(
         spark, stored_schema or df.schema, path, opts, index_meta, reuse=reuse, exclude=stray
     )
@@ -1676,46 +1688,92 @@ def _restore_aliases(df: DataFrame, manifest: dict) -> DataFrame:
     return out
 
 
+def layout_options_of(manifest: dict, n_cluster_files: int | None = None) -> WriteOptions:
+    """WriteOptions reproducing a table's declared layout and
+    contracts — what a full rewrite (recluster_table, compact_deletes,
+    materialize_columns) must re-apply so the rewrite changes bytes,
+    never semantics: cluster/zorder keys, Hive partition keys, hash
+    bucketing (the writer's exact formula re-derives directories),
+    cut grouping, bloom columns, and CHECK constraints.
+    ``n_cluster_files`` defaults to total-bytes/128 MB so output files
+    land at scan-friendly sizes regardless of input fragmentation."""
+    idx = manifest.get("indexes", {})
+    kw: dict = {}
+    if "cluster" in idx:
+        kw["cluster_by"] = list(idx["cluster"]["keys"])
+    if "zorder" in idx:
+        kw["zorder_by"] = list(idx["zorder"]["keys"])
+    if "partition" in idx:
+        kw["partition_by"] = list(idx["partition"]["keys"])
+    if "hash" in idx:
+        kw["bucket_by"] = idx["hash"]["key"]
+        kw["n_buckets"] = idx["hash"]["n_buckets"]
+    if "cut" in idx:
+        kw["cut_by"] = idx["cut"]["key"]
+        kw["n_cut_files"] = idx["cut"].get("n_files", 8)
+    if "bloom" in idx:
+        kw["bloom_cols"] = list(idx["bloom"]["keys"])
+    if manifest.get("constraints"):
+        kw["check_constraints"] = dict(manifest["constraints"])
+    if "cluster" in idx or "zorder" in idx:
+        total = sum(f.get("bytes", 0) for f in manifest.get("files", []))
+        kw["n_cluster_files"] = n_cluster_files or max(
+            1, min(4096, -(-total // (128 << 20)))
+        )
+    return WriteOptions(**kw)
+
+
+def staged_swap_rewrite(
+    spark: SparkSession, path: str, df: "DataFrame", opts: WriteOptions
+) -> dict:
+    """Full-table rewrite via stage-then-swap: write ``df`` as a
+    complete new table in a SIBLING staging dir (reading the live
+    table the whole time — no self-overwrite, no driver/executor
+    pinning of the rows), then swap directories. A crash at ANY point
+    leaves either the old table intact (staging is debris) or the new
+    table fully published — never a half-deleted table, which an
+    in-place ``mode=overwrite`` risks the moment Spark clears the
+    target before the job finishes. Caller must hold the table write
+    lock (it lives OUTSIDE the table dir, so it survives the swap)."""
+    staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
+    try:
+        m = write_table(df, staging, opts, _caller_holds_lock=True)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    old = f"{path}-old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return m
+
+
 def materialize_columns(spark: SparkSession, path: str) -> dict:
     """Rewrite a ``dedup_columns`` table with every aliased column
     physically materialized — the escape hatch before copy-on-write
     rewrites (merge_into / update_where reject aliased tables). A
-    full-table rewrite: the logical frame (aliases restored) is
-    written back over the same path, preserving stats-shaped layout
-    (cluster keys re-applied) but starting a fresh commit log like
-    any overwrite. No-op (returns the live manifest) when the table
-    has no aliases."""
+    full-table rewrite preserving the declared layout (cluster/zorder,
+    Hive partitions, hash buckets, CHECK constraints — see
+    layout_options_of) but starting a fresh commit log like any
+    overwrite. No-op (returns the live manifest) when the table has
+    no aliases."""
     # Hold the table write lock across the WHOLE read→rewrite span
     # (like merge/update/compact): without it a concurrent append
-    # committing between the eager checkpoint and the overwrite commit
-    # would be silently erased from the rewritten table (ADVICE r5).
-    # ALL planning (alias check, layout check) happens under the lock
-    # so it reflects the manifest the rewrite will actually replace.
-    # The lock is non-reentrant, so the write goes through the
-    # _caller_holds_lock entry point.
+    # committing during the staged rewrite would be silently erased
+    # from the swapped-in table (ADVICE r5). ALL planning (alias
+    # check, layout reconstruction) happens under the lock so it
+    # reflects the manifest the rewrite will actually replace. The
+    # lock is non-reentrant, so the write goes through the
+    # _caller_holds_lock entry point; it lives outside the table dir,
+    # so it survives the swap.
     with table_write_lock(path):
         manifest = read_manifest(path)
         aliases = manifest.get("column_aliases")
         if not aliases:
             return manifest
-        idx = manifest.get("indexes", {})
-        for k in ("hash", "partition", "cut"):
-            if k in idx:
-                raise ValueError(
-                    f"materialize_columns on a {k}-layout table needs a "
-                    f"layout-preserving rewrite; write it explicitly with "
-                    f"the original WriteOptions"
-                )
-        opts = WriteOptions()
-        if "cluster" in idx:
-            opts = WriteOptions(cluster_by=list(idx["cluster"]["keys"]))
+        opts = layout_options_of(manifest)
         df = read_table(spark, path)
-        # The read plans lazily over the CURRENT files while the
-        # overwrite stages new ones; localCheckpoint pins the source
-        # rows so the self-overwrite cannot scan its own half-written
-        # output.
-        df = df.localCheckpoint(eager=True)
-        return write_table(df, path, opts, _caller_holds_lock=True)
+        return staged_swap_rewrite(spark, path, df, opts)
 
 
 def _partition_declared_types(manifest: Optional[dict]) -> dict[str, T.DataType]:

@@ -429,6 +429,21 @@ def show_clustering(spark: SparkSession, path: str, key: str | None = None) -> D
     )
 
 
+def show_maintenance(spark: SparkSession, path: str) -> DataFrame:
+    """SHOW MAINTENANCE: the actions currently worth their cost —
+    compact (small-file debt), recluster (probe depth), compact
+    deletes (pending masks), vacuum (trash bytes). Pure driver-side
+    metadata arithmetic (compaction.advise_maintenance); empty =
+    healthy."""
+    from nimble_spark.sources.compaction import advise_maintenance
+
+    recs = advise_maintenance(path)
+    return spark.createDataFrame(
+        [(r["action"], int(r["evidence"]), r["reason"]) for r in recs],
+        "action STRING, evidence LONG, reason STRING",
+    )
+
+
 def show_metrics(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
     """SHOW METRICS: reader runtime statistics from an actual scan —
     the VeloxReader metrics surface (dwio/nimble/velox/VeloxReader.h:
@@ -674,7 +689,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
-      SHOW METRICS | SHOW WRITE STATS |
+      SHOW MAINTENANCE | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
       SHOW SCAN METRICS [WHERE expr] |
@@ -748,6 +763,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     m = re.match(r"SHOW CLUSTERING(?:\s+KEY\s+([\w.]+))?$", c, re.I)
     if m:
         return show_clustering(spark, path, key=m.group(1))
+    if u == "SHOW MAINTENANCE":
+        return show_maintenance(spark, path)
     if u == "SHOW METRICS":
         return show_metrics(spark, path)
     if u == "SHOW WRITE STATS":

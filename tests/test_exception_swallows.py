@@ -26,8 +26,10 @@ ALLOWED = {
     # by the stray sweep and reclaimed by vacuum
     # compaction + rollback tombstone moves: source already gone means
     # another actor (crash replay, earlier rename) moved it — the
-    # manifest, already published, is the source of truth
-    "sources/compaction.py": 1,
+    # manifest, already published, is the source of truth; plus the
+    # maintenance advisor's trash-size probe racing a vacuum (the size
+    # is advisory evidence, never a correctness input)
+    "sources/compaction.py": 2,
     # table.py: lock release (inode mismatch = nothing of ours to
     # free), lost-contention tombstone keep, prior-root probe before
     # the first sharded publish, rollback tombstone move, and the

@@ -53,6 +53,15 @@ def test_lifecycle_model(spark, tmpdir, seed):
     _run_lifecycle(spark, f"{tmpdir}/life_{seed}", seed)
 
 
+@pytest.mark.parametrize("seed", [13, 77])
+def test_lifecycle_model_clustered(spark, tmpdir, seed):
+    """The clustered-table variant, with RECLUSTER in the op mix: the
+    cluster index must survive every mutation, and a recluster (full
+    layout rewrite, fresh history root) must leave the live view and
+    all post-recluster invariants identical."""
+    _run_lifecycle(spark, f"{tmpdir}/life_cl_{seed}", seed, clustered=True)
+
+
 @pytest.mark.parametrize("seed", [7, 42])
 def test_lifecycle_model_sharded_manifest(spark, tmpdir, seed, monkeypatch):
     """r6: the same lifecycle drill with the manifest SHARDED from the
@@ -71,8 +80,12 @@ def test_lifecycle_model_sharded_manifest(spark, tmpdir, seed, monkeypatch):
     assert os.path.isdir(os.path.join(path, "_nimble", "pages"))
 
 
-def _run_lifecycle(spark, path, seed):
-    from nimble_spark.sources.compaction import compact_table, vacuum_table
+def _run_lifecycle(spark, path, seed, clustered=False):
+    from nimble_spark.sources.compaction import (
+        compact_table,
+        recluster_table,
+        vacuum_table,
+    )
     from nimble_spark.sources.deletes import compact_deletes, delete_rows
     from nimble_spark.sources.merge import merge_into, update_where
     from nimble_spark.sources.table import read_changes
@@ -82,7 +95,10 @@ def _run_lifecycle(spark, path, seed):
     committed: dict[int, int] = {k: k * 10 for k in range(20)}
     masked: set[int] = set()
     next_key = 20
-    write_table(_df(spark, committed.items()), path, WriteOptions())
+    base_opts = (
+        WriteOptions(cluster_by=["k"], n_cluster_files=2) if clustered else WriteOptions()
+    )
+    write_table(_df(spark, committed.items()), path, base_opts)
 
     # snapshots[commit_index] = committed (pre-mask) state at that commit
     snapshots: dict[int, dict[int, int]] = {
@@ -99,6 +115,8 @@ def _run_lifecycle(spark, path, seed):
         "append", "merge", "update", "delete",
         "compact_deletes", "compact", "rollback",
     ]
+    if clustered:
+        ops.append("recluster")
     for step in range(12):
         op = rng.choice(ops)
         if op == "append":
@@ -153,6 +171,20 @@ def _run_lifecycle(spark, path, seed):
             # data_change=false: CDC feed over the compact commit is empty
             assert read_changes(spark, path, since_commit=before).count() == 0
             snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        elif op == "recluster":
+            # full layout rewrite: refuses pending masks (masked rows
+            # must not ride into a fresh history), resets the history
+            # root like compact_deletes, leaves live rows identical
+            from nimble_spark.sources.compaction import clustering_depth
+
+            if masked:
+                with pytest.raises(ValueError):
+                    recluster_table(spark, path, n_files=2)
+                continue
+            m_rc = recluster_table(spark, path, n_files=2)
+            assert "cluster" in m_rc["indexes"]
+            assert clustering_depth(m_rc)["max_depth"] <= 2
+            snapshots = {len(m_rc["commits"]) - 1: dict(committed)}
         elif op == "rollback":
             # restore a random recorded snapshot; the rollback is
             # itself a commit, so it too lands in `snapshots`. Delete

@@ -287,3 +287,56 @@ def test_stream_sink_partitioned_layout(spark, tmp_path):
     assert _rows(read_table(spark, table, range_scan=("p", "01", "01"))) == [
         (1, "01", 10.0), (3, "01", 30.0)
     ]
+
+
+def test_crashed_compaction_orphan_in_partition_dir_not_adopted(spark, tmpdir):
+    """A crashed partitioned compaction leaves its merged output
+    INSIDE a partition directory (p=01/compact-*.parquet) before the
+    manifest publish. The next append's stray guard must exclude it —
+    adopting it would double-count every row it duplicates."""
+    import shutil
+
+    path = f"{tmpdir}/orphaned"
+    write_table(
+        spark.createDataFrame([(1, "01", 1.0), (2, "02", 2.0)],
+                              "k LONG, p STRING, v DOUBLE"),
+        path, WriteOptions(partition_by=["p"]),
+    )
+    # plant the orphan: a byte-copy of a live file under its dir,
+    # named like compaction's staged output
+    m = read_manifest(path)
+    victim = next(f["path"] for f in m["files"] if f["path"].startswith("p=01"))
+    orphan = os.path.join(path, "p=01", "compact-deadbeef0000.parquet")
+    shutil.copyfile(os.path.join(path, victim), orphan)
+
+    write_table(
+        spark.createDataFrame([(3, "01", 3.0)], "k LONG, p STRING, v DOUBLE"),
+        path, WriteOptions(partition_by=["p"]), mode="append",
+    )
+    m2 = read_manifest(path)
+    assert "p=01/compact-deadbeef0000.parquet" not in {
+        os.path.normpath(f["path"]) for f in m2["files"]
+    }
+    got = read_table(spark, path)
+    assert got.count() == 3  # no phantom duplicate of key 1
+    assert _rows(got) == [(1, "01", 1.0), (2, "02", 2.0), (3, "01", 3.0)]
+
+
+def test_merge_bucketed_casts_mismatched_source_types(spark, tmpdir):
+    """xxhash64 is width-sensitive: an INT source key hashes to a
+    different bucket than the declared LONG. merge_into must align the
+    source to the table schema before any hashing, or discovery misses
+    matches and rewritten rows land in directories point lookups never
+    read."""
+    path = f"{tmpdir}/bucket_types"
+    write_table(
+        spark.createDataFrame([(i, f"n{i}") for i in range(50)], "k LONG, name STRING"),
+        path, WriteOptions(bucket_by="k", n_buckets=4),
+    )
+    src = spark.createDataFrame([(7, "SEVEN"), (99, "new")], "k INT, name STRING")
+    merge_into(spark, path, src, key="k")
+    got = dict((r.k, r.name) for r in read_table(spark, path).collect())
+    assert len(got) == 51 and got[7] == "SEVEN" and got[99] == "new"
+    # the hash index still answers point lookups for both rows
+    assert [r.name for r in read_table(spark, path, point_lookup=("k", [7])).collect()] == ["SEVEN"]
+    assert [r.name for r in read_table(spark, path, point_lookup=("k", [99])).collect()] == ["new"]

@@ -140,3 +140,116 @@ def test_show_clustering_dsl(spark, tmpdir):
     assert row.key == "k" and row.max_depth == 2 and row.files == 4
     row2 = run_command(spark, path, "SHOW CLUSTERING KEY k").collect()[0]
     assert row2.max_depth == 2
+
+
+def test_staged_swap_failure_leaves_table_intact(spark, tmpdir):
+    """staged_swap_rewrite must be crash-safe: if the staging write
+    fails, the live table is untouched and no staging debris remains
+    (the in-place mode='overwrite' alternative deletes the target
+    before the job runs — total data loss on failure)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nimble_spark.sources.table import staged_swap_rewrite
+
+    path = f"{tmpdir}/swap_victim"
+    write_table(spark.range(100).selectExpr("id AS k"), path, WriteOptions())
+
+    @F.udf("long")
+    def boom(v):
+        raise RuntimeError("mid-job failure")
+
+    bad = read_table(spark, path).select(boom("k").alias("k"))
+    with pytest.raises(Exception):
+        staged_swap_rewrite(spark, path, bad, WriteOptions())
+    assert read_table(spark, path).count() == 100  # old table intact
+    assert glob.glob(f"{path}-rewrite-*") == []  # staging cleaned up
+
+
+def test_compact_deletes_preserves_layout_and_constraints(spark, tmpdir):
+    """The guards that say 'run compact_deletes first' must not be a
+    dead end: compact_deletes carries the declared layout (cluster
+    keys, partitions) and CHECK constraints through the rewrite, so
+    recluster_table / merge_into work afterwards."""
+    from nimble_spark.sources.compaction import recluster_table
+    from nimble_spark.sources.deletes import compact_deletes, delete_rows
+
+    path = f"{tmpdir}/masked_clustered"
+    rows = spark.range(0, 400).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p", "id * 1.0 AS v"
+    )
+    opts = WriteOptions(
+        cluster_by=["k"], n_cluster_files=2, partition_by=["p"],
+        check_constraints={"v_nonneg": "v >= 0"},
+    )
+    write_table(rows.filter("k < 200"), path, opts)
+    write_table(rows.filter("k >= 200"), path, opts, mode="append")
+    delete_rows(spark, path, "k", [7])
+
+    m = compact_deletes(spark, path)
+    assert "cluster" in m["indexes"] and "partition" in m["indexes"]
+    assert m["constraints"] == {"v_nonneg": "v >= 0"}
+    assert all(f["path"].startswith("p=") for f in m["files"])
+    assert read_table(spark, path).count() == 399  # mask materialized
+
+    # the advice chain recluster -> compact_deletes -> recluster works
+    m2 = recluster_table(spark, path, n_files=2)
+    assert clustering_depth(m2)["max_depth"] <= 2
+    assert read_table(spark, path).count() == 399
+
+
+def test_materialize_columns_preserves_partition_layout(spark, tmpdir):
+    """materialize_columns now reproduces directory layouts instead of
+    refusing them (it used the layout-preserving options helper)."""
+    from nimble_spark.sources.table import materialize_columns
+
+    path = f"{tmpdir}/aliased_part"
+    rows = spark.createDataFrame(
+        [(1, "a", 5.0, 5.0), (2, "b", 6.0, 6.0)],
+        "k LONG, p STRING, v DOUBLE, v_copy DOUBLE",
+    )
+    write_table(rows, path, WriteOptions(partition_by=["p"], dedup_columns=True))
+    m0 = read_manifest(path)
+    if not m0.get("column_aliases"):
+        pytest.skip("dedup did not alias (stats hash missed)")
+    m = materialize_columns(spark, path)
+    assert "column_aliases" not in m
+    assert all(f["path"].startswith("p=") for f in m["files"])
+    got = read_table(spark, path)
+    assert sorted(got.columns) == ["k", "p", "v", "v_copy"]
+    assert got.count() == 2
+
+
+def test_maintenance_advisor_and_dsl(spark, tmpdir):
+    """advise_maintenance fires each action on its debt and goes quiet
+    on a healthy table; SHOW MAINTENANCE is the DSL face."""
+    from nimble_spark.sources.compaction import (
+        advise_maintenance,
+        compact_table,
+        recluster_table,
+        vacuum_table,
+    )
+    from nimble_spark.sources.deletes import compact_deletes, delete_rows
+    from nimble_spark.tools import run_command
+
+    path = f"{tmpdir}/maint"
+    opts = WriteOptions(cluster_by=["k"], n_cluster_files=2)
+    rows = spark.range(0, 1000).selectExpr("id AS k", "id * 1.0 AS v")
+    write_table(rows.filter("k % 3 = 0"), path, opts)
+    for i in (1, 2):
+        write_table(rows.filter(f"k % 3 = {i}"), path, opts, mode="append")
+    delete_rows(spark, path, "k", [5])
+
+    actions = {r["action"] for r in advise_maintenance(path)}
+    assert {"compact_table", "recluster_table", "compact_deletes"} <= actions
+    dsl = {r.action for r in run_command(spark, path, "SHOW MAINTENANCE").collect()}
+    assert dsl == actions
+
+    # pay the debts in the advised order; the advisor goes quiet
+    compact_deletes(spark, path)
+    recluster_table(spark, path, n_files=2)
+    compact_table(spark, path)  # no-op or merge; either way quiet after
+    vacuum_table(path, min_age_s=0.0)
+    assert advise_maintenance(path) == []
+    assert run_command(spark, path, "SHOW MAINTENANCE").count() == 0
