@@ -301,6 +301,15 @@ def _metadata_bench() -> dict:
         out["manifest_full_load_s"] = round(time.time() - t0, 3)
         assert len(full["files"]) == n
 
+        # clustering health sweep over all 100k entries (the metric
+        # gating recluster_table) — pure driver arithmetic, zero IO
+        from nimble_spark.sources.compaction import clustering_depth
+
+        t0 = time.time()
+        d_health = clustering_depth(full)
+        out["clustering_depth_100k_s"] = round(time.time() - t0, 3)
+        assert d_health["max_depth"] == 1  # synthetic ranges disjoint
+
         tbl._MANIFEST_CACHE.clear()
         tbl._PAGE_CACHE.clear()  # probe must pay real page I/O
         probed = [0]

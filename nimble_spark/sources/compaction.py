@@ -96,8 +96,23 @@ def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
     success silently loses rows. Only unreferenced files older than
     the grace are deleted; the retention trash (already superseded and
     manifest-tracked) is always reclaimed in full."""
+    import re
     import shutil
     import time as _time
+
+    from nimble_spark.sources.table import repair_interrupted_swap
+
+    # Finish any crashed staged-swap first (its marker names the live
+    # staging/old dirs — they are recovery state, not debris), THEN
+    # sweep leftover sibling dirs from staging writes that failed
+    # before their marker existed. Safe under the table lock vacuum
+    # already holds: no rewrite of this table can be live.
+    repair_interrupted_swap(path)
+    base = os.path.normpath(path)
+    sib_re = re.compile(re.escape(os.path.basename(base)) + r"-(rewrite|old)-[0-9a-f]{8}$")
+    for sib in os.listdir(os.path.dirname(base) or "."):
+        if sib_re.fullmatch(sib):
+            shutil.rmtree(os.path.join(os.path.dirname(base), sib), ignore_errors=True)
 
     m = read_manifest(path)
     referenced = {os.path.normpath(f["path"]) for f in m["files"]}

@@ -191,11 +191,27 @@ def merge_into(
     # hashes differently from the declared LONG for the same value),
     # so a type-mismatched key would compute wrong bucket ordinals —
     # missed matches in discovery, and rewritten rows landing in
-    # directories the table's point lookups never read.
+    # directories the table's point lookups never read. Only LOSSLESS
+    # widenings are cast implicitly; anything else raises — a blanket
+    # non-ANSI cast would silently wrap an out-of-range value or null
+    # an unparseable one and commit the corruption.
+    from nimble_spark.sources.table import _safe_widening
+
     tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
-    source = source.select(
-        [F.col(c).cast(tgt_types[c]).alias(c) for c in tgt.columns]
-    )
+    src_types = {f.name: f.dataType for f in source.schema.fields}
+    aligned = []
+    for c in tgt.columns:
+        st, tt = src_types[c].simpleString(), tgt_types[c].simpleString()
+        if st == tt:
+            aligned.append(F.col(c))
+        elif _safe_widening(st, tt):
+            aligned.append(F.col(c).cast(tgt_types[c]).alias(c))
+        else:
+            raise ValueError(
+                f"source column {c!r} type {st} does not losslessly widen "
+                f"to the table's {tt}; cast the source explicitly"
+            )
+    source = source.select(*aligned)
     keys = source.select(key).distinct()
 
     # 1. affected-file discovery: distributed semi-join, then a

@@ -204,6 +204,7 @@ def write_table(
     opts: WriteOptions | None = None,
     mode: str = "overwrite",
     _caller_holds_lock: bool = False,
+    _constraints_prevalidated: bool = False,
 ) -> dict:
     """Write a DataFrame as a nimble_spark table and return the manifest.
 
@@ -368,6 +369,7 @@ def write_table(
             stored_schema=out.schema if column_aliases else None,
             aliases=column_aliases,
             logical_columns=[f.name for f in df.schema.fields] if column_aliases else None,
+            constraints_prevalidated=_constraints_prevalidated,
         )
     _lock = table_write_lock(path)
     _lock.__enter__()
@@ -377,6 +379,7 @@ def write_table(
             stored_schema=out.schema if column_aliases else None,
             aliases=column_aliases,
             logical_columns=[f.name for f in df.schema.fields] if column_aliases else None,
+            constraints_prevalidated=_constraints_prevalidated,
         )
     finally:
         _lock.__exit__()
@@ -392,6 +395,7 @@ def _write_table_locked(
     stored_schema=None,
     aliases: Optional[dict] = None,
     logical_columns: Optional[list] = None,
+    constraints_prevalidated: bool = False,
 ) -> dict:
     spark = df.sparkSession
     # Incremental append: entries of files already committed are
@@ -461,7 +465,12 @@ def _write_table_locked(
     # lands; a violation aborts with nothing committed. limit(1)
     # short-circuits the scan at the first violating row.
     constraints = {**prior_constraints, **(opts.check_constraints or {})}
-    for cname, expr in constraints.items():
+    # Staged full rewrites (staged_swap_rewrite) re-write rows that
+    # already passed these constraints at their original commit; the
+    # constraints persist in the manifest but skip the per-constraint
+    # validation scan (one full pass of the input EACH on healthy data
+    # — limit(1) only short-circuits when a violation exists).
+    for cname, expr in ({} if constraints_prevalidated else constraints).items():
         bad = df.filter(~F.expr(expr)).limit(1).count()
         if bad:
             sample = df.filter(~F.expr(expr)).limit(1).collect()[0].asDict()
@@ -860,7 +869,18 @@ def read_manifest(path: str, materialize: bool = True) -> dict:
     per-page cache makes re-assembly after unrelated root changes
     (tags, commit log) free."""
     mf = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
-    st = os.stat(mf)
+    try:
+        st = os.stat(mf)
+    except FileNotFoundError:
+        # A staged_swap_rewrite crashed between its two renames (the
+        # table dir itself is briefly absent): complete it forward
+        # from the marker and retry. The marker is written only after
+        # the staging table is complete, so the rename is safe even
+        # from a reader; a concurrent writer's own rename just wins
+        # the race (both paths end with the dir present).
+        if not repair_interrupted_swap(path):
+            raise
+        st = os.stat(mf)
     version = (st.st_mtime_ns, st.st_size)
     hit = _MANIFEST_CACHE.get(mf)
     if hit is not None and hit[0] == version:
@@ -1723,27 +1743,96 @@ def layout_options_of(manifest: dict, n_cluster_files: int | None = None) -> Wri
     return WriteOptions(**kw)
 
 
+def _swap_marker(path: str) -> str:
+    return f"{os.path.normpath(path)}.__swap.json"
+
+
+def repair_interrupted_swap(path: str) -> bool:
+    """Finish (or roll back) a staged_swap_rewrite that crashed inside
+    its two-rename window. The marker is written only AFTER the
+    staging table is completely built, so forward completion is always
+    preferred: if the table dir is missing, the staged successor moves
+    in; only if the staging dir vanished too does the old table move
+    back. Idempotent; returns True when a repair ran. Callers must
+    hold the table write lock (staged_swap_rewrite, vacuum_table and
+    read_manifest's not-found path all route through here)."""
+    marker = _swap_marker(path)
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as fh:
+            info = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    repaired = False
+    if not os.path.isdir(path):
+        for src in (info.get("staging", ""), info.get("old", "")):
+            if src and os.path.isdir(src):
+                try:
+                    os.rename(src, path)
+                    repaired = True
+                except OSError:
+                    # another actor (the live writer, or a racing
+                    # reader's repair) completed the swap first — fine
+                    # as long as the table dir is back
+                    repaired = os.path.isdir(path)
+                break
+    if os.path.isdir(path):
+        try:
+            os.unlink(marker)
+        except FileNotFoundError:
+            repaired = repaired or False  # concurrent repair unlinked it
+        if info.get("old"):
+            shutil.rmtree(info["old"], ignore_errors=True)
+        if info.get("staging") and os.path.isdir(path):
+            shutil.rmtree(info["staging"], ignore_errors=True)
+    return repaired
+
+
 def staged_swap_rewrite(
     spark: SparkSession, path: str, df: "DataFrame", opts: WriteOptions
 ) -> dict:
     """Full-table rewrite via stage-then-swap: write ``df`` as a
     complete new table in a SIBLING staging dir (reading the live
     table the whole time — no self-overwrite, no driver/executor
-    pinning of the rows), then swap directories. A crash at ANY point
-    leaves either the old table intact (staging is debris) or the new
-    table fully published — never a half-deleted table, which an
-    in-place ``mode=overwrite`` risks the moment Spark clears the
-    target before the job finishes. Caller must hold the table write
-    lock (it lives OUTSIDE the table dir, so it survives the swap)."""
+    pinning of the rows), then swap directories. A crash during the
+    staging write leaves the old table untouched (staging is debris);
+    the swap itself is two renames bracketed by a marker file, so a
+    crash INSIDE that window is repaired forward by
+    repair_interrupted_swap (run automatically by the next rewrite,
+    vacuum, or a reader hitting the missing dir) — unlike an in-place
+    ``mode=overwrite``, which clears the target before the job runs
+    and loses the table outright on failure. Constraint re-validation
+    is skipped: the rows are by construction the table's own
+    already-committed rows. Caller must hold the table write lock (it
+    lives OUTSIDE the table dir, so it survives the swap)."""
+    repair_interrupted_swap(path)  # finish any predecessor's crash window
     staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
     try:
-        m = write_table(df, staging, opts, _caller_holds_lock=True)
+        m = write_table(
+            df, staging, opts, _caller_holds_lock=True, _constraints_prevalidated=True
+        )
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
     old = f"{path}-old-{uuid.uuid4().hex[:8]}"
+    marker = _swap_marker(path)
+    with open(marker, "w") as fh:
+        json.dump({"old": old, "staging": staging}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.rename(path, old)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except FileNotFoundError:
+        # a reader's repair_interrupted_swap raced us inside the
+        # window and completed the forward rename — accept its work
+        if not os.path.isdir(path):
+            raise
+    try:
+        os.unlink(marker)
+    except FileNotFoundError:
+        marker = ""  # the racing repair unlinked it too
     shutil.rmtree(old, ignore_errors=True)
     return m
 
@@ -1771,6 +1860,16 @@ def materialize_columns(spark: SparkSession, path: str) -> dict:
         aliases = manifest.get("column_aliases")
         if not aliases:
             return manifest
+        from nimble_spark.sources.deletes import DELETES_DIR
+
+        if os.path.isdir(os.path.join(path, DELETES_DIR)):
+            # the rewrite reads the UNMASKED rows and the swap discards
+            # the deletes dir — every masked row would resurrect
+            raise ValueError(
+                "materialize_columns with pending delete masks would "
+                "resurrect masked rows; run compact_deletes first (it "
+                "materializes aliases too)"
+            )
         opts = layout_options_of(manifest)
         df = read_table(spark, path)
         return staged_swap_rewrite(spark, path, df, opts)

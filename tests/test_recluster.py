@@ -253,3 +253,80 @@ def test_maintenance_advisor_and_dsl(spark, tmpdir):
     vacuum_table(path, min_age_s=0.0)
     assert advise_maintenance(path) == []
     assert run_command(spark, path, "SHOW MAINTENANCE").count() == 0
+
+
+def test_materialize_columns_refuses_pending_masks(spark, tmpdir):
+    """materialize_columns reads UNMASKED rows and the swap discards
+    the deletes dir — it must refuse rather than resurrect."""
+    from nimble_spark.sources.deletes import delete_rows
+    from nimble_spark.sources.table import materialize_columns
+
+    path = f"{tmpdir}/alias_masked"
+    rows = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 6.0, 6.0)], "k LONG, v DOUBLE, v_copy DOUBLE"
+    )
+    write_table(rows, path, WriteOptions(dedup_columns=True))
+    if not read_manifest(path).get("column_aliases"):
+        pytest.skip("dedup did not alias")
+    delete_rows(spark, path, "k", [2])
+    with pytest.raises(ValueError, match="delete masks"):
+        materialize_columns(spark, path)
+
+
+def test_merge_rejects_narrowing_source_types(spark, tmpdir):
+    """A LONG source against an INT table must raise, not wrap: the
+    non-ANSI cast would silently truncate 2^35 to 0 and merge onto the
+    wrong key."""
+    from nimble_spark.sources.merge import merge_into
+
+    path = f"{tmpdir}/narrow"
+    write_table(
+        spark.createDataFrame([(1, "a")], "k INT, name STRING"), path, WriteOptions()
+    )
+    src = spark.createDataFrame([(2**35, "boom")], "k LONG, name STRING")
+    with pytest.raises(ValueError, match="losslessly widen"):
+        merge_into(spark, path, src, key="k")
+
+
+def test_interrupted_swap_repairs_forward(spark, tmpdir):
+    """A crash between staged_swap_rewrite's two renames leaves the
+    marker + the complete staging dir; the next read (or write, or
+    vacuum) completes the swap forward instead of failing forever."""
+    import json
+    import os
+
+    from nimble_spark.sources.table import _swap_marker
+
+    path = f"{tmpdir}/swap_crash"
+    write_table(spark.range(10).selectExpr("id AS k"), path, WriteOptions())
+
+    # simulate: successor fully staged, marker written, first rename
+    # done (table dir gone), then crash before the second rename
+    staging = f"{path}-rewrite-deadbeef"
+    write_table(spark.range(20).selectExpr("id AS k"), staging, WriteOptions())
+    old = f"{path}-old-deadbeef"
+    with open(_swap_marker(path), "w") as fh:
+        json.dump({"old": old, "staging": staging}, fh)
+    os.rename(path, old)
+
+    got = read_table(spark, path)  # read-side repair completes forward
+    assert got.count() == 20  # the STAGED successor won (marker = staged complete)
+    assert not os.path.exists(_swap_marker(path))
+    assert not os.path.isdir(old) and not os.path.isdir(staging)
+
+
+def test_vacuum_sweeps_swap_debris(spark, tmpdir):
+    """Staging dirs from rewrites that failed before their marker
+    existed live OUTSIDE the table root; vacuum reclaims them."""
+    import os
+
+    from nimble_spark.sources.compaction import vacuum_table
+
+    path = f"{tmpdir}/debris_owner"
+    write_table(spark.range(5).selectExpr("id AS k"), path, WriteOptions())
+    debris = f"{path}-rewrite-0123abcd"
+    os.makedirs(debris)
+    open(os.path.join(debris, "part-junk.parquet"), "w").close()
+    vacuum_table(path, min_age_s=0.0)
+    assert not os.path.isdir(debris)
+    assert read_table(spark, path).count() == 5
