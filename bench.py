@@ -73,6 +73,14 @@ HEADLINE = [
     "q_dedup_columns_roundtrip",
     "q_snapshot_tag_read",
     "q_rollback_restore",
+    # round-6 maintenance surface: layout-preserving rewrites,
+    # clustering health + recluster, the maintenance advisor — cold
+    # rows include each fixture's one-time build (merge/compaction/
+    # recluster of a cached table), warm rows are read-path cost.
+    "q_partitioned_merge",
+    "q_partitioned_compaction",
+    "q_recluster_scan",
+    "q_maintenance_advice",
 ]
 
 

@@ -583,15 +583,33 @@ def advise_maintenance(
         )
     idx = m.get("indexes", {})
     if "cluster" in idx or "zorder" in idx:
-        d = clustering_depth(m)
-        if d["max_depth"] > max_depth:
+        if "zorder" in idx:
+            # Z-layouts overlap on any SINGLE key by design: a fresh
+            # d-key layout of F files projects ~F^((d-1)/d) overlapping
+            # ranges per key (measured ~1.5-2x that constant), so the
+            # flat depth>2 rule would flag a perfectly fresh table.
+            # Only genuine append degradation beyond the geometric
+            # baseline (x3 safety factor) is advice-worthy.
+            import math
+
+            keys = idx["zorder"]["keys"]
+            depths = [clustering_depth(m, key=k) for k in keys]
+            d = max(depths, key=lambda x: x["max_depth"])
+            nd = max(1, len(keys))
+            f = max(1, d["ranged_files"])
+            thresh = max(max_depth, math.ceil(3 * f ** ((nd - 1) / nd)))
+        else:
+            d = clustering_depth(m, key=idx["cluster"]["keys"][0])
+            thresh = max_depth
+        if d["max_depth"] > thresh:
             recs.append(
                 {
                     "action": "recluster_table",
                     "evidence": d["max_depth"],
                     "reason": (
                         f"point probes on {d['key']!r} open up to "
-                        f"{d['max_depth']} files (avg {d['avg_depth']})"
+                        f"{d['max_depth']} files (avg {d['avg_depth']}, "
+                        f"healthy ≤ {thresh})"
                     ),
                 }
             )

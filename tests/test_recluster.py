@@ -330,3 +330,24 @@ def test_vacuum_sweeps_swap_debris(spark, tmpdir):
     vacuum_table(path, min_age_s=0.0)
     assert not os.path.isdir(debris)
     assert read_table(spark, path).count() == 5
+
+
+def test_maintenance_advisor_zorder_baseline(spark, tmpdir):
+    """Z-layouts overlap on any single key BY DESIGN — a fresh
+    z-ordered table must NOT trip the recluster advice; interleaved
+    appends beyond the geometric baseline must."""
+    from nimble_spark.sources.compaction import advise_maintenance
+
+    rows = spark.range(0, 20000).selectExpr(
+        "id AS x", "(id * 37) % 20000 AS y", "id * 1.0 AS v"
+    )
+    fresh = f"{tmpdir}/z_fresh"
+    write_table(rows, fresh, WriteOptions(zorder_by=["x", "y"], n_cluster_files=8))
+    assert "recluster_table" not in {r["action"] for r in advise_maintenance(fresh)}
+
+    degraded = f"{tmpdir}/z_degraded"
+    opts = WriteOptions(zorder_by=["x", "y"], n_cluster_files=8)
+    write_table(rows.filter("x % 4 = 0"), degraded, opts)
+    for i in (1, 2, 3):
+        write_table(rows.filter(f"x % 4 = {i}"), degraded, opts, mode="append")
+    assert "recluster_table" in {r["action"] for r in advise_maintenance(degraded)}
