@@ -280,3 +280,113 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("max_cnt").cast("double") / F.col("n_grams")).alias("top_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (duplicated token spans across documents)
+# ---------------------------------------------------------------------------
+
+# Anchor width in tokens. Every k-token window (stride 1) is hashed; a
+# window whose hash occurs in >1 distinct document marks a duplicated
+# anchor, and overlapping/adjacent duplicated anchors merge into
+# maximal duplicated spans — the distributed approximation of
+# suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"). At 100 TB you raise
+# the stride and/or k; the plan shape is unchanged.
+_SPAN_K = 8
+
+
+@register(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    s0 AS (SELECT doc_id, len(toks) AS n_toks,
+                  {shingles_sql_duck("toks", _SPAN_K)} AS sh
+           FROM t),
+    s AS (SELECT doc_id, n_toks,
+                 unnest(sh) AS g,
+                 unnest(generate_series(0, len(sh) - 1)) AS pos
+          FROM s0),
+    h AS (SELECT doc_id, n_toks, pos,
+                 CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS gh
+          FROM s),
+    shared AS (SELECT gh FROM h GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
+    dup AS (SELECT h.doc_id, h.n_toks, h.pos FROM h JOIN shared USING (gh)),
+    r AS (SELECT doc_id, n_toks, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_K}
+                      THEN 1 ELSE 0 END AS brk
+          FROM dup),
+    rr AS (SELECT doc_id, n_toks, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+           FROM r),
+    spans AS (SELECT doc_id, n_toks, run_id,
+                     MAX(pos) - MIN(pos) + {_SPAN_K} AS span_toks
+              FROM rr GROUP BY doc_id, n_toks, run_id)
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(span_toks) AS BIGINT) AS dup_tokens,
+           {rnd_sql("CAST(SUM(span_toks) AS DOUBLE) / n_toks")} AS dup_frac
+    FROM spans
+    GROUP BY doc_id, n_toks
+    """,
+    category="pipeline",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: per document, the maximal token
+    spans whose every k-token window also occurs verbatim in another
+    document — the distributed analogue of suffix-array training-data
+    dedup (Lee et al. 2021). Anchors are 60-bit hashed k-grams at
+    stride 1; anchors within k of each other merge into one span
+    (their token coverage is contiguous), so a verbatim boilerplate
+    block reports as ONE span with its true token length.
+
+    Scale shape: shuffles carry (doc_id, pos, 60-bit hash) tuples —
+    never text. One hash shuffle finds cross-doc anchors, one doc_id
+    shuffle merges runs with a partition-local window; both keys are
+    high-cardinality and unskewed. Stride/k are the knobs that trade
+    recall for anchor volume at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    s = t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.posexplode_outer(F.expr(shingles_sql_spark("toks", _SPAN_K))).alias("pos", "g"),
+    ).filter(F.col("g").isNotNull())
+    h = s.select(
+        "doc_id",
+        "n_toks",
+        "pos",
+        F.expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").alias("gh"),
+    )
+    shared = (
+        h.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    dup = h.join(shared, "gh").select("doc_id", "n_toks", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        dup.withColumn("gap", F.col("pos") - F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(F.col("gap").isNull() | (F.col("gap") > _SPAN_K), 1).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = runs.groupBy("doc_id", "n_toks", "run_id").agg(
+        (F.max("pos") - F.min("pos") + F.lit(_SPAN_K)).alias("span_toks")
+    )
+    return spans.groupBy("doc_id", "n_toks").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_toks").cast("bigint").alias("dup_tokens"),
+        rnd(F.sum("span_toks").cast("double") / F.col("n_toks")).alias("dup_frac"),
+    ).select("doc_id", "n_spans", "dup_tokens", "dup_frac")

@@ -1768,3 +1768,60 @@ def q_map_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("pm", "k").alias("k_val"),
         F.size(F.map_keys("pm")).cast("long").alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide feature table: hundreds of physical columns, projected reads
+# ---------------------------------------------------------------------------
+
+# The reference's headline workload is ML feature tables with
+# thousands to tens of thousands of columns (reference README.md:21-24)
+# where any one training job projects a small subset. This query
+# materializes the embeddings table FLATTENED into per-dimension
+# physical feature columns (f00..f63 — the classic feature-store
+# layout nimble's FlatMap serves), then answers an aggregate that
+# touches 3 of the 66 columns through a projected read. The plan-audit
+# suite pins that the parquet scan's ReadSchema carries ONLY the
+# projected columns — the whole point of a columnar format at this
+# width: IO scales with the projection, not the schema.
+_WIDE_D = 64
+
+
+@register(
+    "q_wide_feature_projection",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n,
+           {lsum_sql("CAST(embedding[8] AS DOUBLE)")} AS sum_f07,
+           {lsum_sql("CAST(embedding[32] AS DOUBLE)")} AS sum_f31,
+           {lsum_sql("CAST(embedding[56] AS DOUBLE)")} AS sum_f55
+    FROM embeddings GROUP BY label
+    """,
+    category="format",
+)
+def q_wide_feature_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-feature-table projection: 64 per-dimension feature columns
+    (the flattened feature-store layout the reference targets,
+    README.md:21-24, FlatMap per-key streams LayoutPlanner.cpp:84-92)
+    written once, then an aggregate over 3 of them via a projected
+    read. read_table(columns=...) reaches the parquet scan, so bytes
+    read scale with the 3-column projection, not the 66-column schema
+    — the property that makes 10k-column feature tables queryable.
+    Sums use the scaled-int64 exact path (portable for arbitrary
+    float32 inputs)."""
+
+    def _build(tmp: str) -> None:
+        e = load(spark, sf_dir, "embeddings")
+        cols = [
+            F.expr(f"CAST(element_at(embedding, {i + 1}) AS DOUBLE)").alias(f"f{i:02d}")
+            for i in range(_WIDE_D)
+        ]
+        write_table(e.select("vec_id", "label", *cols), tmp, WriteOptions())
+
+    path = ensure_cached(sf_dir, "embeddings__wide_features", ["embeddings"], _build)
+    df = read_table(spark, path, columns=["label", "f07", "f31", "f55"])
+    return df.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        lsum("f07").alias("sum_f07"),
+        lsum("f31").alias("sum_f31"),
+        lsum("f55").alias("sum_f55"),
+    )

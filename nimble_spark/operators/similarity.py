@@ -797,3 +797,127 @@ def q_label_noise_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_agree",
         F.when(F.col("n_agree") * 2 < TOP_K, 1).otherwise(0).alias("suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ADC top-k: asymmetric-distance scan over int8 codes + exact re-rank
+# ---------------------------------------------------------------------------
+
+# Shortlist width for the quantized first pass (the refine set each
+# query re-ranks with full-precision vectors).
+_ADC_SHORTLIST = 10
+
+# Candidate-side int8 quantization — same arithmetic as
+# q_embedding_quantize (per-vector scale = max|x|/127, floor-round,
+# clamp). Codes are exact small doubles, so dot folds over them are
+# bit-identical across engines.
+_CODES_SPARK = (
+    "transform(embedding, x -> GREATEST(-127.0D, LEAST(127.0D, "
+    "FLOOR(CAST(x AS DOUBLE) / scale + 0.5))))"
+)
+_CODES_DUCK = (
+    "list_transform(embedding, x -> GREATEST(-127.0, LEAST(127.0, "
+    "FLOOR(CAST(x AS DOUBLE) / scale + 0.5))))"
+)
+
+_ADC_TOPK_DUCK = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    cs AS (
+      SELECT vec_id AS cid,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ),
+    c AS (SELECT cid, {_CODES_DUCK} AS codes FROM cs),
+    adc AS (
+      SELECT qid, cid, qv,
+             {_DOT_DUCK.format(a="qv", b="codes")} /
+               ({_norm_duck("qv")} * sqrt({_DOT_DUCK.format(a="codes", b="codes")})) AS adc_sim
+      FROM q, c WHERE qid <> cid
+    ),
+    short AS (
+      SELECT qid, cid, qv, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR(adc_sim * 1000000 + 0.5) / 1000000 DESC, cid) AS ark
+      FROM adc
+    ),
+    re AS (
+      SELECT s.qid, s.cid, s.adc_sim,
+             {_DOT_DUCK.format(a="s.qv", b="e.embedding")} /
+               ({_norm_duck("s.qv")} * {_norm_duck("e.embedding")}) AS sim
+      FROM short s JOIN embeddings e ON e.vec_id = s.cid
+      WHERE s.ark <= {_ADC_SHORTLIST}
+    ),
+    ranked AS (
+      SELECT qid, cid, sim, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR(sim * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM re
+    )
+    SELECT qid, cid, rk,
+           FLOOR(sim * 10000 + 0.5) / 10000 AS sim,
+           FLOOR(adc_sim * 10000 + 0.5) / 10000 AS adc_sim
+    FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("q_ann_adc_topk", oracle=_ADC_TOPK_DUCK, category="similarity")
+def q_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: the first pass
+    scans int8-quantized candidate codes (4× less state than fp32 —
+    the compression that fits a billion-vector index in executor RAM)
+    against full-precision broadcast queries, keeps a shortlist of
+    {_ADC_SHORTLIST}, then re-ranks the shortlist with exact
+    full-precision cosine — the standard quantized-scan + refine
+    serving pattern (Jegou et al. PQ, here with per-vector scalar
+    codes so the oracle is exactly expressible).
+
+    Scale shape: the quantized scan is partition-local against a
+    broadcast query set (no candidate shuffle); the refine step joins
+    only |Q|·shortlist rows back to full vectors — at 100 TB that is
+    the only full-precision IO the query does.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = (
+        e.select(
+            F.col("vec_id").alias("cid"),
+            F.expr(
+                "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+            ).alias("scale"),
+            "embedding",
+        )
+        .select("cid", F.expr(_CODES_SPARK).alias("codes"))
+    )
+    adc_sim = F.expr(_DOT_SPARK.format(a="qv", b="codes")) / (
+        F.expr(_norm_spark("qv"))
+        * F.sqrt(F.expr(_DOT_SPARK.format(a="codes", b="codes")))
+    )
+    adc = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "qv", adc_sim.alias("adc_sim"))
+    )
+    w1 = W.partitionBy("qid").orderBy(rnd("adc_sim", 6).desc(), "cid")
+    short = adc.withColumn("ark", F.row_number().over(w1)).filter(
+        F.col("ark") <= _ADC_SHORTLIST
+    )
+    cv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="cv")) / (
+        F.expr(_norm_spark("qv")) * F.expr(_norm_spark("cv"))
+    )
+    re = short.join(cv, "cid").select("qid", "cid", "adc_sim", sim.alias("sim"))
+    w2 = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        re.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "qid",
+            "cid",
+            "rk",
+            rnd("sim", 4).alias("sim"),
+            rnd("adc_sim", 4).alias("adc_sim"),
+        )
+    )

@@ -595,3 +595,45 @@ def test_lifecycle_postures(spark, name, max_shuffles):
         forbid_python_eval=True,
     )
     assert a.n_cartesian == 0, a.plan
+
+
+def test_substring_dedup_posture(spark):
+    # anchors shuffle as (doc_id, pos, 60-bit hash) tuples — never
+    # text; cross-doc anchor detection and run merging are equi-joins
+    # and partition-local windows, no cartesian anywhere
+    a = assert_posture(
+        _q("q_substring_dedup")(spark, SF_MED),
+        max_shuffles=6,
+        require_partial_agg=True,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0 and a.n_bnl_joins == 0, a.plan
+
+
+def test_ann_adc_topk_posture(spark):
+    # quantized first pass: broadcast query set against a
+    # partition-local candidate scan (BNL by design, like
+    # q_cosine_topk); refine joins only |Q|*shortlist rows back
+    a = assert_posture(
+        _q("q_ann_adc_topk")(spark, SF_MED),
+        forbid_python_eval=True,
+    )
+    assert a.n_bnl_joins >= 1 or a.n_broadcast_joins >= 1, a.plan
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_wide_feature_projection_reads_only_projected_columns(spark):
+    # the whole point of the columnar layout at 10k-column width:
+    # ReadSchema carries the 4 projected fields, none of the other 62
+    from nimble_spark.plans.audit import plan_string
+
+    df = _q("q_wide_feature_projection")(spark, SF_MED)
+    p = plan_string(df)
+    read_schemas = [seg[:400] for seg in p.split("ReadSchema: ")[1:]]
+    assert read_schemas, p
+    wide_scan = [s for s in read_schemas if "f07" in s]
+    assert wide_scan, p
+    for s in wide_scan:
+        assert "f31" in s and "f55" in s
+        for other in ("f00", "f01", "f42", "f63", "vec_id"):
+            assert other not in s, s
