@@ -81,6 +81,11 @@ HEADLINE = [
     "q_partitioned_compaction",
     "q_recluster_scan",
     "q_maintenance_advice",
+    # round-6 continuation: substring-span dedup (the heaviest new
+    # text workload — stride-1 anchor explosion) and the quantized
+    # ADC serving scan
+    "q_substring_dedup",
+    "q_ann_adc_topk",
 ]
 
 

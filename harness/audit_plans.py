@@ -55,6 +55,7 @@ DEFAULT = [
     "q_kmv_set_ops", "q_bm25_search",
     "q_partitioned_merge", "q_partitioned_compaction", "q_recluster_scan",
     "q_maintenance_advice",
+    "q_substring_dedup", "q_ann_adc_topk", "q_wide_feature_projection",
 ]
 
 

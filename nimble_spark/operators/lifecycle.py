@@ -616,3 +616,66 @@ def q_maintenance_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r["action"],) for r in recs], "action STRING"
     )
+
+
+@register(
+    "q_incremental_recluster",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_orderkey, l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_orderkey <= 1500
+    )
+    SELECT COUNT(*) AS n,
+           {dsum_sql("l_extendedprice")} AS revenue,
+           1 AS partial_ok
+    FROM t WHERE l_orderkey BETWEEN 500 AND 2500
+    """,
+    category="tools",
+)
+def q_incremental_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (partial) recluster — the 100 TB steady-state
+    OPTIMIZE path (compaction.py plan_recluster / recluster_table
+    incremental=True): a narrow append overlaps only the files
+    covering its key range, so ONLY that overlap component is
+    re-ranged; every already-disjoint file passes through the commit
+    untouched, history/tags/delete-masks are KEPT (data_change=false
+    commit, unlike the full rewrite which resets history), and cost
+    scales with the overlap debt, not table size. The in-query
+    ``partial_ok`` literal proves all of it from the cached table's
+    manifest: a 'recluster' commit that removed FEWER files than the
+    table had (partial), depth restored ≤ 2, and data_change=false.
+    The range scan spans both rewritten and untouched key space, so
+    the oracle hash also proves the rewrite moved no rows."""
+    from nimble_spark.sources.compaction import clustering_depth, recluster_table
+
+    def _build(tmp: str) -> None:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        write_table(
+            li, tmp, WriteOptions(cluster_by=["l_orderkey"], n_cluster_files=8)
+        )
+        write_table(
+            li.filter("l_orderkey <= 1500"), tmp,
+            WriteOptions(cluster_by=["l_orderkey"], n_cluster_files=1),
+            mode="append",
+        )
+        recluster_table(spark, tmp, incremental=True)
+
+    rec = ensure_cached(sf_dir, "li__increcluster", ["lineitem"], _build)
+    m = read_manifest(rec)
+    c = m["commits"][-1]
+    files_before = len(m["files"]) - c["files_added"] + c["files_removed"]
+    d = clustering_depth(m)
+    ok = int(
+        c["mode"] == "recluster"
+        and c["data_change"] is False
+        and 0 < c["files_removed"] < files_before
+        and d["max_depth"] <= 2
+    )
+    return read_table(
+        spark, rec, range_scan=("l_orderkey", 500, 2500)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+        F.lit(ok).cast("int").alias("partial_ok"),
+    )

@@ -277,18 +277,72 @@ def compact_table(
             os.path.join(path, out_name), path, stat_cols
         )
 
-    # Splice: untouched entries keep their positions (verbatim when
-    # their stats are complete, re-described from the footer when a
-    # legacy entry lacks them — same completeness rule as the
-    # incremental build's reuse filter); each merged entry takes its
-    # bin's first-member position.
-    merged_away = {os.path.normpath(f["path"]) for b in bins for f in b}
+    new_m = _publish_partial_rewrite(
+        path,
+        m,
+        bins,
+        {k: [v] for k, v in merged_entry_at.items()},
+        mode="compact",
+        user_md={
+            "compaction.files_before": str(files_before),
+            "compaction.bins": str(len(bins)),
+        },
+        stat_cols=stat_cols,
+    )
+    return {
+        "bins": len(bins),
+        "files_before": files_before,
+        "files_after": len(new_m["files"]),
+        "rows": new_m["rows"],
+    }
+
+
+def _publish_partial_rewrite(
+    path: str,
+    m: dict,
+    groups: list[list[dict]],
+    entries_at: dict[str, list[dict]],
+    mode: str,
+    user_md: dict,
+    stat_cols,
+) -> dict:
+    """Shared publish step for PARTIAL physical rewrites (compaction,
+    incremental recluster): splice the new entries into the manifest,
+    publish atomically BEFORE deleting any source file, then tombstone
+    the replaced files into the retention trash.
+
+    ``groups`` are the replaced manifest entries; ``entries_at`` maps
+    each group's first-member relpath to its ordered replacement
+    entries (splicing at the first member keeps manifest order — the
+    cluster range order authority — intact). Untouched entries keep
+    their positions: verbatim when their stats are complete,
+    re-described from the footer when a legacy entry lacks them (same
+    completeness rule as the incremental build's reuse filter).
+
+    The commit log, CHECK constraints, and column attributes carry
+    forward: this is a physical rewrite, not a new table. Streaming
+    offsets (commit indices) stay valid — replays of windows whose
+    files were rewritten away fail LOUDLY via resolve_historical_file
+    until vacuum, like any rewrite — and appends keep validating the
+    table's constraints. The rewrite logs a data_change=False commit
+    (the Delta OPTIMIZE marker): snapshot replays APPLY it, CDC/stream
+    consumers SKIP it — re-emitting 100 TB of unchanged rows through
+    every downstream stream because the layout changed would be the
+    scale anti-pattern."""
+    from nimble_spark.sources.table import (
+        _describe_parquet_file,
+        _fold_column_stats,
+        _layout_stats,
+        _write_manifest,
+    )
+
+    replaced = {os.path.normpath(f["path"]) for g in groups for f in g}
     files_info: list[dict] = []
     for f in m["files"]:
         rel = os.path.normpath(f["path"])
-        if rel in merged_entry_at:
-            files_info.append(merged_entry_at[rel])
-        elif rel not in merged_away:
+        if rel in entries_at:
+            files_info.extend(entries_at[rel])
+        elif rel not in replaced:
             if "nulls" in f and "min" in f:
                 files_info.append(f)
             else:  # legacy/partial entry: re-read its footer
@@ -296,14 +350,8 @@ def compact_table(
                     _describe_parquet_file(os.path.join(path, rel), path, stat_cols)
                 )
 
-    # The commit log, CHECK constraints, and column attributes carry
-    # forward: a compaction is a physical rewrite, not a new table.
-    # Streaming offsets (commit indices) stay valid — replays of
-    # windows whose files were merged away fail LOUDLY via
-    # resolve_historical_file until vacuum, like any rewrite — and
-    # appends keep validating the table's constraints. The compaction
-    # itself logs a commit recording what it added and removed.
     prior_commits = list(m.get("commits", []))
+    n_added = sum(len(v) for v in entries_at.values())
     new_m = {
         "format_version": 1,
         # carry the prior stats generation: untouched entries pass
@@ -316,54 +364,45 @@ def compact_table(
         "rows": sum(f["rows"] for f in files_info),
         "files": files_info,
         "column_stats": _fold_column_stats(files_info),
-        "indexes": idx,
-        "user_metadata": {
-            **m.get("user_metadata", {}),
-            "compaction.files_before": str(files_before),
-            "compaction.bins": str(len(bins)),
-        },
+        "indexes": m.get("indexes", {}),
+        "user_metadata": {**m.get("user_metadata", {}), **user_md},
         "write_stats": dict(m.get("write_stats", {}), **_layout_stats(files_info)),
         "commits": prior_commits
         + [
             {
                 "commit": len(prior_commits),
-                "mode": "compact",
-                # data_change=False: the commit rewrites bytes, not rows
-                # (same marker as Delta's OPTIMIZE). Snapshot replays
-                # APPLY it (files + removed reconstruct the post-compact
-                # layout); CDC/stream consumers SKIP it — re-emitting
-                # 100 TB of unchanged rows through every downstream
-                # stream because the layout changed would be the scale
-                # anti-pattern.
+                "mode": mode,
                 "data_change": False,
-                "files_added": len(merged_entry_at),
-                "files_removed": len(merged_away),
-                "removed": sorted(merged_away),
+                "files_added": n_added,
+                "files_removed": len(replaced),
+                "removed": sorted(replaced),
                 "rows_added": 0,
-                "files": sorted(e["path"] for e in merged_entry_at.values()),
+                "files": sorted(
+                    e["path"] for v in entries_at.values() for e in v
+                ),
             }
         ],
     }
     if m.get("constraints"):
         new_m["constraints"] = m["constraints"]
-    # dedup_columns contract survives a physical rewrite: merged files
-    # are read from (and written with) the stored schema, so the alias
-    # map and logical order stay exactly as recorded.
+    # dedup_columns contract survives a physical rewrite: rewritten
+    # files are read from (and written with) the stored schema, so the
+    # alias map and logical order stay exactly as recorded.
     for k in ("column_aliases", "logical_columns", "tags"):
         if m.get(k):
             new_m[k] = m[k]
     _write_manifest(path, new_m)  # ATOMIC commit point
 
-    # Only after the publish: tombstone the merged-away sources into
-    # the retention trash (same discipline as merge.py — snapshots and
-    # CDC replays spanning the compaction stay readable until VACUUM).
-    # A crash mid-loop strands some at their original paths, where
+    # Only after the publish: tombstone the replaced sources into the
+    # retention trash (same discipline as merge.py — snapshots and CDC
+    # replays spanning the rewrite stay readable until VACUUM). A
+    # crash mid-loop strands some at their original paths, where
     # historical reads still resolve them; the live manifest never
     # references them again either way.
     trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
     os.makedirs(trash, exist_ok=True)
-    for b in bins:
-        for f in b:
+    for g in groups:
+        for f in g:
             src = os.path.join(path, f["path"])
             # rel-path-preserving, like merge/rollback:
             # resolve_historical_file globs trash/commit-*/<rel>, so
@@ -377,12 +416,7 @@ def compact_table(
             crc = os.path.join(os.path.dirname(src), f".{os.path.basename(src)}.crc")
             if os.path.exists(crc):
                 os.remove(crc)
-    return {
-        "bins": len(bins),
-        "files_before": files_before,
-        "files_after": len(new_m["files"]),
-        "rows": new_m["rows"],
-    }
+    return new_m
 
 
 def fast_minmax(spark: SparkSession, path: str, col: str):
@@ -486,7 +520,11 @@ def clustering_depth(manifest: dict, key: str | None = None) -> dict:
 
 
 def recluster_table(
-    spark: SparkSession, path: str, n_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    n_files: int | None = None,
+    incremental: bool = False,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Restore the declared cluster/zorder layout after append
     degradation — the OPTIMIZE ZORDER analogue. Appends keep pruning
@@ -510,7 +548,20 @@ def recluster_table(
     appends were. Holds the table write lock across the whole
     read→rewrite span, and stages into a sibling dir swapped in whole
     (staged_swap_rewrite) — a crash mid-rewrite leaves the old table
-    intact, never a half-deleted one."""
+    intact, never a half-deleted one.
+
+    ``incremental=True`` switches to the PARTIAL rewrite: only the
+    files whose key ranges actually overlap are re-ranged (grouped by
+    overlap component from manifest bounds — zero data IO to plan),
+    everything already disjoint is untouched, and the result publishes
+    as a compaction-style data_change=False commit that KEEPS history,
+    tags, snapshots, and pending delete masks (they are value sets, so
+    a physical rewrite cannot resurrect rows). This is the 100 TB
+    steady-state path — a weekly global reshuffle of a 100 TB table is
+    not a plan; rewriting the few overlapping files an append window
+    touched is. Cost is proportional to the overlap debt, not table
+    size. Range-cluster layouts only (zorder interleaving is not
+    captured by per-column bounds — use the full rewrite)."""
     from nimble_spark.sources.deletes import DELETES_DIR
     from nimble_spark.sources.table import (
         layout_options_of,
@@ -527,6 +578,8 @@ def recluster_table(
                 "recluster_table on an aliased (dedup_columns) table: "
                 "run materialize_columns first"
             )
+        if incremental:
+            return _recluster_partial(spark, path, m, target_file_bytes)
         idx = m.get("indexes", {})
         if "cut" in idx:
             raise ValueError("cut layouts re-cut whole groups on every write; "
@@ -546,6 +599,158 @@ def recluster_table(
         }
         df = read_table(spark, path)
         return staged_swap_rewrite(spark, path, df, opts)
+
+
+def plan_recluster(m: dict, key: str | None = None) -> list[list[dict]]:
+    """Overlap components of the cluster key's per-file ranges — the
+    plan for an INCREMENTAL recluster, from manifest bounds alone
+    (zero data IO, O(F log F) driver work). Files are grouped per leaf
+    directory (partition/bucket dirs ARE the index — a rewrite never
+    crosses one, same invariant as plan_compaction); within a
+    directory, ranges sorted by min merge transitively while they
+    overlap (touching counts, matching clustering_depth's tie rule).
+    Returns only the components worth rewriting (2+ files). A file
+    without bounds for the key overlaps everything in its directory,
+    so its whole directory becomes one component."""
+    if key is None:
+        keys = (m.get("indexes", {}).get("cluster") or {}).get("keys", [])
+        if not keys:
+            raise ValueError("table has no cluster layout; pass key= explicitly")
+        key = keys[0]
+    by_dir: dict[str, list[dict]] = {}
+    for f in m["files"]:
+        by_dir.setdefault(os.path.dirname(os.path.normpath(f["path"])), []).append(f)
+    groups: list[list[dict]] = []
+    for _dir, files in by_dir.items():
+        ranged = [
+            f
+            for f in files
+            if (f.get("min") or {}).get(key) is not None
+            and (f.get("max") or {}).get(key) is not None
+        ]
+        if len(ranged) < len(files):
+            if len(files) > 1:
+                groups.append(list(files))
+            continue
+        by_min = sorted(ranged, key=lambda f: f["min"][key])
+        cur = [by_min[0]]
+        cur_max = by_min[0]["max"][key]
+        for f in by_min[1:]:
+            if f["min"][key] <= cur_max:
+                cur.append(f)
+                if f["max"][key] > cur_max:
+                    cur_max = f["max"][key]
+            else:
+                if len(cur) > 1:
+                    groups.append(cur)
+                cur = [f]
+                cur_max = f["max"][key]
+        if len(cur) > 1:
+            groups.append(cur)
+    return groups
+
+
+def _recluster_partial(
+    spark: SparkSession, path: str, m: dict, target_file_bytes: int
+) -> dict:
+    """Incremental recluster body (called under the table write lock):
+    group files into overlap components on the first cluster key from
+    manifest bounds, re-range each component in isolation, publish via
+    the shared partial-rewrite path. Components are computed per leaf
+    directory — partition/bucket dirs ARE the index, a rewrite never
+    crosses one (same invariant as plan_compaction).
+
+    Correctness of partial disjointness: files in singleton components
+    overlap NO other file in their directory, and a component's new
+    files are range-partitioned within the component's combined span —
+    which, by construction, does not intersect any singleton. So after
+    the rewrite every directory's ranges are pairwise disjoint (depth
+    1) except where unranged (no-stats) files force whole-directory
+    components."""
+    import math
+
+    import pyspark.sql.types as T
+
+    from nimble_spark.sources.table import _describe_parquet_file, _stat_cols
+
+    idx = m.get("indexes", {})
+    if "cluster" not in idx:
+        raise ValueError(
+            "incremental recluster needs a range cluster layout; zorder "
+            "interleaving is not captured by per-column bounds — use the "
+            "full recluster_table rewrite"
+        )
+    keys = idx["cluster"]["keys"]
+    key = keys[0]
+    stat_cols = _stat_cols(T.StructType.fromJson(m["schema"]))
+    groups = plan_recluster(m, key=key)
+    files_before = len(m["files"])
+    if not groups:
+        return {
+            "groups": 0,
+            "files_rewritten": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+            "rows": m["rows"],
+        }
+
+    entries_at: dict[str, list[dict]] = {}
+    for g in groups:
+        srcs = [os.path.join(path, f["path"]) for f in g]
+        df = spark.read.parquet(*srcs)
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(
+                f"cluster key(s) {missing} are not physical columns "
+                "(partition-derived); use the full recluster_table rewrite"
+            )
+        n_out = max(1, math.ceil(sum(f["bytes"] for f in g) / target_file_bytes))
+        out = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+        tmp = os.path.join(path, MANIFEST_DIR, f"recluster-tmp-{uuid.uuid4().hex}")
+        writer = out.write.mode("overwrite").option("compression", "zstd")
+        for c in (idx.get("bloom") or {}).get("keys", []):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(tmp)
+        bin_dir = os.path.dirname(os.path.normpath(g[0]["path"]))
+        new_entries: list[dict] = []
+        for p in sorted(os.listdir(tmp)):
+            if not p.endswith(".parquet"):
+                continue
+            out_name = os.path.join(bin_dir, f"recluster-{uuid.uuid4().hex[:12]}.parquet")
+            shutil.move(os.path.join(tmp, p), os.path.join(path, out_name))
+            e = _describe_parquet_file(os.path.join(path, out_name), path, stat_cols)
+            if e["rows"] == 0:  # empty range partition — drop, don't publish
+                os.remove(os.path.join(path, out_name))
+                continue
+            new_entries.append(e)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # splice in key order so manifest order stays the range order
+        new_entries.sort(
+            key=lambda e: ((e["min"] or {}).get(key) is None, (e["min"] or {}).get(key))
+        )
+        entries_at[os.path.normpath(g[0]["path"])] = new_entries
+
+    n_rewritten = sum(len(g) for g in groups)
+    new_m = _publish_partial_rewrite(
+        path,
+        m,
+        groups,
+        entries_at,
+        mode="recluster",
+        user_md={
+            "recluster.partial_groups": str(len(groups)),
+            "recluster.files_rewritten": str(n_rewritten),
+        },
+        stat_cols=stat_cols,
+    )
+    return {
+        "groups": len(groups),
+        "files_rewritten": n_rewritten,
+        "files_before": files_before,
+        "files_after": len(new_m["files"]),
+        "rows": new_m["rows"],
+        "max_depth_after": clustering_depth(new_m, key=key)["max_depth"],
+    }
 
 
 def advise_maintenance(
@@ -602,6 +807,21 @@ def advise_maintenance(
             d = clustering_depth(m, key=idx["cluster"]["keys"][0])
             thresh = max_depth
         if d["max_depth"] > thresh:
+            # Localized overlap (a minority of files in overlap
+            # components) wants the partial rewrite — cost scales
+            # with the debt, not table size; zorder has no partial
+            # path (interleaving is not captured by per-column
+            # bounds), and near-total overlap re-ranges everything
+            # anyway, where the full rewrite's single global shuffle
+            # beats per-component jobs.
+            hint = ""
+            if "cluster" in idx and "zorder" not in idx:
+                dirty = sum(len(g) for g in plan_recluster(m, key=d["key"]))
+                if dirty <= len(m["files"]) // 2:
+                    hint = (
+                        f" — overlap is localized ({dirty}/{len(m['files'])}"
+                        " files): use incremental=True"
+                    )
             recs.append(
                 {
                     "action": "recluster_table",
@@ -609,7 +829,7 @@ def advise_maintenance(
                     "reason": (
                         f"point probes on {d['key']!r} open up to "
                         f"{d['max_depth']} files (avg {d['avg_depth']}, "
-                        f"healthy ≤ {thresh})"
+                        f"healthy ≤ {thresh})" + hint
                     ),
                 }
             )

@@ -351,3 +351,138 @@ def test_maintenance_advisor_zorder_baseline(spark, tmpdir):
     for i in (1, 2, 3):
         write_table(rows.filter(f"x % 4 = {i}"), degraded, opts, mode="append")
     assert "recluster_table" in {r["action"] for r in advise_maintenance(degraded)}
+
+
+# ---------------------------------------------------------------------------
+# Incremental (partial) recluster
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_recluster_rewrites_only_overlap(spark, tmpdir):
+    path = f"{tmpdir}/increc"
+    rows = spark.range(0, 4000).selectExpr("id AS k", "id * 1.5 AS v")
+    # base: 4 disjoint range files over [0, 4000)
+    write_table(rows, path, WriteOptions(cluster_by=["k"], n_cluster_files=4))
+    # a narrow append: only overlaps the first ~quarter of the space
+    extra = spark.range(0, 900).selectExpr("id AS k", "id * 1.5 AS v")
+    write_table(extra, path, WriteOptions(cluster_by=["k"], n_cluster_files=1), mode="append")
+    m0 = read_manifest(path)
+    untouched_before = {
+        f["path"] for f in m0["files"] if f["min"]["k"] >= 1000
+    }
+    assert untouched_before, "fixture must leave some files disjoint"
+    assert clustering_depth(m0)["max_depth"] >= 2
+
+    s = recluster_table(spark, path, incremental=True)
+    assert s["groups"] >= 1
+    assert s["files_rewritten"] < s["files_before"]  # partial, not full
+    m1 = read_manifest(path)
+    after_paths = {f["path"] for f in m1["files"]}
+    assert untouched_before <= after_paths  # disjoint files untouched
+    assert clustering_depth(m1)["max_depth"] <= 2
+    # content preserved (4000 base + 900 duplicate-key rows)
+    got = read_table(spark, path)
+    assert got.count() == 4900
+    assert got.selectExpr("sum(k) AS s").first()["s"] == sum(range(4000)) + sum(range(900))
+    # history KEPT: a data_change=false 'recluster' commit appended
+    c = m1["commits"][-1]
+    assert c["mode"] == "recluster" and c["data_change"] is False
+    assert len(m1["commits"]) == len(m0["commits"]) + 1
+    # the restored index prunes a narrow range
+    assert read_table(spark, path, range_scan=("k", 2000, 2100)).count() == 101
+
+
+def test_incremental_recluster_noop_on_disjoint_table(spark, tmpdir):
+    path = f"{tmpdir}/increc_clean"
+    rows = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    write_table(rows, path, WriteOptions(cluster_by=["k"], n_cluster_files=3))
+    m0 = read_manifest(path)
+    s = recluster_table(spark, path, incremental=True)
+    assert s["groups"] == 0 and s["files_rewritten"] == 0
+    m1 = read_manifest(path)
+    assert [f["path"] for f in m1["files"]] == [f["path"] for f in m0["files"]]
+    assert len(m1.get("commits", [])) == len(m0.get("commits", []))
+
+
+def test_incremental_recluster_keeps_delete_masks(spark, tmpdir):
+    # delete masks are VALUE sets, so a partial physical rewrite cannot
+    # resurrect rows — unlike the full rewrite, which resets history
+    # and therefore refuses pending masks
+    from nimble_spark.sources.deletes import delete_rows
+
+    path = f"{tmpdir}/increc_masked"
+    rows = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    write_table(rows, path, WriteOptions(cluster_by=["k"], n_cluster_files=2))
+    write_table(
+        spark.range(0, 400).selectExpr("id + 1000 AS k", "CAST(id AS DOUBLE) AS v"),
+        path, WriteOptions(cluster_by=["k"], n_cluster_files=1), mode="append",
+    )
+    delete_rows(spark, path, "k", [5, 6, 7])
+    # force overlap so something rewrites: append over the full span
+    write_table(
+        spark.range(0, 1400, 100).selectExpr("id AS k", "CAST(0 AS DOUBLE) AS v"),
+        path, WriteOptions(cluster_by=["k"], n_cluster_files=1), mode="append",
+    )
+    s = recluster_table(spark, path, incremental=True)
+    assert s["files_rewritten"] >= 2
+    from nimble_spark.sources.deletes import read_with_deletes
+
+    got = read_with_deletes(spark, path)
+    assert got.filter("k IN (5, 6, 7)").count() == 0  # masks still apply
+    assert got.count() == 1000 + 400 + 14 - 3
+
+
+def test_incremental_recluster_respects_partition_dirs(spark, tmpdir):
+    path = f"{tmpdir}/increc_part"
+    rows = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 2 AS STRING) AS p", "id * 1.0 AS v"
+    )
+    opts = WriteOptions(cluster_by=["k"], n_cluster_files=2, partition_by=["p"])
+    write_table(rows, path, opts)
+    # degrade only partition p=0
+    write_table(
+        spark.range(0, 500, 2).selectExpr("id AS k", "'0' AS p", "id * 1.0 AS v"),
+        path, opts, mode="append",
+    )
+    m0 = read_manifest(path)
+    p1_before = {f["path"] for f in m0["files"] if f["path"].startswith("p=1")}
+    s = recluster_table(spark, path, incremental=True)
+    assert s["groups"] >= 1
+    m1 = read_manifest(path)
+    # every rewritten file stayed inside its partition dir
+    assert all(f["path"].startswith(("p=0", "p=1")) for f in m1["files"])
+    assert p1_before == {f["path"] for f in m1["files"] if f["path"].startswith("p=1")}
+    got = read_table(spark, path)
+    assert got.count() == 2000 + 250
+    assert dict(got.dtypes)["p"] == "string"
+
+
+def test_incremental_recluster_refusals(spark, tmpdir):
+    zpath = f"{tmpdir}/increc_z"
+    rows = spark.range(0, 500).selectExpr("id AS a", "id % 7 AS b")
+    write_table(rows, zpath, WriteOptions(zorder_by=["a", "b"]))
+    write_table(rows, zpath, WriteOptions(zorder_by=["a", "b"]), mode="append")
+    with pytest.raises(ValueError, match="range cluster layout"):
+        recluster_table(spark, zpath, incremental=True)
+
+    plain = f"{tmpdir}/increc_plain"
+    write_table(spark.range(5).selectExpr("id AS k"), plain, WriteOptions())
+    with pytest.raises(ValueError, match="range cluster layout"):
+        recluster_table(spark, plain, incremental=True)
+
+
+def test_advisor_hints_incremental_when_overlap_localized(spark, tmpdir):
+    from nimble_spark.sources.compaction import advise_maintenance
+
+    path = f"{tmpdir}/advise_inc"
+    rows = spark.range(0, 4000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    write_table(rows, path, WriteOptions(cluster_by=["k"], n_cluster_files=8))
+    # two narrow appends: depth breaches but overlap stays localized
+    for _ in range(2):
+        write_table(
+            spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+            path, WriteOptions(cluster_by=["k"], n_cluster_files=1), mode="append",
+        )
+    recs = {r["action"]: r for r in advise_maintenance(path)}
+    assert "recluster_table" in recs
+    assert "incremental=True" in recs["recluster_table"]["reason"]
