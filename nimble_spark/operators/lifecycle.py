@@ -260,6 +260,136 @@ def q_cdc_commit_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_clone_table",
+    oracle=f"""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 <> 0) AS src_rows,
+           (SELECT COUNT(*) FROM orders) AS clone_rows,
+           (SELECT {dsum_sql("o_totalprice")} FROM orders) AS clone_total,
+           1 AS zero_copy
+    """,
+    category="lifecycle",
+)
+def q_clone_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone (Delta SHALLOW CLONE analogue,
+    sources/clone.py): two thirds of orders become a clustered source
+    table; the clone references every source file by absolute path —
+    no data byte moves — then diverges with an append of the remaining
+    third. The clone must read source+append, the source must still
+    read only its own rows, and the in-query ``zero_copy`` literal
+    proves from the manifest that every pre-append entry is foreign
+    (file count preserved, zero local bytes at clone time)."""
+    from nimble_spark.sources.clone import clone_table, foreign_files
+
+    def _build_src(tmp: str) -> None:
+        write_table(
+            _orders(spark, sf_dir).filter("o_orderkey % 3 != 0"),
+            tmp,
+            WriteOptions(cluster_by=["o_orderkey"], n_cluster_files=4),
+        )
+
+    # The source must live at its FINAL cache path before the clone
+    # builds: shallow-clone entries are absolute paths, and a clone
+    # built against a tmp dir would dangle after the cache rename.
+    src = ensure_cached(sf_dir, "orders__clone_src", ["orders"], _build_src)
+
+    def _build_clone(tmp: str) -> None:
+        cl = f"{tmp}-table"
+        clone_table(spark, src, cl, shallow=True)
+        write_table(
+            _orders(spark, sf_dir).filter("o_orderkey % 3 = 0"), cl, mode="append"
+        )
+        # ensure_cached renames tmp → final, which would relocate the
+        # clone's own root (harmless for entries, but keep the table
+        # where it was built): move it INTO the cached dir unchanged.
+        import os as _os
+        import shutil as _shutil
+
+        _os.makedirs(tmp, exist_ok=True)
+        _shutil.move(cl, _os.path.join(tmp, "clone"))
+
+    root = ensure_cached(sf_dir, "orders__clone", ["orders"], _build_clone)
+    import os as _os
+
+    cl = _os.path.join(root, "clone")
+    m = read_manifest(cl)
+    src_files = len(read_manifest(src)["files"])
+    zero_copy = int(
+        len(foreign_files(m)) == src_files
+        and m["commits"][0]["mode"] == "clone"
+        and m["user_metadata"].get("clone.shallow") == "true"
+    )
+    src_rows = read_table(spark, src).agg(F.count(F.lit(1)).alias("src_rows"))
+    cl_agg = read_table(spark, cl).agg(
+        F.count(F.lit(1)).alias("clone_rows"), dsum("o_totalprice").alias("clone_total")
+    )
+    return src_rows.crossJoin(cl_agg).select(
+        "src_rows",
+        "clone_rows",
+        "clone_total",
+        F.lit(zero_copy).cast("int").alias("zero_copy"),
+    )
+
+
+@register(
+    "q_clone_deepen",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {dsum_sql("o_totalprice")} AS total,
+           1 AS localized
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+    category="lifecycle",
+)
+def q_clone_deepen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deepening a shallow clone (sources/clone.py deepen_clone): every
+    foreign entry's bytes copy under the clone's root and splice in
+    place as ONE data_change=false commit — CDC consumers never re-see
+    rows because bytes moved, and the clone's dependency on the source
+    ends. The oracle hash proves the localized bytes carry exactly the
+    source rows; the ``localized`` literal proves the manifest facts
+    (zero foreign entries, mode='deepen', data_change=false, and a
+    post-deepen CDC replay window that is empty)."""
+    from nimble_spark.sources.clone import clone_table, deepen_clone, foreign_files
+
+    def _build_src(tmp: str) -> None:
+        write_table(
+            _orders(spark, sf_dir).filter("o_orderkey % 3 != 0"),
+            tmp,
+            WriteOptions(cluster_by=["o_orderkey"], n_cluster_files=4),
+        )
+
+    src = ensure_cached(sf_dir, "orders__clone_src", ["orders"], _build_src)
+
+    def _build(tmp: str) -> None:
+        cl = f"{tmp}-table"
+        clone_table(spark, src, cl, shallow=True)
+        deepen_clone(spark, cl)
+        import os as _os
+        import shutil as _shutil
+
+        _os.makedirs(tmp, exist_ok=True)
+        _shutil.move(cl, _os.path.join(tmp, "clone"))
+
+    root = ensure_cached(sf_dir, "orders__clone_deep", ["orders"], _build)
+    import os as _os
+
+    cl = _os.path.join(root, "clone")
+    m = read_manifest(cl)
+    last = m["commits"][-1]
+    localized = int(
+        not foreign_files(m)
+        and last["mode"] == "deepen"
+        and last["data_change"] is False
+        and read_changes(spark, cl, since_commit=0).count() == 0
+    )
+    return read_table(spark, cl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.lit(localized).cast("int").alias("localized"),
+    )
+
+
 def _learned_oracle() -> str:
     """The oracle recomputes the learned model's per-column scores in
     pure SQL from the same data: exact NDV / null / byte statistics →

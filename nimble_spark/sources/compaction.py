@@ -270,6 +270,13 @@ def compact_table(
         # partitioned/bucketed table that directory IS the index, and
         # plan_compaction guarantees the bin never crossed one
         bin_dir = os.path.dirname(os.path.normpath(b[0]["path"]))
+        if os.path.isabs(bin_dir):
+            # Foreign (shallow-clone) group: its members live under the
+            # SOURCE table's root — the merged output must land under
+            # THIS table's root, never the source's (clones refuse
+            # partitioned/bucketed layouts, so no directory shape to
+            # reproduce).
+            bin_dir = ""
         out_name = os.path.join(bin_dir, f"compact-{uuid.uuid4().hex[:12]}.parquet")
         shutil.move(os.path.join(tmp, part[0]), os.path.join(path, out_name))
         shutil.rmtree(tmp, ignore_errors=True)
@@ -403,6 +410,14 @@ def _publish_partial_rewrite(
     os.makedirs(trash, exist_ok=True)
     for g in groups:
         for f in g:
+            if os.path.isabs(f["path"]):
+                # Shallow-clone foreign entry: the SOURCE table owns
+                # the bytes — never move them. The manifest removal is
+                # the whole replacement (the rewrite just localized
+                # the rows); historical reads resolve the absolute
+                # path directly, and the clone's dependency on it ends
+                # at vacuum of the SOURCE, not of this table.
+                continue
             src = os.path.join(path, f["path"])
             # rel-path-preserving, like merge/rollback:
             # resolve_historical_file globs trash/commit-*/<rel>, so
@@ -712,6 +727,8 @@ def _recluster_partial(
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer.parquet(tmp)
         bin_dir = os.path.dirname(os.path.normpath(g[0]["path"]))
+        if os.path.isabs(bin_dir):
+            bin_dir = ""  # foreign (shallow-clone) group: land locally
         new_entries: list[dict] = []
         for p in sorted(os.listdir(tmp)):
             if not p.endswith(".parquet"):

@@ -249,7 +249,9 @@ def merge_into(
     else:
         scan = tgt
     affected = _affected_files(
-        path, scan.withColumn("_f", F.input_file_name()).join(keys, key, "left_semi")
+        path,
+        scan.withColumn("_f", F.input_file_name()).join(keys, key, "left_semi"),
+        manifest,
     )
 
     # 2. the rewrite set: survivors of affected files + every source row
@@ -281,20 +283,32 @@ def _bucket_of(rel: str) -> int | None:
     return None
 
 
-def _affected_files(path: str, matched: DataFrame) -> list[str]:
-    """Distinct FILE list (relpaths) of the rows in ``matched``, which
-    must already carry a ``_f`` = input_file_name() column ATTACHED AT
-    THE SCAN (input_file_name is task-input state — evaluated after a
+def _affected_files(
+    path: str, matched: DataFrame, manifest: dict | None = None
+) -> list[str]:
+    """Distinct FILE list of the rows in ``matched``, which must
+    already carry a ``_f`` = input_file_name() column ATTACHED AT THE
+    SCAN (input_file_name is task-input state — evaluated after a
     shuffle it returns ''). Bounded metadata on the driver (≤ table
-    file count)."""
+    file count). Returned paths are in the MANIFEST's namespace: when
+    ``manifest`` is given, each discovered real path maps back to the
+    entry path that produced it — relpaths for local files, absolute
+    paths for a shallow clone's foreign entries (a bare relpath of a
+    foreign file would be '../…' and match no entry, so the rewrite
+    would double its surviving rows)."""
     rows = matched.select("_f").distinct().collect()
     root = os.path.realpath(path)
+    entry_of: dict[str, str] = {}
+    for e in (manifest or {}).get("files", []):
+        real = os.path.realpath(os.path.join(path, e["path"]))
+        entry_of[real] = os.path.normpath(e["path"])
     out = []
     for r in rows:
         p = r["_f"]
         if p.startswith("file:"):
             p = p[len("file:"):]
-        out.append(os.path.relpath(os.path.realpath(p), root))
+        real = os.path.realpath(p)
+        out.append(entry_of.get(real, os.path.relpath(real, root)))
     return out
 
 
@@ -409,6 +423,12 @@ def _commit_rewrite(
     trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
     os.makedirs(trash, exist_ok=True)
     for f in affected:
+        if os.path.isabs(f):
+            # Shallow-clone foreign entry: the SOURCE table owns the
+            # bytes — never move them. Dropping the manifest entry is
+            # the whole replacement; historical reads resolve the
+            # absolute path directly.
+            continue
         # preserve the RELATIVE path inside the trash dir —
         # resolve_historical_file globs trash/commit-*/<rel>, so a
         # partitioned/bucketed file (subdirs in rel) must keep its
@@ -449,7 +469,7 @@ def update_where(
     tgt = read_table(spark, path)
     cond = F.expr(condition)
     affected = _affected_files(
-        path, tgt.withColumn("_f", F.input_file_name()).filter(cond)
+        path, tgt.withColumn("_f", F.input_file_name()).filter(cond), manifest
     )
     if not affected:
         return manifest

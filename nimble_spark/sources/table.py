@@ -538,6 +538,15 @@ def _write_table_locked(
         manifest["constraints"] = constraints
     if prior_tags:
         manifest["tags"] = prior_tags  # snapshot tags survive appends
+    if prior is not None and prior.get("user_metadata"):
+        # user metadata is a TABLE property (clone provenance, policy
+        # labels): appends carry it forward, the incoming write's own
+        # entries winning on key conflicts — mirroring how constraints
+        # and tags survive appends. Overwrites still reset it.
+        manifest["user_metadata"] = {
+            **prior["user_metadata"],
+            **(opts.user_metadata or {}),
+        }
     manifest["write_stats"] = dict(
         _layout_stats(manifest["files"]),
         write_wall_ms=write_wall_ms,
@@ -677,7 +686,15 @@ def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]
     return {
         # root-relative: the table stays readable after a
         # rename/move (atomic cache publication, distcp, …)
-        "path": os.path.relpath(frag_path, table_root),
+        # Foreign (shallow-clone) files live OUTSIDE the table root:
+        # record them by absolute path — the entry-path convention for
+        # foreign entries everywhere (clone.py) — never as a fragile
+        # '../…' relpath that a later append's reuse check would drop.
+        "path": (
+            os.path.normpath(os.path.abspath(frag_path))
+            if os.path.relpath(frag_path, table_root).startswith("..")
+            else os.path.relpath(frag_path, table_root)
+        ),
         "rows": md.num_rows,
         "row_groups": md.num_row_groups,
         "bytes": os.path.getsize(frag_path),
@@ -765,7 +782,24 @@ def _build_manifest(
     # on name sort would scramble their positions on the next append.
     live_rels = {os.path.normpath(os.path.relpath(p, path)) for p in live_files}
     for rel, entry in reuse.items():
-        if rel in live_rels:
+        if os.path.isabs(rel):
+            # Shallow-clone foreign entry (clone.py): the file lives
+            # under the SOURCE table's root, so the local directory
+            # scan can never see it — it is live iff its absolute path
+            # still exists. Silently dropping a vanished one would
+            # commit a manifest that lost clone rows, so raise: the
+            # source was rewritten/vacuumed out from under the clone
+            # (the documented shallow-clone dependency; deepen_clone
+            # removes it).
+            if not os.path.exists(rel):
+                raise ValueError(
+                    f"shallow-clone source file is gone: {rel} (the source "
+                    f"table was rewritten or vacuumed; deepen_clone the "
+                    f"clone before mutating the source, or re-clone)"
+                )
+            files_info.append(entry)
+            total_rows += entry["rows"]
+        elif rel in live_rels:
             files_info.append(entry)
             total_rows += entry["rows"]
     for frag_path in live_files:
@@ -1925,6 +1959,15 @@ def _plan_parquet(
     single-pass inference plan."""
     from pyspark.errors import AnalysisException
 
+    if base_path is not None:
+        # Shallow-clone scans list foreign files (absolute paths under
+        # the SOURCE table's root): Spark's basePath must be an
+        # ancestor of every input path or the scan errors. Clones of
+        # partitioned/bucketed layouts are refused at clone time, so
+        # dropping basePath here never loses partition columns.
+        bp = os.path.normpath(base_path) + os.sep
+        if any(not os.path.normpath(p).startswith(bp) for p in paths):
+            base_path = None
     reader = spark.read
     if base_path is not None:
         reader = reader.option("basePath", base_path)
@@ -2201,6 +2244,12 @@ def rollback_table(
         # readable until VACUUM).
         trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(commits)}")
         for rel in removed:
+            if os.path.isabs(rel):
+                # Shallow-clone foreign entry: the SOURCE table owns
+                # the bytes — never move them. Dropping the manifest
+                # entry is the whole removal; historical reads resolve
+                # the absolute path directly.
+                continue
             src = os.path.join(path, rel)
             # preserve the RELATIVE path inside the trash dir —
             # resolve_historical_file globs trash/commit-*/<rel>, so a

@@ -36,6 +36,10 @@ ALLOWED = {
     # liveness probe's EPERM (pid exists but is another user's —
     # conservatively treated as alive, never breaks the lock)
     "sources/table.py": 5,
+    # deepen_clone abort cleanup: the staged copy was never published,
+    # so a leftover is unreferenced debris vacuum reclaims; the abort
+    # itself re-raises the original failure
+    "sources/clone.py": 1,
 }
 
 PASS_RE = re.compile(r"^\s*pass\s*(#.*)?$")
