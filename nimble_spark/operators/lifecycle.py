@@ -749,6 +749,54 @@ def q_maintenance_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_auto_maintenance",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {dsum_sql("o_totalprice")} AS total,
+           1 AS healthy
+    FROM orders WHERE o_orderkey <> 7
+    """,
+    category="tools",
+)
+def q_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-OPTIMIZE loop (compaction.run_maintenance; RUN MAINTENANCE
+    [VACUUM] in the DSL): the same four-debt fixture as
+    q_maintenance_advice (interleaved clustered appends, small files,
+    update trash, a delete mask) is handed to the executor, which runs
+    the advisor's actions in dependency order, RE-ADVISING between
+    steps so it never executes stale advice (the mask compaction's
+    full rewrite also heals depth and small files — the loop detects
+    that and stops instead of re-shuffling a healthy table). The
+    in-query ``healthy`` literal proves the advisor reports nothing
+    afterwards and at least one action actually ran; the oracle hash
+    proves the maintenance changed no surviving row (the masked key is
+    gone, everything else intact)."""
+    from nimble_spark.sources.compaction import advise_maintenance, run_maintenance
+    from nimble_spark.sources.deletes import delete_rows
+    from nimble_spark.sources.merge import update_where
+
+    def _build(tmp: str) -> None:
+        o = _orders(spark, sf_dir)
+        opts = WriteOptions(cluster_by=["o_orderkey"], n_cluster_files=2)
+        write_table(o.filter("o_orderkey % 4 = 0"), tmp, opts)
+        for i in (1, 2, 3):
+            write_table(o.filter(f"o_orderkey % 4 = {i}"), tmp, opts, mode="append")
+        update_where(spark, tmp, "o_orderkey < 50", {"o_totalprice": "o_totalprice"})
+        delete_rows(spark, tmp, "o_orderkey", [7])
+        ran = run_maintenance(spark, tmp, vacuum=True, min_age_s=0.0)
+        if not ran:
+            raise AssertionError("maintenance fixture produced no advised action")
+
+    path = ensure_cached(sf_dir, "orders__auto_maintained", ["orders"], _build)
+    healthy = int(not advise_maintenance(path))
+    return read_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.lit(healthy).cast("int").alias("healthy"),
+    )
+
+
+@register(
     "q_incremental_recluster",
     oracle=f"""
     WITH t AS (

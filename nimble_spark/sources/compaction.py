@@ -886,6 +886,94 @@ def advise_maintenance(
     return recs
 
 
+def run_maintenance(
+    spark: SparkSession,
+    path: str,
+    vacuum: bool = False,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_depth: int = 2,
+    min_age_s: float = 600.0,
+) -> list[dict]:
+    """Execute what :func:`advise_maintenance` recommends — the
+    auto-OPTIMIZE loop (Delta auto-compaction / Iceberg maintenance-
+    action analogue). Actions run in dependency order, re-advising
+    between steps (each action changes the table, so stale advice is
+    never executed):
+
+    1. ``compact_deletes`` — masks first: they tax every scan the
+       later steps themselves will run, and clearing them unblocks
+       the rewrite compositions that refuse pending masks.
+    2. ``compact_table`` — small-file debt.
+    3. ``recluster_table`` — incremental when the overlap is localized
+       (minority of files in overlap components), full otherwise;
+       decided here from the same plan the advisor read, not by
+       parsing the advisor's prose.
+    4. ``vacuum_table`` — ONLY when ``vacuum=True``: it trades
+       snapshot/CDC history for space, a policy call the caller must
+       make explicitly (the advisor's reason says as much).
+
+    Each step takes the table write lock on its own (the actions are
+    individually serialized mutations); a concurrent append landing
+    between steps is re-observed by the next re-advise. Returns one
+    row per EXECUTED action: {"action", "result"}. Empty = the table
+    was already healthy (or only vacuum was advised and not allowed).
+    """
+    from nimble_spark.sources.deletes import compact_deletes
+
+    executed: list[dict] = []
+
+    def _advised() -> dict[str, dict]:
+        return {
+            r["action"]: r
+            for r in advise_maintenance(
+                path, target_file_bytes=target_file_bytes, max_depth=max_depth
+            )
+        }
+
+    recs = _advised()
+    if "compact_deletes" in recs:
+        r = compact_deletes(spark, path)
+        executed.append(
+            {"action": "compact_deletes", "result": f"rows={r.get('rows', '?')}"}
+        )
+        recs = _advised()
+    if "compact_table" in recs:
+        r = compact_table(spark, path, target_file_bytes=target_file_bytes)
+        executed.append(
+            {
+                "action": "compact_table",
+                "result": f"{r['files_before']}→{r['files_after']} files "
+                f"({r['bins']} bins)",
+            }
+        )
+        recs = _advised()
+    if "recluster_table" in recs:
+        m = read_manifest(path)
+        idx = m.get("indexes", {})
+        incremental = False
+        if "cluster" in idx and "zorder" not in idx:
+            dirty = sum(
+                len(g) for g in plan_recluster(m, key=idx["cluster"]["keys"][0])
+            )
+            incremental = dirty <= len(m["files"]) // 2
+        r = recluster_table(spark, path, incremental=incremental)
+        label = "incremental" if incremental else "full"
+        executed.append(
+            {
+                "action": "recluster_table",
+                "result": f"{label}; files_after="
+                f"{r.get('files_after', len(read_manifest(path)['files']))}",
+            }
+        )
+        recs = _advised()
+    if vacuum and "vacuum_table" in recs:
+        removed = vacuum_table(path, min_age_s=min_age_s)
+        executed.append(
+            {"action": "vacuum_table", "result": f"reclaimed {len(removed)} file(s)"}
+        )
+    return executed
+
+
 # Compaction and vacuum are manifest mutations like any other write:
 # hold the table write lock for the whole read-rewrite-publish span so
 # a compaction racing a locked append cannot read the pre-append

@@ -689,7 +689,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
-      SHOW MAINTENANCE | SHOW METRICS | SHOW WRITE STATS |
+      SHOW MAINTENANCE | RUN MAINTENANCE [VACUUM] | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
       SHOW SCAN METRICS [WHERE expr] |
@@ -765,6 +765,18 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_clustering(spark, path, key=m.group(1))
     if u == "SHOW MAINTENANCE":
         return show_maintenance(spark, path)
+    m = re.match(r"RUN MAINTENANCE(\s+VACUUM)?$", c, re.I)
+    if m:
+        # RUN MAINTENANCE [VACUUM] — execute what SHOW MAINTENANCE
+        # advises, in dependency order (compaction.run_maintenance);
+        # VACUUM opts into the history-for-space trade explicitly.
+        from nimble_spark.sources.compaction import run_maintenance
+
+        done = run_maintenance(spark, path, vacuum=bool(m.group(1)))
+        return spark.createDataFrame(
+            [(r["action"], r["result"]) for r in done] or [(None, None)],
+            "action STRING, result STRING",
+        ).filter("action IS NOT NULL")
     if u == "SHOW METRICS":
         return show_metrics(spark, path)
     if u == "SHOW WRITE STATS":

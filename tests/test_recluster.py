@@ -255,6 +255,40 @@ def test_maintenance_advisor_and_dsl(spark, tmpdir):
     assert run_command(spark, path, "SHOW MAINTENANCE").count() == 0
 
 
+def test_run_maintenance_executes_and_goes_quiet(spark, tmpdir):
+    """run_maintenance pays the advised debts in dependency order,
+    re-advising between steps, and leaves the advisor quiet; content
+    (minus masked keys) is untouched. RUN MAINTENANCE is the DSL face,
+    and without VACUUM it never reclaims history."""
+    from nimble_spark.sources.compaction import advise_maintenance, run_maintenance
+    from nimble_spark.sources.deletes import delete_rows
+    from nimble_spark.tools import run_command
+
+    path = f"{tmpdir}/automaint"
+    opts = WriteOptions(cluster_by=["k"], n_cluster_files=2)
+    rows = spark.range(0, 1000).selectExpr("id AS k", "id * 1.0 AS v")
+    write_table(rows.filter("k % 3 = 0"), path, opts)
+    for i in (1, 2):
+        write_table(rows.filter(f"k % 3 = {i}"), path, opts, mode="append")
+    delete_rows(spark, path, "k", [5])
+
+    done = run_maintenance(spark, path, vacuum=True, min_age_s=0.0)
+    acts = [r["action"] for r in done]
+    assert acts and acts[0] == "compact_deletes"  # masks first
+    assert acts == sorted(set(acts), key=acts.index)  # no action repeats
+    assert advise_maintenance(path) == []
+    got = read_table(spark, path)
+    assert got.count() == 999 and got.filter("k = 5").count() == 0
+    assert got.selectExpr("sum(v)").first()[0] == float(sum(range(1000)) - 5)
+
+    # DSL face on a freshly indebted table, without VACUUM: trash (if
+    # any) survives, and a second run reports nothing to do
+    delete_rows(spark, path, "k", [7])
+    ran = {r.action for r in run_command(spark, path, "RUN MAINTENANCE").collect()}
+    assert "compact_deletes" in ran
+    assert run_command(spark, path, "RUN MAINTENANCE").count() == 0
+
+
 def test_materialize_columns_refuses_pending_masks(spark, tmpdir):
     """materialize_columns reads UNMASKED rows and the swap discards
     the deletes dir — it must refuse rather than resurrect."""
