@@ -249,6 +249,93 @@ def test_deep_clone_carries_history_and_tags(spark, src, tmp_path):
     assert read_table(spark, dp).count() == _orders(spark).count()
 
 
+@pytest.mark.parametrize("seed", [3, 91])
+def test_clone_divergence_fuzz(spark, tmp_path, seed):
+    """Model-based drill of a shallow clone diverging from its source:
+    random appends/merges/updates/deletes/compactions/deepens run on
+    the CLONE against a Python dict model, while the SOURCE tree is
+    fingerprinted after every step — no clone operation may ever
+    create, move or delete a source byte, and the source's live view
+    must stay byte-identical throughout."""
+    import random
+
+    from nimble_spark.sources.compaction import compact_table, run_maintenance
+    from nimble_spark.sources.deletes import delete_rows, read_with_deletes
+    from nimble_spark.sources.merge import merge_into, update_where
+
+    rng = random.Random(seed)
+    src = str(tmp_path / "fsrc")
+    cl = str(tmp_path / "fcl")
+
+    def _df(rows):
+        return spark.createDataFrame(list(rows), "k LONG, v LONG")
+
+    model = {k: k * 10 for k in range(30)}
+    write_table(
+        _df(model.items()), src, WriteOptions(cluster_by=["k"], n_cluster_files=3)
+    )
+    clone_table(spark, src, cl, shallow=True)
+    src_fp = _tree_fingerprint(src)
+    src_model = dict(model)
+    masked: set[int] = set()
+    next_key = 30
+
+    def _live() -> dict[int, int]:
+        return {
+            r["k"]: r["v"]
+            for r in read_with_deletes(spark, cl).collect()
+        }
+
+    for _step in range(10):
+        op = rng.choice(
+            ["append", "merge", "update", "delete", "compact", "deepen", "maintain"]
+        )
+        if op == "append":
+            fresh = {next_key + i: rng.randint(0, 999) for i in range(3)}
+            next_key += 3
+            write_table(_df(fresh.items()), cl, mode="append")
+            model.update(fresh)
+        elif op == "merge":
+            live_keys = [k for k in model if k not in masked]
+            ups = {
+                k: rng.randint(0, 999)
+                for k in rng.sample(live_keys, min(3, len(live_keys)))
+            }
+            merge_into(spark, cl, _df(ups.items()), key="k")
+            model.update(ups)
+        elif op == "update":
+            pivot = rng.randint(0, next_key)
+            update_where(spark, cl, f"k >= {pivot}", {"v": "v + 1"})
+            model.update({k: v + 1 for k, v in model.items() if k >= pivot})
+        elif op == "delete":
+            live_keys = [k for k in model if k not in masked]
+            victims = rng.sample(live_keys, min(2, len(live_keys)))
+            delete_rows(spark, cl, "k", victims)
+            masked.update(victims)
+        elif op == "compact":
+            try:
+                compact_table(spark, cl, target_file_bytes=64 * 1024 * 1024)
+            except ValueError:
+                pass  # single file / nothing to merge — fine
+        elif op == "deepen":
+            assert foreign_files(deepen_clone(spark, cl)) == []
+        elif op == "maintain":
+            done = run_maintenance(spark, cl, vacuum=False)
+            if any(d["action"] == "compact_deletes" for d in done):
+                model = {k: v for k, v in model.items() if k not in masked}
+                masked = set()
+        assert _live() == {k: v for k, v in model.items() if k not in masked}
+        assert _tree_fingerprint(src) == src_fp, f"source mutated (seed {seed})"
+
+    # the source's live view never moved
+    assert {
+        r["k"]: r["v"] for r in read_table(spark, src).collect()
+    } == src_model
+    # final deepen: the clone must stand alone
+    deepen_clone(spark, cl)
+    assert foreign_files(read_manifest(cl)) == []
+
+
 def test_cdc_replay_on_clone(spark, src, tmp_path):
     cl = str(tmp_path / "cl")
     clone_table(spark, src, cl, shallow=True)

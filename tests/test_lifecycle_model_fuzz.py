@@ -113,7 +113,7 @@ def _run_lifecycle(spark, path, seed, clustered=False):
 
     ops = [
         "append", "merge", "update", "delete",
-        "compact_deletes", "compact", "rollback",
+        "compact_deletes", "compact", "rollback", "maintain",
     ]
     if clustered:
         ops.append("recluster")
@@ -185,6 +185,27 @@ def _run_lifecycle(spark, path, seed, clustered=False):
             assert "cluster" in m_rc["indexes"]
             assert clustering_depth(m_rc)["max_depth"] <= 2
             snapshots = {len(m_rc["commits"]) - 1: dict(committed)}
+        elif op == "maintain":
+            # the auto-OPTIMIZE loop: whatever it executes, the live
+            # view must be unchanged except masks materializing (when
+            # its compact_deletes step runs) — and history resets only
+            # on the full-rewrite actions, exactly like running them
+            # by hand
+            from nimble_spark.sources.compaction import run_maintenance
+
+            done = run_maintenance(spark, path, vacuum=False)
+            acts = {d["action"]: d["result"] for d in done}
+            if "compact_deletes" in acts:
+                committed = {k: v for k, v in committed.items() if k not in masked}
+                masked = set()
+            full_rewrite = "compact_deletes" in acts or (
+                "recluster_table" in acts and acts["recluster_table"].startswith("full")
+            )
+            head = len(read_manifest(path)["commits"]) - 1
+            if full_rewrite:
+                snapshots = {head: dict(committed)}
+            elif done:
+                snapshots[head] = dict(committed)
         elif op == "rollback":
             # restore a random recorded snapshot; the rollback is
             # itself a commit, so it too lands in `snapshots`. Delete
