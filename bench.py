@@ -361,6 +361,32 @@ def _metadata_bench() -> dict:
             tbl._load_page = real
         out["append_pages_read"] = probed[0]
         assert out["append_pages_read"] == 0
+
+        # Shallow clone of the 100k-file table: O(files) driver
+        # metadata, zero data IO — the full-materialize + rewrite +
+        # publish cost of forking the table (clone.py).
+        from nimble_spark.sources.clone import clone_table, foreign_files
+
+        m_sch = {
+            **m,
+            "files": [
+                dict(f, row_groups=1, rg_bytes=[1 << 20], rg_rows=[1000])
+                for f in files
+            ],
+            "schema": {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+                ],
+            },
+        }
+        src2 = os.path.join(d, "src2")
+        os.makedirs(os.path.join(src2, tbl.MANIFEST_DIR), exist_ok=True)
+        tbl._write_manifest(src2, m_sch)
+        t0 = time.time()
+        cm = clone_table(None, src2, os.path.join(d, "cl"), shallow=True)
+        out["shallow_clone_100k_s"] = round(time.time() - t0, 3)
+        assert len(foreign_files(cm)) == n
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out

@@ -749,6 +749,81 @@ def q_maintenance_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_alter_schema",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+             CAST(NULL AS VARCHAR) AS note
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice, 'hi'
+      FROM orders WHERE o_orderkey % 1000 = 1
+    )
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           {dsum_sql("price")} AS total,
+           COUNT(note) AS n_notes,
+           1 AS altered_ok
+    FROM t GROUP BY 1
+    """,
+    category="lifecycle",
+)
+def q_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution (sources/alter.py — the
+    reference's schema-by-offset evolution, SchemaTypes.h:109-159,
+    as the Iceberg/Delta column-mapping analogue): rename + drop +
+    add land as ONE manifest commit with zero data IO (the in-query
+    ``altered_ok`` literal proves every pre-alter file byte — path
+    AND sha256 — survived verbatim), then an append speaks the NEW
+    logical names while files stay physically consistent. The read
+    surfaces the logical view: renamed column aggregated, dropped
+    column gone, added column null on pre-alter rows and real on
+    appended ones — all hash-checked against the oracle."""
+    from nimble_spark.sources.alter import alter_table
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        write_table(o, tmp, WriteOptions(cluster_by=["o_orderkey"], n_cluster_files=4))
+        pre = {f["path"]: f["sha256"] for f in read_manifest(tmp)["files"]}
+        alter_table(
+            tmp,
+            rename={"o_totalprice": "price"},
+            drop=["o_orderpriority"],
+            add={"note": "string"},
+        )
+        post = {f["path"]: f["sha256"] for f in read_manifest(tmp)["files"]}
+        if post != pre:
+            raise AssertionError("alter_table moved data bytes")
+        extra = o.filter("o_orderkey % 1000 = 1").select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+            F.lit("hi").alias("note"),
+        )
+        write_table(extra, tmp, mode="append")
+
+    path = ensure_cached(sf_dir, "orders__altered", ["orders"], _build)
+    m = read_manifest(path)
+    altered_ok = int(
+        bool(m.get("schema_mapping", {}).get("renames"))
+        and any(c["mode"] == "alter" for c in m["commits"])
+        and read_table(spark, path).columns
+        == ["o_orderkey", "o_orderstatus", "price", "note"]
+    )
+    return (
+        read_table(spark, path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("price").alias("total"),
+            F.count("note").alias("n_notes"),
+            F.lit(altered_ok).cast("int").alias("altered_ok"),
+        )
+    )
+
+
+@register(
     "q_auto_maintenance",
     oracle=f"""
     SELECT COUNT(*) AS n_rows,

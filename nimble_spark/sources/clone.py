@@ -147,7 +147,7 @@ def clone_table(
             }
         ],
     }
-    for k in ("constraints", "column_aliases", "logical_columns"):
+    for k in ("constraints", "column_aliases", "logical_columns", "schema_mapping"):
         if m.get(k):
             manifest[k] = m[k]
     os.makedirs(os.path.join(dst, MANIFEST_DIR), exist_ok=True)

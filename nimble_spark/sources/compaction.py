@@ -395,7 +395,7 @@ def _publish_partial_rewrite(
     # dedup_columns contract survives a physical rewrite: rewritten
     # files are read from (and written with) the stored schema, so the
     # alias map and logical order stay exactly as recorded.
-    for k in ("column_aliases", "logical_columns", "tags"):
+    for k in ("column_aliases", "logical_columns", "tags", "schema_mapping"):
         if m.get(k):
             new_m[k] = m[k]
     _write_manifest(path, new_m)  # ATOMIC commit point

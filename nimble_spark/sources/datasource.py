@@ -71,7 +71,7 @@ class NimbleDataSource(DataSource):
     def schema(self) -> StructType:
         # schema lives in the root — never materialize pages for it
         manifest = read_manifest(self.options["path"], materialize=False)
-        return StructType.fromJson(manifest["schema"])
+        return _logical_struct(manifest)
 
     def reader(self, schema: StructType) -> "NimbleReader":
         return NimbleReader(self.options["path"], schema)
@@ -91,6 +91,20 @@ class NimbleDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "NimbleStreamWriter":  # noqa: N802
         return NimbleStreamWriter(self.options["path"])
+
+
+def _logical_struct(manifest: dict) -> StructType:
+    """The manifest schema through the alter.py mapping: dropped
+    physical fields removed, renamed ones surfaced logically."""
+    mapping = manifest.get("schema_mapping") or {}
+    dropped = set(mapping.get("dropped", []))
+    ren = mapping.get("renames") or {}
+    fields = [
+        dict(f, name=ren.get(f["name"], f["name"]))
+        for f in manifest["schema"]["fields"]
+        if f["name"] not in dropped
+    ]
+    return StructType.fromJson({"type": "struct", "fields": fields})
 
 
 def _pa_filter(constraints: list):
@@ -185,6 +199,7 @@ def _pa_partition_type(dtype: str):
         "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
         "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
         "boolean": pa.bool_(), "date": pa.date32(), "string": pa.string(),
+        "binary": pa.binary(),
     }
     if dtype in fixed:
         return fixed[dtype]
@@ -325,6 +340,49 @@ def _read_file_batches(
     yield from table.to_batches()
 
 
+def _read_file_batches_mapped(
+    file_path: str,
+    logical_columns: list,
+    constraints: list | None,
+    part_types: dict | None,
+    schema_mapping: dict,
+    manifest_types: dict,
+) -> Iterator:
+    """The schema-mapped variant of ``_read_file_batches`` (alter.py
+    rename/drop/add): requested columns arrive LOGICAL; the file
+    stores PHYSICAL names and may predate an added column entirely.
+    Reads the physical columns present in the file, null-fills the
+    absent ones at their declared type, and surfaces the batch under
+    the logical names — so `format("nimble")` reads of altered tables
+    are indistinguishable from reads of rewritten ones. Constraints
+    (already physical via pushFilters) on columns the file lacks are
+    dropped for this file (stats pruning already treated them
+    conservatively; Spark's residual re-applies row-exact)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ren = schema_mapping.get("renames") or {}
+    inv = {l: p for p, l in ren.items()}
+    present = set(pq.read_schema(file_path).names)
+    part_types = part_types or {}
+    phys_req = [inv.get(c, c) for c in logical_columns]
+    readable = [c for c in phys_req if c in present or c in part_types]
+    missing = [c for c in phys_req if c not in present and c not in part_types]
+    cons = [c for c in (constraints or []) if c[0] in present or c[0] in part_types]
+    for batch in _read_file_batches(file_path, readable, cons, part_types):
+        t = pa.Table.from_batches([batch])
+        n = t.num_rows
+        arrays, names = [], []
+        for logical, phys in zip(logical_columns, phys_req):
+            if phys in missing:
+                typ = _pa_partition_type(manifest_types.get(phys, "string"))
+                arrays.append(pa.nulls(n, typ))
+            else:
+                arrays.append(t.column(phys))
+            names.append(logical)
+        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+
+
 def _file_might_match(entry: dict, col: str, kind: str, value) -> bool:
     """Conservative per-file stats check: False ONLY when the file's
     stats for ``col`` provably exclude every row the filter can
@@ -408,6 +466,17 @@ class NimbleReader(DataSourceReader):
         self.columns = [f.name for f in schema.fields]
         self.part_types = _manifest_partition_types(self.manifest, schema)
         self._constraints: list[tuple[str, str, object]] = []
+        # alter.py metadata-only evolution: batches surface the
+        # LOGICAL view; files, stats and pushed constraints speak
+        # PHYSICAL names
+        self.mapping = self.manifest.get("schema_mapping") or {}
+        self._ren_inv = {
+            l: p for p, l in (self.mapping.get("renames") or {}).items()
+        }
+        self.manifest_types = {
+            f["name"]: f["type"] if isinstance(f["type"], str) else "string"
+            for f in self.manifest["schema"]["fields"]
+        }
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         """Record file-prunable constraints; report EVERY filter as
@@ -418,7 +487,7 @@ class NimbleReader(DataSourceReader):
             attr = getattr(f, "attribute", None)
             if not attr or len(attr) != 1:  # nested columns: no file stats
                 continue
-            col = attr[0]
+            col = self._ren_inv.get(attr[0], attr[0])  # logical → physical
             if isinstance(f, EqualTo):
                 self._constraints.append((col, "eq", f.value))
             elif isinstance(f, In):
@@ -498,6 +567,16 @@ class NimbleReader(DataSourceReader):
     def read(self, partition: NimbleFilePartition) -> Iterator:
         if partition is None or partition.file_path is None:
             return  # all files pruned: provably-empty scan
+        if self.mapping:
+            yield from _read_file_batches_mapped(
+                partition.file_path,
+                self.columns,
+                getattr(partition, "constraints", None),
+                self.part_types,
+                self.mapping,
+                self.manifest_types,
+            )
+            return
         yield from _read_file_batches(
             partition.file_path,
             self.columns,
@@ -533,9 +612,13 @@ class NimbleStreamReader(DataSourceStreamReader):
     ):
         self.path = path
         self.columns = [f.name for f in schema.fields]
-        self.part_types = _manifest_partition_types(
-            read_manifest(path, materialize=False), schema
-        )
+        _m0 = read_manifest(path, materialize=False)
+        self.part_types = _manifest_partition_types(_m0, schema)
+        self.mapping = _m0.get("schema_mapping") or {}
+        self.manifest_types = {
+            f["name"]: f["type"] if isinstance(f["type"], str) else "string"
+            for f in _m0["schema"]["fields"]
+        }
         # startingCommit (Delta startingVersion analogue): a FRESH
         # query begins AFTER this commit instead of -1. This is the
         # documented re-bootstrap path for a table whose history
@@ -636,6 +719,15 @@ class NimbleStreamReader(DataSourceStreamReader):
         return [NimbleFilePartition(r) for r in resolved]
 
     def read(self, partition: NimbleFilePartition) -> Iterator:
+        # The mapping is pinned at reader construction; an alter
+        # landing mid-stream applies from the next query (re)start —
+        # same contract as a schema change under any streaming source.
+        if self.mapping:
+            yield from _read_file_batches_mapped(
+                partition.file_path, self.columns, None, self.part_types,
+                self.mapping, self.manifest_types,
+            )
+            return
         yield from _read_file_batches(
             partition.file_path, self.columns, None, self.part_types
         )
@@ -681,6 +773,25 @@ class NimbleWriter(DataSourceArrowWriter):
         # write phase holds no lock; only commits serialize).
         self.job_token = _uuid.uuid4().hex[:12]
         os.makedirs(path, exist_ok=True)
+        if not overwrite:
+            # Appending through the DataSource writes the incoming
+            # frame's column names verbatim into files; on a table
+            # with a metadata-only rename/drop (alter.py) that would
+            # mix logical-named files into a physically-named table —
+            # a corruption of the mapping contract, not a mode this
+            # writer supports. write_table() maps names; overwrite
+            # resets the table (and the mapping) wholesale.
+            try:
+                _m = read_manifest(path, materialize=False)
+            except (OSError, KeyError, ValueError):
+                _m = {}
+            if _m.get("schema_mapping"):
+                raise ValueError(
+                    "append via format('nimble') to a table with "
+                    "metadata-only schema changes (alter_table) is not "
+                    "supported — use write_table(mode='append'), which "
+                    "maps logical names to the stored physical names"
+                )
         # NOTE: mode=overwrite clears the previous generation inside the
         # LOCKED commit, not here — staging the new generation alongside
         # the old keeps the table readable (manifest-true readers see

@@ -72,7 +72,10 @@ def read_with_deletes(spark: SparkSession, path: str, **read_kwargs) -> DataFram
         ]
         masks = None
         for d in subdirs:
-            m = spark.read.parquet(d)
+            # mask files store the key column under its WRITE-time
+            # name; the directory name is the CURRENT logical name
+            # (alter.py renames move the directory) — bind by position
+            m = spark.read.parquet(d).toDF(key)
             masks = m if masks is None else masks.unionByName(m)
         if masks is not None and key in df.columns:
             df = df.join(F.broadcast(masks.distinct()), key, "left_anti")

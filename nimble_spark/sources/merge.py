@@ -33,9 +33,28 @@ from nimble_spark.sources.table import (
     _build_manifest,
     _plan_parquet,
     _write_manifest,
+    _restore_aliases,
     read_manifest,
     read_table,
 )
+
+
+def _to_logical(df: DataFrame, manifest: dict) -> DataFrame:
+    """Physical file scan → the table's logical view: schema mapping
+    applied AND schema-completed (an affected file may predate an
+    alter_table ADD — its missing logical fields fill as typed nulls,
+    exactly as a read would surface them)."""
+    return _restore_aliases(df, manifest, complete=True)
+
+
+def _to_physical(df: DataFrame, manifest: dict) -> DataFrame:
+    """Logical → physical names before staging a rewrite's rows:
+    files must stay physically consistent with the manifest schema
+    (alter.py renames are metadata-only — the stored name never
+    changes until a FULL rewrite materializes the mapping)."""
+    renames = (manifest.get("schema_mapping") or {}).get("renames") or {}
+    to_phys = {l: p for p, l in renames.items() if l in df.columns}
+    return df.withColumnsRenamed(to_phys) if to_phys else df
 
 
 def _reject_aliased(manifest: dict) -> None:
@@ -94,7 +113,7 @@ def _guard_pending_masks(
             continue
         mask = spark.read.parquet(
             *[os.path.join(root, mc, d) for d in os.listdir(os.path.join(root, mc))]
-        )
+        ).toDF(mc)  # stored under the write-time name; dir = current name
         swallowed = (
             source.select(mc)
             .join(F.broadcast(mask.select(mc).distinct()), mc, "left_semi")
@@ -240,8 +259,11 @@ def merge_into(
             if (b := _bucket_of(f["path"])) in hit or b is None
         ]
         scan = (
-            _plan_parquet(
-                spark, [os.path.join(path, f) for f in cand], path, "merge discovery", manifest
+            _to_logical(
+                _plan_parquet(
+                    spark, [os.path.join(path, f) for f in cand], path, "merge discovery", manifest
+                ),
+                manifest,
             ).select(*tgt.columns)
             if cand
             else tgt.limit(0)
@@ -261,8 +283,11 @@ def merge_into(
         # as directory strings, and re-inferring their type here would
         # REWRITE '01' as the integer 1 — durable corruption, not a
         # read-side glitch (see table._plan_parquet).
-        aff_df = _plan_parquet(
-            spark, [os.path.join(path, f) for f in affected], path, "merge rewrite", manifest
+        aff_df = _to_logical(
+            _plan_parquet(
+                spark, [os.path.join(path, f) for f in affected], path, "merge rewrite", manifest
+            ),
+            manifest,
         ).select(*cols)
         new_rows = aff_df.join(keys, key, "left_anti").unionByName(source.select(*cols))
     else:
@@ -332,7 +357,15 @@ def _commit_rewrite(
     the recomputed hash-bucket column), and each staged leaf moves in
     UNDER its partition directory, so directory pruning stays exact
     across the rewrite."""
+    import pyspark.sql.types as T
+
     pidx = manifest.get("indexes", {})
+    if manifest.get("schema_mapping"):
+        # rewritten rows arrive under LOGICAL names; files store
+        # PHYSICAL names, and the manifest schema (the stats/describe
+        # authority) is physical too
+        new_rows = _to_physical(new_rows, manifest)
+        schema = T.StructType.fromJson(manifest["schema"])
     new_rows, layout_cols = _layout_rewrite(manifest, new_rows)
     staging = f"{path}-{mode}-{uuid.uuid4().hex[:8]}"
     writer = new_rows.write.mode("overwrite").option(
@@ -396,7 +429,7 @@ def _commit_rewrite(
     # Table-level contracts survive a rewrite: CHECK constraints keep
     # gating appends, and snapshot tags keep resolving (their commits
     # stay replayable until vacuum reclaims the trash).
-    for k in ("constraints", "tags"):
+    for k in ("constraints", "tags", "schema_mapping"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
     new_manifest["commits"] = prior_commits + [
@@ -475,8 +508,11 @@ def update_where(
         return manifest
     # _plan_parquet keeps partition values at their declared type —
     # a raw re-inferring reader here would REWRITE '01' as 1.
-    aff_df = _plan_parquet(
-        spark, [os.path.join(path, f) for f in affected], path, "update rewrite", manifest
+    aff_df = _to_logical(
+        _plan_parquet(
+            spark, [os.path.join(path, f) for f in affected], path, "update rewrite", manifest
+        ),
+        manifest,
     ).select(*tgt.columns)
     updated = aff_df.withColumns(
         {c: F.when(cond, F.expr(e)).otherwise(F.col(c)) for c, e in set_exprs.items()}
@@ -500,6 +536,15 @@ def overwrite_partitions(
     the added/removed files."""
     manifest = read_manifest(path)
     _reject_aliased(manifest)
+    if manifest.get("schema_mapping"):
+        # incoming rows speak logical names; files store physical
+        gone = set(manifest["schema_mapping"].get("dropped", []))
+        bad = sorted(c for c in df.columns if c in gone)
+        if bad:
+            raise ValueError(
+                f"overwrite_partitions writes to dropped column(s) {bad}"
+            )
+        df = _to_physical(df, manifest)
     pidx = manifest.get("indexes", {})
     pkeys = (pidx.get("partition") or {}).get("keys")
     if not pkeys:
@@ -536,6 +581,16 @@ def overwrite_partitions(
     new_manifest = _build_manifest(
         spark, df.schema, path, opts or WriteOptions(), index_meta, reuse=reuse
     )
+    # table-level contracts survive the partial overwrite, exactly as
+    # they survive merge/update rewrites
+    for k in ("constraints", "tags", "schema_mapping"):
+        if manifest.get(k):
+            new_manifest[k] = manifest[k]
+    if manifest.get("user_metadata"):
+        new_manifest["user_metadata"] = {
+            **manifest["user_metadata"],
+            **(new_manifest.get("user_metadata") or {}),
+        }
     new_files = sorted(
         os.path.normpath(f["path"])
         for f in new_manifest["files"]

@@ -237,15 +237,44 @@ def write_table(
     # stores one copy per distinct column; the manifest's alias map is
     # the logical-schema contract read_table restores.
     column_aliases: dict[str, str] = {}
+    schema_mapping: dict = {}
     if mode == "append":
         # An aliased table's stored schema is fixed: the incoming
         # batch must satisfy every recorded alias (validated like a
         # CHECK constraint — limit(1) short-circuit), then drops the
         # duplicate columns to match the stored layout.
         try:
-            column_aliases = dict(read_manifest(path).get("column_aliases", {}))
+            _prior_pre = read_manifest(path)
         except (OSError, KeyError, ValueError):
-            column_aliases = {}
+            _prior_pre = {}
+        column_aliases = dict(_prior_pre.get("column_aliases", {}))
+        # Metadata-only schema evolution (alter.py): the incoming
+        # frame speaks LOGICAL names; files store PHYSICAL names —
+        # map before the write so every file stays physically
+        # consistent. Writing to a dropped name, or using a
+        # renamed-away physical name (a stale producer), raises.
+        schema_mapping = dict(_prior_pre.get("schema_mapping") or {})
+        if schema_mapping:
+            renames = schema_mapping.get("renames") or {}
+            gone = set(schema_mapping.get("dropped", []))
+            bad = sorted(c for c in out.columns if c in gone)
+            if bad:
+                raise ValueError(
+                    f"append writes to dropped column(s) {bad} (alter_table); "
+                    f"a dropped name stays dead until a full rewrite"
+                )
+            stale = sorted(c for c in out.columns if c in renames)
+            if stale:
+                raise ValueError(
+                    f"append uses pre-rename physical name(s) {stale}; "
+                    f"use the logical names "
+                    f"({ {p: l for p, l in renames.items() if p in stale} })"
+                )
+            to_phys = {
+                l: p for p, l in renames.items() if l in out.columns
+            }
+            if to_phys:
+                out = out.withColumnsRenamed(to_phys)
         for dup, kept in column_aliases.items():
             if out.filter(~F.col(dup).eqNullSafe(F.col(kept))).limit(1).count():
                 raise ValueError(
@@ -366,23 +395,54 @@ def write_table(
     if _caller_holds_lock:
         return _write_table_locked(
             df, path, opts, mode, writer, index_meta,
-            stored_schema=out.schema if column_aliases else None,
+            stored_schema=out.schema if (column_aliases or schema_mapping) else None,
             aliases=column_aliases,
             logical_columns=[f.name for f in df.schema.fields] if column_aliases else None,
             constraints_prevalidated=_constraints_prevalidated,
+            schema_mapping=schema_mapping,
         )
     _lock = table_write_lock(path)
     _lock.__enter__()
     try:
         return _write_table_locked(
             df, path, opts, mode, writer, index_meta,
-            stored_schema=out.schema if column_aliases else None,
+            stored_schema=out.schema if (column_aliases or schema_mapping) else None,
             aliases=column_aliases,
             logical_columns=[f.name for f in df.schema.fields] if column_aliases else None,
             constraints_prevalidated=_constraints_prevalidated,
+            schema_mapping=schema_mapping,
         )
     finally:
         _lock.__exit__()
+
+
+def _merge_append_schema(prior_fields: list, inc_fields: list) -> list:
+    """Widen-aware union of the prior declared schema with an append's
+    incoming physical schema. Prior order wins; shared scalar fields
+    take the WIDER of the two types; an incompatible pair raises
+    (before any byte lands). Complex (nested) types must match
+    exactly — partial nested evolution is not supported."""
+    inc = {f["name"]: f for f in inc_fields}
+    merged: list = []
+    for pf in prior_fields:
+        nf = inc.pop(pf["name"], None)
+        if nf is None:
+            merged.append(pf)
+            continue
+        pt, nt = pf["type"], nf["type"]
+        if pt == nt:
+            merged.append(nf)
+        elif isinstance(pt, str) and isinstance(nt, str) and _safe_widening(pt, nt):
+            merged.append(nf)  # incoming wider: the declared type widens
+        elif isinstance(pt, str) and isinstance(nt, str) and _safe_widening(nt, pt):
+            merged.append(pf)  # incoming narrower but lossless: prior stands
+        else:
+            raise ValueError(
+                f"append column {pf['name']!r} type {nt} is incompatible "
+                f"with the table's {pt} (no lossless widening either way); "
+                f"cast the incoming frame explicitly"
+            )
+    return merged + list(inc.values())
 
 
 def _write_table_locked(
@@ -396,6 +456,7 @@ def _write_table_locked(
     aliases: Optional[dict] = None,
     logical_columns: Optional[list] = None,
     constraints_prevalidated: bool = False,
+    schema_mapping: Optional[dict] = None,
 ) -> dict:
     spark = df.sparkSession
     # Incremental append: entries of files already committed are
@@ -423,6 +484,32 @@ def _write_table_locked(
                 raise ValueError(
                     "table's column_aliases changed while this append was "
                     "staging (concurrent overwrite?) — retry the append"
+                )
+            # Append TYPE compatibility — validated BEFORE any byte
+            # lands: for each shared physical column, the incoming
+            # type must equal the stored one or be reachable by a
+            # LOSSLESS widening in one direction (int-chain up,
+            # float→double). Anything else (decimal vs double, string
+            # vs int) would commit type-mixed files whose folded
+            # stats are incomparable and whose plain-scan schema is
+            # whichever file Spark sampled — corruption, not
+            # evolution. The merged declared schema takes the WIDER
+            # side per column (incoming wider = classic widening
+            # evolution; incoming narrower-but-safe = old declared
+            # type stands).
+            _inc_schema = stored_schema or df.schema
+            _merged_fields = _merge_append_schema(
+                prior.get("schema", {}).get("fields", []),
+                json.loads(_inc_schema.json())["fields"],
+            )
+            if (prior.get("schema_mapping") or {}) != (schema_mapping or {}):
+                # same race as the alias contract: an alter/overwrite
+                # landing between the pre-lock mapping read and this
+                # commit would publish files under the wrong physical
+                # names — retry re-reads the mapping
+                raise ValueError(
+                    "table's schema mapping changed while this append was "
+                    "staging (concurrent alter/overwrite?) — retry the append"
                 )
             reuse = {
                 os.path.normpath(f["path"]): f
@@ -538,6 +625,16 @@ def _write_table_locked(
         manifest["constraints"] = constraints
     if prior_tags:
         manifest["tags"] = prior_tags  # snapshot tags survive appends
+    if mode == "append" and prior is not None and prior.get("schema"):
+        # Schema is a TABLE property: prior field order wins (the read
+        # order contract), shared fields take the WIDER validated type
+        # (widening evolution), and fields only the prior knows
+        # (alter_table add, or a narrow append) survive instead of
+        # silently vanishing from the declared schema. Computed (and
+        # type-validated) before the write landed.
+        manifest["schema"]["fields"] = _merged_fields
+    if schema_mapping:
+        manifest["schema_mapping"] = schema_mapping
     if prior is not None and prior.get("user_metadata"):
         # user metadata is a TABLE property (clone provenance, policy
         # labels): appends carry it forward, the incoming write's own
@@ -829,15 +926,26 @@ def _fold_column_stats(files_info: list[dict]) -> dict:
     """Table-level column stats folded from the per-file entries
     (works identically for fresh and reused entries)."""
     col_stats: dict[str, dict[str, Any]] = {}
+    poisoned: set = set()
     for f in files_info:
         f_nulls = f.get("nulls", {})
         for name in f["min"]:
             cs = col_stats.setdefault(name, {"null_count": 0})
-            if "min" not in cs or f["min"][name] < cs["min"]:
-                cs["min"] = f["min"][name]
-            if "max" not in cs or f["max"][name] > cs["max"]:
-                cs["max"] = f["max"][name]
+            try:
+                if "min" not in cs or f["min"][name] < cs["min"]:
+                    cs["min"] = f["min"][name]
+                if "max" not in cs or f["max"][name] > cs["max"]:
+                    cs["max"] = f["max"][name]
+            except TypeError:
+                # Incomparable per-file stats (legacy type-mixed files
+                # written before append-time type validation): fold no
+                # min/max for this column — absent bounds degrade every
+                # pruning path to keep-file, never to a wrong skip.
+                poisoned.add(name)
             cs["null_count"] += f_nulls.get(name, 0)
+    for name in poisoned:
+        col_stats[name].pop("min", None)
+        col_stats[name].pop("max", None)
     return {
         k: {kk: _json_safe(vv) for kk, vv in v.items()} for k, v in col_stats.items()
     }
@@ -1565,6 +1673,22 @@ def read_table(
             range_scan = (_aliases[range_scan[0]], range_scan[1], range_scan[2])
         if point_lookup is not None and point_lookup[0] in _aliases:
             point_lookup = (_aliases[point_lookup[0]], point_lookup[1])
+    # Metadata-only schema evolution (alter.py): probe keys arrive as
+    # LOGICAL names; pruning, residual filters and file stats operate
+    # on PHYSICAL names — map before anything touches a file. Index
+    # keys can never be renamed/dropped (alter refuses), so this only
+    # rewrites residual-filter keys on unindexed columns.
+    _mapping = manifest.get("schema_mapping") or {}
+    if _mapping:
+        _ren_inv = {l: p for p, l in (_mapping.get("renames") or {}).items()}
+        _gone = set(_mapping.get("dropped", []))
+        for val in (range_scan, point_lookup):
+            if val is not None and val[0] in _gone:
+                raise ValueError(f"column {val[0]!r} was dropped (alter_table)")
+        if range_scan is not None and range_scan[0] in _ren_inv:
+            range_scan = (_ren_inv[range_scan[0]], range_scan[1], range_scan[2])
+        if point_lookup is not None and point_lookup[0] in _ren_inv:
+            point_lookup = (_ren_inv[point_lookup[0]], point_lookup[1])
     if as_of_tag is not None:
         # named snapshot (tag_commit): resolve to its commit index
         if as_of_commit is not None:
@@ -1595,7 +1719,7 @@ def read_table(
                 f"snapshot at commit {as_of_commit} is gone (compaction/vacuum removed {missing[:3]}…)"
             )
         if not snap:
-            return _restore_aliases(_empty_df(spark, manifest), manifest)
+            return _restore_aliases(_empty_df(spark, manifest), manifest, complete=True)
         df = _plan_grouped_parquet(
             spark,
             list(zip(snap, resolved)),
@@ -1604,12 +1728,12 @@ def read_table(
         )
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
-        df = _restore_aliases(df, manifest)
+        df = _restore_aliases(df, manifest, complete=True)
         if columns:
             df = _project_with_evolution(df, manifest, columns, evolved_types)
         return df
     if row_range is not None:
-        df = _restore_aliases(_read_row_range(spark, path, _full(), *row_range), manifest)
+        df = _restore_aliases(_read_row_range(spark, path, _full(), *row_range), manifest, complete=True)
         if columns:
             df = _project_with_evolution(df, manifest, columns, evolved_types)
         return df
@@ -1652,6 +1776,7 @@ def read_table(
             df = _restore_aliases(
                 df.filter(F.col(BUCKET_COL).isin(buckets)).filter(residual).drop(BUCKET_COL),
                 manifest,
+                complete=True,
             )
             if columns:
                 # same evolution contract as every other path: absent
@@ -1703,13 +1828,13 @@ def read_table(
         df = df.drop(BUCKET_COL)
     if residual is not None:
         df = df.filter(residual)
-    df = _restore_aliases(df, manifest)
+    df = _restore_aliases(df, manifest, complete=True)
     if columns:
         df = _project_with_evolution(df, manifest, columns, evolved_types)
     return df
 
 
-def _restore_aliases(df: DataFrame, manifest: dict) -> DataFrame:
+def _restore_aliases(df: DataFrame, manifest: dict, complete: bool = False) -> DataFrame:
     """Restore deduplicated columns (manifest ``column_aliases``) on a
     frame read from the physical files: each duplicate re-materializes
     as a zero-cost reference to its stored twin (Catalyst projects it;
@@ -1729,9 +1854,27 @@ def _restore_aliases(df: DataFrame, manifest: dict) -> DataFrame:
     for dup, kept in aliases.items():
         if dup not in out.columns and kept in out.columns:
             out = out.withColumn(dup, F.col(kept))
-    order = manifest.get("logical_columns") or [
-        f["name"] for f in manifest.get("schema", {}).get("fields", [])
-    ]
+    out = apply_schema_mapping(out, manifest)
+    if complete:
+        # Schema-complete scans: logical fields absent from every
+        # scanned file (alter_table ADD, or a narrow append) surface
+        # as typed nulls — the NullColumnReader evolution contract,
+        # applied to plain scans, not just explicit projections.
+        mapping = manifest.get("schema_mapping") or {}
+        ren = mapping.get("renames") or {}
+        gone = set(mapping.get("dropped", []))
+        have = set(out.columns)
+        fills = [
+            F.lit(None)
+            .cast(T.StructField.fromJson(f).dataType)
+            .alias(ren.get(f["name"], f["name"]))
+            for f in manifest.get("schema", {}).get("fields", [])
+            if f["name"] not in gone
+            and ren.get(f["name"], f["name"]) not in have
+        ]
+        if fills:
+            out = out.select(*out.columns, *fills)
+    order = logical_field_names(manifest)
     if (
         order
         and all(c in out.columns for c in order)
@@ -1740,6 +1883,44 @@ def _restore_aliases(df: DataFrame, manifest: dict) -> DataFrame:
         extra = [c for c in out.columns if c not in order]
         out = out.select(*order, *extra)
     return out
+
+
+def apply_schema_mapping(df: DataFrame, manifest: dict) -> DataFrame:
+    """Physical → logical view for metadata-only schema evolution
+    (alter.py; the reference's schema-by-offset evolution — names can
+    change because streams are addressed by stable offset,
+    dwio/nimble/velox/SchemaTypes.h:109-159): dropped physical columns
+    disappear, renamed ones surface under their logical name. Identity
+    (no plan node) for tables without a mapping."""
+    mapping = manifest.get("schema_mapping") or {}
+    if not mapping:
+        return df
+    out = df
+    gone = [c for c in mapping.get("dropped", []) if c in out.columns]
+    if gone:
+        out = out.drop(*gone)
+    renames = {
+        p: l for p, l in (mapping.get("renames") or {}).items() if p in out.columns
+    }
+    if renames:
+        out = out.withColumnsRenamed(renames)
+    return out
+
+
+def logical_field_names(manifest: dict) -> list[str]:
+    """The table's user-facing column order: declared logical order
+    (dedup_columns tables), else the manifest schema order with the
+    schema mapping applied (drops removed, renames resolved)."""
+    if manifest.get("logical_columns"):
+        return list(manifest["logical_columns"])
+    mapping = manifest.get("schema_mapping") or {}
+    dropped = set(mapping.get("dropped", []))
+    renames = mapping.get("renames") or {}
+    return [
+        renames.get(f["name"], f["name"])
+        for f in manifest.get("schema", {}).get("fields", [])
+        if f["name"] not in dropped
+    ]
 
 
 def layout_options_of(manifest: dict, n_cluster_files: int | None = None) -> WriteOptions:
@@ -1986,12 +2167,28 @@ def _plan_parquet(
         for f in df.schema.fields
         if f.name in declared and f.dataType != declared[f.name]
     }
-    if conflicts:
+    # Mixed-schema file sets: Spark's single-pass inference samples ONE
+    # file, so a column only newer files carry (alter_table ADD, or a
+    # widened append) silently reads as ABSENT — its real values in the
+    # newer files lost, not nulled. The manifest's declared schema is
+    # the union authority: re-plan with it explicit, under which every
+    # file's missing columns read as nulls and present ones read for
+    # real (same resolution rule Spark applies to any explicit schema).
+    missing_declared = []
+    if manifest and manifest.get("schema"):
+        have = {f.name for f in df.schema.fields}
+        missing_declared = [
+            T.StructField.fromJson(f)
+            for f in manifest["schema"]["fields"]
+            if f["name"] not in have
+        ]
+    if conflicts or missing_declared:
         fixed = T.StructType(
             [
                 T.StructField(f.name, conflicts.get(f.name, f.dataType), f.nullable)
                 for f in df.schema.fields
             ]
+            + [T.StructField(f.name, f.dataType, True) for f in missing_declared]
         )
         df = reader.schema(fixed).parquet(*paths)
     # Above spark.sql.sources.parallelPartitionDiscovery.threshold
@@ -2362,7 +2559,7 @@ def read_changes(
         )
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
-        df = _restore_aliases(df, manifest)
+        df = _restore_aliases(df, manifest, complete=True)
         if with_commit:
             df = df.withColumn("_commit", F.lit(ci).cast("long"))
         if with_change_type:
@@ -2375,7 +2572,7 @@ def read_changes(
         if del_resolved:
             parts.append(_part(ci, del_resolved, "delete"))
     if not parts:
-        df = _restore_aliases(_empty_df(spark, manifest), manifest)
+        df = _restore_aliases(_empty_df(spark, manifest), manifest, complete=True)
         if with_commit:
             df = df.withColumn("_commit", F.lit(None).cast("long"))
         if with_change_type:
@@ -2513,10 +2710,21 @@ def _project_with_evolution(
     manifest schema (covers columns present in some files but pruned
     away), else falls back to string."""
     present = set(df.columns)
+    mapping = manifest.get("schema_mapping") or {}
+    renames = mapping.get("renames") or {}
+    dropped = set(mapping.get("dropped", []))
+    # keyed by LOGICAL name: the projection runs on the logical view
     manifest_types = {
-        f["name"]: T.StructField.fromJson(f).dataType
+        renames.get(f["name"], f["name"]): T.StructField.fromJson(f).dataType
         for f in manifest.get("schema", {}).get("fields", [])
+        if f["name"] not in dropped
     }
+    for c in columns:
+        if c in dropped:
+            # a dropped name stays dead (alter refuses re-adding it —
+            # old files still hold its bytes); null-filling here would
+            # misreport existing data as absent
+            raise ValueError(f"column {c!r} was dropped (alter_table)")
     evolved_types = evolved_types or {}
     file_types = dict(df.dtypes)
     sel = []

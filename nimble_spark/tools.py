@@ -28,13 +28,21 @@ def describe(spark: SparkSession, path: str) -> DataFrame:
     attrs = m.get("column_attributes", {})
     by_name = {f["name"]: f for f in m["schema"]["fields"]}
     aliases = m.get("column_aliases", {})
-    order = m.get("logical_columns") or list(by_name)
+    mapping = m.get("schema_mapping") or {}
+    renames = mapping.get("renames") or {}
+    inv = {l: p for p, l in renames.items()}
+    from nimble_spark.sources.table import logical_field_names
+
+    order = logical_field_names(m)
     rows = []
     for name in order:
-        f = by_name.get(name) or by_name[aliases[name]]
-        a = dict(attrs.get(name, {}))
+        phys = inv.get(name, name)
+        f = by_name.get(phys) or by_name[aliases[name]]
+        a = dict(attrs.get(phys, {}))
         if name in aliases:
             a["alias_of"] = aliases[name]
+        if name in inv:
+            a["stored_as"] = inv[name]  # alter.py metadata-only rename
         rows.append(
             (
                 name,
@@ -53,6 +61,9 @@ def show_schema(spark: SparkSession, path: str) -> DataFrame:
     SCHEMA: the nested view DESCRIBE's top-level table flattens
     away)."""
     m = read_manifest(path)
+    mapping = m.get("schema_mapping") or {}
+    dropped = set(mapping.get("dropped", []))
+    ren = mapping.get("renames") or {}
     rows: list[tuple] = []
 
     def kind(t) -> str:
@@ -81,7 +92,9 @@ def show_schema(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     for f in m["schema"]["fields"]:
-        walk(f["name"], f, 0)
+        if f["name"] in dropped:
+            continue  # alter.py metadata-only drop
+        walk(ren.get(f["name"], f["name"]), f, 0)
     return spark.createDataFrame(
         rows, "path STRING, kind STRING, nullable BOOLEAN, depth INT"
     )
@@ -691,6 +704,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
       SHOW MAINTENANCE | RUN MAINTENANCE [VACUUM] | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
+      ALTER RENAME a TO b | ALTER DROP c | ALTER ADD name type |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
@@ -801,6 +815,24 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return spark.createDataFrame(
             rows or [(None, None)], "tag STRING, commit BIGINT"
         ).filter("tag IS NOT NULL")
+    m = re.match(r"ALTER\s+RENAME\s+([\w.]+)\s+TO\s+([\w.]+)$", c, re.I)
+    if m:
+        from nimble_spark.sources.alter import alter_table
+
+        alter_table(path, rename={m.group(1): m.group(2)})
+        return describe(spark, path)
+    m = re.match(r"ALTER\s+DROP\s+([\w.]+)$", c, re.I)
+    if m:
+        from nimble_spark.sources.alter import alter_table
+
+        alter_table(path, drop=[m.group(1)])
+        return describe(spark, path)
+    m = re.match(r"ALTER\s+ADD\s+([\w.]+)\s+([\w()0-9,]+)$", c, re.I)
+    if m:
+        from nimble_spark.sources.alter import alter_table
+
+        alter_table(path, add={m.group(1): m.group(2).lower()})
+        return describe(spark, path)
     m = re.match(r"VACUUM(?:\s+MIN\s+AGE\s+(\d+))?$", c, re.I)
     if m:
         # VACUUM [MIN AGE seconds] — default grace 600 s protects a

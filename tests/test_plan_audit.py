@@ -583,6 +583,10 @@ def test_serve_lookups_posture(spark):
         ("q_dedup_columns_roundtrip", 1),
         ("q_snapshot_tag_read", 2),
         ("q_rollback_restore", 2),
+        ("q_clone_table", 2),
+        ("q_clone_deepen", 1),
+        ("q_auto_maintenance", 1),
+        ("q_alter_schema", 1),
     ],
 )
 def test_lifecycle_postures(spark, name, max_shuffles):

@@ -105,10 +105,18 @@ def test_recluster_carries_constraints_and_layout(spark, tmpdir):
     got = read_table(spark, path)
     assert dict(got.dtypes)["p"] == "string"  # declared type survives
     assert got.count() == 1000
-    # the carried constraint still gates appends
-    bad = spark.createDataFrame([(1, "01", -5.0)], "k LONG, p STRING, v DOUBLE")
+    # the carried constraint still gates appends (frame typed to the
+    # table's declared schema — the r6 append type gate fires first on
+    # a mistyped frame, which is its own test below)
+    bad = spark.createDataFrame(
+        [(1, "01", -5.0)], "k LONG, p STRING, v DOUBLE"
+    ).selectExpr("k", "p", "CAST(v AS DECIMAL(23,1)) AS v")
     with pytest.raises(Exception, match="v_nonneg"):
         write_table(bad, path, WriteOptions(partition_by=["p"]), mode="append")
+    # a type-incompatible append is refused BEFORE any byte lands
+    untyped = spark.createDataFrame([(1, "01", 5.0)], "k LONG, p STRING, v DOUBLE")
+    with pytest.raises(ValueError, match="incompatible"):
+        write_table(untyped, path, WriteOptions(partition_by=["p"]), mode="append")
 
 
 def test_recluster_refusals(spark, tmpdir):
