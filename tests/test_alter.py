@@ -171,6 +171,85 @@ def test_clone_carries_mapping(spark, table, tmp_path):
     assert t.agg(F.sum("value")).first()[0] == float(sum(range(200)))
 
 
+@pytest.mark.parametrize("seed", [5, 83])
+def test_alter_lifecycle_fuzz(spark, tmp_path, seed):
+    """Seeded interleaving of renames/adds with appends, merges,
+    updates and compactions, checked against a dict model after every
+    step. The invariant: the logical view — under whatever name the
+    value column currently has — always equals the model, and the
+    stored physical name never changes (zero data rewritten by any
+    alter)."""
+    import random
+
+    from nimble_spark.sources.compaction import compact_table
+    from nimble_spark.sources.merge import merge_into, update_where
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    model = {k: float(k) for k in range(50)}
+    vname = "v"
+    extra_cols: list[str] = []
+    next_key = 50
+    gen = 0
+
+    def _df(rows):
+        cols = f"k long, {vname} double" + "".join(
+            f", {c} string" for c in extra_cols
+        )
+        return spark.createDataFrame(
+            [(k, v) + (None,) * len(extra_cols) for k, v in rows], cols
+        )
+
+    write_table(
+        _df(model.items()).selectExpr("k", f"{vname}"),
+        path,
+        WriteOptions(cluster_by=["k"], n_cluster_files=2),
+    )
+    for _step in range(12):
+        op = rng.choice(["rename", "add", "append", "merge", "update", "compact"])
+        if op == "rename":
+            gen += 1
+            new = f"v{gen}"
+            alter_table(path, rename={vname: new})
+            vname = new
+        elif op == "add":
+            gen += 1
+            c = f"c{gen}"
+            alter_table(path, add={c: "string"})
+            extra_cols.append(c)
+        elif op == "append":
+            fresh = {next_key + i: float(next_key + i) for i in range(3)}
+            next_key += 3
+            write_table(_df(fresh.items()), path, mode="append")
+            model.update(fresh)
+        elif op == "merge":
+            ups = {
+                k: float(rng.randint(0, 999))
+                for k in rng.sample(sorted(model), 3)
+            }
+            merge_into(spark, path, _df(ups.items()), key="k")
+            model.update(ups)
+        elif op == "update":
+            pivot = rng.randint(0, next_key)
+            update_where(spark, path, f"k >= {pivot}", {vname: f"{vname} + 1"})
+            model.update({k: v + 1 for k, v in model.items() if k >= pivot})
+        elif op == "compact":
+            try:
+                compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+            except ValueError:
+                pass  # single file — nothing to do
+        t = read_table(spark, path)
+        got = {r["k"]: r[vname] for r in t.collect()}
+        assert got == model, f"step {_step} op {op} seed {seed}"
+        assert set(t.columns) == {"k", vname, *extra_cols}
+    # every alter was metadata-only: the stored physical name is still
+    # the original (or the rename map says so)
+    m = read_manifest(path)
+    if vname != "v":
+        ren = (m.get("schema_mapping") or {}).get("renames") or {}
+        assert any(l == vname for l in ren.values())
+
+
 def test_dsl_alter_and_logical_describe(spark, table):
     from nimble_spark.tools import run_command
 
