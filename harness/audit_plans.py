@@ -56,6 +56,8 @@ DEFAULT = [
     "q_partitioned_merge", "q_partitioned_compaction", "q_recluster_scan",
     "q_maintenance_advice",
     "q_substring_dedup", "q_ann_adc_topk", "q_wide_feature_projection",
+    "q_incremental_recluster", "q_clone_table", "q_clone_deepen",
+    "q_auto_maintenance", "q_alter_schema",
 ]
 
 

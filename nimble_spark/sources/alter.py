@@ -75,8 +75,7 @@ def _protected_names(m: dict) -> dict[str, str]:
     if "hash" in idx:
         out[idx["hash"]["key"]] = "hash index key"
     if "cut" in idx:
-        for k in idx["cut"].get("keys", []) if isinstance(idx["cut"], dict) else []:
-            out[k] = "cut key"
+        out[idx["cut"]["key"]] = "cut key"
     for k in (idx.get("bloom") or {}).get("keys", []):
         out[k] = "bloom index key"
     for k in idx.get("sorted", []) or []:

@@ -883,6 +883,31 @@ def advise_maintenance(
                     "(costs snapshot/CDC history)",
                 }
             )
+    # Stale secondary sorted indexes: the fence records the file set
+    # the index was built from; any append/rewrite since makes reads
+    # fall back to the always-correct scan paths — correct but paying
+    # full pruning cost until the index is rebuilt.
+    from nimble_spark.sources.table import _files_fingerprint
+
+    fences = (m.get("indexes", {}).get("sorted_fence") or {})
+    cur_fp = _files_fingerprint(m) if fences else None
+    stale_keys = sorted(
+        k
+        for k in m.get("indexes", {}).get("sorted", []) or []
+        if fences.get(k) not in (None, cur_fp)
+    )
+    if stale_keys:
+        recs.append(
+            {
+                "action": "rebuild_sorted_index",
+                "evidence": len(stale_keys),
+                "reason": (
+                    f"sorted index fence stale for {stale_keys} — point "
+                    f"lookups fall back to full stats pruning until rebuilt"
+                ),
+                "keys": stale_keys,
+            }
+        )
     return recs
 
 
@@ -908,7 +933,9 @@ def run_maintenance(
        (minority of files in overlap components), full otherwise;
        decided here from the same plan the advisor read, not by
        parsing the advisor's prose.
-    4. ``vacuum_table`` — ONLY when ``vacuum=True``: it trades
+    4. ``rebuild_sorted_index`` — after the rewrites (they change the
+       file set, so rebuilding earlier would immediately re-stale).
+    5. ``vacuum_table`` — ONLY when ``vacuum=True``: it trades
        snapshot/CDC history for space, a policy call the caller must
        make explicitly (the advisor's reason says as much).
 
@@ -964,6 +991,16 @@ def run_maintenance(
                 "result": f"{label}; files_after="
                 f"{r.get('files_after', len(read_manifest(path)['files']))}",
             }
+        )
+        recs = _advised()
+    if "rebuild_sorted_index" in recs:
+        from nimble_spark.sources.table import create_sorted_index
+
+        keys = recs["rebuild_sorted_index"]["keys"]
+        for k in keys:
+            create_sorted_index(spark, path, k)
+        executed.append(
+            {"action": "rebuild_sorted_index", "result": f"rebuilt {keys}"}
         )
         recs = _advised()
     if vacuum and "vacuum_table" in recs:

@@ -1522,6 +1522,16 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
     # survives a table rename/move
     abs_prefix = os.path.abspath(path).rstrip("/") + "/"
     built_from = read_manifest(path)  # the file set the index will cover
+    if any(os.path.isabs(f["path"]) for f in built_from["files"]):
+        # Shallow-clone foreign entries: the index stores root-relative
+        # file names (prefix-stripped from the scan URI), which a
+        # foreign file's URI does not contain — its entry would store
+        # an unusable URI and point lookups would miss rows. Localize
+        # first; the index then covers real local files.
+        raise ValueError(
+            "create_sorted_index on a shallow clone with foreign "
+            "entries: run deepen_clone first"
+        )
     df = (
         _scan_manifest_files(spark, path, built_from)
         .select(

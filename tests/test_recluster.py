@@ -297,6 +297,34 @@ def test_run_maintenance_executes_and_goes_quiet(spark, tmpdir):
     assert run_command(spark, path, "RUN MAINTENANCE").count() == 0
 
 
+def test_maintenance_rebuilds_stale_sorted_index(spark, tmpdir):
+    """An append stales the sorted-index fence (reads fall back to
+    stats pruning — correct but unpruned); the advisor flags it and
+    run_maintenance rebuilds, after which the fence matches again."""
+    from nimble_spark.sources.compaction import advise_maintenance, run_maintenance
+    from nimble_spark.sources.table import (
+        _files_fingerprint,
+        create_sorted_index,
+        read_manifest,
+    )
+
+    path = f"{tmpdir}/sortedidx"
+    rows = spark.range(0, 500).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    write_table(rows.filter("k < 400").coalesce(1), path, WriteOptions())
+    create_sorted_index(spark, path, "k")
+    assert advise_maintenance(path) == []  # fresh index: healthy
+    write_table(rows.filter("k >= 400").coalesce(1), path, mode="append")
+    recs = {r["action"]: r for r in advise_maintenance(path)}
+    assert recs["rebuild_sorted_index"]["keys"] == ["k"]
+    done = run_maintenance(spark, path, vacuum=True, min_age_s=0.0)
+    assert any(d["action"] == "rebuild_sorted_index" for d in done)
+    assert advise_maintenance(path) == []
+    m = read_manifest(path)
+    assert m["indexes"]["sorted_fence"]["k"] == _files_fingerprint(m)
+    got = read_table(spark, path, point_lookup=("k", [450]))
+    assert got.count() == 1
+
+
 def test_materialize_columns_refuses_pending_masks(spark, tmpdir):
     """materialize_columns reads UNMASKED rows and the swap discards
     the deletes dir — it must refuse rather than resurrect."""
