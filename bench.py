@@ -260,6 +260,40 @@ def _lifecycle_bench(spark, sf_dir: str) -> dict:
         read_changes(spark, cdc_path, since_commit=-1).count()
         best.append(time.time() - t0)
     out["read_changes_replay_s"] = round(min(best), 3)
+
+    # Round-6 surface: alter (metadata-only rename on a real table —
+    # cost is the manifest republish, never data), shallow clone of
+    # the same table (zero-copy fork), and a read through both (the
+    # logical-view mapping must not tax the scan).
+    import shutil
+    import tempfile
+
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.clone import clone_table
+    from nimble_spark.sources.table import read_table
+
+    work = tempfile.mkdtemp(prefix="nimble_bench_life_")
+    try:
+        base = os.path.join(work, "t")
+        write_table(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+            base,
+            WriteOptions(cluster_by=["o_orderkey"]),
+        )
+        t0 = time.time()
+        alter_table(base, rename={"o_totalprice": "price"})
+        out["alter_rename_s"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        clone_table(spark, base, os.path.join(work, "cl"), shallow=True)
+        out["shallow_clone_s"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        n = read_table(spark, os.path.join(work, "cl")).where("price > 0").count()
+        out["clone_mapped_scan_s"] = round(time.time() - t0, 3)
+        assert n > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return out
 
 

@@ -705,6 +705,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW MAINTENANCE | RUN MAINTENANCE [VACUUM] | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       ALTER RENAME a TO b | ALTER DROP c | ALTER ADD name type |
+      CLONE TO 'path' [DEEP] |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
       SHOW SCAN METRICS [WHERE expr] |
       EXPLAIN PRUNING col BETWEEN a AND b | EXPLAIN PRUNING col IN (v, ...) |
@@ -815,6 +816,25 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return spark.createDataFrame(
             rows or [(None, None)], "tag STRING, commit BIGINT"
         ).filter("tag IS NOT NULL")
+    m = re.match(r"CLONE\s+TO\s+'([^']+)'(\s+DEEP)?$", c, re.I)
+    if m:
+        # CLONE TO 'path' [DEEP] — zero-copy shallow fork by default
+        # (clone.py); DEEP copies the tree (full history and tags).
+        from nimble_spark.sources.clone import clone_table, foreign_files
+
+        cm = clone_table(spark, path, m.group(1), shallow=not m.group(2))
+        return spark.createDataFrame(
+            [
+                (
+                    m.group(1),
+                    "deep" if m.group(2) else "shallow",
+                    len(cm.get("files", []) or cm.get("file_pages", [])),
+                    len(foreign_files(cm)),
+                    int(cm.get("rows", 0)),
+                )
+            ],
+            "dst STRING, mode STRING, files BIGINT, foreign BIGINT, rows BIGINT",
+        )
     m = re.match(r"ALTER\s+RENAME\s+([\w.]+)\s+TO\s+([\w.]+)$", c, re.I)
     if m:
         from nimble_spark.sources.alter import alter_table

@@ -336,6 +336,19 @@ def test_clone_divergence_fuzz(spark, tmp_path, seed):
     assert foreign_files(read_manifest(cl)) == []
 
 
+def test_dsl_clone(spark, src, tmp_path):
+    from nimble_spark.tools import run_command
+
+    dst = str(tmp_path / "dsl_cl")
+    r = run_command(spark, src, f"CLONE TO '{dst}'").first()
+    assert r.mode == "shallow" and r.foreign == r.files == 4
+    assert read_table(spark, dst).count() == read_table(spark, src).count()
+    dst2 = str(tmp_path / "dsl_deep")
+    r2 = run_command(spark, src, f"CLONE TO '{dst2}' DEEP").first()
+    assert r2.mode == "deep" and r2.foreign == 0
+    assert read_table(spark, dst2).count() == read_table(spark, src).count()
+
+
 def test_cdc_replay_on_clone(spark, src, tmp_path):
     cl = str(tmp_path / "cl")
     clone_table(spark, src, cl, shallow=True)
