@@ -99,6 +99,13 @@ def _load_all() -> None:
 _PRIORITY_MODULES = [
     # re-prove the two r01 hash-mismatch fixes first
     "__fixes__",
+    # Round-6 capabilities (clone/alter/maintenance/sketches) lead the
+    # never-checked tier: they have no independent verification yet,
+    # while the r5 backlog names were judge-verified 33/33 — when the
+    # driver's 50-row budget can't cover every unchecked name, spend
+    # it on the surface nobody has checked.
+    "lifecycle",
+    "sketches",
     "format_surface",
     "tpch_rest",
     "text",
