@@ -30,9 +30,11 @@ Rules that keep it sound (each refused loudly, never silently):
   with ANY physical name: old files still hold bytes under those
   names, and re-binding the name would resurface stale data under a
   fresh column.
-- Columns with pending delete masks: rename renames the mask
-  directory alongside (the mask keeps masking); drop is refused (the
-  mask would silently stop applying — resurrection).
+- Columns with pending delete masks: rename leaves the mask directory
+  under its recorded name — mask application resolves directory names
+  through the rename map, so the mask keeps masking with no
+  dir-move/manifest-publish crash window; drop is refused (the mask
+  would silently stop applying — resurrection).
 - ``dedup_columns`` (aliased) tables are refused — materialize first.
 
 Full rewrites (compact_deletes, full recluster_table,
@@ -46,7 +48,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 
 from nimble_spark.sources.table import (
     MANIFEST_DIR,
@@ -114,8 +115,15 @@ def alter_table(
     add = dict(add or {})
     if not (rename or drop or add):
         raise ValueError("alter_table: nothing to do")
+    import copy
+
     with table_write_lock(path):
-        m = read_manifest(path)
+        # deep-copy before mutating: read_manifest returns the SHARED
+        # cached dict (one parse per manifest version); assigning into
+        # m["schema"]["fields"] in place would expose a half-altered
+        # manifest to concurrent readers of the same version (the r5
+        # cache-poisoning class).
+        m = copy.deepcopy(read_manifest(path))
         if m.get("column_aliases"):
             raise ValueError(
                 "alter_table on a dedup_columns (aliased) table: run "
@@ -133,7 +141,6 @@ def alter_table(
         def phys_of(logical_name: str) -> str:
             return inv.get(logical_name, logical_name)
 
-        mask_renames: list[tuple[str, str]] = []
         for old, new in rename.items():
             if old not in logical:
                 raise ValueError(f"rename: no column {old!r} (have {logical})")
@@ -156,8 +163,6 @@ def alter_table(
                     f"rename: {old!r} is referenced by CHECK constraint(s) "
                     f"{refs} (expressions are stored physically)"
                 )
-            if p in mask_cols or old in mask_cols:
-                mask_renames.append((old if old in mask_cols else p, new))
             renames[p] = new
             inv[new] = p
             if old in inv:
@@ -231,10 +236,10 @@ def alter_table(
                 },
             }
         ]
-        # Rename pending-mask directories alongside: the mask keeps
-        # masking its values under the column's new logical name.
-        for old_dir, new_dir in mask_renames:
-            root = os.path.join(path, MANIFEST_DIR, "deletes")
-            shutil.move(os.path.join(root, old_dir), os.path.join(root, new_dir))
+        # Pending-mask directories are NOT moved: mask application
+        # (deletes.read_with_deletes) resolves a mask directory's name
+        # through the rename map, so a mask recorded under the old
+        # name keeps masking under the new logical name with no
+        # crash window between a dir move and the manifest publish.
         _write_manifest(path, new_m)  # ATOMIC commit point
         return new_m

@@ -21,9 +21,27 @@ from pyspark.sql import functions as F
 DELETES_DIR = "_nimble/deletes"
 
 
+def _physical_key(path: str, key: str) -> str:
+    """Mask directories are ALWAYS named by the column's PHYSICAL name
+    (stable across alter.py renames): resolve the caller's logical
+    name through the manifest's rename map. Reads then map physical
+    dir → current logical exactly once, so masks keep applying across
+    any number of renames."""
+    from nimble_spark.sources.table import read_manifest
+
+    try:
+        ren = (
+            read_manifest(path, materialize=False).get("schema_mapping") or {}
+        ).get("renames") or {}
+    except (OSError, KeyError, ValueError):
+        return key
+    inv = {l: p for p, l in ren.items()}
+    return inv.get(key, key)
+
+
 def delete_rows(spark: SparkSession, path: str, key: str, values: list) -> int:
     """Record deletes for `key IN values` (logical delete, no rewrite)."""
-    out = os.path.join(path, DELETES_DIR, key)
+    out = os.path.join(path, DELETES_DIR, _physical_key(path, key))
     ddl_type = {int: "long", str: "string", float: "double"}.get(type(values[0]), "string")
     df = spark.createDataFrame([(v,) for v in values], f"{key} {ddl_type}")
     df.write.mode("append").parquet(os.path.join(out, uuid.uuid4().hex[:8]))
@@ -66,19 +84,31 @@ def read_with_deletes(spark: SparkSession, path: str, **read_kwargs) -> DataFram
     root = os.path.join(path, DELETES_DIR)
     if not os.path.isdir(root):
         return df
+    # Mask directories are recorded under the column's name AT MASK
+    # TIME; a later metadata-only rename (alter.py) changes the
+    # logical name without moving the directory — resolve through the
+    # rename map so the mask keeps masking under the new name.
+    from nimble_spark.sources.table import read_manifest
+
+    try:
+        _ren = (
+            read_manifest(path, materialize=False).get("schema_mapping") or {}
+        ).get("renames") or {}
+    except (OSError, KeyError, ValueError):
+        _ren = {}
     for key in os.listdir(root):
         subdirs = [
             os.path.join(root, key, d) for d in os.listdir(os.path.join(root, key))
         ]
+        logical = _ren.get(key, key)  # dir name → current logical name
         masks = None
         for d in subdirs:
             # mask files store the key column under its WRITE-time
-            # name; the directory name is the CURRENT logical name
-            # (alter.py renames move the directory) — bind by position
-            m = spark.read.parquet(d).toDF(key)
+            # name — bind by position to the CURRENT logical name
+            m = spark.read.parquet(d).toDF(logical)
             masks = m if masks is None else masks.unionByName(m)
-        if masks is not None and key in df.columns:
-            df = df.join(F.broadcast(masks.distinct()), key, "left_anti")
+        if masks is not None and logical in df.columns:
+            df = df.join(F.broadcast(masks.distinct()), logical, "left_anti")
     return df
 
 
@@ -92,7 +122,7 @@ def delete_where(spark: SparkSession, path: str, key: str, condition: str) -> No
 
     tgt = read_table(spark, path)
     keys = tgt.filter(F.expr(condition)).select(key).distinct()
-    out = os.path.join(path, DELETES_DIR, key, uuid.uuid4().hex[:8])
+    out = os.path.join(path, DELETES_DIR, _physical_key(path, key), uuid.uuid4().hex[:8])
     keys.write.mode("overwrite").parquet(out)
 
 

@@ -97,7 +97,20 @@ def _guard_pending_masks(
     root = os.path.join(path, DELETES_DIR)
     if not os.path.isdir(root):
         return
-    mask_cols = [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+    # dir names are mask-time names; map to CURRENT logical names
+    # (alter.py renames don't move directories)
+    try:
+        _ren = (
+            read_manifest(path, materialize=False).get("schema_mapping") or {}
+        ).get("renames") or {}
+    except (OSError, KeyError, ValueError):
+        _ren = {}
+    dir_of = {
+        _ren.get(d, d): d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+    }
+    mask_cols = list(dir_of)
     if rewritten_cols is not None:
         hit = sorted(set(mask_cols) & rewritten_cols)
         if hit:
@@ -111,9 +124,10 @@ def _guard_pending_masks(
     for mc in mask_cols:
         if mc not in source.columns:
             continue
+        mdir = os.path.join(root, dir_of[mc])
         mask = spark.read.parquet(
-            *[os.path.join(root, mc, d) for d in os.listdir(os.path.join(root, mc))]
-        ).toDF(mc)  # stored under the write-time name; dir = current name
+            *[os.path.join(mdir, d) for d in os.listdir(mdir)]
+        ).toDF(mc)  # stored under the write-time name; bind to current
         swallowed = (
             source.select(mc)
             .join(F.broadcast(mask.select(mc).distinct()), mc, "left_semi")

@@ -91,6 +91,9 @@ def test_protected_columns_refuse(spark, table):
 
 
 def test_rename_carries_pending_mask(spark, table):
+    """Masks keep applying across ANY number of renames: directories
+    are named by the PHYSICAL column name (stable), and reads resolve
+    them through the rename map — no dir move, no crash window."""
     from nimble_spark.sources.deletes import delete_rows, read_with_deletes
 
     delete_rows(spark, table, "tag", ["3"])
@@ -98,7 +101,16 @@ def test_rename_carries_pending_mask(spark, table):
     alter_table(table, rename={"tag": "label"})
     t = read_with_deletes(spark, table)
     assert "label" in t.columns and t.count() == masked  # mask still applies
-    assert os.path.isdir(os.path.join(table, "_nimble", "deletes", "label"))
+    # a mask recorded BETWEEN renames also lands under the physical dir
+    delete_rows(spark, table, "label", ["5"])
+    alter_table(table, rename={"label": "category"})
+    t2 = read_with_deletes(spark, table)
+    assert "category" in t2.columns
+    assert t2.filter("category IN ('3','5')").count() == 0
+    assert os.path.isdir(os.path.join(table, "_nimble", "deletes", "tag"))
+    # dropping the twice-renamed masked column still refuses
+    with pytest.raises(ValueError, match="pending delete masks"):
+        alter_table(table, drop=["category"])
 
 
 def test_merge_update_compact_on_altered_table(spark, table):
