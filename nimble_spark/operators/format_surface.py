@@ -1312,7 +1312,8 @@ def q_pyds_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     register_nimble_source(spark)
-    df = spark.read.format("nimble").load(path)
+    # fresh load per query call — the pushdown opt-in's usage contract
+    df = spark.read.format("nimble").option("pushdown", "true").load(path)
     return (
         df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 160))
         .groupBy("lang")

@@ -74,6 +74,17 @@ class NimbleDataSource(DataSource):
         return _logical_struct(manifest)
 
     def reader(self, schema: StructType) -> "NimbleReader":
+        # Filter pushdown is OPT-IN per load: Spark 4.1's python-DS
+        # planning caches the LAST scan's baked read plan at the
+        # relation level, so a filterless action on a reused DataFrame
+        # silently reuses the previous scan's pruned partitions —
+        # wrong rows, not just wrong cost (observed on 4.1.2; see
+        # NimblePushdownReader). The default reader never prunes on
+        # pushed filters, so any reuse pattern stays correct; callers
+        # that scan fresh-per-query opt in for stats pruning with
+        # .option("pushdown", "true").
+        if str(self.options.get("pushdown", "")).lower() in ("true", "1"):
+            return NimblePushdownReader(self.options["path"], schema)
         return NimbleReader(self.options["path"], schema)
 
     def streamReader(self, schema: StructType) -> "NimbleStreamReader":  # noqa: N802
@@ -478,35 +489,6 @@ class NimbleReader(DataSourceReader):
             for f in self.manifest["schema"]["fields"]
         }
 
-    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        """Record file-prunable constraints; report EVERY filter as
-        unsupported so Spark keeps the exact row-level residual in the
-        plan — stats pruning is a superset-safe file skip, not a row
-        filter."""
-        for f in filters:
-            attr = getattr(f, "attribute", None)
-            if not attr or len(attr) != 1:  # nested columns: no file stats
-                continue
-            col = self._ren_inv.get(attr[0], attr[0])  # logical → physical
-            if isinstance(f, EqualTo):
-                self._constraints.append((col, "eq", f.value))
-            elif isinstance(f, In):
-                self._constraints.append((col, "in", tuple(f.value)))
-            elif isinstance(f, GreaterThan):
-                self._constraints.append((col, "gt", f.value))
-            elif isinstance(f, GreaterThanOrEqual):
-                self._constraints.append((col, "ge", f.value))
-            elif isinstance(f, LessThan):
-                self._constraints.append((col, "lt", f.value))
-            elif isinstance(f, LessThanOrEqual):
-                self._constraints.append((col, "le", f.value))
-            elif isinstance(f, IsNull):
-                self._constraints.append((col, "isnull", None))
-            elif isinstance(f, IsNotNull):
-                self._constraints.append((col, "notnull", None))
-            elif isinstance(f, StringStartsWith):
-                self._constraints.append((col, "startswith", f.value))
-        return filters  # all residual — Spark re-applies row-exact
 
     def _prunable_constraints(self) -> list[tuple[str, str, object]]:
         """Constraints safe to prune files with. On a pre-STATS_GEN
@@ -583,6 +565,58 @@ class NimbleReader(DataSourceReader):
             getattr(partition, "constraints", None),
             self.part_types,
         )
+
+
+class NimblePushdownReader(NimbleReader):
+    """The stats-pruning reader — OPT-IN via ``option("pushdown",
+    "true")`` because of a Spark 4.1 planning-cache hazard: the JVM
+    caches the python data source's baked read plan (read function +
+    partitions) at the relation level and REFRESHES it only when a
+    scan pushes filters. A filterless action on a reused DataFrame
+    (``d = load(...); d.filter(...).count(); d.count()``) therefore
+    silently reuses the PREVIOUS scan's pruned partitions — wrong
+    rows, not wrong cost, and invisible to this process (the stale
+    scan never re-enters Python). Under the opt-in the contract is
+    fresh-load-per-query, which every registry query and the filter
+    fuzz follow; the default reader plans every file and lets Spark's
+    residual do the filtering, which is correct under ANY reuse.
+
+    Semantics when active: every eq/in/range/null constraint on a
+    column with per-file min/max stats prunes FILES before planning
+    (the file-level analogue of the reference's stride skipping), and
+    rides into each partition as a pyarrow row-group filter. Every
+    filter is also reported unsupported, so Spark keeps the exact
+    row-level residual — pruning is conservative, never wrong."""
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """Record file-prunable constraints; report EVERY filter as
+        unsupported so Spark keeps the exact row-level residual in the
+        plan — stats pruning is a superset-safe file skip, not a row
+        filter."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:  # nested columns: no file stats
+                continue
+            col = self._ren_inv.get(attr[0], attr[0])  # logical → physical
+            if isinstance(f, EqualTo):
+                self._constraints.append((col, "eq", f.value))
+            elif isinstance(f, In):
+                self._constraints.append((col, "in", tuple(f.value)))
+            elif isinstance(f, GreaterThan):
+                self._constraints.append((col, "gt", f.value))
+            elif isinstance(f, GreaterThanOrEqual):
+                self._constraints.append((col, "ge", f.value))
+            elif isinstance(f, LessThan):
+                self._constraints.append((col, "lt", f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self._constraints.append((col, "le", f.value))
+            elif isinstance(f, IsNull):
+                self._constraints.append((col, "isnull", None))
+            elif isinstance(f, IsNotNull):
+                self._constraints.append((col, "notnull", None))
+            elif isinstance(f, StringStartsWith):
+                self._constraints.append((col, "startswith", f.value))
+        return filters  # all residual — Spark re-applies row-exact
 
 
 def register_nimble_source(spark) -> None:

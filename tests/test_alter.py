@@ -160,7 +160,7 @@ def test_pyds_reads_logical_and_refuses_append(spark, table):
 
     register_nimble_source(spark)
     alter_table(table, rename={"v": "value"}, drop=["tag"], add={"note": "string"})
-    d = spark.read.format("nimble").load(table)
+    d = spark.read.format("nimble").option("pushdown", "true").load(table)
     assert d.columns == ["k", "value", "note"]
     assert d.filter(F.col("value") > 100).count() == read_table(
         spark, table

@@ -149,7 +149,7 @@ def test_pushdown_filters_match_duckdb(spark, fuzz_table, preds):
     where = " AND ".join(_to_sql(p) for p in preds)
     want = con.sql(f"SELECT k, cat, v, d FROM t WHERE {where}").fetchall()
     for p in (path, path_sharded):
-        got = spark.read.format("nimble").load(p).filter(where).collect()
+        got = spark.read.format("nimble").option("pushdown", "true").load(p).filter(where).collect()
         assert _bag(got) == _bag(want), f"{p}: {where}"
 
 
@@ -161,7 +161,7 @@ def test_filter_applies_before_arrow_bridge(spark, fuzz_table):
     from nimble_spark.plans.scan_metrics import totals
 
     path, _path_sharded, con = fuzz_table
-    df = spark.read.format("nimble").load(path).filter("k = 3 AND cat = 'a'")
+    df = spark.read.format("nimble").option("pushdown", "true").load(path).filter("k = 3 AND cat = 'a'")
     t = totals(df)
     matched = con.sql("SELECT COUNT(*) FROM t WHERE k = 3 AND cat = 'a'").fetchone()[0]
     assert matched > 0

@@ -249,7 +249,7 @@ def test_pyds_pushdown_skips_disjoint_pages(spark, tmpdir, monkeypatch):
     then confirms identical answers on the sharded table."""
     from pyspark.sql.datasource import EqualTo
 
-    from nimble_spark.sources.datasource import NimbleReader, register_nimble_source
+    from nimble_spark.sources.datasource import NimblePushdownReader, register_nimble_source
 
     monkeypatch.setattr(tbl, "SHARD_FILE_THRESHOLD", 4)
     monkeypatch.setattr(tbl, "MANIFEST_PAGE_SIZE", 2)
@@ -268,7 +268,7 @@ def test_pyds_pushdown_skips_disjoint_pages(spark, tmpdir, monkeypatch):
     monkeypatch.setattr(tbl, "_load_page", counting)
     from pyspark.sql.types import StructType
 
-    reader = NimbleReader(
+    reader = NimblePushdownReader(
         path, StructType.fromJson(read_manifest(path, materialize=False)["schema"])
     )
     assert loads == []  # root-only construction: zero page I/O
@@ -281,6 +281,7 @@ def test_pyds_pushdown_skips_disjoint_pages(spark, tmpdir, monkeypatch):
     got = (
         spark.read.format("nimble")
         .option("path", path)
+        .option("pushdown", "true")
         .load()
         .filter("k = 7")
         .collect()

@@ -67,7 +67,7 @@ def test_pre_fix_manifest_disables_null_pruning(spark, tmpdir):
     n_nulls = _write_nullable(spark, path)
     _poison(path)
     register_nimble_source(spark)
-    got = spark.read.format("nimble").load(path).filter("v IS NULL").count()
+    got = spark.read.format("nimble").option("pushdown", "true").load(path).filter("v IS NULL").count()
     assert got == n_nulls  # nulls=0 pruning would have returned 0
 
 

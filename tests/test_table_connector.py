@@ -727,7 +727,7 @@ def test_python_datasource_prunes_files(spark, tmpdir):
     from pyspark.sql.datasource import GreaterThanOrEqual, In, LessThanOrEqual
     from pyspark.sql.types import StructType
 
-    from nimble_spark.sources.datasource import NimbleReader, register_nimble_source
+    from nimble_spark.sources.datasource import NimblePushdownReader, register_nimble_source
 
     src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     path = f"{tmpdir}/docs_pyds"
@@ -736,12 +736,12 @@ def test_python_datasource_prunes_files(spark, tmpdir):
     assert n_files >= 4
 
     schema = StructType.fromJson(m["schema"])
-    r = NimbleReader(path, schema)
+    r = NimblePushdownReader(path, schema)
     assert len(r.partitions()) == n_files  # unfiltered: one partition per file
     r.pushFilters([GreaterThanOrEqual(("doc_id",), 10), LessThanOrEqual(("doc_id",), 50)])
     assert 0 < len(r.partitions()) < n_files  # narrow band prunes
 
-    r2 = NimbleReader(path, schema)
+    r2 = NimblePushdownReader(path, schema)
     r2.pushFilters([In(("doc_id",), (5, 7))])
     assert len(r2.partitions()) == 1  # both probes in the first cluster file
 
@@ -894,6 +894,32 @@ def test_nimble_stream_sink(spark, tmpdir):
     # and the sink table CDC-streams right back
     back = spark.read.format("nimble").load(out)
     assert back.count() == docs.count()
+
+
+def test_pyds_reused_dataframe_is_correct(spark, tmpdir):
+    """Regression for the Spark 4.1 python-DS planning-cache hazard:
+    the JVM caches the baked read plan at the relation level and
+    refreshes it only when a scan pushes filters, so with a pushdown
+    reader a filterless action on a REUSED DataFrame silently reuses
+    the previous scan's pruned partitions (wrong rows — observed on
+    4.1.2). The default (safe) reader never derives plan state from
+    pushed filters, so any interleaving of filtered and unfiltered
+    actions on one loaded DataFrame stays row-exact."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    path = f"{tmpdir}/reuse"
+    write_table(
+        spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        path,
+        WriteOptions(cluster_by=["k"], n_cluster_files=8),
+    )
+    d = spark.read.format("nimble").load(path)
+    assert d.filter("k = 7").count() == 1
+    assert d.count() == 1000  # NOT 1: no stale pruned plan
+    assert d.filter("k >= 990").count() == 10
+    assert d.count() == 1000
+    assert d.agg(F.sum("v")).first()[0] == float(sum(range(1000)))
 
 
 def test_stream_admission_control_one_commit_per_batch(spark, tmpdir):
@@ -1212,6 +1238,7 @@ def test_isnull_pushdown_all_null_file(spark, tmpdir):
             assert nv in (0, 50)
     got = (
         spark.read.format("nimble")
+        .option("pushdown", "true")
         .load(path)
         .filter(F.col("v").isNull())
         .count()
@@ -1220,6 +1247,7 @@ def test_isnull_pushdown_all_null_file(spark, tmpdir):
     # notnull side stays correct too
     got_nn = (
         spark.read.format("nimble")
+        .option("pushdown", "true")
         .load(path)
         .filter(F.col("v").isNotNull())
         .count()
