@@ -88,77 +88,86 @@ def clone_table(
     transient lock state is excluded."""
     if os.path.exists(dst) and os.listdir(dst):
         raise ValueError(f"clone destination {dst} already exists and is not empty")
-    m = read_manifest(src)
+    # Hold the SOURCE's commit lock across the snapshot capture: the
+    # manifest read plus the mask-directory copy (shallow) or the whole
+    # tree copy (deep) must see ONE consistent source version — without
+    # it a concurrent delete_rows can add a mask the captured manifest
+    # never saw (clone reads rows the source never deletes), and
+    # compact_deletes' staged swap can replace the source dir mid-copy
+    # (dangling every foreign entry immediately).
+    with table_write_lock(src):
+        m = read_manifest(src)
 
-    if not shallow:
-        os.makedirs(os.path.dirname(os.path.abspath(dst)) or ".", exist_ok=True)
-        # Physical fork: copy everything except transient lock state.
-        def _ignore(d: str, names: list[str]) -> set[str]:
-            return {
-                n
-                for n in names
-                if n == "lock" or n.startswith("lock-tomb-") or n.endswith(".lock")
-            }
+        if not shallow:
+            os.makedirs(os.path.dirname(os.path.abspath(dst)) or ".", exist_ok=True)
+            # Physical fork: copy everything except transient lock state.
+            def _ignore(d: str, names: list[str]) -> set[str]:
+                return {
+                    n
+                    for n in names
+                    if n == "lock" or n.startswith("lock-tomb-") or n.endswith(".lock")
+                }
 
-        shutil.copytree(src, dst, ignore=_ignore, dirs_exist_ok=True)
-        out = read_manifest(dst, materialize=False)
-        out.setdefault("user_metadata", {})
-        return out
+            shutil.copytree(src, dst, ignore=_ignore, dirs_exist_ok=True)
+            out = read_manifest(dst, materialize=False)
+            # never mutate the shared per-version manifest cache entry
+            return dict(out, user_metadata=out.get("user_metadata") or {})
 
-    idx = m.get("indexes", {}) or {}
-    for k in ("partition", "hash", "cut"):
-        if k in idx:
-            raise ValueError(
-                f"shallow clone of a {k}-layout table is not supported: "
-                f"the layout lives in directory names under the SOURCE "
-                f"root (foreign paths would break directory-shaped "
-                f"planning); use clone_table(shallow=False)"
-            )
+        idx = m.get("indexes", {}) or {}
+        for k in ("partition", "hash", "cut"):
+            if k in idx:
+                raise ValueError(
+                    f"shallow clone of a {k}-layout table is not supported: "
+                    f"the layout lives in directory names under the SOURCE "
+                    f"root (foreign paths would break directory-shaped "
+                    f"planning); use clone_table(shallow=False)"
+                )
 
-    src_abs = os.path.abspath(src)
-    entries = [
-        dict(e, path=os.path.normpath(os.path.join(src_abs, e["path"])))
-        for e in m["files"]
-    ]
-    carried_idx = {k: idx[k] for k in ("cluster", "zorder", "bloom") if k in idx}
-    manifest = {
-        "format_version": 1,
-        "stats_gen": m.get("stats_gen", 1),
-        "schema": m["schema"],
-        "column_attributes": m.get("column_attributes"),
-        "rows": m["rows"],
-        "files": entries,
-        "column_stats": _fold_column_stats(entries),
-        "indexes": carried_idx,
-        "user_metadata": {
-            **(m.get("user_metadata") or {}),
-            "clone.source": src_abs,
-            "clone.source_commit": str(len(m.get("commits", [])) - 1),
-            "clone.shallow": "true",
-        },
-        "write_stats": _layout_stats(entries),
-        "commits": [
-            {
-                "commit": 0,
-                "mode": "clone",
-                "files_added": len(entries),
-                "rows_added": int(m["rows"]),
-                "files": sorted(e["path"] for e in entries),
-            }
-        ],
-    }
-    for k in ("constraints", "column_aliases", "logical_columns", "schema_mapping"):
-        if m.get(k):
-            manifest[k] = m[k]
-    os.makedirs(os.path.join(dst, MANIFEST_DIR), exist_ok=True)
-    # Pending delete masks are part of what the source READS AS — copy
-    # them (metadata-sized value sets) so clone reads match source
-    # reads at clone time, and later mask mutations stay independent.
-    src_masks = os.path.join(src, _DELETES_SUBDIR)
-    if os.path.isdir(src_masks):
-        shutil.copytree(src_masks, os.path.join(dst, _DELETES_SUBDIR))
-    _write_manifest(dst, manifest)
-    return manifest
+        src_abs = os.path.abspath(src)
+        entries = [
+            dict(e, path=os.path.normpath(os.path.join(src_abs, e["path"])))
+            for e in m["files"]
+        ]
+        carried_idx = {k: idx[k] for k in ("cluster", "zorder", "bloom") if k in idx}
+        manifest = {
+            "format_version": 1,
+            "stats_gen": m.get("stats_gen", 1),
+            "schema": m["schema"],
+            "column_attributes": m.get("column_attributes"),
+            "rows": m["rows"],
+            "files": entries,
+            "column_stats": _fold_column_stats(entries),
+            "indexes": carried_idx,
+            "user_metadata": {
+                **(m.get("user_metadata") or {}),
+                "clone.source": src_abs,
+                "clone.source_commit": str(len(m.get("commits", [])) - 1),
+                "clone.shallow": "true",
+            },
+            "write_stats": _layout_stats(entries),
+            "commits": [
+                {
+                    "commit": 0,
+                    "mode": "clone",
+                    "files_added": len(entries),
+                    "rows_added": int(m["rows"]),
+                    "files": sorted(e["path"] for e in entries),
+                }
+            ],
+        }
+        for k in ("constraints", "column_aliases", "logical_columns", "schema_mapping"):
+            if m.get(k):
+                manifest[k] = m[k]
+        os.makedirs(os.path.join(dst, MANIFEST_DIR), exist_ok=True)
+        # Pending delete masks are part of what the source READS AS —
+        # copy them (metadata-sized value sets) so clone reads match
+        # source reads at clone time, and later mask mutations stay
+        # independent.
+        src_masks = os.path.join(src, _DELETES_SUBDIR)
+        if os.path.isdir(src_masks):
+            shutil.copytree(src_masks, os.path.join(dst, _DELETES_SUBDIR))
+        _write_manifest(dst, manifest)
+        return manifest
 
 
 def foreign_files(manifest: dict) -> list[str]:

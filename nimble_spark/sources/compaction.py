@@ -42,6 +42,28 @@ from nimble_spark.sources.table import (
 )
 
 
+def _declared_read_schema(m: dict):
+    """The manifest's declared PHYSICAL schema minus Hive partition
+    columns (partition values live only in directory names, never in
+    file bytes) — the explicit schema every rewrite/boundary read MUST
+    use. Single-pass inference samples ONE footer, so on a legally
+    mixed-schema table (alter_table ADD, or a widened append) a column
+    only newer files carry would silently vanish from the merged
+    output — durable data loss, not a null-fill. Under an explicit
+    schema Spark null-fills per-file missing columns and reads present
+    ones for real (same mixed-presence rule table._plan_parquet
+    applies to scans)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType.fromJson(m["schema"])
+    part_keys = set(
+        (m.get("indexes", {}).get("partition") or {}).get("keys") or []
+    )
+    if not part_keys:
+        return schema
+    return T.StructType([f for f in schema.fields if f.name not in part_keys])
+
+
 def plan_compaction(
     manifest: dict, target_file_bytes: int = 128 * 1024 * 1024
 ) -> list[list[dict]]:
@@ -190,7 +212,9 @@ def fast_count(
             boundary.append(f)
     if not boundary:
         return int(full)
-    df = spark.read.parquet(*[os.path.join(path, f["path"]) for f in boundary])
+    df = spark.read.schema(_declared_read_schema(m)).parquet(
+        *[os.path.join(path, f["path"]) for f in boundary]
+    )
     cond = F.lit(True)
     if lo is not None:
         cond = cond & (F.col(key) >= lo)
@@ -255,7 +279,7 @@ def compact_table(
         # clustered table re-sort the bin by the cluster keys to keep
         # the table's semantic (range) row order; plain tables have
         # no defined row order to preserve.
-        merged = spark.read.parquet(*srcs).coalesce(1)
+        merged = spark.read.schema(_declared_read_schema(m)).parquet(*srcs).coalesce(1)
         if cluster_keys:
             merged = merged.sortWithinPartitions(*cluster_keys)
         writer = merged.write.mode("overwrite").option("compression", "zstd")
@@ -712,7 +736,7 @@ def _recluster_partial(
     entries_at: dict[str, list[dict]] = {}
     for g in groups:
         srcs = [os.path.join(path, f["path"]) for f in g]
-        df = spark.read.parquet(*srcs)
+        df = spark.read.schema(_declared_read_schema(m)).parquet(*srcs)
         missing = [k for k in keys if k not in df.columns]
         if missing:
             raise ValueError(

@@ -27,14 +27,24 @@ def _physical_key(path: str, key: str) -> str:
     name through the manifest's rename map. Reads then map physical
     dir → current logical exactly once, so masks keep applying across
     any number of renames."""
-    from nimble_spark.sources.table import read_manifest
+    from nimble_spark.sources.table import logical_field_names, read_manifest
 
     try:
-        ren = (
-            read_manifest(path, materialize=False).get("schema_mapping") or {}
-        ).get("renames") or {}
-    except (OSError, KeyError, ValueError):
-        return key
+        m = read_manifest(path, materialize=False)
+    except (OSError, KeyError):
+        return key  # no manifest yet (raw-dir table): nothing to map
+    # Refuse unknown / dropped / stale-physical names loudly: a mask
+    # keyed by a name no read resolves would be silently ignored by
+    # read_with_deletes forever — the requested deletes never apply
+    # (the silent-no-op class alter.py otherwise refuses).
+    logical = logical_field_names(m)
+    if key not in logical:
+        raise ValueError(
+            f"delete key {key!r} is not a column of this table "
+            f"(have {logical}); deletes keyed by a dropped or stale "
+            f"physical name would silently never apply"
+        )
+    ren = (m.get("schema_mapping") or {}).get("renames") or {}
     inv = {l: p for p, l in ren.items()}
     return inv.get(key, key)
 

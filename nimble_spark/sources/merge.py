@@ -558,6 +558,17 @@ def overwrite_partitions(
             raise ValueError(
                 f"overwrite_partitions writes to dropped column(s) {bad}"
             )
+        # same alter contract as write_table's append path: a stale
+        # producer still speaking pre-rename PHYSICAL names must fail
+        # loudly, never silently land data under a renamed-away column
+        renames = manifest["schema_mapping"].get("renames") or {}
+        stale = sorted(c for c in df.columns if c in renames)
+        if stale:
+            raise ValueError(
+                f"overwrite_partitions uses pre-rename physical name(s) "
+                f"{stale}; use the logical names "
+                f"({ {p: l for p, l in renames.items() if p in stale} })"
+            )
         df = _to_physical(df, manifest)
     pidx = manifest.get("indexes", {})
     pkeys = (pidx.get("partition") or {}).get("keys")
