@@ -89,10 +89,25 @@ HEADLINE = [
 ]
 
 
+def _cpu_jiffies() -> tuple:
+    """(total, steal) jiffies from /proc/stat — steal% over the bench
+    window distinguishes a hypervisor-starved run from a regression
+    (round 6 lost hours to phantom ~25% uniform slowdowns)."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from nimble_spark import get_spark
     from nimble_spark.registry import QUERIES, _load_all
+
+    load_before = os.getloadavg()
+    jif0, steal0 = _cpu_jiffies()
 
     _load_all()
     spark = get_spark("bench")
@@ -177,6 +192,22 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_metadata_bench"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # Reference-width schema drill (r7): 5,000 physical columns,
+    # 3-column projected read. first = includes the one-time cached
+    # build on a cold cache; warm = the projected read queries pay.
+    wide: dict = {}
+    try:
+        t0 = time.time()
+        QUERIES["q_wide_5k_projection"].fn(spark, sf_dir).collect()
+        wide["wide5k_first_sec"] = round(time.time() - t0, 3)
+        t1 = time.time()
+        QUERIES["q_wide_5k_projection"].fn(spark, sf_dir).collect()
+        wide["wide5k_projected_read_sec"] = round(time.time() - t1, 3)
+        for k, v in wide.items():
+            print(f"# wide.{k}: {v}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["_wide_bench"] = f"{type(exc).__name__}: {exc}"[:300]
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -199,8 +230,21 @@ def main() -> None:
         out["lifecycle"] = life
     if meta:
         out["metadata"] = meta
+    if wide:
+        out["wide"] = wide
     if errors:
         out["errors"] = errors
+    # Host-contention stamps: a run where loadavg was already high at
+    # start, or steal% is nonzero, is NOT comparable run-to-run — the
+    # round-6 drift post-mortem required CHANGELOG archaeology to
+    # establish this; now every BENCH_r{N}.json carries the evidence.
+    jif1, steal1 = _cpu_jiffies()
+    out["host"] = {
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "steal_pct": round(100.0 * (steal1 - steal0) / max(1, jif1 - jif0), 2),
+        "cpus": os.cpu_count(),
+    }
     print(json.dumps(out))
 
 

@@ -1826,3 +1826,69 @@ def q_wide_feature_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsum("f31").alias("sum_f31"),
         lsum("f55").alias("sum_f55"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: the reference-scale wide-schema drill — 5,000 physical columns
+# ---------------------------------------------------------------------------
+
+# The reference exists for THOUSANDS-to-tens-of-thousands of feature
+# columns (README.md:21-24); q_wide_feature_projection proves the
+# projected-IO property at 64. This drill proves the same property at
+# 5k physical columns. The table is deterministic arithmetic over a
+# fixed row range (independent of sf), so the DuckDB oracle is exact
+# closed-form SQL — no data build on the oracle side at all.
+_W5K_COLS = 5000
+_W5K_ROWS = 1000
+_W5K_PROJ = (123, 2500, 4987)  # the three projected feature indices
+
+
+def _w5k_val(i: int) -> str:
+    # column f{i} = (id * 31 + i) % 1000 — exact BIGINT in both engines
+    return f"(id * 31 + {i}) % 1000"
+
+
+@register(
+    "q_wide_5k_projection",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           {", ".join(f"SUM({_w5k_val(i)}) AS s_f{i:04d}" for i in _W5K_PROJ)}
+    FROM (SELECT range AS id FROM range({_W5K_ROWS}))
+    """,
+    category="format",
+)
+def q_wide_5k_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5,000-column write + 3-column projected read — the reference's
+    raison d'être at its actual width (README.md:21-24: nimble targets
+    feature tables with thousands to tens of thousands of streams;
+    LayoutPlanner.cpp:84-92 plans per-stream layout for exactly this).
+
+    What the drill pins beyond q_wide_feature_projection's 64 columns:
+    - the writer survives 5k physical columns under bounded memory
+      (max_rows_per_file bounds the open-file state per task);
+    - a 3-of-5000 projected read's parquet ReadSchema carries ONLY the
+      projected fields (plan-gated in tests/test_wide_schema_drill.py)
+      — IO scales with the projection, not the schema;
+    - above spark.sql.codegen.maxFields the 5k-expression projection
+      legitimately leaves whole-stage codegen; the READ side (3 cols)
+      stays fully codegen'd, which is the side queries pay forever.
+
+    The cell values are exact integer arithmetic on the row id, so the
+    oracle is closed-form SQL over range() — the build cost exists only
+    on the Spark side (once, cached)."""
+
+    def _build(tmp: str) -> None:
+        cols = [F.expr(_w5k_val(i)).alias(f"f{i:04d}") for i in range(_W5K_COLS)]
+        write_table(
+            spark.range(0, _W5K_ROWS).select(F.col("id"), *cols),
+            tmp,
+            WriteOptions(),
+        )
+
+    path = ensure_cached(sf_dir, "wide5k", [], _build)
+    proj = [f"f{i:04d}" for i in _W5K_PROJ]
+    df = read_table(spark, path, columns=proj)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(f"s_{c}") for c in proj],
+    )

@@ -921,3 +921,186 @@ def q_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("adc_sim", 4).alias("adc_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + ADC composed: the full billion-vector serving pattern
+# ---------------------------------------------------------------------------
+
+_IVF_ADC_DUCK = f"""
+    WITH {_CENTROIDS_DUCK},
+    q AS (SELECT vec_id AS qid, embedding AS qv, {_norm_duck("embedding")} AS qn
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    cells AS (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY FLOOR(({_DOT_DUCK.format(a="qv", b="cvec")}
+                 / (qn * {_norm_duck("cvec")})) * 1000000 + 0.5) / 1000000 DESC,
+               label
+             ) AS cell_rk
+      FROM q JOIN centroids ON TRUE
+    ),
+    probed AS (SELECT qid, label FROM cells WHERE cell_rk <= {N_PROBE}),
+    cs AS (
+      SELECT vec_id AS cid, label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ),
+    c AS (SELECT cid, label, {_CODES_DUCK} AS codes FROM cs),
+    adc AS (
+      SELECT p.qid, c.cid, q.qv, q.qn,
+             {_DOT_DUCK.format(a="q.qv", b="c.codes")} /
+               (q.qn * sqrt({_DOT_DUCK.format(a="c.codes", b="c.codes")})) AS adc_sim
+      FROM probed p
+      JOIN c ON c.label = p.label
+      JOIN q ON q.qid = p.qid
+      WHERE c.cid <> p.qid
+    ),
+    short AS (
+      SELECT qid, cid, qv, qn, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR(adc_sim * 1000000 + 0.5) / 1000000 DESC, cid) AS ark
+      FROM adc
+    ),
+    re AS (
+      SELECT s.qid, s.cid, s.adc_sim,
+             {_DOT_DUCK.format(a="s.qv", b="e.embedding")} /
+               (s.qn * {_norm_duck("e.embedding")}) AS sim
+      FROM short s JOIN embeddings e ON e.vec_id = s.cid
+      WHERE s.ark <= {_ADC_SHORTLIST}
+    ),
+    ranked AS (
+      SELECT qid, cid, sim, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR(sim * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM re
+    )
+    SELECT qid, cid, rk,
+           FLOOR(sim * 10000 + 0.5) / 10000 AS sim,
+           FLOOR(adc_sim * 10000 + 0.5) / 10000 AS adc_sim
+    FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("q_ann_ivf_adc_topk", oracle=_IVF_ADC_DUCK, category="similarity")
+def q_ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + ADC composed — the full billion-vector serving pattern in
+    one oracle-gated query (round-7 verdict #4): probe the PERSISTED
+    cell-partitioned index's nearest cells (coarse quantization,
+    broadcast centroids), ADC-scan ONLY the probed cells' int8 codes
+    (asymmetric distance against broadcast full-precision queries),
+    then exact-re-rank the shortlist with full vectors.
+
+    Reference posture: an index-bounded selective scan
+    (dwio/nimble/velox/selective/SelectiveNimbleIndexReader.h:36-62 —
+    the index narrows the stripes, the scan stays selective inside
+    them); here the cell join narrows the candidate files, the int8
+    codes narrow the bytes, and full-precision IO is only
+    |Q|·shortlist rows.
+
+    Scale shape (each stage's cost at 10⁹ vectors):
+    - centroid ranking: |Q| × n_cells against BROADCAST centroids — no
+      candidate IO at all;
+    - quantized scan: only n_probe/n_cells of the corpus is read, as
+      int8 codes (4× less than fp32), against the broadcast bounded
+      query set — partition-local, no candidate shuffle;
+    - refine: a join of |Q|·shortlist keys back to full vectors — the
+      only full-precision reads the query does.
+    The plan gate (tests/test_plan_audit.py) asserts the cell join
+    prunes BEFORE the code scan and every query-side join broadcasts.
+    """
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+    # same persisted index as q_ivf_index_partition_probe (shared cache)
+    path = ensure_cached(
+        sf_dir,
+        "embeddings__ivf_cells",
+        ["embeddings"],
+        lambda tmp: write_table(
+            load(spark, sf_dir, "embeddings"),
+            tmp,
+            WriteOptions(partition_by=["label"]),
+        ),
+    )
+    stored = read_table(spark, path)
+
+    # exact per-dimension centroids from the stored index (value-exact
+    # roundtrip — same derivation as q_ivf_index_partition_probe)
+    flat = stored.select("label", F.posexplode("embedding").alias("dim0", "v0"))
+    cdim = flat.groupBy("label", "dim0").agg(
+        (F.sum(F.col("v0").cast("double").cast("decimal(27,6)")).cast("double")
+         / F.count(F.lit(1))).alias("cv")
+    )
+    centroids = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+
+    q = stored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
+    )
+    cell_sim = F.expr(_DOT_SPARK.format(a="qv", b="cvec")) / (
+        F.col("qn") * F.expr(_norm_spark("cvec"))
+    )
+    wc = W.partitionBy("qid").orderBy(rnd(cell_sim, 6).desc(), "label")
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_rk", F.row_number().over(wc))
+        .filter(F.col("cell_rk") <= N_PROBE)
+        .select("qid", "label")
+    )
+
+    # quantized scan over ONLY the probed cells: join FIRST, so the
+    # broadcast cell join narrows the candidate set BEFORE the code
+    # fold runs — the plan gate asserts the codes Project sits ABOVE
+    # the label join (prune precedes quantized scan)
+    cand = (
+        stored.select(F.col("vec_id").alias("cid"), "label", "embedding")
+        .join(F.broadcast(probed), "label")
+        .select(
+            "qid",
+            "cid",
+            F.expr(
+                "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+            ).alias("scale"),
+            "embedding",
+        )
+        .select("qid", "cid", F.expr(_CODES_SPARK).alias("codes"))
+    )
+    adc_sim = F.expr(_DOT_SPARK.format(a="qv", b="codes")) / (
+        F.col("qn") * F.sqrt(F.expr(_DOT_SPARK.format(a="codes", b="codes")))
+    )
+    adc = (
+        cand.join(F.broadcast(q), "qid")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "qv", "qn", adc_sim.alias("adc_sim"))
+    )
+    w1 = W.partitionBy("qid").orderBy(rnd("adc_sim", 6).desc(), "cid")
+    short = adc.withColumn("ark", F.row_number().over(w1)).filter(
+        F.col("ark") <= _ADC_SHORTLIST
+    )
+
+    # exact refine: only |Q|·shortlist full-precision rows
+    cv = stored.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="cv")) / (
+        F.col("qn") * F.expr(_norm_spark("cv"))
+    )
+    re = short.join(cv, "cid").select("qid", "cid", "adc_sim", sim.alias("sim"))
+    w2 = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        re.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "qid",
+            "cid",
+            "rk",
+            rnd("sim", 4).alias("sim"),
+            rnd("adc_sim", 4).alias("adc_sim"),
+        )
+    )

@@ -65,6 +65,18 @@ _ADDABLE = {
     "binary", "decimal(38,18)",
 }
 
+# simpleString → schema-JSON type name: the manifest stores Spark's
+# JSON schema (StructType.fromJson), whose integer names differ from
+# the DDL simpleStrings users write. Storing "bigint" verbatim would
+# poison the manifest — every later read's fromJson raises
+# CANNOT_PARSE_DATATYPE (caught by the r7 combined lifecycle fuzz).
+_JSON_TYPE = {
+    "tinyint": "byte",
+    "smallint": "short",
+    "int": "integer",
+    "bigint": "long",
+}
+
 
 def _protected_names(m: dict) -> dict[str, str]:
     """Physical column name → why it cannot be renamed/dropped."""
@@ -205,7 +217,12 @@ def alter_table(
                     f"stale data"
                 )
             m["schema"]["fields"] = list(m["schema"]["fields"]) + [
-                {"name": name, "type": typ, "nullable": True, "metadata": {}}
+                {
+                    "name": name,
+                    "type": _JSON_TYPE.get(typ, typ),
+                    "nullable": True,
+                    "metadata": {},
+                }
             ]
             phys_names.append(name)
 

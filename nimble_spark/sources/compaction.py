@@ -36,6 +36,7 @@ import uuid
 
 from pyspark.sql import SparkSession
 
+from nimble_spark.sources.fs import get_fs
 from nimble_spark.sources.table import (
     MANIFEST_DIR,
     read_manifest,
@@ -129,18 +130,19 @@ def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
     # sweep leftover sibling dirs from staging writes that failed
     # before their marker existed. Safe under the table lock vacuum
     # already holds: no rewrite of this table can be live.
+    fs = get_fs()
     repair_interrupted_swap(path)
     base = os.path.normpath(path)
     sib_re = re.compile(re.escape(os.path.basename(base)) + r"-(rewrite|old)-[0-9a-f]{8}$")
-    for sib in os.listdir(os.path.dirname(base) or "."):
+    for sib in fs.list_dir(os.path.dirname(base) or "."):
         if sib_re.fullmatch(sib):
-            shutil.rmtree(os.path.join(os.path.dirname(base), sib), ignore_errors=True)
+            fs.delete_tree(os.path.join(os.path.dirname(base), sib))
 
     m = read_manifest(path)
     referenced = {os.path.normpath(f["path"]) for f in m["files"]}
     removed: list[str] = []
     now = _time.time()
-    for root, dirs, files in os.walk(path):
+    for root, dirs, files in fs.walk(path):
         dirs[:] = [d for d in dirs if d != MANIFEST_DIR]
         for fn in files:
             if not fn.endswith(".parquet"):
@@ -150,11 +152,11 @@ def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
             if rel in referenced:
                 continue
             try:
-                if now - os.stat(full).st_mtime < min_age_s:
+                if now - fs.mtime(full) < min_age_s:
                     continue  # possibly a concurrent write's staged file
             except OSError:
                 continue  # vanished (its own commit/cleanup) — skip
-            os.remove(full)
+            fs.delete(full)
             crc = os.path.join(root, f".{fn}.crc")
             if os.path.exists(crc):
                 os.remove(crc)
@@ -165,7 +167,7 @@ def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
     # traded for space.
     trash = os.path.join(path, MANIFEST_DIR, "trash")
     if os.path.isdir(trash):
-        for root, _dirs, files in os.walk(trash):
+        for root, _dirs, files in fs.walk(trash):
             for fn in files:
                 if fn.endswith(".parquet"):
                     # real root-relative path (_nimble/trash/...), so
@@ -174,7 +176,7 @@ def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
                     removed.append(
                         os.path.normpath(os.path.relpath(os.path.join(root, fn), path))
                     )
-        shutil.rmtree(trash, ignore_errors=True)
+        fs.delete_tree(trash)
     return sorted(removed)
 
 
@@ -430,8 +432,9 @@ def _publish_partial_rewrite(
     # crash mid-loop strands some at their original paths, where
     # historical reads still resolve them; the live manifest never
     # references them again either way.
+    fs = get_fs()
     trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
-    os.makedirs(trash, exist_ok=True)
+    fs.makedirs(trash)
     for g in groups:
         for f in g:
             if os.path.isabs(f["path"]):
@@ -447,9 +450,9 @@ def _publish_partial_rewrite(
             # resolve_historical_file globs trash/commit-*/<rel>, so
             # partitioned/bucketed rels must keep their subdirs
             dst = os.path.join(trash, os.path.normpath(f["path"]))
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            fs.makedirs(os.path.dirname(dst))
             try:
-                os.rename(src, dst)
+                fs.move(src, dst)
             except OSError:
                 pass  # already gone — harmless
             crc = os.path.join(os.path.dirname(src), f".{os.path.basename(src)}.crc")

@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nimble_spark.sources.fs import get_fs
 from nimble_spark.sources.table import (
     BUCKET_COL,
     MANIFEST_DIR,
@@ -467,8 +468,9 @@ def _commit_rewrite(
     # unreferenced debris at their ORIGINAL paths, where snapshot
     # reads still resolve them — the live manifest never references a
     # trashed path.
+    fs = get_fs()
     trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
-    os.makedirs(trash, exist_ok=True)
+    fs.makedirs(trash)
     for f in affected:
         if os.path.isabs(f):
             # Shallow-clone foreign entry: the SOURCE table owns the
@@ -481,8 +483,8 @@ def _commit_rewrite(
         # partitioned/bucketed file (subdirs in rel) must keep its
         # directory shape to stay replayable
         dst = os.path.join(trash, f)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.rename(os.path.join(path, f), dst)
+        fs.makedirs(os.path.dirname(dst))
+        fs.move(os.path.join(path, f), dst)
     return new_manifest
 
 

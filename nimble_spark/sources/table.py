@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nimble_spark.sources.fs import get_fs
+
 MANIFEST_DIR = "_nimble"
 MANIFEST_NAME = "manifest.json"
 # Per-file-stats generation stamped into manifests whose entries all
@@ -989,13 +991,12 @@ _PAGE_CACHE: dict[str, tuple[tuple[int, int], list]] = {}
 
 def _load_page(meta_dir: str, rel: str) -> list:
     p = os.path.join(meta_dir, rel)
-    st = os.stat(p)
-    version = (st.st_mtime_ns, st.st_size)
+    fs = get_fs()
+    version = fs.version(p)
     hit = _PAGE_CACHE.get(p)
     if hit is not None and hit[0] == version:
         return hit[1]
-    with open(p) as fh:
-        entries = json.load(fh)
+    entries = json.loads(fs.read_bytes(p))
     _PAGE_CACHE[p] = (version, entries)
     return entries
 
@@ -1011,8 +1012,9 @@ def read_manifest(path: str, materialize: bool = True) -> dict:
     per-page cache makes re-assembly after unrelated root changes
     (tags, commit log) free."""
     mf = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
+    fs = get_fs()
     try:
-        st = os.stat(mf)
+        version = fs.version(mf)
     except FileNotFoundError:
         # A staged_swap_rewrite crashed between its two renames (the
         # table dir itself is briefly absent): complete it forward
@@ -1022,8 +1024,7 @@ def read_manifest(path: str, materialize: bool = True) -> dict:
         # the race (both paths end with the dir present).
         if not repair_interrupted_swap(path):
             raise
-        st = os.stat(mf)
-    version = (st.st_mtime_ns, st.st_size)
+        version = fs.version(mf)
     hit = _MANIFEST_CACHE.get(mf)
     if hit is not None and hit[0] == version:
         return hit[1]  # materialized superset serves both modes
@@ -1032,8 +1033,7 @@ def read_manifest(path: str, materialize: bool = True) -> dict:
     if rhit is not None and rhit[0] == version:
         m = rhit[1]
     else:
-        with open(mf) as fh:
-            m = json.load(fh)
+        m = json.loads(fs.read_bytes(mf))
         if "file_pages" not in m:
             _MANIFEST_CACHE[mf] = (version, m)  # complete as-is
             return m
@@ -1050,235 +1050,15 @@ def read_manifest(path: str, materialize: bool = True) -> dict:
     return m
 
 
-class table_write_lock:
-    """Table-level commit lock: serializes writers so concurrent
-    appends/rewrites cannot lose each other's commits (two writers
-    both reading manifest v0 and publishing last-wins would silently
-    drop the loser's files from the log). O_CREAT|O_EXCL lockfile in
-    the metadata dir — correct on a local/posix FS, which is where
-    this engine's multi-writer tests run; on an object store the same
-    protocol rides a conditional-put of the manifest (ETag
-    compare-and-swap), which is exactly how Delta commits on S3.
-    Locks older than ``stale_s`` are broken (crashed writer)."""
-
-    @staticmethod
-    def _proc_start_ticks(pid: int) -> int | None:
-        """The process's kernel start time (clock ticks since boot,
-        /proc/<pid>/stat field 22): pid + start time uniquely identify
-        a process INCARNATION, so a recycled pid — same number, new
-        process — is distinguishable from the original holder. None
-        where /proc is unavailable (parse is ')'-anchored: comm may
-        contain spaces and parens)."""
-        try:
-            with open(f"/proc/{pid}/stat", "rb") as fh:
-                data = fh.read()
-            return int(data.rsplit(b") ", 1)[1].split()[19])
-        except (OSError, ValueError, IndexError):
-            return None
-
-    @staticmethod
-    def _holder_alive(lock_path: str) -> bool:
-        """True when the lockfile names a LIVE process incarnation on
-        THIS host. Single-host protection against breaking the lock of
-        a stalled-but-alive writer: age alone cannot distinguish a
-        crash from a long GC pause / SIGSTOP / VM freeze (which stops
-        the heartbeat too), so a live local holder is never broken
-        regardless of mtime age. Pid RECYCLING is caught by the
-        recorded start time (a different incarnation is not the
-        holder). A lockfile recording a DIFFERENT hostname is not
-        probeable here — return False and let mtime decide; the
-        holder's heartbeat keeps a live cross-host lock's mtime
-        fresh, so there stale mtime ⇒ crashed (writers must share
-        one stale_s config for that arithmetic to hold).
-
-        Limitation: on hosts WITHOUT procfs (macOS/BSD) there is no
-        start-time identity, so a crashed writer whose pid the OS
-        recycled to a long-lived process keeps the veto alive —
-        correctness over availability: delete the lockfile manually
-        (it names the pid) rather than risk breaking a live stalled
-        holder and publishing concurrently."""
-        import socket
-
-        try:
-            with open(lock_path, "rb") as fh:
-                data = fh.read(4096)  # lockfiles are < 1 KiB; a full
-                # read keeps the trailing start-ticks field intact
-                # even for maximal (253-char) hostnames — a truncated
-                # tick value would wrongly fail the incarnation check
-                # and break a live holder's lock
-            parts = data.split(b"@")
-            pid = int(parts[0])
-            host = parts[2].decode() if len(parts) >= 3 else None
-        except (OSError, ValueError):
-            return False  # unreadable/unparseable → fall back to mtime
-        if host is not None and host != socket.gethostname():
-            return False  # foreign host's pid: meaningless locally
-        try:
-            os.kill(pid, 0)
-        except PermissionError:
-            pass  # the pid EXISTS (another user's) — keep checking
-        except OSError:
-            return False
-        try:
-            recorded = int(parts[3]) if len(parts) >= 4 and parts[3] else None
-        except ValueError:
-            recorded = None
-        if recorded is not None:
-            actual = table_write_lock._proc_start_ticks(pid)
-            if actual is not None and actual != recorded:
-                return False  # recycled pid: same number, new process
-        return True
-
-    def __init__(self, path: str, timeout_s: float = 120.0, stale_s: float = 600.0):
-        # SIBLING of the table dir, not inside it: an overwrite write
-        # deletes the table directory's contents (including _nimble),
-        # which would destroy an in-flight lockfile held there and let
-        # a second writer acquire a fresh lock mid-overwrite.
-        self.lock_path = f"{path.rstrip('/')}.__commit.lock"
-        self.timeout_s = timeout_s
-        self.stale_s = stale_s
-
-    # Serializes THIS process's acquisition attempts (open try + stale
-    # break) across threads: without it, two threads can interleave
-    # inside the rename-verify-restore sequence and re-take the path
-    # mid-restore — the intra-process face of the documented
-    # stat→rename race. Held only for the brief attempt, never across
-    # a critical section. Cross-process, the tombstone protocol below
-    # is the (narrowed, not closed) guard.
-    _ACQUIRE_MUTEX = threading.Lock()
-
-    def __enter__(self):
-        os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
-        deadline = time.monotonic() + self.timeout_s
-        import socket
-
-        while True:
-            with table_write_lock._ACQUIRE_MUTEX:
-                try:
-                    fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    start = self._proc_start_ticks(os.getpid())
-                    os.write(
-                        fd,
-                        f"{os.getpid()}@{time.time()}@{socket.gethostname()}"
-                        f"@{'' if start is None else start}".encode(),
-                    )
-                    # remember OUR lockfile's identity: unlock releases
-                    # only this exact inode, so a racing breaker that
-                    # (wrongly) swapped the file out can never make us
-                    # delete a lock that is not ours
-                    self._ino = os.fstat(fd).st_ino
-                    os.close(fd)
-                    # Heartbeat: refresh the lockfile mtime while held,
-                    # so a LIVE writer's lock never looks mtime-stale no
-                    # matter how long the critical section runs (full-
-                    # table rewrites like materialize_columns can exceed
-                    # stale_s) — cross-host waiters, who cannot probe our
-                    # pid, then see staleness only on a real crash.
-                    self._hb_stop = threading.Event()
-                    self._hb = threading.Thread(
-                        target=self._heartbeat, daemon=True, name="nimble-lock-hb"
-                    )
-                    self._hb.start()
-                    return self
-                except FileExistsError:
-                    self._maybe_break_stale()
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"could not acquire table write lock {self.lock_path} "
-                    f"within {self.timeout_s}s"
-                )
-            time.sleep(0.05)
-
-    def _heartbeat(self) -> None:
-        # stale_s/4 cadence: three missed beats of margin before any
-        # waiter can even consider the lock stale. Stops the moment the
-        # path no longer holds OUR inode (released / broken / stolen) —
-        # never refreshes someone else's lock.
-        while not self._hb_stop.wait(self.stale_s / 4):
-            try:
-                if os.stat(self.lock_path).st_ino != self._ino:
-                    return
-                os.utime(self.lock_path, None)
-            except OSError:
-                return
-
-    def _maybe_break_stale(self) -> None:
-        """Break the holder's lockfile iff it is PROVABLY stale: old
-        mtime AND no live holder pid. The break renames to a unique
-        tombstone instead of unlinking (an unlink could delete another
-        waiter's FRESH lock — the stat/unlink TOCTOU), then VERIFIES
-        by inode that it moved exactly the lock it examined. The
-        liveness probe is slow (file read + kill), so the lock is
-        re-stat'ed after it — the rename only proceeds when the path
-        provably hasn't changed hands — and a rename that still moved
-        a replaced lock restores it atomically (link(2) never
-        clobbers; on link failure the tombstone is KEPT as the live
-        writer's only surviving record, ADVICE r5)."""
-        try:
-            st = os.stat(self.lock_path)
-        except OSError:
-            return  # holder released — retry the open
-        if time.time() - st.st_mtime <= self.stale_s:
-            return
-        # Live-HOLDER veto, unconditional on age: a suspended holder
-        # (SIGSTOP / VM pause) stops heartbeating too, and breaking it
-        # risks two concurrent publishers when it resumes. Recycled
-        # pids don't wedge the table — _holder_alive checks the
-        # recorded process START TIME, so a different incarnation of
-        # the same pid number is not the holder.
-        if self._holder_alive(self.lock_path):
-            return
-        tomb = f"{self.lock_path}.stale.{os.getpid()}.{time.monotonic_ns()}"
-        try:
-            st2 = os.stat(self.lock_path)
-            if (st2.st_ino, st2.st_mtime_ns) != (st.st_ino, st.st_mtime_ns):
-                return  # changed hands during the slow liveness probe
-            os.rename(self.lock_path, tomb)
-            if os.stat(tomb).st_ino == st.st_ino:
-                # moved exactly the stale lock we examined → discard
-                os.unlink(tomb)
-                return
-        except OSError:
-            return  # raced with another breaker/holder — retry later
-        # The rename moved a lock that REPLACED the stale one inside
-        # the stat→rename window: put it back.
-        try:
-            os.link(tomb, self.lock_path)
-            os.unlink(tomb)
-        except OSError:
-            pass  # path re-taken: keep the tombstone (evidence; ages out)
-
-    def __exit__(self, *exc):
-        hb = getattr(self, "_hb", None)
-        if hb is not None:
-            self._hb_stop.set()
-            hb.join(timeout=1.0)
-        try:
-            # release only OUR lockfile (inode match): if a confused
-            # breaker swapped the path in the meantime, the newcomer's
-            # lock must survive our unlock
-            if os.stat(self.lock_path).st_ino == getattr(self, "_ino", None):
-                os.unlink(self.lock_path)
-        except OSError:
-            pass  # lock already broken/stolen — nothing of ours to free
-        self._sweep_tombstones()
-        return False
-
-    def _sweep_tombstones(self) -> None:
-        """Aged tombstone cleanup (the rename-to-tombstone break keeps
-        a lost-contention tombstone as the displaced writer's record;
-        nothing reads it once the involved writers exit). 2x stale_s
-        age gate — by then the displaced holder is either long done or
-        its protection was already gone."""
-        import glob as _glob
-
-        now = time.time()
-        for fp in _glob.glob(self.lock_path + ".stale.*"):
-            try:
-                if now - os.path.getmtime(fp) > 2 * self.stale_s:
-                    os.unlink(fp)
-            except OSError:
-                continue  # raced with another sweeper
+def table_write_lock(path: str, timeout_s: float = 120.0, stale_s: float = 600.0):
+    """Table-level commit lock via the active metadata FS (fs.py seam):
+    serializes writers so concurrent appends/rewrites cannot lose each
+    other's commits. The POSIX implementation (fs.PosixCommitLock —
+    O_EXCL lockfile, heartbeat, provable-stale break with tombstone
+    restore) is the default; object stores substitute a conditional-
+    create lease or make the manifest publish itself the CAS (fs.py
+    module doc)."""
+    return get_fs().commit_lock(path, timeout_s=timeout_s, stale_s=stale_s)
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -1311,12 +1091,9 @@ def _write_manifest(path: str, manifest: dict) -> None:
         if len(files) >= SHARD_FILE_THRESHOLD:
             manifest["file_pages"] = _publish_pages(meta_dir, files)
             del manifest["files"]
-    tmp = final + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, default=_json_safe)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, final)
+    get_fs().write_atomic(
+        final, json.dumps(manifest, indent=1, default=_json_safe).encode()
+    )
     # Sweep pages the new root no longer references — INCLUDING the
     # unshard case (new root inline, empty live list): otherwise page
     # files from a previously-sharded incarnation would leak forever,
@@ -1331,12 +1108,14 @@ def _publish_pages(meta_dir: str, files: list) -> list[dict]:
     carried verbatim through the incremental-append reuse path match
     for free). Reused pages keep their original order (commit-ordered
     stripes), new entries append as fresh pages at the end."""
+    fs = get_fs()
     pages_dir = os.path.join(meta_dir, PAGE_DIR)
-    os.makedirs(pages_dir, exist_ok=True)
+    fs.makedirs(pages_dir)
     prior_pages: list[dict] = []
     try:
-        with open(os.path.join(meta_dir, MANIFEST_NAME)) as fh:
-            prior_pages = json.load(fh).get("file_pages", [])
+        prior_pages = json.loads(
+            fs.read_bytes(os.path.join(meta_dir, MANIFEST_NAME))
+        ).get("file_pages", [])
     except (OSError, ValueError):
         pass  # first sharded publish, or prior root unsharded
     new_by_path = {e["path"]: e for e in files}
@@ -1388,13 +1167,8 @@ def _publish_pages(meta_dir: str, files: list) -> list[dict]:
         sha = hashlib.sha256(blob).hexdigest()[:16]
         rel = f"{PAGE_DIR}/page-{sha}.json"
         fp = os.path.join(meta_dir, rel)
-        if not os.path.exists(fp):  # content-addressed → idempotent
-            ptmp = f"{fp}.tmp.{os.getpid()}"
-            with open(ptmp, "wb") as fh:
-                fh.write(blob)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(ptmp, fp)
+        if not fs.exists(fp):  # content-addressed → idempotent
+            fs.write_atomic(fp, blob)
         mins, maxs = _page_bounds(chunk)
         page_list.append(
             {"path": rel, "n": len(chunk), "sha": sha, "min": mins, "max": maxs}
@@ -1434,11 +1208,12 @@ def _sweep_orphan_pages(meta_dir: str, live_pages: list[dict]) -> None:
     (PAGE_SWEEP_AGE_S) protects in-flight readers that resolved the
     PRIOR root moments ago — the same retention discipline as the
     rewrite trash; vacuum's sweep is the backstop."""
+    fs = get_fs()
     pages_dir = os.path.join(meta_dir, PAGE_DIR)
     referenced = {os.path.basename(pg["path"]) for pg in live_pages}
     now = time.time()
     try:
-        names = os.listdir(pages_dir)
+        names = fs.list_dir(pages_dir)
     except OSError:
         return
     for fn in names:
@@ -1446,8 +1221,8 @@ def _sweep_orphan_pages(meta_dir: str, live_pages: list[dict]) -> None:
             continue
         fp = os.path.join(pages_dir, fn)
         try:
-            if now - os.path.getmtime(fp) > PAGE_SWEEP_AGE_S:
-                os.unlink(fp)
+            if now - fs.mtime(fp) > PAGE_SWEEP_AGE_S:
+                fs.delete(fp)
         except OSError:
             continue  # raced with another sweeper — already gone
 
@@ -1981,12 +1756,12 @@ def repair_interrupted_swap(path: str) -> bool:
     back. Idempotent; returns True when a repair ran. Callers must
     hold the table write lock (staged_swap_rewrite, vacuum_table and
     read_manifest's not-found path all route through here)."""
+    fs = get_fs()
     marker = _swap_marker(path)
-    if not os.path.exists(marker):
+    if not fs.exists(marker):
         return False
     try:
-        with open(marker) as fh:
-            info = json.load(fh)
+        info = json.loads(fs.read_bytes(marker))
     except (OSError, ValueError):
         return False
     repaired = False
@@ -1994,7 +1769,7 @@ def repair_interrupted_swap(path: str) -> bool:
         for src in (info.get("staging", ""), info.get("old", "")):
             if src and os.path.isdir(src):
                 try:
-                    os.rename(src, path)
+                    fs.move(src, path)
                     repaired = True
                 except OSError:
                     # another actor (the live writer, or a racing
@@ -2004,13 +1779,13 @@ def repair_interrupted_swap(path: str) -> bool:
                 break
     if os.path.isdir(path):
         try:
-            os.unlink(marker)
+            fs.delete(marker)
         except FileNotFoundError:
             repaired = repaired or False  # concurrent repair unlinked it
         if info.get("old"):
-            shutil.rmtree(info["old"], ignore_errors=True)
+            fs.delete_tree(info["old"])
         if info.get("staging") and os.path.isdir(path):
-            shutil.rmtree(info["staging"], ignore_errors=True)
+            fs.delete_tree(info["staging"])
     return repaired
 
 
@@ -2031,6 +1806,7 @@ def staged_swap_rewrite(
     is skipped: the rows are by construction the table's own
     already-committed rows. Caller must hold the table write lock (it
     lives OUTSIDE the table dir, so it survives the swap)."""
+    fs = get_fs()
     repair_interrupted_swap(path)  # finish any predecessor's crash window
     staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
     try:
@@ -2038,27 +1814,24 @@ def staged_swap_rewrite(
             df, staging, opts, _caller_holds_lock=True, _constraints_prevalidated=True
         )
     except BaseException:
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.delete_tree(staging)
         raise
     old = f"{path}-old-{uuid.uuid4().hex[:8]}"
     marker = _swap_marker(path)
-    with open(marker, "w") as fh:
-        json.dump({"old": old, "staging": staging}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(path, old)
+    fs.write_atomic(marker, json.dumps({"old": old, "staging": staging}).encode())
+    fs.move(path, old)
     try:
-        os.rename(staging, path)
+        fs.move(staging, path)
     except FileNotFoundError:
         # a reader's repair_interrupted_swap raced us inside the
         # window and completed the forward rename — accept its work
         if not os.path.isdir(path):
             raise
     try:
-        os.unlink(marker)
+        fs.delete(marker)
     except FileNotFoundError:
         marker = ""  # the racing repair unlinked it too
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete_tree(old)
     return m
 
 
@@ -2410,8 +2183,8 @@ def rollback_table(
                 raise ValueError(
                     f"snapshot at commit {commit} is gone (vacuum removed {rel})"
                 )
-            os.makedirs(os.path.dirname(live), exist_ok=True)
-            os.rename(src, live)
+            get_fs().makedirs(os.path.dirname(live))
+            get_fs().move(src, live)
 
         stat_cols = _stat_cols(T.StructType.fromJson(m["schema"]))
         files_info = [
@@ -2463,9 +2236,9 @@ def rollback_table(
             # partitioned/bucketed file (subdirs in rel) must keep its
             # directory shape to stay replayable
             dst = os.path.join(trash, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            get_fs().makedirs(os.path.dirname(dst))
             try:
-                os.rename(src, dst)
+                get_fs().move(src, dst)
             except OSError:
                 pass  # already gone — harmless
         return new_m

@@ -288,13 +288,14 @@ def test_manifest_cache_one_parse_per_version(spark, tmpdir, monkeypatch):
     _small_table(spark, path)
 
     parses = {"n": 0}
-    real_load = json.load
+    real_loads = json.loads
 
-    def counting_load(fh, *a, **k):
+    def counting_loads(s, *a, **k):
         parses["n"] += 1
-        return real_load(fh, *a, **k)
+        return real_loads(s, *a, **k)
 
-    monkeypatch.setattr(table_mod.json, "load", counting_load)
+    # read_manifest parses via json.loads over the metadata-FS seam
+    monkeypatch.setattr(table_mod.json, "loads", counting_loads)
     table_mod._MANIFEST_CACHE.clear()
     before = parses["n"]
     for _ in range(10):

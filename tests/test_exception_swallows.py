@@ -30,12 +30,16 @@ ALLOWED = {
     # maintenance advisor's trash-size probe racing a vacuum (the size
     # is advisory evidence, never a correctness input)
     "sources/compaction.py": 2,
-    # table.py: lock release (inode mismatch = nothing of ours to
-    # free), lost-contention tombstone keep, prior-root probe before
-    # the first sharded publish, rollback tombstone move, and the
-    # liveness probe's EPERM (pid exists but is another user's —
-    # conservatively treated as alive, never breaks the lock)
-    "sources/table.py": 5,
+    # table.py: prior-root probe before the first sharded publish, and
+    # the rollback tombstone move (source already gone = another actor
+    # moved it; the published manifest is the source of truth)
+    "sources/table.py": 2,
+    # fs.py (the commit lock moved here with the metadata-FS seam, r7):
+    # lock release (inode mismatch = nothing of ours to free),
+    # lost-contention tombstone keep, and the liveness probe's EPERM
+    # (pid exists but is another user's — conservatively treated as
+    # alive, never breaks the lock)
+    "sources/fs.py": 3,
     # deepen_clone abort cleanup: the staged copy was never published,
     # so a leftover is unreferenced debris vacuum reclaims; the abort
     # itself re-raises the original failure

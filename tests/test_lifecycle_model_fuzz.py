@@ -462,3 +462,186 @@ def test_concurrent_readers_never_see_torn_state(spark, tmpdir, seed):
 
     assert not reader_errors, reader_errors
     assert not torn, torn[:3]
+
+
+# ---------------------------------------------------------------------------
+# r7: COMBINED model — alter + clone + maintenance + sharded threshold
+# crossing interleaved with every mutation (verdict #7: the separate
+# drills never explored cross-feature interactions like an alter on a
+# clone that crosses the page threshold mid-rollback).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [3, 99, 60061])
+def test_lifecycle_model_combined(spark, tmpdir, seed, monkeypatch):
+    import os
+
+    import nimble_spark.sources.table as tbl
+
+    monkeypatch.setattr(tbl, "SHARD_FILE_THRESHOLD", 4)
+    monkeypatch.setattr(tbl, "MANIFEST_PAGE_SIZE", 2)
+    path = f"{tmpdir}/life_combo_{seed}"
+    _run_lifecycle_combined(spark, path, seed)
+    assert os.path.isdir(os.path.join(path, "_nimble", "pages"))
+
+
+def _run_lifecycle_combined(spark, path, seed):
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.clone import clone_table, deepen_clone
+    from nimble_spark.sources.compaction import compact_table, vacuum_table
+    from nimble_spark.sources.deletes import (
+        compact_deletes,
+        delete_rows,
+        read_with_deletes,
+    )
+    from nimble_spark.sources.merge import merge_into, update_where
+    from nimble_spark.sources.table import read_changes, rollback_table
+
+    rng = random.Random(seed)
+    vname = "v"  # current LOGICAL name of the value column
+    n_renames = 0
+
+    committed: dict[int, int] = {k: k * 10 for k in range(20)}
+    masked: set[int] = set()
+    next_key = 20
+    write_table(
+        _df(spark, committed.items()),
+        path,
+        WriteOptions(cluster_by=["k"], n_cluster_files=2),
+    )
+    snapshots: dict[int, dict[int, int]] = {
+        len(read_manifest(path)["commits"]) - 1: dict(committed)
+    }
+    # deepened clones: dst -> (expected rows, clone's value-column name)
+    clones: dict[str, tuple[dict[int, int], str]] = {}
+    clone_key = 100000  # clone-local appends never collide with the model
+
+    def _wdf(rows):
+        d = _df(spark, rows)
+        return d.withColumnRenamed("v", vname) if vname != "v" else d
+
+    def live() -> dict[int, int]:
+        return {r["k"]: r[vname] for r in read_with_deletes(spark, path).collect()}
+
+    def check():
+        assert live() == {k: v for k, v in committed.items() if k not in masked}
+        assert read_manifest(path)["rows"] == len(committed)
+
+    ops = [
+        "append", "merge", "update", "delete", "compact_deletes",
+        "compact", "rollback", "alter", "clone",
+    ]
+    for step in range(14):
+        op = rng.choice(ops)
+        if op == "append":
+            n = rng.randint(1, 8)
+            fresh = {next_key + i: (next_key + i) * 10 for i in range(n)}
+            next_key += n
+            write_table(_wdf(fresh.items()), path, WriteOptions(), mode="append")
+            committed.update(fresh)
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        elif op == "merge":
+            live_keys = [k for k in committed if k not in masked]
+            ups = {
+                k: rng.randint(0, 999)
+                for k in rng.sample(live_keys, min(3, len(live_keys)))
+            }
+            news = {next_key + i: rng.randint(0, 999) for i in range(2)}
+            next_key += 2
+            merge_into(spark, path, _wdf({**ups, **news}.items()), key="k")
+            committed.update(ups)
+            committed.update(news)
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        elif op == "update":
+            pivot = rng.randint(0, next_key)
+            update_where(spark, path, f"k >= {pivot}", {vname: f"{vname} + 1"})
+            committed.update({k: v + 1 for k, v in committed.items() if k >= pivot})
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        elif op == "delete":
+            live_keys = [k for k in committed if k not in masked]
+            if not live_keys:
+                continue
+            victims = rng.sample(live_keys, min(2, len(live_keys)))
+            delete_rows(spark, path, "k", victims)
+            masked.update(victims)
+        elif op == "compact_deletes":
+            compact_deletes(spark, path)
+            committed = {k: v for k, v in committed.items() if k not in masked}
+            masked = set()
+            snapshots = {len(read_manifest(path)["commits"]) - 1: dict(committed)}
+        elif op == "compact":
+            before = len(read_manifest(path)["commits"]) - 1
+            try:
+                compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+            except ValueError:
+                continue
+            assert read_changes(spark, path, since_commit=before).count() == 0
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        elif op == "rollback":
+            # rollback restores the FILE SET; the schema mapping is
+            # manifest-current, so the logical name stays post-rename
+            target_ci = rng.choice(sorted(snapshots))
+            rollback_table(spark, path, commit=target_ci)
+            committed = dict(snapshots[target_ci])
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        elif op == "alter":
+            if rng.random() < 0.5:
+                # metadata-only rename of the value column; every later
+                # write/update/read speaks the NEW logical name, masks
+                # keep applying (physical-name directories)
+                n_renames += 1
+                new = f"v_r{n_renames}"
+                alter_table(path, rename={vname: new})
+                vname = new
+            else:
+                # add → verify null-filled everywhere → drop: the
+                # self-contained metadata-only column lifecycle
+                alter_table(path, add={f"extra{step}": "bigint"})
+                got = read_with_deletes(spark, path)
+                assert got.filter(f"extra{step} IS NULL").count() == len(
+                    [k for k in committed if k not in masked]
+                )
+                alter_table(path, drop=[f"extra{step}"])
+            # alters are data_change=false commits — snapshots keyed at
+            # the new head read the same rows
+            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+        elif op == "clone":
+            dst = f"{path}-clone-{step}"
+            clone_table(spark, src=path, dst=dst, shallow=True)
+            expect = {k: v for k, v in committed.items() if k not in masked}
+            got = {
+                r["k"]: r[vname] for r in read_with_deletes(spark, dst).collect()
+            }
+            assert got == expect, f"fresh clone diverged (seed {seed})"
+            # deepen immediately: later SOURCE rewrites tombstone the
+            # foreign bytes into the source's trash (the documented
+            # shallow dependency) — a deepened clone is independent
+            deepen_clone(spark, dst)
+            # ...then mutate the CLONE: alter + append on the fork must
+            # never leak into the source (checked by check() below)
+            cvname = f"cv{step}"
+            alter_table(dst, rename={vname: cvname})
+            fresh = {clone_key: 1, clone_key + 1: 2}
+            clone_key += 2
+            d = _df(spark, fresh.items()).withColumnRenamed("v", cvname)
+            write_table(d, dst, WriteOptions(), mode="append")
+            clones[dst] = ({**expect, **fresh}, cvname)
+        check()
+
+    for ci, want in snapshots.items():
+        got = {
+            r["k"]: r[vname]
+            for r in read_table(spark, path, as_of_commit=ci).collect()
+        }
+        assert got == want, f"snapshot at commit {ci} diverged (seed {seed})"
+
+    vacuum_table(path, min_age_s=0.0)
+    check()
+
+    # every deepened, diverged clone still reads ITS state — immune to
+    # everything the source did after the fork (incl. the vacuum above)
+    from nimble_spark.sources.deletes import read_with_deletes as _rwd
+
+    for dst, (want, cvname) in clones.items():
+        got = {r["k"]: r[cvname] for r in _rwd(spark, dst).collect()}
+        assert got == want, f"clone {dst} diverged (seed {seed})"

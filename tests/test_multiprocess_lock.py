@@ -155,12 +155,13 @@ def test_recycled_pid_lock_broken_by_starttime_mismatch(tmpdir):
     import socket
     import time
 
+    from nimble_spark.sources.fs import PosixCommitLock
     from nimble_spark.sources.table import table_write_lock
 
     path = f"{tmpdir}/recycled_pid"
     os.makedirs(path, exist_ok=True)
     probe = table_write_lock(path)
-    ours = table_write_lock._proc_start_ticks(os.getpid())
+    ours = PosixCommitLock._proc_start_ticks(os.getpid())
     assert ours is not None  # linux test host
     # "recycled": a genuinely live pid (ours) recorded with the START
     # TIME of a different incarnation

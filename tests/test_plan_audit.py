@@ -641,3 +641,23 @@ def test_wide_feature_projection_reads_only_projected_columns(spark):
         assert "f31" in s and "f55" in s
         for other in ("f00", "f01", "f42", "f63", "vec_id"):
             assert other not in s, s
+
+
+def test_ann_ivf_adc_topk_cell_prune_precedes_quantized_scan(spark):
+    """The composed IVF+ADC serving pattern (r7): every query-side
+    join broadcasts, no cartesian, and — the structural claim — the
+    int8 code fold sits ABOVE the probed-cell join in the final plan
+    (root-first text: the codes Project prints before the label
+    BroadcastHashJoin), so only probed cells ever pay quantization."""
+    from nimble_spark.plans.audit import plan_string
+
+    df = _q("q_ann_ivf_adc_topk")(spark, SF_MED)
+    a = assert_posture(df, min_broadcast_joins=3, execute=False)
+    assert a.n_cartesian == 0, a.plan
+    final = a.plan.split("== Initial Plan ==")[0]
+    codes_at = final.find("greatest(-127.0")
+    cell_join_at = final.find("BroadcastHashJoin [label")
+    assert codes_at != -1 and cell_join_at != -1, final
+    assert codes_at < cell_join_at, (
+        "codes fold must be a PARENT of the cell join (prune first):\n" + final
+    )
