@@ -86,6 +86,10 @@ HEADLINE = [
     # ADC serving scan
     "q_substring_dedup",
     "q_ann_adc_topk",
+    # round-7: the composed IVF+ADC serving pattern (cell prune →
+    # quantized scan → exact refine) — cold includes the one-time
+    # cell-partitioned index build
+    "q_ann_ivf_adc_topk",
 ]
 
 
