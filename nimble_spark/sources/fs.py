@@ -436,3 +436,31 @@ def set_fs(fs: MetadataFS) -> MetadataFS:
     prev = _FS
     _FS = fs
     return prev
+
+
+class ObjectStoreSimFS(LocalFS):
+    """Reference SIMULATION of object-store semantics over local disk —
+    the executable form of the mapping table above, used by the test
+    suite to prove no metadata protocol depends on rename(2):
+
+    - ``move`` is server-side copy + delete (S3 has no rename). The
+      non-atomic window is tolerated by protocol everywhere move is
+      used: tombstones relocate only AFTER the published manifest stops
+      referencing them, and the staged swap is bracketed by a marker
+      that repairs the crash window forward.
+    - everything else inherits LocalFS: ``write_atomic`` models the
+      single PUT (atomic at object granularity either way), and the
+      O_EXCL lock models a conditional-create (``If-None-Match: *``)
+      — the same primitive, just spelled differently per store.
+
+    A real S3/GCS client additionally swaps paths for keys and stat
+    for HEAD; nothing in the metadata layer observes that difference.
+    """
+
+    def move(self, src: str, dst: str) -> None:
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+            shutil.rmtree(src)
+        else:
+            shutil.copy2(src, dst)
+            os.unlink(src)

@@ -167,3 +167,20 @@ def test_sharded_manifest_pages_route_through_seam(spark, tmp_path, counting_fs,
     assert len(m["files"]) == 6
     assert counting_fs.calls["read_bytes"] >= 1  # root + pages via seam
     assert counting_fs.calls["version"] >= 1
+
+
+@pytest.mark.parametrize("seed", [21, 4242])
+def test_lifecycle_on_object_store_semantics(spark, tmpdir, seed):
+    """The FULL lifecycle model (append/merge/update/delete/compact/
+    rollback/maintain + snapshots + vacuum) on ObjectStoreSimFS: every
+    metadata move is copy+delete — no protocol may depend on rename(2).
+    This is the executable proof behind USAGE.md's object-store
+    mapping."""
+    from nimble_spark.sources.fs import ObjectStoreSimFS, set_fs
+    from tests.test_lifecycle_model_fuzz import _run_lifecycle
+
+    prev = set_fs(ObjectStoreSimFS())
+    try:
+        _run_lifecycle(spark, f"{tmpdir}/life_os_{seed}", seed)
+    finally:
+        set_fs(prev)
