@@ -1104,3 +1104,116 @@ def q_ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("adc_sim", 4).alias("adc_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF append: assign new vectors to EXISTING centroids
+# ---------------------------------------------------------------------------
+
+_IVF_INCR_NEW = 20  # vec_id < 20 arrive as the "new batch"
+
+_IVF_INCR_DUCK = f"""
+    WITH old AS (SELECT * FROM embeddings WHERE vec_id >= {_IVF_INCR_NEW}),
+    cflat AS (
+      SELECT label, i AS dim_i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM old, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cdim AS (
+      SELECT label, dim_i,
+             CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS cv
+      FROM cflat GROUP BY label, dim_i
+    ),
+    centroids AS (
+      SELECT label, array_agg(cv ORDER BY dim_i) AS cvec FROM cdim GROUP BY label
+    ),
+    newv AS (SELECT vec_id, embedding AS qv, {_norm_duck("embedding")} AS qn
+             FROM embeddings WHERE vec_id < {_IVF_INCR_NEW}),
+    ranked AS (
+      SELECT vec_id, label AS cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY FLOOR(({_DOT_DUCK.format(a="qv", b="cvec")}
+                 / (qn * {_norm_duck("cvec")})) * 1000000 + 0.5) / 1000000 DESC,
+               label
+             ) AS rk
+      FROM newv JOIN centroids ON TRUE
+    )
+    SELECT vec_id, cell FROM ranked WHERE rk = 1 ORDER BY vec_id
+"""
+
+
+@register("q_ivf_incremental_append", oracle=_IVF_INCR_DUCK, category="similarity")
+def q_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the serving-pipeline op a
+    billion-vector index lives or dies by: NEW vectors are assigned to
+    the nearest EXISTING centroid (broadcast — no index rebuild, no
+    reclustering) and appended into that cell's partition directory,
+    so probes keep pruning at the directory level with zero touch of
+    the resident cells. The reference analogue is appending stripes
+    under an existing index layout rather than rewriting the tablet
+    (index/IndexWriter layering keeps index state append-compatible).
+
+    The cached build does the real work once: write the resident index
+    (vec_id >= {_IVF_INCR_NEW}, partitioned by cell), derive its
+    centroids, assign the new batch, APPEND it under the assigned
+    partition values (the layout-preserving partitioned append path).
+    The query then proves the round trip by reading the new vectors'
+    CELL back from the stored partition column — the oracle recomputes
+    the assignment from scratch in SQL. Assignment cost at scale:
+    |new| × n_cells against broadcast centroids, then a partitioned
+    append of O(|new|) bytes."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+    def _build(tmp: str) -> None:
+        e = load(spark, sf_dir, "embeddings")
+        old = e.filter(F.col("vec_id") >= _IVF_INCR_NEW).withColumnRenamed(
+            "label", "cell"
+        )
+        write_table(old, tmp, WriteOptions(partition_by=["cell"]))
+
+        stored = read_table(spark, tmp)
+        flat = stored.select("cell", F.posexplode("embedding").alias("dim0", "v0"))
+        cdim = flat.groupBy("cell", "dim0").agg(
+            (
+                F.sum(F.col("v0").cast("double").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+        centroids = cdim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+        new = e.filter(F.col("vec_id") < _IVF_INCR_NEW).select(
+            "vec_id",
+            F.col("embedding").alias("qv"),
+            F.expr(_norm_spark("embedding")).alias("qn"),
+            F.col("label").alias("orig_label"),
+            "embedding",
+        )
+        cell_sim = F.expr(_DOT_SPARK.format(a="qv", b="cvec")) / (
+            F.col("qn") * F.expr(_norm_spark("cvec"))
+        )
+        wc = W.partitionBy("vec_id").orderBy(rnd(cell_sim, 6).desc(), "cell")
+        assigned = (
+            new.crossJoin(F.broadcast(centroids))
+            .withColumn("rk", F.row_number().over(wc))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", F.col("orig_label").alias("label"), "cell")
+        )
+        # layout-preserving partitioned append under the ASSIGNED cell
+        write_table(
+            assigned.select(*[c for c in stored.columns]),
+            tmp,
+            WriteOptions(partition_by=["cell"]),
+            mode="append",
+        )
+
+    path = ensure_cached(sf_dir, "embeddings__ivf_incr", ["embeddings"], _build)
+    stored = read_table(spark, path)
+    return (
+        stored.filter(F.col("vec_id") < _IVF_INCR_NEW)
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )
