@@ -826,6 +826,23 @@ class NimbleWriter(DataSourceArrowWriter):
                     "supported — use write_table(mode='append'), which "
                     "maps logical names to the stored physical names"
                 )
+            # Directory-shaped layouts are append CONTRACTS: this
+            # writer stages flat files in the table root, so an append
+            # to a partitioned/bucketed/cut table cannot reproduce the
+            # layout — before this guard it silently DROPPED the
+            # partition index and lost the appended rows from the
+            # manifest (r7 probe). Same refusal write_table raises.
+            _pidx = _m.get("indexes", {}) or {}
+            for _k in ("partition", "hash", "cut"):
+                if _k in _pidx:
+                    raise ValueError(
+                        f"append via format('nimble') to a {_k}-layout "
+                        f"table is not supported (this writer stages "
+                        f"flat files and cannot reproduce the directory "
+                        f"layout) — use write_table(mode='append') or "
+                        f"streaming/sink.stream_to_table with the "
+                        f"table's WriteOptions"
+                    )
         # NOTE: mode=overwrite clears the previous generation inside the
         # LOCKED commit, not here — staging the new generation alongside
         # the old keeps the table readable (manifest-true readers see
@@ -880,6 +897,7 @@ class NimbleWriter(DataSourceArrowWriter):
         prior_commits: list = []
         prior_files: set = set()
         aliased = False
+        prior_idx: dict = {}
         if not self.overwrite:
             try:
                 prior = read_manifest(self.path)
@@ -891,6 +909,7 @@ class NimbleWriter(DataSourceArrowWriter):
                     reuse = {}
                 prior_files = {e["path"] for e in prior["files"]}
                 prior_commits = list(prior.get("commits", []))
+                prior_idx = prior.get("indexes", {}) or {}
             except (OSError, ValueError, KeyError):
                 pass  # no/corrupt prior manifest → first commit semantics
         if aliased:
@@ -958,8 +977,21 @@ class NimbleWriter(DataSourceArrowWriter):
             for f in os.listdir(self.path)
             if f.endswith(".parquet") and f not in committed and f not in prior_files
         }
+        # Stats-shaped indexes survive appends (same carry-forward rule
+        # as write_table: per-file min/max pruning stays correct on
+        # mixed layouts; bloom-less files are always kept; the fence
+        # detects sorted-index staleness). Directory-shaped layouts
+        # were refused at writer construction; before this carry, a
+        # python-DS append silently DROPPED the table's cluster/bloom
+        # indexes from the manifest (r7 probe).
+        index_meta = {
+            k: prior_idx[k]
+            for k in ("cluster", "zorder", "bloom", "sorted", "sorted_fence")
+            if k in prior_idx
+        }
         manifest = _build_manifest(
-            None, spark_schema, self.path, WriteOptions(), {}, reuse=reuse, exclude=stray
+            None, spark_schema, self.path, WriteOptions(), index_meta,
+            reuse=reuse, exclude=stray,
         )
         # A concurrent OVERWRITE may have swept our staged files before
         # this commit ran (overwrite replaces the table wholesale).

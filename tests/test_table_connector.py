@@ -1427,3 +1427,49 @@ def test_pyds_partitioned_table_reads(spark, tmpdir):
         key=str,
     )
     assert got == sorted([(1, "01", 10.0), (2, "02", 20.0), (3, None, 30.0)], key=str)
+
+
+def test_pyds_append_refuses_directory_layouts(spark, tmpdir):
+    """r7: append via format('nimble') to a Hive-partitioned table used
+    to silently drop the partition index AND lose the appended rows
+    from the manifest — the writer stages flat files and cannot
+    reproduce a directory layout, so it must refuse loudly (same
+    contract as the alter/dedup_columns refusals)."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    path = f"{tmpdir}/pyds_part_refuse"
+    rows = spark.range(0, 40).selectExpr("CAST(id % 4 AS STRING) AS p", "id AS k")
+    write_table(rows, path, WriteOptions(partition_by=["p"]))
+    extra = spark.range(100, 110).selectExpr(
+        "CAST(id % 4 AS STRING) AS p", "id AS k"
+    )
+    with pytest.raises(Exception, match="layout"):
+        extra.write.format("nimble").mode("append").save(path)
+    # nothing was corrupted by the refused attempt
+    m = read_manifest(path)
+    assert m["indexes"] == {"partition": {"keys": ["p"]}}
+    assert read_table(spark, path).count() == 40
+
+
+def test_pyds_append_carries_stats_indexes(spark, tmpdir):
+    """r7: a python-DS append must carry the table's stats-shaped
+    indexes (cluster/zorder/bloom/sorted) forward — before the fix the
+    rebuilt manifest published indexes={}, silently de-indexing the
+    table (pruning gone for every later scan)."""
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    path = f"{tmpdir}/pyds_cluster_carry"
+    write_table(
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"),
+        path,
+        WriteOptions(cluster_by=["k"], n_cluster_files=2),
+    )
+    spark.range(100, 120).selectExpr("id AS k", "id * 2 AS v").write.format(
+        "nimble"
+    ).mode("append").save(path)
+    m = read_manifest(path)
+    assert "cluster" in m["indexes"], m["indexes"]
+    assert m["rows"] == 120
+    assert read_table(spark, path).count() == 120
