@@ -946,9 +946,31 @@ class NimbleWriter(DataSourceArrowWriter):
             # everything but this job's committed files goes (overwrite
             # replaces the table wholesale; staging happened alongside
             # the old generation, which stayed readable until here).
-            for f in os.listdir(self.path):
-                if f.endswith(".parquet") and f not in committed:
-                    os.remove(os.path.join(self.path, f))
+            # RECURSIVE: the prior generation may be Hive-partitioned/
+            # bucketed (files under p=X/ subdirs) — a root-only listdir
+            # sweep left those behind and the recursive manifest build
+            # RESURRECTED them into the new table (old rows unioned
+            # with the new ones; r7 probe). Metadata (_nimble) is the
+            # only subtree excluded; emptied layout dirs are removed so
+            # no stale directory shape survives the reset.
+            from nimble_spark.sources.table import MANIFEST_DIR as _MD
+
+            for root, dirs, files in os.walk(self.path, topdown=True):
+                dirs[:] = [d for d in dirs if d != _MD]
+                for f in files:
+                    rel = os.path.normpath(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+                    if f.endswith(".parquet") and rel not in committed:
+                        os.remove(os.path.join(root, f))
+                    elif f.endswith(".crc") and root != self.path:
+                        os.remove(os.path.join(root, f))
+            for root, _dirs, _files in os.walk(self.path, topdown=False):
+                rel = os.path.relpath(root, self.path)
+                if root == self.path or rel.split(os.sep)[0] == _MD:
+                    continue
+                if not os.listdir(root):  # emptied layout dir
+                    os.rmdir(root)
 
         import pyarrow.parquet as pq
 

@@ -1473,3 +1473,30 @@ def test_pyds_append_carries_stats_indexes(spark, tmpdir):
     assert "cluster" in m["indexes"], m["indexes"]
     assert m["rows"] == 120
     assert read_table(spark, path).count() == 120
+
+
+def test_pyds_overwrite_resets_partitioned_table(spark, tmpdir):
+    """r7: overwrite via format('nimble') of a Hive-partitioned table
+    used to sweep only ROOT-level files while the manifest build walks
+    recursively — the old generation's partitioned files were
+    RESURRECTED into the new manifest (old rows unioned with new).
+    Overwrite must replace the table wholesale: new rows only, layout
+    dirs gone, indexes reset."""
+    import os
+
+    from nimble_spark.sources.datasource import register_nimble_source
+
+    register_nimble_source(spark)
+    path = f"{tmpdir}/pyds_part_overwrite"
+    rows = spark.range(0, 40).selectExpr("CAST(id % 4 AS STRING) AS p", "id AS k")
+    write_table(rows, path, WriteOptions(partition_by=["p"]))
+    spark.range(100, 110).selectExpr("id AS k").write.format("nimble").mode(
+        "overwrite"
+    ).save(path)
+    m = read_manifest(path)
+    assert m["rows"] == 10
+    assert m["indexes"] == {}
+    t = read_table(spark, path)
+    assert t.columns == ["k"]
+    assert t.count() == 10
+    assert not [d for d in os.listdir(path) if d.startswith("p=")]
