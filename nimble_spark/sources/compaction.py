@@ -43,6 +43,30 @@ from nimble_spark.sources.table import (
 )
 
 
+def _resolve_stats_key(m: dict, col: str) -> str:
+    """Resolve a caller's LOGICAL column name to the PHYSICAL name the
+    manifest's per-file stats are recorded under: alter.py renames map
+    logical → physical, dedup_columns aliases map to the stored twin.
+    Dropped and stale-physical names refuse loudly — before this, the
+    stats-answered paths (fast_count/fast_minmax) errored on renamed
+    names and silently ANSWERED for pre-rename physical names,
+    violating the alter contract (r7 probe)."""
+    mapping = m.get("schema_mapping") or {}
+    ren = mapping.get("renames") or {}
+    dropped = set(mapping.get("dropped") or [])
+    inv = {l: p for p, l in ren.items()}
+    if col in inv:
+        phys = inv[col]
+    elif col in dropped or col in ren:
+        raise ValueError(
+            f"column {col!r} is a dropped or pre-rename physical name; "
+            f"use the current logical names"
+        )
+    else:
+        phys = col
+    return m.get("column_aliases", {}).get(phys, phys)
+
+
 def _declared_read_schema(m: dict):
     """The manifest's declared PHYSICAL schema minus Hive partition
     columns (partition values live only in directory names, never in
@@ -197,8 +221,10 @@ def fast_count(
     if range_filter is None:
         return int(m["rows"])
     key, lo, hi = range_filter
-    # dedup_columns tables: stats live under the stored twin
-    key = m.get("column_aliases", {}).get(key, key)
+    # logical → stored-physical (alter renames + dedup_columns twins);
+    # the boundary scan below reads files with the declared PHYSICAL
+    # schema, so the resolved name is also the filter column
+    key = _resolve_stats_key(m, key)
     full = 0
     boundary: list[dict] = []
     for f in m["files"]:
@@ -476,7 +502,7 @@ def fast_minmax(spark: SparkSession, path: str, col: str):
             "fast_minmax on a table with pending delete masks would "
             "over-report; run compact_deletes first"
         )
-    col = m.get("column_aliases", {}).get(col, col)  # stats under the stored twin
+    col = _resolve_stats_key(m, col)  # alter renames + stored twins
     mins = [f["min"].get(col) for f in m["files"]]
     maxs = [f["max"].get(col) for f in m["files"]]
     if any(v is None for v in mins + maxs) or not mins:

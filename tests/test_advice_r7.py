@@ -142,3 +142,24 @@ def test_delete_rows_validates_key(spark, tmp_path):
     # the current logical name applies for real
     delete_rows(spark, path, "value", [1.0, 2.0])
     assert read_with_deletes(spark, path).count() == 28
+
+
+def test_stats_paths_resolve_alter_renames(spark, tmp_path):
+    """r7 probe: fast_count/fast_minmax must answer under the CURRENT
+    logical name after a metadata-only rename, and refuse the stale
+    physical name (the alter contract every other read path follows)."""
+    from nimble_spark.sources.compaction import fast_count, fast_minmax
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        path,
+        WriteOptions(cluster_by=["k"], n_cluster_files=4),
+    )
+    alter_table(path, rename={"v": "value"})
+    assert fast_count(spark, path, range_filter=("value", 10.0, 20.5)) == 11
+    assert fast_minmax(spark, path, "value") == (0.0, 99.0)
+    with pytest.raises(ValueError, match="pre-rename|dropped"):
+        fast_count(spark, path, range_filter=("v", 10.0, 20.0))
+    with pytest.raises(ValueError, match="pre-rename|dropped"):
+        fast_minmax(spark, path, "v")
