@@ -1,5 +1,6 @@
 """Non-Spark consumer interop: open a nimble_spark table as a pyarrow
-Dataset or query it from DuckDB, honoring the MANIFEST's file list.
+Dataset or query it from DuckDB, honoring the MANIFEST's file list —
+and the table's LOGICAL view.
 
 The manifest is the table's source of truth; a naive ``*.parquet``
 glob over the directory would also read debris from interrupted
@@ -15,6 +16,29 @@ sees the same committed state Spark does:
     con = duckdb.connect()                # hold while querying
     rel = duckdb_relation(con, path)      # DuckDB relation
 
+But the committed BYTES are not always the table's logical view
+(r7 probe: a Hive-partitioned table's partition column vanished
+entirely through these helpers — its values live in directory names,
+not file bytes). The logical-view constructs and how each helper
+handles them:
+
+- **Hive partition / hash-bucket layouts**: ``duckdb_relation`` parses
+  the ``key=value`` path segments (``hive_partitioning``), so the
+  partition columns come back; pyarrow's explicit-file-list datasets
+  don't support hive inference, so ``arrow_dataset`` REFUSES (use
+  ``raw=True`` for the physical bytes, duckdb_relation, or Spark).
+- **alter.py renames/drops** (``schema_mapping``): files store
+  PHYSICAL names. ``duckdb_relation`` projects the logical view
+  (renames applied, dropped columns hidden); ``arrow_dataset``
+  refuses unless ``raw=True``.
+- **dedup_columns aliases**: stored once physically; ``duckdb_relation``
+  re-projects the alias columns from their stored twins;
+  ``arrow_dataset`` refuses unless ``raw=True``.
+- **pending delete masks**: merge-on-read state a raw scan cannot see.
+  Both helpers REFUSE (run ``compact_deletes`` first, or read through
+  Spark's ``read_with_deletes``) — silently returning deleted rows
+  would be a wrong answer, not a degraded one.
+
 Cross-engine reads are read-only; writers go through write_table so
 manifest, stats, and the commit log stay authoritative.
 """
@@ -25,6 +49,8 @@ import os
 
 from nimble_spark.sources.table import read_manifest
 
+_DELETES_SUBDIR = os.path.join("_nimble", "deletes")
+
 
 def live_files(path: str) -> list[str]:
     """Absolute paths of the table's committed data files, in manifest
@@ -33,16 +59,96 @@ def live_files(path: str) -> list[str]:
     return [os.path.join(path, f["path"]) for f in m["files"]]
 
 
-def arrow_dataset(path: str):
+def _has_masks(path: str) -> bool:
+    root = os.path.join(path, _DELETES_SUBDIR)
+    return os.path.isdir(root) and bool(os.listdir(root))
+
+
+def _layout_keys(m: dict) -> list[str]:
+    idx = m.get("indexes", {}) or {}
+    keys: list[str] = []
+    for k in ("partition", "hash"):
+        keys.extend((idx.get(k) or {}).get("keys") or [])
+    return keys
+
+
+def _refuse_masked(path: str) -> None:
+    if _has_masks(path):
+        raise ValueError(
+            "table has pending delete masks — a raw cross-engine scan "
+            "would return deleted rows; run compact_deletes first or "
+            "read through Spark (read_with_deletes)"
+        )
+
+
+def arrow_dataset(path: str, raw: bool = False):
     """The table as a ``pyarrow.dataset.Dataset`` over exactly the
     committed files — predicate/projection pushdown via pyarrow's
-    scanner, zero Spark involvement."""
+    scanner, zero Spark involvement.
+
+    Tables whose LOGICAL view differs from the raw file bytes
+    (partition/bucket layouts, alter renames/drops, dedup aliases)
+    refuse unless ``raw=True`` (you get physical names and no
+    directory-derived columns); pending delete masks always refuse."""
     import pyarrow.dataset as pa_ds
 
+    _refuse_masked(path)
+    if not raw:
+        m = read_manifest(path, materialize=False)
+        gaps = []
+        if _layout_keys(m):
+            gaps.append(
+                f"directory-derived column(s) {_layout_keys(m)} (partition"
+                f"/bucket values live in path names, not file bytes)"
+            )
+        if m.get("schema_mapping"):
+            gaps.append("alter.py renames/drops (files store physical names)")
+        if m.get("column_aliases"):
+            gaps.append("dedup_columns aliases (stored once physically)")
+        if gaps:
+            raise ValueError(
+                "arrow_dataset cannot express this table's logical view: "
+                + "; ".join(gaps)
+                + ". Use duckdb_relation (maps all of these), Spark "
+                "read_table, or arrow_dataset(path, raw=True) for the "
+                "physical bytes."
+            )
     return pa_ds.dataset(live_files(path), format="parquet")
 
 
 def duckdb_relation(con, path: str):
-    """A DuckDB relation over the committed files (``read_parquet`` on
-    the explicit list, never a directory glob)."""
-    return con.read_parquet(live_files(path))
+    """A DuckDB relation over the committed files presenting the
+    table's LOGICAL view: ``read_parquet`` on the explicit list (never
+    a directory glob), hive path parsing for partition/bucket columns,
+    alter renames applied, dropped columns hidden, dedup aliases
+    restored from their stored twins. Pending delete masks refuse
+    (merge-on-read state; compact_deletes first)."""
+    _refuse_masked(path)
+    m = read_manifest(path)
+    files = [os.path.join(path, f["path"]) for f in m["files"]]
+    layout = _layout_keys(m)
+    rel = con.read_parquet(files, hive_partitioning=bool(layout))
+
+    mapping = m.get("schema_mapping") or {}
+    renames = mapping.get("renames") or {}
+    dropped = set(mapping.get("dropped") or [])
+    aliases = m.get("column_aliases") or {}
+    if not (renames or dropped or aliases):
+        return rel
+
+    # project the logical view: physical name → logical name, dropped
+    # hidden, aliases re-materialized from their stored twins, in the
+    # table's declared logical order
+    cols = []
+    if m.get("logical_columns"):
+        phys_of = {l: p for p, l in renames.items()}
+        for logical in m["logical_columns"]:
+            stored = aliases.get(logical, phys_of.get(logical, logical))
+            cols.append(f'"{stored}" AS "{logical}"')
+    else:
+        for f in m["schema"]["fields"]:
+            p = f["name"]
+            if p in dropped:
+                continue
+            cols.append(f'"{p}" AS "{renames.get(p, p)}"')
+    return rel.project(", ".join(cols))

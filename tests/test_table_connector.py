@@ -1500,3 +1500,61 @@ def test_pyds_overwrite_resets_partitioned_table(spark, tmpdir):
     assert t.columns == ["k"]
     assert t.count() == 10
     assert not [d for d in os.listdir(path) if d.startswith("p=")]
+
+
+def test_interop_partitioned_table_logical_view(spark, tmpdir):
+    """r7 probe: a partitioned table's partition column VANISHED
+    through arrow_dataset/duckdb_relation (values live in directory
+    names, not file bytes). duckdb_relation now hive-parses the paths;
+    arrow_dataset refuses (raw=True opts into physical bytes)."""
+    import duckdb
+
+    from nimble_spark.sources.interop import arrow_dataset, duckdb_relation
+
+    path = f"{tmpdir}/interop_part"
+    write_table(
+        spark.range(0, 40).selectExpr("CAST(id % 4 AS STRING) AS p", "id AS k"),
+        path,
+        WriteOptions(partition_by=["p"]),
+    )
+    con = duckdb.connect()
+    rel = duckdb_relation(con, path)
+    assert set(rel.columns) == {"p", "k"}
+    assert rel.aggregate("count(*) AS n").fetchone()[0] == 40
+    assert (
+        con.sql("SELECT COUNT(*) FROM rel WHERE p = '1'").fetchone()[0] == 10
+    )
+    with pytest.raises(ValueError, match="directory-derived"):
+        arrow_dataset(path)
+    assert arrow_dataset(path, raw=True).schema.names == ["k"]
+
+
+def test_interop_applies_alter_mapping_and_refuses_masks(spark, tmpdir):
+    import duckdb
+
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.deletes import delete_rows
+    from nimble_spark.sources.interop import arrow_dataset, duckdb_relation
+
+    path = f"{tmpdir}/interop_alter"
+    write_table(
+        spark.range(0, 30).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v", "CAST(id % 3 AS STRING) AS tag"
+        ),
+        path,
+        WriteOptions(),
+    )
+    alter_table(path, rename={"v": "value"}, drop=["tag"])
+    con = duckdb.connect()
+    rel = duckdb_relation(con, path)
+    # logical view: renamed surfaced, dropped hidden
+    assert rel.columns == ["k", "value"]
+    assert rel.aggregate("sum(value) AS s").fetchone()[0] == float(sum(range(30)))
+    with pytest.raises(ValueError, match="alter"):
+        arrow_dataset(path)
+    # pending masks refuse on BOTH (raw scans would resurrect rows)
+    delete_rows(spark, path, "k", [1, 2])
+    with pytest.raises(ValueError, match="delete masks"):
+        duckdb_relation(con, path)
+    with pytest.raises(ValueError, match="delete masks"):
+        arrow_dataset(path, raw=True)
