@@ -35,9 +35,11 @@ handles them:
   re-projects the alias columns from their stored twins;
   ``arrow_dataset`` refuses unless ``raw=True``.
 - **pending delete masks**: merge-on-read state a raw scan cannot see.
-  Both helpers REFUSE (run ``compact_deletes`` first, or read through
-  Spark's ``read_with_deletes``) — silently returning deleted rows
-  would be a wrong answer, not a degraded one.
+  ``duckdb_relation`` APPLIES them (anti-join against the persisted
+  keysets — the same semantics as Spark's ``read_with_deletes``);
+  ``arrow_dataset`` refuses (a Dataset cannot carry the join) —
+  silently returning deleted rows would be a wrong answer, not a
+  degraded one.
 
 Cross-engine reads are read-only; writers go through write_table so
 manifest, stats, and the commit log stay authoritative.
@@ -120,14 +122,43 @@ def duckdb_relation(con, path: str):
     """A DuckDB relation over the committed files presenting the
     table's LOGICAL view: ``read_parquet`` on the explicit list (never
     a directory glob), hive path parsing for partition/bucket columns,
-    alter renames applied, dropped columns hidden, dedup aliases
-    restored from their stored twins. Pending delete masks refuse
-    (merge-on-read state; compact_deletes first)."""
-    _refuse_masked(path)
+    pending delete masks APPLIED (anti-join against the persisted
+    keysets — same rows Spark's read_with_deletes returns), alter
+    renames applied, dropped columns hidden, dedup aliases restored
+    from their stored twins."""
     m = read_manifest(path)
     files = [os.path.join(path, f["path"]) for f in m["files"]]
     layout = _layout_keys(m)
     rel = con.read_parquet(files, hive_partitioning=bool(layout))
+
+    # merge-on-read delete masks: mask directories are keyed by the
+    # column's stable PHYSICAL name (deletes.py), which is exactly the
+    # name visible at this pre-projection stage
+    masks_root = os.path.join(path, _DELETES_SUBDIR)
+    if os.path.isdir(masks_root):
+        for col in sorted(os.listdir(masks_root)):
+            mask_files = [
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(os.path.join(masks_root, col))
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            if not mask_files:
+                continue
+            import pyarrow.parquet as pa_pq
+
+            # mask files store the keyset under its write-time name —
+            # bind by POSITION (first column), like read_with_deletes
+            kcol = pa_pq.read_schema(mask_files[0]).names[0]
+            flist = ", ".join(f"'{f}'" for f in mask_files)
+            # NULL semantics mirror Spark's anti-join: a NULL data key
+            # matches no mask value (kept); NULL mask values mask
+            # nothing (excluded from the keyset)
+            rel = rel.filter(
+                f'"{col}" IS NULL OR "{col}" NOT IN '
+                f'(SELECT "{kcol}" FROM read_parquet([{flist}]) '
+                f'WHERE "{kcol}" IS NOT NULL)'
+            )
 
     mapping = m.get("schema_mapping") or {}
     renames = mapping.get("renames") or {}

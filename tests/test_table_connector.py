@@ -1552,9 +1552,13 @@ def test_interop_applies_alter_mapping_and_refuses_masks(spark, tmpdir):
     assert rel.aggregate("sum(value) AS s").fetchone()[0] == float(sum(range(30)))
     with pytest.raises(ValueError, match="alter"):
         arrow_dataset(path)
-    # pending masks refuse on BOTH (raw scans would resurrect rows)
+    # pending masks: duckdb APPLIES them (read_with_deletes parity);
+    # arrow refuses even raw (a Dataset cannot carry the anti-join)
     delete_rows(spark, path, "k", [1, 2])
-    with pytest.raises(ValueError, match="delete masks"):
-        duckdb_relation(con, path)
+    rel2 = duckdb_relation(con, path)
+    assert rel2.aggregate("count(*) AS n").fetchone()[0] == 28
+    assert (
+        con.sql("SELECT COUNT(*) FROM rel2 WHERE k IN (1, 2)").fetchone()[0] == 0
+    )
     with pytest.raises(ValueError, match="delete masks"):
         arrow_dataset(path, raw=True)
