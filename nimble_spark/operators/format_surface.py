@@ -1892,3 +1892,42 @@ def q_wide_5k_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         *[F.sum(c).alias(f"s_{c}") for c in proj],
     )
+
+
+@register(
+    "q_fast_ndv",
+    oracle="""
+    SELECT col, ndv FROM (
+      SELECT 'lang' AS col, COUNT(DISTINCT lang) AS ndv FROM documents
+      UNION ALL
+      SELECT 'source' AS col, COUNT(DISTINCT source) AS ndv FROM documents
+    ) ORDER BY col
+    """,
+    category="format",
+)
+def q_fast_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-answered COUNT(DISTINCT) from per-file KMV synopses
+    (WriteOptions(ndv_columns=...) → compaction.fast_ndv): zero data
+    IO at query time, and below NDV_K distincts the fold is EXACT —
+    which is what makes it oracle-checkable against a real
+    COUNT(DISTINCT). The synopsis union is associative (mergeable-
+    sketch property), so the same arithmetic serves 10⁶ files; above
+    NDV_K it degrades to the standard KMV estimator (documented
+    regime, pytest-checked for accuracy, not oracle-gated)."""
+    from nimble_spark.sources.compaction import fast_ndv
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "documents"),
+            tmp,
+            WriteOptions(cluster_by=["doc_id"], n_cluster_files=4,
+                         ndv_columns=["lang", "source"]),
+        )
+
+    path = ensure_cached(sf_dir, "documents__ndv", ["documents"], _build)
+    rows = []
+    for col in ("lang", "source"):
+        r = fast_ndv(path, col)
+        assert r["exact"], f"test corpus exceeded NDV_K for {col}"
+        rows.append((col, r["ndv"]))
+    return spark.createDataFrame(rows, "col STRING, ndv BIGINT").orderBy("col")

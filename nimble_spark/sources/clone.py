@@ -155,7 +155,13 @@ def clone_table(
                 }
             ],
         }
-        for k in ("constraints", "column_aliases", "logical_columns", "schema_mapping"):
+        for k in (
+            "constraints",
+            "column_aliases",
+            "logical_columns",
+            "schema_mapping",
+            "ndv_columns",
+        ):
             if m.get(k):
                 manifest[k] = m[k]
         os.makedirs(os.path.join(dst, MANIFEST_DIR), exist_ok=True)

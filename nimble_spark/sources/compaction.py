@@ -450,6 +450,22 @@ def _publish_partial_rewrite(
     for k in ("column_aliases", "logical_columns", "tags", "schema_mapping"):
         if m.get(k):
             new_m[k] = m[k]
+    # NDV synopses stay complete across maintenance: untouched entries
+    # carry theirs verbatim; freshly merged/reclustered files compute
+    # theirs here (bounded: only the rewritten files, only the
+    # declared columns)
+    if m.get("ndv_columns"):
+        from nimble_spark.sources.table import _kmv_of_file
+
+        new_m["ndv_columns"] = m["ndv_columns"]
+        # copy-on-write per entry: carried entries are SHARED with the
+        # manifest cache — never mutate them in place
+        new_m["files"] = [
+            e
+            if "ndv" in e or os.path.isabs(e["path"])
+            else dict(e, ndv=_kmv_of_file(os.path.join(path, e["path"]), m["ndv_columns"]))
+            for e in new_m["files"]
+        ]
     _write_manifest(path, new_m)  # ATOMIC commit point
 
     # Only after the publish: tombstone the replaced sources into the
@@ -485,6 +501,59 @@ def _publish_partial_rewrite(
             if os.path.exists(crc):
                 os.remove(crc)
     return new_m
+
+
+def fast_ndv(path: str, col: str) -> dict:
+    """Statistics-answered COUNT(DISTINCT): fold the per-file KMV
+    synopses (WriteOptions.ndv_columns) — pure manifest arithmetic,
+    zero data IO at any table size. The fold is a set union of the
+    k-minimum hashes, associative and commutative, so 10⁶ shards merge
+    exactly like 10 (the mergeable-sketch property; same class as
+    operators/sketches.py, here persisted in the table metadata the
+    way the reference persists per-stripe stats, ChunkStats).
+
+    Returns ``{"ndv": n, "exact": bool, "k": K}``: EXACT when the
+    merged synopsis holds fewer than K hashes (every distinct value's
+    hash is present), else the standard KMV estimator
+    ``(K-1) / (h_(K) / 2⁶⁴)`` — the documented estimate regime
+    (SURVEY §7's "exact-NDV at 100 TB" hard part).
+
+    Correctness fences, same discipline as fast_minmax: pending
+    delete masks raise (the synopsis can't un-count masked rows);
+    files written before the column was declared raise (rewrite or
+    compact to refresh — maintenance keeps synopses complete)."""
+    import os as _os
+
+    from nimble_spark.sources.table import NDV_K
+
+    m = read_manifest(path)
+    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+        raise ValueError(
+            "fast_ndv on a table with pending delete masks would "
+            "over-report; run compact_deletes first"
+        )
+    col_p = _resolve_stats_key(m, col)
+    declared = m.get("ndv_columns") or []
+    if col_p not in declared:
+        raise ValueError(
+            f"no NDV synopsis declared for column {col!r} — write the "
+            f"table with WriteOptions(ndv_columns=[...{col!r}...])"
+        )
+    union: set = set()
+    for f in m["files"]:
+        hs = (f.get("ndv") or {}).get(col_p)
+        if hs is None:
+            raise ValueError(
+                f"file {f['path']} lacks an NDV synopsis for {col!r} "
+                f"(written before the column was declared); compact or "
+                f"rewrite to refresh"
+            )
+        union.update(hs)
+    merged = sorted(union)[:NDV_K]
+    if len(merged) < NDV_K:
+        return {"ndv": len(merged), "exact": True, "k": NDV_K}
+    kth = merged[-1] / float(1 << 64)
+    return {"ndv": int(round((NDV_K - 1) / kth)), "exact": False, "k": NDV_K}
 
 
 def fast_minmax(spark: SparkSession, path: str, col: str):

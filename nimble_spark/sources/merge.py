@@ -440,11 +440,12 @@ def _commit_rewrite(
         index_meta,
         reuse=reuse,
         exclude={os.path.normpath(f) for f in affected},
+        ndv_cols=manifest.get("ndv_columns"),
     )
     # Table-level contracts survive a rewrite: CHECK constraints keep
     # gating appends, and snapshot tags keep resolving (their commits
     # stay replayable until vacuum reclaims the trash).
-    for k in ("constraints", "tags", "schema_mapping"):
+    for k in ("constraints", "tags", "schema_mapping", "ndv_columns"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
     new_manifest["commits"] = prior_commits + [
@@ -606,11 +607,12 @@ def overwrite_partitions(
     prior_commits = list(manifest.get("commits", []))
     prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
     new_manifest = _build_manifest(
-        spark, df.schema, path, opts or WriteOptions(), index_meta, reuse=reuse
+        spark, df.schema, path, opts or WriteOptions(), index_meta,
+        reuse=reuse, ndv_cols=manifest.get("ndv_columns"),
     )
     # table-level contracts survive the partial overwrite, exactly as
     # they survive merge/update rewrites
-    for k in ("constraints", "tags", "schema_mapping"):
+    for k in ("constraints", "tags", "schema_mapping", "ndv_columns"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
     if manifest.get("user_metadata"):

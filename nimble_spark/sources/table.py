@@ -99,6 +99,17 @@ class WriteOptions:
     max_rows_per_file: Optional[int] = None
     compression: str = "zstd"
     row_group_rows: Optional[int] = None  # stripe size analogue
+    # Per-file KMV (k-minimum-values) NDV synopses for the listed
+    # columns: each manifest entry stores the NDV_K smallest 64-bit
+    # value hashes, so table-level distinct counts fold from metadata
+    # alone (compaction.fast_ndv) — EXACT below NDV_K distincts, a
+    # standard KMV estimate above. The mergeable-sketch property is
+    # the point: per-file synopses union associatively, so the fold
+    # is the same arithmetic at 10 files or 10⁶ (SURVEY §7's flagged
+    # "exact-NDV at 100 TB" hard part, answered the sketch way).
+    # Declared columns persist in the manifest root; appends and
+    # maintenance rewrites keep every entry's synopsis current.
+    ndv_columns: Optional[list[str]] = None
     user_metadata: dict[str, str] = field(default_factory=dict)
     column_attributes: dict[str, dict[str, str]] = field(default_factory=dict)
     # CHECK constraints (name → SQL boolean expression): the incoming
@@ -601,8 +612,15 @@ def _write_table_locked(
                 rel = f if rel_dir == "." else os.path.join(rel_dir, f)
                 if os.path.normpath(rel) not in prior_paths:
                     stray.add(os.path.normpath(rel))
+    # NDV synopses: this write's declaration, else the table's standing
+    # one (appends keep every entry's synopsis current automatically —
+    # new files compute theirs, reused entries carry theirs verbatim)
+    _ndv_cols = opts.ndv_columns or (
+        (prior or {}).get("ndv_columns") if mode == "append" else None
+    )
     manifest = _build_manifest(
-        spark, stored_schema or df.schema, path, opts, index_meta, reuse=reuse, exclude=stray
+        spark, stored_schema or df.schema, path, opts, index_meta,
+        reuse=reuse, exclude=stray, ndv_cols=_ndv_cols,
     )
     stats_wall_ms = int((time.monotonic() - t1) * 1000)
     if aliases:
@@ -717,6 +735,38 @@ def _stat_cols(schema: T.StructType) -> list[str]:
     ]
 
 
+NDV_K = 256  # KMV synopsis size: exact NDV below this, estimate above
+
+
+def _kmv_of_file(frag_path: str, cols: list[str], k: int = NDV_K) -> dict:
+    """Per-file KMV synopsis: the ``k`` smallest 64-bit value hashes
+    per listed column. pyarrow's C++ ``unique`` does the heavy pass;
+    only the distincts (not every row) are hashed python-side. Hash =
+    first 8 bytes of md5(repr(value)) — stable across processes and
+    engines-agnostic (the synopsis is engine-internal metadata; the
+    EXACT regime's correctness needs only that distinct values get
+    distinct hashes, a 2⁻⁶⁴-per-pair event)."""
+    import hashlib
+
+    import pyarrow.compute as pa_pc
+
+    pf = pa_pq.ParquetFile(frag_path)
+    names = [c for c in cols if c in pf.schema_arrow.names]
+    if not names:
+        return {}
+    t = pf.read(columns=names)
+    out = {}
+    for c in names:
+        uniq = pa_pc.unique(t.column(c).combine_chunks()).to_pylist()
+        hs = sorted(
+            int.from_bytes(hashlib.md5(repr(v).encode()).digest()[:8], "big")
+            for v in uniq
+            if v is not None
+        )
+        out[c] = hs[:k]
+    return out
+
+
 def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]) -> dict:
     """Describe one written parquet file as a manifest entry: footer
     stats, per-row-group sizes, and the file-integrity sha256 (the
@@ -818,9 +868,12 @@ def _build_manifest(
     index_meta: dict,
     reuse: dict[str, dict] | None = None,
     exclude: set[str] | None = None,
+    ndv_cols: Optional[list[str]] = None,
 ) -> dict:
     """Collect per-file (stripe-group) and per-column stats from the
-    written parquet footers — metadata-only reads, no data scan.
+    written parquet footers — metadata-only reads, no data scan
+    (except the opt-in ``ndv_cols`` KMV synopses, which read just the
+    declared columns of the NEW files).
 
     ``reuse`` (relpath → prior manifest file entry) makes the build
     INCREMENTAL: files already described by a prior commit keep their
@@ -856,7 +909,10 @@ def _build_manifest(
     stat_cols = _stat_cols(schema)
 
     def _describe_file(frag_path: str) -> dict:
-        return _describe_parquet_file(frag_path, path, stat_cols)
+        entry = _describe_parquet_file(frag_path, path, stat_cols)
+        if ndv_cols:
+            entry["ndv"] = _kmv_of_file(frag_path, ndv_cols)
+        return entry
 
     # Hashing + footer reads release the GIL — describe new files in
     # parallel, then assemble in dataset order so the manifest's file
@@ -909,7 +965,7 @@ def _build_manifest(
         files_info.append(entry)
         total_rows += entry["rows"]
 
-    return {
+    out = {
         "format_version": 1,
         # every entry here is current-describe output or gen-gated
         # reuse (callers drop pre-STATS_GEN reuse), so stamp the gen
@@ -922,6 +978,9 @@ def _build_manifest(
         "indexes": index_meta,
         "user_metadata": opts.user_metadata,
     }
+    if ndv_cols:
+        out["ndv_columns"] = list(ndv_cols)
+    return out
 
 
 def _fold_column_stats(files_info: list[dict]) -> dict:
@@ -1735,6 +1794,8 @@ def layout_options_of(manifest: dict, n_cluster_files: int | None = None) -> Wri
         kw["bloom_cols"] = list(idx["bloom"]["keys"])
     if manifest.get("constraints"):
         kw["check_constraints"] = dict(manifest["constraints"])
+    if manifest.get("ndv_columns"):
+        kw["ndv_columns"] = list(manifest["ndv_columns"])
     if "cluster" in idx or "zorder" in idx:
         total = sum(f.get("bytes", 0) for f in manifest.get("files", []))
         kw["n_cluster_files"] = n_cluster_files or max(

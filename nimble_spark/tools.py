@@ -128,6 +128,27 @@ def show_stats(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "column STRING, min STRING, max STRING, null_count BIGINT")
 
 
+def show_ndv(spark: SparkSession, path: str, col: str | None = None) -> DataFrame:
+    """SHOW NDV [col]: statistics-answered distinct counts from the
+    per-file KMV synopses (compaction.fast_ndv) — zero data IO; the
+    ``exact`` column says whether the fold was below the synopsis size
+    (exact) or the KMV estimator (estimate)."""
+    from nimble_spark.sources.compaction import fast_ndv
+
+    m = read_manifest(path, materialize=False)
+    cols = [col] if col else list(m.get("ndv_columns") or [])
+    if not cols:
+        raise ValueError(
+            "no NDV synopses declared — write with "
+            "WriteOptions(ndv_columns=[...])"
+        )
+    rows = []
+    for c in cols:
+        r = fast_ndv(path, c)
+        rows.append((c, r["ndv"], r["exact"], r["k"]))
+    return spark.createDataFrame(rows, "column STRING, ndv BIGINT, exact BOOLEAN, k INT")
+
+
 def show_files(spark: SparkSession, path: str) -> DataFrame:
     """SHOW FILES (stripe groups): per-file rows/bytes/row-groups."""
     m = read_manifest(path)
@@ -698,7 +719,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     """Dispatch one DSL command string (the NimbleDSL VM analogue,
     dwio/nimble/tools/NimbleDslVm.cpp):
 
-      DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW FILES |
+      DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW FILES |
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
@@ -726,6 +747,9 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return show_stats(spark, path)
     if u == "SHOW FILES":
         return show_files(spark, path)
+    m = re.match(r"SHOW NDV(?:\s+(\w+))?$", c, re.I)
+    if m:
+        return show_ndv(spark, path, m.group(1))
     if u == "SHOW PAGES":
         return show_pages(spark, path)
     m = re.match(r"SHOW HISTOGRAM(?:\s+STRIPE\s+(\d+))?$", c, re.I)

@@ -1,0 +1,105 @@
+"""Per-file KMV NDV synopses (WriteOptions.ndv_columns →
+compaction.fast_ndv): the mergeable-sketch answer to SURVEY §7's
+flagged "exact-NDV at 100 TB" hard part. Exact below NDV_K distincts,
+standard KMV estimator above; synopses stay complete across appends,
+compaction, and full rewrites; masked tables and undeclared columns
+refuse loudly."""
+
+import pytest
+
+from nimble_spark.sources.compaction import compact_table, fast_ndv
+from nimble_spark.sources.table import (
+    NDV_K,
+    WriteOptions,
+    read_manifest,
+    write_table,
+)
+
+
+def _opts(**kw):
+    return WriteOptions(cluster_by=["k"], n_cluster_files=4, ndv_columns=["tag"], **kw)
+
+
+def _rows(spark, lo, hi, mod):
+    return spark.range(lo, hi).selectExpr("id AS k", f"CAST(id % {mod} AS STRING) AS tag")
+
+
+def test_exact_regime_and_append_freshness(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 500, 40), path, _opts())
+    r = fast_ndv(path, "tag")
+    assert r == {"ndv": 40, "exact": True, "k": NDV_K}
+    # append introduces 10 new tag values (40..49); the fold sees them
+    write_table(
+        spark.range(0, 100).selectExpr("id AS k", "CAST(40 + id % 10 AS STRING) AS tag"),
+        path,
+        mode="append",
+    )
+    assert fast_ndv(path, "tag") == {"ndv": 50, "exact": True, "k": NDV_K}
+    # every entry carries a synopsis (append computed only its own)
+    m = read_manifest(path)
+    assert all("ndv" in f for f in m["files"])
+    assert m["ndv_columns"] == ["tag"]
+
+
+def test_estimator_regime_accuracy(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = 20000  # >> NDV_K distincts
+    write_table(
+        spark.range(0, n).selectExpr("id AS k", "CAST(id AS STRING) AS tag"),
+        path,
+        _opts(),
+    )
+    r = fast_ndv(path, "tag")
+    assert not r["exact"]
+    # KMV with K=256 has ~1/sqrt(K) ≈ 6% relative error; allow 4 sigma
+    assert abs(r["ndv"] - n) / n < 0.25, r
+
+
+def test_maintenance_keeps_synopses_complete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 200, 13), path, _opts())
+    write_table(_rows(spark, 200, 400, 13), path, mode="append")
+    res = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert res["files_after"] < res["files_before"]
+    assert all("ndv" in f for f in read_manifest(path)["files"])
+    assert fast_ndv(path, "tag") == {"ndv": 13, "exact": True, "k": NDV_K}
+
+
+def test_full_rewrite_carries_declaration(spark, tmp_path):
+    from nimble_spark.sources.deletes import compact_deletes, delete_rows
+
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 300, 7), path, _opts())
+    delete_rows(spark, path, "k", [0, 1])
+    # masked tables refuse (the synopsis cannot un-count masked rows)
+    with pytest.raises(ValueError, match="delete masks"):
+        fast_ndv(path, "tag")
+    compact_deletes(spark, path)  # full rewrite via layout_options_of
+    assert fast_ndv(path, "tag")["ndv"] == 7
+    assert read_manifest(path)["ndv_columns"] == ["tag"]
+
+
+def test_undeclared_and_renamed_columns(spark, tmp_path):
+    from nimble_spark.sources.alter import alter_table
+
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 100, 5), path, _opts())
+    with pytest.raises(ValueError, match="no NDV synopsis"):
+        fast_ndv(path, "k")
+    alter_table(path, rename={"tag": "label"})
+    # current logical name resolves to the physical synopsis
+    assert fast_ndv(path, "label")["ndv"] == 5
+    with pytest.raises(ValueError, match="pre-rename|dropped"):
+        fast_ndv(path, "tag")
+
+
+def test_show_ndv_dsl(spark, tmp_path):
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 100, 9), path, _opts())
+    rows = {r["column"]: r for r in run_command(spark, path, "SHOW NDV").collect()}
+    assert rows["tag"]["ndv"] == 9 and rows["tag"]["exact"]
+    one = run_command(spark, path, "show ndv tag").collect()
+    assert len(one) == 1 and one[0]["ndv"] == 9
