@@ -1931,3 +1931,48 @@ def q_fast_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert r["exact"], f"test corpus exceeded NDV_K for {col}"
         rows.append((col, r["ndv"]))
     return spark.createDataFrame(rows, "col STRING, ndv BIGINT").orderBy("col")
+
+
+@register(
+    "q_fast_sum",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           {lsum_sql("o_totalprice")} AS total,
+           SUM(o_custkey) AS key_sum
+    FROM orders
+    """,
+    category="format",
+)
+def q_fast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-answered SUM (per-file sum synopses →
+    compaction.fast_sum): zero data IO at query time and EXACT —
+    integer columns sum as unbounded ints, doubles per-value quantize
+    to FLOOR(x·10⁶+0.5) and fold as ints (the exact.py lsum
+    discipline the whole differential harness rides), so the fold is
+    associative integer addition at any shard count. Completes the
+    metadata-answered aggregate family: fast_count, fast_minmax,
+    fast_ndv, fast_sum."""
+    import math
+
+    from nimble_spark.sources.compaction import fast_sum
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "orders"),
+            tmp,
+            WriteOptions(
+                cluster_by=["o_orderkey"],
+                n_cluster_files=4,
+                sum_columns=["o_totalprice", "o_custkey"],
+            ),
+        )
+
+    path = ensure_cached(sf_dir, "orders__sums", ["orders"], _build)
+    n = fast_sum(path, "o_totalprice")["rows"]
+    # mirror lsum_sql's exact arithmetic: CAST(int-sum AS DOUBLE)/1e6,
+    # then round-half-up at 4 decimals — identical IEEE ops both sides
+    total = math.floor((fast_sum(path, "o_totalprice")["sum"]) * 1e4 + 0.5) / 1e4
+    key_sum = fast_sum(path, "o_custkey")["sum"]
+    return spark.createDataFrame(
+        [(n, float(total), int(key_sum))], "n BIGINT, total DOUBLE, key_sum BIGINT"
+    )

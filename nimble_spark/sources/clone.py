@@ -161,6 +161,7 @@ def clone_table(
             "logical_columns",
             "schema_mapping",
             "ndv_columns",
+            "sum_columns",
         ):
             if m.get(k):
                 manifest[k] = m[k]

@@ -450,22 +450,41 @@ def _publish_partial_rewrite(
     for k in ("column_aliases", "logical_columns", "tags", "schema_mapping"):
         if m.get(k):
             new_m[k] = m[k]
-    # NDV synopses stay complete across maintenance: untouched entries
-    # carry theirs verbatim; freshly merged/reclustered files compute
-    # theirs here (bounded: only the rewritten files, only the
+    # NDV/SUM synopses stay complete across maintenance: untouched
+    # entries carry theirs verbatim; freshly merged/reclustered files
+    # compute theirs here (bounded: only the rewritten files, only the
     # declared columns)
-    if m.get("ndv_columns"):
-        from nimble_spark.sources.table import _kmv_of_file
+    if m.get("ndv_columns") or m.get("sum_columns"):
+        from nimble_spark.sources.table import _synopses_of_file
 
-        new_m["ndv_columns"] = m["ndv_columns"]
-        # copy-on-write per entry: carried entries are SHARED with the
-        # manifest cache — never mutate them in place
-        new_m["files"] = [
-            e
-            if "ndv" in e or os.path.isabs(e["path"])
-            else dict(e, ndv=_kmv_of_file(os.path.join(path, e["path"]), m["ndv_columns"]))
-            for e in new_m["files"]
-        ]
+        nc, sc = m.get("ndv_columns"), m.get("sum_columns")
+        if nc:
+            new_m["ndv_columns"] = nc
+        if sc:
+            new_m["sum_columns"] = sc
+
+        def _refresh(e: dict) -> dict:
+            if os.path.isabs(e["path"]):
+                return e
+            need_ndv = nc and "ndv" not in e
+            need_sum = sc and "sums" not in e
+            if not (need_ndv or need_sum):
+                return e
+            ndv, sums = _synopses_of_file(
+                os.path.join(path, e["path"]),
+                nc if need_ndv else None,
+                sc if need_sum else None,
+            )
+            # copy-on-write per entry: carried entries are SHARED with
+            # the manifest cache — never mutate them in place
+            e = dict(e)
+            if need_ndv:
+                e["ndv"] = ndv
+            if need_sum:
+                e["sums"] = sums
+            return e
+
+        new_m["files"] = [_refresh(e) for e in new_m["files"]]
     _write_manifest(path, new_m)  # ATOMIC commit point
 
     # Only after the publish: tombstone the replaced sources into the
@@ -554,6 +573,60 @@ def fast_ndv(path: str, col: str) -> dict:
         return {"ndv": len(merged), "exact": True, "k": NDV_K}
     kth = merged[-1] / float(1 << 64)
     return {"ndv": int(round((NDV_K - 1) / kth)), "exact": False, "k": NDV_K}
+
+
+def fast_sum(path: str, col: str) -> dict:
+    """Statistics-answered SUM/AVG from the per-file sum synopses
+    (WriteOptions.sum_columns) — pure manifest arithmetic, zero data
+    IO, and EXACT at any file count: the per-file values are integers
+    (ints natively; floats per-value quantized to FLOOR(x·10⁶+0.5),
+    the exact.py lsum discipline), so the fold is associative integer
+    addition — the shard-merge property every 1000-executor
+    aggregation wants, persisted in the table metadata.
+
+    Returns ``{"sum": value, "rows": n, "avg": value}`` (floats come
+    back de-scaled). Same correctness fences as fast_ndv/fast_minmax:
+    pending delete masks raise; undeclared/stale columns raise; files
+    written before the declaration raise (maintenance refreshes)."""
+    import os as _os
+
+    import pyspark.sql.types as T
+
+    from nimble_spark.sources.table import SUM_SCALE
+
+    m = read_manifest(path)
+    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+        raise ValueError(
+            "fast_sum on a table with pending delete masks would "
+            "over-report; run compact_deletes first"
+        )
+    col_p = _resolve_stats_key(m, col)
+    declared = m.get("sum_columns") or []
+    if col_p not in declared:
+        raise ValueError(
+            f"no SUM synopsis declared for column {col!r} — write the "
+            f"table with WriteOptions(sum_columns=[...{col!r}...])"
+        )
+    total = 0
+    for f in m["files"]:
+        s = (f.get("sums") or {}).get(col_p)
+        if s is None:
+            raise ValueError(
+                f"file {f['path']} lacks a SUM synopsis for {col!r} "
+                f"(written before the column was declared); compact or "
+                f"rewrite to refresh"
+            )
+        total += s
+    dtype = {
+        fld["name"]: T.StructField.fromJson(fld).dataType.simpleString()
+        for fld in m["schema"]["fields"]
+    }.get(col_p, "")
+    rows = int(m["rows"])
+    if dtype in ("float", "double"):
+        val = total / SUM_SCALE
+    else:
+        val = total
+    return {"sum": val, "rows": rows, "avg": (val / rows) if rows else None}
 
 
 def fast_minmax(spark: SparkSession, path: str, col: str):

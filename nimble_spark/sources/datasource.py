@@ -898,6 +898,7 @@ class NimbleWriter(DataSourceArrowWriter):
         prior_files: set = set()
         aliased = False
         prior_idx: dict = {}
+        prior_ndv = prior_sums = None
         if not self.overwrite:
             try:
                 prior = read_manifest(self.path)
@@ -910,6 +911,8 @@ class NimbleWriter(DataSourceArrowWriter):
                 prior_files = {e["path"] for e in prior["files"]}
                 prior_commits = list(prior.get("commits", []))
                 prior_idx = prior.get("indexes", {}) or {}
+                prior_ndv = prior.get("ndv_columns")
+                prior_sums = prior.get("sum_columns")
             except (OSError, ValueError, KeyError):
                 pass  # no/corrupt prior manifest → first commit semantics
         if aliased:
@@ -1013,7 +1016,7 @@ class NimbleWriter(DataSourceArrowWriter):
         }
         manifest = _build_manifest(
             None, spark_schema, self.path, WriteOptions(), index_meta,
-            reuse=reuse, exclude=stray,
+            reuse=reuse, exclude=stray, ndv_cols=prior_ndv, sum_cols=prior_sums,
         )
         # A concurrent OVERWRITE may have swept our staged files before
         # this commit ran (overwrite replaces the table wholesale).

@@ -441,11 +441,12 @@ def _commit_rewrite(
         reuse=reuse,
         exclude={os.path.normpath(f) for f in affected},
         ndv_cols=manifest.get("ndv_columns"),
+        sum_cols=manifest.get("sum_columns"),
     )
     # Table-level contracts survive a rewrite: CHECK constraints keep
     # gating appends, and snapshot tags keep resolving (their commits
     # stay replayable until vacuum reclaims the trash).
-    for k in ("constraints", "tags", "schema_mapping", "ndv_columns"):
+    for k in ("constraints", "tags", "schema_mapping", "ndv_columns", "sum_columns"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
     new_manifest["commits"] = prior_commits + [
@@ -609,10 +610,11 @@ def overwrite_partitions(
     new_manifest = _build_manifest(
         spark, df.schema, path, opts or WriteOptions(), index_meta,
         reuse=reuse, ndv_cols=manifest.get("ndv_columns"),
+        sum_cols=manifest.get("sum_columns"),
     )
     # table-level contracts survive the partial overwrite, exactly as
     # they survive merge/update rewrites
-    for k in ("constraints", "tags", "schema_mapping", "ndv_columns"):
+    for k in ("constraints", "tags", "schema_mapping", "ndv_columns", "sum_columns"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
     if manifest.get("user_metadata"):

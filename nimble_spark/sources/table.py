@@ -110,6 +110,11 @@ class WriteOptions:
     # Declared columns persist in the manifest root; appends and
     # maintenance rewrites keep every entry's synopsis current.
     ndv_columns: Optional[list[str]] = None
+    # Per-file exact SUM synopses: integers sum as unbounded ints,
+    # floats quantize per value to FLOOR(x·10⁶+0.5) and sum as ints
+    # (the exact.py lsum discipline), so compaction.fast_sum answers
+    # SUM/AVG from metadata alone — exactly, at any file count.
+    sum_columns: Optional[list[str]] = None
     user_metadata: dict[str, str] = field(default_factory=dict)
     column_attributes: dict[str, dict[str, str]] = field(default_factory=dict)
     # CHECK constraints (name → SQL boolean expression): the incoming
@@ -618,9 +623,12 @@ def _write_table_locked(
     _ndv_cols = opts.ndv_columns or (
         (prior or {}).get("ndv_columns") if mode == "append" else None
     )
+    _sum_cols = opts.sum_columns or (
+        (prior or {}).get("sum_columns") if mode == "append" else None
+    )
     manifest = _build_manifest(
         spark, stored_schema or df.schema, path, opts, index_meta,
-        reuse=reuse, exclude=stray, ndv_cols=_ndv_cols,
+        reuse=reuse, exclude=stray, ndv_cols=_ndv_cols, sum_cols=_sum_cols,
     )
     stats_wall_ms = int((time.monotonic() - t1) * 1000)
     if aliases:
@@ -736,35 +744,66 @@ def _stat_cols(schema: T.StructType) -> list[str]:
 
 
 NDV_K = 256  # KMV synopsis size: exact NDV below this, estimate above
+SUM_SCALE = 10**6  # float sums stored as scaled ints (lsum discipline)
 
 
-def _kmv_of_file(frag_path: str, cols: list[str], k: int = NDV_K) -> dict:
-    """Per-file KMV synopsis: the ``k`` smallest 64-bit value hashes
-    per listed column. pyarrow's C++ ``unique`` does the heavy pass;
-    only the distincts (not every row) are hashed python-side. Hash =
-    first 8 bytes of md5(repr(value)) — stable across processes and
-    engines-agnostic (the synopsis is engine-internal metadata; the
-    EXACT regime's correctness needs only that distinct values get
-    distinct hashes, a 2⁻⁶⁴-per-pair event)."""
+def _synopses_of_file(
+    frag_path: str,
+    ndv_cols: list[str] | None,
+    sum_cols: list[str] | None,
+    k: int = NDV_K,
+) -> tuple[dict, dict]:
+    """Per-file statistics synopses, ONE columnar read for both kinds:
+
+    - KMV NDV: the ``k`` smallest 64-bit value hashes per column.
+      pyarrow's C++ ``unique`` does the heavy pass; only the distincts
+      are hashed python-side (first 8 bytes of md5(repr(value)) —
+      stable across processes; the EXACT regime needs only that
+      distinct values get distinct hashes, a 2⁻⁶⁴-per-pair event).
+    - exact SUM: integers as unbounded python ints; floats per-VALUE
+      quantized to FLOOR(x·10⁶ + 0.5) and summed as ints (the
+      functions/exact.py lsum discipline) — the fold is integer
+      addition, associative and engine-exact, so the table sum is
+      bit-identical however many shards it folds from.
+    """
     import hashlib
 
+    import pyarrow as pa
     import pyarrow.compute as pa_pc
 
+    ndv_cols = ndv_cols or []
+    sum_cols = sum_cols or []
     pf = pa_pq.ParquetFile(frag_path)
-    names = [c for c in cols if c in pf.schema_arrow.names]
-    if not names:
-        return {}
-    t = pf.read(columns=names)
-    out = {}
-    for c in names:
+    present = set(pf.schema_arrow.names)
+    want = [c for c in dict.fromkeys([*ndv_cols, *sum_cols]) if c in present]
+    if not want:
+        return {}, {}
+    t = pf.read(columns=want)
+    ndv_out, sum_out = {}, {}
+    for c in [c for c in ndv_cols if c in present]:
         uniq = pa_pc.unique(t.column(c).combine_chunks()).to_pylist()
         hs = sorted(
             int.from_bytes(hashlib.md5(repr(v).encode()).digest()[:8], "big")
             for v in uniq
             if v is not None
         )
-        out[c] = hs[:k]
-    return out
+        ndv_out[c] = hs[:k]
+    for c in [c for c in sum_cols if c in present]:
+        col = t.column(c).combine_chunks()
+        if pa.types.is_floating(col.type):
+            q = pa_pc.floor(
+                pa_pc.add(pa_pc.multiply(pa_pc.cast(col, pa.float64()), 1e6), 0.5)
+            )
+            s = pa_pc.sum(pa_pc.cast(q, pa.int64())).as_py()
+        else:
+            s = pa_pc.sum(pa_pc.cast(col, pa.int64())).as_py()
+        sum_out[c] = int(s or 0)
+    return ndv_out, sum_out
+
+
+def _kmv_of_file(frag_path: str, cols: list[str], k: int = NDV_K) -> dict:
+    """KMV-only convenience over :func:`_synopses_of_file`."""
+    return _synopses_of_file(frag_path, cols, None, k)[0]
 
 
 def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]) -> dict:
@@ -869,6 +908,7 @@ def _build_manifest(
     reuse: dict[str, dict] | None = None,
     exclude: set[str] | None = None,
     ndv_cols: Optional[list[str]] = None,
+    sum_cols: Optional[list[str]] = None,
 ) -> dict:
     """Collect per-file (stripe-group) and per-column stats from the
     written parquet footers — metadata-only reads, no data scan
@@ -910,8 +950,12 @@ def _build_manifest(
 
     def _describe_file(frag_path: str) -> dict:
         entry = _describe_parquet_file(frag_path, path, stat_cols)
-        if ndv_cols:
-            entry["ndv"] = _kmv_of_file(frag_path, ndv_cols)
+        if ndv_cols or sum_cols:
+            ndv, sums = _synopses_of_file(frag_path, ndv_cols, sum_cols)
+            if ndv_cols:
+                entry["ndv"] = ndv
+            if sum_cols:
+                entry["sums"] = sums
         return entry
 
     # Hashing + footer reads release the GIL — describe new files in
@@ -980,6 +1024,8 @@ def _build_manifest(
     }
     if ndv_cols:
         out["ndv_columns"] = list(ndv_cols)
+    if sum_cols:
+        out["sum_columns"] = list(sum_cols)
     return out
 
 
@@ -1796,6 +1842,8 @@ def layout_options_of(manifest: dict, n_cluster_files: int | None = None) -> Wri
         kw["check_constraints"] = dict(manifest["constraints"])
     if manifest.get("ndv_columns"):
         kw["ndv_columns"] = list(manifest["ndv_columns"])
+    if manifest.get("sum_columns"):
+        kw["sum_columns"] = list(manifest["sum_columns"])
     if "cluster" in idx or "zorder" in idx:
         total = sum(f.get("bytes", 0) for f in manifest.get("files", []))
         kw["n_cluster_files"] = n_cluster_files or max(

@@ -103,3 +103,65 @@ def test_show_ndv_dsl(spark, tmp_path):
     assert rows["tag"]["ndv"] == 9 and rows["tag"]["exact"]
     one = run_command(spark, path, "show ndv tag").collect()
     assert len(one) == 1 and one[0]["ndv"] == 9
+
+
+# ----------------------------------------------------------- fast_sum
+
+
+def test_fast_sum_exact_int_and_double(spark, tmp_path):
+    from nimble_spark.sources.compaction import fast_sum
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) / 7 AS v"
+        ),
+        path,
+        WriteOptions(cluster_by=["k"], n_cluster_files=4,
+                     sum_columns=["k", "v"]),
+    )
+    r = fast_sum(path, "k")
+    assert r["sum"] == sum(range(1000)) and r["rows"] == 1000
+    # doubles: per-value FLOOR(x*1e6+0.5) quantization, exact int fold
+    expect = sum(int(x / 7 * 1e6 + 0.5) for x in range(1000)) / 1e6
+    assert fast_sum(path, "v")["sum"] == expect
+    # append keeps the fold exact
+    write_table(
+        spark.range(1000, 1100).selectExpr("id AS k", "CAST(0.5 AS DOUBLE) AS v"),
+        path,
+        mode="append",
+    )
+    r2 = fast_sum(path, "k")
+    assert r2["sum"] == sum(range(1100)) and r2["rows"] == 1100
+
+
+def test_fast_sum_fences(spark, tmp_path):
+    from nimble_spark.sources.compaction import fast_sum
+    from nimble_spark.sources.deletes import delete_rows
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        path,
+        WriteOptions(sum_columns=["k"]),
+    )
+    with pytest.raises(ValueError, match="no SUM synopsis"):
+        fast_sum(path, "v")
+    delete_rows(spark, path, "k", [1])
+    with pytest.raises(ValueError, match="delete masks"):
+        fast_sum(path, "k")
+
+
+def test_fast_sum_survives_maintenance(spark, tmp_path):
+    from nimble_spark.sources.compaction import compact_table, fast_sum
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 300).selectExpr("id AS k"),
+        path,
+        WriteOptions(cluster_by=["k"], n_cluster_files=3, sum_columns=["k"]),
+    )
+    write_table(spark.range(300, 400).selectExpr("id AS k"), path, mode="append")
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    assert fast_sum(path, "k")["sum"] == sum(range(400))
+    assert read_manifest(path)["sum_columns"] == ["k"]
