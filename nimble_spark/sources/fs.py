@@ -130,6 +130,13 @@ class MetadataFS(ABC):
     def delete_tree(self, path: str) -> None:
         """Best-effort recursive removal (never raises)."""
 
+    # True when ``move`` relocates a DIRECTORY atomically (rename(2)).
+    # Object stores have no directory rename: implementations set this
+    # False and the table layer switches full rewrites to the
+    # root-republish path (table._republish_rewrite — per-object moves
+    # + atomic manifest publish; no rename anywhere).
+    supports_atomic_dir_move: bool = True
+
     # ---- concurrency -------------------------------------------------
     @abstractmethod
     def commit_lock(self, table_path: str, timeout_s: float = 120.0,
@@ -453,9 +460,17 @@ class ObjectStoreSimFS(LocalFS):
       O_EXCL lock models a conditional-create (``If-None-Match: *``)
       — the same primitive, just spelled differently per store.
 
+    With ``supports_atomic_dir_move = False`` the table layer routes
+    full rewrites (compact_deletes, full recluster, materialize)
+    through the root-republish path — per-object moves + atomic
+    manifest publish — so NO code path depends on a directory rename
+    at all (tests/test_fs_seam.py runs the whole lifecycle this way).
+
     A real S3/GCS client additionally swaps paths for keys and stat
     for HEAD; nothing in the metadata layer observes that difference.
     """
+
+    supports_atomic_dir_move = False
 
     def move(self, src: str, dst: str) -> None:
         if os.path.isdir(src):

@@ -1914,8 +1914,17 @@ def staged_swap_rewrite(
     and loses the table outright on failure. Constraint re-validation
     is skipped: the rows are by construction the table's own
     already-committed rows. Caller must hold the table write lock (it
-    lives OUTSIDE the table dir, so it survives the swap)."""
+    lives OUTSIDE the table dir, so it survives the swap).
+
+    On a metadata FS WITHOUT atomic directory rename (object stores —
+    ``fs.supports_atomic_dir_move`` False) the rewrite takes the
+    ROOT-REPUBLISH path instead (:func:`_republish_rewrite`): stage
+    the sibling table, relocate its data files into the live prefix
+    per-object, and make the atomic MANIFEST publish the commit point
+    — the manifest, not the directory tree, is the table."""
     fs = get_fs()
+    if not getattr(fs, "supports_atomic_dir_move", True):
+        return _republish_rewrite(spark, path, df, opts)
     repair_interrupted_swap(path)  # finish any predecessor's crash window
     staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
     try:
@@ -1942,6 +1951,66 @@ def staged_swap_rewrite(
         marker = ""  # the racing repair unlinked it too
     fs.delete_tree(old)
     return m
+
+
+def _republish_rewrite(
+    spark: SparkSession, path: str, df: "DataFrame", opts: WriteOptions
+) -> dict:
+    """Object-store full rewrite (no rename(2) anywhere): stage the
+    complete new table in a sibling prefix, relocate its data files
+    into the live prefix one object at a time (``fs.move`` =
+    copy+delete off POSIX; names are job-UUID-unique so nothing
+    collides with the old generation), then ATOMICALLY republish the
+    manifest root — which off POSIX is a single/conditional PUT, the
+    same commit point every other mutation uses.
+
+    Crash discipline, window by window:
+    - during staging: the old table is untouched; staging is debris.
+    - after some relocations, before the publish: the old root still
+      references only old files; relocated objects are unreferenced
+      debris vacuum's age-gated sweep reclaims.
+    - after the publish: the new table is live; the old generation's
+      files (and its trash) are unreferenced and swept below — a crash
+      mid-sweep just leaves more debris for vacuum.
+    Readers race exactly like the swap path: a reader holding the old
+    root may hit a deleted old file and gets the documented retryable
+    gone-window error. History resets (commit 0), masks clear —
+    observably identical semantics to the directory swap."""
+    fs = get_fs()
+    staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
+    try:
+        sm = write_table(
+            df, staging, opts, _caller_holds_lock=True, _constraints_prevalidated=True
+        )
+    except BaseException:
+        fs.delete_tree(staging)
+        raise
+    old_m = read_manifest(path)
+    old_files = [f["path"] for f in old_m["files"]]
+    for f in sm["files"]:
+        rel = f["path"]
+        dst = os.path.join(path, rel)
+        parent = os.path.dirname(dst)
+        if parent:
+            fs.makedirs(parent)
+        fs.move(os.path.join(staging, rel), dst)
+    new_m = dict(sm)
+    new_m.pop("file_pages", None)  # repaginate from the relocated list
+    _write_manifest(path, new_m)  # ATOMIC commit point
+    # Only after the publish: the old generation is unreferenced.
+    # Masks cleared (the staged rows are the mask-applied view where
+    # masks existed; re-applying them to the new rows is at most a
+    # no-op, so a crash before this line is benign).
+    fs.delete_tree(os.path.join(path, MANIFEST_DIR, "deletes"))
+    fs.delete_tree(os.path.join(path, MANIFEST_DIR, "trash"))
+    for rel in old_files:
+        if os.path.isabs(rel):
+            continue  # shallow-clone foreign entry: source owns the bytes
+        src = os.path.join(path, rel)
+        if fs.exists(src):
+            fs.delete(src)
+    fs.delete_tree(staging)
+    return new_m
 
 
 def materialize_columns(spark: SparkSession, path: str) -> dict:

@@ -184,3 +184,67 @@ def test_lifecycle_on_object_store_semantics(spark, tmpdir, seed):
         _run_lifecycle(spark, f"{tmpdir}/life_os_{seed}", seed)
     finally:
         set_fs(prev)
+
+
+class StrictObjectStoreFS(LocalFS):
+    """Object-store semantics PLUS a tripwire: any directory move is a
+    bug (no object store can do one). Proves the full-rewrite path
+    never needs rename(2) when the FS says it lacks it."""
+
+    supports_atomic_dir_move = False
+
+    def move(self, src, dst):
+        import os
+        import shutil
+
+        assert not os.path.isdir(src), f"directory move attempted: {src}"
+        shutil.copy2(src, dst)
+        os.unlink(src)
+
+
+def test_full_rewrites_republish_without_dir_moves(spark, tmp_path):
+    """compact_deletes + full recluster on a no-rename FS: the
+    root-republish path relocates per-object and commits via the
+    atomic manifest publish — results identical to the POSIX swap
+    (history reset, masks cleared, layout preserved, old generation
+    swept)."""
+    from nimble_spark.sources.compaction import recluster_table
+    from nimble_spark.sources.deletes import compact_deletes, delete_rows, read_with_deletes
+    from nimble_spark.sources.fs import set_fs
+    from nimble_spark.sources.table import (
+        WriteOptions,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    prev = set_fs(StrictObjectStoreFS())
+    try:
+        path = str(tmp_path / "t")
+        write_table(
+            spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+            path,
+            WriteOptions(cluster_by=["k"], n_cluster_files=3),
+        )
+        write_table(
+            spark.range(200, 300).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+            path,
+            mode="append",
+        )
+        delete_rows(spark, path, "k", [0, 1, 2])
+        m = compact_deletes(spark, path)
+        assert m["rows"] == 297
+        assert len(m["commits"]) == 1  # history reset, like the swap
+        assert "cluster" in m["indexes"]  # layout preserved
+        assert read_with_deletes(spark, path).count() == 297
+        assert read_table(spark, path).filter("k < 3").count() == 0
+        # masks cleared; old generation gone from the live prefix
+        import os
+
+        assert not os.path.isdir(os.path.join(path, "_nimble", "deletes"))
+        assert all(not os.path.isabs(f["path"]) for f in read_manifest(path)["files"])
+        # a further mutation cycle works on the republished table
+        recluster_table(spark, path, n_files=2)
+        assert read_table(spark, path).count() == 297
+    finally:
+        set_fs(prev)
