@@ -149,6 +149,27 @@ def show_ndv(spark: SparkSession, path: str, col: str | None = None) -> DataFram
     return spark.createDataFrame(rows, "column STRING, ndv BIGINT, exact BOOLEAN, k INT")
 
 
+def show_sums(spark: SparkSession, path: str, col: str | None = None) -> DataFrame:
+    """SHOW SUMS [col]: statistics-answered exact SUM/AVG from the
+    per-file synopses (compaction.fast_sum) — zero data IO."""
+    from nimble_spark.sources.compaction import fast_sum
+
+    m = read_manifest(path, materialize=False)
+    cols = [col] if col else list(m.get("sum_columns") or [])
+    if not cols:
+        raise ValueError(
+            "no SUM synopses declared — write with "
+            "WriteOptions(sum_columns=[...])"
+        )
+    rows = []
+    for c in cols:
+        r = fast_sum(path, c)
+        rows.append((c, float(r["sum"]), r["rows"], float(r["avg"])))
+    return spark.createDataFrame(
+        rows, "column STRING, sum DOUBLE, rows BIGINT, avg DOUBLE"
+    )
+
+
 def show_files(spark: SparkSession, path: str) -> DataFrame:
     """SHOW FILES (stripe groups): per-file rows/bytes/row-groups."""
     m = read_manifest(path)
@@ -719,7 +740,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     """Dispatch one DSL command string (the NimbleDSL VM analogue,
     dwio/nimble/tools/NimbleDslVm.cpp):
 
-      DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW FILES |
+      DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW SUMS [col] | SHOW FILES |
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
@@ -750,6 +771,9 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     m = re.match(r"SHOW NDV(?:\s+(\w+))?$", c, re.I)
     if m:
         return show_ndv(spark, path, m.group(1))
+    m = re.match(r"SHOW SUMS?(?:\s+(\w+))?$", c, re.I)
+    if m:
+        return show_sums(spark, path, m.group(1))
     if u == "SHOW PAGES":
         return show_pages(spark, path)
     m = re.match(r"SHOW HISTOGRAM(?:\s+STRIPE\s+(\d+))?$", c, re.I)

@@ -165,3 +165,18 @@ def test_fast_sum_survives_maintenance(spark, tmp_path):
     compact_table(spark, path, target_file_bytes=1 << 30)
     assert fast_sum(path, "k")["sum"] == sum(range(400))
     assert read_manifest(path)["sum_columns"] == ["k"]
+
+
+def test_show_sums_dsl(spark, tmp_path):
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 100).selectExpr("id AS k"),
+        path,
+        WriteOptions(sum_columns=["k"]),
+    )
+    rows = run_command(spark, path, "SHOW SUMS").collect()
+    assert len(rows) == 1
+    assert rows[0]["sum"] == float(sum(range(100)))
+    assert rows[0]["avg"] == sum(range(100)) / 100.0
