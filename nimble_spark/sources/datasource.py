@@ -899,6 +899,9 @@ class NimbleWriter(DataSourceArrowWriter):
         aliased = False
         prior_idx: dict = {}
         prior_ndv = prior_sums = None
+        prior_constraints: dict = {}
+        prior_tags: dict = {}
+        prior_umd: dict = {}
         if not self.overwrite:
             try:
                 prior = read_manifest(self.path)
@@ -913,6 +916,9 @@ class NimbleWriter(DataSourceArrowWriter):
                 prior_idx = prior.get("indexes", {}) or {}
                 prior_ndv = prior.get("ndv_columns")
                 prior_sums = prior.get("sum_columns")
+                prior_constraints = prior.get("constraints") or {}
+                prior_tags = prior.get("tags") or {}
+                prior_umd = prior.get("user_metadata") or {}
             except (OSError, ValueError, KeyError):
                 pass  # no/corrupt prior manifest → first commit semantics
         if aliased:
@@ -1014,6 +1020,43 @@ class NimbleWriter(DataSourceArrowWriter):
             for k in ("cluster", "zorder", "bloom", "sorted", "sorted_fence")
             if k in prior_idx
         }
+        # CHECK constraints gate EVERY append, this writer's included:
+        # one distributed validation scan over just the staged files,
+        # library NULL semantics (~expr drops NULLs → NULL passes),
+        # BEFORE any manifest change — a violation leaves the staged
+        # files as unreferenced debris for vacuum, never a commit.
+        # (r7 probe: violating rows committed silently and the
+        # constraints/tags keys vanished from the manifest.)
+        if prior_constraints and committed:
+            # No SparkSession exists in the DS commit worker — validate
+            # with DuckDB over exactly the staged files (SQL predicates
+            # share the dialect for the comparison/arithmetic/boolean
+            # shapes constraints use; WHERE NOT(expr) drops NULLs, the
+            # same pass-on-NULL semantics as the library's ~expr scan).
+            # A constraint DuckDB cannot bind must not commit silently:
+            # refuse and point at write_table, which validates in Spark.
+            import duckdb as _duck
+
+            flist = ", ".join(
+                f"'{os.path.join(self.path, f)}'" for f in sorted(committed)
+            )
+            for cname, cexpr in prior_constraints.items():
+                try:
+                    bad = _duck.sql(
+                        f"SELECT COUNT(*) FROM read_parquet([{flist}]) "
+                        f"WHERE NOT ({cexpr}) LIMIT 1"
+                    ).fetchone()[0]
+                except Exception as exc:  # dialect gap: never skip silently
+                    raise ValueError(
+                        f"CHECK constraint {cname!r} ({cexpr}) cannot be "
+                        f"validated by this writer ({exc}); append via "
+                        f"write_table, which validates in Spark"
+                    ) from exc
+                if bad:
+                    raise ValueError(
+                        f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                        f"this append; nothing was committed"
+                    )
         manifest = _build_manifest(
             None, spark_schema, self.path, WriteOptions(), index_meta,
             reuse=reuse, exclude=stray, ndv_cols=prior_ndv, sum_cols=prior_sums,
@@ -1032,6 +1075,18 @@ class NimbleWriter(DataSourceArrowWriter):
         from nimble_spark.sources.table import _layout_stats
 
         manifest["write_stats"] = _layout_stats(manifest["files"])
+        # table-level contracts survive a python-DS append exactly as
+        # they survive a write_table append: constraints keep gating,
+        # tags keep resolving, user metadata carries forward
+        if prior_constraints:
+            manifest["constraints"] = prior_constraints
+        if prior_tags:
+            manifest["tags"] = prior_tags
+        if prior_umd:
+            manifest["user_metadata"] = {
+                **prior_umd,
+                **(manifest.get("user_metadata") or {}),
+            }
         prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
         manifest["commits"] = prior_commits + [
             {

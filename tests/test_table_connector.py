@@ -1562,3 +1562,46 @@ def test_interop_applies_alter_mapping_and_refuses_masks(spark, tmpdir):
     )
     with pytest.raises(ValueError, match="delete masks"):
         arrow_dataset(path, raw=True)
+
+
+def test_pyds_append_validates_constraints_and_carries_contracts(spark, tmpdir):
+    """r7 probe: append via format('nimble') committed rows violating
+    the table's CHECK constraints AND dropped the constraints/tags/
+    user_metadata keys from the manifest. Constraints now validate
+    over exactly the staged files (DuckDB in the DS worker, library
+    NULL semantics) and every table-level contract carries forward."""
+    from nimble_spark.sources.datasource import register_nimble_source
+    from nimble_spark.sources.table import tag_commit
+
+    register_nimble_source(spark)
+    path = f"{tmpdir}/pyds_constraints"
+    write_table(
+        spark.range(0, 50).selectExpr("id AS k"),
+        path,
+        WriteOptions(
+            check_constraints={"k_nonneg": "k >= 0"},
+            user_metadata={"owner": "team-a"},
+        ),
+    )
+    tag_commit(path, "v1")
+    with pytest.raises(Exception, match="k_nonneg"):
+        spark.range(0, 5).selectExpr("id - 100 AS k").write.format("nimble").mode(
+            "append"
+        ).save(path)
+    m = read_manifest(path)
+    assert m["rows"] == 50  # nothing committed
+    # a valid append succeeds and the contracts survive it
+    spark.range(100, 105).selectExpr("id AS k").write.format("nimble").mode(
+        "append"
+    ).save(path)
+    m2 = read_manifest(path)
+    assert m2["rows"] == 55
+    assert m2["constraints"] == {"k_nonneg": "k >= 0"}
+    assert m2["tags"] == {"v1": 0}
+    assert m2["user_metadata"]["owner"] == "team-a"
+    assert read_table(spark, path, as_of_tag="v1").count() == 50
+    # library appends still enforce the carried constraint
+    with pytest.raises(ValueError, match="k_nonneg"):
+        write_table(
+            spark.range(0, 3).selectExpr("id - 9 AS k"), path, mode="append"
+        )
