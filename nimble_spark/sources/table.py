@@ -795,8 +795,15 @@ def _synopses_of_file(
                 pa_pc.add(pa_pc.multiply(pa_pc.cast(col, pa.float64()), 1e6), 0.5)
             )
             s = pa_pc.sum(pa_pc.cast(q, pa.int64())).as_py()
-        else:
+        elif pa.types.is_integer(col.type):
             s = pa_pc.sum(pa_pc.cast(col, pa.int64())).as_py()
+        else:
+            # decimal/string/bool would silently truncate through the
+            # int64 cast — an exact-stats tier must refuse, not round
+            raise ValueError(
+                f"sum_columns supports integer and floating columns; "
+                f"{c!r} is {col.type}"
+            )
         sum_out[c] = int(s or 0)
     return ndv_out, sum_out
 

@@ -180,3 +180,15 @@ def test_show_sums_dsl(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["sum"] == float(sum(range(100)))
     assert rows[0]["avg"] == sum(range(100)) / 100.0
+
+
+def test_sum_columns_refuse_inexact_types(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(Exception, match="integer and floating"):
+        write_table(
+            spark.range(0, 10).selectExpr(
+                "id AS k", "CAST(id AS DECIMAL(10,2)) AS d"
+            ),
+            path,
+            WriteOptions(sum_columns=["d"]),
+        )
