@@ -1976,3 +1976,47 @@ def q_fast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, float(total), int(key_sum))], "n BIGINT, total DOUBLE, key_sum BIGINT"
     )
+
+
+@register(
+    "q_fast_grouped_sum",
+    oracle="""
+    SELECT o_orderpriority AS pri, COUNT(*) AS n, SUM(o_custkey) AS key_sum
+    FROM orders GROUP BY o_orderpriority ORDER BY pri
+    """,
+    category="format",
+)
+def q_fast_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-answered GROUP BY: on a Hive-partitioned table, each
+    file's exact sum synopsis keyed by its partition-path value folds
+    into the full per-group rollup with ZERO data IO
+    (compaction.fast_grouped_sum; per-group counts come from the same
+    entries' row counts). The statistics-answered form of a
+    materialized rollup — and it stays exact through appends, merges
+    and compaction because the per-file synopses do."""
+    from nimble_spark.sources.compaction import fast_grouped_sum
+    from nimble_spark.sources.table import read_manifest
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "orders"),
+            tmp,
+            WriteOptions(
+                partition_by=["o_orderpriority"],
+                sum_columns=["o_custkey"],
+            ),
+        )
+
+    path = ensure_cached(sf_dir, "orders__grouped_sums", ["orders"], _build)
+    sums = dict(fast_grouped_sum(path, "o_custkey"))
+    # per-group row counts: the same manifest arithmetic, zero IO
+    m = read_manifest(path)
+    counts: dict = {}
+    for f in m["files"]:
+        pv = f["path"].split("=", 1)[1].split("/", 1)[0]
+        from urllib.parse import unquote
+
+        pv = unquote(pv)
+        counts[pv] = counts.get(pv, 0) + f["rows"]
+    rows = [(pv, counts[pv], int(sums[pv])) for pv in sorted(sums)]
+    return spark.createDataFrame(rows, "pri STRING, n BIGINT, key_sum BIGINT")

@@ -629,6 +629,65 @@ def fast_sum(path: str, col: str) -> dict:
     return {"sum": val, "rows": rows, "avg": (val / rows) if rows else None}
 
 
+def fast_grouped_sum(path: str, col: str) -> list[tuple]:
+    """GROUP BY the Hive partition key, SUM(col) — from metadata
+    alone: each file's exact sum synopsis (fast_sum's fences apply)
+    keyed by the partition value its path carries. A one-partition-key
+    table's whole rollup dashboard costs zero data IO at any size —
+    the statistics-answered form of q_materialized_rollup, with the
+    same exactness guarantee as fast_sum (associative integer fold
+    per group). Returns ``[(partition_value, sum), ...]`` sorted by
+    partition value, floats de-scaled."""
+    import os as _os
+
+    import pyspark.sql.types as T
+
+    from nimble_spark.sources.datasource import (
+        _parse_partition_value,
+        _path_partition_values,
+    )
+    from nimble_spark.sources.table import SUM_SCALE
+
+    m = read_manifest(path)
+    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+        raise ValueError(
+            "fast_grouped_sum on a table with pending delete masks would "
+            "over-report; run compact_deletes first"
+        )
+    keys = (m.get("indexes", {}).get("partition") or {}).get("keys") or []
+    if len(keys) != 1:
+        raise ValueError(
+            f"fast_grouped_sum groups by the table's single Hive partition "
+            f"key; this table declares {keys or 'none'}"
+        )
+    pkey = keys[0]
+    col_p = _resolve_stats_key(m, col)
+    if col_p not in (m.get("sum_columns") or []):
+        raise ValueError(
+            f"no SUM synopsis declared for column {col!r} — write the "
+            f"table with WriteOptions(sum_columns=[...{col!r}...])"
+        )
+    ptype = {
+        f["name"]: T.StructField.fromJson(f).dataType.simpleString()
+        for f in m["schema"]["fields"]
+    }
+    groups: dict = {}
+    for f in m["files"]:
+        s = (f.get("sums") or {}).get(col_p)
+        if s is None:
+            raise ValueError(
+                f"file {f['path']} lacks a SUM synopsis for {col!r}; "
+                f"compact or rewrite to refresh"
+            )
+        raw = _path_partition_values(f["path"]).get(pkey)
+        pv = _parse_partition_value(raw, ptype.get(pkey, "string"))
+        groups[pv] = groups.get(pv, 0) + s
+    scale = SUM_SCALE if ptype.get(col_p) in ("float", "double") else 1
+    return sorted(
+        (pv, (v / scale if scale != 1 else v)) for pv, v in groups.items()
+    )
+
+
 def fast_minmax(spark: SparkSession, path: str, col: str):
     """Statistics-answered MIN/MAX: the global extremes of a column are
     the min/max over the manifest's per-file bounds — zero IO, any

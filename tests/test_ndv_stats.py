@@ -192,3 +192,36 @@ def test_sum_columns_refuse_inexact_types(spark, tmp_path):
             path,
             WriteOptions(sum_columns=["d"]),
         )
+
+
+def test_fast_grouped_sum(spark, tmp_path):
+    from nimble_spark.sources.compaction import fast_grouped_sum
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 120).selectExpr(
+            "CAST(id % 3 AS STRING) AS p", "id AS k"
+        ),
+        path,
+        WriteOptions(partition_by=["p"], sum_columns=["k"]),
+    )
+    got = dict(fast_grouped_sum(path, "k"))
+    want = {str(g): sum(i for i in range(120) if i % 3 == g) for g in range(3)}
+    assert got == want
+    # append keeps groups exact (new partition value appears)
+    write_table(
+        spark.createDataFrame([("9", 1000), ("9", 1)], "p STRING, k LONG"),
+        path,
+        WriteOptions(partition_by=["p"]),
+        mode="append",
+    )
+    got2 = dict(fast_grouped_sum(path, "k"))
+    assert got2["9"] == 1001 and got2["0"] == want["0"]
+    # fences: unpartitioned / multi-key tables refuse
+    flat = str(tmp_path / "flat")
+    write_table(
+        spark.range(0, 10).selectExpr("id AS k"), flat,
+        WriteOptions(sum_columns=["k"]),
+    )
+    with pytest.raises(ValueError, match="partition key"):
+        fast_grouped_sum(flat, "k")
