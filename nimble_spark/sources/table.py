@@ -2372,12 +2372,24 @@ def rollback_table(
             get_fs().move(src, live)
 
         stat_cols = _stat_cols(T.StructType.fromJson(m["schema"]))
-        files_info = [
-            current_entries[rel]
-            if rel in current_entries and "nulls" in current_entries[rel]
-            else _describe_parquet_file(os.path.join(path, rel), path, stat_cols)
-            for rel in target
-        ]
+
+        def _entry_of(rel: str) -> dict:
+            cur = current_entries.get(rel)
+            if cur is not None and "nulls" in cur:
+                return cur
+            e = _describe_parquet_file(os.path.join(path, rel), path, stat_cols)
+            # re-homed historical files need their NDV/SUM synopses
+            # recomputed (fast_* would otherwise refuse post-rollback)
+            nc, sc = m.get("ndv_columns"), m.get("sum_columns")
+            if nc or sc:
+                ndv, sums = _synopses_of_file(os.path.join(path, rel), nc, sc)
+                if nc:
+                    e["ndv"] = ndv
+                if sc:
+                    e["sums"] = sums
+            return e
+
+        files_info = [_entry_of(rel) for rel in target]
         removed = sorted(set(current_entries) - set(target))
         added = sorted(set(target) - set(current_entries))
         new_rows = int(sum(f["rows"] for f in files_info))

@@ -225,3 +225,22 @@ def test_fast_grouped_sum(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition key"):
         fast_grouped_sum(flat, "k")
+
+
+def test_rollback_recomputes_synopses(spark, tmp_path):
+    from nimble_spark.sources.compaction import compact_table, fast_sum
+    from nimble_spark.sources.table import rollback_table
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 200).selectExpr("id AS k"),
+        path,
+        WriteOptions(cluster_by=["k"], n_cluster_files=2, sum_columns=["k"]),
+    )
+    write_table(spark.range(200, 300).selectExpr("id AS k"), path, mode="append")
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    # roll back past the compaction: tombstoned originals re-home and
+    # their synopses recompute, so the stats paths keep answering
+    rollback_table(spark, path, commit=1)
+    assert fast_sum(path, "k")["sum"] == sum(range(300))
+    assert all("sums" in f for f in read_manifest(path)["files"])
