@@ -41,11 +41,35 @@ def build_inverted_index(
         .groupBy("token", key)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    out = os.path.join(path, INVERTED_DIR, col)
+    out = os.path.join(path, INVERTED_DIR, _sidecar_name(path, col))
     return write_table(postings, out, WriteOptions(cluster_by=["token"]))
 
 
 DOCLEN_SUFFIX = "_doclen"
+
+def _sidecar_name(path: str, col: str) -> str:
+    """Sidecar directories are named by the column's stable PHYSICAL
+    name (same rule as delete-mask directories, deletes.py): resolve
+    the caller's logical name through the rename map so the index
+    keeps serving across any number of alter.py renames. Unknown /
+    dropped names refuse loudly — a probe against a name no read
+    resolves would otherwise fail with a bare missing-directory error."""
+    from nimble_spark.sources.table import logical_field_names, read_manifest
+
+    try:
+        m = read_manifest(path, materialize=False)
+    except (OSError, KeyError):
+        return col
+    logical = logical_field_names(m)
+    if col not in logical:
+        raise ValueError(
+            f"inverted index column {col!r} is not a column of this table "
+            f"(have {logical})"
+        )
+    ren = (m.get("schema_mapping") or {}).get("renames") or {}
+    inv = {l: p for p, l in ren.items()}
+    return inv.get(col, col)
+
 
 
 def build_doclen_sidecar(
@@ -67,7 +91,7 @@ def build_doclen_sidecar(
             ).alias("dl"),
         )
     )
-    out = os.path.join(path, INVERTED_DIR, col + DOCLEN_SUFFIX)
+    out = os.path.join(path, INVERTED_DIR, _sidecar_name(path, col) + DOCLEN_SUFFIX)
     return write_table(dl, out, WriteOptions(cluster_by=[key]))
 
 
@@ -94,13 +118,13 @@ def search_bm25(
     doc-count-row sidecar; document text is never touched. Reference
     analogue: index-serving projection without base-table scans
     (velox/index/NimbleIndexProjector.h:35)."""
-    side = os.path.join(path, INVERTED_DIR, col)
+    side = os.path.join(path, INVERTED_DIR, _sidecar_name(path, col))
     posts = None
     for t in tokens:
         p = read_table(spark, side, range_scan=("token", t, t))
         posts = p if posts is None else posts.unionByName(p)
     dfreq = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    dl = read_table(spark, os.path.join(path, INVERTED_DIR, col + DOCLEN_SUFFIX))
+    dl = read_table(spark, os.path.join(path, INVERTED_DIR, _sidecar_name(path, col) + DOCLEN_SUFFIX))
     stats = dl.agg(
         F.sum("dl").cast("bigint").alias("sdl"), F.count(F.lit(1)).alias("n")
     ).select(
@@ -132,7 +156,7 @@ def lookup_token(
     a cluster-pruned point scan (only posting files whose token range
     covers the probe are read), then semi-join the doc table on the
     key — document text is only read for matching docs."""
-    side = os.path.join(path, INVERTED_DIR, col)
+    side = os.path.join(path, INVERTED_DIR, _sidecar_name(path, col))
     posting = read_table(spark, side, range_scan=("token", token, token)).select(key)
     return read_table(spark, path).join(posting, key, "left_semi")
 
@@ -151,7 +175,7 @@ def search_ranked(
     document text is never read for scoring. Rational idf (N/df, no
     log) keeps the score engine-portable; it is monotone in the usual
     ln(N/df) for ranking purposes."""
-    side = os.path.join(path, INVERTED_DIR, col)
+    side = os.path.join(path, INVERTED_DIR, _sidecar_name(path, col))
     posts = None
     for t in tokens:
         p = read_table(spark, side, range_scan=("token", t, t))

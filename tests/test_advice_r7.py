@@ -163,3 +163,29 @@ def test_stats_paths_resolve_alter_renames(spark, tmp_path):
         fast_count(spark, path, range_filter=("v", 10.0, 20.0))
     with pytest.raises(ValueError, match="pre-rename|dropped"):
         fast_minmax(spark, path, "v")
+
+
+def test_inverted_index_survives_rename(spark, tmp_path):
+    """r7 probe: inverted-index sidecars are directory-named at build
+    time; a later metadata-only rename must keep searches working
+    under the NEW logical name (physical-name-stable directories, the
+    delete-mask rule) and refuse stale/unknown names loudly."""
+    from nimble_spark.sources.inverted import (
+        build_doclen_sidecar,
+        build_inverted_index,
+        search_bm25,
+    )
+
+    path = str(tmp_path / "docs")
+    rows = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "the slow fox"), (3, "a quick dog")],
+        "doc_id LONG, text STRING",
+    )
+    write_table(rows, path, WriteOptions(cluster_by=["doc_id"]))
+    build_inverted_index(spark, path, col="text")
+    build_doclen_sidecar(spark, path, col="text")
+    alter_table(path, rename={"text": "body"})
+    hits = search_bm25(spark, path, ["quick"], col="body").collect()
+    assert {r["doc_id"] for r in hits} == {1, 3}
+    with pytest.raises(ValueError, match="not a column"):
+        search_bm25(spark, path, ["quick"], col="text")
