@@ -119,11 +119,17 @@ def show_info(spark: SparkSession, path: str) -> DataFrame:
 
 
 def show_stats(spark: SparkSession, path: str) -> DataFrame:
-    """SHOW STATS: per-column min/max/null-count from the manifest."""
+    """SHOW STATS: per-column min/max/null-count from the manifest —
+    the LOGICAL view (stats fold under physical names; alter renames
+    surface the current name, dropped columns are hidden)."""
     m = read_manifest(path)
+    mapping = m.get("schema_mapping") or {}
+    renames = mapping.get("renames") or {}
+    dropped = set(mapping.get("dropped") or [])
     rows = [
-        (c, str(s.get("min")), str(s.get("max")), int(s.get("null_count", 0)))
+        (renames.get(c, c), str(s.get("min")), str(s.get("max")), int(s.get("null_count", 0)))
         for c, s in m["column_stats"].items()
+        if c not in dropped
     ]
     return spark.createDataFrame(rows, "column STRING, min STRING, max STRING, null_count BIGINT")
 

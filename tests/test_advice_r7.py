@@ -189,3 +189,19 @@ def test_inverted_index_survives_rename(spark, tmp_path):
     assert {r["doc_id"] for r in hits} == {1, 3}
     with pytest.raises(ValueError, match="not a column"):
         search_bm25(spark, path, ["quick"], col="text")
+
+
+def test_show_stats_logical_view(spark, tmp_path):
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 20).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v", "CAST(id AS STRING) AS tag"
+        ),
+        path,
+        WriteOptions(),
+    )
+    alter_table(path, rename={"v": "value"}, drop=["tag"])
+    cols = {r["column"] for r in run_command(spark, path, "SHOW STATS").collect()}
+    assert "value" in cols and "v" not in cols and "tag" not in cols
