@@ -142,7 +142,11 @@ def show_ndv(spark: SparkSession, path: str, col: str | None = None) -> DataFram
     from nimble_spark.sources.compaction import fast_ndv
 
     m = read_manifest(path, materialize=False)
-    cols = [col] if col else list(m.get("ndv_columns") or [])
+    # declared lists hold PHYSICAL names; surface the logical view
+    _ren = (m.get("schema_mapping") or {}).get("renames") or {}
+    cols = [col] if col else [
+        _ren.get(c, c) for c in (m.get("ndv_columns") or [])
+    ]
     if not cols:
         raise ValueError(
             "no NDV synopses declared — write with "
@@ -161,7 +165,11 @@ def show_sums(spark: SparkSession, path: str, col: str | None = None) -> DataFra
     from nimble_spark.sources.compaction import fast_sum
 
     m = read_manifest(path, materialize=False)
-    cols = [col] if col else list(m.get("sum_columns") or [])
+    # declared lists hold PHYSICAL names; surface the logical view
+    _ren = (m.get("schema_mapping") or {}).get("renames") or {}
+    cols = [col] if col else [
+        _ren.get(c, c) for c in (m.get("sum_columns") or [])
+    ]
     if not cols:
         raise ValueError(
             "no SUM synopses declared — write with "

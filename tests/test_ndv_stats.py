@@ -244,3 +244,21 @@ def test_rollback_recomputes_synopses(spark, tmp_path):
     rollback_table(spark, path, commit=1)
     assert fast_sum(path, "k")["sum"] == sum(range(300))
     assert all("sums" in f for f in read_manifest(path)["files"])
+
+
+def test_show_ndv_sums_after_rename(spark, tmp_path):
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 50).selectExpr("id AS k", "CAST(id % 5 AS STRING) AS tag"),
+        path,
+        WriteOptions(ndv_columns=["tag"], sum_columns=["k"]),
+    )
+    alter_table(path, rename={"tag": "label", "k": "key"})
+    ndv = run_command(spark, path, "SHOW NDV").collect()
+    assert [r["column"] for r in ndv] == ["label"] and ndv[0]["ndv"] == 5
+    sums = run_command(spark, path, "SHOW SUMS").collect()
+    assert [r["column"] for r in sums] == ["key"]
+    assert sums[0]["sum"] == float(sum(range(50)))
