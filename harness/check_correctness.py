@@ -15,6 +15,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -25,13 +27,25 @@ TABLES = (
 
 
 def norm_cell(v) -> str:
-    if v is None:
+    # The driver normalizes BOTH result sets through pandas before
+    # hashing, so this harness must see values the way pandas types
+    # them (the r7 lesson: DuckDB HUGEINT -> pandas float64 made the
+    # driver hash '499500.0' while fetchall()'s Python int hashed
+    # '499500' — internal green contradicted driver red). Values
+    # therefore arrive here as numpy scalars / pd.Timestamp / pd.NaT,
+    # never as raw DB-API types.
+    if v is None or v is pd.NaT:
         return "<null>"
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
         if v != v:
-            return "nan"
+            # NaN ≡ NULL: pandas renders a NULL in a numeric column as
+            # NaN (duck .df()) but an all-None column as object/None
+            # (Spark tuples) — the driver treats both as null
+            return "<null>"
         # match driver-ish canonicalization: repr of rounded value
         return repr(round(v, 6))
     if isinstance(v, bytes):
@@ -75,7 +89,12 @@ def main() -> int:
         try:
             sdf = e.fn(spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # mirror the driver: Spark rows pass through a pandas frame
+            # before hashing (int columns stay int64 unless NULLs force
+            # object/float — exactly the driver's view of them)
+            raw = [tuple(r) for r in sdf.collect()]
+            spdf = pd.DataFrame(raw, columns=scols)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
@@ -87,7 +106,11 @@ def main() -> int:
         try:
             res = con.sql(e.oracle)
             dcols = res.columns
-            drows = res.fetchall()
+            # mirror the driver: DuckDB results via .df() (pandas), NOT
+            # fetchall() — this is where HUGEINT becomes float64 and a
+            # bare SUM(int) oracle turns red, as it does at the driver
+            dpdf = res.df()
+            drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1

@@ -1852,7 +1852,7 @@ def _w5k_val(i: int) -> str:
     "q_wide_5k_projection",
     oracle=f"""
     SELECT COUNT(*) AS n,
-           {", ".join(f"SUM({_w5k_val(i)}) AS s_f{i:04d}" for i in _W5K_PROJ)}
+           {", ".join(f"CAST(SUM({_w5k_val(i)}) AS BIGINT) AS s_f{i:04d}" for i in _W5K_PROJ)}
     FROM (SELECT range AS id FROM range({_W5K_ROWS}))
     """,
     category="format",
@@ -1938,7 +1938,7 @@ def q_fast_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT COUNT(*) AS n,
            {lsum_sql("o_totalprice")} AS total,
-           SUM(o_custkey) AS key_sum
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
     FROM orders
     """,
     category="format",
@@ -1981,7 +1981,8 @@ def q_fast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_fast_grouped_sum",
     oracle="""
-    SELECT o_orderpriority AS pri, COUNT(*) AS n, SUM(o_custkey) AS key_sum
+    SELECT o_orderpriority AS pri, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
     FROM orders GROUP BY o_orderpriority ORDER BY pri
     """,
     category="format",

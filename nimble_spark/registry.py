@@ -12,7 +12,12 @@ Contract notes (driver compares sorted-by-name columns + value hash):
 - alias every computed column identically on both sides;
 - never return raw timestamps (engine-dependent precision) — cast to
   DATE-strings;
-- round floating aggregates on BOTH sides to a fixed scale.
+- round floating aggregates on BOTH sides to a fixed scale;
+- never leave a bare integer SUM(...) in an oracle — DuckDB types it
+  HUGEINT, which the driver's pandas normalization turns into float64
+  and the value hash goes red against Spark's int (the r7 incident);
+  wrap in CAST(... AS BIGINT). tests/test_oracle_dtypes.py lints every
+  oracle's output types against the portable set.
 """
 
 from __future__ import annotations

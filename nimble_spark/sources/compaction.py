@@ -559,6 +559,7 @@ def fast_ndv(path: str, col: str) -> dict:
             f"table with WriteOptions(ndv_columns=[...{col!r}...])"
         )
     union: set = set()
+    all_complete = True
     for f in m["files"]:
         hs = (f.get("ndv") or {}).get(col_p)
         if hs is None:
@@ -567,7 +568,15 @@ def fast_ndv(path: str, col: str) -> dict:
                 f"(written before the column was declared); compact or "
                 f"rewrite to refresh"
             )
+        # a synopsis shorter than K holds EVERY distinct hash in its
+        # file; if no file's synopsis was truncated, the union is the
+        # complete global distinct set — exact even above K (ADVICE r7:
+        # don't truncate to K and estimate when exactness is derivable)
+        if len(hs) >= NDV_K:
+            all_complete = False
         union.update(hs)
+    if all_complete:
+        return {"ndv": len(union), "exact": True, "k": NDV_K}
     merged = sorted(union)[:NDV_K]
     if len(merged) < NDV_K:
         return {"ndv": len(merged), "exact": True, "k": NDV_K}

@@ -1037,8 +1037,12 @@ class NimbleWriter(DataSourceArrowWriter):
             # refuse and point at write_table, which validates in Spark.
             import duckdb as _duck
 
+            # paths become SQL string literals — escape quotes (legal
+            # in POSIX paths) so a quoted table path can't turn the
+            # validation query into a bind error (ADVICE r7)
             flist = ", ".join(
-                f"'{os.path.join(self.path, f)}'" for f in sorted(committed)
+                "'" + os.path.join(self.path, f).replace("'", "''") + "'"
+                for f in sorted(committed)
             )
             for cname, cexpr in prior_constraints.items():
                 try:

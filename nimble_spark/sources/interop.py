@@ -22,11 +22,17 @@ entirely through these helpers — its values live in directory names,
 not file bytes). The logical-view constructs and how each helper
 handles them:
 
-- **Hive partition / hash-bucket layouts**: ``duckdb_relation`` parses
-  the ``key=value`` path segments (``hive_partitioning``), so the
-  partition columns come back; pyarrow's explicit-file-list datasets
-  don't support hive inference, so ``arrow_dataset`` REFUSES (use
+- **Hive partition layouts**: ``duckdb_relation`` parses the
+  ``key=value`` path segments (``hive_partitioning``) and CASTs each
+  recovered column to its manifest-declared type (DuckDB's autocast
+  infers from the value — 'k=1' would come back BIGINT on a
+  STRING-declared key); pyarrow's explicit-file-list datasets don't
+  support hive inference, so ``arrow_dataset`` REFUSES (use
   ``raw=True`` for the physical bytes, duckdb_relation, or Spark).
+- **Hash-bucket layouts**: the bucket key column lives in file bytes;
+  only the internal ``__nimble_bucket`` ordinal is path-derived and it
+  is NOT part of the logical view — both helpers serve bucketed-only
+  tables, and ``duckdb_relation`` never surfaces the ordinal.
 - **alter.py renames/drops** (``schema_mapping``): files store
   PHYSICAL names. ``duckdb_relation`` projects the logical view
   (renames applied, dropped columns hidden); ``arrow_dataset``
@@ -49,9 +55,35 @@ from __future__ import annotations
 
 import os
 
-from nimble_spark.sources.table import read_manifest
+from nimble_spark.sources.table import BUCKET_COL, read_manifest
 
 _DELETES_SUBDIR = os.path.join("_nimble", "deletes")
+
+# Spark StructType-JSON scalar type → DuckDB type, for pinning
+# hive-parsed partition columns to the table's DECLARED type (DuckDB's
+# hive autocast infers from the path VALUE — 'k=1' comes back BIGINT
+# even on a STRING-declared column, a divergence Spark readers never
+# exhibit; duckdb 1.0's Python API has no hive_types kwarg, so the
+# projection cast is the seam).
+_DUCK_TYPE = {
+    "long": "BIGINT",
+    "integer": "INTEGER",
+    "short": "SMALLINT",
+    "byte": "TINYINT",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def _sql_path(p: str) -> str:
+    """A path as a single-quoted DuckDB string literal. Quotes are
+    legal in POSIX paths; bare interpolation turns such a path into a
+    confusing bind error (ADVICE r7)."""
+    return "'" + p.replace("'", "''") + "'"
 
 
 def live_files(path: str) -> list[str]:
@@ -98,10 +130,15 @@ def arrow_dataset(path: str, raw: bool = False):
     if not raw:
         m = read_manifest(path, materialize=False)
         gaps = []
-        if _layout_keys(m):
+        # only PARTITION keys are directory-derived; a hash-bucket
+        # layout keeps its key column in file bytes (just the internal
+        # __nimble_bucket ordinal lives in the path, and that is not
+        # part of the logical view) — so bucketed-only tables serve fine
+        part_keys = ((m.get("indexes", {}) or {}).get("partition") or {}).get("keys") or []
+        if part_keys:
             gaps.append(
-                f"directory-derived column(s) {_layout_keys(m)} (partition"
-                f"/bucket values live in path names, not file bytes)"
+                f"directory-derived column(s) {part_keys} (partition "
+                f"values live in path names, not file bytes)"
             )
         if m.get("schema_mapping"):
             gaps.append("alter.py renames/drops (files store physical names)")
@@ -128,8 +165,30 @@ def duckdb_relation(con, path: str):
     from their stored twins."""
     m = read_manifest(path)
     files = [os.path.join(path, f["path"]) for f in m["files"]]
-    layout = _layout_keys(m)
-    rel = con.read_parquet(files, hive_partitioning=bool(layout))
+    idx = m.get("indexes", {}) or {}
+    part_keys = (idx.get("partition") or {}).get("keys") or []
+    # hive parsing ONLY recovers real partition keys (their values live
+    # in directory names). Hash-bucket layouts keep their key column in
+    # file bytes — only the derived __nimble_bucket ordinal lives in the
+    # path, and parsing it would leak an internal column Spark's logical
+    # view drops (table.py BUCKET_COL handling).
+    rel = con.read_parquet(files, hive_partitioning=bool(part_keys))
+    if part_keys:
+        declared = {
+            f["name"]: _DUCK_TYPE.get(f["type"])
+            for f in m["schema"]["fields"]
+            if isinstance(f["type"], str)
+        }
+        sel = []
+        for c in rel.columns:
+            if c == BUCKET_COL:
+                continue  # internal bucket ordinal — never logical
+            if c in part_keys and declared.get(c):
+                # pin to the declared type (autocast infers from value)
+                sel.append(f'CAST("{c}" AS {declared[c]}) AS "{c}"')
+            else:
+                sel.append(f'"{c}"')
+        rel = rel.project(", ".join(sel))
 
     # merge-on-read delete masks: mask directories are keyed by the
     # column's stable PHYSICAL name (deletes.py), which is exactly the
@@ -150,7 +209,7 @@ def duckdb_relation(con, path: str):
             # mask files store the keyset under its write-time name —
             # bind by POSITION (first column), like read_with_deletes
             kcol = pa_pq.read_schema(mask_files[0]).names[0]
-            flist = ", ".join(f"'{f}'" for f in mask_files)
+            flist = ", ".join(_sql_path(f) for f in mask_files)
             # NULL semantics mirror Spark's anti-join: a NULL data key
             # matches no mask value (kept); NULL mask values mask
             # nothing (excluded from the keyset)

@@ -161,7 +161,12 @@ def show_ndv(spark: SparkSession, path: str, col: str | None = None) -> DataFram
 
 def show_sums(spark: SparkSession, path: str, col: str | None = None) -> DataFrame:
     """SHOW SUMS [col]: statistics-answered exact SUM/AVG from the
-    per-file synopses (compaction.fast_sum) — zero data IO."""
+    per-file synopses (compaction.fast_sum) — zero data IO.
+
+    ``sum`` is rendered as a STRING so the exactness contract holds
+    above 2⁵³ (a DOUBLE cast would silently round the integer fold
+    the synopses went to such lengths to keep exact — ADVICE r7);
+    ``avg`` is a nullable DOUBLE (NULL on an empty table)."""
     from nimble_spark.sources.compaction import fast_sum
 
     m = read_manifest(path, materialize=False)
@@ -178,9 +183,15 @@ def show_sums(spark: SparkSession, path: str, col: str | None = None) -> DataFra
     rows = []
     for c in cols:
         r = fast_sum(path, c)
-        rows.append((c, float(r["sum"]), r["rows"], float(r["avg"])))
+        s = r["sum"]
+        rows.append((
+            c,
+            str(s) if isinstance(s, int) else repr(float(s)),
+            r["rows"],
+            float(r["avg"]) if r["avg"] is not None else None,
+        ))
     return spark.createDataFrame(
-        rows, "column STRING, sum DOUBLE, rows BIGINT, avg DOUBLE"
+        rows, "column STRING, sum STRING, rows BIGINT, avg DOUBLE"
     )
 
 

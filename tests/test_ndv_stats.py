@@ -178,7 +178,8 @@ def test_show_sums_dsl(spark, tmp_path):
     )
     rows = run_command(spark, path, "SHOW SUMS").collect()
     assert len(rows) == 1
-    assert rows[0]["sum"] == float(sum(range(100)))
+    # integer sums surface as exact decimal STRINGs (lossless > 2^53)
+    assert rows[0]["sum"] == str(sum(range(100)))
     assert rows[0]["avg"] == sum(range(100)) / 100.0
 
 
@@ -261,4 +262,4 @@ def test_show_ndv_sums_after_rename(spark, tmp_path):
     assert [r["column"] for r in ndv] == ["label"] and ndv[0]["ndv"] == 5
     sums = run_command(spark, path, "SHOW SUMS").collect()
     assert [r["column"] for r in sums] == ["key"]
-    assert sums[0]["sum"] == float(sum(range(50)))
+    assert sums[0]["sum"] == str(sum(range(50)))
