@@ -40,6 +40,10 @@ ALLOWED = {
     # (pid exists but is another user's — conservatively treated as
     # alive, never breaks the lock)
     "sources/fs.py": 3,
+    # fs_fsspec.py: delete_tree is best-effort BY CONTRACT (LocalFS
+    # spells the same swallow as shutil.rmtree(ignore_errors=True));
+    # a racing vacuum/retry reclaims whatever the failed removal left
+    "sources/fs_fsspec.py": 1,
     # deepen_clone abort cleanup: the staged copy was never published,
     # so a leftover is unreferenced debris vacuum reclaims; the abort
     # itself re-raises the original failure

@@ -33,7 +33,8 @@ def test_upstream_hazard_still_present(spark):
             f"FIXED. Make format('nimble') stats pruning default-on again: "
             f"return NimblePushdownReader unconditionally in "
             f"NimbleDataSource.reader (sources/datasource.py), drop the "
-            f"'pushdown' option gate, and retire this test."
+            f"'pushdown' option gate, retire this test, and close out the "
+            f"upstream issue write-up (harness/SPARK_HAZARD_REPORT.md)."
         )
     # while present, the reused-DataFrame count replays the pruned plan
     assert r["full_after"] == N_FIRST
