@@ -2021,3 +2021,63 @@ def q_fast_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts[pv] = counts.get(pv, 0) + f["rows"]
     rows = [(pv, counts[pv], int(sums[pv])) for pv in sorted(sums)]
     return spark.createDataFrame(rows, "pri STRING, n BIGINT, key_sum BIGINT")
+
+
+@register(
+    "q_dsl_grouped_sums",
+    oracle="""
+    SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(o_custkey) AS BIGINT) AS VARCHAR) AS sum_s
+    FROM orders GROUP BY o_orderpriority ORDER BY grp
+    """,
+    category="tools",
+)
+def q_dsl_grouped_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SHOW GROUPED SUMS col` through the DSL string interface
+    (NimbleDslVm.cpp analogue): the metadata-answered per-partition
+    rollup must equal SQL GROUP BY + SUM over the source — r8's
+    NimbleDSL↔synopsis loop closure (the r7 verdict's item 7). Sums
+    surface as exact decimal strings (SHOW SUMS discipline, lossless
+    above 2⁵³)."""
+    from nimble_spark.tools import run_command
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "orders"),
+            tmp,
+            WriteOptions(
+                partition_by=["o_orderpriority"],
+                sum_columns=["o_custkey"],
+            ),
+        )
+
+    path = ensure_cached(sf_dir, "orders__grouped_sums", ["orders"], _build)
+    df = run_command(spark, path, "SHOW GROUPED SUMS o_custkey")
+    return df.select(
+        F.col("group").alias("grp"),
+        F.col("rows").alias("n_rows"),
+        F.col("sum").alias("sum_s"),
+    ).orderBy("grp")
+
+
+@register(
+    "q_dsl_fast_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           'statistics (manifest row counts; zero data IO)' AS answered_by
+    FROM orders
+    """,
+    category="tools",
+)
+def q_dsl_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL `SELECT COUNT(*)` routes through the statistics path
+    (compaction.fast_count — the reference's footer-stats
+    short-circuit) and SAYS so: the answered_by column is the explain
+    line proving the number came from manifest arithmetic, not a scan.
+    The count must still equal SQL COUNT(*) over the source."""
+    from nimble_spark.tools import run_command
+
+    path = _ensure_written(spark, sf_dir, "orders", "plain", WriteOptions())
+    return run_command(spark, path, "SELECT COUNT(*)").select(
+        F.col("count").alias("cnt"), "answered_by"
+    )

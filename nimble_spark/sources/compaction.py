@@ -218,6 +218,14 @@ def fast_count(
     from pyspark.sql import functions as F
 
     m = read_manifest(path)
+    # the same fence as every other fast_* path (r8: fast_count was the
+    # one family member WITHOUT it — manifest row counts don't know
+    # about merge-on-read masks, so the stats answer would over-report)
+    if os.path.isdir(os.path.join(path, MANIFEST_DIR, "deletes")):
+        raise ValueError(
+            "fast_count on a table with pending delete masks would "
+            "over-report; run compact_deletes first"
+        )
     if range_filter is None:
         return int(m["rows"])
     key, lo, hi = range_filter

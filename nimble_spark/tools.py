@@ -195,6 +195,34 @@ def show_sums(spark: SparkSession, path: str, col: str | None = None) -> DataFra
     )
 
 
+def show_grouped_sums(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """SHOW GROUPED SUMS col: the per-partition-group exact SUM rollup
+    from metadata alone (compaction.fast_grouped_sum — each file's sum
+    synopsis keyed by its partition-path value; zero data IO at any
+    table size). Per-group row counts come from the same manifest
+    entries. Sums render as STRINGs for the same >2⁵³ exactness reason
+    as SHOW SUMS."""
+    from urllib.parse import unquote
+
+    from nimble_spark.sources.compaction import fast_grouped_sum
+
+    sums = fast_grouped_sum(path, col)
+    m = read_manifest(path)
+    counts: dict = {}
+    for f in m["files"]:
+        pv = unquote(f["path"].split("=", 1)[1].split("/", 1)[0])
+        counts[pv] = counts.get(pv, 0) + f["rows"]
+    rows = [
+        (
+            str(pv),
+            counts.get(str(pv), 0),
+            str(s) if isinstance(s, int) else repr(float(s)),
+        )
+        for pv, s in sums
+    ]
+    return spark.createDataFrame(rows, "group STRING, rows BIGINT, sum STRING")
+
+
 def show_files(spark: SparkSession, path: str) -> DataFrame:
     """SHOW FILES (stripe groups): per-file rows/bytes/row-groups."""
     m = read_manifest(path)
@@ -765,7 +793,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     """Dispatch one DSL command string (the NimbleDSL VM analogue,
     dwio/nimble/tools/NimbleDslVm.cpp):
 
-      DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW SUMS [col] | SHOW FILES |
+      DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW SUMS [col] |
+      SHOW GROUPED SUMS col | SELECT COUNT(*) | SHOW FILES |
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
@@ -796,6 +825,9 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     m = re.match(r"SHOW NDV(?:\s+(\w+))?$", c, re.I)
     if m:
         return show_ndv(spark, path, m.group(1))
+    m = re.match(r"SHOW GROUPED SUMS?\s+(\w+)$", c, re.I)
+    if m:
+        return show_grouped_sums(spark, path, m.group(1))
     m = re.match(r"SHOW SUMS?(?:\s+(\w+))?$", c, re.I)
     if m:
         return show_sums(spark, path, m.group(1))
@@ -955,6 +987,21 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         from nimble_spark.sources.encoding_report import encoding_report
 
         return encoding_report(spark, path)
+    m = re.match(r"SELECT\s+COUNT\(\s*\*\s*\)(?:\s+FROM\s+\S+)?$", c, re.I)
+    if m:
+        # COUNT(*)-only goes through the statistics path: pure manifest
+        # arithmetic, zero data IO (fast_count — which refuses loudly
+        # under pending delete masks, same fence as every fast_*). The
+        # answered_by column is the explain line: a user sees WHERE the
+        # number came from, the reference's stats short-circuit made
+        # visible (docs/NimbleDSL.md SELECT semantics).
+        from nimble_spark.sources.compaction import fast_count
+
+        n = fast_count(spark, path)
+        return spark.createDataFrame(
+            [(n, "statistics (manifest row counts; zero data IO)")],
+            "count BIGINT, answered_by STRING",
+        )
     m = re.match(r"SELECT\s+(.+)$", c, re.I | re.S)
     if m:
         # Reference grammar (docs/NimbleDSL.md:27-35): LIMIT / OFFSET /

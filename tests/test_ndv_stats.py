@@ -263,3 +263,63 @@ def test_show_ndv_sums_after_rename(spark, tmp_path):
     sums = run_command(spark, path, "SHOW SUMS").collect()
     assert [r["column"] for r in sums] == ["key"]
     assert sums[0]["sum"] == str(sum(range(50)))
+
+
+def test_show_grouped_sums_dsl(spark, tmp_path):
+    """r8: SHOW GROUPED SUMS col — the metadata-answered per-partition
+    rollup through the DSL string interface, sums as exact strings."""
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "g")
+    write_table(
+        spark.range(0, 60).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p"),
+        path,
+        WriteOptions(partition_by=["p"], sum_columns=["k"]),
+    )
+    rows = run_command(spark, path, "SHOW GROUPED SUMS k").collect()
+    got = {(r["group"], r["rows"], r["sum"]) for r in rows}
+    want = {
+        (str(g), 20, str(sum(i for i in range(60) if i % 3 == g)))
+        for g in range(3)
+    }
+    assert got == want
+
+
+def test_dsl_select_count_star_statistics(spark, tmp_path):
+    """r8: DSL SELECT COUNT(*) is answered from manifest statistics
+    with an explain column — and refuses under pending delete masks
+    (the fast_count fence), never over-reports."""
+    import pytest as _pytest
+
+    from nimble_spark.sources.deletes import delete_rows
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "c")
+    write_table(spark.range(0, 123).selectExpr("id AS k"), path, WriteOptions())
+    row = run_command(spark, path, "SELECT COUNT(*)").collect()[0]
+    assert row["count"] == 123
+    assert "statistics" in row["answered_by"]
+    # FROM is accepted and ignored, like the SELECT grammar
+    assert run_command(spark, path, "SELECT COUNT(*) FROM t").collect()[0]["count"] == 123
+    delete_rows(spark, path, "k", [1, 2])
+    with _pytest.raises(ValueError, match="delete masks"):
+        run_command(spark, path, "SELECT COUNT(*)")
+
+
+def test_fast_count_mask_fence(spark, tmp_path):
+    """r8: fast_count gained the same pending-delete-mask fence as
+    every other fast_* (it was the one member without it — manifest
+    rows over-report against merge-on-read masks)."""
+    import pytest as _pytest
+
+    from nimble_spark.sources.compaction import fast_count
+    from nimble_spark.sources.deletes import compact_deletes, delete_rows
+
+    path = str(tmp_path / "f")
+    write_table(spark.range(0, 100).selectExpr("id AS k"), path, WriteOptions())
+    assert fast_count(spark, path) == 100
+    delete_rows(spark, path, "k", [5])
+    with _pytest.raises(ValueError, match="over-report"):
+        fast_count(spark, path)
+    compact_deletes(spark, path)
+    assert fast_count(spark, path) == 99
