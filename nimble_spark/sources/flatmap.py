@@ -36,6 +36,17 @@ FLATMAP_NULL_SENTINEL = "__nimble_in_map"
 # key set from the manifest (write_flatmap_table/read_flatmap_table).
 MAX_FLATMAP_KEYS = 200_000
 
+# The practical knob for WIDE flat-maps (r8 drill): per-key expression
+# extraction costs one GetMapValue per key, and Spark's GetMapValue is
+# a linear scan of the map — O(keys²) work per row. Fine to ~1k keys;
+# past the cap flatten switches to ONE Arrow-batched mapInPandas pass
+# that iterates each row's entries once — O(total entries), the same
+# single-pass shape as the reference's flat-map FieldWriter
+# (dwio/nimble/velox/FieldWriter.cpp:1415). The narrow path stays
+# expression-only (JVM-side, no Python) because below the cap the
+# quadratic term is cheaper than the Arrow round-trip.
+FLATMAP_EXTRACT_CAP = 1_000
+
 
 def flatten_map_column(
     df: DataFrame, map_col: str, keys: list[str] | None = None, prefix: str | None = None
@@ -45,7 +56,11 @@ def flatten_map_column(
     Returns (flattened df, discovered keys). Per key ``k`` two columns
     are produced: ``{prefix}__{k}`` (the value, null if absent-or-null)
     and ``{prefix}__{k}__in`` (boolean inMap stream: present vs absent).
-    """
+
+    Up to FLATMAP_EXTRACT_CAP keys: a single JVM-side projection (one
+    Project node — never chained withColumn, whose per-key Project
+    nesting overflows the optimizer at width). Beyond the cap: one
+    linear mapInPandas pass (see FLATMAP_EXTRACT_CAP)."""
     prefix = prefix or map_col
     if keys is None:
         keys = sorted(
@@ -60,11 +75,65 @@ def flatten_map_column(
                 f"flat-map key discovery exceeded {MAX_FLATMAP_KEYS} distinct keys"
                 f" for column '{map_col}' — keep it as a map column instead"
             )
-    out = df
+    if len(keys) > FLATMAP_EXTRACT_CAP:
+        return _flatten_map_wide(df, map_col, keys, prefix), keys
+    others = [c for c in df.columns if c != map_col]
+    cols = [F.col(c) for c in others]
     for k in keys:
-        out = out.withColumn(f"{prefix}__{k}", F.col(map_col).getItem(k))
-        out = out.withColumn(f"{prefix}__{k}__in", F.map_contains_key(F.col(map_col), F.lit(k)))
-    return out.drop(map_col), keys
+        cols.append(F.col(map_col).getItem(k).alias(f"{prefix}__{k}"))
+        cols.append(
+            F.map_contains_key(F.col(map_col), F.lit(k)).alias(f"{prefix}__{k}__in")
+        )
+    return df.select(*cols), keys
+
+
+def _flatten_map_wide(
+    df: DataFrame, map_col: str, keys: list[str], prefix: str
+) -> DataFrame:
+    """Linear-time flatten for wide maps: one Arrow-batched pass that
+    walks each row's entries ONCE — O(sum of map sizes), not
+    O(rows · keys²) like per-key GetMapValue extraction. This is the
+    write-side ingest transform (paid once per table write), the Spark
+    expression of the reference's single-pass flat-map FieldWriter."""
+    import pyspark.sql.types as T
+
+    others = [f for f in df.schema.fields if f.name != map_col]
+    vtype = next(
+        f.dataType.valueType for f in df.schema.fields if f.name == map_col
+    )
+    fields = list(others)
+    for k in keys:
+        fields.append(T.StructField(f"{prefix}__{k}", vtype, True))
+        fields.append(T.StructField(f"{prefix}__{k}__in", T.BooleanType(), True))
+    schema = T.StructType(fields)
+    other_names = [f.name for f in others]
+    key_set = set(keys)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            vals: dict = {k: [None] * n for k in keys}
+            pres: dict = {k: np.zeros(n, dtype=bool) for k in keys}
+            for i, cell in enumerate(pdf[map_col]):
+                if cell is None:
+                    continue
+                # Arrow hands MapType cells to pandas as dicts (or as
+                # (key, value) tuple lists depending on the converter)
+                items = cell.items() if isinstance(cell, dict) else cell
+                for kk, vv in items:
+                    if kk in key_set:
+                        vals[kk][i] = vv
+                        pres[kk][i] = True
+            data = {c: pdf[c] for c in other_names}
+            for k in keys:
+                data[f"{prefix}__{k}"] = vals[k]
+                data[f"{prefix}__{k}__in"] = pres[k]
+            yield pd.DataFrame(data, columns=[f.name for f in fields])
+
+    return df.mapInPandas(gen, schema=schema)
 
 
 def restore_map_column(
@@ -129,17 +198,81 @@ def dedup_array_column(df: DataFrame, arr_col: str) -> tuple[DataFrame, DataFram
     return main, dictionary
 
 
-def write_flatmap_table(df: DataFrame, map_col: str, path: str, opts=None) -> list[str]:
+def write_flatmap_table(
+    df: DataFrame,
+    map_col: str,
+    path: str,
+    opts=None,
+    row_key: str | None = None,
+    keys_per_group: int = 1_000,
+) -> list[str]:
     """Write ``df`` with ``map_col`` stored flat-map style, persisting
     the discovered key set in the manifest (user_metadata) — readers
-    never re-scan for keys. Returns the key list."""
+    never re-scan for keys. Returns the key list.
+
+    Beyond ``keys_per_group`` keys the layout SHARDS VERTICALLY into
+    key groups (pass ``row_key``): non-map columns land in ``base/``
+    and each group of keys in ``fmgroup=NNNN/`` as its own table
+    carrying ``row_key`` — because the substrate's writer cost is
+    per-COLUMN (measured r8: Spark's parquet writer takes ~165 s for a
+    20k-column file where a 5k-column one costs ~2 s; pyarrow proves
+    the format itself is fine at ~3.6 s), so bounded-width file groups
+    are what make reference-width flat-maps (200k keys,
+    velox/NimbleConfig.h:27) practical on Spark+parquet. Per-key
+    projected reads open ONLY the owning groups' files — IO still
+    scales with the projection; keys co-accessed together should share
+    a group. The reference's analogue is stream grouping inside the
+    tablet (LayoutPlanner orders streams so co-read ones are
+    adjacent); here the group boundary is a file boundary, which also
+    bounds writer memory."""
+    import json
+    import os
+
     from nimble_spark.sources.table import WriteOptions, write_table
 
     opts = opts or WriteOptions()
-    flat, keys = flatten_map_column(df, map_col)
+    # discover once (shared by both layouts)
+    keys = sorted(
+        r[0]
+        for r in df.select(F.explode(F.map_keys(map_col)).alias("k"))
+        .distinct()
+        .limit(MAX_FLATMAP_KEYS + 1)
+        .collect()
+    )
+    if len(keys) > MAX_FLATMAP_KEYS:
+        raise ValueError(
+            f"flat-map key discovery exceeded {MAX_FLATMAP_KEYS} distinct "
+            f"keys for column '{map_col}' — keep it as a map column instead"
+        )
+    if len(keys) <= keys_per_group:
+        flat, keys = flatten_map_column(df, map_col, keys=keys)
+        opts.user_metadata = dict(opts.user_metadata)
+        opts.user_metadata[f"flatmap_keys:{map_col}"] = ",".join(keys)
+        write_table(flat, path, opts)
+        return keys
+    if row_key is None:
+        raise ValueError(
+            f"{len(keys)} flat-map keys exceed keys_per_group="
+            f"{keys_per_group}: the sharded layout needs a row_key "
+            f"column to reassemble groups (pass row_key=...)"
+        )
+    if row_key not in df.columns or row_key == map_col:
+        raise ValueError(f"row_key {row_key!r} is not a column of the frame")
+    groups = [keys[i:i + keys_per_group] for i in range(0, len(keys), keys_per_group)]
+    base_cols = [c for c in df.columns if c != map_col]
     opts.user_metadata = dict(opts.user_metadata)
-    opts.user_metadata[f"flatmap_keys:{map_col}"] = ",".join(keys)
-    write_table(flat, path, opts)
+    opts.user_metadata[f"flatmap_sharded:{map_col}"] = json.dumps(
+        {"row_key": row_key, "n_groups": len(groups), "groups": groups}
+    )
+    write_table(df.select(*base_cols), os.path.join(path, "base"), opts)
+    for gi, gkeys in enumerate(groups):
+        # always the single-pass flatten here: the SOURCE map is wide
+        # (that's why we're sharding), so even a 1000-key projection
+        # via per-key GetMapValue would rescan the whole map per key
+        flat = _flatten_map_wide(
+            df.select(row_key, map_col), map_col, gkeys, map_col
+        )
+        write_table(flat, os.path.join(path, f"fmgroup={gi:04d}"), WriteOptions())
     return keys
 
 
@@ -149,8 +282,42 @@ def read_flatmap_table(
     """Read a flat-map table back as its logical map column. ``keys``
     projects a subset (only those streams are read — Catalyst prunes
     the rest); default restores the full map using the manifest's
-    persisted key set (no discovery scan)."""
+    persisted key set (no discovery scan). On a sharded layout (see
+    write_flatmap_table) only the groups OWNING requested keys are
+    opened, each projected to just the requested streams, and joined
+    back on the row key."""
+    import json
+    import os
+
     from nimble_spark.sources.table import read_manifest, read_table
+
+    sharded_root = os.path.join(path, "base")
+    if os.path.isdir(sharded_root):
+        m = read_manifest(sharded_root)
+        meta = json.loads(
+            m.get("user_metadata", {}).get(f"flatmap_sharded:{map_col}", "{}")
+        )
+        if meta:
+            row_key = meta["row_key"]
+            groups: list[list[str]] = meta["groups"]
+            all_keys = [k for g in groups for k in g]
+            use = keys if keys is not None else all_keys
+            use_set = set(use)
+            df = read_table(spark, sharded_root)
+            for gi, gkeys in enumerate(groups):
+                wanted = [k for k in gkeys if k in use_set]
+                if not wanted:
+                    continue  # group never opened — per-key IO scaling
+                cols = [row_key] + [
+                    c
+                    for k in wanted
+                    for c in (f"{map_col}__{k}", f"{map_col}__{k}__in")
+                ]
+                g = read_table(
+                    spark, os.path.join(path, f"fmgroup={gi:04d}"), columns=cols
+                )
+                df = df.join(g, on=row_key, how="left")
+            return restore_map_column(df, use, map_col)
 
     manifest = read_manifest(path)
     all_keys = manifest.get("user_metadata", {}).get(f"flatmap_keys:{map_col}", "")
