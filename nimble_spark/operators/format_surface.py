@@ -2061,6 +2061,76 @@ def q_dsl_grouped_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fast_value_counts",
+    oracle="""
+    SELECT lang AS val, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY lang ORDER BY val
+    """,
+    category="format",
+)
+def q_fast_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-answered GROUP-BY-value COUNT from per-file value
+    histograms (WriteOptions(histogram_columns=...) →
+    compaction.fast_value_counts): the whole value distribution of a
+    low-cardinality column with ZERO data IO — exact counts, fold =
+    associative integer addition per value (the shard-merge property;
+    a 100 TB corpus's language distribution from metadata alone).
+    Completes the metadata-answered family: count, minmax, ndv, sum,
+    grouped sum, value counts/mode/median. Reference analogue:
+    per-stripe ChunkStats persisted in the tablet footer."""
+    from nimble_spark.sources.compaction import fast_value_counts
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "documents"),
+            tmp,
+            WriteOptions(cluster_by=["doc_id"], n_cluster_files=4,
+                         histogram_columns=["lang"]),
+        )
+
+    path = ensure_cached(sf_dir, "documents__hist", ["documents"], _build)
+    rows = [(v, n) for v, n in fast_value_counts(path, "lang")]
+    return spark.createDataFrame(rows, "val STRING, n BIGINT").orderBy("val")
+
+
+@register(
+    "q_fast_mode_median",
+    oracle="""
+    SELECT
+      (SELECT l_linenumber FROM lineitem GROUP BY l_linenumber
+       ORDER BY COUNT(*) DESC, l_linenumber LIMIT 1) AS mode_val,
+      CAST((SELECT MEDIAN(l_linenumber) FROM lineitem) AS DOUBLE) AS med
+    """,
+    category="format",
+)
+def q_fast_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE and MEDIAN from the folded value histogram — zero
+    data IO (compaction.fast_mode / fast_median over the per-file
+    synopses). Mode ties break to the smallest value on both sides;
+    median follows SQL semantics (mean of the two middles for even
+    counts), checked against DuckDB's MEDIAN."""
+    from nimble_spark.sources.compaction import fast_median, fast_mode
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_quantity"
+            ),
+            tmp,
+            WriteOptions(cluster_by=["l_orderkey"], n_cluster_files=4,
+                         histogram_columns=["l_linenumber"]),
+        )
+
+    path = ensure_cached(sf_dir, "lineitem__hist", ["lineitem"], _build)
+    mode_v, _cnt = fast_mode(path, "l_linenumber")
+    med = fast_median(path, "l_linenumber")
+    return spark.createDataFrame(
+        [(int(mode_v), float(med))], "mode_val INT, med DOUBLE"
+    )
+
+
+@register(
     "q_dsl_fast_count",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS cnt,

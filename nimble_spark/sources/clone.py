@@ -162,6 +162,7 @@ def clone_table(
             "schema_mapping",
             "ndv_columns",
             "sum_columns",
+            "histogram_columns",
         ):
             if m.get(k):
                 manifest[k] = m[k]

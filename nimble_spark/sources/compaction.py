@@ -458,30 +458,35 @@ def _publish_partial_rewrite(
     for k in ("column_aliases", "logical_columns", "tags", "schema_mapping"):
         if m.get(k):
             new_m[k] = m[k]
-    # NDV/SUM synopses stay complete across maintenance: untouched
+    # NDV/SUM/HIST synopses stay complete across maintenance: untouched
     # entries carry theirs verbatim; freshly merged/reclustered files
     # compute theirs here (bounded: only the rewritten files, only the
     # declared columns)
-    if m.get("ndv_columns") or m.get("sum_columns"):
+    if m.get("ndv_columns") or m.get("sum_columns") or m.get("histogram_columns"):
         from nimble_spark.sources.table import _synopses_of_file
 
         nc, sc = m.get("ndv_columns"), m.get("sum_columns")
+        hc = m.get("histogram_columns")
         if nc:
             new_m["ndv_columns"] = nc
         if sc:
             new_m["sum_columns"] = sc
+        if hc:
+            new_m["histogram_columns"] = hc
 
         def _refresh(e: dict) -> dict:
             if os.path.isabs(e["path"]):
                 return e
             need_ndv = nc and "ndv" not in e
             need_sum = sc and "sums" not in e
-            if not (need_ndv or need_sum):
+            need_hist = hc and "hist" not in e
+            if not (need_ndv or need_sum or need_hist):
                 return e
-            ndv, sums = _synopses_of_file(
+            ndv, sums, hist = _synopses_of_file(
                 os.path.join(path, e["path"]),
                 nc if need_ndv else None,
                 sc if need_sum else None,
+                hc if need_hist else None,
             )
             # copy-on-write per entry: carried entries are SHARED with
             # the manifest cache — never mutate them in place
@@ -490,6 +495,8 @@ def _publish_partial_rewrite(
                 e["ndv"] = ndv
             if need_sum:
                 e["sums"] = sums
+            if need_hist:
+                e["hist"] = hist
             return e
 
         new_m["files"] = [_refresh(e) for e in new_m["files"]]
@@ -703,6 +710,109 @@ def fast_grouped_sum(path: str, col: str) -> list[tuple]:
     return sorted(
         (pv, (v / scale if scale != 1 else v)) for pv, v in groups.items()
     )
+
+
+def _folded_histogram(path: str, col: str) -> dict:
+    """Fold the per-file value histograms into the table's exact
+    value→count map (associative integer addition per value — the
+    shard-merge property; 10⁶ files fold like 10). Shared fences with
+    the rest of the fast_* family: pending delete masks raise;
+    undeclared/stale columns raise; files written before the
+    declaration raise; an OVERFLOWED per-file histogram (the column
+    exceeded HIST_K distincts in that file) raises rather than
+    estimates — this tier is exact or loud."""
+    import os as _os
+
+    from nimble_spark.sources.table import HIST_K
+
+    m = read_manifest(path)
+    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+        raise ValueError(
+            "fast_value_counts on a table with pending delete masks "
+            "would over-report; run compact_deletes first"
+        )
+    col_p = _resolve_stats_key(m, col)
+    if col_p not in (m.get("histogram_columns") or []):
+        raise ValueError(
+            f"no value histogram declared for column {col!r} — write "
+            f"the table with WriteOptions(histogram_columns=[...{col!r}...])"
+        )
+    folded: dict = {}
+    for f in m["files"]:
+        h = (f.get("hist") or {}).get(col_p)
+        if h is None:
+            raise ValueError(
+                f"file {f['path']} lacks a value histogram for {col!r} "
+                f"(written before the column was declared); compact or "
+                f"rewrite to refresh"
+            )
+        if h.get("overflow"):
+            raise ValueError(
+                f"column {col!r} exceeded HIST_K distinct values in "
+                f"file {f['path']} — value histograms are for "
+                f"low-cardinality columns; use fast_ndv/real queries"
+            )
+        for v, n in h["counts"]:
+            folded[v] = folded.get(v, 0) + n
+    # the table-level cap too: per-file caps bound MANIFEST size, but
+    # without this a many-small-files layout could silently fold a
+    # high-cardinality union — the contract must not depend on layout
+    if len(folded) > HIST_K:
+        raise ValueError(
+            f"column {col!r} has {len(folded)} distinct values across "
+            f"the table (> HIST_K={HIST_K}) — value histograms are for "
+            f"low-cardinality columns; use fast_ndv/real queries"
+        )
+    return folded
+
+
+def fast_value_counts(path: str, col: str) -> list[tuple]:
+    """Statistics-answered ``GROUP BY col ORDER BY col`` with exact
+    non-null counts, zero data IO at any table size — the whole value
+    distribution of a low-cardinality column (lang/source/status) from
+    metadata alone. Returns ``[(value, count), ...]`` sorted by
+    value."""
+    return sorted(_folded_histogram(path, col).items())
+
+
+def fast_mode(path: str, col: str) -> tuple:
+    """The exact most-frequent non-null value (ties break to the
+    smallest value — deterministic across engines). Returns
+    ``(value, count)``. Zero data IO; same fences as
+    fast_value_counts."""
+    folded = _folded_histogram(path, col)
+    if not folded:
+        raise ValueError(f"column {col!r} has no non-null values")
+    return min(folded.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def fast_median(path: str, col: str) -> float:
+    """The exact median of a low-cardinality INTEGER column from the
+    folded histogram (cumulative counts over the sorted domain) —
+    SQL median semantics: the middle value, or the mean of the two
+    middle values for an even count. Zero data IO; same fences as
+    fast_value_counts."""
+    folded = _folded_histogram(path, col)
+    if not folded:
+        raise ValueError(f"column {col!r} has no non-null values")
+    if not all(isinstance(v, int) and not isinstance(v, bool) for v in folded):
+        raise ValueError(
+            f"fast_median needs an integer column; {col!r} holds "
+            f"{type(next(iter(folded))).__name__} values"
+        )
+    total = sum(folded.values())
+    lo_rank, hi_rank = (total - 1) // 2, total // 2  # 0-based middles
+    acc = 0
+    lo_val = hi_val = None
+    for v in sorted(folded):
+        nxt = acc + folded[v]
+        if lo_val is None and lo_rank < nxt:
+            lo_val = v
+        if hi_val is None and hi_rank < nxt:
+            hi_val = v
+            break
+        acc = nxt
+    return (lo_val + hi_val) / 2.0
 
 
 def fast_minmax(spark: SparkSession, path: str, col: str):

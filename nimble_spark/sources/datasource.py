@@ -898,7 +898,7 @@ class NimbleWriter(DataSourceArrowWriter):
         prior_files: set = set()
         aliased = False
         prior_idx: dict = {}
-        prior_ndv = prior_sums = None
+        prior_ndv = prior_sums = prior_hist = None
         prior_constraints: dict = {}
         prior_tags: dict = {}
         prior_umd: dict = {}
@@ -916,6 +916,7 @@ class NimbleWriter(DataSourceArrowWriter):
                 prior_idx = prior.get("indexes", {}) or {}
                 prior_ndv = prior.get("ndv_columns")
                 prior_sums = prior.get("sum_columns")
+                prior_hist = prior.get("histogram_columns")
                 prior_constraints = prior.get("constraints") or {}
                 prior_tags = prior.get("tags") or {}
                 prior_umd = prior.get("user_metadata") or {}
@@ -1064,6 +1065,7 @@ class NimbleWriter(DataSourceArrowWriter):
         manifest = _build_manifest(
             None, spark_schema, self.path, WriteOptions(), index_meta,
             reuse=reuse, exclude=stray, ndv_cols=prior_ndv, sum_cols=prior_sums,
+            hist_cols=prior_hist,
         )
         # A concurrent OVERWRITE may have swept our staged files before
         # this commit ran (overwrite replaces the table wholesale).

@@ -442,11 +442,13 @@ def _commit_rewrite(
         exclude={os.path.normpath(f) for f in affected},
         ndv_cols=manifest.get("ndv_columns"),
         sum_cols=manifest.get("sum_columns"),
+        hist_cols=manifest.get("histogram_columns"),
     )
     # Table-level contracts survive a rewrite: CHECK constraints keep
     # gating appends, and snapshot tags keep resolving (their commits
     # stay replayable until vacuum reclaims the trash).
-    for k in ("constraints", "tags", "schema_mapping", "ndv_columns", "sum_columns"):
+    for k in ("constraints", "tags", "schema_mapping", "ndv_columns",
+              "sum_columns", "histogram_columns"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
     new_manifest["commits"] = prior_commits + [
@@ -611,10 +613,12 @@ def overwrite_partitions(
         spark, df.schema, path, opts or WriteOptions(), index_meta,
         reuse=reuse, ndv_cols=manifest.get("ndv_columns"),
         sum_cols=manifest.get("sum_columns"),
+        hist_cols=manifest.get("histogram_columns"),
     )
     # table-level contracts survive the partial overwrite, exactly as
     # they survive merge/update rewrites
-    for k in ("constraints", "tags", "schema_mapping", "ndv_columns", "sum_columns"):
+    for k in ("constraints", "tags", "schema_mapping", "ndv_columns",
+              "sum_columns", "histogram_columns"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
     if manifest.get("user_metadata"):

@@ -115,6 +115,15 @@ class WriteOptions:
     # (the exact.py lsum discipline), so compaction.fast_sum answers
     # SUM/AVG from metadata alone — exactly, at any file count.
     sum_columns: Optional[list[str]] = None
+    # Per-file exact value HISTOGRAMS for low-cardinality columns
+    # (integer/string/boolean, ≤ HIST_K distinct per file): counts
+    # fold by addition, so compaction.fast_value_counts answers
+    # GROUP-BY-value COUNT(*) — and fast_mode / fast_median derive
+    # from the folded histogram — from metadata alone, exactly, at
+    # any file count. A file exceeding HIST_K stores an overflow
+    # marker and the fold refuses (never estimates): this tier is for
+    # lang/source/status-shaped columns, not open domains.
+    histogram_columns: Optional[list[str]] = None
     user_metadata: dict[str, str] = field(default_factory=dict)
     column_attributes: dict[str, dict[str, str]] = field(default_factory=dict)
     # CHECK constraints (name → SQL boolean expression): the incoming
@@ -626,9 +635,13 @@ def _write_table_locked(
     _sum_cols = opts.sum_columns or (
         (prior or {}).get("sum_columns") if mode == "append" else None
     )
+    _hist_cols = opts.histogram_columns or (
+        (prior or {}).get("histogram_columns") if mode == "append" else None
+    )
     manifest = _build_manifest(
         spark, stored_schema or df.schema, path, opts, index_meta,
         reuse=reuse, exclude=stray, ndv_cols=_ndv_cols, sum_cols=_sum_cols,
+        hist_cols=_hist_cols,
     )
     stats_wall_ms = int((time.monotonic() - t1) * 1000)
     if aliases:
@@ -745,15 +758,17 @@ def _stat_cols(schema: T.StructType) -> list[str]:
 
 NDV_K = 256  # KMV synopsis size: exact NDV below this, estimate above
 SUM_SCALE = 10**6  # float sums stored as scaled ints (lsum discipline)
+HIST_K = 256  # value-histogram cap per file: exact counts below, overflow above
 
 
 def _synopses_of_file(
     frag_path: str,
     ndv_cols: list[str] | None,
     sum_cols: list[str] | None,
+    hist_cols: list[str] | None = None,
     k: int = NDV_K,
-) -> tuple[dict, dict]:
-    """Per-file statistics synopses, ONE columnar read for both kinds:
+) -> tuple[dict, dict, dict]:
+    """Per-file statistics synopses, ONE columnar read for all kinds:
 
     - KMV NDV: the ``k`` smallest 64-bit value hashes per column.
       pyarrow's C++ ``unique`` does the heavy pass; only the distincts
@@ -765,6 +780,10 @@ def _synopses_of_file(
       functions/exact.py lsum discipline) — the fold is integer
       addition, associative and engine-exact, so the table sum is
       bit-identical however many shards it folds from.
+    - value HISTOGRAM: exact non-null value→count pairs for
+      low-cardinality int/string/bool columns (pyarrow value_counts,
+      C++-side); a file exceeding HIST_K distincts stores an overflow
+      marker instead — the fold refuses rather than estimates.
     """
     import hashlib
 
@@ -773,13 +792,38 @@ def _synopses_of_file(
 
     ndv_cols = ndv_cols or []
     sum_cols = sum_cols or []
+    hist_cols = hist_cols or []
     pf = pa_pq.ParquetFile(frag_path)
     present = set(pf.schema_arrow.names)
-    want = [c for c in dict.fromkeys([*ndv_cols, *sum_cols]) if c in present]
+    want = [
+        c for c in dict.fromkeys([*ndv_cols, *sum_cols, *hist_cols]) if c in present
+    ]
     if not want:
-        return {}, {}
+        return {}, {}, {}
     t = pf.read(columns=want)
-    ndv_out, sum_out = {}, {}
+    ndv_out, sum_out, hist_out = {}, {}, {}
+    for c in [c for c in hist_cols if c in present]:
+        col = t.column(c).combine_chunks()
+        if not (
+            pa.types.is_integer(col.type)
+            or pa.types.is_string(col.type)
+            or pa.types.is_large_string(col.type)
+            or pa.types.is_boolean(col.type)
+        ):
+            raise ValueError(
+                f"histogram_columns supports integer/string/boolean "
+                f"columns; {c!r} is {col.type}"
+            )
+        vc = pa_pc.value_counts(col)
+        pairs = [
+            [d["values"], int(d["counts"])]
+            for d in vc.to_pylist()
+            if d["values"] is not None
+        ]
+        if len(pairs) > HIST_K:
+            hist_out[c] = {"overflow": True}
+        else:
+            hist_out[c] = {"counts": sorted(pairs, key=lambda p: repr(p[0]))}
     for c in [c for c in ndv_cols if c in present]:
         uniq = pa_pc.unique(t.column(c).combine_chunks()).to_pylist()
         hs = sorted(
@@ -805,12 +849,12 @@ def _synopses_of_file(
                 f"{c!r} is {col.type}"
             )
         sum_out[c] = int(s or 0)
-    return ndv_out, sum_out
+    return ndv_out, sum_out, hist_out
 
 
 def _kmv_of_file(frag_path: str, cols: list[str], k: int = NDV_K) -> dict:
     """KMV-only convenience over :func:`_synopses_of_file`."""
-    return _synopses_of_file(frag_path, cols, None, k)[0]
+    return _synopses_of_file(frag_path, cols, None, k=k)[0]
 
 
 def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]) -> dict:
@@ -916,6 +960,7 @@ def _build_manifest(
     exclude: set[str] | None = None,
     ndv_cols: Optional[list[str]] = None,
     sum_cols: Optional[list[str]] = None,
+    hist_cols: Optional[list[str]] = None,
 ) -> dict:
     """Collect per-file (stripe-group) and per-column stats from the
     written parquet footers — metadata-only reads, no data scan
@@ -957,12 +1002,16 @@ def _build_manifest(
 
     def _describe_file(frag_path: str) -> dict:
         entry = _describe_parquet_file(frag_path, path, stat_cols)
-        if ndv_cols or sum_cols:
-            ndv, sums = _synopses_of_file(frag_path, ndv_cols, sum_cols)
+        if ndv_cols or sum_cols or hist_cols:
+            ndv, sums, hist = _synopses_of_file(
+                frag_path, ndv_cols, sum_cols, hist_cols
+            )
             if ndv_cols:
                 entry["ndv"] = ndv
             if sum_cols:
                 entry["sums"] = sums
+            if hist_cols:
+                entry["hist"] = hist
         return entry
 
     # Hashing + footer reads release the GIL — describe new files in
@@ -1033,6 +1082,8 @@ def _build_manifest(
         out["ndv_columns"] = list(ndv_cols)
     if sum_cols:
         out["sum_columns"] = list(sum_cols)
+    if hist_cols:
+        out["histogram_columns"] = list(hist_cols)
     return out
 
 
@@ -1851,6 +1902,8 @@ def layout_options_of(manifest: dict, n_cluster_files: int | None = None) -> Wri
         kw["ndv_columns"] = list(manifest["ndv_columns"])
     if manifest.get("sum_columns"):
         kw["sum_columns"] = list(manifest["sum_columns"])
+    if manifest.get("histogram_columns"):
+        kw["histogram_columns"] = list(manifest["histogram_columns"])
     if "cluster" in idx or "zorder" in idx:
         total = sum(f.get("bytes", 0) for f in manifest.get("files", []))
         kw["n_cluster_files"] = n_cluster_files or max(
@@ -2378,15 +2431,21 @@ def rollback_table(
             if cur is not None and "nulls" in cur:
                 return cur
             e = _describe_parquet_file(os.path.join(path, rel), path, stat_cols)
-            # re-homed historical files need their NDV/SUM synopses
-            # recomputed (fast_* would otherwise refuse post-rollback)
+            # re-homed historical files need their NDV/SUM/HIST
+            # synopses recomputed (fast_* would otherwise refuse
+            # post-rollback)
             nc, sc = m.get("ndv_columns"), m.get("sum_columns")
-            if nc or sc:
-                ndv, sums = _synopses_of_file(os.path.join(path, rel), nc, sc)
+            hc = m.get("histogram_columns")
+            if nc or sc or hc:
+                ndv, sums, hist = _synopses_of_file(
+                    os.path.join(path, rel), nc, sc, hc
+                )
                 if nc:
                     e["ndv"] = ndv
                 if sc:
                     e["sums"] = sums
+                if hc:
+                    e["hist"] = hist
             return e
 
         files_info = [_entry_of(rel) for rel in target]

@@ -223,6 +223,17 @@ def show_grouped_sums(spark: SparkSession, path: str, col: str) -> DataFrame:
     return spark.createDataFrame(rows, "group STRING, rows BIGINT, sum STRING")
 
 
+def show_value_counts(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """SHOW VALUE COUNTS col: the column's exact non-null value
+    distribution folded from the per-file histograms
+    (compaction.fast_value_counts) — zero data IO. Values render as
+    strings (one DSL schema across int/string/bool columns)."""
+    from nimble_spark.sources.compaction import fast_value_counts
+
+    rows = [(str(v), n) for v, n in fast_value_counts(path, col)]
+    return spark.createDataFrame(rows, "value STRING, count BIGINT")
+
+
 def show_files(spark: SparkSession, path: str) -> DataFrame:
     """SHOW FILES (stripe groups): per-file rows/bytes/row-groups."""
     m = read_manifest(path)
@@ -794,7 +805,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     dwio/nimble/tools/NimbleDslVm.cpp):
 
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW SUMS [col] |
-      SHOW GROUPED SUMS col | SELECT COUNT(*) | SHOW FILES |
+      SHOW GROUPED SUMS col | SHOW VALUE COUNTS col | SELECT COUNT(*) | SHOW FILES |
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
@@ -828,6 +839,9 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     m = re.match(r"SHOW GROUPED SUMS?\s+(\w+)$", c, re.I)
     if m:
         return show_grouped_sums(spark, path, m.group(1))
+    m = re.match(r"SHOW VALUE COUNTS?\s+(\w+)$", c, re.I)
+    if m:
+        return show_value_counts(spark, path, m.group(1))
     m = re.match(r"SHOW SUMS?(?:\s+(\w+))?$", c, re.I)
     if m:
         return show_sums(spark, path, m.group(1))

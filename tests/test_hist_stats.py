@@ -1,0 +1,158 @@
+"""Per-file value-histogram synopses (WriteOptions.histogram_columns →
+compaction.fast_value_counts / fast_mode / fast_median): exact value
+distributions for low-cardinality columns from metadata alone. Exact
+or loud — overflowed files, masked tables, undeclared/stale names all
+refuse; appends and maintenance keep every entry's histogram current.
+"""
+
+import pytest
+
+from nimble_spark.sources.compaction import (
+    compact_table,
+    fast_median,
+    fast_mode,
+    fast_value_counts,
+)
+from nimble_spark.sources.table import (
+    HIST_K,
+    WriteOptions,
+    read_manifest,
+    write_table,
+)
+
+
+def _opts(**kw):
+    return WriteOptions(
+        cluster_by=["k"], n_cluster_files=4, histogram_columns=["tag"], **kw
+    )
+
+
+def _rows(spark, lo, hi, mod):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", f"CAST(id % {mod} AS STRING) AS tag"
+    )
+
+
+def test_exact_counts_and_append_freshness(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 300, 3), path, _opts())
+    assert fast_value_counts(path, "tag") == [("0", 100), ("1", 100), ("2", 100)]
+    write_table(
+        spark.range(0, 50).selectExpr("id AS k", "'9' AS tag"), path, mode="append"
+    )
+    got = dict(fast_value_counts(path, "tag"))
+    assert got == {"0": 100, "1": 100, "2": 100, "9": 50}
+    assert all("hist" in f for f in read_manifest(path)["files"])
+    assert read_manifest(path)["histogram_columns"] == ["tag"]
+
+
+def test_mode_and_median(spark, tmp_path):
+    path = str(tmp_path / "m")
+    # values 0..9 with frequency id%10<5 doubled: mode tie broken low
+    write_table(
+        spark.range(0, 100).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS v"  # 25 each → tie → min
+        ),
+        path,
+        WriteOptions(histogram_columns=["v"]),
+    )
+    assert fast_mode(path, "v") == (0, 25)
+    # median of 0,1,2,3 × 25 each = (1+2)/2
+    assert fast_median(path, "v") == 1.5
+    odd = str(tmp_path / "o")
+    write_table(
+        spark.range(0, 101).selectExpr("id AS k", "CAST(id % 3 AS INT) AS v"),
+        odd,
+        WriteOptions(histogram_columns=["v"]),
+    )
+    # 101 values of 0(34),1(34),2(33): middle rank 50 → value 1
+    assert fast_median(odd, "v") == 1.0
+    # string histograms are fine — only MEDIAN refuses on them
+    s_path = str(tmp_path / "s2")
+    write_table(
+        spark.range(0, 10).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS s"),
+        s_path,
+        WriteOptions(histogram_columns=["s"]),
+    )
+    with pytest.raises(ValueError, match="integer column"):
+        fast_median(s_path, "s")
+
+
+def test_overflow_refuses_loudly(spark, tmp_path):
+    # per-FILE overflow: one file with > HIST_K distincts stores an
+    # overflow marker and the fold refuses
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, HIST_K * 4).coalesce(1).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS tag"
+        ),
+        path,
+        WriteOptions(histogram_columns=["tag"]),
+    )
+    with pytest.raises(ValueError, match="HIST_K"):
+        fast_value_counts(path, "tag")
+    # table-level overflow: per-file histograms each under the cap,
+    # but the UNION exceeds it — must refuse identically (the contract
+    # cannot depend on file layout)
+    path2 = str(tmp_path / "u")
+    write_table(
+        spark.range(0, HIST_K * 4).repartition(32).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS tag"
+        ),
+        path2,
+        WriteOptions(histogram_columns=["tag"]),
+    )
+    with pytest.raises(ValueError, match="HIST_K"):
+        fast_value_counts(path2, "tag")
+
+
+def test_fences_mask_undeclared_rename(spark, tmp_path):
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.deletes import delete_rows
+
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 100, 5), path, _opts())
+    with pytest.raises(ValueError, match="no value histogram"):
+        fast_value_counts(path, "k")
+    alter_table(path, rename={"tag": "label"})
+    assert dict(fast_value_counts(path, "label"))["0"] == 20
+    delete_rows(spark, path, "k", [1, 2])
+    with pytest.raises(ValueError, match="delete masks"):
+        fast_value_counts(path, "label")
+
+
+def test_maintenance_keeps_histograms_complete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 200, 4), path, _opts())
+    write_table(_rows(spark, 200, 400, 4), path, mode="append")
+    res = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert res["files_after"] < res["files_before"]
+    assert all("hist" in f for f in read_manifest(path)["files"])
+    assert dict(fast_value_counts(path, "tag")) == {str(i): 100 for i in range(4)}
+
+
+def test_boolean_histogram_and_type_refusal(spark, tmp_path):
+    path = str(tmp_path / "b")
+    write_table(
+        spark.range(0, 30).selectExpr("id AS k", "id % 3 = 0 AS flag"),
+        path,
+        WriteOptions(histogram_columns=["flag"]),
+    )
+    assert fast_value_counts(path, "flag") == [(False, 20), (True, 10)]
+    with pytest.raises(ValueError, match="integer/string/boolean"):
+        write_table(
+            spark.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS d"),
+            str(tmp_path / "d"),
+            WriteOptions(histogram_columns=["d"]),
+        )
+
+
+def test_show_value_counts_dsl(spark, tmp_path):
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "t")
+    write_table(_rows(spark, 0, 90, 3), path, _opts())
+    rows = run_command(spark, path, "SHOW VALUE COUNTS tag").collect()
+    assert {(r["value"], r["count"]) for r in rows} == {
+        ("0", 30), ("1", 30), ("2", 30)
+    }
