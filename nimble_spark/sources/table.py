@@ -638,6 +638,47 @@ def _write_table_locked(
     _hist_cols = opts.histogram_columns or (
         (prior or {}).get("histogram_columns") if mode == "append" else None
     )
+    # Declared synopsis columns must be computable from FILE BYTES and
+    # are stored under their PHYSICAL (stored) names (r8 probe: a
+    # declaration on a partition key silently recorded empty synopses
+    # — the values live in directory paths — and a dedup-alias
+    # declaration never matched its stored twin; both then failed
+    # later with a misleading 'written before declared' error).
+    _part_keys = set((index_meta.get("partition") or {}).get("keys") or [])
+    _stored_names = set((stored_schema or df.schema).names)
+    _alias_map = dict(aliases or {})
+    # alter-renamed tables: current logical name → stored physical name
+    _renames = (schema_mapping or (prior or {}).get("schema_mapping") or {}).get(
+        "renames"
+    ) or {}
+    for _p, _l in _renames.items():
+        _alias_map.setdefault(_l, _p)
+
+    def _norm_synopsis(cols, kind):
+        if not cols:
+            return cols
+        out = []
+        for c in cols:
+            p = _alias_map.get(c, c)  # dedup alias / rename → stored name
+            if c in _part_keys or p in _part_keys:
+                raise ValueError(
+                    f"{kind} declared on partition key {c!r}: partition "
+                    f"values live in directory paths, not file bytes — "
+                    f"per-group counts/sums come from fast_grouped_sum "
+                    f"and the manifest's path values instead"
+                )
+            if p not in _stored_names:
+                raise ValueError(
+                    f"{kind} column {c!r} is not a stored column of "
+                    f"this table"
+                )
+            if p not in out:
+                out.append(p)
+        return out
+
+    _ndv_cols = _norm_synopsis(_ndv_cols, "ndv_columns")
+    _sum_cols = _norm_synopsis(_sum_cols, "sum_columns")
+    _hist_cols = _norm_synopsis(_hist_cols, "histogram_columns")
     manifest = _build_manifest(
         spark, stored_schema or df.schema, path, opts, index_meta,
         reuse=reuse, exclude=stray, ndv_cols=_ndv_cols, sum_cols=_sum_cols,

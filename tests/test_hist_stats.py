@@ -156,3 +156,64 @@ def test_show_value_counts_dsl(spark, tmp_path):
     assert {(r["value"], r["count"]) for r in rows} == {
         ("0", 30), ("1", 30), ("2", 30)
     }
+
+
+def test_declarations_normalize_and_refuse(spark, tmp_path):
+    """r8 probe fixes: synopsis declarations (ndv/sum/hist alike) on a
+    partition key refuse at WRITE (values live in paths, not file
+    bytes — pre-fix: silently empty synopses, misleading error later);
+    dedup-alias names resolve to their stored twin; nonexistent
+    columns refuse; alter-renamed logical names resolve to physical."""
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.compaction import fast_ndv
+
+    with pytest.raises(ValueError, match="partition key"):
+        write_table(
+            spark.range(0, 30).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p"),
+            str(tmp_path / "p"),
+            WriteOptions(partition_by=["p"], histogram_columns=["p"]),
+        )
+    with pytest.raises(ValueError, match="partition key"):
+        write_table(
+            spark.range(0, 30).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p"),
+            str(tmp_path / "p2"),
+            WriteOptions(partition_by=["p"], sum_columns=["p"]),
+        )
+    with pytest.raises(ValueError, match="not a stored column"):
+        write_table(
+            spark.range(0, 5).selectExpr("id AS k"),
+            str(tmp_path / "x"),
+            WriteOptions(ndv_columns=["nope"]),
+        )
+    # dedup alias twin: declared under the alias, stored physically once
+    d = str(tmp_path / "a")
+    write_table(
+        spark.range(0, 40).selectExpr(
+            "CAST(id%4 AS STRING) AS tag", "CAST(id%4 AS STRING) AS tag2", "id AS k"
+        ),
+        d,
+        WriteOptions(dedup_columns=True, histogram_columns=["tag2"], ndv_columns=["tag2"]),
+    )
+    m = read_manifest(d)
+    assert m["histogram_columns"] == ["tag"] and m["ndv_columns"] == ["tag"]
+    assert dict(fast_value_counts(d, "tag2")) == dict(fast_value_counts(d, "tag"))
+    assert fast_ndv(d, "tag2")["ndv"] == 4
+    # alter-renamed append: logical declaration lands under physical
+    r = str(tmp_path / "r")
+    write_table(
+        spark.range(0, 30).selectExpr("id AS k", "CAST(id%3 AS STRING) AS tag"), r,
+        WriteOptions(),
+    )
+    alter_table(r, rename={"tag": "label"})
+    write_table(
+        spark.range(30, 60).selectExpr("id AS k", "CAST(id%3 AS STRING) AS label"),
+        r,
+        WriteOptions(histogram_columns=["label"]),
+        mode="append",
+    )
+    assert read_manifest(r)["histogram_columns"] == ["tag"]
+    # pre-declaration files still fence loudly with the remedy
+    with pytest.raises(ValueError, match="compact or"):
+        fast_value_counts(r, "label")
+    compact_table(spark, r, target_file_bytes=1 << 30)
+    assert sum(dict(fast_value_counts(r, "label")).values()) == 60
