@@ -205,6 +205,7 @@ def write_flatmap_table(
     opts=None,
     row_key: str | None = None,
     keys_per_group: int = 1_000,
+    mode: str = "overwrite",
 ) -> list[str]:
     """Write ``df`` with ``map_col`` stored flat-map style, persisting
     the discovered key set in the manifest (user_metadata) — readers
@@ -230,6 +231,8 @@ def write_flatmap_table(
 
     from nimble_spark.sources.table import WriteOptions, write_table
 
+    if mode == "append":
+        return _append_flatmap_table(df, map_col, path)
     opts = opts or WriteOptions()
     # discover once (shared by both layouts)
     keys = sorted(
@@ -274,6 +277,73 @@ def write_flatmap_table(
         )
         write_table(flat, os.path.join(path, f"fmgroup={gi:04d}"), WriteOptions())
     return keys
+
+
+def _append_flatmap_table(df: DataFrame, map_col: str, path: str) -> list[str]:
+    """Append rows to an existing flat-map table (either layout). The
+    batch's keys must be a SUBSET of the table's persisted key set —
+    a new key would need a schema-widening rewrite, so it refuses with
+    that remedy rather than silently landing a mismatched file. Keys
+    persisted but absent from the batch store as absent (null value,
+    inMap=false) — exact flat-map semantics.
+
+    Sharded layout crash ordering: GROUP tables append first, the
+    base table LAST. The base row is what makes a row visible (reads
+    join groups onto base), so a crash mid-append leaves invisible
+    group-side debris, never a visible row with silently-absent keys
+    (the base-first ordering's failure mode)."""
+    import json
+    import os
+
+    from nimble_spark.sources.table import read_manifest, write_table
+
+    batch_keys = {
+        r[0]
+        for r in df.select(F.explode(F.map_keys(map_col)).alias("k"))
+        .distinct()
+        .limit(MAX_FLATMAP_KEYS + 1)
+        .collect()
+    }
+    sharded_root = os.path.join(path, "base")
+    if os.path.isdir(sharded_root):
+        m = read_manifest(sharded_root)
+        meta = json.loads(
+            m.get("user_metadata", {}).get(f"flatmap_sharded:{map_col}", "{}")
+        )
+        if not meta:
+            raise ValueError(f"{path} is not a flat-map table for {map_col!r}")
+        groups, row_key = meta["groups"], meta["row_key"]
+        all_keys = [k for g in groups for k in g]
+        extra = sorted(batch_keys - set(all_keys))
+        if extra:
+            raise ValueError(
+                f"append batch carries {len(extra)} key(s) outside the "
+                f"table's persisted flat-map key set (e.g. {extra[:3]}); "
+                f"rewrite the table (mode='overwrite') to widen the keys"
+            )
+        for gi, gkeys in enumerate(groups):
+            flat = _flatten_map_wide(
+                df.select(row_key, map_col), map_col, gkeys, map_col
+            )
+            write_table(flat, os.path.join(path, f"fmgroup={gi:04d}"), mode="append")
+        base_cols = [c for c in df.columns if c != map_col]
+        write_table(df.select(*base_cols), sharded_root, mode="append")
+        return all_keys
+    m = read_manifest(path)
+    persisted = m.get("user_metadata", {}).get(f"flatmap_keys:{map_col}", "")
+    if not persisted:
+        raise ValueError(f"{path} is not a flat-map table for {map_col!r}")
+    all_keys = persisted.split(",")
+    extra = sorted(batch_keys - set(all_keys))
+    if extra:
+        raise ValueError(
+            f"append batch carries {len(extra)} key(s) outside the "
+            f"table's persisted flat-map key set (e.g. {extra[:3]}); "
+            f"rewrite the table (mode='overwrite') to widen the keys"
+        )
+    flat, _ = flatten_map_column(df, map_col, keys=all_keys)
+    write_table(flat, path, mode="append")
+    return all_keys
 
 
 def read_flatmap_table(

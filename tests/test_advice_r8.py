@@ -184,3 +184,34 @@ def test_quoted_path_pyds_constraint_append(spark, tmp_path):
             .save(path)
         )
     assert read_manifest(path)["rows"] == 20
+
+
+def test_combined_flavor_interop(spark, tmp_path):
+    """Combined probe: partitioned + hash-bucketed + alter-renamed +
+    delete-masked, all at once, through duckdb_relation — the logical
+    view (renamed column, no internal bucket ordinal, declared
+    partition type, masks applied) must match Spark's exactly."""
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.deletes import delete_rows, read_with_deletes
+    from nimble_spark.sources.interop import duckdb_relation
+
+    path = str(tmp_path / "combo")
+    write_table(
+        spark.range(0, 120).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS part", "id * 2 AS v"
+        ),
+        path,
+        WriteOptions(partition_by=["part"], bucket_by="k", n_buckets=2),
+    )
+    alter_table(path, rename={"v": "val"})
+    delete_rows(spark, path, "k", [0, 1, 2, 3])
+    con = duckdb.connect()
+    rel = duckdb_relation(con, path)
+    assert sorted(rel.columns) == ["k", "part", "val"]
+    types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    assert types["part"] == "VARCHAR"
+    sdf = read_with_deletes(spark, path)
+    assert rel.aggregate("COUNT(*) AS n").fetchone()[0] == sdf.count() == 116
+    duck_sum = rel.aggregate("CAST(SUM(val) AS BIGINT) AS s").fetchone()[0]
+    spark_sum = sum(r[0] for r in sdf.select("val").collect())
+    assert duck_sum == spark_sum

@@ -177,3 +177,55 @@ def test_flatmap_sharded_requires_row_key(spark, tmp_path):
         df, "feat", str(tmp_path / "t2"), row_key="id", keys_per_group=10
     )
     assert len(keys) == 31
+
+
+def test_flatmap_append_both_layouts(spark, tmp_path):
+    """r8: appends to flat-map tables — batch keys must be a subset of
+    the persisted set (new keys refuse with the rewrite remedy); keys
+    absent from the batch store as ABSENT (inMap=false), and sharded
+    appends land group tables before base (crash → invisible debris,
+    never a visible row with silently-missing keys)."""
+    import pytest
+
+    from nimble_spark.sources.flatmap import read_flatmap_table, write_flatmap_table
+
+    def mkdf(lo, hi, keys_expr):
+        return spark.range(lo, hi).selectExpr("id", f"{keys_expr} AS feat")
+
+    # ---- single-table layout
+    path = str(tmp_path / "single")
+    full = "map_from_arrays(array('a','b','c'), array(id, id*2, id*3))"
+    write_flatmap_table(mkdf(0, 20, full), "feat", path)
+    # append a batch that only carries keys a,b — c must come back absent
+    partial = "map_from_arrays(array('a','b'), array(id, id*2))"
+    write_flatmap_table(mkdf(20, 30, partial), "feat", path, mode="append")
+    back = read_flatmap_table(spark, path, "feat")
+    assert back.count() == 30
+    r = back.filter("id = 25").collect()[0]
+    assert set(r["feat"].keys()) == {"a", "b"}  # c absent, not null
+    r0 = back.filter("id = 5").collect()[0]
+    assert r0["feat"]["c"] == 15
+    # a new key refuses with the remedy
+    with pytest.raises(ValueError, match="rewrite the table"):
+        write_flatmap_table(
+            mkdf(30, 31, "map_from_arrays(array('zz'), array(id))"),
+            "feat", path, mode="append",
+        )
+
+    # ---- sharded layout
+    sh = str(tmp_path / "sharded")
+    wide = (
+        "map_from_arrays(transform(sequence(0,39), i -> concat('k', lpad(CAST(i AS STRING),3,'0'))), "
+        "transform(sequence(0,39), i -> id*100 + CAST(i AS BIGINT)))"
+    )
+    write_flatmap_table(mkdf(0, 10, wide), "feat", sh, row_key="id", keys_per_group=10)
+    write_flatmap_table(mkdf(10, 15, wide), "feat", sh, mode="append")
+    out = read_flatmap_table(spark, sh, "feat", keys=["k005", "k035"])
+    assert out.count() == 15
+    r = out.filter("id = 12").collect()[0]
+    assert r["feat"]["k035"] == 12 * 100 + 35
+    with pytest.raises(ValueError, match="rewrite the table"):
+        write_flatmap_table(
+            mkdf(15, 16, "map_from_arrays(array('zz'), array(id))"),
+            "feat", sh, mode="append",
+        )
