@@ -207,6 +207,15 @@ def main() -> None:
         t1 = time.time()
         QUERIES["q_wide_5k_projection"].fn(spark, sf_dir).collect()
         wide["wide5k_projected_read_sec"] = round(time.time() - t1, 3)
+        # r8: vertically-sharded flat-map (2k keys, two 1000-key file
+        # groups) — first includes the one-time cached build; warm is
+        # the 3-key projected read (opens only the owning groups)
+        t0 = time.time()
+        QUERIES["q_flatmap_sharded_projection"].fn(spark, sf_dir).collect()
+        wide["flatmap2k_first_sec"] = round(time.time() - t0, 3)
+        t1 = time.time()
+        QUERIES["q_flatmap_sharded_projection"].fn(spark, sf_dir).collect()
+        wide["flatmap2k_projected_read_sec"] = round(time.time() - t1, 3)
         for k, v in wide.items():
             print(f"# wide.{k}: {v}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001

@@ -1894,6 +1894,55 @@ def q_wide_5k_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sharded flat-map drill constants (deterministic arithmetic — the
+# oracle is closed-form SQL over range(), zero oracle-side build)
+_FMS_KEYS = 2000
+_FMS_ROWS = 300
+_FMS_PICK = (7, 1000, 1999)  # spans both 1000-key groups
+
+
+@register(
+    "q_flatmap_sharded_projection",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           {", ".join(f"CAST(SUM(id * 100 + {i}) AS BIGINT) AS s_k{i:04d}" for i in _FMS_PICK)}
+    FROM (SELECT range AS id FROM range({_FMS_ROWS}))
+    """,
+    category="format",
+)
+def q_flatmap_sharded_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertically-sharded flat-map (r8, sources/flatmap.py): a
+    2000-key map stored as two 1000-key file groups; a 3-key projected
+    read opens only the owning groups and only the requested streams
+    (plan-gated in tests/test_wide_schema_drill.py at 10k keys). Cell
+    values are exact integer arithmetic on the row id, so the oracle
+    is closed-form SQL over range() — the engine-side build happens
+    once (cached). The reference's analogue is flat-map stream
+    grouping inside the tablet at up to 200k keys
+    (velox/NimbleConfig.h:27)."""
+    from nimble_spark.sources.flatmap import read_flatmap_table, write_flatmap_table
+
+    def _build(tmp: str) -> None:
+        src = spark.range(0, _FMS_ROWS).coalesce(4).selectExpr(
+            "id",
+            f"map_from_arrays("
+            f"transform(sequence(0,{_FMS_KEYS - 1}), i -> concat('k', lpad(CAST(i AS STRING),4,'0'))), "
+            f"transform(sequence(0,{_FMS_KEYS - 1}), i -> id*100 + CAST(i AS BIGINT))) AS feat",
+        )
+        write_flatmap_table(src, "feat", tmp, row_key="id", keys_per_group=1000)
+
+    path = ensure_cached(sf_dir, "flatmap_sharded_2k", [], _build)
+    picked = [f"k{i:04d}" for i in _FMS_PICK]
+    df = read_flatmap_table(spark, path, "feat", keys=picked)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col("feat").getItem(f"k{i:04d}")).alias(f"s_k{i:04d}")
+            for i in _FMS_PICK
+        ],
+    )
+
+
 @register(
     "q_fast_ndv",
     oracle="""
