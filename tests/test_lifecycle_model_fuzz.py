@@ -507,7 +507,16 @@ def _run_lifecycle_combined(spark, path, seed):
     write_table(
         _df(spark, committed.items()),
         path,
-        WriteOptions(cluster_by=["k"], n_cluster_files=2),
+        # r8: all three synopsis kinds ride the whole combined
+        # lifecycle — every append/merge/update/compaction/rollback/
+        # clone must keep them answer-exact (checked in check())
+        WriteOptions(
+            cluster_by=["k"],
+            n_cluster_files=2,
+            ndv_columns=["k"],
+            sum_columns=["v"],
+            histogram_columns=["v"],
+        ),
     )
     snapshots: dict[int, dict[int, int]] = {
         len(read_manifest(path)["commits"]) - 1: dict(committed)
@@ -526,6 +535,26 @@ def _run_lifecycle_combined(spark, path, seed):
     def check():
         assert live() == {k: v for k, v in committed.items() if k not in masked}
         assert read_manifest(path)["rows"] == len(committed)
+        # statistics-answered aggregates: exact against the model when
+        # unmasked, loud refusal while masks pend (never a wrong answer)
+        from collections import Counter
+
+        from nimble_spark.sources.compaction import (
+            fast_ndv,
+            fast_sum,
+            fast_value_counts,
+        )
+
+        if masked:
+            with pytest.raises(ValueError, match="delete masks"):
+                fast_sum(path, vname)
+            return
+        assert fast_sum(path, vname)["sum"] == sum(committed.values())
+        nd = fast_ndv(path, "k")
+        assert nd["exact"] and nd["ndv"] == len(committed)
+        assert dict(fast_value_counts(path, vname)) == dict(
+            Counter(committed.values())
+        )
 
     ops = [
         "append", "merge", "update", "delete", "compact_deletes",
