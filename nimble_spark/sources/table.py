@@ -645,7 +645,14 @@ def _write_table_locked(
     # declaration never matched its stored twin; both then failed
     # later with a misleading 'written before declared' error).
     _part_keys = set((index_meta.get("partition") or {}).get("keys") or [])
-    _stored_names = set((stored_schema or df.schema).names)
+    # stored names = this write's stored schema UNION the prior
+    # manifest's physical fields: an append to an alter-renamed table
+    # carries the LOGICAL name in its frame while the carried
+    # declaration holds the PHYSICAL one (r8 soak: a rename-then-append
+    # sequence falsely refused 'not a stored column' without the union)
+    _stored_names = set((stored_schema or df.schema).names) | {
+        f["name"] for f in ((prior or {}).get("schema", {}) or {}).get("fields", [])
+    }
     _alias_map = dict(aliases or {})
     # alter-renamed tables: current logical name → stored physical name
     _renames = (schema_mapping or (prior or {}).get("schema_mapping") or {}).get(
@@ -1939,12 +1946,21 @@ def layout_options_of(manifest: dict, n_cluster_files: int | None = None) -> Wri
         kw["bloom_cols"] = list(idx["bloom"]["keys"])
     if manifest.get("constraints"):
         kw["check_constraints"] = dict(manifest["constraints"])
+    # synopsis declarations live under PHYSICAL names; every consumer
+    # of these options rewrites the LOGICAL view (read_table →
+    # staged_swap_rewrite materializes renames), so translate — a
+    # stale physical name would silently skip at describe time and
+    # the fast_* fences would misblame 'written before declared'
+    # (r8 soak: rename → compact_deletes)
+    _ren = (manifest.get("schema_mapping") or {}).get("renames") or {}
     if manifest.get("ndv_columns"):
-        kw["ndv_columns"] = list(manifest["ndv_columns"])
+        kw["ndv_columns"] = [_ren.get(c, c) for c in manifest["ndv_columns"]]
     if manifest.get("sum_columns"):
-        kw["sum_columns"] = list(manifest["sum_columns"])
+        kw["sum_columns"] = [_ren.get(c, c) for c in manifest["sum_columns"]]
     if manifest.get("histogram_columns"):
-        kw["histogram_columns"] = list(manifest["histogram_columns"])
+        kw["histogram_columns"] = [
+            _ren.get(c, c) for c in manifest["histogram_columns"]
+        ]
     if "cluster" in idx or "zorder" in idx:
         total = sum(f.get("bytes", 0) for f in manifest.get("files", []))
         kw["n_cluster_files"] = n_cluster_files or max(

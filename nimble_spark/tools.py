@@ -114,6 +114,19 @@ def show_info(spark: SparkSession, path: str) -> DataFrame:
         ("rows", str(m["rows"])),
         ("n_commits", str(len(m.get("commits", [])))),
     ]
+    # declared statistics synopses, surfaced by current LOGICAL names
+    # (the declared lists store physical names — same rename treatment
+    # as SHOW STATS)
+    _ren = (m.get("schema_mapping") or {}).get("renames") or {}
+    for key, mkey in (
+        ("ndv_columns", "ndv_columns"),
+        ("sum_columns", "sum_columns"),
+        ("histogram_columns", "histogram_columns"),
+    ):
+        if m.get(mkey):
+            info.append(
+                (f"synopses.{key}", ",".join(_ren.get(c, c) for c in m[mkey]))
+            )
     info += [(f"user.{k}", str(v)) for k, v in sorted(m.get("user_metadata", {}).items())]
     return spark.createDataFrame(info, "key STRING, value STRING")
 

@@ -217,3 +217,49 @@ def test_declarations_normalize_and_refuse(spark, tmp_path):
         fast_value_counts(r, "label")
     compact_table(spark, r, target_file_bytes=1 << 30)
     assert sum(dict(fast_value_counts(r, "label")).values()) == 60
+
+
+def test_show_info_lists_synopsis_declarations(spark, tmp_path):
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "i")
+    write_table(
+        _rows(spark, 0, 30, 3), path,
+        WriteOptions(ndv_columns=["tag"], sum_columns=["k"], histogram_columns=["tag"]),
+    )
+    alter_table(path, rename={"tag": "label"})
+    info = {r["key"]: r["value"] for r in run_command(spark, path, "SHOW INFO").collect()}
+    assert info["synopses.ndv_columns"] == "label"
+    assert info["synopses.sum_columns"] == "k"
+    assert info["synopses.histogram_columns"] == "label"
+
+
+def test_rename_then_full_rewrite_carries_synopses(spark, tmp_path):
+    """r8 soak catch: a full rewrite (compact_deletes / recluster)
+    materializes the LOGICAL view, so synopsis declarations carried
+    under stale PHYSICAL names must translate — pre-fix the rewrite
+    silently skipped the absent column and fast_* later misblamed
+    'written before declared'."""
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.compaction import fast_ndv, fast_sum, recluster_table
+    from nimble_spark.sources.deletes import compact_deletes, delete_rows
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 60).selectExpr("id AS k", "id * 10 AS v"),
+        path,
+        WriteOptions(
+            cluster_by=["k"], n_cluster_files=2,
+            ndv_columns=["k"], sum_columns=["v"], histogram_columns=["v"],
+        ),
+    )
+    alter_table(path, rename={"v": "val"})
+    delete_rows(spark, path, "k", [0])
+    compact_deletes(spark, path)  # full rewrite, logical view stored
+    assert fast_sum(path, "val")["sum"] == sum(i * 10 for i in range(1, 60))
+    assert fast_ndv(path, "k")["ndv"] == 59
+    assert sum(dict(fast_value_counts(path, "val")).values()) == 59
+    # a second full-rewrite flavor on the now-clean table
+    recluster_table(spark, path, n_files=3)
+    assert fast_sum(path, "val")["sum"] == sum(i * 10 for i in range(1, 60))
