@@ -2180,6 +2180,58 @@ def q_fast_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fast_partition_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           (SELECT o_orderstatus FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderstatus
+            ORDER BY COUNT(*) DESC, o_orderstatus LIMIT 1) AS top_status
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    category="format",
+)
+def q_fast_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-SCOPED metadata answers (compaction.
+    fast_partition_stats): rows, exact SUM, exact NDV, and the value
+    distribution of ONE Hive partition, folded from just that
+    partition's file synopses — zero data IO. The per-slice dashboard
+    (per-language corpus stats, per-status rollups) at any table
+    size; partition pruning applied to the METADATA fold itself, the
+    same way the reference prunes stripes before consulting their
+    ChunkStats."""
+    from nimble_spark.sources.compaction import fast_partition_stats
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "orders"),
+            tmp,
+            WriteOptions(
+                partition_by=["o_orderpriority"],
+                sum_columns=["o_custkey"],
+                ndv_columns=["o_orderstatus"],
+                histogram_columns=["o_orderstatus"],
+            ),
+        )
+
+    path = ensure_cached(sf_dir, "orders__pstats", ["orders"], _build)
+    st = fast_partition_stats(path, ("o_orderpriority", "1-URGENT"))
+    vc = st["value_counts"]["o_orderstatus"]
+    top_status, _n = min(vc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(
+            st["rows"],
+            int(st["sums"]["o_custkey"]),
+            int(st["ndv"]["o_orderstatus"]),
+            top_status,
+        )],
+        "n_rows BIGINT, key_sum BIGINT, n_status BIGINT, top_status STRING",
+    )
+
+
+@register(
     "q_dsl_fast_count",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -712,6 +712,121 @@ def fast_grouped_sum(path: str, col: str) -> list[tuple]:
     )
 
 
+def _partition_scope(m: dict, partition) -> list[dict]:
+    """The manifest entries belonging to one Hive partition value —
+    the file subset every partition-scoped fast_* folds over. Raises
+    when the named key is not a declared partition key (a typo must
+    not silently fold the WHOLE table)."""
+    if partition is None:
+        return m["files"]
+    import pyspark.sql.types as T
+
+    from nimble_spark.sources.datasource import (
+        _parse_partition_value,
+        _path_partition_values,
+    )
+
+    pkey, pval = partition
+    keys = (m.get("indexes", {}).get("partition") or {}).get("keys") or []
+    if pkey not in keys:
+        raise ValueError(
+            f"{pkey!r} is not a partition key of this table "
+            f"(declared: {keys or 'none'})"
+        )
+    ptype = {
+        f["name"]: T.StructField.fromJson(f).dataType.simpleString()
+        for f in m["schema"]["fields"]
+    }.get(pkey, "string")
+    out = []
+    for f in m["files"]:
+        raw = _path_partition_values(f["path"]).get(pkey)
+        if raw is not None and _parse_partition_value(raw, ptype) == pval:
+            out.append(f)
+    return out
+
+
+def fast_partition_stats(path: str, partition: tuple) -> dict:
+    """Everything the synopses know about ONE partition, zero data IO:
+    ``{"rows": n, "sums": {col: v}, "ndv": {col: n}, "value_counts":
+    {col: {...}}}`` folded from just that partition's file entries —
+    the per-slice dashboard (per-language corpus stats, per-status
+    order rollups) at any table size. Same fences as the global
+    fast_* family (masks refuse; synopses must be complete)."""
+    import os as _os
+
+    import pyspark.sql.types as T
+
+    from nimble_spark.sources.table import NDV_K, SUM_SCALE
+
+    m = read_manifest(path)
+    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+        raise ValueError(
+            "fast_partition_stats on a table with pending delete masks "
+            "would over-report; run compact_deletes first"
+        )
+    files = _partition_scope(m, partition)
+    dtype = {
+        f["name"]: T.StructField.fromJson(f).dataType.simpleString()
+        for f in m["schema"]["fields"]
+    }
+    out: dict = {"rows": int(sum(f["rows"] for f in files))}
+    sums: dict = {}
+    for c in m.get("sum_columns") or []:
+        total = 0
+        for f in files:
+            s = (f.get("sums") or {}).get(c)
+            if s is None:
+                raise ValueError(
+                    f"file {f['path']} lacks a SUM synopsis for {c!r}; "
+                    f"compact or rewrite to refresh"
+                )
+            total += s
+        sums[c] = total / SUM_SCALE if dtype.get(c) in ("float", "double") else total
+    if sums:
+        out["sums"] = sums
+    ndv: dict = {}
+    for c in m.get("ndv_columns") or []:
+        union: set = set()
+        complete = True
+        for f in files:
+            hs = (f.get("ndv") or {}).get(c)
+            if hs is None:
+                raise ValueError(
+                    f"file {f['path']} lacks an NDV synopsis for {c!r}; "
+                    f"compact or rewrite to refresh"
+                )
+            if len(hs) >= NDV_K:
+                complete = False
+            union.update(hs)
+        if complete or len(union) < NDV_K:
+            ndv[c] = len(union) if complete else len(sorted(union)[:NDV_K])
+        else:
+            kth = sorted(union)[NDV_K - 1] / float(1 << 64)
+            ndv[c] = int(round((NDV_K - 1) / kth))
+    if ndv:
+        out["ndv"] = ndv
+    vcs: dict = {}
+    for c in m.get("histogram_columns") or []:
+        folded: dict = {}
+        for f in files:
+            h = (f.get("hist") or {}).get(c)
+            if h is None:
+                raise ValueError(
+                    f"file {f['path']} lacks a value histogram for "
+                    f"{c!r}; compact or rewrite to refresh"
+                )
+            if h.get("overflow"):
+                raise ValueError(
+                    f"column {c!r} exceeded HIST_K in file {f['path']}"
+                )
+            for v, n in h["counts"]:
+                folded[v] = folded.get(v, 0) + n
+        vcs[c] = folded
+    if vcs:
+        out["value_counts"] = vcs
+    return out
+
+
 def _folded_histogram(path: str, col: str) -> dict:
     """Fold the per-file value histograms into the table's exact
     value→count map (associative integer addition per value — the

@@ -263,3 +263,34 @@ def test_rename_then_full_rewrite_carries_synopses(spark, tmp_path):
     # a second full-rewrite flavor on the now-clean table
     recluster_table(spark, path, n_files=3)
     assert fast_sum(path, "val")["sum"] == sum(i * 10 for i in range(1, 60))
+
+
+def test_fast_partition_stats(spark, tmp_path):
+    """r8: partition-scoped metadata folds — rows/sum/ndv/value-counts
+    of one Hive partition from its file synopses alone; typos on the
+    partition key refuse rather than folding the whole table."""
+    from nimble_spark.sources.compaction import fast_partition_stats
+
+    path = str(tmp_path / "p")
+    write_table(
+        spark.range(0, 90).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS part", "CAST(id % 5 AS STRING) AS tag"
+        ),
+        path,
+        WriteOptions(
+            partition_by=["part"],
+            sum_columns=["k"],
+            ndv_columns=["tag"],
+            histogram_columns=["tag"],
+        ),
+    )
+    st = fast_partition_stats(path, ("part", "1"))
+    want_keys = [i for i in range(90) if i % 3 == 1]
+    assert st["rows"] == 30
+    assert st["sums"]["k"] == sum(want_keys)
+    assert st["ndv"]["tag"] == len({str(i % 5) for i in want_keys})
+    from collections import Counter
+
+    assert st["value_counts"]["tag"] == dict(Counter(str(i % 5) for i in want_keys))
+    with pytest.raises(ValueError, match="not a partition key"):
+        fast_partition_stats(path, ("tag", "1"))
