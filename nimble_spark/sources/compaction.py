@@ -770,6 +770,20 @@ def fast_partition_stats(path: str, partition: tuple) -> dict:
         for f in m["schema"]["fields"]
     }
     out: dict = {"rows": int(sum(f["rows"] for f in files))}
+    # per-partition MIN/MAX come free: every entry already carries
+    # per-file bounds for the stat columns (no declaration needed)
+    mins: dict = {}
+    maxs: dict = {}
+    for f in files:
+        for c, v in (f.get("min") or {}).items():
+            if v is not None and (c not in mins or v < mins[c]):
+                mins[c] = v
+        for c, v in (f.get("max") or {}).items():
+            if v is not None and (c not in maxs or v > maxs[c]):
+                maxs[c] = v
+    if mins:
+        out["min"] = mins
+        out["max"] = maxs
     sums: dict = {}
     for c in m.get("sum_columns") or []:
         total = 0

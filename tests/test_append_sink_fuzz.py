@@ -164,3 +164,36 @@ if HAVE_HYP:
                 assert got[i] == {}
             else:
                 assert "a" in got[i] and got[i]["a"] == v
+
+
+def test_stream_sink_carries_synopses(spark, tmpdir):
+    """r8: micro-batch appends through the streaming sink keep every
+    synopsis kind current — the first batch declares them, every later
+    batch's files compute theirs, and the folds stay exact."""
+    from nimble_spark.sources.compaction import fast_ndv, fast_sum, fast_value_counts
+    from nimble_spark.sources.table import WriteOptions
+    from nimble_spark.streaming.sink import stream_to_table
+
+    src = f"{tmpdir}/src"
+    spark.range(0, 200).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS tag"
+    ).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("k LONG, tag STRING")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    path = f"{tmpdir}/sink"
+    q = stream_to_table(
+        stream, path, f"{tmpdir}/ckpt2",
+        opts=WriteOptions(ndv_columns=["tag"], sum_columns=["k"],
+                          histogram_columns=["tag"]),
+    )
+    q.awaitTermination(120)
+    assert fast_sum(path, "k")["sum"] == sum(range(200))
+    assert fast_ndv(path, "tag") == {"ndv": 7, "exact": True, "k": 256}
+    from collections import Counter
+
+    assert dict(fast_value_counts(path, "tag")) == dict(
+        Counter(str(i % 7) for i in range(200))
+    )

@@ -287,6 +287,7 @@ def test_fast_partition_stats(spark, tmp_path):
     st = fast_partition_stats(path, ("part", "1"))
     want_keys = [i for i in range(90) if i % 3 == 1]
     assert st["rows"] == 30
+    assert st["min"]["k"] == min(want_keys) and st["max"]["k"] == max(want_keys)
     assert st["sums"]["k"] == sum(want_keys)
     assert st["ndv"]["tag"] == len({str(i % 5) for i in want_keys})
     from collections import Counter
