@@ -236,6 +236,33 @@ def show_grouped_sums(spark: SparkSession, path: str, col: str) -> DataFrame:
     return spark.createDataFrame(rows, "group STRING, rows BIGINT, sum STRING")
 
 
+def show_partition_stats(spark: SparkSession, path: str, key: str, value: str) -> DataFrame:
+    """SHOW PARTITION STATS key=value: everything the synopses know
+    about ONE partition (compaction.fast_partition_stats) — rows,
+    min/max, exact sums, exact NDV, value counts — zero data IO.
+    Key-value rows, values as strings (one schema for all kinds)."""
+    import pyspark.sql.types as T
+
+    from nimble_spark.sources.compaction import fast_partition_stats
+
+    m = read_manifest(path, materialize=False)
+    ptype = {
+        f["name"]: T.StructField.fromJson(f).dataType.simpleString()
+        for f in m["schema"]["fields"]
+    }.get(key, "string")
+    from nimble_spark.sources.datasource import _parse_partition_value
+
+    st = fast_partition_stats(path, (key, _parse_partition_value(value, ptype)))
+    rows = [("rows", str(st["rows"]))]
+    for kind in ("min", "max", "sums", "ndv"):
+        for c, v in sorted(st.get(kind, {}).items()):
+            rows.append((f"{kind}.{c}", str(v)))
+    for c, vc in sorted(st.get("value_counts", {}).items()):
+        for v, n in sorted(vc.items(), key=lambda kv: repr(kv[0])):
+            rows.append((f"value_counts.{c}[{v}]", str(n)))
+    return spark.createDataFrame(rows, "stat STRING, value STRING")
+
+
 def show_value_counts(spark: SparkSession, path: str, col: str) -> DataFrame:
     """SHOW VALUE COUNTS col: the column's exact non-null value
     distribution folded from the per-file histograms
@@ -818,7 +845,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     dwio/nimble/tools/NimbleDslVm.cpp):
 
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW SUMS [col] |
-      SHOW GROUPED SUMS col | SHOW VALUE COUNTS col | SELECT COUNT(*) | SHOW FILES |
+      SHOW GROUPED SUMS col | SHOW VALUE COUNTS col | SHOW PARTITION STATS k=v |
+      SELECT COUNT(*) | SHOW FILES |
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
@@ -855,6 +883,9 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     m = re.match(r"SHOW VALUE COUNTS?\s+(\w+)$", c, re.I)
     if m:
         return show_value_counts(spark, path, m.group(1))
+    m = re.match(r"SHOW PARTITION STATS\s+(\w+)\s*=\s*'?([^']*?)'?$", c, re.I)
+    if m:
+        return show_partition_stats(spark, path, m.group(1), m.group(2))
     m = re.match(r"SHOW SUMS?(?:\s+(\w+))?$", c, re.I)
     if m:
         return show_sums(spark, path, m.group(1))

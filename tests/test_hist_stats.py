@@ -295,3 +295,53 @@ def test_fast_partition_stats(spark, tmp_path):
     assert st["value_counts"]["tag"] == dict(Counter(str(i % 5) for i in want_keys))
     with pytest.raises(ValueError, match="not a partition key"):
         fast_partition_stats(path, ("tag", "1"))
+
+
+def test_show_partition_stats_dsl(spark, tmp_path):
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "d")
+    write_table(
+        spark.range(0, 60).selectExpr(
+            "id AS k", "CAST(id % 2 AS STRING) AS part", "CAST(id % 3 AS STRING) AS tag"
+        ),
+        path,
+        WriteOptions(partition_by=["part"], sum_columns=["k"], histogram_columns=["tag"]),
+    )
+    rows = {
+        r["stat"]: r["value"]
+        for r in run_command(spark, path, "SHOW PARTITION STATS part=1").collect()
+    }
+    odd = [i for i in range(60) if i % 2 == 1]
+    assert rows["rows"] == "30"
+    assert rows["sums.k"] == str(sum(odd))
+    assert rows["min.k"] == "1" and rows["max.k"] == "59"
+    from collections import Counter
+
+    want = Counter(str(i % 3) for i in odd)
+    for v, n in want.items():
+        assert rows[f"value_counts.tag[{v}]"] == str(n)
+
+
+def test_clone_carries_all_synopses(spark, tmp_path):
+    """r8 probe: shallow clone answers fast_* from carried entries;
+    deepen + clone-append stay exact; the source never moves."""
+    from nimble_spark.sources.clone import clone_table, deepen_clone
+    from nimble_spark.sources.compaction import fast_sum
+
+    src = str(tmp_path / "s")
+    write_table(
+        spark.range(0, 50).selectExpr("id AS k", "CAST(id % 4 AS STRING) AS tag"),
+        src,
+        WriteOptions(sum_columns=["k"], histogram_columns=["tag"]),
+    )
+    dst = str(tmp_path / "c")
+    clone_table(spark, src, dst, shallow=True)
+    assert fast_sum(dst, "k")["sum"] == sum(range(50))
+    deepen_clone(spark, dst)
+    write_table(
+        spark.range(50, 60).selectExpr("id AS k", "'9' AS tag"), dst, mode="append"
+    )
+    assert fast_sum(dst, "k")["sum"] == sum(range(60))
+    assert fast_sum(src, "k")["sum"] == sum(range(50))
+    assert dict(fast_value_counts(dst, "tag"))["9"] == 10
