@@ -846,7 +846,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
 
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW SUMS [col] |
       SHOW GROUPED SUMS col | SHOW VALUE COUNTS col | SHOW PARTITION STATS k=v |
-      SELECT COUNT(*) | SHOW FILES |
+      SELECT COUNT(*) | SELECT SUM(col) | SELECT COUNT(DISTINCT col) | SHOW FILES |
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
@@ -1045,6 +1045,33 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         from nimble_spark.sources.encoding_report import encoding_report
 
         return encoding_report(spark, path)
+    m = re.match(r"SELECT\s+SUM\(\s*(\w+)\s*\)(?:\s+FROM\s+\S+)?$", c, re.I)
+    if m:
+        # SUM(col)-only: the statistics path when the column carries a
+        # sum synopsis (exact string rendering, SHOW SUMS discipline)
+        from nimble_spark.sources.compaction import fast_sum
+
+        r = fast_sum(path, m.group(1))
+        s = r["sum"]
+        return spark.createDataFrame(
+            [(
+                str(s) if isinstance(s, int) else repr(float(s)),
+                "statistics (per-file sum synopses; zero data IO)",
+            )],
+            "sum STRING, answered_by STRING",
+        )
+    m = re.match(
+        r"SELECT\s+COUNT\(\s*DISTINCT\s+(\w+)\s*\)(?:\s+FROM\s+\S+)?$", c, re.I
+    )
+    if m:
+        from nimble_spark.sources.compaction import fast_ndv
+
+        r = fast_ndv(path, m.group(1))
+        how = "exact" if r["exact"] else f"KMV estimate (k={r['k']})"
+        return spark.createDataFrame(
+            [(r["ndv"], bool(r["exact"]), f"statistics ({how}; zero data IO)")],
+            "count BIGINT, exact BOOLEAN, answered_by STRING",
+        )
     m = re.match(r"SELECT\s+COUNT\(\s*\*\s*\)(?:\s+FROM\s+\S+)?$", c, re.I)
     if m:
         # COUNT(*)-only goes through the statistics path: pure manifest

@@ -323,3 +323,27 @@ def test_fast_count_mask_fence(spark, tmp_path):
         fast_count(spark, path)
     compact_deletes(spark, path)
     assert fast_count(spark, path) == 99
+
+
+def test_dsl_select_sum_and_count_distinct(spark, tmp_path):
+    """r8: DSL SELECT SUM(col) / COUNT(DISTINCT col) route through the
+    synopsis paths with answered_by explain columns; undeclared
+    columns refuse with the declaration remedy."""
+    import pytest as _pytest
+
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "t")
+    write_table(
+        spark.range(0, 200).selectExpr("id AS k", "CAST(id % 9 AS STRING) AS tag"),
+        path,
+        WriteOptions(sum_columns=["k"], ndv_columns=["tag"]),
+    )
+    r = run_command(spark, path, "SELECT SUM(k)").collect()[0]
+    assert r["sum"] == str(sum(range(200))) and "statistics" in r["answered_by"]
+    r = run_command(spark, path, "SELECT COUNT(DISTINCT tag) FROM t").collect()[0]
+    assert r["count"] == 9 and r["exact"] and "exact" in r["answered_by"]
+    with _pytest.raises(ValueError, match="no SUM synopsis"):
+        run_command(spark, path, "SELECT SUM(tag)")
+    with _pytest.raises(ValueError, match="no NDV synopsis"):
+        run_command(spark, path, "SELECT COUNT(DISTINCT k)")
