@@ -197,3 +197,40 @@ def test_stream_sink_carries_synopses(spark, tmpdir):
     assert dict(fast_value_counts(path, "tag")) == dict(
         Counter(str(i % 7) for i in range(200))
     )
+
+
+def test_pyds_stream_sink_carries_synopses(spark, tmpdir):
+    """r8 probe: writeStream.format('nimble') micro-batch appends keep
+    sum + histogram synopses fold-exact (the stream writer delegates
+    to the batch writer's commit, which carries prior declarations)."""
+    from collections import Counter
+
+    from nimble_spark.sources.compaction import fast_sum, fast_value_counts
+    from nimble_spark.sources.datasource import register_nimble_source
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    register_nimble_source(spark)
+    src = f"{tmpdir}/src2"
+    spark.range(0, 120).selectExpr(
+        "id AS k", "CAST(id % 5 AS STRING) AS tag"
+    ).repartition(3).write.parquet(src)
+    dst = f"{tmpdir}/dst2"
+    write_table(
+        spark.range(120, 130).selectExpr("id AS k", "CAST(id % 5 AS STRING) AS tag"),
+        dst,
+        WriteOptions(sum_columns=["k"], histogram_columns=["tag"]),
+    )
+    q = (
+        spark.readStream.schema("k LONG, tag STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("nimble")
+        .option("checkpointLocation", f"{tmpdir}/ck2")
+        .trigger(availableNow=True)
+        .start(dst)
+    )
+    q.awaitTermination(120)
+    assert fast_sum(dst, "k")["sum"] == sum(range(130))
+    assert dict(fast_value_counts(dst, "tag")) == dict(
+        Counter(str(i % 5) for i in range(130))
+    )
