@@ -90,8 +90,12 @@ SCHEMAS: dict[str, list[tuple[str, str]]] = {
     ],
 }
 
-# unique-key prefix per table (ORDER BY these → total order → LIMIT
-# is a deterministic row set)
+# ORDER BY prefix per table. LIMIT needs a TOTAL order: the generator
+# appends every remaining column as a tiebreaker, and build_pools
+# verifies full-row uniqueness per table (the synthetic lineitem has
+# duplicate (l_orderkey, l_linenumber) pairs — found by this fuzzer's
+# own first soak as a false positive); tables with duplicate full
+# rows get no LIMIT at all.
 PKS: dict[str, tuple[str, ...]] = {
     "lineitem": ("l_orderkey", "l_linenumber"),
     "orders": ("o_orderkey",),
@@ -101,6 +105,12 @@ PKS: dict[str, tuple[str, ...]] = {
     "events": ("event_id",),
     "documents": ("doc_id",),
 }
+
+
+def order_clause(t: str) -> str:
+    """Deterministic total order: PK prefix + every other column."""
+    rest = [c for c, _ in SCHEMAS[t] if c not in PKS[t]]
+    return ", ".join(list(PKS[t]) + rest)
 
 # low-cardinality group-key candidates
 LOWCARD: dict[str, list[str]] = {
@@ -141,9 +151,16 @@ TS_LITS = [
 class QueryGen:
     """Seeded generator of portable-SQL query strings."""
 
-    def __init__(self, seed: int, pools: dict[str, dict[str, list]]):
+    def __init__(self, seed: int, pools: dict[str, dict[str, list]],
+                 limit_safe: set[str] | None = None):
         self.rng = random.Random(seed)
         self.pools = pools  # table -> col -> sampled distinct values
+        # tables whose FULL rows are unique (LIMIT under a total order
+        # is then a deterministic row set); None = assume all safe
+        self.limit_safe = SCHEMAS.keys() if limit_safe is None else limit_safe
+
+    def _limit(self, t: str, n: int) -> str:
+        return f" LIMIT {n}" if t in self.limit_safe else ""
 
     # -- helpers
     def cols(self, table: str, kind: str) -> list[str]:
@@ -343,7 +360,7 @@ class QueryGen:
         sel = ", ".join(list(pk) + exprs)
         return (
             f"SELECT {sel} FROM {t} WHERE {self.pred(t)} "
-            f"ORDER BY {', '.join(pk)} LIMIT {self.rng.randint(10, 200)}"
+            f"ORDER BY {order_clause(t)}{self._limit(t, self.rng.randint(10, 200))}"
         )
 
     def q_group_agg(self) -> str:
@@ -394,7 +411,7 @@ class QueryGen:
         )
         return (
             f"SELECT {sel} FROM {t} WHERE {self.pred(t)} "
-            f"ORDER BY {', '.join(pk)} LIMIT 500"
+            f"ORDER BY {order_clause(t)}{self._limit(t, 500)}"
         )
 
     def q_subquery(self) -> str:
@@ -405,7 +422,7 @@ class QueryGen:
             f"SELECT {', '.join(pk)} FROM {lt} "
             f"WHERE {self.pred(lt)} AND {lk} {neg}IN "
             f"(SELECT {rk} FROM {rt} WHERE {self.pred(rt)}) "
-            f"ORDER BY {', '.join(pk)} LIMIT 200"
+            f"ORDER BY {order_clause(lt)}{self._limit(lt, 200)}"
         )
 
     def q_setop(self) -> str:
@@ -489,10 +506,12 @@ def run_one(spark, con, sql: str) -> tuple[bool, str]:
     return True, f"rows={len(srows)}"
 
 
-def build_pools(con) -> dict[str, dict[str, list]]:
+def build_pools(con) -> tuple[dict[str, dict[str, list]], set[str]]:
     """Sample up to 8 distinct values per string column (selective
-    literals for eq/IN/LIKE — random strings would never match)."""
+    literals for eq/IN/LIKE — random strings would never match) and
+    determine which tables have unique full rows (LIMIT-safe)."""
     pools: dict[str, dict[str, list]] = {}
+    limit_safe: set[str] = set()
     for t, cols in SCHEMAS.items():
         pools[t] = {}
         for c, k in cols:
@@ -506,16 +525,22 @@ def build_pools(con) -> dict[str, dict[str, list]]:
                 ).fetchall()
             ]
             pools[t][c] = vals
-    return pools
+        all_cols = ", ".join(c for c, _ in cols)
+        n, nd = con.sql(
+            f"SELECT COUNT(*), COUNT(DISTINCT ({all_cols})) FROM {t}"
+        ).fetchone()
+        if n == nd:
+            limit_safe.add(t)
+    return pools, limit_safe
 
 
 def run_fuzz(spark, con, n: int, seed0: int = 0, shape: str | None = None,
              verbose: bool = True) -> list[tuple[int, str, str, str]]:
-    pools = build_pools(con)
+    pools, limit_safe = build_pools(con)
     failures = []
     for i in range(n):
         seed = seed0 + i
-        gen = QueryGen(seed, pools)
+        gen = QueryGen(seed, pools, limit_safe)
         sh = shape or QueryGen.SHAPES[seed % len(QueryGen.SHAPES)]
         _, sql = gen.gen(sh)
         t0 = time.time()

@@ -214,10 +214,14 @@ def fast_count(
     their manifest row count without being opened; only boundary
     files — the ones whose [min,max] straddles an endpoint — are
     actually scanned. On a clustered table that is at most ~2 files
-    per endpoint regardless of table size."""
+    per endpoint regardless of table size. Unfiltered counts read the
+    ROOT only (zero page IO on a sharded manifest); filtered counts
+    skip pages whose folded bounds are disjoint from the range."""
     from pyspark.sql import functions as F
 
-    m = read_manifest(path)
+    from nimble_spark.sources.table import _entries_for_bounds
+
+    m = read_manifest(path, materialize=False)
     # the same fence as every other fast_* path (r8: fast_count was the
     # one family member WITHOUT it — manifest row counts don't know
     # about merge-on-read masks, so the stats answer would over-report)
@@ -235,7 +239,7 @@ def fast_count(
     key = _resolve_stats_key(m, key)
     full = 0
     boundary: list[dict] = []
-    for f in m["files"]:
+    for f in _entries_for_bounds(m, path, key, lo, hi):
         fmin, fmax = f["min"].get(key), f["max"].get(key)
         if fmin is None or fmax is None:
             boundary.append(f)
@@ -947,19 +951,37 @@ def fast_median(path: str, col: str) -> float:
 def fast_minmax(spark: SparkSession, path: str, col: str):
     """Statistics-answered MIN/MAX: the global extremes of a column are
     the min/max over the manifest's per-file bounds — zero IO, any
-    table size. Correctness fence: per-file bounds are exact (written
+    table size. On a sharded manifest the fold happens at ROOT level
+    when every page carries the column's folded bound (page bounds
+    exist only when every entry in the page has exact non-null
+    bounds, table.py _page_bounds — so the root fold is exactly the
+    per-file fold): a million-file MIN/MAX then reads zero pages.
+    Correctness fence: per-file bounds are exact (written
     from the data at commit time) and deletes are merge-on-read masks
     that do NOT update bounds, so a table with pending delete masks
     raises rather than over-reporting; compact_deletes first."""
     import os
 
-    m = read_manifest(path)
+    m = read_manifest(path, materialize=False)
     if os.path.isdir(os.path.join(path, MANIFEST_DIR, "deletes")):
         raise ValueError(
             "fast_minmax on a table with pending delete masks would "
             "over-report; run compact_deletes first"
         )
     col = _resolve_stats_key(m, col)  # alter renames + stored twins
+    if "files" not in m:
+        pages = m.get("file_pages", [])
+        if pages and all(
+            col in (pg.get("min") or {}) and col in (pg.get("max") or {})
+            for pg in pages
+        ):
+            return (
+                min(pg["min"][col] for pg in pages),
+                max(pg["max"][col] for pg in pages),
+            )
+        # some page lacks the folded bound (an entry had null/absent
+        # stats) — materialize and let the per-file path refuse loudly
+        m = read_manifest(path)
     mins = [f["min"].get(col) for f in m["files"]]
     maxs = [f["max"].get(col) for f in m["files"]]
     if any(v is None for v in mins + maxs) or not mins:

@@ -342,3 +342,64 @@ def test_end_to_end_sharded_index_cdc_rollback(spark, tmpdir, monkeypatch):
     rollback_table(spark, path, tag="base")
     assert read_table(spark, path).count() == 1000
     assert read_table(spark, path, as_of_commit=1).count() == 1200
+
+
+def test_stats_folds_are_root_or_page_granular(tmpdir, monkeypatch):
+    """Statistics-answered aggregates at sharded-manifest scale (the
+    metadata_scale_drill invariants, pinned small): unfiltered
+    fast_count and fast_minmax answer from the ROOT alone (zero page
+    reads — page bounds fold every column with complete entry stats);
+    a file-aligned range count loads only the pages its range
+    intersects; whole-table fast_sum is the one O(N)-synopsis fold."""
+    from nimble_spark.sources.compaction import fast_count, fast_minmax, fast_sum
+
+    path = _mk_root(f"{tmpdir}/stats_root_folds")
+    files = []
+    for i in range(5_000):
+        e = _fake_entry(i)
+        e["min"], e["max"] = {"k": i * 100}, {"k": i * 100 + 99}
+        e["sums"] = {"k": i}
+        files.append(e)
+    m = {
+        "rows": sum(f["rows"] for f in files),
+        "files": files,
+        "commits": [],
+        "indexes": {"cluster": {"keys": ["k"]}},
+        "sum_columns": ["k"],
+        "schema": {
+            "type": "struct",
+            "fields": [{"name": "k", "type": "long", "nullable": True, "metadata": {}}],
+        },
+    }
+    tbl._write_manifest(path, m)
+
+    loads: list[str] = []
+    real = tbl._load_page
+
+    def counting(meta_dir, rel):
+        loads.append(rel)
+        return real(meta_dir, rel)
+
+    tbl._MANIFEST_CACHE.clear()
+    tbl._PAGE_CACHE.clear()
+    monkeypatch.setattr(tbl, "_load_page", counting)
+
+    assert fast_count(None, path) == m["rows"]
+    assert loads == []  # root arithmetic only
+
+    assert fast_minmax(None, path, "k") == (0, 5_000 * 100 - 1)
+    assert loads == []  # page bounds folded at the root
+
+    # file-aligned 2%-of-keyspace range: only intersecting pages load
+    n_files = 100
+    cnt = fast_count(None, path, ("k", 0, n_files * 100 - 1))
+    assert cnt == sum(f["rows"] for f in files[:n_files])
+    with open(os.path.join(path, tbl.MANIFEST_DIR, tbl.MANIFEST_NAME)) as fh:
+        n_pages = len(json.load(fh)["file_pages"])
+    assert 0 < len(loads) <= max(2, n_pages // 10)
+
+    # whole-table SUM folds every synopsis (O(N) metadata, no data IO)
+    loads.clear()
+    assert fast_sum(path, "k")["sum"] == sum(range(5_000))
+    assert len(loads) == n_pages
+    monkeypatch.setattr(tbl, "_load_page", real)
