@@ -65,12 +65,14 @@ def _entry(i: int) -> dict:
 class PageCounter:
     """Counts _load_page calls without caching interference."""
 
-    def __init__(self):
+    def __init__(self, clear: bool = True):
         self.loads: list[str] = []
         self._real = tbl._load_page
+        self._clear = clear
 
     def __enter__(self):
-        tbl._PAGE_CACHE.clear()
+        if self._clear:
+            tbl._PAGE_CACHE.clear()
 
         def counting(meta_dir, rel):
             self.loads.append(rel)
@@ -137,10 +139,21 @@ def run_drill(n: int, workdir: str) -> dict:
     out["range1pct_pages_loaded"] = len(pc.loads)
     out["range1pct_files_kept"] = len(keep)
 
-    # append 1k entries: O(new) publish, zero prior-page reads
-    appended = files + [_entry(i) for i in range(n, n + 1000)]
+    # append 1k entries, modeled as write_table does it: read_manifest
+    # materializes (pages → cache → the SAME entry objects land in
+    # m["files"]), the appender extends that list, publish re-proves
+    # prior-page reuse by the identity tier — O(new) CPU, zero page
+    # re-reads, zero re-serialization of the prior entries. The
+    # materialize cost is charged separately (append1k_read_s): it is
+    # the once-per-commit metadata read a real append already pays.
+    tbl._MANIFEST_CACHE.clear()
+    tbl._PAGE_CACHE.clear()
+    t0 = time.time()
+    m1 = tbl.read_manifest(path)
+    out["append1k_read_s"] = round(time.time() - t0, 2)
+    appended = m1["files"] + [_entry(i) for i in range(n, n + 1000)]
     manifest2 = dict(manifest, files=appended, rows=(n + 1000) * ROWS_PER_FILE)
-    with PageCounter() as pc:
+    with PageCounter(clear=False) as pc:  # warm cache IS the real state
         t0 = time.time()
         tbl._write_manifest(path, manifest2)
         out["append1k_s"] = round(time.time() - t0, 2)

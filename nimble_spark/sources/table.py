@@ -1329,38 +1329,52 @@ def _publish_pages(meta_dir: str, files: list) -> list[dict]:
         ).get("file_pages", [])
     except (OSError, ValueError):
         pass  # first sharded publish, or prior root unsharded
-    new_by_path = {e["path"]: e for e in files}
+    new_by_path: dict | None = None  # built lazily — only the
+    # load-page fallback needs it, and at 10⁶ entries even the dict
+    # build is a measurable slice of commit latency
     page_list: list[dict] = []
     covered: set[str] = set()
-    # Fast path — ZERO page reads for the pure-append shape: reused
+    # Fast paths — ZERO page reads for the pure-append shape: reused
     # entries keep their prior-manifest (= page) order at the head of
-    # ``files``, so each prior page's content, if unchanged, is
-    # exactly the next pg["n"] entries; re-serializing that run and
-    # comparing against the page's content hash proves byte-identity
-    # without opening the page. Any divergence (compaction removed an
-    # entry, a delete-mask updated one) falls back to loading that
-    # page for the per-entry check — worst case is the old behavior.
+    # ``files``. Two tiers, cheapest first:
+    #  1. identity: the appender extended the very list read_manifest
+    #     materialized, so the run's dicts ARE the page cache's entry
+    #     objects — pointer compares prove reuse in O(n) ns-scale ops
+    #     (entries are copy-on-write by contract: every stats/synopsis
+    #     refresh replaces the dict, never mutates it — the same
+    #     contract the warm page cache already relies on);
+    #  2. content hash: re-serializing the run and comparing against
+    #     the page's sha proves byte-identity without opening the
+    #     page (cross-process appends, where identity can't hold).
+    # Any divergence (compaction removed an entry, a delete-mask
+    # updated one) falls back to loading that page for the per-entry
+    # check — worst case is the old behavior.
     ptr = 0
     for pg in prior_pages:
         n = int(pg.get("n", 0))
         run = files[ptr : ptr + n]
-        if (
-            n
-            and len(run) == n
-            and "min" in pg  # pre-bounds pages need the load to backfill
-            and hashlib.sha256(
-                json.dumps(run, default=_json_safe).encode()
-            ).hexdigest()[:16]
-            == pg.get("sha")
-        ):
-            page_list.append(pg)
-            covered.update(e["path"] for e in run)
-            ptr += n
-            continue
+        if n and len(run) == n and "min" in pg:
+            cached = _PAGE_CACHE.get(os.path.join(meta_dir, pg["path"]))
+            if (
+                cached is not None
+                and len(cached[1]) == n
+                and all(a is b for a, b in zip(run, cached[1]))
+            ) or (
+                hashlib.sha256(
+                    json.dumps(run, default=_json_safe).encode()
+                ).hexdigest()[:16]
+                == pg.get("sha")
+            ):
+                page_list.append(pg)
+                covered.update(e["path"] for e in run)
+                ptr += n
+                continue
         try:
             entries = _load_page(meta_dir, pg["path"])
         except (OSError, ValueError):
             continue  # page swept/corrupt → its entries repage below
+        if new_by_path is None:
+            new_by_path = {e["path"]: e for e in files}
         if entries and all(
             e["path"] not in covered and new_by_path.get(e["path"]) == e
             for e in entries
