@@ -29,6 +29,10 @@ divergence, not a guess:
     not);
   * RANK/DENSE_RANK only with a tiebreaking unique key in ORDER BY;
     windowed SUM only whole-partition (no running frames over ties);
+  * rollup/cube/grouping-sets carry ``HAVING COUNT(*) > 0``: over
+    EMPTY input the standard's empty grouping set () yields one
+    global row (DuckDB/Postgres) while Spark returns no rows — a
+    real Spark-vs-standard divergence THIS fuzzer found (seed 5017);
   * modulo only over known-non-negative columns (negative % differs
     nowhere in these two, but keep the guarantee trivially true).
 
@@ -425,6 +429,73 @@ class QueryGen:
             f"ORDER BY {order_clause(lt)}{self._limit(lt, 200)}"
         )
 
+    def q_outer_join_agg(self) -> str:
+        lt, rt, lk, rk = self.pick(JOINS)
+        jt = self.pick(["LEFT", "FULL OUTER"])
+        key = self.group_key(lt)
+        rcs = self.cols(rt, "i") + self.cols(rt, "d")
+        rcol = self.pick(rcs)
+        sel = ", ".join(
+            [f"{key} AS g0", "COUNT(*) AS cnt", f"COUNT({rcol}) AS rnn",
+             f"MIN({rcol}) AS rmn", f"MAX({rcol}) AS rmx"]
+        )
+        # predicate on the LEFT side only (a right-side WHERE pred on
+        # an outer join reduces it to inner — legal but uninteresting)
+        where = f" WHERE {self.pred(lt, depth=1)}" if self.rng.random() < 0.7 else ""
+        return (
+            f"SELECT {sel} FROM {lt} {jt} JOIN {rt} ON {lk} = {rk}"
+            f"{where} GROUP BY g0"
+        )
+
+    def q_rollup_agg(self) -> str:
+        t = self.pick(list(SCHEMAS))
+        g0, g1 = self.pick(LOWCARD[t]), self.group_key(t)
+        form = self.pick([
+            f"ROLLUP({g0}, {g1})",
+            f"CUBE({g0}, {g1})",
+            f"GROUPING SETS (({g0}), ({g1}), ())",
+        ])
+        sel = (
+            f"{g0} AS g0, {g1} AS g1, "
+            f"CAST(GROUPING({g0}) AS BIGINT) AS gf0, "
+            f"COUNT(*) AS cnt, "
+            f"CAST(SUM({self.int_expr(t, 1)}) AS BIGINT) AS s0"
+        )
+        # HAVING cnt>0 pins a REAL dialect divergence this fuzzer
+        # found (seeds 5017/5027/5117): over EMPTY input, the SQL
+        # standard's empty grouping set () yields one global row
+        # (DuckDB/Postgres: COUNT=0) while Spark expands grouping
+        # sets over input groups and returns NO rows. The HAVING
+        # removes the zero-count global row from both engines.
+        return (
+            f"SELECT {sel} FROM {t} WHERE {self.pred(t)} GROUP BY {form} "
+            f"HAVING COUNT(*) > 0"
+        )
+
+    def q_exists_corr(self) -> str:
+        lt, rt, lk, rk = self.pick(JOINS)
+        # correlate the RIGHT side back to the left row (semi/anti join
+        # the optimizer must plan; DuckDB plans the same semantics)
+        neg = "NOT " if self.rng.random() < 0.4 else ""
+        pk = PKS[lt]
+        return (
+            f"SELECT {', '.join(pk)} FROM {lt} WHERE {self.pred(lt, depth=1)} "
+            f"AND {neg}EXISTS (SELECT 1 FROM {rt} WHERE {rk} = {lk} "
+            f"AND {self.pred(rt, depth=1)}) "
+            f"ORDER BY {order_clause(lt)}{self._limit(lt, 300)}"
+        )
+
+    def q_distinct_proj(self) -> str:
+        t = self.pick(list(SCHEMAS))
+        exprs = []
+        for i in range(self.rng.randint(1, 3)):
+            e, _ = self.any_expr(t, 1)
+            exprs.append(f"{e} AS e{i}")
+        return (
+            f"SELECT DISTINCT {', '.join(exprs)} FROM {t} "
+            f"WHERE {self.pred(t)}"
+        )
+
     def q_setop(self) -> str:
         t = self.pick(list(SCHEMAS))
         op = self.pick(["UNION", "INTERSECT", "EXCEPT"])
@@ -439,6 +510,7 @@ class QueryGen:
     SHAPES = (
         "filter_order", "group_agg", "join_agg",
         "window", "subquery", "setop",
+        "outer_join_agg", "rollup_agg", "exists_corr", "distinct_proj",
     )
 
     def gen(self, shape: str | None = None) -> tuple[str, str]:
