@@ -205,3 +205,54 @@ def test_compaction_preserves_manifest_order_and_row_range(spark, tmpdir):
     ]
     got = read_table(spark, path, row_range=(100, 110))
     assert sorted(r["k"] for r in got.collect()) == list(range(100, 110))
+
+
+def test_concurrent_appends_on_sharded_manifest(spark, tmpdir, monkeypatch):
+    """The contended-append drill repeated with the manifest FORCED
+    sharded (low threshold + tiny pages): every commit repaginates
+    under the lock, prior-page reuse (identity tier first, sha
+    fallback) runs concurrently with other writers' materializations,
+    and the final paged manifest must carry every row exactly once.
+    Guards the repagination fast paths against interleaving bugs the
+    single-writer tests can't see."""
+    import nimble_spark.sources.table as tbl
+
+    monkeypatch.setattr(tbl, "SHARD_FILE_THRESHOLD", 4)
+    monkeypatch.setattr(tbl, "MANIFEST_PAGE_SIZE", 3)
+
+    path = f"{tmpdir}/contended_sharded"
+    base = spark.range(100).selectExpr("id AS k", "id AS v")
+    write_table(base, path, WriteOptions())
+
+    errors: list[Exception] = []
+
+    def appender(tid: int):
+        try:
+            for j in range(3):
+                lo = 1000 * (tid + 1) + 100 * j
+                df = spark.range(lo, lo + 100).selectExpr("id AS k", "id AS v")
+                write_table(df, path, WriteOptions(), mode="append")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+
+    # the manifest ended up (and stayed) sharded
+    import json as _json
+
+    with open(os.path.join(path, tbl.MANIFEST_DIR, tbl.MANIFEST_NAME)) as fh:
+        raw = _json.load(fh)
+    assert "file_pages" in raw and "files" not in raw
+
+    m = read_manifest(path)
+    expect = 100 + 6 * 3 * 100
+    assert m["rows"] == expect
+    got = read_table(spark, path)
+    assert got.count() == expect
+    assert got.select("k").distinct().count() == expect  # no dup, no loss
+    assert len(m.get("commits", [])) == 1 + 6 * 3
