@@ -2252,3 +2252,35 @@ def q_dsl_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_command(spark, path, "SELECT COUNT(*)").select(
         F.col("count").alias("cnt"), "answered_by"
     )
+
+
+@register(
+    "q_fast_topk",
+    oracle="""
+    SELECT source AS val, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE source IS NOT NULL
+    GROUP BY source ORDER BY n DESC, val LIMIT 3
+    """,
+    category="format",
+)
+def q_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters from metadata alone: the k most-frequent
+    values of a histogram-declared column folded from the per-file
+    value-count synopses (compaction.fast_topk; DSL `SHOW TOP k col`).
+    q_countmin_heavy_hitters is the sketch ESTIMATE over data at
+    unbounded cardinality; this is the exact zero-data-IO answer for
+    declared low-cardinality columns — ties break to the smaller
+    value (ORDER BY count DESC, value) on both engines."""
+    from nimble_spark.tools import run_command
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "documents"),
+            tmp,
+            WriteOptions(cluster_by=["doc_id"], n_cluster_files=4,
+                         histogram_columns=["source"]),
+        )
+
+    path = ensure_cached(sf_dir, "documents__hist_src", ["documents"], _build)
+    df = run_command(spark, path, "SHOW TOP 3 source")
+    return df.select(F.col("value").alias("val"), F.col("count").alias("n"))

@@ -919,6 +919,23 @@ def fast_mode(path: str, col: str) -> tuple:
     return min(folded.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
+def fast_topk(path: str, col: str, k: int = 5) -> list[tuple]:
+    """The exact k most-frequent non-null values from the folded
+    histogram synopses — the heavy-hitters dashboard at zero data IO
+    (q_countmin_heavy_hitters is the sketch ESTIMATE over data; this
+    is the exact metadata answer for declared low-cardinality
+    columns). Ties break to the smaller value, matching
+    ``ORDER BY cnt DESC, val LIMIT k`` — deterministic across
+    engines. Same fences as fast_value_counts (masks, undeclared,
+    stale files, per-file or table-level overflow all refuse)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    folded = _folded_histogram(path, col)
+    if not folded:
+        raise ValueError(f"column {col!r} has no non-null values")
+    return sorted(folded.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
 def fast_median(path: str, col: str) -> float:
     """The exact median of a low-cardinality INTEGER column from the
     folded histogram (cumulative counts over the sorted domain) —

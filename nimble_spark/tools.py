@@ -274,6 +274,17 @@ def show_value_counts(spark: SparkSession, path: str, col: str) -> DataFrame:
     return spark.createDataFrame(rows, "value STRING, count BIGINT")
 
 
+def show_topk(spark: SparkSession, path: str, k: int, col: str) -> DataFrame:
+    """SHOW TOP k col: the k exactly-most-frequent non-null values
+    folded from the per-file histograms (compaction.fast_topk) —
+    heavy hitters at zero data IO; ties break to the smaller value
+    (ORDER BY count DESC, value)."""
+    from nimble_spark.sources.compaction import fast_topk
+
+    rows = [(str(v), n) for v, n in fast_topk(path, col, k)]
+    return spark.createDataFrame(rows, "value STRING, count BIGINT")
+
+
 def show_files(spark: SparkSession, path: str) -> DataFrame:
     """SHOW FILES (stripe groups): per-file rows/bytes/row-groups."""
     m = read_manifest(path)
@@ -845,7 +856,8 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     dwio/nimble/tools/NimbleDslVm.cpp):
 
       DESCRIBE | SHOW SCHEMA | SHOW INFO | SHOW STATS | SHOW NDV [col] | SHOW SUMS [col] |
-      SHOW GROUPED SUMS col | SHOW VALUE COUNTS col | SHOW PARTITION STATS k=v |
+      SHOW GROUPED SUMS col | SHOW VALUE COUNTS col | SHOW TOP k col |
+      SHOW PARTITION STATS k=v |
       SELECT COUNT(*) | SELECT SUM(col) | SELECT COUNT(DISTINCT col) | SHOW FILES |
       SHOW PAGES | SHOW STRIPES | SHOW HISTOGRAM [STRIPE s] |
       SHOW CHUNKS [STRIPE s] | SHOW STREAMS [STRIPE s] |
@@ -883,6 +895,9 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
     m = re.match(r"SHOW VALUE COUNTS?\s+(\w+)$", c, re.I)
     if m:
         return show_value_counts(spark, path, m.group(1))
+    m = re.match(r"SHOW TOP\s+(\d+)\s+(\w+)$", c, re.I)
+    if m:
+        return show_topk(spark, path, int(m.group(1)), m.group(2))
     m = re.match(r"SHOW PARTITION STATS\s+(\w+)\s*=\s*'?([^']*?)'?$", c, re.I)
     if m:
         return show_partition_stats(spark, path, m.group(1), m.group(2))

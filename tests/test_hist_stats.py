@@ -345,3 +345,26 @@ def test_clone_carries_all_synopses(spark, tmp_path):
     assert fast_sum(dst, "k")["sum"] == sum(range(60))
     assert fast_sum(src, "k")["sum"] == sum(range(50))
     assert dict(fast_value_counts(dst, "tag"))["9"] == 10
+
+
+def test_fast_topk_and_dsl(spark, tmp_path):
+    """fast_topk: exact k heaviest values, ties to the smaller value;
+    DSL SHOW TOP k col renders the same; bad k refuses."""
+    from nimble_spark.sources.compaction import fast_topk
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "topk")
+    # frequencies: '0' x200, '1' x100, '2' x100, '3' x50 — '1'/'2' tie
+    df = spark.sql(
+        "SELECT id AS k, CASE WHEN id < 200 THEN '0' WHEN id < 300 THEN '1' "
+        "WHEN id < 400 THEN '2' ELSE '3' END AS tag FROM range(450)"
+    )
+    write_table(df, path, _opts())
+    assert fast_topk(path, "tag", 3) == [("0", 200), ("1", 100), ("2", 100)]
+    assert fast_topk(path, "tag", 1) == [("0", 200)]
+    # k beyond the domain returns the whole distribution, rank-ordered
+    assert [v for v, _ in fast_topk(path, "tag", 99)] == ["0", "1", "2", "3"]
+    with pytest.raises(ValueError, match="k must be"):
+        fast_topk(path, "tag", 0)
+    got = run_command(spark, path, "SHOW TOP 2 tag").collect()
+    assert [(r.value, r["count"]) for r in got] == [("0", 200), ("1", 100)]
