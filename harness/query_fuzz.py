@@ -629,21 +629,53 @@ def run_fuzz(spark, con, n: int, seed0: int = 0, shape: str | None = None,
     return failures
 
 
+def register_views(spark, con, sf: str, via: str = "parquet",
+                   cache_dir: str | None = None) -> None:
+    """Spark views over the test tables. ``via="parquet"`` reads the
+    driver parquet directly; ``via="nimble"`` writes each table ONCE
+    as a nimble_spark table (cached across runs) and registers
+    ``spark.read.format("nimble")`` views — the same SQL then drives
+    the whole Python-DataSource read path, and any divergence from
+    DuckDB (which always reads the ORIGINAL parquet) is a connector
+    bug, not a dialect one."""
+    import os
+
+    for t in SCHEMAS:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        if via == "parquet":
+            spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+            continue
+        from nimble_spark.sources.datasource import register_nimble_source
+        from nimble_spark.sources.table import WriteOptions, write_table
+
+        register_nimble_source(spark)
+        root = cache_dir or os.path.join(
+            "/tmp", "nimble_fuzz_tables", os.path.basename(sf.rstrip("/"))
+        )
+        path = os.path.join(root, t)
+        if not os.path.exists(os.path.join(path, "_nimble", "manifest.json")):
+            write_table(spark.read.parquet(f"{sf}/{t}.parquet"), path, WriteOptions())
+        spark.read.format("nimble").load(path).createOrReplaceTempView(t)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--seed0", type=int, default=0)
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--shape", default=None, choices=(None, *QueryGen.SHAPES))
+    ap.add_argument(
+        "--via", default="parquet", choices=("parquet", "nimble"),
+        help="nimble = Spark reads format('nimble') tables (connector "
+        "differential); DuckDB always reads the original parquet",
+    )
     args = ap.parse_args()
 
     from nimble_spark import get_spark
 
     spark = get_spark("query_fuzz")
     con = duckdb.connect()
-    for t in SCHEMAS:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
-        spark.read.parquet(f"{args.sf}/{t}.parquet").createOrReplaceTempView(t)
+    register_views(spark, con, args.sf, args.via)
 
     failures = run_fuzz(spark, con, args.n, args.seed0, args.shape)
     print(f"\n{args.n - len(failures)}/{args.n} pass")

@@ -19,7 +19,13 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from harness.query_fuzz import SCHEMAS, QueryGen, build_pools, run_fuzz
+from harness.query_fuzz import (
+    SCHEMAS,
+    QueryGen,
+    build_pools,
+    register_views,
+    run_fuzz,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -27,9 +33,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def fuzz_env(spark):
     con = duckdb.connect()
-    for t in SCHEMAS:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-        spark.read.parquet(f"{SF}/{t}.parquet").createOrReplaceTempView(t)
+    register_views(spark, con, SF, via="parquet")
     yield spark, con
     con.close()
 
@@ -41,6 +45,21 @@ def test_fuzz_band(fuzz_env, band):
     failures = run_fuzz(
         spark, con, n=8, seed0=band * 8, verbose=False
     )
+    assert not failures, "\n".join(
+        f"seed={s} shape={sh}: {d}\nSQL: {q}" for s, sh, q, d in failures
+    )
+
+
+def test_fuzz_band_via_nimble_connector(spark, tmp_path):
+    """Eight seeds with Spark reading format('nimble') tables while
+    DuckDB reads the original parquet: same SQL, so any divergence is
+    a CONNECTOR bug (schema/type drift, lost rows in the DS read
+    path), not a dialect one. Tables are written fresh into tmp_path
+    (the CLI run caches under /tmp for deep soaks)."""
+    con = duckdb.connect()
+    register_views(spark, con, SF, via="nimble", cache_dir=str(tmp_path))
+    failures = run_fuzz(spark, con, n=8, seed0=900, verbose=False)
+    con.close()
     assert not failures, "\n".join(
         f"seed={s} shape={sh}: {d}\nSQL: {q}" for s, sh, q, d in failures
     )
