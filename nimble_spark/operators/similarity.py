@@ -1217,3 +1217,127 @@ def q_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN — attribute predicates composed with the IVF probe
+# ---------------------------------------------------------------------------
+
+# Eligibility: a CELL-KEY predicate (label even — prunable before the
+# probe: ineligible cells never rank, never scan) and a RESIDUAL
+# predicate (vec_id % 7 <> 0 — applied inside the probed cells' scan).
+_FILT_CELL = "label % 2 = 0"
+_FILT_RESIDUAL = "vec_id % 7 <> 0"
+
+_FILTERED_DUCK = f"""
+    WITH {_CENTROIDS_DUCK},
+    elig_cells AS (SELECT * FROM centroids WHERE {_FILT_CELL}),
+    q AS (SELECT vec_id AS qid, embedding AS qv, {_norm_duck("embedding")} AS qn
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    cells AS (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY FLOOR(({_DOT_DUCK.format(a="qv", b="cvec")}
+                 / (qn * {_norm_duck("cvec")})) * 1000000 + 0.5) / 1000000 DESC,
+               label
+             ) AS cell_rk
+      FROM q JOIN elig_cells ON TRUE
+    ),
+    probed AS (SELECT qid, label FROM cells WHERE cell_rk <= {N_PROBE}),
+    cand AS (
+      SELECT p.qid, e.vec_id AS cid, e.embedding AS cv
+      FROM probed p JOIN embeddings e ON e.label = p.label
+      WHERE e.{_FILT_RESIDUAL}
+    ),
+    scored AS (
+      SELECT c.qid, c.cid,
+             {_DOT_DUCK.format(a="q.qv", b="c.cv")} / (q.qn * {_norm_duck("c.cv")}) AS sim
+      FROM cand c JOIN q ON q.qid = c.qid
+      WHERE c.cid <> c.qid
+    ),
+    ranked AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR((sim) * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, cid, rk, FLOOR((sim) * 10000 + 0.5) / 10000 AS sim
+    FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("q_ann_filtered_topk", oracle=_FILTERED_DUCK, category="similarity")
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED ANN — the retrieval shape every RAG /
+    training-data pipeline actually runs ("nearest neighbors WHERE
+    tenant = X AND status = eligible"), and the one naive vector
+    engines get wrong by post-filtering a fixed-k shortlist (recall
+    collapses when the filter is selective). Composition here is
+    PRE-filtering at two levels, mirroring the reference's
+    selective-scan philosophy (filters cut work before decode,
+    selective/SelectiveNimbleReader.cpp:123):
+
+      * cell-key predicates prune the CENTROID SET before the probe —
+        an ineligible cell never ranks, never scans (at scale: whole
+        partition directories never open, exactly like the IVF index's
+        directory pruning);
+      * residual predicates filter INSIDE the probed cells' scan,
+        where they push down to the parquet scan of those cells only.
+
+    The probe ranks only eligible cells, so every probe is spent on
+    cells that can actually supply results — the fixed-shortlist
+    recall cliff never happens. Cost: |Q| x |eligible cells| for the
+    probe (broadcast), then a pruned, filter-pushed scan of N_PROBE
+    cells per query."""
+    e = load(spark, sf_dir, "embeddings")
+
+    flat = e.select("label", F.posexplode("embedding").alias("dim0", "v0"))
+    cdim = flat.groupBy("label", "dim0").agg(
+        (F.sum(F.col("v0").cast("double").cast("decimal(27,6)")).cast("double")
+         / F.count(F.lit(1))).alias("cv")
+    )
+    centroids = cdim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+    elig_cells = centroids.filter(F.expr(_FILT_CELL))
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
+    )
+
+    cell_sim = F.expr(_DOT_SPARK.format(a="qv", b="cvec")) / (
+        F.col("qn") * F.expr(_norm_spark("cvec"))
+    )
+    wc = W.partitionBy("qid").orderBy(rnd(cell_sim, 6).desc(), "label")
+    probed = (
+        q.crossJoin(F.broadcast(elig_cells))
+        .withColumn("cell_rk", F.row_number().over(wc))
+        .filter(F.col("cell_rk") <= N_PROBE)
+        .select("qid", "label")
+    )
+
+    cand = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.expr(_FILT_RESIDUAL))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "label")
+        .join(F.broadcast(probed), "label")
+    )
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="cv")) / (
+        F.col("qn") * F.expr(_norm_spark("cv"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", sim.alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
+    )

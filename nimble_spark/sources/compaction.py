@@ -37,6 +37,7 @@ import uuid
 from pyspark.sql import SparkSession
 
 from nimble_spark.sources.fs import get_fs
+from nimble_spark.sources.deletes import has_pending_masks as _has_pending_masks
 from nimble_spark.sources.table import (
     MANIFEST_DIR,
     read_manifest,
@@ -163,6 +164,14 @@ def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
             fs.delete_tree(os.path.join(os.path.dirname(base), sib))
 
     m = read_manifest(path)
+    # Consumed mask batches (a published rewrite's crash window left
+    # their dirs behind; the manifest fence already makes them inert)
+    # are reclaimable debris like any other — the manifest entry
+    # self-prunes at the next rebuild once the dirs are gone.
+    from nimble_spark.sources.deletes import DELETES_DIR as _DD
+
+    for b in m.get("consumed_masks") or []:
+        fs.delete_tree(os.path.join(path, _DD, b))
     referenced = {os.path.normpath(f["path"]) for f in m["files"]}
     removed: list[str] = []
     now = _time.time()
@@ -225,7 +234,7 @@ def fast_count(
     # the same fence as every other fast_* path (r8: fast_count was the
     # one family member WITHOUT it — manifest row counts don't know
     # about merge-on-read masks, so the stats answer would over-report)
-    if os.path.isdir(os.path.join(path, MANIFEST_DIR, "deletes")):
+    if _has_pending_masks(path):
         raise ValueError(
             "fast_count on a table with pending delete masks would "
             "over-report; run compact_deletes first"
@@ -462,6 +471,11 @@ def _publish_partial_rewrite(
     for k in ("column_aliases", "logical_columns", "tags", "schema_mapping"):
         if m.get(k):
             new_m[k] = m[k]
+    from nimble_spark.sources.deletes import carry_consumed_masks
+
+    _cm = carry_consumed_masks(path, m)
+    if _cm:  # dead-mask fence survives until its dirs are reclaimed
+        new_m["consumed_masks"] = _cm
     # NDV/SUM/HIST synopses stay complete across maintenance: untouched
     # entries carry theirs verbatim; freshly merged/reclustered files
     # compute theirs here (bounded: only the rewritten files, only the
@@ -565,7 +579,7 @@ def fast_ndv(path: str, col: str) -> dict:
     from nimble_spark.sources.table import NDV_K
 
     m = read_manifest(path)
-    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+    if _has_pending_masks(path):
         raise ValueError(
             "fast_ndv on a table with pending delete masks would "
             "over-report; run compact_deletes first"
@@ -623,7 +637,7 @@ def fast_sum(path: str, col: str) -> dict:
     from nimble_spark.sources.table import SUM_SCALE
 
     m = read_manifest(path)
-    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+    if _has_pending_masks(path):
         raise ValueError(
             "fast_sum on a table with pending delete masks would "
             "over-report; run compact_deletes first"
@@ -677,7 +691,7 @@ def fast_grouped_sum(path: str, col: str) -> list[tuple]:
     from nimble_spark.sources.table import SUM_SCALE
 
     m = read_manifest(path)
-    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+    if _has_pending_masks(path):
         raise ValueError(
             "fast_grouped_sum on a table with pending delete masks would "
             "over-report; run compact_deletes first"
@@ -763,7 +777,7 @@ def fast_partition_stats(path: str, partition: tuple) -> dict:
     from nimble_spark.sources.table import NDV_K, SUM_SCALE
 
     m = read_manifest(path)
-    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+    if _has_pending_masks(path):
         raise ValueError(
             "fast_partition_stats on a table with pending delete masks "
             "would over-report; run compact_deletes first"
@@ -859,7 +873,7 @@ def _folded_histogram(path: str, col: str) -> dict:
     from nimble_spark.sources.table import HIST_K
 
     m = read_manifest(path)
-    if _os.path.isdir(_os.path.join(path, MANIFEST_DIR, "deletes")):
+    if _has_pending_masks(path):
         raise ValueError(
             "fast_value_counts on a table with pending delete masks "
             "would over-report; run compact_deletes first"
@@ -980,7 +994,7 @@ def fast_minmax(spark: SparkSession, path: str, col: str):
     import os
 
     m = read_manifest(path, materialize=False)
-    if os.path.isdir(os.path.join(path, MANIFEST_DIR, "deletes")):
+    if _has_pending_masks(path):
         raise ValueError(
             "fast_minmax on a table with pending delete masks would "
             "over-report; run compact_deletes first"
@@ -1126,7 +1140,6 @@ def recluster_table(
     touched is. Cost is proportional to the overlap debt, not table
     size. Range-cluster layouts only (zorder interleaving is not
     captured by per-column bounds — use the full rewrite)."""
-    from nimble_spark.sources.deletes import DELETES_DIR
     from nimble_spark.sources.table import (
         layout_options_of,
         read_manifest,
@@ -1150,7 +1163,7 @@ def recluster_table(
                              "recluster does not apply")
         if not ("cluster" in idx or "zorder" in idx):
             raise ValueError("table has no cluster/zorder layout to restore")
-        if os.path.isdir(os.path.join(path, DELETES_DIR)):
+        if _has_pending_masks(path):
             raise ValueError(
                 "recluster_table with pending delete masks would carry "
                 "masked rows into the fresh layout's history; run "
@@ -1338,8 +1351,6 @@ def advise_maintenance(
     Each row: {"action", "evidence", "reason"}. Empty list = healthy.
     The Delta/Iceberg maintenance-policy analogue, driven by the same
     stats the reference's writer keeps per stripe (Statistics.h:31)."""
-    from nimble_spark.sources.deletes import DELETES_DIR
-
     m = read_manifest(path)
     recs: list[dict] = []
     bins = plan_compaction(m, target_file_bytes)
@@ -1399,21 +1410,17 @@ def advise_maintenance(
                     ),
                 }
             )
-    droot = os.path.join(path, DELETES_DIR)
-    if os.path.isdir(droot):
-        n_masks = sum(
-            len(os.listdir(os.path.join(droot, c)))
-            for c in os.listdir(droot)
-            if os.path.isdir(os.path.join(droot, c))
+    from nimble_spark.sources.deletes import pending_mask_batches
+
+    n_masks = len(pending_mask_batches(path))
+    if n_masks:
+        recs.append(
+            {
+                "action": "compact_deletes",
+                "evidence": n_masks,
+                "reason": f"{n_masks} pending delete mask(s) anti-join every scan",
+            }
         )
-        if n_masks:
-            recs.append(
-                {
-                    "action": "compact_deletes",
-                    "evidence": n_masks,
-                    "reason": f"{n_masks} pending delete mask(s) anti-join every scan",
-                }
-            )
     trash = os.path.join(path, MANIFEST_DIR, "trash")
     if os.path.isdir(trash):
         tbytes = 0

@@ -902,6 +902,7 @@ class NimbleWriter(DataSourceArrowWriter):
         prior_constraints: dict = {}
         prior_tags: dict = {}
         prior_umd: dict = {}
+        prior_consumed: list = []
         if not self.overwrite:
             try:
                 prior = read_manifest(self.path)
@@ -920,6 +921,9 @@ class NimbleWriter(DataSourceArrowWriter):
                 prior_constraints = prior.get("constraints") or {}
                 prior_tags = prior.get("tags") or {}
                 prior_umd = prior.get("user_metadata") or {}
+                from nimble_spark.sources.deletes import carry_consumed_masks
+
+                prior_consumed = carry_consumed_masks(self.path, prior) or []
             except (OSError, ValueError, KeyError):
                 pass  # no/corrupt prior manifest → first commit semantics
         if aliased:
@@ -1088,6 +1092,9 @@ class NimbleWriter(DataSourceArrowWriter):
             manifest["constraints"] = prior_constraints
         if prior_tags:
             manifest["tags"] = prior_tags
+        if prior_consumed:
+            # dead-mask fence survives until its dirs are reclaimed
+            manifest["consumed_masks"] = prior_consumed
         if prior_umd:
             manifest["user_metadata"] = {
                 **prior_umd,

@@ -21,6 +21,68 @@ from pyspark.sql import functions as F
 DELETES_DIR = "_nimble/deletes"
 
 
+def mask_batch_dirs(path: str) -> list[str]:
+    """Relative ``<keydir>/<batch>`` names of every mask batch ON DISK
+    (one batch directory per delete_rows/delete_where call), sorted.
+    Disk state alone — callers that need the batches that still APPLY
+    use :func:`pending_mask_batches`, which subtracts the manifest's
+    consumed set."""
+    root = os.path.join(path, DELETES_DIR)
+    out: list[str] = []
+    if not os.path.isdir(root):
+        return out
+    for key in sorted(os.listdir(root)):
+        kdir = os.path.join(root, key)
+        if not os.path.isdir(kdir):
+            continue
+        for b in sorted(os.listdir(kdir)):
+            if os.path.isdir(os.path.join(kdir, b)):
+                out.append(f"{key}/{b}")
+    return out
+
+
+def pending_mask_batches(path: str, manifest: dict | None = None) -> list[str]:
+    """Mask batches that still apply to reads: on-disk batches minus
+    the ones the manifest records as CONSUMED by a published full
+    rewrite (``consumed_masks``). A rewrite that materialized the
+    masks publishes its manifest atomically and clears the mask dirs
+    AFTERWARDS — a crash in between leaves consumed batches on disk,
+    and treating them as live would silently swallow a later
+    re-append of a masked key (r8 fault-injection sweep). The
+    manifest, not the directory, is the authority."""
+    batches = mask_batch_dirs(path)
+    if not batches:
+        return []
+    if manifest is None:
+        from nimble_spark.sources.table import read_manifest
+
+        try:
+            manifest = read_manifest(path, materialize=False)
+        except (OSError, KeyError, ValueError):
+            manifest = {}
+    consumed = set(manifest.get("consumed_masks") or [])
+    return [b for b in batches if b not in consumed]
+
+
+def has_pending_masks(path: str, manifest: dict | None = None) -> bool:
+    """True when delete masks still apply to reads — the fence every
+    stats-answered / raw-scan / rewrite-guard path shares."""
+    return bool(pending_mask_batches(path, manifest))
+
+
+def carry_consumed_masks(path: str, prior_manifest: dict) -> list[str] | None:
+    """The consumed-mask entries a manifest REBUILD must carry: prior
+    entries whose batch dirs still exist on disk (cleanup crashed).
+    Entries whose dirs are gone self-prune; None when nothing carries.
+    Dropping a live entry would resurrect an already-materialized
+    mask against rows appended after the rewrite."""
+    prior = prior_manifest.get("consumed_masks") or []
+    live = [
+        b for b in prior if os.path.isdir(os.path.join(path, DELETES_DIR, b))
+    ]
+    return live or None
+
+
 def _physical_key(path: str, key: str) -> str:
     """Mask directories are ALWAYS named by the column's PHYSICAL name
     (stable across alter.py renames): resolve the caller's logical
@@ -91,8 +153,12 @@ def read_with_deletes(spark: SparkSession, path: str, **read_kwargs) -> DataFram
     from nimble_spark.sources.table import read_table
 
     df = read_table(spark, path, **read_kwargs)
+    # Only PENDING batches apply: the manifest's consumed_masks fence
+    # drops batches a published rewrite already materialized (their
+    # dirs linger only when the rewrite crashed before cleanup).
     root = os.path.join(path, DELETES_DIR)
-    if not os.path.isdir(root):
+    pending = pending_mask_batches(path)
+    if not pending:
         return df
     # Mask directories are recorded under the column's name AT MASK
     # TIME; a later metadata-only rename (alter.py) changes the
@@ -106,10 +172,11 @@ def read_with_deletes(spark: SparkSession, path: str, **read_kwargs) -> DataFram
         ).get("renames") or {}
     except (OSError, KeyError, ValueError):
         _ren = {}
-    for key in os.listdir(root):
-        subdirs = [
-            os.path.join(root, key, d) for d in os.listdir(os.path.join(root, key))
-        ]
+    by_key: dict[str, list[str]] = {}
+    for b in pending:
+        key, _, batch = b.partition("/")
+        by_key.setdefault(key, []).append(os.path.join(root, b))
+    for key, subdirs in by_key.items():
         logical = _ren.get(key, key)  # dir name → current logical name
         masks = None
         for d in subdirs:

@@ -94,8 +94,12 @@ def live_files(path: str) -> list[str]:
 
 
 def _has_masks(path: str) -> bool:
-    root = os.path.join(path, _DELETES_SUBDIR)
-    return os.path.isdir(root) and bool(os.listdir(root))
+    # PENDING masks only: batches a published rewrite already consumed
+    # (manifest consumed_masks — dirs linger when its cleanup crashed)
+    # no longer apply to any read, Spark's included
+    from nimble_spark.sources.deletes import has_pending_masks
+
+    return has_pending_masks(path)
 
 
 def _layout_keys(m: dict) -> list[str]:

@@ -93,10 +93,13 @@ def _guard_pending_masks(
     (b) an update rewriting a MASK COLUMN's values moves rows into /
         out of the mask's shadow unpredictably — rejected by column
         name, no data read."""
-    from nimble_spark.sources.deletes import DELETES_DIR
+    from nimble_spark.sources.deletes import DELETES_DIR, pending_mask_batches
 
     root = os.path.join(path, DELETES_DIR)
-    if not os.path.isdir(root):
+    # PENDING batches only (consumed_masks fence): batches a published
+    # rewrite already materialized no longer shadow anything
+    pending = pending_mask_batches(path)
+    if not pending:
         return
     # dir names are mask-time names; map to CURRENT logical names
     # (alter.py renames don't move directories)
@@ -106,11 +109,11 @@ def _guard_pending_masks(
         ).get("renames") or {}
     except (OSError, KeyError, ValueError):
         _ren = {}
-    dir_of = {
-        _ren.get(d, d): d
-        for d in os.listdir(root)
-        if os.path.isdir(os.path.join(root, d))
-    }
+    batches_of: dict[str, list[str]] = {}
+    for b in pending:
+        d, _, batch = b.partition("/")
+        batches_of.setdefault(d, []).append(batch)
+    dir_of = {_ren.get(d, d): d for d in batches_of}
     mask_cols = list(dir_of)
     if rewritten_cols is not None:
         hit = sorted(set(mask_cols) & rewritten_cols)
@@ -127,7 +130,7 @@ def _guard_pending_masks(
             continue
         mdir = os.path.join(root, dir_of[mc])
         mask = spark.read.parquet(
-            *[os.path.join(mdir, d) for d in os.listdir(mdir)]
+            *[os.path.join(mdir, d) for d in batches_of[dir_of[mc]]]
         ).toDF(mc)  # stored under the write-time name; bind to current
         swallowed = (
             source.select(mc)
@@ -432,6 +435,17 @@ def _commit_rewrite(
     # (retained for snapshot/CDC reads until vacuum_table) — a crash
     # in between leaves them as harmless unreferenced debris that
     # snapshot reads still resolve at their original paths.
+    # Crash-retry fence (r8 fault-injection sweep): any parquet on
+    # disk that is neither in the prior manifest nor among THIS
+    # rewrite's moved-in files is debris of a rewrite that died
+    # between its move-in and its manifest publish — adopting it
+    # would resurrect the dead attempt's rows as duplicates when the
+    # caller retries. This op knows its exact output (``moved``), so
+    # the discriminator is precise. Debris stays for vacuum.
+    from nimble_spark.sources.table import _unreferenced_parquet_rels
+
+    prior_paths = {os.path.normpath(e["path"]) for e in manifest["files"]}
+    debris = _unreferenced_parquet_rels(path, prior_paths | set(moved))
     new_manifest = _build_manifest(
         spark,
         schema,
@@ -439,7 +453,7 @@ def _commit_rewrite(
         opts or WriteOptions(),
         index_meta,
         reuse=reuse,
-        exclude={os.path.normpath(f) for f in affected},
+        exclude={os.path.normpath(f) for f in affected} | debris,
         ndv_cols=manifest.get("ndv_columns"),
         sum_cols=manifest.get("sum_columns"),
         hist_cols=manifest.get("histogram_columns"),
@@ -451,6 +465,11 @@ def _commit_rewrite(
               "sum_columns", "histogram_columns"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
+    from nimble_spark.sources.deletes import carry_consumed_masks
+
+    _cm = carry_consumed_masks(path, manifest)
+    if _cm:  # dead-mask fence survives until its dirs are reclaimed
+        new_manifest["consumed_masks"] = _cm
     new_manifest["commits"] = prior_commits + [
         {
             "commit": len(prior_commits),
@@ -583,6 +602,17 @@ def overwrite_partitions(
     prior = {
         os.path.normpath(e["path"]): e for e in manifest["files"] if "nulls" in e
     }
+    # Crash-retry fence: snapshot unreferenced parquet BEFORE the
+    # dynamic overwrite lands its files — a previous writer that died
+    # pre-publish left files no name pattern identifies, and adopting
+    # them here would publish rows whose commit never happened. (The
+    # overwrite may itself delete debris living in a replaced
+    # partition; excluding a now-absent path is a no-op.)
+    from nimble_spark.sources.table import _unreferenced_parquet_rels
+
+    debris = _unreferenced_parquet_rels(
+        path, {os.path.normpath(e["path"]) for e in manifest["files"]}
+    )
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -611,7 +641,7 @@ def overwrite_partitions(
     prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
     new_manifest = _build_manifest(
         spark, df.schema, path, opts or WriteOptions(), index_meta,
-        reuse=reuse, ndv_cols=manifest.get("ndv_columns"),
+        reuse=reuse, exclude=debris, ndv_cols=manifest.get("ndv_columns"),
         sum_cols=manifest.get("sum_columns"),
         hist_cols=manifest.get("histogram_columns"),
     )
@@ -621,6 +651,11 @@ def overwrite_partitions(
               "sum_columns", "histogram_columns"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
+    from nimble_spark.sources.deletes import carry_consumed_masks
+
+    _cm = carry_consumed_masks(path, manifest)
+    if _cm:  # dead-mask fence survives until its dirs are reclaimed
+        new_manifest["consumed_masks"] = _cm
     if manifest.get("user_metadata"):
         new_manifest["user_metadata"] = {
             **manifest["user_metadata"],

@@ -247,6 +247,32 @@ def write_table(
     restores disjointness.
     """
     opts = opts or WriteOptions()
+    if mode == "overwrite":
+        # Overwriting an EXISTING table must not ride Spark's in-place
+        # overwrite: Spark clears the target dir (old manifest and data
+        # included) before the job runs, so a crash mid-job loses the
+        # table outright — old generation deleted, new one unpublished
+        # (r8 fault-injection probe: unreadable table). Route through
+        # the staged swap instead: the new generation stages in a
+        # sibling dir and the commit is the atomic swap (POSIX) or the
+        # atomic manifest republish (object stores). First writes and
+        # staging writes (no manifest yet) keep the direct path.
+        try:
+            read_manifest(path, materialize=False)
+            _exists = True
+        except (OSError, KeyError, ValueError):
+            _exists = False
+        if _exists:
+            if _caller_holds_lock:
+                return staged_swap_rewrite(
+                    df.sparkSession, path, df, opts,
+                    constraints_prevalidated=_constraints_prevalidated,
+                )
+            with table_write_lock(path):
+                return staged_swap_rewrite(
+                    df.sparkSession, path, df, opts,
+                    constraints_prevalidated=_constraints_prevalidated,
+                )
     if opts.cut_by and (opts.cluster_by or opts.max_rows_per_file):
         raise ValueError(
             "cut_by lays out whole groups per file; cluster_by re-ranges rows "
@@ -593,6 +619,25 @@ def _write_table_locked(
                 f"example row: {sample}"
             )
 
+    # Crash-retry fence (r8 fault-injection sweep): ANY parquet file
+    # already under the table dir that the manifest does not reference
+    # is debris of a writer that died between its data write and its
+    # manifest publish — a crashed plain append leaves part-* files no
+    # name pattern distinguishes from this commit's own output, so the
+    # only safe discriminator is a BEFORE-write snapshot (we hold the
+    # commit lock: no other locked writer can land files concurrently).
+    # Without this fence, retrying a crashed append adopted the dead
+    # attempt's files as phantom duplicate rows. Debris stays on disk
+    # for vacuum's age-gated sweep.
+    try:
+        prior_paths = {
+            os.path.normpath(f["path"])
+            for f in (prior["files"] if prior is not None else read_manifest(path)["files"])
+        }
+    except (OSError, KeyError, ValueError):
+        prior_paths = set()
+    debris = _unreferenced_parquet_rels(path, prior_paths)
+
     t0 = time.monotonic()
     writer.parquet(path)
     write_wall_ms = int((time.monotonic() - t0) * 1000)
@@ -604,11 +649,10 @@ def _write_table_locked(
     # orphaned compact-* merge output — describing them could fail,
     # and adopting them would publish rows that were never committed
     # (phantom duplicates). They belong to their own commit, or to
-    # vacuum's age-gated sweep.
-    try:
-        prior_paths = {os.path.normpath(f["path"]) for f in read_manifest(path)["files"]}
-    except (OSError, KeyError, ValueError):
-        prior_paths = set()
+    # vacuum's age-gated sweep. (Files present BEFORE this write are
+    # covered pattern-free by the debris snapshot above; the pattern
+    # walk below additionally catches stagers that appear DURING
+    # writer.parquet, which the snapshot cannot see.)
     # os.walk, not os.listdir: partitioned/bucketed compaction stages
     # its merged output INSIDE partition directories (p=01/compact-*),
     # and a crashed run's orphan there would otherwise be adopted by
@@ -626,6 +670,7 @@ def _write_table_locked(
                 rel = f if rel_dir == "." else os.path.join(rel_dir, f)
                 if os.path.normpath(rel) not in prior_paths:
                     stray.add(os.path.normpath(rel))
+    stray |= debris
     # NDV synopses: this write's declaration, else the table's standing
     # one (appends keep every entry's synopsis current automatically —
     # new files compute theirs, reused entries carry theirs verbatim)
@@ -714,6 +759,15 @@ def _write_table_locked(
         manifest["constraints"] = constraints
     if prior_tags:
         manifest["tags"] = prior_tags  # snapshot tags survive appends
+    if mode == "append" and prior is not None:
+        # consumed-mask fence carries while its batch dirs linger
+        # (rewrite crashed before cleanup); dropping it would let the
+        # dead masks swallow this append's rows
+        from nimble_spark.sources.deletes import carry_consumed_masks
+
+        _cm = carry_consumed_masks(path, prior)
+        if _cm:
+            manifest["consumed_masks"] = _cm
     if mode == "append" and prior is not None and prior.get("schema"):
         # Schema is a TABLE property: prior field order wins (the read
         # order contract), shared fields take the WIDER validated type
@@ -996,6 +1050,29 @@ def _describe_parquet_file(frag_path: str, table_root: str, stat_cols: list[str]
         "rg_rows": rg_rows,
     }
 
+
+
+def _unreferenced_parquet_rels(path: str, referenced: set[str]) -> set[str]:
+    """Normalized relpaths of every parquet file under ``path`` that
+    ``referenced`` (the manifest's file set) does not name — the
+    debris of writers that died after their data write but before
+    their manifest publish. Used as a pre-write snapshot so the next
+    commit's manifest build cannot adopt a dead attempt's files as
+    phantom rows (any name: part-*, pyds-*, compact-*)."""
+    out: set[str] = set()
+    if not os.path.isdir(path):
+        return out
+    for root, dirs, fns in os.walk(path):
+        if MANIFEST_DIR in dirs:
+            dirs.remove(MANIFEST_DIR)
+        rel_dir = os.path.relpath(root, path)
+        for f in fns:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(f if rel_dir == "." else os.path.join(rel_dir, f))
+            if rel not in referenced:
+                out.add(rel)
+    return out
 
 
 def _build_manifest(
@@ -2030,7 +2107,11 @@ def repair_interrupted_swap(path: str) -> bool:
 
 
 def staged_swap_rewrite(
-    spark: SparkSession, path: str, df: "DataFrame", opts: WriteOptions
+    spark: SparkSession,
+    path: str,
+    df: "DataFrame",
+    opts: WriteOptions,
+    constraints_prevalidated: bool = True,
 ) -> dict:
     """Full-table rewrite via stage-then-swap: write ``df`` as a
     complete new table in a SIBLING staging dir (reading the live
@@ -2055,12 +2136,16 @@ def staged_swap_rewrite(
     — the manifest, not the directory tree, is the table."""
     fs = get_fs()
     if not getattr(fs, "supports_atomic_dir_move", True):
-        return _republish_rewrite(spark, path, df, opts)
+        return _republish_rewrite(
+            spark, path, df, opts,
+            constraints_prevalidated=constraints_prevalidated,
+        )
     repair_interrupted_swap(path)  # finish any predecessor's crash window
     staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
     try:
         m = write_table(
-            df, staging, opts, _caller_holds_lock=True, _constraints_prevalidated=True
+            df, staging, opts, _caller_holds_lock=True,
+            _constraints_prevalidated=constraints_prevalidated,
         )
     except BaseException:
         fs.delete_tree(staging)
@@ -2085,7 +2170,11 @@ def staged_swap_rewrite(
 
 
 def _republish_rewrite(
-    spark: SparkSession, path: str, df: "DataFrame", opts: WriteOptions
+    spark: SparkSession,
+    path: str,
+    df: "DataFrame",
+    opts: WriteOptions,
+    constraints_prevalidated: bool = True,
 ) -> dict:
     """Object-store full rewrite (no rename(2) anywhere): stage the
     complete new table in a sibling prefix, relocate its data files
@@ -2111,7 +2200,8 @@ def _republish_rewrite(
     staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
     try:
         sm = write_table(
-            df, staging, opts, _caller_holds_lock=True, _constraints_prevalidated=True
+            df, staging, opts, _caller_holds_lock=True,
+            _constraints_prevalidated=constraints_prevalidated,
         )
     except BaseException:
         fs.delete_tree(staging)
@@ -2127,11 +2217,21 @@ def _republish_rewrite(
         fs.move(os.path.join(staging, rel), dst)
     new_m = dict(sm)
     new_m.pop("file_pages", None)  # repaginate from the relocated list
+    # Mask batches existing NOW are dead the instant this manifest
+    # publishes (the staged rows are the mask-applied view where
+    # masks existed; for an overwrite they never applied at all) —
+    # record them as consumed IN the manifest so the fence is atomic
+    # with the commit. Re-applying a consumed batch to the published
+    # rows is a no-op TODAY, but a crash before the directory cleanup
+    # below used to leave live-looking masks that silently swallowed
+    # any later re-append of a masked key (r8 fault-injection sweep).
+    from nimble_spark.sources.deletes import mask_batch_dirs
+
+    consumed = mask_batch_dirs(path)
+    if consumed:
+        new_m["consumed_masks"] = consumed
     _write_manifest(path, new_m)  # ATOMIC commit point
     # Only after the publish: the old generation is unreferenced.
-    # Masks cleared (the staged rows are the mask-applied view where
-    # masks existed; re-applying them to the new rows is at most a
-    # no-op, so a crash before this line is benign).
     fs.delete_tree(os.path.join(path, MANIFEST_DIR, "deletes"))
     fs.delete_tree(os.path.join(path, MANIFEST_DIR, "trash"))
     for rel in old_files:
@@ -2167,9 +2267,9 @@ def materialize_columns(spark: SparkSession, path: str) -> dict:
         aliases = manifest.get("column_aliases")
         if not aliases:
             return manifest
-        from nimble_spark.sources.deletes import DELETES_DIR
+        from nimble_spark.sources.deletes import has_pending_masks
 
-        if os.path.isdir(os.path.join(path, DELETES_DIR)):
+        if has_pending_masks(path, manifest):
             # the rewrite reads the UNMASKED rows and the swap discards
             # the deletes dir — every masked row would resurrect
             raise ValueError(

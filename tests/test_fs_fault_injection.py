@@ -1,0 +1,365 @@
+"""Systematic crash-point injection over the metadata protocol.
+
+The reference proves writer crash-safety with interrupted-write tests
+(dwio/nimble/velox/tests/VeloxWriterTests.cpp exercises flush/close
+failure paths); the table-format analogue here is a CRASH-POINT SWEEP:
+every lifecycle mutation runs once per possible metadata-FS crash
+boundary — the k-th mutating call (write_atomic / move / delete /
+delete_tree / makedirs) raises and the FS then plays dead (every later
+call fails too, like a killed process) — and after every single crash
+point the invariants must hold:
+
+  * the table reads as EXACTLY the pre-op state or the post-op state —
+    never a torn mix, never unreadable (read_manifest's not-found path
+    runs repair_interrupted_swap, so recovery is part of the read);
+  * if the crash landed before the publish (pre-state observed), a
+    plain RETRY of the same op through the debris must succeed and
+    land the post-state;
+  * VACUUM on the crashed-then-converged table reclaims the debris
+    without changing the view.
+
+Scope: the metadata protocol only. Data-plane writes (Spark/pyarrow
+parquet IO) ride Spark's own committers and are not routed through
+MetadataFS — which is also why delete_rows (a Spark parquet append
+into _nimble/deletes/, invisible until complete because Spark hides
+_temporary) and vacuum-of-a-clean-table (nothing to do) have zero
+injectable mutations and are exercised here as retry/cleanup steps
+instead of injection targets.
+
+The exception-based "crash" is one step weaker than SIGKILL: unwinding
+releases the commit lock (a real crash leaves it for the stale-break
+path, drilled in test_multiprocess_lock.py). Everything else — partial
+staging dirs, missing table dirs mid-swap, half-moved trash,
+orphaned pages — is the real on-disk state a kill would leave.
+
+Both FS personalities run the sweep: LocalFS (atomic rename) and
+ObjectStoreSimFS (copy+delete move, no directory rename — MORE crash
+boundaries, including mid-copy ones rename never has).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from nimble_spark.sources.alter import alter_table
+from nimble_spark.sources.compaction import compact_table, vacuum_table
+from nimble_spark.sources.deletes import (
+    compact_deletes,
+    delete_rows,
+    read_with_deletes,
+)
+from nimble_spark.sources.fs import LocalFS, ObjectStoreSimFS, set_fs
+from nimble_spark.sources.merge import merge_into, update_where
+from nimble_spark.sources.table import (
+    WriteOptions,
+    read_manifest,
+    rollback_table,
+    write_table,
+)
+
+MUTATIONS = frozenset(
+    {"write_atomic", "move", "delete", "delete_tree", "makedirs"}
+)
+_ALL = (
+    "read_bytes", "write_atomic", "exists", "version", "mtime",
+    "list_dir", "walk", "makedirs", "move", "delete", "delete_tree",
+)
+
+
+class InjectedCrash(RuntimeError):
+    """Deliberately NOT an OSError: the pinned best-effort swallows
+    (tests/test_exception_swallows.py) catch OSError, and a simulated
+    crash must never be 'handled' — dead processes don't continue."""
+
+
+class CrashFS:
+    """Wraps a delegate MetadataFS; the ``fail_at``-th MUTATING call
+    raises BEFORE touching storage (``after=True``: after touching it
+    — the crash-past-the-last-write boundary), then the FS plays dead:
+    every subsequent call of any kind raises too."""
+
+    def __init__(self, inner, fail_at: int = 0, after: bool = False):
+        self.inner = inner
+        self.fail_at = fail_at
+        self.after = after
+        self.mutations = 0
+        self.dead = False
+
+
+def _forward(name):
+    def call(self, *args, **kwargs):
+        if self.dead:
+            raise InjectedCrash(f"dead FS: {name}")
+        if name in MUTATIONS:
+            self.mutations += 1
+            if self.mutations == self.fail_at and not self.after:
+                self.dead = True
+                raise InjectedCrash(f"crash before mutation #{self.fail_at}: {name}")
+            out = getattr(self.inner, name)(*args, **kwargs)
+            if self.mutations == self.fail_at:  # after=True path
+                self.dead = True
+                raise InjectedCrash(f"crash after mutation #{self.fail_at}: {name}")
+            return out
+        return getattr(self.inner, name)(*args, **kwargs)
+
+    return call
+
+
+for _name in _ALL:
+    setattr(CrashFS, _name, _forward(_name))
+
+
+def _lock(self, table_path, **kwargs):
+    # The lock itself is not a crash target (its O_EXCL create is not a
+    # table mutation; unwinding releases it anyway — see module doc).
+    return self.inner.commit_lock(table_path, **kwargs)
+
+
+CrashFS.commit_lock = _lock
+CrashFS.supports_atomic_dir_move = property(
+    lambda self: self.inner.supports_atomic_dir_move
+)
+
+
+# ---------------------------------------------------------------------------
+# the op matrix
+# ---------------------------------------------------------------------------
+
+def _df(spark, rows):
+    return spark.createDataFrame(list(rows), "k LONG, v LONG")
+
+
+def _build(spark, path):
+    """Two commits, clustered, synopses declared — every protocol
+    surface (cluster index, stats sidecars, NDV/SUM synopses, multi-
+    commit history) is present so a crash can tear any of them."""
+    write_table(
+        _df(spark, [(k, k * 10) for k in range(12)]),
+        path,
+        WriteOptions(
+            cluster_by=["k"], n_cluster_files=2,
+            ndv_columns=["k"], sum_columns=["v"],
+        ),
+    )
+    write_table(
+        _df(spark, [(k, k * 10) for k in range(12, 18)]),
+        path,
+        WriteOptions(),
+        mode="append",
+    )
+
+
+def _ops(spark):
+    """name -> (setup|None, op). Each op is retry-safe from the
+    pre-state by construction (same batch / same predicate)."""
+    return {
+        "append": (
+            None,
+            lambda p: write_table(
+                _df(spark, [(100, 1), (101, 2)]), p, WriteOptions(), mode="append"
+            ),
+        ),
+        "update": (
+            None,
+            lambda p: update_where(spark, p, "k >= 9", {"v": "v + 1"}),
+        ),
+        "merge": (
+            None,
+            lambda p: merge_into(spark, p, _df(spark, [(3, 999), (200, 5)]), key="k"),
+        ),
+        "compact_deletes": (
+            lambda p: delete_rows(spark, p, "k", [2, 4]),
+            lambda p: compact_deletes(spark, p),
+        ),
+        "compact": (
+            None,
+            lambda p: compact_table(spark, p, target_file_bytes=64 * 1024 * 1024),
+        ),
+        "alter_rename": (
+            None,
+            lambda p: alter_table(p, rename={"v": "val"}),
+        ),
+        "rollback": (
+            None,
+            lambda p: rollback_table(spark, p, commit=0),
+        ),
+        # overwrite of an EXISTING table rides the staged swap (r8:
+        # the in-place Spark overwrite cleared the old generation
+        # before publishing the new manifest — a crash between lost
+        # the table outright, old data deleted, new unpublished)
+        "overwrite": (
+            None,
+            lambda p: write_table(
+                _df(spark, [(500, 1), (501, 2)]), p, WriteOptions(),
+                mode="overwrite",
+            ),
+        ),
+    }
+
+
+def _state(spark, path):
+    """(columns, row multiset, referenced file count, pending masks) —
+    the observable table state. File count and mask flag distinguish
+    the pre/post states of physical-only ops (compact preserves every
+    row; compact_deletes only materializes masks), and a torn manifest
+    mixing old and new file generations fails the file-count equality
+    even when rows happen to match. Reading also proves the manifest
+    parses and any interrupted swap self-repairs."""
+    df = read_with_deletes(spark, path)
+    cols = tuple(sorted(df.columns))
+    rows = sorted(tuple(r[c] for c in cols) for r in df.collect())
+    from nimble_spark.sources.deletes import has_pending_masks
+
+    n_files = len(read_manifest(path)["files"])
+    return (cols, rows, n_files, has_pending_masks(path))
+
+
+def _count_mutations(spark, base_fs, pristine, path, setup, op):
+    """Dry-run the op on a counting (never-failing) FS; returns
+    (n_mutations, post_state)."""
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.copytree(pristine, path)
+    if setup:
+        setup(path)
+    cfs = CrashFS(base_fs, fail_at=0)
+    prev = set_fs(cfs)
+    try:
+        op(path)
+    finally:
+        set_fs(prev)
+    return cfs.mutations, _state(spark, path)
+
+
+def _sweep(spark, tmpdir, base_fs, op_name):
+    setup, op = _ops(spark)[op_name]
+    pristine = os.path.join(str(tmpdir), "pristine")
+    _build(spark, pristine)
+    work = os.path.join(str(tmpdir), "work")
+
+    total, post = _count_mutations(spark, base_fs, pristine, work, setup, op)
+    assert total >= 1, f"{op_name}: no metadata mutations to inject into"
+
+    # pre-state: pristine + setup (the state the op starts from)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(pristine, work)
+    if setup:
+        setup(work)
+    pre = _state(spark, work)
+    assert pre != post, f"{op_name}: op must change observable state"
+
+    # every before-boundary, plus the after-the-last-write boundary
+    trials = [(k, False) for k in range(1, total + 1)] + [(total, True)]
+    for fail_at, after in trials:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(pristine, work)
+        if setup:
+            setup(work)
+        tag = f"{op_name}@{'post' if after else 'pre'}-mutation-{fail_at}"
+
+        prev = set_fs(CrashFS(base_fs, fail_at=fail_at, after=after))
+        crashed = False
+        try:
+            op(work)
+        except InjectedCrash:
+            crashed = True
+        finally:
+            set_fs(prev)
+        assert crashed, f"{tag}: op swallowed the injected crash"
+
+        # 1) never torn, never unreadable
+        got = _state(spark, work)
+        assert got in (pre, post), f"{tag}: torn state {got}"
+
+        # 2) retry through the debris converges on the post-state
+        if got == pre:
+            op(work)
+        assert _state(spark, work) == post, f"{tag}: retry diverged"
+
+        # 3) vacuum reclaims debris without changing the view, and the
+        # manifest still parses afterwards
+        vacuum_table(work, min_age_s=0.0)
+        assert _state(spark, work) == post, f"{tag}: vacuum changed the view"
+        assert read_manifest(work)["rows"] >= 0
+
+
+OP_NAMES = ["append", "update", "merge", "compact_deletes", "compact",
+            "alter_rename", "rollback", "overwrite"]
+
+
+@pytest.mark.parametrize("op_name", OP_NAMES)
+def test_crash_sweep_local_fs(spark, tmpdir, op_name):
+    _sweep(spark, tmpdir, LocalFS(), op_name)
+
+
+@pytest.mark.parametrize("op_name", OP_NAMES)
+def test_crash_sweep_object_store_semantics(spark, tmpdir, op_name):
+    """The same sweep under copy+delete moves and no directory rename —
+    strictly more crash boundaries (a move can die between its copy
+    and its delete, leaving the object in both places)."""
+    _sweep(spark, tmpdir, ObjectStoreSimFS(), op_name)
+
+
+def test_crash_during_crash_recovery(spark, tmpdir):
+    """Second-order sweep: crash compact_deletes (the staged-swap
+    rewrite) at representative points, then crash VACUUM — which runs
+    repair_interrupted_swap — at every one of ITS mutation points, and
+    require a final clean vacuum to still converge. Recovery must be
+    as re-runnable as the op it recovers."""
+    base_fs = ObjectStoreSimFS()
+    setup, op = _ops(spark)["compact_deletes"]
+    pristine = os.path.join(str(tmpdir), "pristine")
+    _build(spark, pristine)
+    work = os.path.join(str(tmpdir), "work")
+
+    total, post = _count_mutations(spark, base_fs, pristine, work, setup, op)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(pristine, work)
+    setup(work)
+    pre = _state(spark, work)
+
+    for fail_at in sorted({1, max(1, total // 2), total}):
+        # count the recovery's own mutations at this crash point
+        def _crashed_table():
+            shutil.rmtree(work, ignore_errors=True)
+            shutil.copytree(pristine, work)
+            setup(work)
+            prev = set_fs(CrashFS(base_fs, fail_at=fail_at))
+            try:
+                with pytest.raises(InjectedCrash):
+                    op(work)
+            finally:
+                set_fs(prev)
+
+        _crashed_table()
+        cfs = CrashFS(base_fs, fail_at=0)
+        prev = set_fs(cfs)
+        try:
+            vacuum_table(work, min_age_s=0.0)
+        finally:
+            set_fs(prev)
+        rec_total = cfs.mutations
+
+        for rec_fail in range(1, rec_total + 1):
+            _crashed_table()
+            prev = set_fs(CrashFS(base_fs, fail_at=rec_fail))
+            try:
+                vacuum_table(work, min_age_s=0.0)
+            except InjectedCrash:
+                pass
+            finally:
+                set_fs(prev)
+            # doubly-crashed table: still never torn...
+            got = _state(spark, work)
+            assert got in (pre, post), (
+                f"op@{fail_at}, recovery@{rec_fail}: torn {got}"
+            )
+            # ...and a clean vacuum + retry still converges
+            vacuum_table(work, min_age_s=0.0)
+            if _state(spark, work) == pre:
+                op(work)
+            assert _state(spark, work) == post, (
+                f"op@{fail_at}, recovery@{rec_fail}: no convergence"
+            )

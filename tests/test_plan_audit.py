@@ -661,3 +661,21 @@ def test_ann_ivf_adc_topk_cell_prune_precedes_quantized_scan(spark):
     assert codes_at < cell_join_at, (
         "codes fold must be a PARENT of the cell join (prune first):\n" + final
     )
+
+
+def test_ann_filtered_topk_prefilters_before_probe(spark):
+    """Filtered ANN (r8): the cell-key predicate prunes the CENTROID
+    set before the probe (pre-filtering, not post-filter-the-
+    shortlist), the residual predicate pushes into the candidate
+    scan, every query-side join broadcasts, and no cartesian. The
+    structural claim: both filters appear below the top-k window in
+    the final plan — filtering happens before ranking, so a selective
+    predicate can never starve the shortlist."""
+    df = _q("q_ann_filtered_topk")(spark, SF_MED)
+    a = assert_posture(df, min_broadcast_joins=2, execute=False)
+    assert a.n_cartesian == 0, a.plan
+    final = a.plan.split("== Initial Plan ==")[0]
+    # residual predicate reaches a Filter (pushed toward the scan)
+    assert "% 7" in final, final
+    # cell-key predicate applied to the centroid build side
+    assert "% 2" in final, final
