@@ -104,10 +104,11 @@ def _constraint_refs(m: dict, name: str) -> list[str]:
 
 
 def _mask_columns(path: str) -> list[str]:
-    root = os.path.join(path, MANIFEST_DIR, "deletes")
-    if not os.path.isdir(root):
-        return []
-    return [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+    # PENDING batches only (deletes.pending_mask_batches): batch dirs a
+    # published rewrite already consumed no longer gate a drop
+    from nimble_spark.sources.deletes import pending_mask_batches
+
+    return sorted({b.partition("/")[0] for b in pending_mask_batches(path)})
 
 
 def alter_table(
