@@ -955,37 +955,17 @@ class NimbleWriter(DataSourceArrowWriter):
             ):
                 os.remove(os.path.join(self.path, f))
 
-        if self.overwrite:
-            # Clear the previous generation INSIDE the locked commit:
-            # everything but this job's committed files goes (overwrite
-            # replaces the table wholesale; staging happened alongside
-            # the old generation, which stayed readable until here).
-            # RECURSIVE: the prior generation may be Hive-partitioned/
-            # bucketed (files under p=X/ subdirs) — a root-only listdir
-            # sweep left those behind and the recursive manifest build
-            # RESURRECTED them into the new table (old rows unioned
-            # with the new ones; r7 probe). Metadata (_nimble) is the
-            # only subtree excluded; emptied layout dirs are removed so
-            # no stale directory shape survives the reset.
-            from nimble_spark.sources.table import MANIFEST_DIR as _MD
-
-            for root, dirs, files in os.walk(self.path, topdown=True):
-                dirs[:] = [d for d in dirs if d != _MD]
-                for f in files:
-                    rel = os.path.normpath(
-                        os.path.relpath(os.path.join(root, f), self.path)
-                    )
-                    if f.endswith(".parquet") and rel not in committed:
-                        os.remove(os.path.join(root, f))
-                    elif f.endswith(".crc") and root != self.path:
-                        os.remove(os.path.join(root, f))
-            for root, _dirs, _files in os.walk(self.path, topdown=False):
-                rel = os.path.relpath(root, self.path)
-                if root == self.path or rel.split(os.sep)[0] == _MD:
-                    continue
-                if not os.listdir(root):  # emptied layout dir
-                    os.rmdir(root)
-
+        # Overwrite is PUBLISH-FIRST (r8 fault-injection sweep): the
+        # previous generation stays on disk, the new manifest is built
+        # around it (recursive exclusion below — the prior generation
+        # may be Hive-partitioned/bucketed under p=X/ subdirs; a
+        # root-only listdir sweep once left those behind and the
+        # recursive manifest build RESURRECTED them, r7 probe), the
+        # atomic publish is the commit point, and only THEN is the old
+        # generation swept as unreferenced debris. The old sweep-first
+        # ordering deleted the prior generation while the prior
+        # manifest was still live — a crash before the publish left a
+        # manifest referencing deleted files: a lost table.
         import pyarrow.parquet as pq
 
         any_file = next(iter(committed), None)
@@ -1008,11 +988,21 @@ class NimbleWriter(DataSourceArrowWriter):
         # jobs' leftovers, and a crashed compaction's staged merge
         # outputs. They stay on disk for their own commit or vacuum's
         # age-gated sweep; they must simply not enter OUR manifest.
-        stray = {
-            f
-            for f in os.listdir(self.path)
-            if f.endswith(".parquet") and f not in committed and f not in prior_files
-        }
+        if self.overwrite:
+            # the ENTIRE previous generation (any directory depth, any
+            # name) is excluded from the new manifest — this commit's
+            # files are the whole table
+            from nimble_spark.sources.table import _unreferenced_parquet_rels
+
+            stray = _unreferenced_parquet_rels(
+                self.path, {os.path.normpath(f) for f in committed}
+            )
+        else:
+            stray = {
+                f
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet") and f not in committed and f not in prior_files
+            }
         # Stats-shaped indexes survive appends (same carry-forward rule
         # as write_table: per-file min/max pruning stays correct on
         # mixed layouts; bloom-less files are always kept; the fence
@@ -1110,8 +1100,46 @@ class NimbleWriter(DataSourceArrowWriter):
                 "files": sorted(committed),
             }
         ]
+        if self.overwrite:
+            # Pre-existing delete masks die with the replaced table —
+            # record them consumed IN the manifest (atomic with the
+            # publish). Before this fence, a pyds overwrite left mask
+            # dirs live (the sweep excludes _nimble) and they silently
+            # swallowed matching keys in the NEW data.
+            from nimble_spark.sources.deletes import mask_batch_dirs
+
+            consumed = mask_batch_dirs(self.path)
+            if consumed:
+                manifest["consumed_masks"] = consumed
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
         _write_manifest(self.path, manifest)
+        if self.overwrite:
+            # Commit point passed: the previous generation is now
+            # unreferenced debris — sweep it through the metadata FS
+            # (a crash mid-sweep leaves the rest for vacuum; readers
+            # are manifest-true and never see it either way), then
+            # drop emptied layout dirs so no stale directory shape
+            # survives the reset.
+            from nimble_spark.sources.fs import get_fs as _get_fs
+            from nimble_spark.sources.table import MANIFEST_DIR as _MD
+
+            _fs = _get_fs()
+            for root, dirs, files in os.walk(self.path, topdown=True):
+                dirs[:] = [d for d in dirs if d != _MD]
+                for f in files:
+                    rel = os.path.normpath(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+                    if f.endswith(".parquet") and rel not in committed:
+                        _fs.delete(os.path.join(root, f))
+                    elif f.endswith(".crc") and root != self.path:
+                        _fs.delete(os.path.join(root, f))
+            for root, _dirs, _files in os.walk(self.path, topdown=False):
+                rel = os.path.relpath(root, self.path)
+                if root == self.path or rel.split(os.sep)[0] == _MD:
+                    continue
+                if not os.listdir(root):  # emptied layout dir
+                    os.rmdir(root)
 
     def abort(self, messages) -> None:
         for m in messages or []:

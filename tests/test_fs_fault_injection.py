@@ -363,3 +363,80 @@ def test_crash_during_crash_recovery(spark, tmpdir):
             assert _state(spark, work) == post, (
                 f"op@{fail_at}, recovery@{rec_fail}: no convergence"
             )
+
+
+def test_pyds_overwrite_publish_first(spark, tmpdir):
+    """df.write.format('nimble').mode('overwrite') on an existing
+    table is publish-first: a crash at the manifest publish leaves the
+    OLD generation fully readable (the old ordering swept the old
+    files before publishing — a crash left a live manifest pointing at
+    deleted files); a crash during the post-publish sweep leaves the
+    NEW table live with old-generation debris for vacuum."""
+    # The DS write/commit phases run in Spark's Python workers, out of
+    # reach of this process's FS seam — drive the COMMIT directly (the
+    # write phase is plain per-task parquet staging) so the crash can
+    # be injected at its metadata mutations.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nimble_spark.sources.datasource import NimbleWriteMessage, NimbleWriter
+
+    path = os.path.join(str(tmpdir), "t")
+    _build(spark, path)
+    pre = _state(spark, path)
+
+    def _stage():
+        w = NimbleWriter(path, overwrite=True)
+        rel = f"pyds-{w.job_token}-deadbeef.parquet"
+        pq.write_table(
+            pa.table({"k": [700, 701], "v": [7, 8]}), os.path.join(path, rel)
+        )
+        return w, [NimbleWriteMessage(rel_path=rel, rows=2)]
+
+    # crash exactly at the manifest publish (first metadata mutation
+    # of the commit: the old-generation sweep now runs after it)
+    w, msgs = _stage()
+    prev = set_fs(CrashFS(LocalFS(), fail_at=1))
+    try:
+        with pytest.raises(InjectedCrash):
+            w.commit(msgs)
+    finally:
+        set_fs(prev)
+    assert _state(spark, path) == pre, "old generation must survive"
+
+    # a crash DURING the post-publish sweep leaves the new table live
+    w, msgs = _stage()
+    prev = set_fs(CrashFS(LocalFS(), fail_at=3))
+    try:
+        with pytest.raises(InjectedCrash):
+            w.commit(msgs)
+    finally:
+        set_fs(prev)
+    got = _state(spark, path)
+    assert sorted(got[1]) == [(700, 7), (701, 8)], got[1]
+    # ...and vacuum reclaims the old-generation debris
+    vacuum_table(path, min_age_s=0.0)
+    assert _state(spark, path) == got
+
+
+def test_pyds_overwrite_consumes_pending_masks(spark, tmpdir):
+    """Pre-existing delete masks die with the replaced table: before
+    the consumed_masks fence, a pyds overwrite left the mask dirs
+    live (its sweep excludes _nimble) and they silently swallowed
+    matching keys in the NEW data."""
+    from nimble_spark.sources.datasource import register_nimble_source
+    from nimble_spark.sources.deletes import has_pending_masks
+
+    register_nimble_source(spark)
+    path = os.path.join(str(tmpdir), "t")
+    _build(spark, path)
+    delete_rows(spark, path, "k", [3, 5])
+    assert has_pending_masks(path)
+
+    # overwrite with rows REUSING a masked key — it must be visible
+    _df(spark, [(3, 333), (99, 9)]).write.format("nimble").mode(
+        "overwrite"
+    ).save(path)
+    assert not has_pending_masks(path)
+    got = _state(spark, path)
+    assert sorted(got[1]) == [(3, 333), (99, 9)], got[1]
