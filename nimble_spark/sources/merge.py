@@ -599,87 +599,53 @@ def overwrite_partitions(
     pkeys = (pidx.get("partition") or {}).get("keys")
     if not pkeys:
         raise ValueError("overwrite_partitions requires a partition_by table")
-    prior = {
-        os.path.normpath(e["path"]): e for e in manifest["files"] if "nulls" in e
+    # Which partitions does df replace? The distinct partition tuples
+    # — bounded by partition count, driver-side metadata (the same
+    # knowledge Spark's dynamic mode derives before its swap). Values
+    # compare as their Hive-rendered strings against the manifest
+    # paths' parsed segments (URL-unescaped; bool renders true/false).
+    def _render(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    from nimble_spark.sources.datasource import _path_partition_values
+
+    part_vals = {
+        tuple(_render(r[k]) for k in pkeys)
+        for r in df.select(*pkeys).distinct().collect()
     }
-    # Crash-retry fence: snapshot unreferenced parquet BEFORE the
-    # dynamic overwrite lands its files — a previous writer that died
-    # pre-publish left files no name pattern identifies, and adopting
-    # them here would publish rows whose commit never happened. (The
-    # overwrite may itself delete debris living in a replaced
-    # partition; excluding a now-absent path is a no-op.)
-    from nimble_spark.sources.table import _unreferenced_parquet_rels
-
-    debris = _unreferenced_parquet_rels(
-        path, {os.path.normpath(e["path"]) for e in manifest["files"]}
-    )
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.write.mode("overwrite")
-            .option("compression", (opts or WriteOptions()).compression)
-            .partitionBy(*pkeys)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-
-    reuse = {p: e for p, e in prior.items() if os.path.exists(os.path.join(path, p))}
-    removed = sorted(p for p in prior if p not in reuse)
-    # commit-log membership (which files this commit ADDED) is about
-    # survival, not describe-reuse — keep it before any repair gate
-    carried = set(reuse)
-    if manifest.get("stats_gen", 1) < STATS_GEN:
-        reuse = {}  # pre-fix entries: re-describe (see table.STATS_GEN)
-    index_meta = {
-        k: pidx[k]
-        for k in ("partition", "cluster", "zorder", "bloom", "sorted", "sorted_fence")
-        if k in pidx
-    }
-    prior_commits = list(manifest.get("commits", []))
-    prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
-    new_manifest = _build_manifest(
-        spark, df.schema, path, opts or WriteOptions(), index_meta,
-        reuse=reuse, exclude=debris, ndv_cols=manifest.get("ndv_columns"),
-        sum_cols=manifest.get("sum_columns"),
-        hist_cols=manifest.get("histogram_columns"),
-    )
-    # table-level contracts survive the partial overwrite, exactly as
-    # they survive merge/update rewrites
-    for k in ("constraints", "tags", "schema_mapping", "ndv_columns",
-              "sum_columns", "histogram_columns"):
-        if manifest.get(k):
-            new_manifest[k] = manifest[k]
-    from nimble_spark.sources.deletes import carry_consumed_masks
-
-    _cm = carry_consumed_masks(path, manifest)
-    if _cm:  # dead-mask fence survives until its dirs are reclaimed
-        new_manifest["consumed_masks"] = _cm
-    if manifest.get("user_metadata"):
-        new_manifest["user_metadata"] = {
-            **manifest["user_metadata"],
-            **(new_manifest.get("user_metadata") or {}),
-        }
-    new_files = sorted(
-        os.path.normpath(f["path"])
-        for f in new_manifest["files"]
-        if os.path.normpath(f["path"]) not in carried
-    )
-    new_manifest["commits"] = prior_commits + [
-        {
-            "commit": len(prior_commits),
-            "mode": "overwrite_partitions",
-            "files_added": len(new_files),
-            "files_removed": len(removed),
-            "removed": removed,
-            "rows_added": new_manifest["rows"] - prior_rows,
-            "files": new_files,
-        }
+    affected = [
+        os.path.normpath(e["path"])
+        for e in manifest["files"]
+        if tuple(_path_partition_values(e["path"]).get(k) for k in pkeys)
+        in part_vals
     ]
-    os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
-    _write_manifest(path, new_manifest)
-    return new_manifest
+    # Stage-then-publish through the shared copy-on-write commit
+    # (_commit_rewrite): the new files stage in a sibling dir and move
+    # in under unique names, the manifest publishes FIRST (replaced
+    # files intact until the commit point), and the replaced files
+    # then retire to the retention trash — snapshot reads across the
+    # backfill keep resolving, and a crash at ANY boundary leaves the
+    # old or the new table, never a manifest referencing deleted
+    # bytes. (The previous implementation rode Spark's in-place
+    # dynamic partitionOverwriteMode, which deletes the replaced
+    # partition BEFORE the manifest publish — the r8 fault-injection
+    # sweep caught the torn window: PATH_NOT_FOUND on the live read.)
+    import pyspark.sql.types as T
+
+    return _commit_rewrite(
+        spark,
+        path,
+        manifest,
+        T.StructType.fromJson(manifest["schema"]),
+        affected,
+        df,
+        mode="overwrite_partitions",
+        opts=opts,
+    )
 
 
 def _serialize_writes(fn, path_pos: int):

@@ -440,3 +440,82 @@ def test_pyds_overwrite_consumes_pending_masks(spark, tmpdir):
     assert not has_pending_masks(path)
     got = _state(spark, path)
     assert sorted(got[1]) == [(3, 333), (99, 9)], got[1]
+
+
+# ---------------------------------------------------------------------------
+# partitioned-table sweep: partition directories add makedirs/move
+# boundaries the flat table never hits, and overwrite_partitions (the
+# idempotent-backfill primitive) gets its own crash drill
+# ---------------------------------------------------------------------------
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(list(rows), "k LONG, v LONG, p LONG")
+
+
+def _build_partitioned(spark, path):
+    write_table(
+        _pdf(spark, [(k, k * 10, k % 3) for k in range(12)]),
+        path,
+        WriteOptions(partition_by=["p"], ndv_columns=["k"], sum_columns=["v"]),
+    )
+    write_table(
+        _pdf(spark, [(k, k * 10, k % 3) for k in range(12, 18)]),
+        path,
+        WriteOptions(partition_by=["p"]),
+        mode="append",
+    )
+
+
+def _part_ops(spark):
+    from nimble_spark.sources.merge import overwrite_partitions
+
+    return {
+        "append": lambda p: write_table(
+            _pdf(spark, [(100, 1, 0), (101, 2, 4)]), p,
+            WriteOptions(partition_by=["p"]), mode="append",
+        ),
+        "update": lambda p: update_where(spark, p, "k >= 9", {"v": "v + 1"}),
+        "overwrite_partitions": lambda p: overwrite_partitions(
+            spark, _pdf(spark, [(200, 5, 1), (201, 6, 1)]), p
+        ),
+        "compact": lambda p: compact_table(
+            spark, p, target_file_bytes=64 * 1024 * 1024
+        ),
+    }
+
+
+@pytest.mark.parametrize("op_name", ["append", "update",
+                                     "overwrite_partitions", "compact"])
+@pytest.mark.parametrize("fs_kind", ["local", "objsim"])
+def test_crash_sweep_partitioned(spark, tmpdir, fs_kind, op_name):
+    base_fs = LocalFS() if fs_kind == "local" else ObjectStoreSimFS()
+    op = _part_ops(spark)[op_name]
+    pristine = os.path.join(str(tmpdir), "pristine")
+    _build_partitioned(spark, pristine)
+    work = os.path.join(str(tmpdir), "work")
+
+    total, post = _count_mutations(spark, base_fs, pristine, work, None, op)
+    assert total >= 1, f"{op_name}: nothing to inject into"
+
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(pristine, work)
+    pre = _state(spark, work)
+    assert pre != post
+
+    for fail_at in range(1, total + 1):
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(pristine, work)
+        tag = f"partitioned/{fs_kind}/{op_name}@{fail_at}"
+        prev = set_fs(CrashFS(base_fs, fail_at=fail_at))
+        try:
+            with pytest.raises(InjectedCrash):
+                op(work)
+        finally:
+            set_fs(prev)
+        got = _state(spark, work)
+        assert got in (pre, post), f"{tag}: torn state {got}"
+        if got == pre:
+            op(work)
+        assert _state(spark, work) == post, f"{tag}: retry diverged"
+        vacuum_table(work, min_age_s=0.0)
+        assert _state(spark, work) == post, f"{tag}: vacuum changed the view"
