@@ -516,3 +516,45 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ensure_cached(sf_dir, "documents__inverted_bm25", ["documents"], _build)
     return search_bm25(spark, path, ["the", "of"])
+
+
+@register("q_bm25_incremental_append", oracle=_BM25_DUCK, category="format")
+def q_bm25_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance end-to-end: build the inverted +
+    doclen sidecars over 80% of the corpus, append the remaining 20%
+    to the base table, then update the sidecars from the CDC feed
+    ONLY (sources/inverted.py:update_inverted_index — postings of the
+    new commits appended, nothing rebuilt), and BM25-rank the same
+    query as q_bm25_search. The oracle recomputes tf/df/dl over the
+    WHOLE corpus from raw text, so a hash match proves the
+    incremental postings are the exact union — a missing or
+    double-counted posting from the maintenance path flips df/tf and
+    the score hash. The pattern a continuously-ingesting 100 TB
+    corpus needs: index refresh cost tracks ingest volume, not corpus
+    size."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.inverted import (
+        build_doclen_sidecar,
+        build_inverted_index,
+        search_bm25,
+        update_inverted_index,
+    )
+    from nimble_spark.sources.table import WriteOptions, read_manifest, write_table
+
+    def _build(tmp: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        write_table(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            tmp,
+            WriteOptions(cluster_by=["doc_id"]),
+        )
+        build_inverted_index(spark, tmp)
+        build_doclen_sidecar(spark, tmp)
+        head = len(read_manifest(tmp)["commits"]) - 1
+        write_table(
+            docs.filter(F.col("doc_id") % 5 == 0), tmp, WriteOptions(), mode="append"
+        )
+        update_inverted_index(spark, tmp, since_commit=head)
+
+    path = ensure_cached(sf_dir, "documents__inverted_incr", ["documents"], _build)
+    return search_bm25(spark, path, ["the", "of"])

@@ -574,3 +574,65 @@ def q_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(ss_btw / F.col("n_tot") / _SCALE / _SCALE, 4).alias("var_between"),
         rnd(ss_btw / ss_tot, 4).alias("discriminability"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic split — exact per-stratum proportions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stratified_split",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {hash32_sql_duck("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rk <= CAST(FLOOR(n * 8 / 10) AS BIGINT) THEN 'train'
+                WHEN rk <= CAST(FLOOR(n * 9 / 10) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+    category="train_prep",
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED deterministic split: within every stratum (language),
+    documents are ranked by a portable content-independent hash and
+    the first floor(0.8·n_s) go to train, the next floor(0.1·n_s) to
+    val, the rest to test — EXACT per-stratum proportions, which the
+    plain hash-mod split (q_train_split) only approximates (a 50-doc
+    minority language can land 70/30 by mod-bucket luck, skewing
+    eval coverage for exactly the strata that can least afford it).
+    Deterministic across engines, reruns, and partitionings; the hash
+    ordering (not doc_id order) keeps membership insensitive to
+    ingestion order within a stratum.
+
+    Scale: one window over the stratum key — a single shuffle,
+    partition-local ranking. Strata are language-sized (dozens), so
+    skew is bounded by corpus language balance; for a pathologically
+    dominant stratum, rank against per-stratum hash QUANTILES
+    (computed once, broadcast) to make assignment map-only — same
+    membership, no global window. Unlike q_train_split, membership
+    shifts as a stratum grows (quotas are exact, not sticky):
+    pick this when per-stratum balance matters more than append
+    stability, the mod split when the reverse."""
+    d = load(spark, sf_dir, "documents")
+    h = F.expr(hash32_sql_spark("CAST(doc_id AS STRING)"))
+    wr = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    wn = W.partitionBy("lang")
+    r = (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    split = (
+        F.when(F.col("rk") <= F.floor(F.col("n") * 8 / 10), F.lit("train"))
+        .when(F.col("rk") <= F.floor(F.col("n") * 9 / 10), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return r.select("doc_id", "lang", split.alias("split"))

@@ -196,3 +196,52 @@ def search_ranked(
         .agg(F.sum(F.floor(F.col("part") * 10000 + F.lit(0.5)).cast("bigint")).alias("sq"))
     )
     return scored.select(key, (F.col("sq").cast("double") / 10000).alias("score"))
+
+
+def update_inverted_index(
+    spark: SparkSession,
+    path: str,
+    since_commit: int,
+    col: str = "text",
+    key: str = "doc_id",
+) -> dict:
+    """INCREMENTAL posting maintenance — the index analogue of the
+    IVF incremental append (similarity.py): postings are computed for
+    ONLY the rows commits after ``since_commit`` added (the CDC feed,
+    cost O(changed data)) and APPENDED to the posting + doclen
+    sidecars. No rebuild: new documents are new keys, so their
+    (token, key, tf) rows are disjoint from the resident postings and
+    a plain append is the exact union. Appended posting files overlap
+    the resident token ranges — per-file min/max pruning stays
+    CORRECT, a probe may just open one extra posting file per batch
+    until a recluster of the sidecar restores disjointness (the same
+    documented contract as any clustered-table append). Reference
+    analogue: appending stripes under an existing index layout
+    instead of rewriting the tablet (index/IndexWriter.h layering).
+    """
+    from nimble_spark.sources.table import read_changes
+
+    new_docs = read_changes(spark, path, since_commit=since_commit)
+    postings = (
+        new_docs.select(
+            key, F.explode(F.split(F.trim(F.col(col)), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", key)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    out = os.path.join(path, INVERTED_DIR, _sidecar_name(path, col))
+    m = write_table(postings, out, WriteOptions(), mode="append")
+    dl = new_docs.select(
+        key,
+        F.size(
+            F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != "")
+        ).alias("dl"),
+    )
+    write_table(
+        dl,
+        os.path.join(path, INVERTED_DIR, _sidecar_name(path, col) + DOCLEN_SUFFIX),
+        WriteOptions(),
+        mode="append",
+    )
+    return m
