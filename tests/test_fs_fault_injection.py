@@ -519,3 +519,14 @@ def test_crash_sweep_partitioned(spark, tmpdir, fs_kind, op_name):
         assert _state(spark, work) == post, f"{tag}: retry diverged"
         vacuum_table(work, min_age_s=0.0)
         assert _state(spark, work) == post, f"{tag}: vacuum changed the view"
+
+
+@pytest.mark.parametrize("op_name", ["compact_deletes", "overwrite"])
+def test_crash_sweep_fsspec_adapter(spark, tmpdir, op_name):
+    """The sweep's rewrite-heavy ops on the fsspec adapter
+    (FsspecFS over the in-repo contract double): crash recovery must
+    hold through a THIRD-PARTY FS API shape — copy+rm moves, no
+    directory rename, republish rewrites — not just in-repo impls."""
+    from nimble_spark.sources.fs_fsspec import FsspecFS, _MiniLocalFsspec
+
+    _sweep(spark, tmpdir, FsspecFS(_MiniLocalFsspec()), op_name)

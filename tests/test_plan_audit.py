@@ -679,3 +679,14 @@ def test_ann_filtered_topk_prefilters_before_probe(spark):
     assert "% 7" in final, final
     # cell-key predicate applied to the centroid build side
     assert "% 2" in final, final
+
+
+def test_stratified_split_posture(spark):
+    """One window over the stratum key: at most the rank/count
+    exchange pair, no join, no cartesian, nothing Python-side."""
+    a = assert_posture(
+        _q("q_stratified_split")(spark, SF_MED),
+        max_shuffles=2,
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0 and a.n_bnl_joins == 0, a.plan
