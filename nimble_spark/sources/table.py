@@ -133,6 +133,15 @@ class WriteOptions:
     # every append, so readers may assume them (e.g. non-negativity
     # for stats short-circuits) the same way they assume the schema.
     check_constraints: dict[str, str] = field(default_factory=dict)
+    # Extra keys merged into THIS write's commit-log entry, inside the
+    # same atomic manifest publish. The streaming sinks use it for
+    # exactly-once: each micro-batch commit records its
+    # (stream_sink, stream_batch_id), and a foreachBatch replay of an
+    # already-committed batch (crash between the table publish and
+    # Spark's checkpoint write) is detected and skipped instead of
+    # appended twice. Reserved keys of the commit entry itself
+    # (commit/mode/files*/rows_added) cannot be overridden.
+    commit_metadata: dict[str, object] = field(default_factory=dict)
     # Duplicate-column storage dedup — the TabletWriter stream-dedup
     # analogue (dwio/nimble/tablet/TabletWriter.cpp:98-109,313: streams
     # with identical bytes are stored once per stripe, found by
@@ -805,6 +814,13 @@ def _write_table_locked(
     )
     manifest["commits"] = prior_commits + [
         {
+            # caller commit_metadata first: the entry's own keys win,
+            # so reserved fields cannot be overridden
+            **{
+                k: v
+                for k, v in (opts.commit_metadata or {}).items()
+                if k not in ("commit", "mode", "files_added", "rows_added", "files")
+            },
             "commit": len(prior_commits),
             "mode": mode,
             "files_added": len(new_files),

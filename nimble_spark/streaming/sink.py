@@ -15,6 +15,65 @@ from pyspark.sql import DataFrame
 from nimble_spark.sources.table import MANIFEST_DIR, MANIFEST_NAME, WriteOptions, write_table
 
 
+def _sink_token(checkpoint: str) -> str:
+    """Stable identity of one stream: its checkpoint location — the
+    same thing Spark uses to resume it. Replays of a batch always
+    carry the same (checkpoint, batch_id) pair."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+
+def _batch_already_committed(path: str, token: str, batch_id: int) -> bool:
+    from nimble_spark.sources.table import read_manifest
+
+    try:
+        m = read_manifest(path, materialize=False)
+    except (OSError, KeyError, ValueError):
+        return False
+    return any(
+        c.get("stream_sink") == token and c.get("stream_batch_id") == batch_id
+        for c in m.get("commits", [])
+    )
+
+
+def append_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    checkpoint: str,
+    opts: WriteOptions | None = None,
+) -> bool:
+    """Idempotent micro-batch commit — the exactly-once half
+    foreachBatch does NOT provide on its own (Spark guarantees
+    at-least-once delivery to the function; a crash between the table
+    publish and the checkpoint write REPLAYS the batch). Every commit
+    records its (stream_sink=checkpoint identity, stream_batch_id)
+    inside the atomic manifest publish (WriteOptions.commit_metadata);
+    a replayed batch finds its marker in the commit log and is
+    skipped. Returns False for a skipped replay. The marker lives in
+    the commit log, so the guarantee spans sink restarts and holds
+    until a history-resetting rewrite (compact_deletes) — which only
+    runs between batches, under the same table lock commits take."""
+    import dataclasses
+
+    token = _sink_token(checkpoint)
+    manifest = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
+    exists = os.path.exists(manifest)
+    if exists and _batch_already_committed(path, token, batch_id):
+        return False
+    o = dataclasses.replace(
+        opts or WriteOptions(),
+        commit_metadata={
+            **((opts.commit_metadata if opts else None) or {}),
+            "stream_sink": token,
+            "stream_batch_id": batch_id,
+        },
+    )
+    write_table(batch_df, path, o, mode="append" if exists else "overwrite")
+    return True
+
+
 def stream_to_table(
     stream_df: DataFrame,
     path: str,
@@ -25,11 +84,8 @@ def stream_to_table(
     foreachBatch: first batch creates the table, later batches append
     and rebuild the manifest (stats/min-max stay fresh for pruning).
     Returns the StreamingQuery (caller awaits/stops)."""
-    manifest = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        mode = "append" if os.path.exists(manifest) else "overwrite"
-        write_table(batch_df, path, opts, mode=mode)
+        append_stream_batch(batch_df, batch_id, path, checkpoint, opts)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -62,8 +118,6 @@ def stream_upsert_to_table(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    manifest = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
         winners = (
@@ -72,8 +126,7 @@ def stream_upsert_to_table(
             .drop("_rn")
             .withColumn(COMMIT_COL, F.lit(batch_id).cast("long"))
         )
-        mode = "append" if os.path.exists(manifest) else "overwrite"
-        write_table(winners, path, opts, mode=mode)
+        append_stream_batch(winners, batch_id, path, checkpoint, opts)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -530,3 +530,45 @@ def test_crash_sweep_fsspec_adapter(spark, tmpdir, op_name):
     from nimble_spark.sources.fs_fsspec import FsspecFS, _MiniLocalFsspec
 
     _sweep(spark, tmpdir, FsspecFS(_MiniLocalFsspec()), op_name)
+
+
+def test_stream_batch_replay_exactly_once(spark, tmpdir):
+    """foreachBatch is at-least-once: a crash between the table's
+    manifest publish and Spark's checkpoint write REPLAYS the batch.
+    append_stream_batch records (stream_sink, stream_batch_id) inside
+    the atomic publish, so the replay is detected and skipped — and a
+    crash BEFORE the publish leaves no marker, so that replay lands
+    the rows exactly once."""
+    from nimble_spark.streaming.sink import append_stream_batch
+
+    path = os.path.join(str(tmpdir), "t")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+
+    b0 = _df(spark, [(1, 10), (2, 20)])
+    b1 = _df(spark, [(3, 30), (4, 40)])
+
+    assert append_stream_batch(b0, 0, path, ckpt) is True
+    # replay of a COMMITTED batch (crash after publish): skipped
+    assert append_stream_batch(b0, 0, path, ckpt) is False
+    assert sorted(_state(spark, path)[1]) == [(1, 10), (2, 20)]
+
+    # crash DURING batch 1's publish → no marker lands
+    prev = set_fs(CrashFS(LocalFS(), fail_at=1))
+    try:
+        with pytest.raises(InjectedCrash):
+            append_stream_batch(b1, 1, path, ckpt)
+    finally:
+        set_fs(prev)
+    assert sorted(_state(spark, path)[1]) == [(1, 10), (2, 20)]
+    # the replay after restart lands batch 1 exactly once
+    assert append_stream_batch(b1, 1, path, ckpt) is True
+    assert append_stream_batch(b1, 1, path, ckpt) is False
+    assert sorted(_state(spark, path)[1]) == [
+        (1, 10), (2, 20), (3, 30), (4, 40)
+    ]
+    # a different checkpoint (a DIFFERENT stream) is its own sink:
+    # same batch id must not be confused with the first stream's
+    assert append_stream_batch(
+        _df(spark, [(9, 90)]), 1, path, os.path.join(str(tmpdir), "ckpt2")
+    ) is True
+    assert (9, 90) in _state(spark, path)[1]
