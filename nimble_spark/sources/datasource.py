@@ -881,7 +881,7 @@ class NimbleWriter(DataSourceArrowWriter):
         with table_write_lock(self.path):
             self._commit_unlocked(messages)
 
-    def _commit_unlocked(self, messages) -> None:
+    def _commit_unlocked(self, messages, commit_extra: dict | None = None) -> None:
         from pyspark.sql.types import StructType as _St
 
         from nimble_spark.sources.table import (
@@ -1071,6 +1071,21 @@ class NimbleWriter(DataSourceArrowWriter):
                 f"commit lost {len(missing)} staged files (concurrent "
                 f"overwrite replaced the table?): {sorted(missing)[:3]}…"
             )
+        # An append must also CARRY every prior committed file: a
+        # vanished one (manual deletion, foreign sweep) would silently
+        # publish a shrunken table — rows lost without an error (r8
+        # probe). Fail loudly instead; the prior manifest stays live.
+        if not self.overwrite:
+            lost = {os.path.normpath(f) for f in prior_files} - {
+                os.path.normpath(f) for f in produced
+            }
+            if lost:
+                raise RuntimeError(
+                    f"append found {len(lost)} prior committed file(s) "
+                    f"missing on disk (deleted outside the engine?); "
+                    f"refusing to publish a shrunken table: "
+                    f"{sorted(lost)[:3]}…"
+                )
         # writer runtime stats parity with write_table (SHOW WRITE STATS)
         from nimble_spark.sources.table import _layout_stats
 
@@ -1093,6 +1108,11 @@ class NimbleWriter(DataSourceArrowWriter):
         prior_rows = sum(c.get("rows_added", 0) for c in prior_commits)
         manifest["commits"] = prior_commits + [
             {
+                # caller extras first (e.g. the stream writer's
+                # batch_id — stamped INSIDE the atomic publish; a
+                # second stamp-publish would reopen the replay window
+                # a crash between the two publishes leaves)
+                **(commit_extra or {}),
                 "commit": len(prior_commits),
                 "mode": "overwrite" if self.overwrite else "append",
                 "files_added": len(committed),
@@ -1142,8 +1162,22 @@ class NimbleWriter(DataSourceArrowWriter):
                     os.rmdir(root)
 
     def abort(self, messages) -> None:
+        # Never delete a file the MANIFEST references: abort receives
+        # rel_paths by name, and a staged name colliding with a
+        # committed file (token/name reuse by a replayed batch) would
+        # otherwise delete live data (r8 probe: the stream replay
+        # abort removed the original batch's committed file).
+        try:
+            live = {
+                os.path.normpath(f["path"])
+                for f in read_manifest(self.path)["files"]
+            }
+        except (OSError, ValueError, KeyError):
+            live = set()
         for m in messages or []:
             if m is not None and getattr(m, "rel_path", ""):
+                if os.path.normpath(m.rel_path) in live:
+                    continue
                 try:
                     os.remove(os.path.join(self.path, m.rel_path))
                 except OSError:
@@ -1179,7 +1213,7 @@ class NimbleStreamWriter(DataSourceStreamArrowWriter):
         return self._delegate.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
-        from nimble_spark.sources.table import _write_manifest, table_write_lock
+        from nimble_spark.sources.table import table_write_lock
 
         # One lock span covers replay-check → append-commit → batch-id
         # stamp, so the check and the commit are atomic against any
@@ -1194,14 +1228,14 @@ class NimbleStreamWriter(DataSourceStreamArrowWriter):
             if batchId in done:
                 self._delegate.abort(messages)  # replay: drop staged files
                 return
-            self._delegate._commit_unlocked(messages)
-            # copy-on-write stamp: read_manifest returns the SHARED
-            # cached dict — never mutate it in place
-            cached = read_manifest(self.path)
-            commits = list(cached.get("commits", []))
-            commits[-1] = {**commits[-1], "batch_id": batchId}
-            manifest = {**cached, "commits": commits}
-            _write_manifest(self.path, manifest)
+            # batch id rides the commit's own atomic publish — a
+            # separate stamp-publish left a window where the data
+            # committed but the stamp didn't, so a crash there made
+            # the replay check miss and the batch append TWICE (r8
+            # fault-injection class)
+            self._delegate._commit_unlocked(
+                messages, commit_extra={"batch_id": batchId}
+            )
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._delegate.abort(messages)

@@ -745,6 +745,22 @@ def _write_table_locked(
         reuse=reuse, exclude=stray, ndv_cols=_ndv_cols, sum_cols=_sum_cols,
         hist_cols=_hist_cols,
     )
+    if mode == "append":
+        # Every prior committed LOCAL file must survive into the new
+        # manifest — a vanished one (deleted outside the engine) would
+        # silently publish a shrunken table, rows lost without an
+        # error (r8 probe). Foreign (shallow-clone, absolute-path)
+        # entries live outside this directory scan and are checked by
+        # the clone machinery instead.
+        _now = {os.path.normpath(f["path"]) for f in manifest["files"]}
+        _lost = {p for p in prior_paths if not os.path.isabs(p)} - _now
+        if _lost:
+            raise RuntimeError(
+                f"append found {len(_lost)} prior committed file(s) "
+                f"missing on disk (deleted outside the engine?); "
+                f"refusing to publish a shrunken table: "
+                f"{sorted(_lost)[:3]}…"
+            )
     stats_wall_ms = int((time.monotonic() - t1) * 1000)
     if aliases:
         # Duplicate-column dedup contract: the stored (physical) schema

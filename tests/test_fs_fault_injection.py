@@ -572,3 +572,61 @@ def test_stream_batch_replay_exactly_once(spark, tmpdir):
         _df(spark, [(9, 90)]), 1, path, os.path.join(str(tmpdir), "ckpt2")
     ) is True
     assert (9, 90) in _state(spark, path)[1]
+
+
+def test_ds_stream_batch_id_stamp_is_atomic(spark, tmpdir):
+    """The DS stream sink's replay check reads batch_id from the
+    commit log; the stamp must ride the commit's OWN publish — a
+    separate stamp-publish left a crash window where the data
+    committed but the stamp didn't, so the replay appended twice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nimble_spark.sources.datasource import (
+        NimbleStreamWriter,
+        NimbleWriteMessage,
+    )
+
+    path = os.path.join(str(tmpdir), "t")
+    w = NimbleStreamWriter(path)
+
+    _n = [0]
+
+    def _stage(rows):
+        # unique name per attempt, like real task-attempt uuids
+        _n[0] += 1
+        rel = f"pyds-{w._delegate.job_token}-a{_n[0]}.parquet"
+        pq.write_table(
+            pa.table({"k": [r[0] for r in rows], "v": [r[1] for r in rows]}),
+            os.path.join(path, rel),
+        )
+        return [NimbleWriteMessage(rel_path=rel, rows=len(rows))]
+
+    b0 = _stage([(1, 10), (2, 20)])
+    w.commit(b0, 0)
+    m = read_manifest(path)
+    assert m["commits"][-1]["batch_id"] == 0  # stamped IN the commit
+    # replay of batch 0: dropped — and even a replay message naming
+    # the COMMITTED file (name reuse) must not delete live data
+    w.commit(b0, 0)
+    assert read_manifest(path)["rows"] == 2
+    assert os.path.exists(os.path.join(path, b0[0].rel_path))
+    back = spark.read.parquet(os.path.join(path, b0[0].rel_path))
+    assert back.count() == 2
+
+    # crash anywhere inside batch 1's commit → either the publish
+    # carried the stamp (replay skips) or nothing landed (replay
+    # commits once) — never a stampless committed batch
+    msgs = _stage([(3, 30)])
+    prev = set_fs(CrashFS(LocalFS(), fail_at=1))
+    try:
+        with pytest.raises(InjectedCrash):
+            w.commit(msgs, 1)
+    finally:
+        set_fs(prev)
+    m = read_manifest(path)
+    for c in m.get("commits", []):
+        assert "batch_id" in c, f"stampless commit: {c}"
+    w.commit(_stage([(3, 30)]), 1)
+    w.commit(_stage([(3, 30)]), 1)  # and the replay after success
+    assert read_manifest(path)["rows"] == 3
