@@ -630,3 +630,47 @@ def test_ds_stream_batch_id_stamp_is_atomic(spark, tmpdir):
     w.commit(_stage([(3, 30)]), 1)
     w.commit(_stage([(3, 30)]), 1)  # and the replay after success
     assert read_manifest(path)["rows"] == 3
+
+
+def test_data_plane_write_failure_leaves_table_intact(spark, tmpdir):
+    """The OTHER crash surface — the Spark job itself dying mid-write
+    (executor loss, task exception) before any metadata mutation. The
+    failed job's partial output lives under _temporary (never visible
+    to manifest-true readers or the directory scan), the manifest is
+    untouched, and the next append through the debris must land
+    exactly its own rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    path = os.path.join(str(tmpdir), "t")
+    _build(spark, path)
+    pre = _state(spark, path)
+
+    @F.udf(returnType=LongType())
+    def boom(k):
+        if k == 900:
+            raise RuntimeError("injected task failure")
+        return k
+
+    bad = _df(spark, [(900, 1), (901, 2)]).withColumn("k", boom("k"))
+    with pytest.raises(Exception):
+        write_table(bad, path, WriteOptions(), mode="append")
+    assert _state(spark, path) == pre, "failed job must be invisible"
+
+    write_table(_df(spark, [(300, 3)]), path, WriteOptions(), mode="append")
+    got = _state(spark, path)
+    assert sorted(got[1]) == sorted(pre[1] + [(300, 3)])
+    vacuum_table(path, min_age_s=0.0)
+    assert _state(spark, path) == got
+
+
+def test_append_refuses_shrunken_table(spark, tmpdir):
+    """A prior committed file deleted OUTSIDE the engine must fail the
+    next append loudly — before the guard, the directory-scan manifest
+    build silently published the table minus the missing file's rows."""
+    path = os.path.join(str(tmpdir), "t")
+    _build(spark, path)
+    victim = read_manifest(path)["files"][0]["path"]
+    os.remove(os.path.join(path, victim))
+    with pytest.raises(RuntimeError, match="shrunken"):
+        write_table(_df(spark, [(300, 3)]), path, WriteOptions(), mode="append")
