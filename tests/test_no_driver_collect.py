@@ -34,6 +34,7 @@ ALLOWED = [
     ("sources/encoding_policy.py", "df.agg(*aggs).first()", "single-row profile pass (one agg row regardless of table size) feeding the policy decision — same bounded shape as encoding_report.py"),
     ("sources/merge.py", 'select("_f")', "affected-FILE list for copy-on-write MERGE — file-granularity metadata (≤ table file count), produced by a distributed semi-join; source keys never reach the driver"),
     ("sources/merge.py", "pmod(F.xxhash64", "bucket ids of the source keys on a hash-bucketed merge — ≤ n_buckets distinct values (bounded metadata) pruning the discovery scan to candidate bucket directories"),
+    ("sources/merge.py", "df.select(*pkeys).distinct()", "distinct PARTITION tuples the dynamic overwrite replaces — bounded by partition count (directory-granularity metadata, the same knowledge Spark's dynamic mode derives driver-side before its swap)"),
     ("plans/advisor.py", "table.agg(*aggs).first()", "single-row NDV aggregate over the advisor's candidate columns — one row regardless of table size, same bounded shape as encoding_policy.py"),
     ("sources/table.py", "limit(1).collect()[0]", "one-row diagnostic sample on a CHECK-constraint violation, only on the write-abort error path"),
     ("sources/table.py", "__h_{c}", "single-row fingerprint aggregate for duplicate-column detection (dedup_columns write option) — one row regardless of table size; the per-pair verify is a limit(1) count"),
