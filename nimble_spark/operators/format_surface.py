@@ -2284,3 +2284,57 @@ def q_fast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_cached(sf_dir, "documents__hist_src", ["documents"], _build)
     df = run_command(spark, path, "SHOW TOP 3 source")
     return df.select(F.col("value").alias("val"), F.col("count").alias("n"))
+
+
+@register(
+    "q_alter_widen",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           MAX(o_orderkey) AS max_key,
+           {lsum_sql("CAST(CAST(o_totalprice AS REAL) AS DOUBLE)")} AS total
+    FROM orders GROUP BY 1
+    """,
+    category="lifecycle",
+)
+def q_alter_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED type widening (alter_table widen, r8): half of
+    orders is stored NARROW (int32 key, float32 price), the declared
+    schema is then widened to bigint/double metadata-only (no byte
+    rewritten), and the other half appends ALREADY WIDE — every read
+    upcasts the narrow files to the declared types per file
+    (_restore_aliases; the reference's UPCAST reads,
+    velox/selective/ColumnReader.cpp int stream → BIGINT vector,
+    made durable in the manifest rather than per-read
+    ``evolved_types``). The oracle recomputes over the whole raw
+    table with the same store-precision round-trip (double→float→
+    double on the price), so a hash match proves both halves carry
+    exact values under the one widened schema."""
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.cache import ensure_cached
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        narrow = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        )
+        write_table(narrow, tmp, WriteOptions())
+        alter_table(tmp, widen={"o_orderkey": "bigint", "o_totalprice": "double"})
+        wide = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderstatus",
+            # same float32 store-precision as the narrow half, so the
+            # oracle's single round-trip expression covers both
+            F.col("o_totalprice").cast("float").cast("double").alias("o_totalprice"),
+        )
+        write_table(wide, tmp, WriteOptions(), mode="append")
+
+    path = ensure_cached(sf_dir, "orders__alter_widen", ["orders"], _build)
+    df = read_table(spark, path)
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_orderkey").alias("max_key"),
+        lsum("o_totalprice").alias("total"),
+    )

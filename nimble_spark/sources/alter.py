@@ -116,17 +116,26 @@ def alter_table(
     rename: dict[str, str] | None = None,
     drop: list[str] | None = None,
     add: dict[str, str] | None = None,
+    widen: dict[str, str] | None = None,
 ) -> dict:
     """Apply metadata-only schema changes and publish an ``alter``
     commit (data_change=false — CDC consumers skip it, time travel
     applies it). ``rename`` maps CURRENT logical name → new name;
     ``drop`` lists current logical names; ``add`` maps new name →
     Spark type simpleString (reads null-fill it on pre-add files, the
-    add-column evolution the format already had)."""
+    add-column evolution the format already had); ``widen`` maps
+    current logical name → a WIDER Spark type (integer chain up,
+    float→double) — the persisted form of the reference's UPCAST
+    reads: files keep their narrow physical bytes, every read casts
+    to the declared type per file, and later appends may land the
+    wide type directly (the stored-vs-declared merge already honors
+    mixed widths). Narrowing raises — silent truncation is exactly
+    the bug evolution exists to prevent."""
     rename = dict(rename or {})
     drop = list(drop or [])
     add = dict(add or {})
-    if not (rename or drop or add):
+    widen = dict(widen or {})
+    if not (rename or drop or add or widen):
         raise ValueError("alter_table: nothing to do")
     import copy
 
@@ -226,6 +235,37 @@ def alter_table(
                 }
             ]
             phys_names.append(name)
+        _DDL_OF_JSON = {v: k for k, v in _JSON_TYPE.items()}
+        for name, typ in widen.items():
+            from nimble_spark.sources.table import _safe_widening
+
+            live_logical = [renames.get(f, f) for f in phys_names if f not in dropped]
+            if name not in live_logical:
+                raise ValueError(f"widen: no column {name!r} (have {live_logical})")
+            p = inv.get(name, name)
+            if p in protected:
+                # index machinery computes on the STORED type: hash
+                # buckets and parquet blooms hash the value's physical
+                # byte width, so probing a widened declared type would
+                # route/filter WRONG (false negatives), and partition
+                # path parsing would re-type directory values
+                raise ValueError(
+                    f"widen: {name!r} is a {protected[p]} — bucket "
+                    f"routing, bloom probes and layout metadata are "
+                    f"computed from the stored type; rewrite to change it"
+                )
+            cur_json = next(
+                f["type"] for f in m["schema"]["fields"] if f["name"] == p
+            )
+            cur_ddl = _DDL_OF_JSON.get(cur_json, cur_json)
+            if not _safe_widening(cur_ddl, typ):
+                raise ValueError(
+                    f"widen: {cur_ddl} → {typ} is not a lossless widening "
+                    f"(integer chain up, float→double)"
+                )
+            for f in m["schema"]["fields"]:
+                if f["name"] == p:
+                    f["type"] = _JSON_TYPE.get(typ, typ)
 
         new_mapping: dict = {}
         if renames:
@@ -251,6 +291,7 @@ def alter_table(
                     "rename": rename or None,
                     "drop": drop or None,
                     "add": add or None,
+                    "widen": widen or None,
                 },
             }
         ]

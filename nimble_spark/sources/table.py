@@ -1993,6 +1993,32 @@ def _restore_aliases(df: DataFrame, manifest: dict, complete: bool = False) -> D
         ]
         if fills:
             out = out.select(*out.columns, *fills)
+    # Persisted type widening (alter_table widen): the manifest's
+    # declared type is the read contract — columns whose scan dtype is
+    # a LOSSLESS narrowing of it upcast here (per-file narrow bytes,
+    # declared-width vectors: the reference's UPCAST read). Applied
+    # only when the (stored → declared) pair is a safe widening, so
+    # incidental representation mismatches are left untouched.
+    mapping_w = manifest.get("schema_mapping") or {}
+    ren_w = mapping_w.get("renames") or {}
+    gone_w = set(mapping_w.get("dropped", []))
+    scan_types = dict(out.dtypes)
+    casts = {}
+    for f in manifest.get("schema", {}).get("fields", []):
+        if f["name"] in gone_w:
+            continue
+        logical = ren_w.get(f["name"], f["name"])
+        stored = scan_types.get(logical)
+        declared = T.StructField.fromJson(f).dataType.simpleString()
+        if stored is not None and stored != declared and _safe_widening(stored, declared):
+            casts[logical] = declared
+    if casts:
+        out = out.select(
+            *[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in out.columns
+            ]
+        )
     order = logical_field_names(manifest)
     if (
         order

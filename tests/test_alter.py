@@ -290,3 +290,66 @@ def test_time_travel_and_range_scan_on_renamed(spark, table):
     assert n == 11
     with pytest.raises(ValueError, match="nothing to do"):
         alter_table(table)
+
+
+def test_alter_widen(spark, tmp_path):
+    """Persisted type widening (r8): metadata-only declared-type
+    change; files keep narrow bytes, reads upcast, appends may land
+    the wide type, narrowing and protected keys refuse."""
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+    path = str(tmp_path / "w")
+    write_table(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k INT, v FLOAT"),
+        path,
+        WriteOptions(),
+    )
+    alter_table(path, widen={"k": "bigint", "v": "double"})
+    got = read_table(spark, path)
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    assert {r.k for r in got.collect()} == {1, 2}
+
+    # appends may now land the wide type directly — beyond int32 range
+    write_table(
+        spark.createDataFrame([(2**40, 9.5)], "k LONG, v DOUBLE"),
+        path,
+        WriteOptions(),
+        mode="append",
+    )
+    rows = {(r.k, r.v) for r in read_table(spark, path).collect()}
+    assert (2**40, 9.5) in rows and (1, 1.5) in rows
+
+    # narrowing refuses (declared is now bigint)
+    with pytest.raises(ValueError, match="lossless"):
+        alter_table(path, widen={"k": "int"})
+    # unknown column refuses
+    with pytest.raises(ValueError, match="no column"):
+        alter_table(path, widen={"zzz": "bigint"})
+
+    # widen composes with rename: the NEW logical name resolves
+    alter_table(path, rename={"v": "val"})
+    # v was already double; widen a fresh narrow column instead
+    alter_table(path, add={"extra": "int"})
+    # added columns are declared-typed only (no file bytes): widening
+    # them is legal and trivially lossless
+    alter_table(path, widen={"extra": "bigint"})
+    assert dict(read_table(spark, path).dtypes)["extra"] == "bigint"
+
+
+def test_alter_widen_refuses_protected_keys(spark, tmp_path):
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+    path = str(tmp_path / "p")
+    write_table(
+        spark.createDataFrame([(i, i) for i in range(10)], "k INT, v INT"),
+        path,
+        WriteOptions(bucket_by="k", n_buckets=2),
+    )
+    # hash routing and parquet blooms hash the STORED width — a
+    # widened probe would route/filter wrong
+    with pytest.raises(ValueError, match="hash index key"):
+        alter_table(path, widen={"k": "bigint"})
+    alter_table(path, widen={"v": "bigint"})  # non-key fine
+    assert dict(read_table(spark, path).dtypes)["v"] == "bigint"
