@@ -864,7 +864,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
       SHOW MAINTENANCE | RUN MAINTENANCE [VACUUM] | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
-      ALTER RENAME a TO b | ALTER DROP c | ALTER ADD name type |
+      ALTER RENAME a TO b | ALTER DROP c | ALTER ADD name type | ALTER WIDEN col type |
       CLONE TO 'path' [DEEP] |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
       SHOW SCAN METRICS [WHERE expr] |
@@ -1030,6 +1030,12 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         from nimble_spark.sources.alter import alter_table
 
         alter_table(path, add={m.group(1): m.group(2).lower()})
+        return describe(spark, path)
+    m = re.match(r"ALTER\s+WIDEN\s+([\w.]+)\s+([\w()0-9,]+)$", c, re.I)
+    if m:
+        from nimble_spark.sources.alter import alter_table
+
+        alter_table(path, widen={m.group(1): m.group(2).lower()})
         return describe(spark, path)
     m = re.match(r"VACUUM(?:\s+MIN\s+AGE\s+(\d+))?$", c, re.I)
     if m:

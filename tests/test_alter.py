@@ -353,3 +353,16 @@ def test_alter_widen_refuses_protected_keys(spark, tmp_path):
         alter_table(path, widen={"k": "bigint"})
     alter_table(path, widen={"v": "bigint"})  # non-key fine
     assert dict(read_table(spark, path).dtypes)["v"] == "bigint"
+
+
+def test_dsl_alter_widen(spark, tmp_path):
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "dw")
+    write_table(
+        spark.createDataFrame([(1, 2)], "k INT, v INT"), path, WriteOptions()
+    )
+    out = run_command(spark, path, "ALTER WIDEN v bigint")
+    types = {r.column: r.type for r in out.collect()} if "column" in out.columns else {}
+    assert dict(read_table(spark, path).dtypes)["v"] == "bigint"

@@ -623,10 +623,14 @@ def _run_lifecycle_combined(spark, path, seed):
                 alter_table(path, rename={vname: new})
                 vname = new
             else:
-                # add → verify null-filled everywhere → drop: the
-                # self-contained metadata-only column lifecycle
-                alter_table(path, add={f"extra{step}": "bigint"})
+                # add → widen → verify null-filled everywhere → drop:
+                # the self-contained metadata-only column lifecycle
+                # (widen rides along so the declared-type authority is
+                # exercised under every surrounding mutation)
+                alter_table(path, add={f"extra{step}": "int"})
+                alter_table(path, widen={f"extra{step}": "bigint"})
                 got = read_with_deletes(spark, path)
+                assert dict(got.dtypes)[f"extra{step}"] == "bigint"
                 assert got.filter(f"extra{step} IS NULL").count() == len(
                     [k for k in committed if k not in masked]
                 )
