@@ -271,6 +271,7 @@ def _read_file_batches(
     columns,
     constraints: list | None = None,
     part_types: dict | None = None,
+    declared_types: dict | None = None,
 ) -> Iterator:
     """Read one parquet file as Arrow batches for the DataSource
     bridge. Spark writes TimestampType as INT96, which pyarrow
@@ -331,6 +332,39 @@ def _read_file_batches(
         for f in table.schema
     ]
     table = table.cast(pa.schema(fields))
+    if declared_types:
+        # alter_table widen: the manifest's declared type is the read
+        # contract, and Spark validates Arrow batches against it — a
+        # narrow file vector under a widened declared schema crashed
+        # the vectorized accessor (getLong on an int32 vector). Upcast
+        # LOSSLESS pairs only (int chain up, float→double), mirroring
+        # table._safe_widening; any other mismatch passes through
+        # untouched.
+        _want_of = {
+            "byte": pa.int8(), "short": pa.int16(), "integer": pa.int32(),
+            "long": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+        }
+        wfields, changed = [], False
+        for f in table.schema:
+            want = _want_of.get(declared_types.get(f.name))
+            if (
+                want is not None
+                and f.type != want
+                and (
+                    (
+                        pa.types.is_signed_integer(f.type)
+                        and pa.types.is_signed_integer(want)
+                        and want.bit_width > f.type.bit_width
+                    )
+                    or (f.type == pa.float32() and want == pa.float64())
+                )
+            ):
+                wfields.append(pa.field(f.name, want, f.nullable))
+                changed = True
+            else:
+                wfields.append(f)
+        if changed:
+            table = table.cast(pa.schema(wfields))
     if pvals:
         n = table.num_rows
         want = list(columns) if columns else list(table.schema.names) + [
@@ -380,7 +414,9 @@ def _read_file_batches_mapped(
     readable = [c for c in phys_req if c in present or c in part_types]
     missing = [c for c in phys_req if c not in present and c not in part_types]
     cons = [c for c in (constraints or []) if c[0] in present or c[0] in part_types]
-    for batch in _read_file_batches(file_path, readable, cons, part_types):
+    for batch in _read_file_batches(
+        file_path, readable, cons, part_types, declared_types=manifest_types
+    ):
         t = pa.Table.from_batches([batch])
         n = t.num_rows
         arrays, names = [], []
@@ -564,6 +600,7 @@ class NimbleReader(DataSourceReader):
             self.columns,
             getattr(partition, "constraints", None),
             self.part_types,
+            declared_types=self.manifest_types,
         )
 
 
@@ -763,7 +800,8 @@ class NimbleStreamReader(DataSourceStreamReader):
             )
             return
         yield from _read_file_batches(
-            partition.file_path, self.columns, None, self.part_types
+            partition.file_path, self.columns, None, self.part_types,
+            declared_types=self.manifest_types,
         )
 
     def commit(self, end: dict) -> None:

@@ -366,3 +366,25 @@ def test_dsl_alter_widen(spark, tmp_path):
     out = run_command(spark, path, "ALTER WIDEN v bigint")
     types = {r.column: r.type for r in out.collect()} if "column" in out.columns else {}
     assert dict(read_table(spark, path).dtypes)["v"] == "bigint"
+
+
+def test_pyds_reads_widened_table(spark, tmp_path):
+    """format('nimble') honors the widened declared schema: Spark
+    validates Arrow batches against the DS schema (the manifest), so
+    narrow file vectors must upcast worker-side — before the fix the
+    vectorized accessor crashed (getLong on an int32 vector)."""
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.datasource import register_nimble_source
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    register_nimble_source(spark)
+    path = str(tmp_path / "wp")
+    write_table(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "k INT, v FLOAT"),
+        path,
+        WriteOptions(),
+    )
+    alter_table(path, widen={"k": "bigint", "v": "double"})
+    df = spark.read.format("nimble").load(path)
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double"}
+    assert sorted((r.k, r.v) for r in df.collect()) == [(1, 1.5), (2, 2.5)]
