@@ -176,33 +176,54 @@ def duckdb_relation(con, path: str):
     # file bytes — only the derived __nimble_bucket ordinal lives in the
     # path, and parsing it would leak an internal column Spark's logical
     # view drops (table.py BUCKET_COL handling).
-    rel = con.read_parquet(files, hive_partitioning=bool(part_keys))
-    if part_keys:
-        declared = {
-            f["name"]: _DUCK_TYPE.get(f["type"])
-            for f in m["schema"]["fields"]
-            if isinstance(f["type"], str)
-        }
-        sel = []
-        for c in rel.columns:
-            if c == BUCKET_COL:
-                continue  # internal bucket ordinal — never logical
-            if c in part_keys and declared.get(c):
-                # pin to the declared type (autocast infers from value)
-                sel.append(f'CAST("{c}" AS {declared[c]}) AS "{c}"')
-            else:
-                sel.append(f'"{c}"')
+    # union_by_name: a widened table (alter_table widen) legally mixes
+    # file widths (int32 files + int64 appends); a positional schema
+    # merge would refuse the list outright
+    rel = con.read_parquet(
+        files, hive_partitioning=bool(part_keys), union_by_name=True
+    )
+    declared = {
+        f["name"]: _DUCK_TYPE.get(f["type"])
+        for f in m["schema"]["fields"]
+        if isinstance(f["type"], str)
+    }
+    sel = []
+    changed = False
+    for c in rel.columns:
+        if c == BUCKET_COL:
+            changed = True  # dropped from the projection
+            continue  # internal bucket ordinal — never logical
+        if declared.get(c):
+            # pin EVERY declared-typed column: partition values would
+            # otherwise autocast from rendered strings (ADVICE r7), and
+            # data columns surface at their file-native width, not the
+            # table's declared (possibly widened) type. The cast is a
+            # no-op when they already agree.
+            sel.append(f'CAST("{c}" AS {declared[c]}) AS "{c}"')
+            changed = True
+        else:
+            sel.append(f'"{c}"')
+    if changed:
         rel = rel.project(", ".join(sel))
 
     # merge-on-read delete masks: mask directories are keyed by the
     # column's stable PHYSICAL name (deletes.py), which is exactly the
     # name visible at this pre-projection stage
     masks_root = os.path.join(path, _DELETES_SUBDIR)
-    if os.path.isdir(masks_root):
-        for col in sorted(os.listdir(masks_root)):
+    # PENDING batches only (consumed_masks fence): batches a published
+    # rewrite already materialized must not re-apply here either
+    from nimble_spark.sources.deletes import pending_mask_batches
+
+    _pending = {}
+    for b in pending_mask_batches(path, m):
+        col, _, batch = b.partition("/")
+        _pending.setdefault(col, []).append(batch)
+    if _pending:
+        for col in sorted(_pending):
             mask_files = [
                 os.path.join(r, f)
-                for r, _d, fs in os.walk(os.path.join(masks_root, col))
+                for batch in _pending[col]
+                for r, _d, fs in os.walk(os.path.join(masks_root, col, batch))
                 for f in fs
                 if f.endswith(".parquet")
             ]

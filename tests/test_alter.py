@@ -388,3 +388,29 @@ def test_pyds_reads_widened_table(spark, tmp_path):
     df = spark.read.format("nimble").load(path)
     assert dict(df.dtypes) == {"k": "bigint", "v": "double"}
     assert sorted((r.k, r.v) for r in df.collect()) == [(1, 1.5), (2, 2.5)]
+
+
+def test_duckdb_relation_widened_table(tmp_path, spark, duck):
+    """Cross-engine read of a widened table: mixed file widths need
+    union_by_name, and every declared-typed column pins to the
+    manifest type — DuckDB must see the same logical schema Spark
+    serves."""
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.interop import duckdb_relation
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    path = str(tmp_path / "dk")
+    write_table(
+        spark.createDataFrame([(1, 10)], "k INT, v INT"), path, WriteOptions()
+    )
+    alter_table(path, widen={"k": "bigint"})
+    write_table(
+        spark.createDataFrame([(2**40, 20)], "k LONG, v INT"),
+        path,
+        WriteOptions(),
+        mode="append",
+    )
+    rel = duckdb_relation(duck, path)
+    types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    assert types["k"] == "BIGINT", types
+    assert sorted(r[0] for r in rel.fetchall()) == [1, 2**40]
