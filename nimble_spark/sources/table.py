@@ -2417,6 +2417,28 @@ def _plan_parquet(
         for f in df.schema.fields
         if f.name in declared and f.dataType != declared[f.name]
     }
+    # alter-widen: inference samples ONE footer, so a legally
+    # mixed-width table's scan schema depends on file order — and a
+    # WIDE file read under a narrow sampled schema is a NARROWING the
+    # parquet reader refuses (nondeterministic
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH, caught by the full-suite
+    # ordering). Re-plan with the DECLARED type for every safely
+    # widened column: under the wide explicit schema the vectorized
+    # reader's widening promotions decode narrow files into
+    # declared-width vectors deterministically.
+    if manifest and manifest.get("schema"):
+        _mtypes = {
+            f["name"]: T.StructField.fromJson(f).dataType
+            for f in manifest["schema"]["fields"]
+        }
+        for f in df.schema.fields:
+            want = _mtypes.get(f.name)
+            if (
+                want is not None
+                and f.dataType != want
+                and _safe_widening(f.dataType.simpleString(), want.simpleString())
+            ):
+                conflicts[f.name] = want
     # Mixed-schema file sets: Spark's single-pass inference samples ONE
     # file, so a column only newer files carry (alter_table ADD, or a
     # widened append) silently reads as ABSENT — its real values in the
