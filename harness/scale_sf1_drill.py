@@ -1,0 +1,193 @@
+"""sf1 scale drill (VERDICT r8 #4): does the heavy pipeline surface
+scale ~linearly from sf0.1 to sf1 (10x rows), or is there quadratic
+creep the sf0.1 bench gate cannot see?
+
+Builds a synthetic sf1 corpus — documents and embeddings at 10x the
+sf0.1 row count — then runs the five most expensive warm queries at
+both scales and reports warm-time ratios. Pass criterion: warm-time
+ratio <= 15x for 10x data (linear with scheduling slack; a banded/
+capped operator that went quadratic would show 50-100x).
+
+Corpus construction (decorrelated replication — the honest shape):
+  * documents: 10 copies, doc_id offset per copy; each copy's text is
+    passed through a DIFFERENT substitution cipher (translate() with a
+    rotated alphabet), so copies are NOT near-duplicates of each other
+    — the dedup queries see 10x genuinely distinct documents, not an
+    artificial 10-way duplicate explosion that would inflate pair
+    OUTPUT superlinearly and measure output size, not operator cost.
+  * embeddings: 10 copies, vec_id offset; each copy perturbed by a
+    deterministic per-copy, per-dimension sinusoid, so the vector
+    distribution stays realistic but copies don't collapse into
+    identical ANN cells.
+
+Other tables are symlinked from sf0.1 (the five queries don't read
+them). The synthetic dir is cached under /tmp and reused by
+fingerprint; results land in SCALE.md by hand.
+
+Usage: python harness/scale_sf1_drill.py  [--queries q_a,q_b]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = os.environ.get("NIMBLE_SF1_DIR", "/tmp/nimble_sf1_drill")
+COPIES = 10
+HEAVY = [
+    "q_corpus_pipeline",
+    "q_substring_dedup",
+    "q_minhash_lsh_pairs",
+    "q_embedding_neardup_lsh",
+    "q_ann_ivf_adc_topk",
+]
+RATIO_LIMIT = 15.0
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_sf1(spark) -> str:
+    """Idempotent synthetic-sf1 build; marker file carries the source
+    fingerprint so a regenerated sf0.1 invalidates the cache."""
+    from pyspark.sql import functions as F
+
+    fp = []
+    for t in ("documents", "embeddings"):
+        st = os.stat(f"{SF01}/{t}.parquet")
+        fp.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    marker = os.path.join(SF1_DIR, "_built.json")
+    want = {"fp": ";".join(fp), "copies": COPIES}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == want:
+                    return SF1_DIR
+        except (OSError, ValueError):
+            pass
+
+    import shutil
+
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        src = f"{SF01}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{SF1_DIR}/{t}.parquet")
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    parts = []
+    for i in range(COPIES):
+        cipher = ALPHA[i:] + ALPHA[:i]
+        c = docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+            # copy 0 is the original corpus; others are per-copy
+            # substitution-ciphered so cross-copy shingles diverge
+            (F.col("text") if i == 0 else F.translate(
+                "text", ALPHA + ALPHA.upper(), cipher + cipher.upper()
+            )).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        parts.append(c)
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    parts = []
+    for i in range(COPIES):
+        c = emb.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+            (F.col("embedding") if i == 0 else F.transform(
+                "embedding",
+                lambda x, j, k=i: x + F.lit(0.05) * F.sin(
+                    j.cast("double") * (k + 1) + F.col("vec_id").cast("double")
+                ),
+            ).cast("array<float>")).alias("embedding"),
+            "label",
+        )
+        parts.append(c)
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    out.repartition(16).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+    with open(marker, "w") as fh:
+        json.dump(want, fh)
+    return SF1_DIR
+
+
+def time_query(spark, name: str, sf_dir: str) -> dict:
+    from nimble_spark.registry import QUERIES
+
+    entry = QUERIES[name]
+    t0 = time.time()
+    n = entry.fn(spark, sf_dir).count()  # cold: includes fixture builds
+    cold = time.time() - t0
+    warm = []
+    for _ in range(2):
+        t1 = time.time()
+        entry.fn(spark, sf_dir).count()
+        warm.append(time.time() - t1)
+    return {"cold": round(cold, 2), "warm": round(min(warm), 2), "rows": n}
+
+
+def main() -> int:
+    names = HEAVY
+    for a in sys.argv[1:]:
+        if a.startswith("--queries"):
+            names = a.split("=", 1)[1].split(",")
+    from nimble_spark import get_spark
+    from nimble_spark.registry import _load_all
+
+    _load_all()
+    spark = get_spark("sf1-drill")
+    spark.read.parquet(f"{SF01}/lineitem.parquet").count()  # JVM warm
+
+    t0 = time.time()
+    sf1 = build_sf1(spark)
+    print(f"# sf1 corpus ready in {time.time() - t0:.1f}s at {sf1}", file=sys.stderr)
+    for t in ("documents", "embeddings"):
+        n01 = spark.read.parquet(f"{SF01}/{t}.parquet").count()
+        n1 = spark.read.parquet(f"{sf1}/{t}.parquet").count()
+        print(f"# {t}: sf0.1={n01} sf1={n1}", file=sys.stderr)
+        assert n1 == COPIES * n01
+
+    results = {}
+    worst = 0.0
+    for name in names:
+        r01 = time_query(spark, name, SF01)
+        r1 = time_query(spark, name, sf1)
+        ratio = round(r1["warm"] / max(r01["warm"], 1e-6), 1)
+        worst = max(worst, ratio)
+        results[name] = {
+            "sf0.1_warm": r01["warm"], "sf1_warm": r1["warm"],
+            "ratio": ratio, "sf0.1_rows": r01["rows"], "sf1_rows": r1["rows"],
+            "sf0.1_cold": r01["cold"], "sf1_cold": r1["cold"],
+        }
+        flag = "OK" if ratio <= RATIO_LIMIT else "QUADRATIC-CREEP"
+        print(
+            f"# {name}: warm {r01['warm']}s -> {r1['warm']}s "
+            f"(x{ratio}, rows {r01['rows']} -> {r1['rows']}) {flag}",
+            file=sys.stderr,
+        )
+
+    print(json.dumps({
+        "drill": "sf0.1->sf1",
+        "data_ratio": COPIES,
+        "ratio_limit": RATIO_LIMIT,
+        "worst_ratio": worst,
+        "pass": worst <= RATIO_LIMIT,
+        "queries": results,
+    }))
+    return 0 if worst <= RATIO_LIMIT else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -2059,14 +2059,16 @@ def q_fast_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ensure_cached(sf_dir, "orders__grouped_sums", ["orders"], _build)
     sums = dict(fast_grouped_sum(path, "o_custkey"))
-    # per-group row counts: the same manifest arithmetic, zero IO
+    # per-group row counts: the same manifest arithmetic, zero IO —
+    # keyed on the declared partition key via the canonical Hive
+    # parser (not a first-`key=` path split; ADVICE r8)
+    from nimble_spark.sources.datasource import _path_partition_values
+
     m = read_manifest(path)
+    pkey = m["indexes"]["partition"]["keys"][0]
     counts: dict = {}
     for f in m["files"]:
-        pv = f["path"].split("=", 1)[1].split("/", 1)[0]
-        from urllib.parse import unquote
-
-        pv = unquote(pv)
+        pv = _path_partition_values(f["path"]).get(pkey)
         counts[pv] = counts.get(pv, 0) + f["rows"]
     rows = [(pv, counts[pv], int(sums[pv])) for pv in sorted(sums)]
     return spark.createDataFrame(rows, "pri STRING, n BIGINT, key_sum BIGINT")

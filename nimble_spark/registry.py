@@ -165,6 +165,36 @@ def _driver_history() -> dict[str, bool]:
     return status
 
 
+def _last_sampled() -> dict[str, int]:
+    """name → the LAST driver round that sampled the query (round
+    number parsed from ``CORRECTNESS_r{N}.json``). Absent → never
+    sampled. Drives the least-recently-sampled rotation inside the
+    green tier, so a budget-truncated gate re-proves every green query
+    on a bounded cycle instead of whenever the draw happens to reach
+    it (VERDICT r8 #7)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if isinstance(r, dict):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def _reorder() -> None:
     """Rebuild QUERIES in driver-priority order.
 
@@ -177,12 +207,17 @@ def _reorder() -> None:
       1. never checked by any round — the unproven surface
       2. already green in some round — keep last; a truncated run
          spends its budget proving new ground, a full run re-proves
-         everything.
+         everything. WITHIN this tier, LEAST-RECENTLY-SAMPLED first
+         (VERDICT r8 #7): with a ~50-query driver budget over ~300
+         green queries, ordering by the last round that sampled each
+         query re-proves the whole green set on a bounded ~6-round
+         cycle instead of letting early-registered queries go stale.
 
-    Within a tier, the static module priority below breaks ties, so
-    the flagship format/TPC-H/text/pipeline surface still leads.
+    Remaining ties break on the static module priority below, so the
+    flagship format/TPC-H/text/pipeline surface still leads.
     """
     history = _driver_history()
+    last = _last_sampled()
     mod_tier = {}
     for i, m in enumerate(_PRIORITY_MODULES):
         for n in _PRIORITY_NAMES.get(m, ()):  # explicit names
@@ -197,7 +232,12 @@ def _reorder() -> None:
             return 1
         return 2 if history[name] else 0
 
-    ordered = sorted(QUERIES, key=lambda n: (hist_tier(n), mod_tier[n]))
+    def freshness(name: str) -> int:
+        # least-recently-sampled rotation applies only to the green
+        # tier; failed/unchecked tiers keep their static priority
+        return last.get(name, 0) if hist_tier(name) == 2 else 0
+
+    ordered = sorted(QUERIES, key=lambda n: (hist_tier(n), freshness(n), mod_tier[n]))
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

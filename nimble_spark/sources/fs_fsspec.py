@@ -31,16 +31,34 @@ Semantics notes (the honest parts):
   store renames directories, so the table layer routes full rewrites
   through the root-republish path (per-object moves + atomic manifest
   publish), the same discipline ObjectStoreSimFS enforces.
-- ``commit_lock`` tries exclusive-create (``open(mode="xb")`` — real
-  O_EXCL on backends that support it). Where the backend cannot
-  exclusive-create (plain S3), it falls back to a create-then-verify
-  lease with a DOCUMENTED race window: two writers racing inside the
-  verify window can both believe they hold the lock — the same
-  limitation as Delta-on-S3 without a coordination service. Stale
-  locks (mtime older than ``stale_s``) are broken. Deployments that
-  need true multi-writer safety subclass with the store's conditional
-  PUT (If-None-Match: * / x-goog-if-generation-match) or an external
-  lease (the S3A/DynamoDB pattern) — see fs.py's mapping table.
+- ``commit_lock`` acquires through the strongest primitive the
+  backend offers, in order:
+
+  1. **conditional PUT** — a ``put_if_absent(path, data) -> bool``
+     hook on the backend (S3 ``If-None-Match: *`` — supported on S3
+     proper since 2024 — / GCS ``x-goog-if-generation-match: 0`` /
+     ABFS ``If-None-Match: *``): one round trip that either WINS or
+     LOSES atomically. No verify window, no race — this is the
+     multi-writer-safe path for object stores, and the one-winner
+     multi-process drills in tests/test_multiprocess_lock.py run over
+     it. fsspec has no standard spelling for conditional create, so
+     the hook is duck-typed: any backend (or thin subclass wrapper)
+     exposing ``put_if_absent`` gets the safe path automatically.
+  2. **exclusive create** — ``open(mode="xb")``, real O_EXCL where
+     the backend maps it faithfully (local files; stores whose fsspec
+     driver forwards a conditional create). Equally race-free.
+  3. **create-then-verify lease** — ONLY when the backend has
+     neither (tests/test_fs_seam.py pins that selection order), with
+     the DOCUMENTED race window: two writers racing inside the verify
+     window can both believe they hold the lock — the same limitation
+     as Delta-on-S3 without a coordination service. Deployments on
+     such stores should wrap the backend with a ``put_if_absent``
+     (one conditional PUT call) or use an external lease (the
+     S3A/DynamoDB pattern) — see fs.py's mapping table.
+
+  Stale locks (mtime older than ``stale_s``) are broken in every
+  mode. The acquired mode is recorded on the lock (``lock.mode``) so
+  deployments can assert they never silently run on the lease path.
 """
 
 from __future__ import annotations
@@ -48,6 +66,7 @@ from __future__ import annotations
 import os
 import posixpath
 import shutil
+import threading
 import time
 import uuid
 from datetime import datetime, timezone
@@ -128,13 +147,13 @@ class FsspecFS(MetadataFS):
 class FsspecCommitLock:
     """Commit lock over an fsspec backend.
 
-    Preferred path: ``open(mode="xb")`` — true exclusive-create where
-    the backend supports it (local files → O_EXCL; stores with
-    conditional create). Fallback: create-then-verify lease — write a
-    unique token, read it back after a settle delay, hold only if the
-    token survived. The fallback has a documented race window (see
-    module doc); production multi-writer on plain S3 should subclass
-    with a conditional PUT or external lease."""
+    Acquisition order (strongest primitive first; see module doc):
+    conditional PUT (``put_if_absent`` hook — atomic win/lose, the
+    multi-writer-safe object-store path) → exclusive create
+    (``open(mode="xb")``) → create-then-verify lease (documented race
+    window; selected only when the backend offers neither atomic
+    primitive). ``self.mode`` records which path acquired, so callers
+    and tests can assert the lease fallback was not silently used."""
 
     _SETTLE_S = 0.05
 
@@ -145,6 +164,22 @@ class FsspecCommitLock:
         self.stale_s = stale_s
         self._token = f"{os.getpid()}@{uuid.uuid4().hex}".encode()
         self._held = False
+        self.mode: str | None = None  # "conditional" | "exclusive" | "lease"
+
+    def _try_conditional(self) -> bool | None:
+        """Conditional-PUT create: one atomic round trip that either
+        wins (object created with our token) or loses (object already
+        exists). True acquired, False contended, None = backend has no
+        ``put_if_absent`` hook. This is the If-None-Match: * /
+        if-generation-match: 0 pattern, exposed as a duck-typed hook
+        because fsspec has no standard conditional-create spelling."""
+        fn = getattr(self._fs, "put_if_absent", None)
+        if not callable(fn):
+            return None
+        try:
+            return bool(fn(self.lock_path, self._token))
+        except NotImplementedError:
+            return None  # backend advertises the hook but can't honor it
 
     def _try_exclusive(self) -> bool | None:
         """True acquired, False contended, None = mode unsupported."""
@@ -182,11 +217,17 @@ class FsspecCommitLock:
     def __enter__(self):
         deadline = time.monotonic() + self.timeout_s
         while True:
-            got = self._try_exclusive()
+            mode = "conditional"
+            got = self._try_conditional()
             if got is None:
+                mode = "exclusive"
+                got = self._try_exclusive()
+            if got is None:
+                mode = "lease"
                 got = self._try_lease()
             if got:
                 self._held = True
+                self.mode = mode
                 return self
             self._break_if_stale()
             if time.monotonic() >= deadline:
@@ -268,6 +309,25 @@ class _MiniLocalFsspec:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         return open(path, mode)
 
+    def put_if_absent(self, path, data):
+        """Conditional create — the S3 ``PUT If-None-Match: *`` / GCS
+        ``if-generation-match: 0`` primitive: atomically create the
+        object iff absent. True = won (object now holds ``data``),
+        False = lost (object already existed). Locally O_CREAT|O_EXCL
+        is exactly that one-round-trip win/lose. Not part of fsspec's
+        standard surface — FsspecCommitLock duck-types it so any
+        backend/wrapper exposing it gets the race-free lock path."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
+
     def mv(self, src, dst, recursive=False):
         # like fsspec's generic mv: copy + rm (never rename) — the
         # object-store shape, so the adapter's tolerance is exercised
@@ -289,6 +349,203 @@ class _MiniLocalFsspec:
             shutil.rmtree(path)
         else:
             os.unlink(path)
+
+
+class _MiniMemoryFsspec:
+    """Key-value contract double with OBJECT-STORE-SHAPED semantics —
+    the fsspec ``MemoryFileSystem`` surface FsspecFS relies on, over a
+    plain dict of key → bytes. Unlike ``_MiniLocalFsspec`` (which
+    inherits POSIX behavior from the OS and so can mask
+    POSIX-assumptions in the adapter), this double has NO real
+    directories: ``ls``/``walk`` are prefix LISTs computed from keys,
+    ``makedirs`` only records a namespace marker, ``mv`` is copy+rm
+    over keys, and ``put_if_absent`` is a mutex-guarded conditional
+    create (one atomic win/lose, the If-None-Match model). The full
+    Spark lifecycle cannot run over it — the DATA plane (parquet)
+    lives on real disk by design, and rewrite moves route data files
+    through the seam — so this double backs the per-method contract
+    suite and the lock drills (tests/test_fsspec_contract.py), where
+    object-store key semantics matter most."""
+
+    def __init__(self):
+        self._store: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
+        self._dirs: set[str] = set()
+        self._mutex = threading.Lock()
+
+    @staticmethod
+    def _norm(path):
+        return path.rstrip("/")
+
+    def _children_prefix(self, path):
+        return self._norm(path) + "/"
+
+    # ---- blobs ----
+    def cat_file(self, path):
+        try:
+            return self._store[self._norm(path)]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def pipe_file(self, path, data):
+        key = self._norm(path)
+        with self._mutex:
+            self._store[key] = bytes(data)
+            self._mtimes[key] = time.time()
+
+    def put_if_absent(self, path, data):
+        key = self._norm(path)
+        with self._mutex:
+            if key in self._store:
+                return False
+            self._store[key] = bytes(data)
+            self._mtimes[key] = time.time()
+            return True
+
+    def exists(self, path):
+        key = self._norm(path)
+        return key in self._store or self.isdir(path)
+
+    def info(self, path):
+        key = self._norm(path)
+        if key in self._store:
+            return {"name": key, "size": len(self._store[key]), "type": "file"}
+        if self.isdir(path):
+            return {"name": key, "size": 0, "type": "directory"}
+        raise FileNotFoundError(path)
+
+    def checksum(self, path):
+        # content-derived token, like fsspec memory's tokenize(data)
+        return hash(self.cat_file(path))
+
+    def modified(self, path):
+        key = self._norm(path)
+        if key not in self._mtimes:
+            raise FileNotFoundError(path)
+        return datetime.fromtimestamp(self._mtimes[key], tz=timezone.utc)
+
+    # ---- namespace (prefix LISTs — no real directories) ----
+    def isdir(self, path):
+        key = self._norm(path)
+        if key in self._dirs:
+            return True
+        pfx = self._children_prefix(path)
+        return any(k.startswith(pfx) for k in self._store)
+
+    def ls(self, path, detail=False):
+        key = self._norm(path)
+        if key in self._store:  # fsspec: ls of a file is [the file]
+            return [self.info(key)] if detail else [key]
+        pfx = self._children_prefix(path)
+        children = set()
+        for k in self._store:
+            if k.startswith(pfx):
+                children.add(pfx + k[len(pfx):].split("/", 1)[0])
+        for d in self._dirs:
+            if d.startswith(pfx):
+                children.add(pfx + d[len(pfx):].split("/", 1)[0])
+        if not children and not self.isdir(path) and key not in self._dirs:
+            raise FileNotFoundError(path)
+        if detail:
+            return [self.info(c) for c in sorted(children)]
+        return sorted(children)
+
+    def walk(self, path):
+        base = self._norm(path)
+        pfx = base + "/"
+        dirs_of: dict[str, set] = {"": set()}
+        files_of: dict[str, list] = {"": []}
+        for k in sorted(self._store):
+            if not k.startswith(pfx):
+                continue
+            rel = k[len(pfx):]
+            parts = rel.split("/")
+            d = ""
+            for p in parts[:-1]:
+                dirs_of.setdefault(d, set()).add(p)
+                files_of.setdefault(d, [])
+                d = f"{d}/{p}" if d else p
+                dirs_of.setdefault(d, set())
+                files_of.setdefault(d, [])
+            files_of.setdefault(d, []).append(parts[-1])
+            dirs_of.setdefault(d, set())
+        for d in sorted(dirs_of):
+            root = base if not d else f"{base}/{d}"
+            yield root, sorted(dirs_of[d]), sorted(files_of.get(d, []))
+
+    def makedirs(self, path, exist_ok=False):
+        key = self._norm(path)
+        if not exist_ok and key in self._dirs:
+            raise FileExistsError(path)
+        self._dirs.add(key)
+
+    def open(self, path, mode="rb"):
+        import io
+
+        key = self._norm(path)
+        if "r" in mode:
+            return io.BytesIO(self.cat_file(key))
+        if "x" in mode and key in self._store:
+            raise FileExistsError(path)
+        outer = self
+
+        class _Writer(io.BytesIO):
+            def close(self):
+                if "x" in mode:
+                    if not outer.put_if_absent(key, self.getvalue()):
+                        raise FileExistsError(path)
+                else:
+                    outer.pipe_file(key, self.getvalue())
+                super().close()
+
+            def __exit__(self, *exc):
+                self.close()
+
+        return _Writer()
+
+    # ---- mutation ----
+    def mv(self, src, dst, recursive=False):
+        skey, dkey = self._norm(src), self._norm(dst)
+        with self._mutex:
+            if skey in self._store:
+                self._store[dkey] = self._store.pop(skey)
+                self._mtimes[dkey] = self._mtimes.pop(skey)
+                return
+            moved = False
+            pfx = skey + "/"
+            for k in [k for k in self._store if k.startswith(pfx)]:
+                nk = dkey + "/" + k[len(pfx):]
+                self._store[nk] = self._store.pop(k)
+                self._mtimes[nk] = self._mtimes.pop(k)
+                moved = True
+            if not moved:
+                raise FileNotFoundError(src)
+
+    def rm_file(self, path):
+        key = self._norm(path)
+        with self._mutex:
+            if key not in self._store:
+                raise FileNotFoundError(path)
+            del self._store[key]
+            self._mtimes.pop(key, None)
+
+    def rm(self, path, recursive=False):
+        key = self._norm(path)
+        with self._mutex:
+            if key in self._store:
+                del self._store[key]
+                self._mtimes.pop(key, None)
+                return
+            pfx = key + "/"
+            hits = [k for k in self._store if k.startswith(pfx)]
+            if hits and not recursive:
+                raise IsADirectoryError(path)
+            if not hits and key not in self._dirs:
+                raise FileNotFoundError(path)
+            for k in hits:
+                del self._store[k]
+                self._mtimes.pop(k, None)
+            self._dirs.discard(key)
 
 
 def fsspec_local_fs():

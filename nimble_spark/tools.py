@@ -215,15 +215,18 @@ def show_grouped_sums(spark: SparkSession, path: str, col: str) -> DataFrame:
     table size). Per-group row counts come from the same manifest
     entries. Sums render as STRINGs for the same >2⁵³ exactness reason
     as SHOW SUMS."""
-    from urllib.parse import unquote
-
     from nimble_spark.sources.compaction import fast_grouped_sum
+    from nimble_spark.sources.datasource import _path_partition_values
 
-    sums = fast_grouped_sum(path, col)
+    sums = fast_grouped_sum(path, col)  # validates single partition key
     m = read_manifest(path)
+    pkey = m["indexes"]["partition"]["keys"][0]
     counts: dict = {}
     for f in m["files"]:
-        pv = unquote(f["path"].split("=", 1)[1].split("/", 1)[0])
+        # the canonical Hive parser, keyed on the DECLARED partition
+        # key — a first-`key=` path split would silently count the
+        # wrong segment on any future multi-key layout (ADVICE r8)
+        pv = _path_partition_values(f["path"]).get(pkey)
         counts[pv] = counts.get(pv, 0) + f["rows"]
     rows = [
         (

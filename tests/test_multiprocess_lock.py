@@ -60,6 +60,106 @@ def test_lock_mutual_exclusion_across_processes(tmpdir):
         assert json.load(f)["n"] == nproc * cycles  # zero lost updates
 
 
+def _make_flavor_lock(flavor: str, path: str):
+    """Build a commit lock of the requested flavor — the VERDICT r8 #1
+    matrix: {LocalFS, ObjectStoreSimFS, FsspecFS-conditional,
+    FsspecFS-lease}. Runs in CHILD processes, so everything is built
+    from the flavor string (no pickled FS objects)."""
+    from nimble_spark.sources.fs import LocalFS, ObjectStoreSimFS
+    from nimble_spark.sources.fs_fsspec import FsspecFS, _MiniLocalFsspec
+
+    if flavor == "local":
+        return LocalFS().commit_lock(path)
+    if flavor == "objectstore_sim":
+        return ObjectStoreSimFS().commit_lock(path)
+    if flavor == "fsspec_conditional":
+        return FsspecFS(_MiniLocalFsspec()).commit_lock(path)
+    if flavor == "fsspec_lease":
+        return FsspecFS(_LeaseOnlyFsspec()).commit_lock(path)
+    raise ValueError(flavor)
+
+
+class _LeaseOnlyFsspec:
+    """Plain-S3-shaped backend: no conditional PUT, no exclusive
+    create — forces the create-then-verify lease path. Module-level so
+    spawn children can unpickle the hammer that references it."""
+
+    def __init__(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from nimble_spark.sources.fs_fsspec import _MiniLocalFsspec
+
+        self._inner = _MiniLocalFsspec()
+
+    def open(self, path, mode="rb"):
+        if "x" in mode:
+            raise ValueError("exclusive create not supported")
+        return self._inner.open(path, mode)
+
+    def __getattr__(self, name):
+        if name == "put_if_absent":
+            raise AttributeError(name)  # no conditional PUT either
+        return getattr(self._inner, name)
+
+
+def _hammer_flavor(flavor: str, path: str, counter: str, cycles: int,
+                   expect_mode: str) -> None:
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    for _ in range(cycles):
+        lock = _make_flavor_lock(flavor, path)
+        with lock:
+            mode = getattr(lock, "mode", None)
+            if expect_mode and mode is not None:
+                assert mode == expect_mode, (flavor, mode)
+            with open(counter) as f:
+                n = json.load(f)["n"]
+            with open(counter + ".tmp", "w") as f:
+                json.dump({"n": n + 1}, f)
+            os.replace(counter + ".tmp", counter)
+
+
+def test_one_winner_across_processes_all_lock_flavors(tmpdir):
+    """Mutual-exclusion drill over every commit-lock flavor: N child
+    processes × M read-modify-write cycles lose no update. For the
+    fsspec CONDITIONAL flavor this proves the new put_if_absent path
+    end-to-end across real processes (the r8 verdict's top action);
+    the LEASE flavor exercises the documented-fallback path at low
+    contention (its race window is why conditional is preferred, so
+    its drill stays small)."""
+    import pytest  # noqa: F401
+
+    flavors = [
+        ("local", 6, 20, ""),
+        ("objectstore_sim", 6, 20, ""),
+        ("fsspec_conditional", 6, 20, "conditional"),
+        ("fsspec_lease", 3, 6, "lease"),
+    ]
+    ctx = mp.get_context("spawn")
+    for flavor, nproc, cycles, expect_mode in flavors:
+        path = f"{tmpdir}/flavor_{flavor}"
+        os.makedirs(path, exist_ok=True)
+        counter = os.path.join(path, "counter.json")
+        with open(counter, "w") as f:
+            json.dump({"n": 0}, f)
+        procs = [
+            ctx.Process(
+                target=_hammer_flavor,
+                args=(flavor, path, counter, cycles, expect_mode),
+            )
+            for _ in range(nproc)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(timeout=300)
+            assert p.exitcode == 0, flavor
+        with open(counter) as f:
+            assert json.load(f)["n"] == nproc * cycles, flavor
+
+
 def _break_and_hammer(path: str, counter: str, barrier_dir: str) -> None:
     import sys
     import time

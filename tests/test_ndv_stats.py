@@ -285,6 +285,53 @@ def test_show_grouped_sums_dsl(spark, tmp_path):
     assert got == want
 
 
+def test_show_grouped_sums_refuses_multikey(spark, tmp_path):
+    """r9 (VERDICT r8 nit #1): SHOW GROUPED SUMS on a MULTI-key
+    partitioned table refuses loudly — the per-group counts are keyed
+    on the single declared partition key, and a naive first-`key=`
+    path split must never silently count the wrong segment."""
+    import pytest as _pytest
+
+    from nimble_spark.tools import run_command
+
+    path = str(tmp_path / "mk")
+    write_table(
+        spark.range(0, 40).selectExpr(
+            "id AS k", "CAST(id % 2 AS STRING) AS a", "CAST(id % 4 AS STRING) AS b"
+        ),
+        path,
+        WriteOptions(partition_by=["a", "b"], sum_columns=["k"]),
+    )
+    with _pytest.raises(ValueError, match="single Hive partition"):
+        run_command(spark, path, "SHOW GROUPED SUMS k")
+
+
+def test_show_grouped_sums_ambient_kv_segment(spark, tmp_path):
+    """r9: a `key=value`-shaped directory segment ABOVE the table root
+    (exp=9/) must not confuse the per-group counts — they key on the
+    DECLARED partition key via the canonical Hive parser, not on the
+    first `=` in the path."""
+    import os as _os
+
+    from nimble_spark.tools import run_command
+
+    base = str(tmp_path / "exp=9")
+    _os.makedirs(base, exist_ok=True)
+    path = f"{base}/g"
+    write_table(
+        spark.range(0, 30).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p"),
+        path,
+        WriteOptions(partition_by=["p"], sum_columns=["k"]),
+    )
+    rows = run_command(spark, path, "SHOW GROUPED SUMS k").collect()
+    got = {(r["group"], r["rows"], r["sum"]) for r in rows}
+    want = {
+        (str(g), 10, str(sum(i for i in range(30) if i % 3 == g)))
+        for g in range(3)
+    }
+    assert got == want
+
+
 def test_dsl_select_count_star_statistics(spark, tmp_path):
     """r8: DSL SELECT COUNT(*) is answered from manifest statistics
     with an explain column — and refuses under pending delete masks

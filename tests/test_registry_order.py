@@ -34,3 +34,22 @@ def test_failed_then_unchecked_then_green():
     assert tiers == sorted(tiers), "registry order must be failed < unchecked < green"
     # every registered query is present exactly once
     assert len(names) == len(set(names))
+
+
+def test_green_tier_rotates_least_recently_sampled():
+    """r9 (VERDICT r8 #7): inside the green tier, queries are ordered
+    by the LAST round that sampled them, oldest first — so a
+    budget-truncated driver gate re-proves the entire green set on a
+    bounded cycle instead of letting early-registered queries go stale."""
+    from nimble_spark.registry import _last_sampled
+
+    _load_all()
+    h = _driver_history()
+    last = _last_sampled()
+    green = [n for n in QUERIES if h.get(n) is True]
+    rounds = [last.get(n, 0) for n in green]
+    assert rounds == sorted(rounds), (
+        "green tier must be least-recently-sampled first"
+    )
+    # sanity: history spans multiple rounds, so the rotation is real
+    assert len(set(rounds)) > 1
