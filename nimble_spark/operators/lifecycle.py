@@ -133,6 +133,68 @@ def q_snapshot_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cas_tag_publish",
+    oracle=f"""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 1) AS rows_at_base,
+           (SELECT {dsum_sql("o_totalprice")} FROM orders WHERE o_orderkey % 4 = 1)
+               AS total_at_base,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (1, 2))
+               AS rows_at_head,
+           8 AS n_tags
+    """,
+    category="lifecycle",
+)
+def q_cas_tag_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: LOCK-FREE tag publishes via the conditional compare-and-swap
+    root commit (table.cas_mutate_root over MetadataFS.write_if_version
+    — the S3 PUT If-Match / GCS if-generation-match pattern). Eight
+    optimistic taggers race on one table with NO lock object; the CAS
+    retry loop must keep every tag (a create-then-verify lease can lose
+    one), reads through a tag must reconstruct its snapshot, and a
+    deleted tag must vanish without disturbing the others. The drilled
+    multi-process form is tests/test_cas_publish.py; this query pins
+    the end-to-end read surface against the oracle."""
+
+    def _build(tmp: str) -> None:
+        import threading
+
+        from nimble_spark.sources.table import delete_tag, tag_commit
+
+        o = _orders(spark, sf_dir)
+        write_table(o.filter("o_orderkey % 4 = 1"), tmp, WriteOptions())
+        write_table(o.filter("o_orderkey % 4 = 2"), tmp, mode="append")
+        # 9 concurrent optimistic taggers, no table lock involved
+        threads = [
+            threading.Thread(
+                target=tag_commit, args=(tmp, f"base{i}", 0), kwargs={"optimistic": True}
+            )
+            for i in range(9)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        delete_tag(tmp, "base8", optimistic=True)  # 8 remain
+
+    path = ensure_cached(sf_dir, "orders__cas_tags", ["orders"], _build)
+    from nimble_spark.sources.table import read_manifest
+
+    tags = read_manifest(path).get("tags", {})
+    assert all(tags.get(f"base{i}") == 0 for i in range(8)), tags
+    at_base = read_table(spark, path, as_of_tag="base3").agg(
+        F.count(F.lit(1)).alias("rows_at_base"),
+        dsum("o_totalprice").alias("total_at_base"),
+    )
+    at_head = read_table(spark, path).agg(F.count(F.lit(1)).alias("rows_at_head"))
+    return at_base.crossJoin(at_head).select(
+        "rows_at_base",
+        "total_at_base",
+        "rows_at_head",
+        F.lit(len(tags)).cast("int").alias("n_tags"),
+    )
+
+
+@register(
     "q_rollback_restore",
     oracle=f"""
     SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 <> 0) AS live_rows,

@@ -1341,3 +1341,211 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("qid", "cid", "rk", rnd("sim", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + ADC — r9
+# ---------------------------------------------------------------------------
+
+# PQ layout: 64-dim embeddings split into M=4 subspaces of 16 dims; each
+# subspace gets a K=8-entry codebook (seeds = the subvectors of 8 fixed
+# vec_ids, refined by ONE deterministic Lloyd iteration), so a vector
+# compresses to M codes = 4 BYTES (vs 64 for the int8 scalar codes of
+# q_ann_adc_topk and 256 for fp32) — the memory step that makes a
+# trillion-vector index hold in a cluster's RAM (Jegou et al., PQ).
+# Every argmin is rounding-fenced (1e-6) with an id tiebreak so both
+# engines assign identical codes.
+_PQ_M, _PQ_D0, _PQ_K, _PQ_SEED_LO = 4, 16, 8, 100
+
+# Left-fold squared-L2 — identical operation order in both engines
+# (the assignment metric; the serving metric stays cosine-via-ADC).
+_L2_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_L2_DUCK = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+_PQ_CENT_AVG_DUCK = "[" + ", ".join(
+    f"AVG(CAST(v[{i + 1}] AS DOUBLE))" for i in range(_PQ_D0)
+) + "]"
+
+_PQ_TOPK_DUCK = f"""
+    WITH sub AS (
+      SELECT vec_id, sp.s AS s,
+             embedding[(sp.s*{_PQ_D0}+1):(sp.s*{_PQ_D0}+{_PQ_D0})] AS v
+      FROM embeddings, (SELECT UNNEST(range({_PQ_M})) AS s) sp
+    ),
+    seeds AS (
+      SELECT s, vec_id - {_PQ_SEED_LO} AS seed, v AS sv FROM sub
+      WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_K}
+    ),
+    a1 AS (
+      SELECT vec_id, s, v, seed,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+               ORDER BY FLOOR({_L2_DUCK.format(a="v", b="sv")} * 1000000 + 0.5)
+                 / 1000000, seed) AS rk
+      FROM sub JOIN seeds USING (s)
+    ),
+    cent AS (
+      SELECT s, seed AS code, {_PQ_CENT_AVG_DUCK} AS cv
+      FROM a1 WHERE rk = 1 GROUP BY s, seed
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, cent.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY FLOOR({_L2_DUCK.format(a="sub.v", b="cent.cv")}
+                   * 1000000 + 0.5) / 1000000, cent.code) AS rk
+        FROM sub JOIN cent ON cent.s = sub.s
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, {_norm_duck("embedding")} AS qn
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    qsub AS (
+      SELECT qid, sp.s AS s, qn,
+             qv[(sp.s*{_PQ_D0}+1):(sp.s*{_PQ_D0}+{_PQ_D0})] AS qvs
+      FROM q, (SELECT UNNEST(range({_PQ_M})) AS s) sp
+    ),
+    adc0 AS (
+      SELECT qs.qid, enc.vec_id AS cid,
+             SUM({_DOT_DUCK.format(a="qs.qvs", b="cent.cv")}) AS num,
+             SUM({_DOT_DUCK.format(a="cent.cv", b="cent.cv")}) AS cn2,
+             ANY_VALUE(qs.qn) AS qn
+      FROM enc
+      JOIN cent ON cent.s = enc.s AND cent.code = enc.code
+      JOIN qsub qs ON qs.s = enc.s
+      WHERE enc.vec_id <> qs.qid
+      GROUP BY qs.qid, enc.vec_id
+    ),
+    adc AS (SELECT qid, cid, num / (qn * sqrt(cn2)) AS adc_sim FROM adc0),
+    short AS (
+      SELECT qid, cid, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR(adc_sim * 1000000 + 0.5) / 1000000 DESC, cid) AS ark
+      FROM adc
+    ),
+    re AS (
+      SELECT s.qid, s.cid, s.adc_sim,
+             {_DOT_DUCK.format(a="q.qv", b="e.embedding")} /
+               (q.qn * {_norm_duck("e.embedding")}) AS sim
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.cid
+      JOIN q ON q.qid = s.qid
+      WHERE s.ark <= {_ADC_SHORTLIST}
+    ),
+    ranked AS (
+      SELECT qid, cid, sim, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR(sim * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM re
+    )
+    SELECT qid, cid, rk,
+           FLOOR(sim * 10000 + 0.5) / 10000 AS sim,
+           FLOOR(adc_sim * 10000 + 0.5) / 10000 AS adc_sim
+    FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("q_ann_pq_topk", oracle=_PQ_TOPK_DUCK, category="similarity")
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE product quantization top-k (r9): M=4 subspace codebooks of
+    K=8 centroids (deterministic seeds + one Lloyd iteration), vectors
+    encoded to 4 one-byte codes, ADC scoring against the reconstructed
+    codewords, exact cosine re-rank of the shortlist. Completes the
+    quantization ladder next to q_ann_adc_topk's per-vector SCALAR
+    codes: PQ state is M*log2(K) bits/vector + an M*K codebook —
+    64x smaller than fp32 here, and the industry-standard memory shape
+    for RAM-resident billion-vector serving (Jegou et al.; the
+    reference's encoding-selection tiers pick dictionary codes the
+    same way, EncodingSelectionPolicy.cpp).
+
+    Scale shape: the codebook is tiny and BROADCAST everywhere (K*M
+    rows); training touches each vector once per Lloyd step
+    (subvector -> nearest-seed shuffle is the only wide exchange);
+    encoding and the ADC scan are partition-local against broadcast
+    codebooks + queries; only |Q| x shortlist rows rejoin full
+    vectors for the exact refine."""
+    e = load(spark, sf_dir, "embeddings")
+    d0, m, k, lo = _PQ_D0, _PQ_M, _PQ_K, _PQ_SEED_LO
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * d0 + 1, d0) for s in range(m)])
+        ).alias("s", "v"),
+    )
+    seeds = (
+        sub.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + k))
+        .select("s", (F.col("vec_id") - lo).alias("seed"), F.col("v").alias("sv"))
+    )
+    d_seed = F.expr(_L2_SPARK.format(a="v", b="sv"))
+    w_a1 = W.partitionBy("vec_id", "s").orderBy(rnd(d_seed, 6).asc(), "seed")
+    a1 = (
+        sub.join(F.broadcast(seeds), "s")
+        .withColumn("rk", F.row_number().over(w_a1))
+        .filter(F.col("rk") == 1)
+    )
+    cent = a1.groupBy("s", F.col("seed").alias("code")).agg(
+        F.array(*[F.avg(F.col("v").getItem(i)) for i in range(d0)]).alias("cv")
+    )
+    d_cent = F.expr(_L2_SPARK.format(a="v", b="cv"))
+    w_enc = W.partitionBy("vec_id", "s").orderBy(rnd(d_cent, 6).asc(), "code")
+    enc = (
+        sub.join(F.broadcast(cent), "s")
+        .withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", "code")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
+    )
+    qsub = q.select(
+        "qid",
+        "qn",
+        F.posexplode(
+            F.array(*[F.slice("qv", s * d0 + 1, d0) for s in range(m)])
+        ).alias("s", "qvs"),
+    )
+    adc = (
+        enc.join(F.broadcast(cent), ["s", "code"])
+        .join(F.broadcast(qsub), "s")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(
+            F.sum(F.expr(_DOT_SPARK.format(a="qvs", b="cv"))).alias("num"),
+            F.sum(F.expr(_DOT_SPARK.format(a="cv", b="cv"))).alias("cn2"),
+            F.first("qn").alias("qn"),
+        )
+        .select("qid", "cid", (F.col("num") / (F.col("qn") * F.sqrt("cn2"))).alias("adc_sim"))
+    )
+    w1 = W.partitionBy("qid").orderBy(rnd("adc_sim", 6).desc(), "cid")
+    short = adc.withColumn("ark", F.row_number().over(w1)).filter(
+        F.col("ark") <= _ADC_SHORTLIST
+    )
+    cv_full = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cfull"))
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="cfull")) / (
+        F.col("qn2") * F.expr(_norm_spark("cfull"))
+    )
+    re = (
+        short.join(cv_full, "cid")
+        .join(q.select("qid", "qv", F.col("qn").alias("qn2")), "qid")
+        .select("qid", "cid", "adc_sim", sim.alias("sim"))
+    )
+    w2 = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        re.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "qid",
+            "cid",
+            "rk",
+            rnd("sim", 4).alias("sim"),
+            rnd("adc_sim", 4).alias("adc_sim"),
+        )
+    )

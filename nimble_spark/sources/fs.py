@@ -147,6 +147,29 @@ class MetadataFS(ABC):
         when the store's conditional PUT makes the manifest publish
         itself the CAS."""
 
+    # True when ``write_if_version`` is implemented — the conditional
+    # compare-and-swap publish (S3 ``PUT If-Match`` / GCS
+    # ``if-generation-match``). Root-only manifest mutations (tags,
+    # properties) can then commit LOCK-FREE with optimistic retry:
+    # concurrent CAS writers never lose each other's updates, which is
+    # strictly stronger than the lease lock a plain object store
+    # otherwise falls back to. Table contract: all writers of a table
+    # must use ONE commit discipline (all lock-based or all CAS for
+    # the root-only ops) — the same homogeneity rule as Delta's S3
+    # LogStore.
+    supports_cas_publish: bool = False
+
+    def write_if_version(self, path: str, data: bytes, expected_version) -> bool:
+        """Atomically replace ``path`` with ``data`` iff its current
+        ``version(path)`` token equals ``expected_version`` (None =
+        create-if-absent). True = swapped, False = lost the race
+        (caller re-reads and retries). Only meaningful when
+        ``supports_cas_publish`` is True."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support conditional "
+            f"(compare-and-swap) publishes"
+        )
+
 
 class PosixCommitLock:
     """Table-level commit lock: serializes writers so concurrent
@@ -426,6 +449,31 @@ class LocalFS(MetadataFS):
     def commit_lock(self, table_path: str, timeout_s: float = 120.0,
                     stale_s: float = 600.0) -> PosixCommitLock:
         return PosixCommitLock(table_path, timeout_s=timeout_s, stale_s=stale_s)
+
+    # POSIX CAS: compare + replace under a short flock(2) on a sidecar
+    # — the local model of the store's server-side atomic conditional
+    # PUT. The sidecar serializes only CAS writers with each other
+    # (cross-process via the kernel lock table); plain write_atomic
+    # writers are outside it, hence the one-discipline-per-table rule.
+    supports_cas_publish = True
+
+    def write_if_version(self, path: str, data: bytes, expected_version) -> bool:
+        import fcntl
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(f"{path}.__cas.lock", "a+b") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                try:
+                    cur = self.version(path)
+                except FileNotFoundError:
+                    cur = None
+                if cur != expected_version:
+                    return False
+                self.write_atomic(path, data)
+                return True
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 _FS: MetadataFS = LocalFS()

@@ -143,6 +143,30 @@ class FsspecFS(MetadataFS):
             timeout_s=timeout_s, stale_s=stale_s,
         )
 
+    # CAS publish (S3 PUT If-Match / GCS if-generation-match): exposed
+    # when the backend offers BOTH conditional hooks — put_if_match for
+    # the swap and put_if_absent for the None = create-if-absent case.
+    # Like put_if_absent, the hooks are duck-typed because fsspec has
+    # no standard conditional-write spelling.
+    @property
+    def supports_cas_publish(self) -> bool:
+        return callable(getattr(self._fs, "put_if_match", None)) and callable(
+            getattr(self._fs, "put_if_absent", None)
+        )
+
+    def write_if_version(self, path: str, data: bytes, expected_version) -> bool:
+        if not self.supports_cas_publish:
+            raise NotImplementedError(
+                "backend has no conditional-PUT hooks (put_if_match / "
+                "put_if_absent) — CAS publish unavailable; use the "
+                "commit lock"
+            )
+        if expected_version is None:
+            return bool(self._fs.put_if_absent(path, data))
+        # version() is (checksum, size); the checksum is the ETag-style
+        # match token the conditional PUT compares against
+        return bool(self._fs.put_if_match(path, data, expected_version[0]))
+
 
 class FsspecCommitLock:
     """Commit lock over an fsspec backend.
@@ -328,6 +352,29 @@ class _MiniLocalFsspec:
             os.close(fd)
         return True
 
+    def put_if_match(self, path, data, match_token):
+        """Conditional replace — the S3 ``PUT If-Match: <etag>`` / GCS
+        ``if-generation-match: <gen>`` primitive: atomically swap the
+        object's content iff its current change token equals
+        ``match_token``. True = swapped, False = token moved (writer
+        lost the CAS race and must re-read). Locally the store's
+        server-side atomicity is modeled by a short flock(2) on a
+        sidecar, which serializes conditional writers cross-process."""
+        import fcntl
+
+        with open(f"{path}.__etag.lock", "a+b") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if not os.path.exists(path) or self.checksum(path) != match_token:
+                    return False
+                tmp = f"{path}.castmp.{os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(data)
+                os.replace(tmp, path)
+                return True
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
     def mv(self, src, dst, recursive=False):
         # like fsspec's generic mv: copy + rm (never rename) — the
         # object-store shape, so the adapter's tolerance is exercised
@@ -397,6 +444,15 @@ class _MiniMemoryFsspec:
         key = self._norm(path)
         with self._mutex:
             if key in self._store:
+                return False
+            self._store[key] = bytes(data)
+            self._mtimes[key] = time.time()
+            return True
+
+    def put_if_match(self, path, data, match_token):
+        key = self._norm(path)
+        with self._mutex:
+            if key not in self._store or hash(self._store[key]) != match_token:
                 return False
             self._store[key] = bytes(data)
             self._mtimes[key] = time.time()

@@ -2583,12 +2583,80 @@ def _snapshot_file_set(commits: list[dict], as_of_commit: int) -> list[str]:
     return snap
 
 
-def tag_commit(path: str, name: str, commit: Optional[int] = None) -> dict:
+def cas_mutate_root(path: str, mutate, max_retries: int = 16) -> dict:
+    """LOCK-FREE root-only manifest mutation via the metadata FS's
+    conditional compare-and-swap publish (``write_if_version`` — S3
+    ``PUT If-Match`` / GCS ``if-generation-match``; LocalFS models it
+    with a short flock). The optimistic-retry loop: read the raw root
+    + its version token, apply ``mutate`` (a dict → dict function that
+    must touch ROOT fields only — tags, properties; never
+    ``files``/``file_pages``), publish iff the version is unchanged,
+    else re-read and re-apply. Concurrent CAS writers therefore never
+    lose each other's updates — strictly stronger than the
+    create-then-verify lease a plain object store's commit lock falls
+    back to, and available with zero extra infrastructure wherever the
+    store has conditional PUTs (S3 since 2024, GCS, ABFS).
+
+    Discipline contract (MetadataFS doc): all writers of one table use
+    ONE commit discipline per mutation family. A CAS writer can never
+    clobber anyone (it publishes only on an unchanged token), but a
+    concurrent LOCK-based read-modify-publish spanning this commit
+    would clobber it — the same homogeneity rule as Delta's S3
+    LogStore. The raw root is republished byte-preserving (no
+    repagination, zero page IO) — the manifest cache re-reads on its
+    version change like any other commit."""
+    fs = get_fs()
+    if not getattr(fs, "supports_cas_publish", False):
+        raise ValueError(
+            "metadata FS does not support conditional (CAS) publishes; "
+            "use the lock-based path"
+        )
+    mf = os.path.join(path, MANIFEST_DIR, MANIFEST_NAME)
+    for attempt in range(max_retries):
+        ver = fs.version(mf)  # raises FileNotFoundError: no table
+        raw = json.loads(fs.read_bytes(mf))
+        m = mutate(dict(raw))
+        data = json.dumps(m, indent=1, default=_json_safe).encode()
+        if fs.write_if_version(mf, data, ver):
+            return m
+        # lost the race: back off briefly, re-read, re-apply
+        time.sleep(min(0.2, 0.005 * (2 ** attempt)))
+    raise TimeoutError(
+        f"CAS publish on {mf} lost {max_retries} consecutive races"
+    )
+
+
+def tag_commit(
+    path: str, name: str, commit: Optional[int] = None, optimistic: bool = False
+) -> dict:
     """Name a commit (Iceberg tag / Delta version-label analogue):
     ``read_table(as_of_tag=name)`` then reads that snapshot without
     the caller tracking commit numbers. Tags are immutable — re-tagging
     an existing name raises (delete_tag first). Defaults to the
-    current commit."""
+    current commit.
+
+    ``optimistic=True`` commits via :func:`cas_mutate_root` instead of
+    the table lock: on conditional-PUT stores, concurrent taggers are
+    lossless with no lock object at all (see the discipline contract
+    there)."""
+    if optimistic:
+        def _mut(m: dict) -> dict:
+            commits = m.get("commits", [])
+            ci = len(commits) - 1 if commit is None else commit
+            if not 0 <= ci < len(commits):
+                raise ValueError(
+                    f"commit {ci} out of range (have {len(commits)})"
+                )
+            tags = dict(m.get("tags", {}))
+            if name in tags:
+                raise ValueError(
+                    f"tag {name!r} already points at commit {tags[name]}"
+                )
+            tags[name] = int(ci)
+            m["tags"] = tags
+            return m
+
+        return cas_mutate_root(path, _mut)
     with table_write_lock(path):
         # shallow-copy before mutating: read_manifest returns the
         # shared cached dict, and a failed _write_manifest must not
@@ -2614,7 +2682,17 @@ def tag_commit(path: str, name: str, commit: Optional[int] = None) -> dict:
         return m
 
 
-def delete_tag(path: str, name: str) -> dict:
+def delete_tag(path: str, name: str, optimistic: bool = False) -> dict:
+    if optimistic:
+        def _mut(m: dict) -> dict:
+            tags = dict(m.get("tags", {}))
+            if name not in tags:
+                raise ValueError(f"no tag {name!r} (have {sorted(tags)})")
+            del tags[name]
+            m["tags"] = tags
+            return m
+
+        return cas_mutate_root(path, _mut)
     with table_write_lock(path):
         # copy-on-write vs the manifest cache; root-only (see tag_commit)
         m = dict(read_manifest(path, materialize=False))

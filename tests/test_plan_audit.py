@@ -643,6 +643,18 @@ def test_wide_feature_projection_reads_only_projected_columns(spark):
             assert other not in s, s
 
 
+def test_ann_pq_topk_posture(spark):
+    """r9 PQ: codebooks (M*K rows) and queries are BROADCAST — the
+    only wide exchange is the train/encode argmin's window shuffle on
+    (vec_id, s); no cartesian, no Python eval anywhere."""
+    a = assert_posture(
+        _q("q_ann_pq_topk")(spark, SF_MED),
+        forbid_python_eval=True,
+    )
+    assert a.n_broadcast_joins >= 2, a.plan  # seeds/cent + qsub sides
+    assert a.n_cartesian == 0, a.plan
+
+
 def test_ann_ivf_adc_topk_cell_prune_precedes_quantized_scan(spark):
     """The composed IVF+ADC serving pattern (r7): every query-side
     join broadcasts, no cartesian, and — the structural claim — the
