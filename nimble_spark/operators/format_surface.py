@@ -223,6 +223,58 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_table_properties",
+    oracle="""
+    SELECT 'data-eng' AS owner, '0' AS retention, '1' AS reclaimed,
+           CAST(3 AS INT) AS n_props,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows
+    """,
+    category="tools",
+)
+def q_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: table properties (Iceberg/Delta TBLPROPERTIES analogue) —
+    free-form pairs plus the reserved ``nimble.*`` engine knobs, set
+    through both commit disciplines (lock-based and the lock-free CAS
+    publish) and read back through the DSL (SHOW PROPERTIES). The
+    retention knob is FUNCTIONAL: with ``nimble.vacuum.min_age_s='0'``
+    set, an argument-less ``vacuum_table`` reclaims fresh debris
+    immediately (default grace is 600 s) — the build plants one debris
+    file, vacuums with no args, and records the reclaim count as a
+    property so the cached table stays immutable for re-runs."""
+    import os as _os
+
+    from nimble_spark.sources.compaction import vacuum_table
+    from nimble_spark.sources.table import set_table_property, table_properties
+    from nimble_spark.tools import run_command
+
+    def _build(tmp: str) -> None:
+        write_table(load(spark, sf_dir, "orders"), tmp, WriteOptions())
+        set_table_property(tmp, "owner", "data-eng")  # lock discipline
+        set_table_property(
+            tmp, "nimble.vacuum.min_age_s", "0", optimistic=True
+        )  # CAS discipline
+        with open(_os.path.join(tmp, "zz-debris.parquet"), "wb") as fh:
+            fh.write(b"not a real parquet")
+        removed = vacuum_table(tmp)  # no args: property-driven grace
+        set_table_property(tmp, "test.reclaimed", str(len(removed)))
+
+    path = ensure_cached(sf_dir, "orders__props", ["orders"], _build)
+    props = table_properties(path)
+    n_dsl = run_command(spark, path, "SHOW PROPERTIES").count()
+    n_rows = read_table(spark, path).count()
+    return spark.createDataFrame(
+        [(
+            props.get("owner"),
+            props.get("nimble.vacuum.min_age_s"),
+            props.get("test.reclaimed"),
+            int(n_dsl),
+            int(n_rows),
+        )],
+        "owner STRING, retention STRING, reclaimed STRING, n_props INT, n_rows BIGINT",
+    )
+
+
+@register(
     "q_table_history",
     oracle="""
     SELECT CAST(0 AS BIGINT) AS commit, 'overwrite' AS mode,

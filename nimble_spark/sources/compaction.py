@@ -127,7 +127,7 @@ def plan_compaction(
     return bins
 
 
-def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
+def vacuum_table(path: str, min_age_s: float | None = None) -> list[str]:
     """Delete data files the manifest does not reference — debris from
     failed/interrupted writes. The manifest is the table's source of
     truth (the tablet footer analogue): a plain directory listing
@@ -143,12 +143,26 @@ def vacuum_table(path: str, min_age_s: float = 600.0) -> list[str]:
     unreferenced but must not be reclaimed, or a write that reports
     success silently loses rows. Only unreferenced files older than
     the grace are deleted; the retention trash (already superseded and
-    manifest-tracked) is always reclaimed in full."""
+    manifest-tracked) is always reclaimed in full.
+
+    ``min_age_s=None`` (the default) resolves the grace from the
+    table's ``nimble.vacuum.min_age_s`` property when set (the
+    TBLPROPERTIES retention knob, r9), else 600 s — so fleet-wide
+    maintenance jobs call vacuum with no arguments and each table
+    carries its own retention policy."""
     import re
     import shutil
     import time as _time
 
-    from nimble_spark.sources.table import repair_interrupted_swap
+    from nimble_spark.sources.table import repair_interrupted_swap, table_properties
+
+    if min_age_s is None:
+        try:
+            min_age_s = float(
+                table_properties(path).get("nimble.vacuum.min_age_s", 600.0)
+            )
+        except (OSError, KeyError, ValueError):
+            min_age_s = 600.0  # unreadable manifest/value: default grace
 
     # Finish any crashed staged-swap first (its marker names the live
     # staging/old dirs — they are recovery state, not debris), THEN
@@ -468,7 +482,8 @@ def _publish_partial_rewrite(
     # dedup_columns contract survives a physical rewrite: rewritten
     # files are read from (and written with) the stored schema, so the
     # alias map and logical order stay exactly as recorded.
-    for k in ("column_aliases", "logical_columns", "tags", "schema_mapping"):
+    for k in ("column_aliases", "logical_columns", "tags", "schema_mapping",
+              "properties"):
         if m.get(k):
             new_m[k] = m[k]
     from nimble_spark.sources.deletes import carry_consumed_masks
@@ -1473,7 +1488,7 @@ def run_maintenance(
     vacuum: bool = False,
     target_file_bytes: int = 128 * 1024 * 1024,
     max_depth: int = 2,
-    min_age_s: float = 600.0,
+    min_age_s: float | None = None,  # None → per-table property / 600 s
 ) -> list[dict]:
     """Execute what :func:`advise_maintenance` recommends — the
     auto-OPTIMIZE loop (Delta auto-compaction / Iceberg maintenance-

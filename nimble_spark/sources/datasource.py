@@ -939,6 +939,7 @@ class NimbleWriter(DataSourceArrowWriter):
         prior_ndv = prior_sums = prior_hist = None
         prior_constraints: dict = {}
         prior_tags: dict = {}
+        prior_properties: dict = {}
         prior_umd: dict = {}
         prior_consumed: list = []
         if not self.overwrite:
@@ -958,6 +959,7 @@ class NimbleWriter(DataSourceArrowWriter):
                 prior_hist = prior.get("histogram_columns")
                 prior_constraints = prior.get("constraints") or {}
                 prior_tags = prior.get("tags") or {}
+                prior_properties = prior.get("properties") or {}
                 prior_umd = prior.get("user_metadata") or {}
                 from nimble_spark.sources.deletes import carry_consumed_masks
 
@@ -1135,6 +1137,8 @@ class NimbleWriter(DataSourceArrowWriter):
             manifest["constraints"] = prior_constraints
         if prior_tags:
             manifest["tags"] = prior_tags
+        if prior_properties:
+            manifest["properties"] = prior_properties
         if prior_consumed:
             # dead-mask fence survives until its dirs are reclaimed
             manifest["consumed_masks"] = prior_consumed

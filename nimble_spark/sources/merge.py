@@ -462,7 +462,7 @@ def _commit_rewrite(
     # gating appends, and snapshot tags keep resolving (their commits
     # stay replayable until vacuum reclaims the trash).
     for k in ("constraints", "tags", "schema_mapping", "ndv_columns",
-              "sum_columns", "histogram_columns"):
+              "sum_columns", "histogram_columns", "properties"):
         if manifest.get(k):
             new_manifest[k] = manifest[k]
     from nimble_spark.sources.deletes import carry_consumed_masks

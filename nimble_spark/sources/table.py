@@ -530,6 +530,7 @@ def _write_table_locked(
     prior_commits: list[dict] = []
     prior_constraints: dict[str, str] = {}
     prior_tags: dict[str, int] = {}
+    prior_properties: dict[str, str] = {}
     if mode == "append":
         try:
             prior = read_manifest(path)
@@ -587,6 +588,7 @@ def _write_table_locked(
             prior_commits = list(prior.get("commits", []))
             prior_constraints = dict(prior.get("constraints", {}))
             prior_tags = dict(prior.get("tags", {}))
+            prior_properties = dict(prior.get("properties", {}))
             pidx = prior.get("indexes", {})
         else:
             pidx = {}
@@ -784,6 +786,8 @@ def _write_table_locked(
         manifest["constraints"] = constraints
     if prior_tags:
         manifest["tags"] = prior_tags  # snapshot tags survive appends
+    if prior_properties:
+        manifest["properties"] = prior_properties  # TBLPROPERTIES ride along
     if mode == "append" and prior is not None:
         # consumed-mask fence carries while its batch dirs linger
         # (rewrite crashed before cleanup); dropping it would let the
@@ -2199,12 +2203,26 @@ def staged_swap_rewrite(
             constraints_prevalidated=constraints_prevalidated,
         )
     repair_interrupted_swap(path)  # finish any predecessor's crash window
+    # table properties are not commit history: they survive the full
+    # rewrite (unlike tags, whose commits the fresh root can't resolve)
+    try:
+        _props = dict(read_manifest(path, materialize=False).get("properties", {}))
+    except (OSError, ValueError, KeyError):
+        _props = {}
     staging = f"{path}-rewrite-{uuid.uuid4().hex[:8]}"
     try:
         m = write_table(
             df, staging, opts, _caller_holds_lock=True,
             _constraints_prevalidated=constraints_prevalidated,
         )
+        if _props:
+            pub = dict(m)
+            if "file_pages" in pub:
+                pub.pop("files", None)  # root-only republish, pages reused
+            pub["properties"] = _props
+            _write_manifest(staging, pub)
+            m = dict(m)
+            m["properties"] = _props  # callers see the carried bag too
     except BaseException:
         fs.delete_tree(staging)
         raise
@@ -2275,6 +2293,8 @@ def _republish_rewrite(
         fs.move(os.path.join(staging, rel), dst)
     new_m = dict(sm)
     new_m.pop("file_pages", None)  # repaginate from the relocated list
+    if old_m.get("properties"):
+        new_m["properties"] = dict(old_m["properties"])  # survive the rewrite
     # Mask batches existing NOW are dead the instant this manifest
     # publishes (the staged rows are the mask-applied view where
     # masks existed; for an overwrite they never applied at all) —
@@ -2680,6 +2700,79 @@ def tag_commit(
         m["tags"] = tags
         _write_manifest(path, m)
         return m
+
+
+def table_properties(path: str) -> dict:
+    """The table's property bag (Iceberg/Delta TBLPROPERTIES
+    analogue): free-form string→string pairs in the manifest root,
+    plus the reserved ``nimble.*`` namespace that configures engine
+    behavior (today: ``nimble.vacuum.min_age_s`` — the VACUUM
+    retention grace vacuum_table reads when the caller passes no
+    explicit value)."""
+    return dict(read_manifest(path, materialize=False).get("properties", {}))
+
+
+def set_table_property(
+    path: str, key: str, value: str, optimistic: bool = False
+) -> dict:
+    """Set one table property (root-only commit, zero page IO on a
+    sharded manifest). ``optimistic=True`` publishes lock-free via
+    :func:`cas_mutate_root` — concurrent property writers on
+    conditional-PUT stores are lossless."""
+    if not key or not isinstance(key, str):
+        raise ValueError("property key must be a non-empty string")
+    if not isinstance(value, str):
+        raise ValueError(
+            f"property values are strings (got {type(value).__name__}); "
+            f"stringify explicitly so round-trips are exact"
+        )
+    if key.startswith("nimble.") and key not in _KNOWN_PROPERTIES:
+        raise ValueError(
+            f"unknown reserved property {key!r} — the nimble.* namespace "
+            f"is engine configuration (known: {sorted(_KNOWN_PROPERTIES)})"
+        )
+
+    def _mut(m: dict) -> dict:
+        props = dict(m.get("properties", {}))
+        props[key] = value
+        m["properties"] = props
+        return m
+
+    if optimistic:
+        return cas_mutate_root(path, _mut)
+    with table_write_lock(path):
+        m = dict(read_manifest(path, materialize=False))
+        if "file_pages" in m:
+            m.pop("files", None)  # root-only republish (see tag_commit)
+        m = _mut(m)
+        _write_manifest(path, m)
+        return m
+
+
+def unset_table_property(path: str, key: str, optimistic: bool = False) -> dict:
+    def _mut(m: dict) -> dict:
+        props = dict(m.get("properties", {}))
+        if key not in props:
+            raise ValueError(f"no property {key!r} (have {sorted(props)})")
+        del props[key]
+        m["properties"] = props
+        return m
+
+    if optimistic:
+        return cas_mutate_root(path, _mut)
+    with table_write_lock(path):
+        m = dict(read_manifest(path, materialize=False))
+        if "file_pages" in m:
+            m.pop("files", None)
+        m = _mut(m)
+        _write_manifest(path, m)
+        return m
+
+
+# Reserved engine-configuration properties. Adding one requires the
+# consuming code path AND a test — an unknown nimble.* key is a typo
+# and refuses loudly rather than silently configuring nothing.
+_KNOWN_PROPERTIES = {"nimble.vacuum.min_age_s"}
 
 
 def delete_tag(path: str, name: str, optimistic: bool = False) -> dict:

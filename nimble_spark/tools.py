@@ -867,6 +867,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW ENCODING [STRIPE s] | SHOW INDEX | SHOW CLUSTERING [KEY k] |
       SHOW MAINTENANCE | RUN MAINTENANCE [VACUUM] | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
+      SHOW PROPERTIES | SET PROPERTY k=v | UNSET PROPERTY k |
       ALTER RENAME a TO b | ALTER DROP c | ALTER ADD name type | ALTER WIDEN col type |
       CLONE TO 'path' [DEEP] |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
@@ -997,6 +998,27 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return spark.createDataFrame(
             rows or [(None, None)], "tag STRING, commit BIGINT"
         ).filter("tag IS NOT NULL")
+    if u == "SHOW PROPERTIES":
+        from nimble_spark.sources.table import table_properties
+
+        rows = sorted(table_properties(path).items())
+        return spark.createDataFrame(
+            rows or [(None, None)], "key STRING, value STRING"
+        ).filter("key IS NOT NULL")
+    m = re.match(r"SET PROPERTY\s+([\w.]+)\s*=\s*'?([^']*?)'?$", c, re.I)
+    if m:
+        from nimble_spark.sources.table import set_table_property
+
+        set_table_property(path, m.group(1), m.group(2))
+        return spark.createDataFrame(
+            [(m.group(1), m.group(2))], "key STRING, value STRING"
+        )
+    m = re.match(r"UNSET PROPERTY\s+([\w.]+)$", c, re.I)
+    if m:
+        from nimble_spark.sources.table import unset_table_property
+
+        unset_table_property(path, m.group(1))
+        return spark.createDataFrame([(m.group(1),)], "key STRING")
     m = re.match(r"CLONE\s+TO\s+'([^']+)'(\s+DEEP)?$", c, re.I)
     if m:
         # CLONE TO 'path' [DEEP] — zero-copy shallow fork by default
