@@ -275,6 +275,63 @@ def q_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_expire_snapshots",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS head_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 <> 0
+               OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)) AS base_rows,
+           CAST(2 AS INT) AS retained, CAST(2 AS BIGINT) AS base_commit,
+           CAST(3 AS BIGINT) AS head_commit
+    """,
+    category="tools",
+)
+def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: commit-log retention (Iceberg expireSnapshots analogue) —
+    the table is built as 4 commits (thirds of orders, then a
+    rollback-free append chain), then EXPIRE SNAPSHOTS KEEP 2 folds
+    everything older than the newest two readable snapshots into a
+    replay base with STABLE commit numbers: the head read is
+    unchanged, time travel to the fold base reconstructs its exact
+    state, the retained log is exactly 2 entries, and the numbering
+    continues from where it was (base_commit=2, head_commit=3). The
+    100 TB point: per-rewrite file lists make the unexpired commit log
+    the one manifest object the sharded O(new-files) appends do NOT
+    bound — expiry is the complementary knob."""
+    from nimble_spark.sources.table import expire_snapshots, read_manifest
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        write_table(o.filter("o_orderkey % 3 = 1"), tmp, WriteOptions())
+        write_table(o.filter("o_orderkey % 3 = 2"), tmp, mode="append")
+        # commit 2 = the fold base the oracle checks (2/3 of orders)
+        write_table(
+            o.filter("o_orderkey % 3 = 0 AND o_orderkey % 2 = 0"),
+            tmp, mode="append",
+        )
+        write_table(
+            o.filter("o_orderkey % 3 = 0 AND o_orderkey % 2 = 1"),
+            tmp, mode="append",
+        )
+        expire_snapshots(tmp, keep_last=2)
+
+    path = ensure_cached(sf_dir, "orders__expired", ["orders"], _build)
+    commits = read_manifest(path)["commits"]
+    head = read_table(spark, path).agg(F.count(F.lit(1)).alias("head_rows"))
+    # the fold base (commit 2): thirds 1+2 plus the even half of third 0
+    base = read_table(spark, path, as_of_commit=int(commits[0]["commit"])).agg(
+        F.count(F.lit(1)).alias("base_rows_raw")
+    )
+    return head.crossJoin(base).select(
+        "head_rows",
+        F.col("base_rows_raw").alias("base_rows"),
+        F.lit(len(commits)).cast("int").alias("retained"),
+        F.lit(int(commits[0]["commit"])).cast("bigint").alias("base_commit"),
+        F.lit(int(commits[-1]["commit"])).cast("bigint").alias("head_commit"),
+    )
+
+
+@register(
     "q_table_history",
     oracle="""
     SELECT CAST(0 AS BIGINT) AS commit, 'overwrite' AS mode,

@@ -558,3 +558,39 @@ def q_bm25_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ensure_cached(sf_dir, "documents__inverted_incr", ["documents"], _build)
     return search_bm25(spark, path, ["the", "of"])
+
+
+@register(
+    "q_trigram_like_search",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lower(text) LIKE '%fast merge%'
+    """,
+    category="format",
+)
+def q_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: LIKE '%substring%' answered index-first via the character-
+    trigram posting sidecar (sources/inverted.py:like_search — the
+    PostgreSQL pg_trgm pattern): every match must contain ALL of the
+    pattern's literal 3-grams, so candidates come from cluster-pruned
+    posting point scans ANDed on doc_id, and the exact LIKE verifies
+    only those candidates — document text is read for candidates
+    alone. The oracle is the plain full-scan LIKE, so a hash match
+    proves the index path loses and invents nothing. Reference
+    analogue: the index family serving lookups without full scans
+    (dwio/nimble/index/); text-substring reach is the LLM-corpus
+    extension."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.inverted import build_trigram_index, like_search
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    def _build(tmp: str) -> None:
+        write_table(
+            load(spark, sf_dir, "documents"), tmp, WriteOptions(cluster_by=["doc_id"])
+        )
+        build_trigram_index(spark, tmp)
+
+    path = ensure_cached(sf_dir, "documents__trigram", ["documents"], _build)
+    return like_search(spark, path, "%fast merge%").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -51,6 +51,7 @@ import re
 
 from nimble_spark.sources.table import (
     MANIFEST_DIR,
+    _next_commit,
     _write_manifest,
     logical_field_names,
     read_manifest,
@@ -280,7 +281,7 @@ def alter_table(
         commits = list(m.get("commits", []))
         new_m["commits"] = commits + [
             {
-                "commit": len(commits),
+                "commit": _next_commit(commits),
                 "mode": "alter",
                 "data_change": False,
                 "files_added": 0,

@@ -427,6 +427,7 @@ def _publish_partial_rewrite(
         _describe_parquet_file,
         _fold_column_stats,
         _layout_stats,
+        _next_commit,
         _write_manifest,
     )
 
@@ -464,7 +465,7 @@ def _publish_partial_rewrite(
         "commits": prior_commits
         + [
             {
-                "commit": len(prior_commits),
+                "commit": _next_commit(prior_commits),
                 "mode": mode,
                 "data_change": False,
                 "files_added": n_added,

@@ -49,7 +49,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from nimble_spark.sources.table import STATS_GEN as _STATS_GEN
-from nimble_spark.sources.table import read_manifest
+from nimble_spark.sources.table import _next_commit, read_manifest
 
 
 class NimbleFilePartition(InputPartition):
@@ -730,8 +730,12 @@ class NimbleStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:  # noqa: N802
         # root-only: the commit log lives in the root and this polls
-        # every trigger — never page-materialize a huge table here
-        latest = len(read_manifest(self.path, materialize=False).get("commits", [])) - 1
+        # every trigger — never page-materialize a huge table here.
+        # Offsets are commit NUMBERS (stable across expire_snapshots),
+        # not log positions — a checkpointed cursor must keep meaning
+        # the same commit after history is folded.
+        commits = read_manifest(self.path, materialize=False).get("commits", [])
+        latest = _next_commit(commits) - 1
         if self.starting > latest:
             # validated like read_changes' since_commit: a typo'd
             # startingCommit must not run as a silently-empty stream
@@ -758,7 +762,17 @@ class NimbleStreamReader(DataSourceStreamReader):
 
         manifest = read_manifest(self.path, materialize=False)
         commits = manifest.get("commits", [])
-        window = commits[start["commit"] + 1 : end["commit"] + 1]
+        from nimble_spark.sources.table import _commit_base
+
+        base = _commit_base(commits)
+        if commits and start["commit"] < base - 1:
+            raise ValueError(
+                f"stream cursor at commit {start['commit']} fell behind the "
+                f"expire_snapshots fold base {base}; the missing commits are "
+                f"gone — re-bootstrap from a snapshot read and restart with "
+                f".option('startingCommit', {base - 1}) or later"
+            )
+        window = commits[start["commit"] + 1 - base : end["commit"] + 1 - base]
         for c in window:
             # A rollback that REMOVED rows cannot be expressed by an
             # append-only stream (emitting its window would silently
@@ -1155,7 +1169,7 @@ class NimbleWriter(DataSourceArrowWriter):
                 # second stamp-publish would reopen the replay window
                 # a crash between the two publishes leaves)
                 **(commit_extra or {}),
-                "commit": len(prior_commits),
+                "commit": _next_commit(prior_commits),
                 "mode": "overwrite" if self.overwrite else "append",
                 "files_added": len(committed),
                 "rows_added": manifest["rows"] - prior_rows,

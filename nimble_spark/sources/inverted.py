@@ -245,3 +245,120 @@ def update_inverted_index(
         mode="append",
     )
     return m
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram index: LIKE '%substring%' acceleration — r9
+# ---------------------------------------------------------------------------
+
+TRIGRAM_DIR = "_nimble/index/trigram"
+
+
+def _trigram_expr(col: str) -> str:
+    """Spark SQL expression: the array of lowercase character
+    3-grams of ``col`` (empty for texts shorter than 3 — sequence()
+    would otherwise run DESCENDING from 1 to a negative stop and
+    fabricate bogus positions)."""
+    lc = f"lower({col})"
+    return (
+        f"CASE WHEN length({lc}) < 3 THEN array() "
+        f"ELSE transform(sequence(1, length({lc}) - 2), "
+        f"i -> substring({lc}, i, 3)) END"
+    )
+
+
+def build_trigram_index(
+    spark: SparkSession, path: str, col: str = "text", key: str = "doc_id"
+) -> dict:
+    """Build the character-trigram → key posting sidecar (the
+    PostgreSQL pg_trgm pattern): DISTINCT lowercase 3-grams per
+    document, clustered by trigram so a LIKE probe's candidate fetch
+    is a cluster-pruned point scan per query trigram. Postings carry
+    (tri, key) only — text never shuffles; sidecar size is
+    Σ|distinct trigrams per doc| rows."""
+    docs = read_table(spark, path)
+    postings = (
+        docs.select(key, F.explode(F.expr(_trigram_expr(col))).alias("tri"))
+        .distinct()
+    )
+    out = os.path.join(path, TRIGRAM_DIR, _sidecar_name(path, col))
+    return write_table(postings, out, WriteOptions(cluster_by=["tri"]))
+
+
+def _pattern_trigrams(pattern: str) -> list[str]:
+    """The trigrams EVERY match of a SQL LIKE pattern must contain:
+    split on the wildcards (% and _), take each literal fragment's
+    lowercase 3-grams. Fragments shorter than 3 contribute none —
+    they constrain matches but not through this index."""
+    import re as _re
+
+    tris: list[str] = []
+    for frag in _re.split(r"[%_]", pattern.lower()):
+        for i in range(len(frag) - 2):
+            tris.append(frag[i : i + 3])
+    return sorted(set(tris))
+
+
+def like_search(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Case-insensitive LIKE over the document table, answered
+    index-first: every match must contain ALL of the pattern's
+    literal trigrams, so candidates = keys present in every probed
+    posting list (cluster-pruned point scans, one per trigram —
+    document text untouched); the exact LIKE then verifies only the
+    candidates. Patterns whose literals are shorter than 3 chars have
+    no index signal and fall back to the full residual scan — same
+    answer, no pruning (the pg_trgm contract).
+
+    Scale shape: K trigram point scans (K = pattern literals' 3-gram
+    count, tiny) → an AND-semijoin on key (the only shuffle, posting
+    rows only) → residual LIKE over fetched candidates. At 100 TB the
+    document scan is the expensive side and it reads only candidate
+    keys."""
+    tris = _pattern_trigrams(pattern)
+    docs = read_table(spark, path)
+    residual = F.lower(F.col(col)).like(pattern.lower())
+    if not tris:
+        return docs.filter(residual)
+    side = os.path.join(path, TRIGRAM_DIR, _sidecar_name(path, col))
+    posts = None
+    for t in tris:
+        p = read_table(spark, side, range_scan=("tri", t, t)).filter(
+            F.col("tri") == t
+        )
+        posts = p if posts is None else posts.unionByName(p)
+    cands = (
+        posts.groupBy(key)
+        .agg(F.count_distinct("tri").alias("n_tri"))
+        .filter(F.col("n_tri") == len(tris))
+        .select(key)
+    )
+    return docs.join(cands, key, "left_semi").filter(residual)
+
+
+def update_trigram_index(
+    spark: SparkSession,
+    path: str,
+    since_commit: int,
+    col: str = "text",
+    key: str = "doc_id",
+) -> dict:
+    """Incremental trigram maintenance: postings for ONLY the rows
+    added after ``since_commit`` (CDC feed), appended — new documents
+    are new keys, so the append is the exact union (the same contract
+    as update_inverted_index; probes may open one extra posting file
+    per batch until a sidecar recluster)."""
+    from nimble_spark.sources.table import read_changes
+
+    new_docs = read_changes(spark, path, since_commit=since_commit)
+    postings = (
+        new_docs.select(key, F.explode(F.expr(_trigram_expr(col))).alias("tri"))
+        .distinct()
+    )
+    out = os.path.join(path, TRIGRAM_DIR, _sidecar_name(path, col))
+    return write_table(postings, out, WriteOptions(), mode="append")

@@ -32,6 +32,7 @@ from nimble_spark.sources.table import (
     STATS_GEN,
     WriteOptions,
     _build_manifest,
+    _next_commit,
     _plan_parquet,
     _write_manifest,
     _restore_aliases,
@@ -472,7 +473,7 @@ def _commit_rewrite(
         new_manifest["consumed_masks"] = _cm
     new_manifest["commits"] = prior_commits + [
         {
-            "commit": len(prior_commits),
+            "commit": _next_commit(prior_commits),
             "mode": mode,
             "files_added": len(moved),
             "files_removed": len(affected),

@@ -841,7 +841,7 @@ def _write_table_locked(
                 for k, v in (opts.commit_metadata or {}).items()
                 if k not in ("commit", "mode", "files_added", "rows_added", "files")
             },
-            "commit": len(prior_commits),
+            "commit": _next_commit(prior_commits),
             "mode": mode,
             "files_added": len(new_files),
             "rows_added": manifest["rows"] - prior_rows,
@@ -1832,9 +1832,15 @@ def read_table(
         if range_scan is not None or point_lookup is not None or row_range is not None:
             raise ValueError("as_of_commit is a plain snapshot scan; combine with filters on the result")
         commits = manifest.get("commits", [])
-        if not 0 <= as_of_commit < len(commits):
+        base = _commit_base(commits)
+        if as_of_commit < base and commits:
+            raise ValueError(
+                f"as_of_commit {as_of_commit} expired — history before "
+                f"commit {base} was folded by expire_snapshots"
+            )
+        if not base <= as_of_commit < base + len(commits):
             raise ValueError(f"as_of_commit {as_of_commit} out of range (have {len(commits)} commits)")
-        snap = _snapshot_file_set(commits, as_of_commit)
+        snap = _snapshot_file_set(commits, as_of_commit - base)
         resolved = [resolve_historical_file(path, f) for f in snap]
         missing = [f for f, r in zip(snap, resolved) if r is None]
         if missing:
@@ -2590,6 +2596,87 @@ def resolve_historical_file(path: str, rel: str) -> Optional[str]:
     return hits[0] if hits else None
 
 
+def _commit_base(commits: list[dict]) -> int:
+    """First RETAINED commit number. 0 for a table that never expired
+    history; after expire_snapshots the log starts at the fold-base's
+    preserved number, and every consumer maps number → log position as
+    ``number - base`` (numbering is contiguous within the retained
+    log: the base keeps its original number and appends continue from
+    the last entry's number + 1)."""
+    return int(commits[0].get("commit", 0)) if commits else 0
+
+
+def _next_commit(commits: list[dict]) -> int:
+    """The number the NEXT commit entry gets. ``len(commits)`` only
+    equals this on a never-expired table — after expire_snapshots the
+    log is shorter than the numbering, so derive from the last entry."""
+    if not commits:
+        return 0
+    return int(commits[-1].get("commit", len(commits) - 1)) + 1
+
+
+def expire_snapshots(path: str, keep_last: int) -> dict:
+    """Bound commit-log growth (Iceberg expireSnapshots analogue):
+    fold every commit older than the newest ``keep_last`` into a
+    single replay-base entry carrying the file set AS OF the fold
+    point. Commit NUMBERS are stable — time travel, tags, rollback
+    and CDC keep working for the retained window; reads before the
+    base refuse with an 'expired' error instead of silently answering
+    from a collapsed state, and a CDC consumer whose cursor fell
+    behind the base must re-bootstrap (the Delta/Iceberg contract).
+    Tags pointing before the base refuse the expiry (delete_tag
+    first) — a tag is a promise that snapshot stays readable.
+
+    100 TB rationale: each rewrite-ish commit records added+removed
+    file lists, so an unexpired log on a hot table grows
+    O(files x rewrites) — the one metadata object the sharded
+    manifest's O(new-files) appends do NOT bound. Expiry is the
+    complementary knob: the root stays O(live files + retained
+    commits). Root-only publish — zero page IO at any table size."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    with table_write_lock(path):
+        m = read_manifest(path)  # materialized: replay needs full entries
+        commits = list(m.get("commits", []))
+        if len(commits) <= keep_last:
+            return m
+        # the fold base is itself a readable snapshot, so it COUNTS
+        # toward keep_last: retained log = [base] + the newest
+        # (keep_last - 1) entries, exactly keep_last readable commits
+        cut = len(commits) - keep_last + 1
+        base = _commit_base(commits)
+        base_num = int(commits[cut - 1].get("commit", base + cut - 1))
+        bad = sorted(
+            t for t, n in m.get("tags", {}).items() if int(n) < base_num
+        )
+        if bad:
+            raise ValueError(
+                f"tags {bad} point before the retained window (commit "
+                f"{base_num}); delete_tag them first — a tag is a promise "
+                f"its snapshot stays readable"
+            )
+        base_files = _snapshot_file_set(commits, cut - 1)
+        base_entry = {
+            "commit": base_num,
+            "mode": "expire_base",
+            "files": base_files,
+            "files_added": len(base_files),
+            # the folded prefix's rows_added SUM: the commit log is a
+            # delta ledger (writers derive each new entry's rows_added
+            # as current_rows - Σ prior entries), so the base must
+            # carry the prefix total or every post-expiry append would
+            # over-report its own delta
+            "rows_added": sum(int(c.get("rows_added", 0)) for c in commits[:cut]),
+            "data_change": True,  # a bootstrap window replays it as inserts
+        }
+        pub = dict(read_manifest(path, materialize=False))
+        if "file_pages" in pub:
+            pub.pop("files", None)  # root-only republish, pages reused
+        pub["commits"] = [base_entry] + commits[cut:]
+        _write_manifest(path, pub)
+        return pub
+
+
 def _snapshot_file_set(commits: list[dict], as_of_commit: int) -> list[str]:
     """Replay the commit log to the file list as of a commit: the
     union of every entry's additions minus the files later entries
@@ -2662,10 +2749,12 @@ def tag_commit(
     if optimistic:
         def _mut(m: dict) -> dict:
             commits = m.get("commits", [])
-            ci = len(commits) - 1 if commit is None else commit
-            if not 0 <= ci < len(commits):
+            base = _commit_base(commits)
+            ci = _next_commit(commits) - 1 if commit is None else commit
+            if not base <= ci < base + len(commits):
                 raise ValueError(
-                    f"commit {ci} out of range (have {len(commits)})"
+                    f"commit {ci} out of range (retained: "
+                    f"{base}..{base + len(commits) - 1})"
                 )
             tags = dict(m.get("tags", {}))
             if name in tags:
@@ -2689,10 +2778,14 @@ def tag_commit(
         if "file_pages" in m:
             m.pop("files", None)
         commits = m.get("commits", [])
+        base = _commit_base(commits)
         if commit is None:
-            commit = len(commits) - 1
-        if not 0 <= commit < len(commits):
-            raise ValueError(f"commit {commit} out of range (have {len(commits)})")
+            commit = _next_commit(commits) - 1
+        if not base <= commit < base + len(commits):
+            raise ValueError(
+                f"commit {commit} out of range (retained: "
+                f"{base}..{base + len(commits) - 1})"
+            )
         tags = dict(m.get("tags", {}))
         if name in tags:
             raise ValueError(f"tag {name!r} already points at commit {tags[name]}")
@@ -2825,10 +2918,16 @@ def rollback_table(
             commit = m.get("tags", {}).get(tag)
             if commit is None:
                 raise ValueError(f"no tag {tag!r} (have {sorted(m.get('tags', {}))})")
-        if commit is None or not 0 <= commit < len(commits):
+        base = _commit_base(commits)
+        if commit is not None and commit < base and commits:
+            raise ValueError(
+                f"commit {commit} expired — history before commit {base} "
+                f"was folded by expire_snapshots"
+            )
+        if commit is None or not base <= commit < base + len(commits):
             raise ValueError(f"commit {commit} out of range (have {len(commits)})")
 
-        target = [os.path.normpath(f) for f in _snapshot_file_set(commits, commit)]
+        target = [os.path.normpath(f) for f in _snapshot_file_set(commits, commit - base)]
         current_entries = {os.path.normpath(f["path"]): f for f in m["files"]}
         if set(target) == set(current_entries):
             return m  # already at that snapshot — no-op
@@ -2882,7 +2981,7 @@ def rollback_table(
         new_m["write_stats"] = dict(m.get("write_stats", {}), **_layout_stats(files_info))
         new_m["commits"] = commits + [
             {
-                "commit": len(commits),
+                "commit": _next_commit(commits),
                 "mode": "rollback",
                 "rolled_back_to": int(commit),
                 "files_added": len(added),
@@ -2963,7 +3062,20 @@ def read_changes(
     # never O(table files) — even on a sharded 10⁶-file table.
     manifest = read_manifest(path, materialize=False)
     commits = manifest.get("commits", [])
-    if not -1 <= since_commit < len(commits):
+    base = _commit_base(commits)
+    if commits and since_commit < base - 1 and since_commit != -1:
+        raise ValueError(
+            f"since_commit {since_commit} expired — history before commit "
+            f"{base} was folded by expire_snapshots; re-bootstrap with "
+            f"since_commit={base - 1} (full replay from the fold base) or "
+            f"a snapshot read"
+        )
+    # since_commit=-1 stays the bootstrap spelling on expired tables
+    # too: it replays from the fold base (whose entry carries the full
+    # file set as of that commit), which IS the complete state.
+    if since_commit == -1:
+        since_commit = base - 1
+    if not base - 1 <= since_commit < base + len(commits):
         raise ValueError(
             f"since_commit {since_commit} out of range (have {len(commits)} commits)"
         )
@@ -2974,7 +3086,7 @@ def read_changes(
     # name could not express).
     per_commit: list[tuple[int, list[str], list[str]]] = []
     missing: list[str] = []
-    for i, c in enumerate(commits[since_commit + 1 :]):
+    for i, c in enumerate(commits[since_commit + 1 - base :]):
         ci = int(c.get("commit", i + since_commit + 1))
         # Row-removing rollback (appends are the only row adders, so
         # net-negative rows_added ⇔ keys disappeared): the upsert view

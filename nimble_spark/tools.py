@@ -868,6 +868,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW MAINTENANCE | RUN MAINTENANCE [VACUUM] | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       SHOW PROPERTIES | SET PROPERTY k=v | UNSET PROPERTY k |
+      EXPIRE SNAPSHOTS KEEP n |
       ALTER RENAME a TO b | ALTER DROP c | ALTER ADD name type | ALTER WIDEN col type |
       CLONE TO 'path' [DEEP] |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
@@ -1019,6 +1020,16 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
 
         unset_table_property(path, m.group(1))
         return spark.createDataFrame([(m.group(1),)], "key STRING")
+    m = re.match(r"EXPIRE SNAPSHOTS\s+KEEP\s+(\d+)$", c, re.I)
+    if m:
+        from nimble_spark.sources.table import expire_snapshots
+
+        em = expire_snapshots(path, keep_last=int(m.group(1)))
+        cs = em.get("commits", [])
+        return spark.createDataFrame(
+            [(len(cs), int(cs[0]["commit"]) if cs else None)],
+            "retained_commits INT, base_commit BIGINT",
+        )
     m = re.match(r"CLONE\s+TO\s+'([^']+)'(\s+DEEP)?$", c, re.I)
     if m:
         # CLONE TO 'path' [DEEP] — zero-copy shallow fork by default

@@ -80,6 +80,13 @@ def test_lifecycle_model_sharded_manifest(spark, tmpdir, seed, monkeypatch):
     assert os.path.isdir(os.path.join(path, "_nimble", "pages"))
 
 
+def _head_commit(path) -> int:
+    """The head commit NUMBER (== position only until expire_snapshots
+    folds history — the drill keys its snapshot model by number)."""
+    commits = read_manifest(path)["commits"]
+    return int(commits[-1].get("commit", len(commits) - 1))
+
+
 def _run_lifecycle(spark, path, seed, clustered=False):
     from nimble_spark.sources.compaction import (
         compact_table,
@@ -102,7 +109,7 @@ def _run_lifecycle(spark, path, seed, clustered=False):
 
     # snapshots[commit_index] = committed (pre-mask) state at that commit
     snapshots: dict[int, dict[int, int]] = {
-        len(read_manifest(path)["commits"]) - 1: dict(committed)
+        _head_commit(path): dict(committed)
     }
 
     def check():
@@ -113,7 +120,7 @@ def _run_lifecycle(spark, path, seed, clustered=False):
 
     ops = [
         "append", "merge", "update", "delete",
-        "compact_deletes", "compact", "rollback", "maintain",
+        "compact_deletes", "compact", "rollback", "maintain", "expire",
     ]
     if clustered:
         ops.append("recluster")
@@ -125,7 +132,7 @@ def _run_lifecycle(spark, path, seed, clustered=False):
             next_key += n
             write_table(_df(spark, fresh.items()), path, WriteOptions(), mode="append")
             committed.update(fresh)
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "merge":
             # upsert: half existing UNMASKED keys (new values), half new.
             # Masked keys are excluded — a mask hides its key by value
@@ -141,14 +148,14 @@ def _run_lifecycle(spark, path, seed, clustered=False):
             merge_into(spark, path, _df(spark, {**ups, **news}.items()), key="k")
             committed.update(ups)
             committed.update(news)
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "update":
             pivot = rng.randint(0, next_key)
             update_where(spark, path, f"k >= {pivot}", {"v": "v + 1"})
             committed.update(
                 {k: v + 1 for k, v in committed.items() if k >= pivot}
             )
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "delete":
             live_keys = [k for k in committed if k not in masked]
             if not live_keys:
@@ -161,16 +168,16 @@ def _run_lifecycle(spark, path, seed, clustered=False):
             committed = {k: v for k, v in committed.items() if k not in masked}
             masked = set()
             # materialization rewrites the whole table: new history root
-            snapshots = {len(read_manifest(path)["commits"]) - 1: dict(committed)}
+            snapshots = {_head_commit(path): dict(committed)}
         elif op == "compact":
-            before = len(read_manifest(path)["commits"]) - 1
+            before = _head_commit(path)
             try:
                 compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
             except ValueError:
                 continue  # nothing to compact (single file) — fine
             # data_change=false: CDC feed over the compact commit is empty
             assert read_changes(spark, path, since_commit=before).count() == 0
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "recluster":
             # full layout rewrite: refuses pending masks (masked rows
             # must not ride into a fresh history), resets the history
@@ -184,7 +191,20 @@ def _run_lifecycle(spark, path, seed, clustered=False):
             m_rc = recluster_table(spark, path, n_files=2)
             assert "cluster" in m_rc["indexes"]
             assert clustering_depth(m_rc)["max_depth"] <= 2
-            snapshots = {len(m_rc["commits"]) - 1: dict(committed)}
+            snapshots = {int(m_rc["commits"][-1].get("commit", len(m_rc["commits"]) - 1)): dict(committed)}
+        elif op == "expire":
+            # r9: commit-log retention folds history with STABLE
+            # numbers — the live view is untouched, retained snapshots
+            # (>= fold base) keep reconstructing, expired ones drop
+            # from the model (reading them raises by contract)
+            from nimble_spark.sources.table import expire_snapshots
+
+            n_entries = len(read_manifest(path)["commits"])
+            if n_entries < 3:
+                continue
+            em = expire_snapshots(path, keep_last=rng.randint(2, n_entries - 1))
+            base_num = int(em["commits"][0]["commit"])
+            snapshots = {ci: st for ci, st in snapshots.items() if ci >= base_num}
         elif op == "maintain":
             # the auto-OPTIMIZE loop: whatever it executes, the live
             # view must be unchanged except masks materializing (when
@@ -201,7 +221,7 @@ def _run_lifecycle(spark, path, seed, clustered=False):
             full_rewrite = "compact_deletes" in acts or (
                 "recluster_table" in acts and acts["recluster_table"].startswith("full")
             )
-            head = len(read_manifest(path)["commits"]) - 1
+            head = _head_commit(path)
             if full_rewrite:
                 snapshots = {head: dict(committed)}
             elif done:
@@ -216,7 +236,7 @@ def _run_lifecycle(spark, path, seed, clustered=False):
             target_ci = rng.choice(sorted(snapshots))
             rollback_table(spark, path, commit=target_ci)
             committed = dict(snapshots[target_ci])
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         check()
 
     # Every recorded snapshot reconstructs (compaction tombstoned its
@@ -258,7 +278,7 @@ def test_lifecycle_model_dedup_table(spark, tmpdir, seed):
     assert read_manifest(path)["column_aliases"] == {"v_copy": "v"}
     hi = 50
     committed = {k: k * 2 for k in range(50)}
-    snapshots = {len(read_manifest(path)["commits"]) - 1: dict(committed)}
+    snapshots = {_head_commit(path): dict(committed)}
 
     for _ in range(8):
         op = rng.choice(["append", "append", "compact"])
@@ -267,16 +287,16 @@ def test_lifecycle_model_dedup_table(spark, tmpdir, seed):
             write_table(_ddf(hi, hi + n), path, WO(), mode="append")
             committed.update({k: k * 2 for k in range(hi, hi + n)})
             hi += n
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         else:
-            before = len(read_manifest(path)["commits"]) - 1
+            before = _head_commit(path)
             try:
                 compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
             except ValueError:
                 continue
             assert read_changes(spark, path, since_commit=before).count() == 0
             assert read_manifest(path)["column_aliases"] == {"v_copy": "v"}
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         out = read_table(spark, path)
         assert out.columns == ["k", "v", "v_copy", "tag"]
         assert {r["k"]: r["v"] for r in out.collect()} == committed
@@ -519,7 +539,7 @@ def _run_lifecycle_combined(spark, path, seed):
         ),
     )
     snapshots: dict[int, dict[int, int]] = {
-        len(read_manifest(path)["commits"]) - 1: dict(committed)
+        _head_commit(path): dict(committed)
     }
     # deepened clones: dst -> (expected rows, clone's value-column name)
     clones: dict[str, tuple[dict[int, int], str]] = {}
@@ -585,7 +605,7 @@ def _run_lifecycle_combined(spark, path, seed):
 
     ops = [
         "append", "merge", "update", "delete", "compact_deletes",
-        "compact", "rollback", "alter", "clone",
+        "compact", "rollback", "alter", "clone", "expire",
     ]
     for step in range(14):
         op = rng.choice(ops)
@@ -595,7 +615,7 @@ def _run_lifecycle_combined(spark, path, seed):
             next_key += n
             write_table(_wdf(fresh.items()), path, WriteOptions(), mode="append")
             committed.update(fresh)
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "merge":
             live_keys = [k for k in committed if k not in masked]
             ups = {
@@ -607,12 +627,12 @@ def _run_lifecycle_combined(spark, path, seed):
             merge_into(spark, path, _wdf({**ups, **news}.items()), key="k")
             committed.update(ups)
             committed.update(news)
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "update":
             pivot = rng.randint(0, next_key)
             update_where(spark, path, f"k >= {pivot}", {vname: f"{vname} + 1"})
             committed.update({k: v + 1 for k, v in committed.items() if k >= pivot})
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "delete":
             live_keys = [k for k in committed if k not in masked]
             if not live_keys:
@@ -624,22 +644,22 @@ def _run_lifecycle_combined(spark, path, seed):
             compact_deletes(spark, path)
             committed = {k: v for k, v in committed.items() if k not in masked}
             masked = set()
-            snapshots = {len(read_manifest(path)["commits"]) - 1: dict(committed)}
+            snapshots = {_head_commit(path): dict(committed)}
         elif op == "compact":
-            before = len(read_manifest(path)["commits"]) - 1
+            before = _head_commit(path)
             try:
                 compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
             except ValueError:
                 continue
             assert read_changes(spark, path, since_commit=before).count() == 0
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "rollback":
             # rollback restores the FILE SET; the schema mapping is
             # manifest-current, so the logical name stays post-rename
             target_ci = rng.choice(sorted(snapshots))
             rollback_table(spark, path, commit=target_ci)
             committed = dict(snapshots[target_ci])
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
         elif op == "alter":
             if rng.random() < 0.5:
                 # metadata-only rename of the value column; every later
@@ -664,7 +684,16 @@ def _run_lifecycle_combined(spark, path, seed):
                 alter_table(path, drop=[f"extra{step}"])
             # alters are data_change=false commits — snapshots keyed at
             # the new head read the same rows
-            snapshots[len(read_manifest(path)["commits"]) - 1] = dict(committed)
+            snapshots[_head_commit(path)] = dict(committed)
+        elif op == "expire":
+            from nimble_spark.sources.table import expire_snapshots
+
+            n_entries = len(read_manifest(path)["commits"])
+            if n_entries < 3:
+                continue
+            em = expire_snapshots(path, keep_last=rng.randint(2, n_entries - 1))
+            base_num = int(em["commits"][0]["commit"])
+            snapshots = {ci: st for ci, st in snapshots.items() if ci >= base_num}
         elif op == "clone":
             dst = f"{path}-clone-{step}"
             clone_table(spark, src=path, dst=dst, shallow=True)

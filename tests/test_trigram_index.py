@@ -1,0 +1,93 @@
+"""Character-trigram LIKE index (r9, sources/inverted.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nimble_spark.sources.inverted import (
+    _pattern_trigrams,
+    build_trigram_index,
+    like_search,
+    update_trigram_index,
+)
+from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),
+    (2, "a quick brown dog outpaces a lazy fox"),
+    (3, "no"),  # shorter than one trigram
+    (4, "QUICKSTEP routines"),  # case-folding hit for %quick%
+]
+
+
+@pytest.fixture
+def docs_table(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    write_table(
+        spark.createDataFrame(DOCS, "doc_id LONG, text STRING"),
+        path,
+        WriteOptions(cluster_by=["doc_id"]),
+    )
+    build_trigram_index(spark, path)
+    return path
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_pattern_trigrams():
+    assert _pattern_trigrams("%quick%") == ["ick", "qui", "uic"]
+    # wildcards split literals; fragments < 3 chars contribute nothing
+    assert _pattern_trigrams("%a_quick%") == ["ick", "qui", "uic"]
+    assert _pattern_trigrams("%ab%") == []
+    assert _pattern_trigrams("%Quick Brown%") == sorted(
+        {"qui", "uic", "ick", "ck ", "k b", " br", "bro", "row", "own"}
+    )
+
+
+def test_like_search_matches_full_scan(spark, docs_table):
+    for pat in ("%quick brown%", "%lazy%", "%fox%", "%liquor jugs%", "%zebra%"):
+        got = _ids(like_search(spark, docs_table, pat))
+        want = _ids(
+            read_table(spark, docs_table).filter(
+                f"lower(text) LIKE '{pat.lower()}'"
+            )
+        )
+        assert got == want, pat
+
+
+def test_case_insensitive_and_wildcards(spark, docs_table):
+    assert _ids(like_search(spark, docs_table, "%QUICK%")) == [0, 2, 4]
+    # underscore wildcard inside the literal still prunes on fragments
+    assert _ids(like_search(spark, docs_table, "%l_zy fox%")) == [2]
+
+
+def test_short_literal_falls_back_to_scan(spark, docs_table):
+    """No trigram signal (all literals < 3 chars): same answer via the
+    residual full scan."""
+    assert _ids(like_search(spark, docs_table, "%no%")) == [3]
+    assert _ids(like_search(spark, docs_table, "%a%")) == _ids(
+        read_table(spark, docs_table).filter("lower(text) LIKE '%a%'")
+    )
+
+
+def test_incremental_update(spark, docs_table):
+    """Appended docs become searchable after the CDC-fed index append
+    — no rebuild."""
+    from nimble_spark.sources.table import read_manifest
+
+    since = len(read_manifest(docs_table)["commits"]) - 1
+    write_table(
+        spark.createDataFrame(
+            [(100, "a very quick addendum about zebras")],
+            "doc_id LONG, text STRING",
+        ),
+        docs_table,
+        WriteOptions(),
+        mode="append",
+    )
+    update_trigram_index(spark, docs_table, since_commit=since)
+    assert _ids(like_search(spark, docs_table, "%quick%")) == [0, 2, 4, 100]
+    assert _ids(like_search(spark, docs_table, "%zebra%")) == [100]
