@@ -90,6 +90,12 @@ HEADLINE = [
     # quantized scan → exact refine) — cold includes the one-time
     # cell-partitioned index build
     "q_ann_ivf_adc_topk",
+    # round-9 flagships: true product quantization (4-byte codes),
+    # the composed IVF+PQ architecture, and the trigram LIKE index
+    # (cold includes the one-time sidecar build)
+    "q_ann_pq_topk",
+    "q_ann_ivf_pq_topk",
+    "q_trigram_like_search",
 ]
 
 

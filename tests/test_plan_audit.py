@@ -655,6 +655,28 @@ def test_ann_pq_topk_posture(spark):
     assert a.n_cartesian == 0, a.plan
 
 
+def test_trigram_like_search_posture(spark):
+    """r9: the LIKE index path is pure JVM — posting point scans, one
+    AND-semijoin on doc_id, residual LIKE; no cartesian, no Python."""
+    a = assert_posture(
+        _q("q_trigram_like_search")(spark, SF_MED),
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
+
+
+def test_ann_ivf_pq_topk_posture(spark):
+    """r9 IVF+PQ: codebooks/centroids/queries broadcast; the cell
+    probe's crossJoin is bounded by the centroid count; 0 cartesians
+    beyond it (the audit counts broadcast-NL separately)."""
+    a = assert_posture(
+        _q("q_ann_ivf_pq_topk")(spark, SF_MED),
+        forbid_python_eval=True,
+    )
+    assert a.n_broadcast_joins >= 2, a.plan
+    assert a.n_cartesian == 0, a.plan
+
+
 def test_ann_ivf_adc_topk_cell_prune_precedes_quantized_scan(spark):
     """The composed IVF+ADC serving pattern (r7): every query-side
     join broadcasts, no cartesian, and — the structural claim — the
