@@ -332,6 +332,51 @@ def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_expire_cdc_bootstrap",
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS bootstrap_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1) AS incr_rows
+    """,
+    category="tools",
+)
+def q_expire_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: the CDC contract across expire_snapshots — on the same
+    expired fixture as q_expire_snapshots (retained log = [base 2,
+    head 3]), ``read_changes(since_commit=-1)`` must replay the FULL
+    table from the fold base (whose entry carries the complete file
+    set as of commit 2), and the in-window incremental
+    ``since_commit=2`` must deliver exactly commit 3's rows — a
+    consumer synced inside the retained window is untouched by the
+    fold, one behind it re-bootstraps (pinned in
+    tests/test_expire_snapshots.py)."""
+    from nimble_spark.sources.table import expire_snapshots, read_changes
+
+    def _build(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        write_table(o.filter("o_orderkey % 3 = 1"), tmp, WriteOptions())
+        write_table(o.filter("o_orderkey % 3 = 2"), tmp, mode="append")
+        write_table(
+            o.filter("o_orderkey % 3 = 0 AND o_orderkey % 2 = 0"),
+            tmp, mode="append",
+        )
+        write_table(
+            o.filter("o_orderkey % 3 = 0 AND o_orderkey % 2 = 1"),
+            tmp, mode="append",
+        )
+        expire_snapshots(tmp, keep_last=2)
+
+    path = ensure_cached(sf_dir, "orders__expired", ["orders"], _build)
+    boot = read_changes(spark, path, since_commit=-1).agg(
+        F.count(F.lit(1)).alias("bootstrap_rows")
+    )
+    incr = read_changes(spark, path, since_commit=2).agg(
+        F.count(F.lit(1)).alias("incr_rows")
+    )
+    return boot.crossJoin(incr).select("bootstrap_rows", "incr_rows")
+
+
+@register(
     "q_table_history",
     oracle="""
     SELECT CAST(0 AS BIGINT) AS commit, 'overwrite' AS mode,
