@@ -1487,8 +1487,8 @@ def run_maintenance(
     spark: SparkSession,
     path: str,
     vacuum: bool = False,
-    target_file_bytes: int = 128 * 1024 * 1024,
-    max_depth: int = 2,
+    target_file_bytes: int | None = None,  # None → property / 128 MiB
+    max_depth: int | None = None,  # None → property / 2
     min_age_s: float | None = None,  # None → per-table property / 600 s
 ) -> list[dict]:
     """Execute what :func:`advise_maintenance` recommends — the
@@ -1516,8 +1516,26 @@ def run_maintenance(
     between steps is re-observed by the next re-advise. Returns one
     row per EXECUTED action: {"action", "result"}. Empty = the table
     was already healthy (or only vacuum was advised and not allowed).
+
+    The ``None`` defaults resolve from the table's reserved
+    properties (r9 knobs: ``nimble.compact.target_file_bytes``,
+    ``nimble.recluster.max_depth``; min_age_s already resolves inside
+    vacuum_table) — a fleet maintenance job calls this with no
+    arguments and each table carries its own policy.
     """
     from nimble_spark.sources.deletes import compact_deletes
+    from nimble_spark.sources.table import table_properties
+
+    try:
+        _props = table_properties(path)
+    except (OSError, KeyError, ValueError):
+        _props = {}
+    if target_file_bytes is None:
+        target_file_bytes = int(
+            _props.get("nimble.compact.target_file_bytes", 128 * 1024 * 1024)
+        )
+    if max_depth is None:
+        max_depth = int(_props.get("nimble.recluster.max_depth", 2))
 
     executed: list[dict] = []
 

@@ -2865,7 +2865,11 @@ def unset_table_property(path: str, key: str, optimistic: bool = False) -> dict:
 # Reserved engine-configuration properties. Adding one requires the
 # consuming code path AND a test — an unknown nimble.* key is a typo
 # and refuses loudly rather than silently configuring nothing.
-_KNOWN_PROPERTIES = {"nimble.vacuum.min_age_s"}
+_KNOWN_PROPERTIES = {
+    "nimble.vacuum.min_age_s",        # vacuum_table retention grace
+    "nimble.compact.target_file_bytes",  # run_maintenance compact target
+    "nimble.recluster.max_depth",     # run_maintenance recluster trigger
+}
 
 
 def delete_tag(path: str, name: str, optimistic: bool = False) -> dict:

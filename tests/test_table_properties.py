@@ -99,6 +99,32 @@ def test_properties_on_sharded_manifest_rewrite(spark, tmp_path, monkeypatch):
     assert read_table(spark, path).count() == 59  # entries survived
 
 
+def test_maintenance_knob_properties_consumed(spark, tmp_path):
+    """r9: run_maintenance's None defaults resolve from the table's
+    reserved properties — with nimble.compact.target_file_bytes=1 the
+    small files are no longer 'small' and the compact step is skipped;
+    with the default (128 MiB) it runs."""
+    from nimble_spark.sources.compaction import run_maintenance
+
+    def _mk(name):
+        p = str(tmp_path / name)
+        for i in range(4):  # four small files
+            write_table(
+                spark.range(i * 10, (i + 1) * 10).coalesce(1).selectExpr("id AS k"),
+                p, WriteOptions(), mode="append" if i else "overwrite",
+            )
+        return p
+
+    a = _mk("a")
+    done = run_maintenance(spark, a)  # property-less: default target
+    assert any(d["action"] == "compact_table" for d in done), done
+
+    b = _mk("b")
+    set_table_property(b, "nimble.compact.target_file_bytes", "1")
+    done = run_maintenance(spark, b)  # 1-byte target: nothing is small
+    assert not any(d["action"] == "compact_table" for d in done), done
+
+
 def test_dsl_properties_surface(spark, tbl):
     from nimble_spark.tools import run_command
 
