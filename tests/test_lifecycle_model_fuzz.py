@@ -538,6 +538,12 @@ def _run_lifecycle_combined(spark, path, seed):
             histogram_columns=["v"],
         ),
     )
+    # r9: the property bag must survive EVERY random op interleaving
+    # (append/merge/update/compaction/rollback/alter/clone/expire) —
+    # properties are not commit history
+    from nimble_spark.sources.table import set_table_property, table_properties
+
+    set_table_property(path, "owner", "fuzz-crew")
     snapshots: dict[int, dict[int, int]] = {
         _head_commit(path): dict(committed)
     }
@@ -555,6 +561,7 @@ def _run_lifecycle_combined(spark, path, seed):
     def check():
         assert live() == {k: v for k, v in committed.items() if k not in masked}
         assert read_manifest(path)["rows"] == len(committed)
+        assert table_properties(path).get("owner") == "fuzz-crew"
         # statistics-answered aggregates: exact against the model when
         # unmasked, loud refusal while masks pend (never a wrong answer)
         from collections import Counter
