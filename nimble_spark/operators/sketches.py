@@ -594,3 +594,48 @@ def q_trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return like_search(spark, path, "%fast merge%").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "q_trigram_like_escape",
+    oracle=r"""
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN doc_id % 7 = 0
+                    THEN replace(text, 'fast merge', 'fast%merge')
+                    ELSE text END AS text
+        FROM documents
+    ) WHERE lower(text) LIKE '%fast\%merge%' ESCAPE '\'
+    """,
+    category="format",
+)
+def q_trigram_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""r10: escaped-wildcard LIKE through the trigram index (judge r9
+    finding #1). The corpus has no literal % characters, so the
+    fixture injects them ('fast merge' → 'fast%merge' for every 7th
+    doc) and the probe is LIKE '%fast\%merge%' — under the old
+    splitter the fragmenter emitted the bogus trigram 'fas t\\' family
+    and the candidate semi-join dropped every true match; the
+    escape-aware fragmenter (sources/inverted.py:_pattern_trigrams)
+    emits the literal-% trigrams and the index path must equal the
+    full-scan oracle (DuckDB needs ESCAPE '\' spelled; Spark LIKE
+    defaults to backslash)."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.inverted import build_trigram_index, like_search
+    from nimble_spark.sources.table import WriteOptions, write_table
+
+    def _build(tmp: str) -> None:
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.replace(F.col("text"), F.lit("fast merge"), F.lit("fast%merge")),
+            ).otherwise(F.col("text")),
+        )
+        write_table(docs, tmp, WriteOptions(cluster_by=["doc_id"]))
+        build_trigram_index(spark, tmp)
+
+    path = ensure_cached(sf_dir, "documents__trigram_esc", ["documents"], _build)
+    return like_search(spark, path, r"%fast\%merge%").select(
+        "doc_id", "lang", "n_chars"
+    )

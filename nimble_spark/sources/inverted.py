@@ -287,15 +287,42 @@ def build_trigram_index(
 
 def _pattern_trigrams(pattern: str) -> list[str]:
     """The trigrams EVERY match of a SQL LIKE pattern must contain:
-    split on the wildcards (% and _), take each literal fragment's
-    lowercase 3-grams. Fragments shorter than 3 contribute none —
-    they constrain matches but not through this index."""
-    import re as _re
+    split on the UNESCAPED wildcards (% and _), take each literal
+    fragment's lowercase 3-grams. Fragments shorter than 3 contribute
+    none — they constrain matches but not through this index.
 
+    Escape handling mirrors the residual's semantics (Spark ``LIKE``
+    with the default ``\\`` escape): ``\\%`` / ``\\_`` are literal
+    characters that JOIN a fragment rather than break it, and ``\\\\``
+    is a literal backslash. Any other escape sequence (including a
+    dangling trailing backslash) is invalid in Spark LIKE — emit no
+    trigrams so the caller falls back to the full residual scan and
+    surfaces Spark's own error, instead of this fragmenter guessing.
+    Without this, ``LIKE 'ab\\%cd'`` used to emit the bogus trigram
+    ``ab\\`` and the candidate semi-join dropped every true match."""
+    frags: list[str] = []
+    cur: list[str] = []
+    p = pattern.lower()
+    i = 0
+    while i < len(p):
+        c = p[i]
+        if c == "\\":
+            if i + 1 < len(p) and p[i + 1] in ("%", "_", "\\"):
+                cur.append(p[i + 1])
+                i += 2
+                continue
+            return []  # invalid escape: no index signal, residual decides
+        if c in ("%", "_"):
+            frags.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    frags.append("".join(cur))
     tris: list[str] = []
-    for frag in _re.split(r"[%_]", pattern.lower()):
-        for i in range(len(frag) - 2):
-            tris.append(frag[i : i + 3])
+    for frag in frags:
+        for j in range(len(frag) - 2):
+            tris.append(frag[j : j + 3])
     return sorted(set(tris))
 
 
