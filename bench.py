@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The 15 queries the round-1 bench measured (total 18.923 s at sf0.1).
 # Their subtotal is reported separately so round-over-round comparison
 # stays apples-to-apples as the headline set grows.
+R1_FLOOR_SEC = 18.923  # recorded round-1 cold total over R1_SET
 R1_SET = {
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -269,7 +270,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     warm_total = round(sum(warm.values()), 3)
-    sent = max(sentinel_start["cpu_med_sec"], 1e-9)
+    # Normalize by min(start, end) sentinel (VERDICT r9 #3): the START
+    # sentinel is consistently inflated 1.7-2.5x by JIT/session warmup
+    # (driver r9: 0.272→0.159; judge runs: 0.370→0.161, 0.329→0.131),
+    # so start-normalized ratios failed to reconcile runs of the same
+    # tree (454 vs 245/261). min(start,end) is the host's true speed
+    # within this run, warmup excluded.
+    sent = max(
+        min(sentinel_start["cpu_med_sec"], sentinel_end["cpu_med_sec"]), 1e-9
+    )
+    r1_total = round(sum(v for k, v in timings.items() if k in R1_SET), 3)
+    r1_warm = round(sum(v for k, v in warm.items() if k in R1_SET), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_total_sec",
@@ -280,12 +291,15 @@ def main() -> None:
         "warm_total_sec": warm_total,
         # Subtotal over the exact round-1 query set (18.923 s floor):
         # the like-for-like signal once extra headliners were added.
-        "r1_comparable_total_sec": round(
-            sum(v for k, v in timings.items() if k in R1_SET), 3
-        ),
-        "r1_comparable_warm_sec": round(
-            sum(v for k, v in warm.items() if k in R1_SET), 3
-        ),
+        "r1_comparable_total_sec": r1_total,
+        "r1_comparable_warm_sec": r1_warm,
+        # The driver's 2x gate, computed directly (VERDICT r9 #3):
+        # r1-comparable subtotal over the recorded round-1 floor. The
+        # warm variant is the steady-state primary — pass-1 cold
+        # includes one-time codegen the floor run also paid, so the
+        # cold ratio is the like-for-like gate number.
+        "gate_ratio": round(r1_total / R1_FLOOR_SEC, 3),
+        "gate_ratio_warm": round(r1_warm / R1_FLOOR_SEC, 3),
         # Host-noise-normalized primaries (VERDICT r8 #5): totals as a
         # MULTIPLE of the no-engine sentinel measured in the same run —
         # round-over-round comparison of these ratios cancels the VM's
@@ -348,6 +362,8 @@ def _compact_line(out, timings, warm, fmt, life, meta, wide, errors) -> str:
         "warm_total_sec": out["warm_total_sec"],
         "r1_comparable_total_sec": out["r1_comparable_total_sec"],
         "r1_comparable_warm_sec": out["r1_comparable_warm_sec"],
+        "gate_ratio": out["gate_ratio"],
+        "gate_ratio_warm": out["gate_ratio_warm"],
         # never shed: the no-engine calibration + normalized ratios the
         # round-over-round grading reads first
         "sentinel_sec": out["sentinel"]["start"]["cpu_med_sec"],
@@ -607,6 +623,43 @@ def _metadata_bench() -> dict:
         cm = clone_table(None, src2, os.path.join(d, "cl"), shallow=True)
         out["shallow_clone_100k_s"] = round(time.time() - t0, 3)
         assert len(foreign_files(cm)) == n
+
+        # expire_snapshots + CAS root mutations on sharded tables at
+        # TWO file counts (VERDICT r9 #6): both must be root-only —
+        # ZERO stat-page reads — and their cost tracks the ROOT's
+        # commit-log size, never the page set.
+        for label, n_exp in (("10k", 10_000), ("100k", 100_000)):
+            pe = os.path.join(d, f"exp_{label}")
+            os.makedirs(os.path.join(pe, tbl.MANIFEST_DIR), exist_ok=True)
+            per = n_exp // 5
+            efiles = [dict(files[i], path=f"e-{i:07d}.parquet") for i in range(n_exp)]
+            ecommits = [
+                {
+                    "commit": ci,
+                    "mode": "append" if ci else "overwrite",
+                    "files": [f["path"] for f in efiles[ci * per:(ci + 1) * per]],
+                    "rows_added": 1000 * per,
+                    "data_change": True,
+                }
+                for ci in range(5)
+            ]
+            tbl._write_manifest(pe, {**m, "files": efiles, "commits": ecommits})
+            tbl._MANIFEST_CACHE.clear()
+            tbl._PAGE_CACHE.clear()
+            probed[0] = 0
+            tbl._load_page = counting
+            try:
+                t0 = time.time()
+                em = tbl.expire_snapshots(pe, keep_last=2)
+                out[f"expire_{label}_s"] = round(time.time() - t0, 3)
+                t0 = time.time()
+                tbl.tag_commit(pe, "drill", optimistic=True)
+                out[f"cas_tag_{label}_s"] = round(time.time() - t0, 3)
+            finally:
+                tbl._load_page = real
+            assert em["commits"][0]["commit"] == 3 and len(em["commits"]) == 2
+            out[f"expire_pages_read_{label}"] = probed[0]
+            assert probed[0] == 0, "expiry/CAS must be root-only IO"
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -691,7 +744,18 @@ def _format_bench(spark, sf_dir: str) -> dict:
             finally:
                 shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
         rate = (times[n_big] - times[n_small]) / (n_big - n_small)
-        decode[name] = round(max(rate, 0.0) * 1e9, 2)  # ns/element
+        if rate > 0:
+            decode[name] = round(rate * 1e9, 2)  # ns/element
+        else:
+            # the two-size difference is within scheduling noise (the
+            # judge's r9 runs printed 0.0 for 4/7 patterns): report the
+            # raw per-size times instead of a degenerate fit, so the
+            # artifact still carries a usable decode-cost signal
+            decode[name] = {
+                "small_s": round(times[n_small], 4),
+                "big_s": round(times[n_big], 4),
+                "note": "diff within noise; raw best-of-3 per size",
+            }
     out["decode_ns_per_el"] = decode
     return out
 

@@ -226,7 +226,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_table_properties",
     oracle="""
     SELECT 'data-eng' AS owner, '0' AS retention, '1' AS reclaimed,
-           CAST(3 AS INT) AS n_props,
+           'cas' AS discipline, CAST(4 AS INT) AS n_props,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows
     """,
     category="tools",
@@ -234,8 +234,11 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r9: table properties (Iceberg/Delta TBLPROPERTIES analogue) —
     free-form pairs plus the reserved ``nimble.*`` engine knobs, set
-    through both commit disciplines (lock-based and the lock-free CAS
-    publish) and read back through the DSL (SHOW PROPERTIES). The
+    through both commit-discipline APIs and read back through the DSL
+    (SHOW PROPERTIES). r10: the first root mutation STAMPS the table's
+    commit discipline (``nimble.commit.root_discipline``) and later
+    mutations through the other API auto-route to it — so the CAS set
+    comes first here and the lock-path sets join it losslessly. The
     retention knob is FUNCTIONAL: with ``nimble.vacuum.min_age_s='0'``
     set, an argument-less ``vacuum_table`` reclaims fresh debris
     immediately (default grace is 600 s) — the build plants one debris
@@ -244,21 +247,25 @@ def q_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from nimble_spark.sources.compaction import vacuum_table
-    from nimble_spark.sources.table import set_table_property, table_properties
+    from nimble_spark.sources.table import (
+        _ROOT_DISCIPLINE_PROP,
+        set_table_property,
+        table_properties,
+    )
     from nimble_spark.tools import run_command
 
     def _build(tmp: str) -> None:
         write_table(load(spark, sf_dir, "orders"), tmp, WriteOptions())
-        set_table_property(tmp, "owner", "data-eng")  # lock discipline
         set_table_property(
             tmp, "nimble.vacuum.min_age_s", "0", optimistic=True
-        )  # CAS discipline
+        )  # CAS publish — stamps the table's discipline
+        set_table_property(tmp, "owner", "data-eng")  # lock API: auto-routed
         with open(_os.path.join(tmp, "zz-debris.parquet"), "wb") as fh:
             fh.write(b"not a real parquet")
         removed = vacuum_table(tmp)  # no args: property-driven grace
         set_table_property(tmp, "test.reclaimed", str(len(removed)))
 
-    path = ensure_cached(sf_dir, "orders__props", ["orders"], _build)
+    path = ensure_cached(sf_dir, "orders__props2", ["orders"], _build)
     props = table_properties(path)
     n_dsl = run_command(spark, path, "SHOW PROPERTIES").count()
     n_rows = read_table(spark, path).count()
@@ -267,10 +274,12 @@ def q_table_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
             props.get("owner"),
             props.get("nimble.vacuum.min_age_s"),
             props.get("test.reclaimed"),
+            props.get(_ROOT_DISCIPLINE_PROP),
             int(n_dsl),
             int(n_rows),
         )],
-        "owner STRING, retention STRING, reclaimed STRING, n_props INT, n_rows BIGINT",
+        "owner STRING, retention STRING, reclaimed STRING, "
+        "discipline STRING, n_props INT, n_rows BIGINT",
     )
 
 

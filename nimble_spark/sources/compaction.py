@@ -158,11 +158,23 @@ def vacuum_table(path: str, min_age_s: float | None = None) -> list[str]:
 
     if min_age_s is None:
         try:
-            min_age_s = float(
-                table_properties(path).get("nimble.vacuum.min_age_s", 600.0)
-            )
-        except (OSError, KeyError, ValueError):
-            min_age_s = 600.0  # unreadable manifest/value: default grace
+            raw_grace = table_properties(path).get("nimble.vacuum.min_age_s")
+        except (OSError, KeyError):
+            raw_grace = None  # unreadable manifest: default grace
+        if raw_grace is None:
+            min_age_s = 600.0
+        else:
+            # set_table_property validates at write time; a legacy bad
+            # value must refuse HERE too, not silently vacuum sooner
+            # than the operator intended (ADVICE r9)
+            try:
+                min_age_s = float(raw_grace)
+            except ValueError as e:
+                raise ValueError(
+                    f"table property nimble.vacuum.min_age_s={raw_grace!r} "
+                    f"is not a number — fix it before vacuuming; refusing "
+                    f"rather than silently using the {600.0}s default"
+                ) from e
 
     # Finish any crashed staged-swap first (its marker names the live
     # staging/old dirs — they are recovery state, not debris), THEN
@@ -543,7 +555,11 @@ def _publish_partial_rewrite(
     # historical reads still resolve them; the live manifest never
     # references them again either way.
     fs = get_fs()
-    trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
+    # named by the rewrite's COMMIT NUMBER (post-expiry the log
+    # position diverges and could reuse a pre-expiry dir name)
+    trash = os.path.join(
+        path, MANIFEST_DIR, "trash", f"commit-{_next_commit(prior_commits)}"
+    )
     fs.makedirs(trash)
     for g in groups:
         for f in g:
@@ -1528,14 +1544,29 @@ def run_maintenance(
 
     try:
         _props = table_properties(path)
-    except (OSError, KeyError, ValueError):
+    except (OSError, KeyError):
         _props = {}
+
+    def _int_prop(key: str, default: int) -> int:
+        raw = _props.get(key)
+        if raw is None:
+            return default
+        try:
+            return int(raw)
+        except ValueError as e:
+            # same contract as vacuum_table: a malformed stored value
+            # refuses loudly instead of silently changing policy
+            raise ValueError(
+                f"table property {key}={raw!r} is not an integer — fix "
+                f"it before maintenance"
+            ) from e
+
     if target_file_bytes is None:
-        target_file_bytes = int(
-            _props.get("nimble.compact.target_file_bytes", 128 * 1024 * 1024)
+        target_file_bytes = _int_prop(
+            "nimble.compact.target_file_bytes", 128 * 1024 * 1024
         )
     if max_depth is None:
-        max_depth = int(_props.get("nimble.recluster.max_depth", 2))
+        max_depth = _int_prop("nimble.recluster.max_depth", 2)
 
     executed: list[dict] = []
 

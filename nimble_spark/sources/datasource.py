@@ -772,6 +772,23 @@ class NimbleStreamReader(DataSourceStreamReader):
                 f"gone — re-bootstrap from a snapshot read and restart with "
                 f".option('startingCommit', {base - 1}) or later"
             )
+        if base > 0 and start["commit"] == base - 1 and self.starting != base - 1:
+            # ADVICE r9 (stream sibling of read_changes' fold-boundary
+            # guard): a CHECKPOINTED cursor landing exactly one behind
+            # the fold base consumed commits 0..base-1 and needs commit
+            # {base}'s true delta — folded away. Replaying would emit
+            # the fold base's FULL state as inserts with no bootstrap
+            # signal. An explicit .option('startingCommit', base-1) on
+            # a fresh query (self.starting == base-1) IS that signal
+            # and passes; a silent checkpoint replay fails loudly.
+            raise ValueError(
+                f"stream cursor at commit {start['commit']} is the "
+                f"expire_snapshots fold boundary: commit {base}'s true "
+                f"delta was folded away and this batch would re-deliver "
+                f"the table's FULL pre-fold state as inserts — restart "
+                f"the query from a fresh snapshot, or acknowledge the "
+                f"re-bootstrap with .option('startingCommit', {base - 1})"
+            )
         window = commits[start["commit"] + 1 - base : end["commit"] + 1 - base]
         for c in window:
             # A rollback that REMOVED rows cannot be expressed by an

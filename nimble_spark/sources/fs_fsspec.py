@@ -74,6 +74,14 @@ from datetime import datetime, timezone
 from nimble_spark.sources.fs import MetadataFS
 
 
+def _stable_token(data: bytes) -> str:
+    """Process-stable content digest for CAS match tokens (the memory
+    double's ETag analogue)."""
+    import hashlib
+
+    return hashlib.sha1(data).hexdigest()
+
+
 class FsspecFS(MetadataFS):
     """MetadataFS over an fsspec AbstractFileSystem instance."""
 
@@ -452,7 +460,10 @@ class _MiniMemoryFsspec:
     def put_if_match(self, path, data, match_token):
         key = self._norm(path)
         with self._mutex:
-            if key not in self._store or hash(self._store[key]) != match_token:
+            if (
+                key not in self._store
+                or _stable_token(self._store[key]) != match_token
+            ):
                 return False
             self._store[key] = bytes(data)
             self._mtimes[key] = time.time()
@@ -471,8 +482,13 @@ class _MiniMemoryFsspec:
         raise FileNotFoundError(path)
 
     def checksum(self, path):
-        # content-derived token, like fsspec memory's tokenize(data)
-        return hash(self.cat_file(path))
+        # content-derived token, like fsspec memory's tokenize(data).
+        # Stable digest, NOT Python hash(): hash(bytes) is
+        # PYTHONHASHSEED-randomized per process, so a hash()-based CAS
+        # match token would only be valid within one interpreter and a
+        # cross-process CAS drill over this double would always lose
+        # (ADVICE r9).
+        return _stable_token(self.cat_file(path))
 
     def modified(self, path):
         key = self._norm(path)

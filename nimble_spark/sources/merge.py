@@ -493,7 +493,11 @@ def _commit_rewrite(
     # reads still resolve them — the live manifest never references a
     # trashed path.
     fs = get_fs()
-    trash = os.path.join(path, MANIFEST_DIR, "trash", f"commit-{len(prior_commits)}")
+    # named by the rewrite's COMMIT NUMBER (post-expiry the log
+    # position diverges and could reuse a pre-expiry dir name)
+    trash = os.path.join(
+        path, MANIFEST_DIR, "trash", f"commit-{_next_commit(prior_commits)}"
+    )
     fs.makedirs(trash)
     for f in affected:
         if os.path.isabs(f):

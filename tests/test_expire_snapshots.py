@@ -99,10 +99,15 @@ def test_cdc_cursors(spark, tmp_path):
     expire_snapshots(path, keep_last=2)  # retain 4,5; base=4
     # in-window incremental: only commit 5's rows
     assert read_changes(spark, path, since_commit=4).count() == 10
-    # bootstrap spellings: -1 and base-1 both replay the full state
+    # -1 is the bootstrap spelling: full replay from the fold base
     assert read_changes(spark, path, since_commit=-1).count() == 60
-    assert read_changes(spark, path, since_commit=3).count() == 60
-    # a cursor behind the fold must re-bootstrap
+    # base-1 LITERALLY is ambiguous (ADVICE r9): a consumer checkpointed
+    # there needs commit 4's true delta, which the fold made
+    # unrecoverable — refuse unless the re-bootstrap is acknowledged
+    with pytest.raises(ValueError, match="fold boundary"):
+        read_changes(spark, path, since_commit=3)
+    assert read_changes(spark, path, since_commit=3, bootstrap=True).count() == 60
+    # a cursor further behind the fold must re-bootstrap
     with pytest.raises(ValueError, match="expired"):
         read_changes(spark, path, since_commit=1)
 
@@ -135,6 +140,15 @@ def test_stream_offsets_stable_across_expiry(spark, tmp_path):
     assert len(parts) >= 1  # exactly commit 4's file(s)
     with pytest.raises(ValueError, match="fell behind"):
         rdr.partitions({"commit": 0}, {"commit": 4})
+    # the fold BOUNDARY (base-1): a silent checkpoint replay would
+    # re-deliver the full pre-fold state as inserts — refuse; an
+    # explicit startingCommit on a fresh query is the acknowledgment
+    with pytest.raises(ValueError, match="fold boundary"):
+        rdr.partitions({"commit": 2}, {"commit": 4})
+    rdr2 = NimbleStreamReader(
+        path, _logical_struct(read_manifest(path)), starting_commit=2
+    )
+    assert len(rdr2.partitions({"commit": 2}, {"commit": 4})) >= 1
 
 
 def test_noop_and_validation(spark, tmp_path):

@@ -121,12 +121,42 @@ def _run_lifecycle(spark, path, seed, clustered=False):
     ops = [
         "append", "merge", "update", "delete",
         "compact_deletes", "compact", "rollback", "maintain", "expire",
+        "tag",
     ]
     if clustered:
         ops.append("recluster")
     for step in range(12):
         op = rng.choice(ops)
-        if op == "append":
+        if op == "tag":
+            # r10: the commit-discipline fence under random interleaving
+            # with every structural op — a root mutation through either
+            # path must land (auto-routed to the recorded discipline) or
+            # refuse loudly; a tag that reports success must survive,
+            # and the table stays on ONE discipline throughout.
+            from nimble_spark.sources.table import (
+                _ROOT_DISCIPLINE_PROP,
+                delete_tag,
+                table_properties,
+                tag_commit,
+            )
+
+            opt = rng.random() < 0.5
+            name = f"fz_t{step}"
+            disc = table_properties(path).get(_ROOT_DISCIPLINE_PROP)
+            if disc == "lock" and opt:
+                with pytest.raises(ValueError, match="discipline"):
+                    tag_commit(path, name, optimistic=True)
+                continue
+            tag_commit(path, name, optimistic=opt)
+            m_tag = read_manifest(path)
+            assert m_tag["tags"][name] == _head_commit(path)
+            disc_now = m_tag.get("properties", {}).get(_ROOT_DISCIPLINE_PROP)
+            assert disc_now == (disc or ("cas" if opt else "lock"))
+            # delete through the LOCK path: on a cas table it must
+            # auto-route, never clobber — genuine mixed-writer sequence
+            delete_tag(path, name)
+            assert name not in read_manifest(path).get("tags", {})
+        elif op == "append":
             n = rng.randint(1, 8)
             fresh = {next_key + i: (next_key + i) * 10 for i in range(n)}
             next_key += n

@@ -30,15 +30,20 @@ def tbl(spark, tmp_path):
 
 
 def test_set_get_unset_roundtrip(tbl):
-    set_table_property(tbl, "owner", "data-eng")
+    # CAS first: the first root mutation stamps the table's commit
+    # discipline (r10); subsequent lock-API calls auto-route to it
     set_table_property(tbl, "team.contact", "row-crew", optimistic=True)
+    set_table_property(tbl, "owner", "data-eng")
     assert table_properties(tbl) == {
         "owner": "data-eng", "team.contact": "row-crew",
+        "nimble.commit.root_discipline": "cas",
     }
     set_table_property(tbl, "owner", "ml-infra")  # overwrite
     assert table_properties(tbl)["owner"] == "ml-infra"
     unset_table_property(tbl, "team.contact", optimistic=True)
-    assert table_properties(tbl) == {"owner": "ml-infra"}
+    assert table_properties(tbl) == {
+        "owner": "ml-infra", "nimble.commit.root_discipline": "cas",
+    }
     with pytest.raises(ValueError, match="no property"):
         unset_table_property(tbl, "team.contact")
 
@@ -134,9 +139,15 @@ def test_dsl_properties_surface(spark, tbl):
         r["key"]: r["value"]
         for r in run_command(spark, tbl, "SHOW PROPERTIES").collect()
     }
-    assert rows == {"owner": "data-eng", "nimble.vacuum.min_age_s": "0"}
+    assert rows == {
+        "owner": "data-eng",
+        "nimble.vacuum.min_age_s": "0",
+        # the first SET stamped the commit discipline (r10) — visible
+        # in the bag by design, like any Iceberg reserved property
+        "nimble.commit.root_discipline": "lock",
+    }
     run_command(spark, tbl, "UNSET PROPERTY owner")
-    assert run_command(spark, tbl, "SHOW PROPERTIES").count() == 1
+    assert run_command(spark, tbl, "SHOW PROPERTIES").count() == 2
 
 
 def test_properties_survive_data_commits(spark, tbl):
