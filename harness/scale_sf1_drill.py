@@ -66,6 +66,12 @@ HEAVY = [
     "q_minhash_lsh_pairs",
     "q_embedding_neardup_lsh",
     "q_ann_ivf_adc_topk",
+    # r10 (VERDICT r9 #6): the index families — cold includes the
+    # sidecar BUILD at each scale (posting extraction shuffles), warm
+    # is the probe path (cluster-pruned point scans + candidate
+    # semi-join), which must stay output-bound, not corpus-bound.
+    "q_trigram_like_search",
+    "q_bm25_search",
 ]
 RATIO_LIMIT = 15.0
 

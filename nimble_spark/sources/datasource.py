@@ -950,7 +950,12 @@ class NimbleWriter(DataSourceArrowWriter):
         with table_write_lock(self.path):
             self._commit_unlocked(messages)
 
-    def _commit_unlocked(self, messages, commit_extra: dict | None = None) -> None:
+    def _commit_unlocked(
+        self,
+        messages,
+        commit_extra: dict | None = None,
+        publish=None,
+    ) -> None:
         from pyspark.sql.types import StructType as _St
 
         from nimble_spark.sources.table import (
@@ -959,6 +964,9 @@ class NimbleWriter(DataSourceArrowWriter):
             _build_manifest,
             _write_manifest,
         )
+
+        if publish is None:
+            publish = lambda m: _write_manifest(self.path, m)  # noqa: E731
 
         committed = {m.rel_path for m in messages if m is not None and m.rel_path}
 
@@ -1205,7 +1213,7 @@ class NimbleWriter(DataSourceArrowWriter):
             if consumed:
                 manifest["consumed_masks"] = consumed
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
-        _write_manifest(self.path, manifest)
+        publish(manifest)
         if self.overwrite:
             # Commit point passed: the previous generation is now
             # unreferenced debris — sweep it through the metadata FS
@@ -1286,7 +1294,35 @@ class NimbleStreamWriter(DataSourceStreamArrowWriter):
         return self._delegate.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
-        from nimble_spark.sources.table import table_write_lock
+        import json as _json
+
+        from nimble_spark.sources.fs import get_fs
+        from nimble_spark.sources.table import (
+            MANIFEST_DIR,
+            MANIFEST_NAME,
+            _root_discipline,
+            table_write_lock,
+        )
+
+        # Discipline fence (r10, same rule as tag/property mutations):
+        # on a 'cas'-disciplined table over a conditional-PUT store the
+        # micro-batch commit itself goes LOCK-FREE — replay-check →
+        # build → publish is made atomic by gating the publish on the
+        # root version observed BEFORE the check, so no lock object is
+        # needed at all (the S3-without-DynamoDB exactly-once shape).
+        fs = get_fs()
+        mf = os.path.join(self.path, MANIFEST_DIR, MANIFEST_NAME)
+        use_cas = False
+        if getattr(fs, "supports_cas_publish", False):
+            try:
+                use_cas = (
+                    _root_discipline(_json.loads(fs.read_bytes(mf))) == "cas"
+                )
+            except (OSError, ValueError):
+                use_cas = False  # first commit: lock path bootstraps
+        if use_cas:
+            self._commit_cas(messages, batchId, fs, mf)
+            return
 
         # One lock span covers replay-check → append-commit → batch-id
         # stamp, so the check and the commit are atomic against any
@@ -1309,6 +1345,56 @@ class NimbleStreamWriter(DataSourceStreamArrowWriter):
             self._delegate._commit_unlocked(
                 messages, commit_extra={"batch_id": batchId}
             )
+
+    def _commit_cas(self, messages, batchId: int, fs, mf: str) -> None:  # noqa: N803
+        """Lock-free exactly-once micro-batch commit over a
+        conditional-PUT store. Each attempt: snapshot the root VERSION,
+        run the replay check and the full manifest build against that
+        state (read_manifest is version-keyed, so the state it serves
+        at an unchanged version IS the snapshotted one), then publish
+        with ``write_if_version`` — success proves nothing moved since
+        the check, making check+commit atomic without a lock; a lost
+        race re-runs the whole attempt, re-checking the batch id
+        against the NEW root (the concurrent writer may have been this
+        very batch's replay twin)."""
+        import json as _json
+        import time as _time
+
+        from nimble_spark.sources.table import (
+            _json_safe,
+            _prepare_manifest_root,
+            _sweep_orphan_pages,
+        )
+
+        class _Lost(Exception):
+            pass
+
+        for attempt in range(16):
+            ver = fs.version(mf)
+            raw = _json.loads(fs.read_bytes(mf))
+            if batchId in {c.get("batch_id") for c in raw.get("commits", [])}:
+                self._delegate.abort(messages)  # replay: drop staged files
+                return
+
+            def _publish(manifest):
+                prepared = _prepare_manifest_root(self.path, manifest)
+                data = _json.dumps(prepared, indent=1, default=_json_safe).encode()
+                if not fs.write_if_version(mf, data, ver):
+                    raise _Lost()
+                _sweep_orphan_pages(
+                    os.path.dirname(mf), prepared.get("file_pages", [])
+                )
+
+            try:
+                self._delegate._commit_unlocked(
+                    messages, commit_extra={"batch_id": batchId}, publish=_publish
+                )
+                return
+            except _Lost:
+                _time.sleep(min(0.2, 0.005 * (2 ** attempt)))
+        raise TimeoutError(
+            f"CAS micro-batch commit on {mf} lost 16 consecutive races"
+        )
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._delegate.abort(messages)

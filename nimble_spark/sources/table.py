@@ -1385,6 +1385,31 @@ def table_write_lock(path: str, timeout_s: float = 120.0, stale_s: float = 600.0
     return get_fs().commit_lock(path, timeout_s=timeout_s, stale_s=stale_s)
 
 
+def _prepare_manifest_root(path: str, manifest: dict) -> dict:
+    """The pagination half of manifest publication, shared by the
+    atomic-rename path (_write_manifest) and the conditional CAS
+    publish (the lock-free streaming sink): above SHARD_FILE_THRESHOLD
+    entries, per-file stats go to content-addressed page files FIRST
+    (pages-then-root write order — a crash can only orphan unreferenced
+    pages) and the returned root carries ``file_pages`` instead of
+    ``files``. The incoming dict is never mutated."""
+    meta_dir = os.path.join(path, MANIFEST_DIR)
+    manifest = dict(manifest)
+    if "files" not in manifest and "file_pages" in manifest:
+        # Root-only republish (tag edits on a sharded manifest, via
+        # read_manifest(materialize=False)): the page set carries
+        # through untouched — zero page I/O and no repagination for a
+        # change that lives entirely in the root.
+        pass
+    else:
+        manifest.pop("file_pages", None)
+        files = manifest.get("files", [])
+        if len(files) >= SHARD_FILE_THRESHOLD:
+            manifest["file_pages"] = _publish_pages(meta_dir, files)
+            del manifest["files"]
+    return manifest
+
+
 def _write_manifest(
     path: str, manifest: dict, root_mutation: bool = False
 ) -> None:
@@ -1404,19 +1429,7 @@ def _write_manifest(
     and repagination always derives from ``files``."""
     meta_dir = os.path.join(path, MANIFEST_DIR)
     final = os.path.join(meta_dir, MANIFEST_NAME)
-    manifest = dict(manifest)
-    if "files" not in manifest and "file_pages" in manifest:
-        # Root-only republish (tag edits on a sharded manifest, via
-        # read_manifest(materialize=False)): the page set carries
-        # through untouched — zero page I/O and no repagination for a
-        # change that lives entirely in the root.
-        pass
-    else:
-        manifest.pop("file_pages", None)
-        files = manifest.get("files", [])
-        if len(files) >= SHARD_FILE_THRESHOLD:
-            manifest["file_pages"] = _publish_pages(meta_dir, files)
-            del manifest["files"]
+    manifest = _prepare_manifest_root(path, manifest)
     fs = get_fs()
     if (
         not root_mutation

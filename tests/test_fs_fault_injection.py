@@ -61,11 +61,13 @@ from nimble_spark.sources.table import (
 )
 
 MUTATIONS = frozenset(
-    {"write_atomic", "move", "delete", "delete_tree", "makedirs"}
+    {"write_atomic", "move", "delete", "delete_tree", "makedirs",
+     "write_if_version"}
 )
 _ALL = (
     "read_bytes", "write_atomic", "exists", "version", "mtime",
     "list_dir", "walk", "makedirs", "move", "delete", "delete_tree",
+    "write_if_version",
 )
 
 
@@ -121,6 +123,9 @@ def _lock(self, table_path, **kwargs):
 CrashFS.commit_lock = _lock
 CrashFS.supports_atomic_dir_move = property(
     lambda self: self.inner.supports_atomic_dir_move
+)
+CrashFS.supports_cas_publish = property(
+    lambda self: getattr(self.inner, "supports_cas_publish", False)
 )
 
 
@@ -630,6 +635,94 @@ def test_ds_stream_batch_id_stamp_is_atomic(spark, tmpdir):
     w.commit(_stage([(3, 30)]), 1)
     w.commit(_stage([(3, 30)]), 1)  # and the replay after success
     assert read_manifest(path)["rows"] == 3
+
+
+def test_ds_stream_sink_cas_path(spark, tmpdir):
+    """r10 (VERDICT r9 #8): on a 'cas'-disciplined table over a
+    conditional-PUT store, the stream sink's micro-batch commit goes
+    LOCK-FREE — the replay check and the publish are made atomic by
+    gating write_if_version on the root version observed before the
+    check. Re-runs the lock path's stamp-atomicity + replay + crash
+    drills on this path, plus the property the lock path cannot give:
+    a CAS tagger racing the sink commit loses nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nimble_spark.sources.datasource import (
+        NimbleStreamWriter,
+        NimbleWriteMessage,
+    )
+    from nimble_spark.sources.table import table_properties, tag_commit
+
+    path = os.path.join(str(tmpdir), "t_cas")
+    w = NimbleStreamWriter(path)
+
+    _n = [0]
+
+    def _stage(rows):
+        _n[0] += 1
+        rel = f"pyds-{w._delegate.job_token}-c{_n[0]}.parquet"
+        pq.write_table(
+            pa.table({"k": [r[0] for r in rows], "v": [r[1] for r in rows]}),
+            os.path.join(path, rel),
+        )
+        return [NimbleWriteMessage(rel_path=rel, rows=len(rows))]
+
+    # batch 0 bootstraps through the lock path (no manifest yet), then
+    # the table is stamped 'cas' — every later sink commit is lock-free
+    w.commit(_stage([(1, 10), (2, 20)]), 0)
+    tag_commit(path, "seed", optimistic=True)
+    assert table_properties(path)["nimble.commit.root_discipline"] == "cas"
+
+    b1 = _stage([(3, 30)])
+    w.commit(b1, 1)
+    m = read_manifest(path)
+    assert m["commits"][-1]["batch_id"] == 1  # stamped IN the publish
+    assert m["rows"] == 3
+    # replay of batch 1: dropped, committed file untouched
+    w.commit(b1, 1)
+    assert read_manifest(path)["rows"] == 3
+    assert os.path.exists(os.path.join(path, b1[0].rel_path))
+
+    # crash anywhere inside batch 2's CAS commit → either the publish
+    # carried the stamp or nothing landed — never a stampless commit
+    msgs = _stage([(4, 40)])
+    prev = set_fs(CrashFS(LocalFS(), fail_at=1))
+    try:
+        with pytest.raises(InjectedCrash):
+            w.commit(msgs, 2)
+    finally:
+        set_fs(prev)
+    for c in read_manifest(path).get("commits", []):
+        assert "batch_id" in c, f"stampless commit: {c}"
+    w.commit(_stage([(4, 40)]), 2)
+    w.commit(_stage([(4, 40)]), 2)  # replay after success: dropped
+    assert read_manifest(path)["rows"] == 4
+
+    # a CAS tagger racing the sink: publish interleaving loses neither
+    # (the sink's lost CAS attempt re-reads and re-applies)
+    import threading
+
+    errs = []
+
+    def _tagger():
+        try:
+            for i in range(8):
+                tag_commit(path, f"race{i}", optimistic=True)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = threading.Thread(target=_tagger)
+    th.start()
+    for b in range(3, 9):
+        w.commit(_stage([(b * 10, b)]), b)
+    th.join(timeout=120)
+    assert not errs
+    m = read_manifest(path)
+    assert m["rows"] == 10  # 4 + six 1-row batches
+    assert {f"race{i}" for i in range(8)} <= set(m.get("tags", {}))
+    batch_ids = [c.get("batch_id") for c in m["commits"]]
+    assert batch_ids == sorted(set(batch_ids)), "dup or lost batch"
 
 
 def test_data_plane_write_failure_leaves_table_intact(spark, tmpdir):
