@@ -21,12 +21,17 @@ conditional-write semantics expressed in the store's native headers:
   client. ``put_if_absent`` = ``if_generation_match=0``;
   ``put_if_match`` = ``if_generation_match=<generation>``; the change
   token is the blob generation.
+* ``AbfsConditionalFsspec`` — over an azure-storage-blob-shaped
+  service client. ``put_if_absent`` = ``upload_blob(overwrite=False)``
+  (HTTP 409 ResourceExistsError → lost); ``put_if_match`` =
+  ETag-conditional overwrite (HTTP 412 ResourceModifiedError → lost);
+  the change token is the blob ETag.
 
-Neither SDK is importable in this container, so the factories gate the
-import and the live tests self-skip; the HTTP/412 semantics are
-contract-tested against client fakes that raise the real response
-shapes (tests/test_object_store_adapters.py), and the full FsspecFS
-contract suite runs over both adapters.
+None of the three SDKs is importable in this container, so the
+factories gate the import and the live tests self-skip; the HTTP
+412/409 semantics are contract-tested against client fakes that raise
+the real response shapes (tests/test_object_store_adapters.py), and
+the full FsspecFS contract suite runs over all three adapters.
 
 Directory model: object stores have no directories — namespaces are
 implicit key prefixes. ``makedirs`` records a process-local marker
@@ -138,7 +143,7 @@ class _ObjectStoreMiniFsspec:
             self._head(b, k)
             return [self.info(key)] if detail else [key]  # file: [itself]
         except FileNotFoundError:
-            pass
+            pass  # not an object: list it as a prefix below
         pfx = key + "/"
         children = set()
         for full in self._full_keys_under(path):
@@ -189,7 +194,7 @@ class _ObjectStoreMiniFsspec:
             self._del(sb, sk)
             return
         except FileNotFoundError:
-            pass
+            pass  # not an object: move the prefix's keys below
         moved = False
         spfx = f"{sk}/" if sk else ""
         for key in list(self._list_keys(sb, spfx)):
@@ -212,7 +217,7 @@ class _ObjectStoreMiniFsspec:
             self._del(b, k)
             return
         except FileNotFoundError:
-            pass
+            pass  # not an object: delete the prefix's keys below
         hits = list(self._list_keys(b, f"{k}/" if k else ""))
         if hits and not recursive:
             raise IsADirectoryError(path)
@@ -388,6 +393,106 @@ class GcsConditionalFsspec(_ObjectStoreMiniFsspec):
             yield blob.name
 
 
+def _azure_status(e):
+    """HTTP status from an azure-core-shaped exception
+    (``HttpResponseError.status_code`` on ResourceExistsError /
+    ResourceModifiedError / ResourceNotFoundError)."""
+    return getattr(e, "status_code", None)
+
+
+class AbfsConditionalFsspec(_ObjectStoreMiniFsspec):
+    """Mini-fsspec surface + conditional writes over an
+    azure-storage-blob-shaped service client
+    (``get_blob_client(container, blob)`` /
+    ``get_container_client(container)``). Azure spells the
+    conditionals as ``upload_blob(overwrite=False)`` (ETag
+    ``If-None-Match: *`` under the hood — an existing blob is HTTP
+    409 ResourceExistsError) and ``upload_blob(overwrite=True,
+    etag=..., match_condition=IfNotModified)`` (HTTP 412
+    ResourceModifiedError on a moved ETag). Change token = the blob
+    ETag. Copies go download→upload: the metadata plane's objects are
+    small (roots, pages, locks), and ``start_copy_from_url`` would
+    drag credentials/URL plumbing into the seam for no win there."""
+
+    def __init__(self, client):
+        super().__init__()
+        self._c = client
+
+    def _bc(self, bucket, key):
+        return self._c.get_blob_client(bucket, key)
+
+    def _get(self, bucket, key):
+        try:
+            return self._bc(bucket, key).download_blob().readall()
+        except Exception as e:  # noqa: BLE001 — mapped by status shape
+            if _azure_status(e) == 404:
+                raise FileNotFoundError(f"{bucket}/{key}") from e
+            raise
+
+    def _put(self, bucket, key, data, if_none_match, if_match):
+        kw = {}
+        if if_none_match:
+            kw["overwrite"] = False
+        else:
+            kw["overwrite"] = True
+            if if_match is not None:
+                kw["etag"] = if_match
+                kw["match_condition"] = _azure_if_not_modified()
+        try:
+            self._bc(bucket, key).upload_blob(data, **kw)
+            return True
+        except Exception as e:  # noqa: BLE001
+            status = _azure_status(e)
+            # 409 ResourceExistsError = conditional create lost;
+            # 412 ResourceModifiedError = ETag moved, swap lost
+            if (if_none_match and status == 409) or (
+                if_match is not None and status == 412
+            ):
+                return False
+            raise
+
+    def _head(self, bucket, key):
+        try:
+            p = self._bc(bucket, key).get_blob_properties()
+        except Exception as e:  # noqa: BLE001
+            if _azure_status(e) == 404:
+                raise FileNotFoundError(f"{bucket}/{key}") from e
+            raise
+        mt = p.last_modified
+        mts = mt.timestamp() if isinstance(mt, datetime) else float(mt or time.time())
+        return (int(p.size), p.etag, mts)
+
+    def _copy(self, src_bucket, src_key, dst_bucket, dst_key):
+        data = self._get(src_bucket, src_key)
+        self._bc(dst_bucket, dst_key).upload_blob(data, overwrite=True)
+
+    def _del(self, bucket, key):
+        try:
+            self._bc(bucket, key).delete_blob()
+        except Exception as e:  # noqa: BLE001
+            if _azure_status(e) == 404:
+                raise FileNotFoundError(f"{bucket}/{key}") from e
+            raise
+
+    def _list_keys(self, bucket, prefix):
+        cc = self._c.get_container_client(bucket)
+        for blob in cc.list_blobs(name_starts_with=prefix):
+            yield blob.name
+
+
+def _azure_if_not_modified():
+    """azure.core.MatchConditions.IfNotModified when the SDK is
+    present; the sentinel string otherwise (the contract fakes accept
+    either — what matters is that the adapter REQUESTS the
+    ETag-conditional write)."""
+    try:
+        from azure.core import MatchConditions
+
+        return MatchConditions.IfNotModified
+    except ImportError:
+        return "IfNotModified"
+
+
 def s3_metadata_fs(**client_kwargs):
     """FsspecFS over real S3 with the lock-free CAS publish path
     enabled: ``set_fs(s3_metadata_fs())``. Gated: boto3 is a
@@ -408,9 +513,25 @@ def gcs_metadata_fs(**client_kwargs):
     return FsspecFS(GcsConditionalFsspec(storage.Client(**client_kwargs)))
 
 
+def abfs_metadata_fs(connection_string: str = None, **client_kwargs):
+    """FsspecFS over real Azure Blob with ETag-conditional publishes."""
+    from azure.storage.blob import BlobServiceClient  # gated
+
+    from nimble_spark.sources.fs_fsspec import FsspecFS
+
+    client = (
+        BlobServiceClient.from_connection_string(connection_string)
+        if connection_string
+        else BlobServiceClient(**client_kwargs)
+    )
+    return FsspecFS(AbfsConditionalFsspec(client))
+
+
 __all__ = [
     "S3ConditionalFsspec",
     "GcsConditionalFsspec",
+    "AbfsConditionalFsspec",
     "s3_metadata_fs",
     "gcs_metadata_fs",
+    "abfs_metadata_fs",
 ]

@@ -48,6 +48,12 @@ ALLOWED = {
     # so a leftover is unreferenced debris vacuum reclaims; the abort
     # itself re-raises the original failure
     "sources/clone.py": 1,
+    # fs_object_store.py (r10): ls/mv/rm each probe head-then-prefix —
+    # FileNotFoundError from the head means "not an object", and the
+    # method falls through to the prefix-listing branch (which itself
+    # raises when the prefix is empty too); nothing is suppressed, the
+    # control flow just chooses the namespace interpretation
+    "sources/fs_object_store.py": 3,
 }
 
 PASS_RE = re.compile(r"^\s*pass\s*(#.*)?$")

@@ -214,14 +214,122 @@ class _FakeGcsClient:
         return [_FakeBlob(self._store, bucket, k) for k in hits]
 
 
+# -------------------------------------------------------------- ABFS fake
+
+
+class _AzureHttpError(Exception):
+    def __init__(self, status):
+        super().__init__(f"http {status}")
+        self.status_code = status
+
+
+class _FakeBlobProps:
+    def __init__(self, size, etag, mtime):
+        from datetime import datetime, timezone
+
+        self.size = size
+        self.etag = etag
+        self.last_modified = datetime.fromtimestamp(mtime, tz=timezone.utc)
+
+
+class _FakeAzureStore:
+    def __init__(self):
+        self.objs: dict[tuple, tuple] = {}  # (container,key)->(bytes,etag,mtime)
+        self.mutex = threading.Lock()
+
+
+class _FakeDownload:
+    def __init__(self, data):
+        self._d = data
+
+    def readall(self):
+        return self._d
+
+
+class _FakeBlobClient:
+    def __init__(self, store, container, name):
+        self._s, self._c, self.name = store, container, name
+
+    @staticmethod
+    def _etag(data):
+        return '"0x' + hashlib.md5(data).hexdigest().upper() + '"'
+
+    def upload_blob(self, data, overwrite=True, etag=None, match_condition=None):
+        data = bytes(data)
+        with self._s.mutex:
+            cur = self._s.objs.get((self._c, self.name))
+            if not overwrite and cur is not None:
+                raise _AzureHttpError(409)  # ResourceExistsError shape
+            if etag is not None:
+                if cur is None or cur[1] != etag:
+                    raise _AzureHttpError(412)  # ResourceModifiedError
+            self._s.objs[(self._c, self.name)] = (
+                data, self._etag(data), time.time(),
+            )
+
+    def download_blob(self):
+        with self._s.mutex:
+            cur = self._s.objs.get((self._c, self.name))
+        if cur is None:
+            raise _AzureHttpError(404)
+        return _FakeDownload(cur[0])
+
+    def get_blob_properties(self):
+        with self._s.mutex:
+            cur = self._s.objs.get((self._c, self.name))
+        if cur is None:
+            raise _AzureHttpError(404)
+        return _FakeBlobProps(len(cur[0]), cur[1], cur[2])
+
+    def delete_blob(self):
+        with self._s.mutex:
+            if (self._c, self.name) not in self._s.objs:
+                raise _AzureHttpError(404)
+            del self._s.objs[(self._c, self.name)]
+
+
+class _FakeListedBlob:
+    def __init__(self, name):
+        self.name = name
+
+
+class _FakeContainerClient:
+    def __init__(self, store, container):
+        self._s, self._c = store, container
+
+    def list_blobs(self, name_starts_with=""):
+        with self._s.mutex:
+            hits = sorted(
+                k for (c, k) in self._s.objs
+                if c == self._c and k.startswith(name_starts_with)
+            )
+        return [_FakeListedBlob(k) for k in hits]
+
+
+class _FakeAzureClient:
+    def __init__(self):
+        self._store = _FakeAzureStore()
+
+    def get_blob_client(self, container, blob):
+        return _FakeBlobClient(self._store, container, blob)
+
+    def get_container_client(self, container):
+        return _FakeContainerClient(self._store, container)
+
+
 # ------------------------------------------------------------- fixtures
 
 
-@pytest.fixture(params=["s3", "gcs"])
+from nimble_spark.sources.fs_object_store import AbfsConditionalFsspec  # noqa: E402
+
+
+@pytest.fixture(params=["s3", "gcs", "abfs"])
 def adapter(request):
     if request.param == "s3":
         return S3ConditionalFsspec(_FakeS3Client())
-    return GcsConditionalFsspec(_FakeGcsClient())
+    if request.param == "gcs":
+        return GcsConditionalFsspec(_FakeGcsClient())
+    return AbfsConditionalFsspec(_FakeAzureClient())
 
 
 @pytest.fixture
