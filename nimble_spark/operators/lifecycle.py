@@ -286,6 +286,69 @@ def q_cdc_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_apply_changes",
+    oracle=f"""
+    WITH final AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 8 = 5
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+        FROM orders WHERE o_orderkey % 32 = 1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 3
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           {dsum_sql("o_totalprice")} AS total
+    FROM final
+    """,
+    category="lifecycle",
+)
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: APPLY CHANGES INTO (merge.apply_changes) — the CDC
+    consumer contract read_changes documents, shipped as one
+    operator: reduce a typed change window per key to its newest
+    event (insert beats delete within a commit), upsert the
+    insert-winners (merge_into's file-granular copy-on-write), mask
+    the delete-winners (distributed, driver-free). The fixture's
+    window exercises every ordering: plain delete (%32=17 keys),
+    delete-then-reinsert across commits (%32=1 → survives at +1000),
+    update-then-delete (%16=9 → gone), and brand-new inserts (%4=3);
+    untouched target rows (%8=5) ride through. Delta analogue:
+    APPLY CHANGES INTO / CDF apply; reference analogue: the mutation
+    surface of SURVEY §2.3 driven from the commit log."""
+    from nimble_spark.sources.deletes import read_with_deletes
+    from nimble_spark.sources.merge import apply_changes
+
+    def _build(tmp: str) -> None:
+        o = _orders(spark, sf_dir)
+        write_table(o.filter("o_orderkey % 4 = 1"), tmp, WriteOptions())
+
+        def ev(cond: str, commit: int, kind: str, price=None) -> DataFrame:
+            d = o.filter(cond)
+            if price is not None:
+                d = d.withColumn("o_totalprice", F.col("o_totalprice") + price)
+            return d.withColumn("_commit", F.lit(commit).cast("long")).withColumn(
+                "_change_type", F.lit(kind)
+            )
+
+        window = (
+            ev("o_orderkey % 16 = 1", 5, "delete")          # delete half of %8=1
+            .unionByName(ev("o_orderkey % 32 = 1", 6, "insert", price=1000))
+            .unionByName(ev("o_orderkey % 16 = 9", 4, "insert", price=500))
+            .unionByName(ev("o_orderkey % 16 = 9", 5, "delete"))
+            .unionByName(ev("o_orderkey % 4 = 3", 5, "insert"))
+        )
+        apply_changes(spark, tmp, window, key="o_orderkey")
+
+    path = ensure_cached(sf_dir, "orders__apply_changes", ["orders"], _build)
+    return read_with_deletes(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register(
     "q_cdc_commit_provenance",
     oracle=f"""
     SELECT CAST(1 AS BIGINT) AS _commit,

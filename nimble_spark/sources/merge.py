@@ -653,6 +653,81 @@ def overwrite_partitions(
     )
 
 
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    opts: WriteOptions | None = None,
+) -> dict:
+    """Apply a CDC window into a target table — the Delta 'APPLY
+    CHANGES INTO' pattern, shipping as code the consumer contract
+    ``read_changes`` documents as prose: reduce the feed per key to
+    its NEWEST event (highest ``_commit``; insert beats delete within
+    one commit), upsert the insert-winners, mask the delete-winners.
+
+    ``changes`` is a ``read_changes(..., with_commit=True,
+    with_change_type=True)`` frame — or any frame carrying
+    ``_commit`` BIGINT and ``_change_type`` in {'insert','delete'} —
+    e.g. a downstream-transformed feed. Within one call a key is
+    applied exactly once, whatever its event history in the window:
+    delete@5 + insert@7 → the new row lands; insert@5 + delete@7 →
+    the key is masked.
+
+    Pending delete masks on the target do NOT compose with upserts
+    (a mask hides its key by value until materialized, so the upsert
+    would land invisible — the dedup-table landmine documented on
+    merge_into): when the target has pending masks and this window
+    carries inserts, the masks are materialized first
+    (``compact_deletes`` — a rewrite, priced accordingly).
+
+    Scale shape: the winner reduction is ONE window shuffle on key
+    over the change window (O(changed rows), never O(table)); upserts
+    go through merge_into's file-granular copy-on-write; the delete
+    winners persist as a DISTRIBUTED mask batch (delete_where's path —
+    no key ever reaches the driver). Returns the final manifest."""
+    from nimble_spark.sources.deletes import (
+        DELETES_DIR,
+        _physical_key,
+        compact_deletes,
+        has_pending_masks,
+    )
+    from pyspark.sql.window import Window
+
+    need = {"_commit", "_change_type"}
+    missing = need - set(changes.columns)
+    if missing:
+        raise ValueError(
+            f"apply_changes needs {sorted(need)} columns (from "
+            f"read_changes(with_commit=True, with_change_type=True)); "
+            f"missing {sorted(missing)}"
+        )
+    rank = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    w = Window.partitionBy(key).orderBy(
+        F.col("_commit").desc(), rank.desc()
+    )
+    winners = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ups = winners.filter(F.col("_change_type") == "insert").drop(
+        "_commit", "_change_type"
+    )
+    dels = winners.filter(F.col("_change_type") == "delete").select(key).distinct()
+
+    if ups.head(1):
+        if has_pending_masks(path):
+            compact_deletes(spark, path)
+        merge_into(spark, path, ups, key, opts)
+    if dels.head(1):
+        out = os.path.join(
+            path, DELETES_DIR, _physical_key(path, key), uuid.uuid4().hex[:8]
+        )
+        dels.write.mode("overwrite").parquet(out)
+    return read_manifest(path)
+
+
 def _serialize_writes(fn, path_pos: int):
     """Every mutation holds the table write lock for its whole
     read-discover-rewrite-commit span: concurrent mutations (or a

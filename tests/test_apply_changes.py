@@ -1,0 +1,115 @@
+"""APPLY CHANGES INTO (merge.apply_changes) — r10.
+
+The CDC consumer contract read_changes documents in prose, as one
+operator: per-key newest-event reduction (insert beats delete within
+a commit), insert-winners upserted, delete-winners masked. Edge
+semantics drilled here; the end-to-end oracle gate is
+q_apply_changes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nimble_spark.sources.deletes import delete_rows, read_with_deletes
+from nimble_spark.sources.merge import apply_changes
+from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, v LONG")
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "k LONG, v LONG, _commit LONG, _change_type STRING"
+    )
+
+
+def _state(spark, path):
+    return {
+        r["k"]: r["v"] for r in read_with_deletes(spark, path).collect()
+    }
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_table(_df(spark, [(k, k * 10) for k in range(6)]), path, WriteOptions())
+    return path
+
+
+def test_newest_event_wins_per_key(spark, table):
+    window = _ev(spark, [
+        (1, 111, 4, "insert"),   # then deleted at 5 → gone
+        (1, 0, 5, "delete"),
+        (2, 0, 5, "delete"),     # then reinserted at 6 → survives new
+        (2, 222, 6, "insert"),
+        (3, 333, 5, "insert"),   # plain update
+        (9, 999, 5, "insert"),   # brand-new key
+    ])
+    apply_changes(spark, table, window, key="k")
+    assert _state(spark, table) == {
+        0: 0, 4: 40, 5: 50,      # untouched
+        2: 222, 3: 333, 9: 999,  # reinsert / update / new
+    }
+
+
+def test_insert_beats_delete_within_one_commit(spark, table):
+    window = _ev(spark, [
+        (1, 0, 5, "delete"),
+        (1, 111, 5, "insert"),   # same commit: insert wins (contract)
+    ])
+    apply_changes(spark, table, window, key="k")
+    assert _state(spark, table)[1] == 111
+
+
+def test_delete_only_window_masks_without_rewrite(spark, table):
+    before = read_table(spark, table).count()
+    m = apply_changes(
+        spark, table, _ev(spark, [(1, 0, 5, "delete")]), key="k"
+    )
+    assert 1 not in _state(spark, table)
+    # logical delete: the manifest still accounts the masked row
+    assert m["rows"] == before
+
+
+def test_upsert_onto_pending_mask_materializes_first(spark, table):
+    """A pending mask hides its key BY VALUE — an upsert landing under
+    it would be invisible (the documented landmine). apply_changes
+    materializes pending masks before upserting."""
+    delete_rows(spark, table, "k", [2])
+    assert 2 not in _state(spark, table)
+    apply_changes(
+        spark, table, _ev(spark, [(2, 222, 7, "insert")]), key="k"
+    )
+    s = _state(spark, table)
+    assert s[2] == 222  # visible — masks were materialized first
+    assert s[0] == 0 and s[5] == 50
+
+
+def test_missing_cdc_columns_refuse(spark, table):
+    with pytest.raises(ValueError, match="_change_type"):
+        apply_changes(spark, table, _df(spark, [(1, 1)]), key="k")
+
+
+def test_feed_from_read_changes_roundtrip(spark, tmp_path):
+    """End-to-end: one table's own change feed applied into a replica
+    reproduces it (the replication pattern), including across a
+    row-removing rollback whose removals arrive as delete events."""
+    from nimble_spark.sources.table import read_changes, rollback_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_table(_df(spark, [(k, k) for k in range(4)]), src, WriteOptions())
+    write_table(_df(spark, [(k, k) for k in range(4, 8)]), src, mode="append")
+    rollback_table(spark, src, commit=0)  # removes keys 4..7
+    write_table(_df(spark, [(8, 8)]), src, mode="append")
+
+    write_table(_df(spark, []), dst, WriteOptions())
+    feed = read_changes(
+        spark, src, since_commit=-1, with_commit=True, with_change_type=True
+    )
+    apply_changes(spark, dst, feed, key="k")
+    assert _state(spark, dst) == _state(spark, src)
+    assert _state(spark, dst) == {0: 0, 1: 1, 2: 2, 3: 3, 8: 8}

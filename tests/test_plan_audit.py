@@ -665,6 +665,17 @@ def test_trigram_like_search_posture(spark):
     assert a.n_cartesian == 0, a.plan
 
 
+def test_trigram_like_escape_posture(spark):
+    """r10: the escaped-pattern variant keeps the index posture —
+    escape handling changed the FRAGMENTER, not the plan shape (point
+    scans + semijoin + residual; no cartesian, no Python)."""
+    a = assert_posture(
+        _q("q_trigram_like_escape")(spark, SF_MED),
+        forbid_python_eval=True,
+    )
+    assert a.n_cartesian == 0, a.plan
+
+
 def test_ann_ivf_pq_topk_posture(spark):
     """r9 IVF+PQ: codebooks/centroids/queries broadcast; the cell
     probe's crossJoin is bounded by the centroid count; 0 cartesians
