@@ -349,6 +349,63 @@ def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_replicate_incremental",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           {dsum_sql("CASE WHEN o_orderkey % 6 = 4 THEN o_totalprice + 100 ELSE o_totalprice END")} AS total,
+           CAST(0 AS BIGINT) AS final_noop_rows
+    FROM orders
+    """,
+    category="lifecycle",
+)
+def q_replicate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: CDC-driven incremental replication (merge.replicate_table)
+    — the continuous-refresh shape a 100 TB pipeline runs on a
+    schedule. The build bootstraps a replica from a third of orders,
+    then the source evolves (append, a merge_into price update,
+    another append) with one replicate call after each step; every
+    sync costs O(changed commits) via read_changes + apply_changes,
+    the cursor lives in the replica's own property bag (restart-safe,
+    no external state), and a fully-synced call is a recorded no-op.
+    The oracle is the source's final state computed declaratively —
+    a hash match proves the replica converged exactly. Delta
+    analogue: a CDF-fed downstream table."""
+    from nimble_spark.sources.merge import merge_into, replicate_table
+
+    def _build(tmp: str) -> None:
+        o = _orders(spark, sf_dir)
+        src, dst = f"{tmp}/src", f"{tmp}/dst"
+        write_table(o.filter("o_orderkey % 3 = 1"), src, WriteOptions())
+        r = replicate_table(spark, src, dst, key="o_orderkey")
+        assert r["mode"] == "bootstrap"
+        write_table(o.filter("o_orderkey % 3 = 2"), src, mode="append")
+        merge_into(
+            spark, src,
+            o.filter("o_orderkey % 6 = 4").withColumn(
+                "o_totalprice", F.col("o_totalprice") + 100
+            ),
+            key="o_orderkey",
+        )
+        r = replicate_table(spark, src, dst, key="o_orderkey")
+        assert r["mode"] == "incremental"
+        write_table(o.filter("o_orderkey % 3 = 0"), src, mode="append")
+        replicate_table(spark, src, dst, key="o_orderkey")
+        final = replicate_table(spark, src, dst, key="o_orderkey")
+        assert final["mode"] == "noop" and final["rows_applied"] == 0
+
+    path = ensure_cached(sf_dir, "orders__replica", ["orders"], _build)
+    from nimble_spark.sources.deletes import read_with_deletes
+
+    return read_with_deletes(spark, f"{path}/dst").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        dsum("o_totalprice").alias("total"),
+        F.lit(0).cast("long").alias("final_noop_rows"),
+    )
+
+
+@register(
     "q_cdc_commit_provenance",
     oracle=f"""
     SELECT CAST(1 AS BIGINT) AS _commit,

@@ -728,6 +728,123 @@ def apply_changes(
     return read_manifest(path)
 
 
+def replicate_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    key: str,
+    opts: WriteOptions | None = None,
+) -> dict:
+    """Incremental table replication over the CDC feed — call it on a
+    schedule and the replica converges with O(changed data) work and
+    ZERO external state: the sync cursor lives in the replica's own
+    property bag (``nimble.replica.synced_commit``), so a restarted
+    job resumes exactly where the last successful apply committed
+    (cursor and data publish under the same table, read back from the
+    same root).
+
+    First call (no replica / no cursor): BOOTSTRAP — snapshot-copy the
+    source's current state and record its head commit. Later calls:
+    ``read_changes(since_commit=cursor)`` with commit provenance and
+    typed events, applied through :func:`apply_changes` (per-key
+    newest-event reduction; rollback removals arrive as deletes).
+    Already-synced calls are no-ops. If the cursor fell behind the
+    source's ``expire_snapshots`` fold, read_changes refuses loudly —
+    re-bootstrap by replicating into a fresh path (the folded delta is
+    unrecoverable; silently re-copying everything into a live replica
+    would masquerade as an incremental sync).
+
+    Returns {"mode", "rows_applied", "synced_commit"}.
+
+    History-rewrite fence: a FULL rewrite of the source
+    (``compact_deletes`` / full ``recluster_table`` /
+    ``materialize_columns``) resets its commit log, so a cursor from
+    the old history would silently no-op (or worse, read a different
+    history's commits) — the cursor therefore carries a FINGERPRINT of
+    the source entry it points at, and any mismatch (or a source head
+    behind the cursor) refuses with the re-bootstrap instruction.
+    Expiry is fine: ``expire_snapshots`` keeps commit numbers stable
+    (a folded cursor entry legitimately becomes the ``expire_base``).
+
+    Delta analogue: a CDF-driven downstream table; at 100 TB this is
+    the continuous-refresh shape — the source's commit log bounds
+    every sync to the changed files, never a full rescan."""
+    import json as _json
+
+    from nimble_spark.sources.table import (
+        _next_commit,
+        read_changes,
+        read_table,
+        set_table_property,
+        table_properties,
+        write_table,
+    )
+
+    src_commits = read_manifest(src).get("commits", [])
+    src_head = _next_commit(src_commits) - 1
+
+    def _fp(ci: int) -> str | None:
+        for c in src_commits:
+            if int(c.get("commit", -1)) == ci:
+                return _json.dumps(
+                    [c.get("mode"), c.get("files_added"), c.get("rows_added")]
+                )
+        return None
+
+    cursor: int | None = None
+    stored_fp: str | None = None
+    try:
+        props = table_properties(dst)
+        if "nimble.replica.synced_commit" in props:
+            if props.get("nimble.replica.of", src) != src:
+                raise ValueError(
+                    f"{dst} replicates {props['nimble.replica.of']!r}, "
+                    f"not {src!r} — refusing to cross the streams"
+                )
+            cursor = int(props["nimble.replica.synced_commit"])
+            stored_fp = props.get("nimble.replica.cursor_fp")
+    except (OSError, KeyError):
+        cursor = None  # no replica yet: bootstrap below
+
+    if cursor is not None:
+        cur_fp = _fp(cursor)
+        folded = cur_fp is not None and '"expire_base"' in cur_fp
+        if cursor > src_head or (
+            stored_fp is not None and cur_fp is not None
+            and cur_fp != stored_fp and not folded
+        ):
+            raise ValueError(
+                f"replica cursor (commit {cursor}) does not match the "
+                f"source's commit log (head {src_head}) — the source's "
+                f"history was rewritten (compact_deletes / full recluster "
+                f"reset the log); re-bootstrap by replicating into a "
+                f"fresh path"
+            )
+
+    if cursor is None:
+        snap = read_table(spark, src)
+        write_table(snap, dst, opts or WriteOptions())
+        rows = read_manifest(dst)["rows"]
+        mode = "bootstrap"
+    elif cursor >= src_head:
+        return {"mode": "noop", "rows_applied": 0, "synced_commit": cursor}
+    else:
+        feed = read_changes(
+            spark, src, since_commit=cursor,
+            with_commit=True, with_change_type=True,
+        )
+        rows = feed.count()
+        apply_changes(spark, dst, feed, key, opts)
+        mode = "incremental"
+    set_table_property(dst, "nimble.replica.of", src)
+    set_table_property(dst, "nimble.replica.key", key)
+    set_table_property(dst, "nimble.replica.synced_commit", str(src_head))
+    head_fp = _fp(src_head)
+    if head_fp is not None:
+        set_table_property(dst, "nimble.replica.cursor_fp", head_fp)
+    return {"mode": mode, "rows_applied": int(rows), "synced_commit": src_head}
+
+
 def _serialize_writes(fn, path_pos: int):
     """Every mutation holds the table write lock for its whole
     read-discover-rewrite-commit span: concurrent mutations (or a

@@ -3001,11 +3001,24 @@ def _prop_discipline(v: str) -> None:
         raise ValueError("must be 'cas' or 'lock'")
 
 
+def _prop_nonneg_int(v: str) -> None:
+    if int(v) < 0:
+        raise ValueError("must be a non-negative integer")
+
+
+def _prop_any(v: str) -> None:
+    """Free-form string payload; the key's presence is the contract."""
+
+
 _KNOWN_PROPERTIES = {
     "nimble.vacuum.min_age_s": _prop_nonneg_float,  # vacuum retention grace
     "nimble.compact.target_file_bytes": _prop_pos_int,  # compact target
     "nimble.recluster.max_depth": _prop_pos_int,  # recluster trigger
     _ROOT_DISCIPLINE_PROP: _prop_discipline,  # commit-discipline fence
+    "nimble.replica.of": _prop_any,  # replicate_table: source path
+    "nimble.replica.synced_commit": _prop_nonneg_int,  # replication cursor
+    "nimble.replica.key": _prop_any,  # replication merge key
+    "nimble.replica.cursor_fp": _prop_any,  # cursor-entry fingerprint
 }
 
 

@@ -93,6 +93,91 @@ def test_missing_cdc_columns_refuse(spark, table):
         apply_changes(spark, table, _df(spark, [(1, 1)]), key="k")
 
 
+def test_replicate_table_bootstrap_incremental_noop(spark, tmp_path):
+    """replicate_table: bootstrap copies the snapshot, later calls
+    apply only the commits after the cursor (stored in the replica's
+    own property bag), synced calls no-op."""
+    from nimble_spark.sources.merge import merge_into, replicate_table
+    from nimble_spark.sources.table import table_properties
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_table(_df(spark, [(k, k) for k in range(5)]), src, WriteOptions())
+
+    r = replicate_table(spark, src, dst, key="k")
+    assert r["mode"] == "bootstrap" and r["rows_applied"] == 5
+    assert _state(spark, dst) == _state(spark, src)
+
+    # source evolves: append + upsert; one incremental sync converges
+    write_table(_df(spark, [(10, 10), (11, 11)]), src, mode="append")
+    merge_into(spark, src, _df(spark, [(1, 111)]), key="k")
+    r = replicate_table(spark, src, dst, key="k")
+    assert r["mode"] == "incremental" and r["rows_applied"] > 0
+    assert _state(spark, dst) == _state(spark, src)
+    assert _state(spark, dst)[1] == 111
+
+    r = replicate_table(spark, src, dst, key="k")
+    assert r == {"mode": "noop", "rows_applied": 0,
+                 "synced_commit": r["synced_commit"]}
+    props = table_properties(dst)
+    assert props["nimble.replica.of"] == src
+    assert int(props["nimble.replica.synced_commit"]) >= 2
+
+
+def test_replicate_refuses_wrong_source_and_rewritten_history(spark, tmp_path):
+    from nimble_spark.sources.deletes import compact_deletes
+    from nimble_spark.sources.merge import replicate_table
+
+    src = str(tmp_path / "src")
+    other = str(tmp_path / "other")
+    dst = str(tmp_path / "dst")
+    write_table(_df(spark, [(k, k) for k in range(5)]), src, WriteOptions())
+    write_table(_df(spark, [(9, 9)]), other, WriteOptions())
+    replicate_table(spark, src, dst, key="k")
+    with pytest.raises(ValueError, match="cross the streams"):
+        replicate_table(spark, other, dst, key="k")
+
+    # a full rewrite resets the source's commit log: the stale cursor
+    # must refuse loudly, never silently no-op against a new history
+    write_table(_df(spark, [(10, 10)]), src, mode="append")
+    replicate_table(spark, src, dst, key="k")
+    delete_rows(spark, src, "k", [2])
+    compact_deletes(spark, src)  # history root reset
+    with pytest.raises(ValueError, match="history was rewritten|does not match"):
+        replicate_table(spark, src, dst, key="k")
+
+
+def test_replicate_survives_source_expiry_inside_window(spark, tmp_path):
+    """expire_snapshots keeps commit numbers stable: a replica synced
+    inside the retained window keeps syncing; one whose cursor's true
+    delta was folded refuses via read_changes' fold-boundary guard."""
+    from nimble_spark.sources.merge import replicate_table
+    from nimble_spark.sources.table import expire_snapshots
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_table(_df(spark, [(0, 0)]), src, WriteOptions())
+    replicate_table(spark, src, dst, key="k")  # cursor = 0
+    for i in range(1, 5):
+        write_table(_df(spark, [(i, i)]), src, mode="append")
+    replicate_table(spark, src, dst, key="k")  # cursor = 4
+    expire_snapshots(src, keep_last=2)  # retain [3(base), 4]
+    write_table(_df(spark, [(9, 9)]), src, mode="append")  # commit 5
+    r = replicate_table(spark, src, dst, key="k")  # 4 >= base: in-window
+    assert r["mode"] == "incremental"
+    assert _state(spark, dst) == _state(spark, src)
+
+    # a replica stuck BEFORE the fold cannot recover the folded delta
+    stale = str(tmp_path / "stale")
+    write_table(_df(spark, [(0, 0)]), stale, WriteOptions())
+    from nimble_spark.sources.table import set_table_property
+
+    set_table_property(stale, "nimble.replica.of", src)
+    set_table_property(stale, "nimble.replica.synced_commit", "1")
+    with pytest.raises(ValueError, match="expired|fold boundary"):
+        replicate_table(spark, src, stale, key="k")
+
+
 def test_feed_from_read_changes_roundtrip(spark, tmp_path):
     """End-to-end: one table's own change feed applied into a replica
     reproduces it (the replication pattern), including across a
