@@ -178,6 +178,73 @@ def test_replicate_survives_source_expiry_inside_window(spark, tmp_path):
         replicate_table(spark, src, stale, key="k")
 
 
+def test_apply_changes_model_fuzz(spark, tmp_path):
+    """Model-based fuzz: random typed event windows (unique
+    (key, commit, kind); at most one insert per (key, commit)) applied
+    in one or two sequential calls must leave the table equal to the
+    dict model's newest-event reduction. The two-call split exercises
+    the cross-call interplay: a delete masked by call 1 then
+    re-inserted by call 2 forces the pending-mask materialization."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    events = st.lists(
+        st.tuples(
+            st.integers(0, 7),            # key
+            st.integers(2, 6),            # commit
+            st.booleans(),                # True = insert
+            st.integers(100, 999),        # value (inserts)
+        ),
+        min_size=1, max_size=12,
+        unique_by=lambda e: (e[0], e[1], e[2]),
+    )
+
+    counter = [0]
+
+    @given(events, st.integers(2, 7))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(evs, split_commit):
+        counter[0] += 1
+        path = str(tmp_path / f"fz{counter[0]}")
+        base = {k: k * 10 for k in range(6)}
+        write_table(_df(spark, list(base.items())), path, WriteOptions())
+
+        def frame(sub):
+            return _ev(spark, [
+                (k, v if ins else 0, c, "insert" if ins else "delete")
+                for (k, c, ins, v) in sub
+            ])
+
+        first = [e for e in evs if e[1] < split_commit]
+        second = [e for e in evs if e[1] >= split_commit]
+        for sub in (first, second):
+            if sub:
+                apply_changes(spark, path, frame(sub), key="k")
+
+        # model: within each applied window independently, newest event
+        # per key wins (insert beats delete at equal commit)
+        state = dict(base)
+        for sub in (first, second):
+            winners: dict[int, tuple] = {}
+            for (k, c, ins, v) in sub:
+                cur = winners.get(k)
+                cand = (c, 1 if ins else 0, v)
+                if cur is None or cand[:2] > cur[:2]:
+                    winners[k] = cand
+            for k, (c, rank, v) in winners.items():
+                if rank:
+                    state[k] = v
+                else:
+                    state.pop(k, None)
+        assert _state(spark, path) == state, (evs, split_commit)
+
+    check()
+
+
 def test_feed_from_read_changes_roundtrip(spark, tmp_path):
     """End-to-end: one table's own change feed applied into a replica
     reproduces it (the replication pattern), including across a
