@@ -1450,8 +1450,11 @@ def _write_manifest(
             try:
                 ver = fs.version(final)
                 fresh = json.loads(fs.read_bytes(final))
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 break  # first publish: nothing to merge with
+            # any OTHER read error propagates: falling back to the
+            # unconditional write here would clobber a concurrent CAS
+            # tag on a transient store hiccup — fail loud instead
             merged = dict(manifest)
             for fld in ("tags", "properties"):
                 if fld in fresh:
