@@ -868,7 +868,7 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
       SHOW MAINTENANCE | RUN MAINTENANCE [VACUUM] | SHOW METRICS | SHOW WRITE STATS |
       SHOW HISTORY | SHOW TRASH | SHOW CONSTRAINTS | SHOW TAGS | VACUUM [MIN AGE n] | HELP |
       SHOW PROPERTIES | SET PROPERTY k=v | UNSET PROPERTY k |
-      EXPIRE SNAPSHOTS KEEP n |
+      EXPIRE SNAPSHOTS KEEP n | REPLICATE FROM 'src' KEY k |
       ALTER RENAME a TO b | ALTER DROP c | ALTER ADD name type | ALTER WIDEN col type |
       CLONE TO 'path' [DEEP] |
       SHOW LAYOUT | DUMP BINARY STRIPE s [COLUMN c] [LIMIT n] |
@@ -1029,6 +1029,18 @@ def run_command(spark: SparkSession, path: str, command: str) -> DataFrame:
         return spark.createDataFrame(
             [(len(cs), int(cs[0]["commit"]) if cs else None)],
             "retained_commits INT, base_commit BIGINT",
+        )
+    m = re.match(r"REPLICATE\s+FROM\s+'([^']+)'\s+KEY\s+(\w+)$", c, re.I)
+    if m:
+        # REPLICATE FROM 'src' KEY k — one scheduled-sync step of the
+        # CDC replication loop into THIS table (merge.replicate_table:
+        # bootstrap → incremental → noop, cursor in the property bag)
+        from nimble_spark.sources.merge import replicate_table
+
+        r = replicate_table(spark, m.group(1), path, key=m.group(2))
+        return spark.createDataFrame(
+            [(r["mode"], int(r["rows_applied"]), int(r["synced_commit"]))],
+            "mode STRING, rows_applied BIGINT, synced_commit BIGINT",
         )
     m = re.match(r"CLONE\s+TO\s+'([^']+)'(\s+DEEP)?$", c, re.I)
     if m:

@@ -245,6 +245,22 @@ def test_apply_changes_model_fuzz(spark, tmp_path):
     check()
 
 
+def test_replicate_dsl_surface(spark, tmp_path):
+    from nimble_spark.tools import run_command
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_table(_df(spark, [(k, k) for k in range(4)]), src, WriteOptions())
+    r = run_command(spark, dst, f"REPLICATE FROM '{src}' KEY k").collect()[0]
+    assert r["mode"] == "bootstrap" and r["rows_applied"] == 4
+    write_table(_df(spark, [(9, 9)]), src, mode="append")
+    r = run_command(spark, dst, f"REPLICATE FROM '{src}' KEY k").collect()[0]
+    assert r["mode"] == "incremental"
+    r = run_command(spark, dst, f"REPLICATE FROM '{src}' KEY k").collect()[0]
+    assert r["mode"] == "noop" and r["rows_applied"] == 0
+    assert _state(spark, dst) == _state(spark, src)
+
+
 def test_feed_from_read_changes_roundtrip(spark, tmp_path):
     """End-to-end: one table's own change feed applied into a replica
     reproduces it (the replication pattern), including across a
