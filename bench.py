@@ -703,6 +703,21 @@ def _format_bench(spark, sf_dir: str) -> dict:
         t0 = time.time()
         write_table(l, tmp, WriteOptions())
         w_s = time.time() - t0
+        # Per-phase write breakdown (VERDICT r10 #3: write_mb_s drifted
+        # 18.3→12.2 over two rounds with only one aggregate number to
+        # reason from). The writer stamps its own phase walls into
+        # write_stats: data = the Spark parquet job, manifest = footer
+        # describe + stats/synopsis fold, publish = the residual
+        # (commit-log build + atomic root publish + driver overhead).
+        from nimble_spark.sources.table import read_manifest
+
+        ws = read_manifest(tmp).get("write_stats", {})
+        data_s = ws.get("write_wall_ms", 0) / 1000
+        man_s = ws.get("manifest_wall_ms", 0) / 1000
+        out["write_s_total"] = round(w_s, 3)
+        out["write_s_data"] = round(data_s, 3)
+        out["write_s_manifest"] = round(man_s, 3)
+        out["write_s_publish"] = round(max(0.0, w_s - data_s - man_s), 3)
         scans = []
         for _ in range(3):
             t0 = time.time()
@@ -718,6 +733,29 @@ def _format_bench(spark, sf_dir: str) -> dict:
         out["scan_rows_per_s"] = int(n_rows / s_s)
     finally:
         shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+
+    # Synopsis premium: the same write with the expensive per-file
+    # synopsis families declared (KMV NDV + exact sums + value
+    # histogram) — the A/B that says whether synopsis work explains a
+    # write_mb_s drift. Both families are opt-IN via WriteOptions, so
+    # the headline write above never pays them.
+    tmp2 = tempfile.mkdtemp(prefix="nimble_bench_fmt_syn_") + "/t"
+    try:
+        t0 = time.time()
+        write_table(
+            l,
+            tmp2,
+            WriteOptions(
+                ndv_columns=["l_partkey"],
+                sum_columns=["l_quantity", "l_extendedprice"],
+                histogram_columns=["l_returnflag"],
+            ),
+        )
+        w2_s = time.time() - t0
+        out["write_s_with_synopses"] = round(w2_s, 3)
+        out["write_synopsis_premium_s"] = round(w2_s - w_s, 3)
+    finally:
+        shutil.rmtree(os.path.dirname(tmp2), ignore_errors=True)
 
     # Per-element decode rate by DIFFERENCING two sizes: a single scan
     # of n elements costs fixed-overhead + n·rate, and at local[32] the

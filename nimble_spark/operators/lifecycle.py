@@ -406,6 +406,67 @@ def q_replicate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_replicate_across_alter",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           {dsum_sql("o_totalprice")} AS total_price,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM orders
+    """,
+    category="lifecycle",
+)
+def q_replicate_across_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT r10 #1): incremental replication whose sync window
+    CROSSES source schema evolution. The source bootstraps a replica,
+    appends, then ALTERs (rename o_totalprice→price + add a string
+    column) and appends post-alter rows — one replicate call replays
+    the window's alter commits onto the replica (bringing it to the
+    source's current logical schema, the reference's offset-stable
+    evolution reads: dwio/nimble/velox/SchemaReader.h:27-39, missing
+    columns read as null) and only then applies the data, which
+    read_changes already presents in the current schema. The oracle is
+    the source's final state computed declaratively — a hash match
+    proves pre-alter rows resolved through the rename, pre-add rows
+    null-filled, and post-alter rows landed typed."""
+    from nimble_spark.sources.alter import alter_table
+    from nimble_spark.sources.merge import replicate_table
+
+    def _build(tmp: str) -> None:
+        o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+        src, dst = f"{tmp}/src", f"{tmp}/dst"
+        write_table(o.filter("o_orderkey % 3 = 1"), src, WriteOptions())
+        r = replicate_table(spark, src, dst, key="o_orderkey")
+        assert r["mode"] == "bootstrap"
+        write_table(o.filter("o_orderkey % 3 = 2"), src, mode="append")
+        alter_table(
+            src, rename={"o_totalprice": "price"}, add={"flag": "string"}
+        )
+        write_table(
+            o.filter("o_orderkey % 3 = 0").selectExpr(
+                "o_orderkey", "o_totalprice AS price", "'x' AS flag"
+            ),
+            src,
+            mode="append",
+        )
+        r = replicate_table(spark, src, dst, key="o_orderkey")
+        assert r["mode"] == "incremental"
+        final = replicate_table(spark, src, dst, key="o_orderkey")
+        assert final["mode"] == "noop"
+
+    path = ensure_cached(sf_dir, "orders__replica_alter", ["orders"], _build)
+    from nimble_spark.sources.deletes import read_with_deletes
+
+    return read_with_deletes(spark, f"{path}/dst").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        dsum("price").alias("total_price"),
+        F.count("flag").alias("n_flagged"),
+    )
+
+
+@register(
     "q_cdc_commit_provenance",
     oracle=f"""
     SELECT CAST(1 AS BIGINT) AS _commit,

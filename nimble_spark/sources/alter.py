@@ -301,5 +301,9 @@ def alter_table(
         # through the rename map, so a mask recorded under the old
         # name keeps masking under the new logical name with no
         # crash window between a dir move and the manifest publish.
-        _write_manifest(path, new_m)  # ATOMIC commit point
+        # ATOMIC commit point; base = the log as read under this lock —
+        # a concurrent streaming micro-batch (written under the PRE-
+        # alter physical names, which the rename map keeps resolving)
+        # merges in instead of vanishing
+        _write_manifest(path, new_m, base_commits=commits)
         return new_m

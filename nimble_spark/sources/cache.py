@@ -33,8 +33,11 @@ CACHE_ROOT = "/tmp/nimble_spark_tables"
 # older writer rebuild instead of serving manifests missing the new
 # fields. r6: null-count accounting fix — manifests built before r6
 # can record nulls=0 for columns with all-null row groups (wrong
-# IS NULL pruning), so they must rebuild.
-MANIFEST_GEN = 4
+# IS NULL pruning), so they must rebuild. r11: delete-mask batches
+# are visible only with their atomic commit marker (publish_mask_batch)
+# — tables cached with pre-marker masks would silently resurrect
+# deleted keys, so they must rebuild.
+MANIFEST_GEN = 5
 
 
 def source_fingerprint(sf_dir: str, tables: Iterable[str]) -> str:

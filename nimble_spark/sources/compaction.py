@@ -236,6 +236,31 @@ def vacuum_table(path: str, min_age_s: float | None = None) -> list[str]:
                         os.path.normpath(os.path.relpath(os.path.join(root, fn), path))
                     )
         fs.delete_tree(trash)
+    # Uncommitted mask batches — publish_mask_batch crashed before its
+    # atomic marker write — are invisible to every read (mask_batch_dirs
+    # is marker-gated) and nothing else reclaims them; sweep age-gated,
+    # same discipline as staged-file debris above.
+    from nimble_spark.sources.deletes import mask_batch_dirs
+
+    droot = os.path.join(path, _DD)
+    if os.path.isdir(droot):
+        committed = set(mask_batch_dirs(path))
+        for key in os.listdir(droot):
+            kdir = os.path.join(droot, key)
+            if not os.path.isdir(kdir):
+                continue
+            for b in os.listdir(kdir):
+                bdir = os.path.join(kdir, b)
+                if not os.path.isdir(bdir) or f"{key}/{b}" in committed:
+                    continue
+                try:
+                    if now - fs.mtime(bdir) >= min_age_s:
+                        fs.delete_tree(bdir)
+                        removed.append(
+                            os.path.normpath(os.path.join(_DD, key, b))
+                        )
+                except OSError:
+                    continue  # vanished or unstat-able: not ours to force
     return sorted(removed)
 
 
@@ -546,7 +571,9 @@ def _publish_partial_rewrite(
             return e
 
         new_m["files"] = [_refresh(e) for e in new_m["files"]]
-    _write_manifest(path, new_m)  # ATOMIC commit point
+    # ATOMIC commit point; base = the log this compaction derived from
+    # (a concurrent streaming micro-batch merges in, never erased)
+    _write_manifest(path, new_m, base_commits=prior_commits)
 
     # Only after the publish: tombstone the replaced sources into the
     # retention trash (same discipline as merge.py — snapshots and CDC

@@ -966,7 +966,17 @@ class NimbleWriter(DataSourceArrowWriter):
         )
 
         if publish is None:
-            publish = lambda m: _write_manifest(self.path, m)  # noqa: E731
+            # base_commits binds late (set below once the prior root is
+            # read): on a 'cas'-disciplined table it lets the manifest
+            # publish fold in streaming micro-batches that landed
+            # between this writer's read and its publish instead of
+            # silently erasing them (ADVICE r10 #1). Overwrite resets
+            # the log — no base statable, documented last-write-wins.
+            publish = lambda m: _write_manifest(  # noqa: E731
+                self.path,
+                m,
+                base_commits=(None if self.overwrite else prior_commits),
+            )
 
         committed = {m.rel_path for m in messages if m is not None and m.rel_path}
 

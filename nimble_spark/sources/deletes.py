@@ -19,13 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DELETES_DIR = "_nimble/deletes"
+# A mask batch is visible ONLY once this marker object exists in its
+# dir (publish_mask_batch writes it atomically last) — see
+# mask_batch_dirs. The "_" prefix hides it from Spark's parquet reader.
+MASK_COMMIT_MARKER = "_nimble_committed"
 
 
 def mask_batch_dirs(path: str) -> list[str]:
-    """Relative ``<keydir>/<batch>`` names of every mask batch ON DISK
-    (one batch directory per delete_rows/delete_where call), sorted.
-    Disk state alone — callers that need the batches that still APPLY
-    use :func:`pending_mask_batches`, which subtracts the manifest's
+    """Relative ``<keydir>/<batch>`` names of every COMMITTED mask
+    batch on disk (one batch directory per delete_rows/delete_where/
+    apply_changes call), sorted. A batch is committed iff it carries
+    the :data:`MASK_COMMIT_MARKER` object — publish_mask_batch writes
+    it atomically as the last step, so a crash mid-publish leaves an
+    unmarked (invisible) dir, never a partially-applied mask. Disk
+    state alone — callers that need the batches that still APPLY use
+    :func:`pending_mask_batches`, which subtracts the manifest's
     consumed set."""
     root = os.path.join(path, DELETES_DIR)
     out: list[str] = []
@@ -36,7 +44,10 @@ def mask_batch_dirs(path: str) -> list[str]:
         if not os.path.isdir(kdir):
             continue
         for b in sorted(os.listdir(kdir)):
-            if os.path.isdir(os.path.join(kdir, b)):
+            bdir = os.path.join(kdir, b)
+            if os.path.isdir(bdir) and os.path.exists(
+                os.path.join(bdir, MASK_COMMIT_MARKER)
+            ):
                 out.append(f"{key}/{b}")
     return out
 
@@ -111,12 +122,37 @@ def _physical_key(path: str, key: str) -> str:
     return inv.get(key, key)
 
 
+def publish_mask_batch(keys_df: DataFrame, path: str, key: str) -> str:
+    """Publish one delete-mask batch with an ATOMIC visibility point
+    (VERDICT r10 #2): the keyset parquet lands in its batch dir first
+    (invisible — :func:`mask_batch_dirs` only reports batches carrying
+    the commit marker), then a single marker object is written
+    atomically as the LAST step. Readers see a complete batch or no
+    batch. The previous direct write relied on Spark's job committer;
+    a crash mid-job-commit could leave a PARTIAL mask visible (some
+    matching keys masked, others not) for an operation that never
+    completed. A one-object atomic PUT commits on every store — unlike
+    a directory rename, which is copy+delete (a partial-visibility
+    window) on object stores. The marker's ``_`` prefix keeps Spark's
+    parquet reader from treating it as data. Returns the relative
+    ``<keydir>/<batch>`` name."""
+    from nimble_spark.sources.fs import get_fs
+
+    phys = _physical_key(path, key)
+    batch = uuid.uuid4().hex[:8]
+    out = os.path.join(path, DELETES_DIR, phys, batch)
+    keys_df.write.mode("overwrite").parquet(out)
+    get_fs().write_atomic(  # ATOMIC visibility point
+        os.path.join(out, MASK_COMMIT_MARKER), b""
+    )
+    return f"{phys}/{batch}"
+
+
 def delete_rows(spark: SparkSession, path: str, key: str, values: list) -> int:
     """Record deletes for `key IN values` (logical delete, no rewrite)."""
-    out = os.path.join(path, DELETES_DIR, _physical_key(path, key))
     ddl_type = {int: "long", str: "string", float: "double"}.get(type(values[0]), "string")
     df = spark.createDataFrame([(v,) for v in values], f"{key} {ddl_type}")
-    df.write.mode("append").parquet(os.path.join(out, uuid.uuid4().hex[:8]))
+    publish_mask_batch(df, path, key)
     return len(values)
 
 
@@ -199,8 +235,7 @@ def delete_where(spark: SparkSession, path: str, key: str, condition: str) -> No
 
     tgt = read_table(spark, path)
     keys = tgt.filter(F.expr(condition)).select(key).distinct()
-    out = os.path.join(path, DELETES_DIR, _physical_key(path, key), uuid.uuid4().hex[:8])
-    keys.write.mode("overwrite").parquet(out)
+    publish_mask_batch(keys, path, key)
 
 
 # Delete-mask mutations serialize with every other table mutation:

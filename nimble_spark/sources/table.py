@@ -850,7 +850,14 @@ def _write_table_locked(
         }
     ]
     os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
-    _write_manifest(path, manifest)
+    # append states its base log so concurrent lock-free streaming
+    # commits are merged, not erased; overwrite resets the log (no
+    # base statable — documented last-write-wins on the whole table)
+    _write_manifest(
+        path,
+        manifest,
+        base_commits=(prior_commits if mode == "append" else None),
+    )
     return manifest
 
 
@@ -1410,8 +1417,117 @@ def _prepare_manifest_root(path: str, manifest: dict) -> dict:
     return manifest
 
 
+def _concurrent_stream_commits(
+    fresh: dict, base_commits: Optional[list]
+) -> list[dict]:
+    """Commit entries in the live root that are NOT in the base commit
+    log this writer derived its manifest from — i.e. commits a
+    concurrent writer published between this writer's manifest read
+    and its publish attempt. On a 'cas'-disciplined table the only
+    legitimate author of such a commit is the lock-FREE streaming
+    micro-batch sink (datasource._commit_cas): every other structural
+    writer holds the table lock and is excluded by it. An extra entry
+    WITHOUT a ``batch_id`` therefore proves a lock-discipline
+    violation and raises instead of merging garbage. ``base_commits=
+    None`` means the caller could not state its base (full-overwrite
+    log resets): no merge is attempted — documented last-write-wins."""
+    if base_commits is None:
+        return []
+    fresh_commits = fresh.get("commits") or []
+    if not fresh_commits:
+        return []
+    known = {
+        json.dumps(c, sort_keys=True, default=_json_safe) for c in base_commits
+    }
+    extras = [
+        c
+        for c in fresh_commits
+        if json.dumps(c, sort_keys=True, default=_json_safe) not in known
+    ]
+    bad = [c for c in extras if c.get("batch_id") is None]
+    if bad:
+        raise RuntimeError(
+            f"live root gained {len(bad)} non-streaming commit(s) "
+            f"(modes {[c.get('mode') for c in bad]}) while this writer "
+            f"held the table lock — lock-discipline violation; refusing "
+            f"to publish over them"
+        )
+    return extras
+
+
+def _merge_stream_commits(
+    path: str, meta_dir: str, ours: dict, fresh: dict, extras: list[dict]
+) -> dict:
+    """Losslessly fold concurrent streaming micro-batch commits (pure
+    appends: new files + a batch_id-stamped log entry, no removals)
+    into this writer's about-to-publish manifest. The streamer's file
+    entries (with their full stats) come from the LIVE root — this
+    writer's build classified those files as debris (they were not in
+    its base manifest), so re-adopting the described entries is the
+    only complete source. Merged entries are renumbered to follow this
+    writer's log head: both writers derived the same next-commit
+    number from the shared base, so keeping the streamer's numbers
+    would collide; either serialization order is legitimate for
+    concurrent commits as long as the final state carries both.
+    Returns a PREPARED root (paged when large)."""
+
+    def _files_of(m: dict) -> list:
+        if "files" in m:
+            return list(m["files"])
+        return [
+            e
+            for pg in m.get("file_pages", [])
+            for e in _load_page(meta_dir, pg["path"])
+        ]
+
+    merged = dict(ours)
+    files = _files_of(merged)
+    fresh_by_path = {
+        os.path.normpath(e["path"]): e for e in _files_of(fresh)
+    }
+    have = {os.path.normpath(e["path"]) for e in files}
+    added_rows = 0
+    entries: list[dict] = []
+    for c in sorted(extras, key=lambda c: int(c.get("commit", 0))):
+        for rel in c.get("files", []):
+            n = os.path.normpath(rel)
+            if n in have:
+                continue
+            e = fresh_by_path.get(n)
+            if e is None:
+                raise RuntimeError(
+                    f"cannot merge concurrent streaming commit (batch "
+                    f"{c.get('batch_id')!r}): its file {rel!r} has no "
+                    f"entry in the live root"
+                )
+            files.append(e)
+            have.add(n)
+        added_rows += int(c.get("rows_added", 0))
+        entries.append(dict(c))
+    commits = list(merged.get("commits") or [])
+    nxt = _next_commit(commits)
+    for i, c in enumerate(entries):
+        c["commit"] = nxt + i
+    merged["commits"] = commits + entries
+    merged["files"] = files
+    merged.pop("file_pages", None)
+    merged["rows"] = int(merged.get("rows", 0)) + added_rows
+    # root-level folds stay consistent with the widened file list
+    if "column_stats" in merged:
+        merged["column_stats"] = _fold_column_stats(files)
+    if "write_stats" in merged:
+        merged["write_stats"] = dict(
+            merged["write_stats"], **_layout_stats(files)
+        )
+    return _prepare_manifest_root(path, merged)
+
+
 def _write_manifest(
-    path: str, manifest: dict, root_mutation: bool = False
+    path: str,
+    manifest: dict,
+    root_mutation: bool = False,
+    base_commits: Optional[list] = None,
+    allow_stream_merge: bool = True,
 ) -> None:
     """Atomic manifest publication: write to a temp name, fsync, then
     rename over the live manifest — a reader (or a crash) never sees a
@@ -1426,9 +1542,28 @@ def _write_manifest(
     reused by reference: an append rewrites O(new files) metadata.
     The incoming dict is never mutated (manifest-cache copy-on-write
     discipline); a stale caller-supplied ``file_pages`` is discarded
-    and repagination always derives from ``files``."""
+    and repagination always derives from ``files``.
+
+    ``base_commits`` is the commit log of the root this structural
+    manifest was DERIVED from (the writer's read at operation start).
+    On a 'cas'-disciplined table it is what makes the publish safe
+    against the lock-free streaming sink: commits the live root gained
+    since the base are folded in (:func:`_merge_stream_commits`)
+    instead of silently erased (ADVICE r10 #1 — a micro-batch landing
+    between a lock-holder's manifest read and its publish vanished:
+    commit entry, data files and replay stamp all gone after Spark had
+    acked the batch). ``None`` = no base statable (full-overwrite log
+    resets): last-write-wins, documented on write_table(overwrite).
+
+    ``allow_stream_merge=False`` turns a detected concurrent streaming
+    commit into a loud refusal instead of a merge — for publishes that
+    change the PHYSICAL layout (staged_swap_rewrite materializing
+    aliased columns): a micro-batch file written in the old layout
+    folded into the new manifest would be mixed-schema corruption, so
+    the rewrite fails retryably and the table stays on the old root."""
     meta_dir = os.path.join(path, MANIFEST_DIR)
     final = os.path.join(meta_dir, MANIFEST_NAME)
+    raw = manifest
     manifest = _prepare_manifest_root(path, manifest)
     fs = get_fs()
     if (
@@ -1436,16 +1571,16 @@ def _write_manifest(
         and _root_discipline(manifest) == "cas"
         and getattr(fs, "supports_cas_publish", False)
     ):
-        # The table's root-family mutations (tags, properties) commit
-        # lock-FREE via CAS, so a lock-holding structural commit (data
-        # append, compaction, expiry) can race them: between this
-        # writer's manifest read and this publish, a CAS tagger may
-        # have landed. The discipline partitions the root — CAS
-        # writers may touch ONLY tags/properties (cas_mutate_root's
-        # contract) and the lock excludes other structural writers —
-        # so the lossless merge is exact: re-read the live root each
-        # attempt, overlay ITS tags/properties onto ours, publish iff
-        # the version is still the one we merged against.
+        # The table's root-family mutations (tags, properties) and its
+        # streaming micro-batch appends commit lock-FREE via CAS, so a
+        # lock-holding structural commit (data append, compaction,
+        # expiry) can race them: between this writer's manifest read
+        # and this publish, a CAS tagger or a streaming batch may have
+        # landed. Root-family divergence is merged by overlaying the
+        # live root's tags/properties; STRUCTURAL divergence (commits
+        # beyond base_commits) is merged by _merge_stream_commits.
+        # Publish iff the version is still the one we merged against —
+        # a lost race re-reads and re-merges.
         for attempt in range(16):
             try:
                 ver = fs.version(final)
@@ -1455,7 +1590,20 @@ def _write_manifest(
             # any OTHER read error propagates: falling back to the
             # unconditional write here would clobber a concurrent CAS
             # tag on a transient store hiccup — fail loud instead
-            merged = dict(manifest)
+            extras = _concurrent_stream_commits(fresh, base_commits)
+            if extras and not allow_stream_merge:
+                raise RuntimeError(
+                    f"table gained {len(extras)} streaming micro-batch "
+                    f"commit(s) (batch ids "
+                    f"{[c.get('batch_id') for c in extras]}) while this "
+                    f"layout-changing rewrite was staging — merging them "
+                    f"would mix physical schemas; retry the rewrite"
+                )
+            merged = dict(
+                _merge_stream_commits(path, meta_dir, raw, fresh, extras)
+                if extras
+                else manifest
+            )
             for fld in ("tags", "properties"):
                 if fld in fresh:
                     merged[fld] = fresh[fld]
@@ -1735,7 +1883,7 @@ def create_sorted_index(spark: SparkSession, path: str, key: str) -> int:
         # rows. With built_from, that race yields a fence mismatch and
         # reads fall back to the always-correct scan paths.
         m["indexes"].setdefault("sorted_fence", {})[key] = _files_fingerprint(built_from)
-        _write_manifest(path, m)
+        _write_manifest(path, m, base_commits=list(m.get("commits") or []))
     return spark.read.parquet(out).count()
 
 
@@ -2374,7 +2522,16 @@ def _republish_rewrite(
     consumed = mask_batch_dirs(path)
     if consumed:
         new_m["consumed_masks"] = consumed
-    _write_manifest(path, new_m)  # ATOMIC commit point
+    # The staged rows were rewritten into a NEW physical layout; a
+    # streaming micro-batch that CAS-landed mid-rewrite carries the OLD
+    # layout and cannot be folded in — refuse loudly (retryable), never
+    # publish mixed-schema files or silently erase an acked batch.
+    _write_manifest(  # ATOMIC commit point
+        path,
+        new_m,
+        base_commits=list(old_m.get("commits") or []),
+        allow_stream_merge=False,
+    )
     # Only after the publish: the old generation is unreferenced.
     fs.delete_tree(os.path.join(path, MANIFEST_DIR, "deletes"))
     fs.delete_tree(os.path.join(path, MANIFEST_DIR, "trash"))
@@ -2737,7 +2894,11 @@ def expire_snapshots(path: str, keep_last: int) -> dict:
         if "file_pages" in pub:
             pub.pop("files", None)  # root-only republish, pages reused
         pub["commits"] = [base_entry] + commits[cut:]
-        _write_manifest(path, pub)
+        # base = the log as read above: a streaming micro-batch that
+        # CAS-lands mid-expiry is folded onto the retained window (it
+        # costs page IO on that rare race only — the 0-page drill
+        # covers the uncontended path)
+        _write_manifest(path, pub, base_commits=commits)
         return pub
 
 
@@ -3140,7 +3301,11 @@ def rollback_table(
                 "files": added,
             }
         ]
-        _write_manifest(path, new_m)  # ATOMIC commit point
+        # ATOMIC commit point; base = the log as read under this lock,
+        # so a streaming micro-batch CAS-landing mid-rollback survives
+        # as a commit AFTER the rollback entry (both concurrent — the
+        # final state carries both)
+        _write_manifest(path, new_m, base_commits=commits)
 
         # Only after the publish: tombstone the rolled-back-past files
         # (same discipline as merge/compaction — forward history stays

@@ -281,3 +281,70 @@ def test_feed_from_read_changes_roundtrip(spark, tmp_path):
     apply_changes(spark, dst, feed, key="k")
     assert _state(spark, dst) == _state(spark, src)
     assert _state(spark, dst) == {0: 0, 1: 1, 2: 2, 3: 3, 8: 8}
+
+
+def test_same_commit_duplicate_events_apply_deterministically(spark, tmp_path):
+    """ADVICE r10 #4: several events of the same type for one key
+    within ONE commit used to tie on (_commit, insert-beats-delete)
+    and row_number picked an arbitrary row. The winner is now a pure
+    function of the feed's rows (content-hash tiebreaker): applying
+    the same duplicate-carrying window to two identical tables — with
+    opposite feed row orders — must land the SAME value."""
+    window = [
+        (1, 111, 5, "insert"),
+        (1, 222, 5, "insert"),  # same key, same commit, same type
+        (1, 333, 5, "insert"),
+    ]
+    got = []
+    for name, rows in (("a", window), ("b", list(reversed(window)))):
+        path = str(tmp_path / name)
+        write_table(_df(spark, [(1, 10)]), path, WriteOptions())
+        # skew the physical row order too: repartition differently
+        ev = _ev(spark, rows).repartition(3 if name == "a" else 1)
+        apply_changes(spark, path, ev, key="k")
+        got.append(_state(spark, path)[1])
+    assert got[0] == got[1], f"nondeterministic winner: {got}"
+
+
+def test_apply_changes_holds_lock_for_whole_span(spark, table):
+    """ADVICE r10 #2: the materialize→upsert→mask span holds the table
+    write lock (non-reentrant — the inner mutations are the unwrapped
+    callables), so a concurrent mutation cannot interleave between the
+    upsert and the mask write."""
+    import threading
+
+    from nimble_spark.sources.table import table_write_lock
+
+    entered = threading.Event()
+    release = threading.Event()
+    holder_done = threading.Event()
+
+    def _hold():
+        with table_write_lock(table):
+            entered.set()
+            release.wait(timeout=30)
+        holder_done.set()
+
+    t = threading.Thread(target=_hold)
+    t.start()
+    assert entered.wait(timeout=10)
+    done = threading.Event()
+
+    def _apply():
+        apply_changes(
+            spark, table, _ev(spark, [(0, 0, 9, "delete")]), key="k"
+        )
+        done.set()
+
+    a = threading.Thread(target=_apply)
+    a.start()
+    # while the foreign lock is held, apply_changes must not have
+    # committed its mask
+    a.join(timeout=3)
+    assert not done.is_set(), "apply_changes mutated without the lock"
+    assert 0 in _state(spark, table)  # nothing applied yet
+    release.set()
+    a.join(timeout=60)
+    assert done.is_set()
+    assert 0 not in _state(spark, table)
+    t.join(timeout=10)

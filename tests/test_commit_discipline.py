@@ -220,3 +220,198 @@ def test_mixed_writer_drill_no_lost_update(spark, tmpdir):
     want = {f"w{i}_t{j}" for i in range(6) for j in range(4)}
     assert want <= set(tags), sorted(want - set(tags))
     assert table_properties(path)[_ROOT_DISCIPLINE_PROP] == "cas"
+
+
+# ---------------------------------------------------------------------------
+# r11 (ADVICE r10 #1): lock-holding STRUCTURAL commits vs the lock-free
+# streaming micro-batch sink on a 'cas' table. The overlay publish used
+# to merge only tags/properties — a micro-batch CAS-landing between a
+# structural writer's manifest read and its publish was silently erased
+# (commit entry, data files, and replay stamp all gone after Spark had
+# acked the batch). Structural writers now state their base commit log
+# and _write_manifest folds concurrent streaming commits in losslessly.
+# ---------------------------------------------------------------------------
+
+
+def _mk_stream_writer(path):
+    from nimble_spark.sources.datasource import NimbleStreamWriter
+
+    return NimbleStreamWriter(path)
+
+
+def _stage_stream_batch(path, w, batch_id, ks):
+    """Stage a parquet file the way the streaming sink's tasks do and
+    return the commit messages (commit separately)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nimble_spark.sources.datasource import NimbleWriteMessage
+
+    rel = f"pyds-{w._delegate.job_token}-b{batch_id}.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array(ks, type=pa.int64())}),
+        os.path.join(path, rel),
+    )
+    return [NimbleWriteMessage(rel_path=rel, rows=len(ks))]
+
+
+class _RaceOnPublishFS:
+    """Delegating FS that fires ``trigger`` once, just BEFORE the first
+    conditional publish of the table manifest — simulating a streaming
+    micro-batch landing inside a lock-holder's read→publish window (the
+    publish then loses the version race and must re-read + merge)."""
+
+    def __init__(self, inner, manifest_path, trigger):
+        self._inner = inner
+        self._mf = os.path.normpath(manifest_path)
+        self._trigger = trigger
+        self.fired = False
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def write_if_version(self, p, data, ver):
+        if not self.fired and os.path.normpath(p) == self._mf:
+            self.fired = True
+            self._trigger()
+        return self._inner.write_if_version(p, data, ver)
+
+
+def _cas_stream_table(spark, tmp_path, n=20):
+    """A 'cas'-disciplined table with one streamed batch already in."""
+    path = str(tmp_path / "t_stream_race")
+    write_table(spark.range(n).selectExpr("id AS k"), path, WriteOptions())
+    tag_commit(path, "seed", optimistic=True)  # stamps discipline=cas
+    w = _mk_stream_writer(path)
+    w.commit(_stage_stream_batch(path, w, 0, [1000]), 0)
+    return path, w
+
+
+def test_append_race_preserves_stream_batch(spark, tmp_path):
+    """A micro-batch landing between a write_table append's manifest
+    read and its publish survives the publish: entry, file, rows and
+    replay stamp all present afterwards."""
+    path, w = _cas_stream_table(spark, tmp_path)
+    mf = os.path.join(path, "_nimble", "manifest.json")
+
+    raced = _stage_stream_batch(path, w, 1, [2000, 2001])
+
+    def _land():
+        w.commit(raced, 1)
+
+    prev = set_fs(_RaceOnPublishFS(get_fs(), mf, _land))
+    try:
+        write_table(
+            spark.range(500, 503).selectExpr("id AS k"),
+            path,
+            WriteOptions(),
+            mode="append",
+        )
+    finally:
+        shim = set_fs(prev)
+    assert shim.fired, "race never triggered — test is vacuous"
+    m = read_manifest(path)
+    batch_ids = {c.get("batch_id") for c in m["commits"]}
+    assert 1 in batch_ids, "streamed batch's commit entry was erased"
+    assert m["rows"] == 20 + 1 + 2 + 3
+    got = {r.k for r in read_table(spark, path).collect()}
+    assert {1000, 2000, 2001, 500, 501, 502} <= got
+    # the replay stamp survived: re-delivering batch 1 is a no-op
+    w.commit(_stage_stream_batch(path, w, 1, [2000, 2001]), 1)
+    assert read_manifest(path)["rows"] == 26
+
+
+def test_expire_race_preserves_stream_batch(spark, tmp_path):
+    """Same race against expire_snapshots' root-only republish."""
+    from nimble_spark.sources.table import expire_snapshots
+
+    path, w = _cas_stream_table(spark, tmp_path)
+    for i in range(3):
+        write_table(
+            spark.range(600 + i, 601 + i).selectExpr("id AS k"),
+            path,
+            WriteOptions(),
+            mode="append",
+        )
+    delete_tag(path, "seed")  # it points before the retained window
+    mf = os.path.join(path, "_nimble", "manifest.json")
+    raced = _stage_stream_batch(path, w, 7, [7000])
+
+    prev = set_fs(_RaceOnPublishFS(get_fs(), mf, lambda: w.commit(raced, 7)))
+    try:
+        expire_snapshots(path, keep_last=2)
+    finally:
+        shim = set_fs(prev)
+    assert shim.fired
+    m = read_manifest(path)
+    assert m["commits"][0]["mode"] == "expire_base"
+    assert 7 in {c.get("batch_id") for c in m["commits"]}
+    assert 7000 in {r.k for r in read_table(spark, path).collect()}
+    # ledger arithmetic stayed exact: one more append reports rows right
+    write_table(
+        spark.range(900, 901).selectExpr("id AS k"),
+        path,
+        WriteOptions(),
+        mode="append",
+    )
+    m = read_manifest(path)
+    assert m["rows"] == sum(int(c.get("rows_added", 0)) for c in m["commits"])
+
+
+def test_merge_into_race_preserves_stream_batch(spark, tmp_path):
+    """Same race against merge_into's copy-on-write publish."""
+    from nimble_spark.sources.merge import merge_into
+
+    path, w = _cas_stream_table(spark, tmp_path)
+    mf = os.path.join(path, "_nimble", "manifest.json")
+    raced = _stage_stream_batch(path, w, 3, [3000])
+
+    src = spark.range(5, 8).selectExpr("id AS k")
+    prev = set_fs(_RaceOnPublishFS(get_fs(), mf, lambda: w.commit(raced, 3)))
+    try:
+        merge_into(spark, path, src, key="k")
+    finally:
+        shim = set_fs(prev)
+    assert shim.fired
+    m = read_manifest(path)
+    assert 3 in {c.get("batch_id") for c in m["commits"]}
+    got = {r.k for r in read_table(spark, path).collect()}
+    assert 3000 in got and {5, 6, 7} <= got
+
+
+def test_non_stream_concurrent_commit_refuses(spark, tmp_path):
+    """An extra commit WITHOUT a batch_id in the live root proves a
+    lock-discipline violation (every non-streaming structural writer
+    holds the table lock) — the publish refuses instead of merging."""
+    from nimble_spark.sources.table import _write_manifest
+
+    path, _w = _cas_stream_table(spark, tmp_path)
+    stale = dict(read_manifest(path))
+    base = list(stale["commits"])
+    # a concurrent LOCKED append lands (no batch_id on its entry)
+    write_table(
+        spark.range(50, 51).selectExpr("id AS k"),
+        path,
+        WriteOptions(),
+        mode="append",
+    )
+    with pytest.raises(RuntimeError, match="lock-discipline violation"):
+        _write_manifest(path, stale, base_commits=base)
+
+
+def test_layout_rewrite_refuses_stream_merge(spark, tmp_path):
+    """allow_stream_merge=False (staged_swap_rewrite): a micro-batch
+    landing mid-rewrite refuses loudly — folding an old-layout file
+    into the new-layout manifest would be mixed-schema corruption."""
+    from nimble_spark.sources.table import _write_manifest
+
+    path, w = _cas_stream_table(spark, tmp_path)
+    stale = dict(read_manifest(path))
+    base = list(stale["commits"])
+    w.commit(_stage_stream_batch(path, w, 9, [9000]), 9)
+    with pytest.raises(RuntimeError, match="layout-changing rewrite"):
+        _write_manifest(
+            path, stale, base_commits=base, allow_stream_merge=False
+        )
+    # the refusal left the streamed batch live
+    assert 9 in {c.get("batch_id") for c in read_manifest(path)["commits"]}

@@ -95,8 +95,8 @@ def test_crash_between_publish_and_trash_leaves_table_readable(spark, tmpdir, mo
 
     real_publish = merge_mod._write_manifest
 
-    def tracking_publish(p, manifest):
-        real_publish(p, manifest)
+    def tracking_publish(p, manifest, **kwargs):
+        real_publish(p, manifest, **kwargs)
         state["published"] = True
 
     monkeypatch.setattr(merge_mod, "_write_manifest", tracking_publish)

@@ -532,3 +532,154 @@ def test_live_gcs_conditional_put():
         assert a.put_if_match(key, b"v3", tok) is False
     finally:
         a.rm(key)
+
+
+# --------------------------------------- live endpoint runbook (r11)
+#
+# VERDICT r10 #6: an env-gated drill that runs the FULL metadata-FS
+# contract + conditional semantics + a multi-process CAS race against
+# any S3-compatible endpoint (minio-style) — runnable the day the
+# environment has a route and an SDK:
+#
+#   docker run -p 9000:9000 minio/minio server /data   # or any S3 API
+#   mc mb local/nimble-test                            # bucket exists
+#   export NIMBLE_LIVE_STORE_URL=http://localhost:9000
+#   export NIMBLE_LIVE_STORE_BUCKET=nimble-test        # default shown
+#   export NIMBLE_LIVE_STORE_KEY=minioadmin            # default shown
+#   export NIMBLE_LIVE_STORE_SECRET=minioadmin         # default shown
+#   python -m pytest tests/test_object_store_adapters.py -k live_endpoint -v
+#
+# See USAGE.md "Live object-store drill".
+
+_LIVE_URL_VAR = "NIMBLE_LIVE_STORE_URL"
+
+
+def _live_adapter():
+    boto3 = pytest.importorskip("boto3")
+    return S3ConditionalFsspec(
+        boto3.client(
+            "s3",
+            endpoint_url=os.environ[_LIVE_URL_VAR],
+            aws_access_key_id=os.environ.get(
+                "NIMBLE_LIVE_STORE_KEY", "minioadmin"
+            ),
+            aws_secret_access_key=os.environ.get(
+                "NIMBLE_LIVE_STORE_SECRET", "minioadmin"
+            ),
+        )
+    )
+
+
+def _live_base():
+    bucket = os.environ.get("NIMBLE_LIVE_STORE_BUCKET", "nimble-test")
+    return f"{bucket}/nimble-live-drill-{os.getpid()}"
+
+
+@pytest.mark.skipif(
+    _LIVE_URL_VAR not in os.environ,
+    reason=f"live endpoint drill needs boto3 + {_LIVE_URL_VAR} "
+    f"(minio-style S3-compatible endpoint; see runbook comment)",
+)
+def test_live_endpoint_full_contract():
+    """The complete fake-backed surface, against the real endpoint:
+    blob roundtrip/version/mtime, namespace list/walk, moves, deletes,
+    then the conditional-PUT semantics."""
+    fs = FsspecFS(_live_adapter())
+    base = _live_base()
+    try:
+        for contract in (
+            test_blob_roundtrip_version_mtime,
+            test_namespace_list_and_walk,
+            test_move_file_and_tree,
+            test_delete_and_delete_tree,
+        ):
+            contract((fs, f"{base}/{contract.__name__}"))
+        # conditional semantics end-to-end through the seam
+        p = f"{base}/cas/root.json"
+        fs.makedirs(f"{base}/cas")
+        assert fs.write_if_version(p, b"v1", None) is True
+        assert fs.write_if_version(p, b"x", None) is False
+        v1 = fs.version(p)
+        assert fs.write_if_version(p, b"v2", v1) is True
+        assert fs.write_if_version(p, b"v3", v1) is False
+        assert fs.read_bytes(p) == b"v2"
+    finally:
+        try:
+            fs.delete_tree(base)
+        except OSError:
+            pass
+
+
+def _live_cas_racer(url, key_env, secret_env, path, worker, n_incr):
+    import json
+    import sys
+    import time as _t
+
+    sys.path.insert(0, "/root/repo")
+    import boto3
+
+    from nimble_spark.sources.fs_fsspec import FsspecFS
+    from nimble_spark.sources.fs_object_store import S3ConditionalFsspec
+
+    fs = FsspecFS(
+        S3ConditionalFsspec(
+            boto3.client(
+                "s3",
+                endpoint_url=url,
+                aws_access_key_id=key_env,
+                aws_secret_access_key=secret_env,
+            )
+        )
+    )
+    for i in range(n_incr):
+        for attempt in range(200):
+            ver = fs.version(path)
+            doc = json.loads(fs.read_bytes(path))
+            doc[f"w{worker}"] = doc.get(f"w{worker}", 0) + 1
+            if fs.write_if_version(path, json.dumps(doc).encode(), ver):
+                break
+            _t.sleep(0.002 * (attempt % 10))
+        else:
+            raise TimeoutError(f"worker {worker} lost 200 races")
+
+
+@pytest.mark.skipif(
+    _LIVE_URL_VAR not in os.environ,
+    reason=f"live endpoint CAS race needs boto3 + {_LIVE_URL_VAR}",
+)
+def test_live_endpoint_multiprocess_cas_race():
+    """6 processes × 8 optimistic increments on ONE object through
+    write_if_version — the lost-update drill the fake backends pass
+    must hold against the store's real conditional PUTs: every
+    increment survives."""
+    import json
+    import multiprocessing as mp
+
+    fs = FsspecFS(_live_adapter())
+    base = _live_base()
+    path = f"{base}/race/counter.json"
+    fs.makedirs(f"{base}/race")
+    assert fs.write_if_version(path, b"{}", None) is True
+    url = os.environ[_LIVE_URL_VAR]
+    key = os.environ.get("NIMBLE_LIVE_STORE_KEY", "minioadmin")
+    sec = os.environ.get("NIMBLE_LIVE_STORE_SECRET", "minioadmin")
+    try:
+        ctx = mp.get_context("spawn")
+        procs = [
+            ctx.Process(
+                target=_live_cas_racer, args=(url, key, sec, path, w, 8)
+            )
+            for w in range(6)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(timeout=300)
+            assert p.exitcode == 0
+        doc = json.loads(fs.read_bytes(path))
+        assert doc == {f"w{w}": 8 for w in range(6)}, doc
+    finally:
+        try:
+            fs.delete_tree(base)
+        except OSError:
+            pass

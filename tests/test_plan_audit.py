@@ -735,3 +735,37 @@ def test_stratified_split_posture(spark):
         forbid_python_eval=True,
     )
     assert a.n_cartesian == 0 and a.n_bnl_joins == 0, a.plan
+
+
+def test_ann_pq_index_probe_serving_plan_has_no_training(spark):
+    """r11 (VERDICT r10 #2/#3): the persisted-PQ serving plan must
+    consult the sidecar index, not rebuild it — the raw embeddings
+    source appears exactly twice (the query set and the exact-refine
+    tail), codes come from the stored index tables, codebook and
+    query subvectors broadcast, no cartesian. The retired inline
+    q_ann_pq_topk plan scanned embeddings 4+ times (seed pass, Lloyd
+    pass, encode pass, refine) — that shape failing this gate is the
+    point."""
+    df = _q("q_ann_pq_index_probe")(spark, SF_MED)
+    a = assert_posture(df, forbid_python_eval=True)
+    assert a.n_broadcast_joins >= 2, a.plan
+    assert a.n_cartesian == 0, a.plan
+    final = a.plan.split("== Initial Plan ==")[0]
+    # 3 raw-embedding scans, every one query- or shortlist-side: the
+    # query set's subvector explode, the refine's query rejoin, and the
+    # refine's candidate fetch (shortlist-pruned). Training/encoding
+    # would add corpus-wide scans on top.
+    n_raw = final.count("embeddings.parquet")
+    assert n_raw <= 3, f"raw-embedding scans in serving plan: {n_raw}\n{final}"
+    # the sidecar scans (codes + codebook) — plan Location strings
+    # truncate long paths, so match on the cache-dir variant prefix
+    n_idx = final.count("embeddings__pq_in")
+    assert n_idx >= 2, f"index sidecar scans: {n_idx}\n{final}"
+    # the inline variant (kept as the trainable spelling) really does
+    # pay training scans per execution — the index is the fix
+    b = assert_posture(
+        _q("q_ann_pq_topk")(spark, SF_MED), forbid_python_eval=True,
+        execute=False,
+    )
+    inline = b.plan.split("== Initial Plan ==")[0]
+    assert inline.count("embeddings.parquet") > 2, inline
