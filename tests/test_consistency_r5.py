@@ -238,12 +238,12 @@ def test_rewrite_manifest_never_references_missing_files(spark, tmpdir, monkeypa
     real_publish = merge_mod._write_manifest
     checked: list[int] = []
 
-    def checking_publish(p, manifest):
+    def checking_publish(p, manifest, **kwargs):
         for source in (read_manifest(p), manifest):
             for f in source["files"]:
                 assert os.path.exists(os.path.join(p, f["path"])), f["path"]
         checked.append(1)
-        real_publish(p, manifest)
+        real_publish(p, manifest, **kwargs)
 
     monkeypatch.setattr(merge_mod, "_write_manifest", checking_publish)
     merge_mod.update_where(spark, path, "k < 50", {"v": "v + 1000"})
