@@ -1999,3 +1999,238 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd("adc_sim", 4).alias("adc_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed persisted serving index: IVF cells + PQ codes (r11) — the
+# FAISS-IVFPQ deployment shape with BOTH stages resident: centroids,
+# codebook and cell-partitioned codes persist as sidecar tables; the
+# probe prunes cells before any code is read and never trains.
+# ---------------------------------------------------------------------------
+
+_IVF_PQ_INDEX_DUCK = f"""
+    WITH {_CENTROIDS_DUCK},
+    sub AS (
+      SELECT vec_id, sp.s AS s,
+             embedding[(sp.s*{_PQ_D0}+1):(sp.s*{_PQ_D0}+{_PQ_D0})] AS v
+      FROM embeddings, (SELECT UNNEST(range({_PQ_M})) AS s) sp
+    ),
+    train AS (SELECT * FROM sub WHERE vec_id >= {_PQ_IDX_NEW}),
+    seeds AS (
+      SELECT s, vec_id - {_PQ_SEED_LO} AS seed, v AS sv FROM train
+      WHERE vec_id >= {_PQ_SEED_LO} AND vec_id < {_PQ_SEED_LO + _PQ_K}
+    ),
+    a1 AS (
+      SELECT vec_id, s, v, seed,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+               ORDER BY FLOOR({_L2_DUCK.format(a="v", b="sv")} * 1000000 + 0.5)
+                 / 1000000, seed) AS rk
+      FROM train JOIN seeds USING (s)
+    ),
+    cent AS (
+      SELECT s, seed AS code, {_PQ_CENT_AVG_DUCK} AS cv
+      FROM a1 WHERE rk = 1 GROUP BY s, seed
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, cent.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY FLOOR({_L2_DUCK.format(a="sub.v", b="cent.cv")}
+                   * 1000000 + 0.5) / 1000000, cent.code) AS rk
+        FROM sub JOIN cent ON cent.s = sub.s
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, {_norm_duck("embedding")} AS qn
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    cells AS (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY FLOOR(({_DOT_DUCK.format(a="qv", b="cvec")}
+                 / (qn * {_norm_duck("cvec")})) * 1000000 + 0.5) / 1000000 DESC,
+               label
+             ) AS cell_rk
+      FROM q JOIN centroids ON TRUE
+    ),
+    probed AS (SELECT qid, label FROM cells WHERE cell_rk <= {N_PROBE}),
+    qsub AS (
+      SELECT qid, sp.s AS s, qn,
+             qv[(sp.s*{_PQ_D0}+1):(sp.s*{_PQ_D0}+{_PQ_D0})] AS qvs
+      FROM q, (SELECT UNNEST(range({_PQ_M})) AS s) sp
+    ),
+    adc0 AS (
+      SELECT p.qid, enc.vec_id AS cid,
+             SUM({_DOT_DUCK.format(a="qs.qvs", b="cent.cv")}) AS num,
+             SUM({_DOT_DUCK.format(a="cent.cv", b="cent.cv")}) AS cn2,
+             ANY_VALUE(qs.qn) AS qn
+      FROM enc
+      JOIN embeddings e ON e.vec_id = enc.vec_id
+      JOIN probed p ON p.label = e.label
+      JOIN cent ON cent.s = enc.s AND cent.code = enc.code
+      JOIN qsub qs ON qs.s = enc.s AND qs.qid = p.qid
+      WHERE enc.vec_id <> p.qid
+      GROUP BY p.qid, enc.vec_id
+    ),
+    adc AS (SELECT qid, cid, num / (qn * sqrt(cn2)) AS adc_sim FROM adc0),
+    short AS (
+      SELECT qid, cid, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR(adc_sim * 1000000 + 0.5) / 1000000 DESC, cid) AS ark
+      FROM adc
+    ),
+    re AS (
+      SELECT s.qid, s.cid, s.adc_sim,
+             {_DOT_DUCK.format(a="q.qv", b="e.embedding")} /
+               (q.qn * {_norm_duck("e.embedding")}) AS sim
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.cid
+      JOIN q ON q.qid = s.qid
+      WHERE s.ark <= {_ADC_SHORTLIST}
+    ),
+    ranked AS (
+      SELECT qid, cid, sim, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY FLOOR(sim * 1000000 + 0.5) / 1000000 DESC, cid) AS rk
+      FROM re
+    )
+    SELECT qid, cid, rk,
+           FLOOR(sim * 10000 + 0.5) / 10000 AS sim,
+           FLOOR(adc_sim * 10000 + 0.5) / 10000 AS adc_sim
+    FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "q_ann_ivf_pq_index_probe", oracle=_IVF_PQ_INDEX_DUCK, category="similarity"
+)
+def q_ann_ivf_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ serving with BOTH stages persisted (r11) — the resident
+    FAISS-IVFPQ deployment shape: the build persists coarse centroids,
+    the frozen PQ codebook (trained once on the resident corpus,
+    vec_id >= {_PQ_IDX_NEW}) and the per-vector codes PARTITIONED BY
+    CELL; a late batch encodes against the frozen broadcast codebook —
+    O(new) — and appends under its cell partitions. The probe reads
+    sidecars only: rank cells against the stored broadcast centroids,
+    join the cell-partitioned codes on the probed cells (a broadcast
+    join on the partition column — Spark plants its dynamic-partition-
+    pruning hook on the codes scan, so at cluster scale unprobed cell
+    directories are skipped; the bench-scale index is small enough
+    that Spark collapses the hook), ADC-score the surviving 4-byte
+    codes, exact-refine the shortlist. Reference shape: a resident two-level index consulted
+    per lookup (selective/SelectiveNimbleIndexReader.h:36-62 over the
+    ClusterIndex cells of SURVEY §2.4).
+
+    100 TB posture: cell prune before any code IO, codes ~64× smaller
+    than fp32, codebook+centroids broadcast, full-precision reads =
+    |Q|×shortlist rows; maintenance is O(CDC delta) code appends under
+    existing cell directories."""
+    from nimble_spark.sources.cache import ensure_cached
+    from nimble_spark.sources.table import WriteOptions, read_table, write_table
+
+    def _build(tmp: str) -> None:
+        e = load(spark, sf_dir, "embeddings")
+        # coarse centroids over the full corpus (exact decimal means —
+        # byte-identical to the oracle's), persisted
+        flat = e.select("label", F.posexplode("embedding").alias("dim0", "v0"))
+        cdim = flat.groupBy("label", "dim0").agg(
+            (
+                F.sum(F.col("v0").cast("double").cast("decimal(27,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("cvd")
+        )
+        centroids = cdim.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "cvd"))),
+                lambda s: s["cvd"],
+            ).alias("cvec")
+        )
+        write_table(centroids, f"{tmp}/centroids", WriteOptions())
+        resident = e.filter(F.col("vec_id") >= _PQ_IDX_NEW)
+        cent = _pq_train(_pq_subvectors(resident))
+        write_table(cent, f"{tmp}/codebook", WriteOptions())
+        cb = read_table(spark, f"{tmp}/codebook")
+        cell_of = e.select("vec_id", F.col("label").alias("cell"))
+        write_table(
+            _pq_encode(_pq_subvectors(resident), cb).join(cell_of, "vec_id"),
+            f"{tmp}/codes",
+            WriteOptions(partition_by=["cell"]),
+        )
+        late = e.filter(F.col("vec_id") < _PQ_IDX_NEW)
+        write_table(
+            _pq_encode(_pq_subvectors(late), cb).join(cell_of, "vec_id"),
+            f"{tmp}/codes",
+            WriteOptions(partition_by=["cell"]),
+            mode="append",
+        )
+
+    path = ensure_cached(sf_dir, "embeddings__ivf_pq_index", ["embeddings"], _build)
+    centroids = read_table(spark, f"{path}/centroids")
+    cent = read_table(spark, f"{path}/codebook")
+    codes = read_table(spark, f"{path}/codes")
+    e = load(spark, sf_dir, "embeddings")
+    d0, m = _PQ_D0, _PQ_M
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
+    )
+    cell_sim = F.expr(_DOT_SPARK.format(a="qv", b="cvec")) / (
+        F.col("qn") * F.expr(_norm_spark("cvec"))
+    )
+    wc = W.partitionBy("qid").orderBy(rnd(cell_sim, 6).desc(), "label")
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_rk", F.row_number().over(wc))
+        .filter(F.col("cell_rk") <= N_PROBE)
+        .select("qid", F.col("label").alias("cell"))
+    )
+    qsub = q.select(
+        "qid",
+        "qn",
+        F.posexplode(
+            F.array(*[F.slice("qv", s * d0 + 1, d0) for s in range(m)])
+        ).alias("s", "qvs"),
+    )
+    adc = (
+        codes.join(F.broadcast(probed), "cell")
+        .join(F.broadcast(cent), ["s", "code"])
+        .join(F.broadcast(qsub), ["s", "qid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(
+            F.sum(F.expr(_DOT_SPARK.format(a="qvs", b="cv"))).alias("num"),
+            F.sum(F.expr(_DOT_SPARK.format(a="cv", b="cv"))).alias("cn2"),
+            F.first("qn").alias("qn"),
+        )
+        .select(
+            "qid", "cid",
+            (F.col("num") / (F.col("qn") * F.sqrt("cn2"))).alias("adc_sim"),
+        )
+    )
+    w1 = W.partitionBy("qid").orderBy(rnd("adc_sim", 6).desc(), "cid")
+    short = adc.withColumn("ark", F.row_number().over(w1)).filter(
+        F.col("ark") <= _ADC_SHORTLIST
+    )
+    cv_full = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cfull"))
+    sim = F.expr(_DOT_SPARK.format(a="qv", b="cfull")) / (
+        F.col("qn2") * F.expr(_norm_spark("cfull"))
+    )
+    re = (
+        short.join(cv_full, "cid")
+        .join(q.select("qid", "qv", F.col("qn").alias("qn2")), "qid")
+        .select("qid", "cid", "adc_sim", sim.alias("sim"))
+    )
+    w2 = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
+    return (
+        re.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "qid",
+            "cid",
+            "rk",
+            rnd("sim", 4).alias("sim"),
+            rnd("adc_sim", 4).alias("adc_sim"),
+        )
+    )

@@ -415,3 +415,58 @@ def test_layout_rewrite_refuses_stream_merge(spark, tmp_path):
         )
     # the refusal left the streamed batch live
     assert 9 in {c.get("batch_id") for c in read_manifest(path)["commits"]}
+
+
+def test_live_stream_vs_structural_soak(spark, tmp_path):
+    """No injected race points: a REAL lock-free micro-batch sink and
+    a lock-holding append loop run concurrently against one 'cas'
+    table. Whatever interleaving the scheduler produces, every batch
+    and every append must land exactly once — the end-to-end form of
+    the deterministic race tests above."""
+    import threading
+
+    path, w = _cas_stream_table(spark, tmp_path)
+    errs: list[BaseException] = []
+    N_BATCH, N_APPEND = 12, 6
+
+    def stream_worker():
+        try:
+            for b in range(1, N_BATCH + 1):
+                w.commit(_stage_stream_batch(path, w, b, [10_000 + b]), b)
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    def append_worker():
+        try:
+            for i in range(N_APPEND):
+                write_table(
+                    spark.range(20_000 + i, 20_001 + i).selectExpr("id AS k"),
+                    path,
+                    WriteOptions(),
+                    mode="append",
+                )
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=stream_worker),
+        threading.Thread(target=append_worker),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert not errs, errs
+    m = read_manifest(path)
+    got_batches = {c.get("batch_id") for c in m["commits"]} - {None}
+    assert got_batches >= set(range(N_BATCH + 1)), sorted(got_batches)
+    rows = {r.k for r in read_table(spark, path).collect()}
+    assert {10_000 + b for b in range(1, N_BATCH + 1)} <= rows
+    assert {20_000 + i for i in range(N_APPEND)} <= rows
+    assert m["rows"] == 20 + 1 + N_BATCH + N_APPEND
+    # ledger arithmetic exact after arbitrary interleaving
+    assert m["rows"] == sum(int(c.get("rows_added", 0)) for c in m["commits"])
+    # full replay of every batch: all dropped
+    for b in range(1, N_BATCH + 1):
+        w.commit(_stage_stream_batch(path, w, b, [10_000 + b]), b)
+    assert read_manifest(path)["rows"] == 20 + 1 + N_BATCH + N_APPEND

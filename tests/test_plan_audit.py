@@ -769,3 +769,30 @@ def test_ann_pq_index_probe_serving_plan_has_no_training(spark):
     )
     inline = b.plan.split("== Initial Plan ==")[0]
     assert inline.count("embeddings.parquet") > 2, inline
+
+
+def test_ann_ivf_pq_index_probe_posture(spark):
+    """r11 composed persisted index: the probe consults sidecars only
+    (centroids + codebook + cell-partitioned codes — ≥3 sidecar
+    scans), raw embeddings appear only query/shortlist-side (≤3
+    scans), everything query-side broadcasts, no cartesian beyond the
+    bounded centroid crossJoin, zero training stages."""
+    df = _q("q_ann_ivf_pq_index_probe")(spark, SF_MED)
+    a = assert_posture(df, forbid_python_eval=True)
+    assert a.n_broadcast_joins >= 3, a.plan
+    assert a.n_cartesian == 0, a.plan
+    final = a.plan.split("== Initial Plan ==")[0]
+    # 4 raw-embedding scans, each query-set (pushed vec_id<10) or
+    # shortlist-side: the cell-probe query scan, the query subvector
+    # explode, the refine's query rejoin, the refine's candidate
+    # fetch. Training/encoding would add corpus-wide scans on top.
+    n_raw = final.count("embeddings.parquet")
+    assert n_raw <= 4, f"raw-embedding scans in serving plan: {n_raw}\n{final}"
+    # Location strings truncate long paths at varying offsets — match
+    # on the shortest stable prefix of the cache-dir variant
+    n_idx = final.count("embeddings__ivf_")
+    assert n_idx >= 3, f"index sidecar scans: {n_idx}\n{final}"
+    # the cell-partitioned codes scan carries the DPP hook (at bench
+    # scale the tiny index collapses it to true; at cluster scale it
+    # skips unprobed cell directories) and a partition-column filter
+    assert "dynamicpruningexpression" in final, final
