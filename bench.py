@@ -97,6 +97,13 @@ HEADLINE = [
     "q_ann_pq_topk",
     "q_ann_ivf_pq_topk",
     "q_trigram_like_search",
+    # round-11: the PERSISTED PQ serving indexes (flat + composed
+    # IVF+PQ). Cold includes the one-time codebook/codes sidecar
+    # build; warm is the pure probe — the number that retires the
+    # inline q_ann_pq_topk's retrain-per-execution cost (compare the
+    # two warm rows directly).
+    "q_ann_pq_index_probe",
+    "q_ann_ivf_pq_index_probe",
 ]
 
 

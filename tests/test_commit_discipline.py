@@ -470,3 +470,47 @@ def test_live_stream_vs_structural_soak(spark, tmp_path):
     for b in range(1, N_BATCH + 1):
         w.commit(_stage_stream_batch(path, w, b, [10_000 + b]), b)
     assert read_manifest(path)["rows"] == 20 + 1 + N_BATCH + N_APPEND
+
+
+def test_append_race_merges_on_sharded_manifest(spark, tmp_path, monkeypatch):
+    """The stream-commit merge's page-loading path: on a SHARDED
+    manifest (per-file stats in content-addressed pages, root holds
+    page refs) the racing structural publish must re-materialize the
+    file list from pages, fold the streamed batch's entries in, and
+    repaginate — losing neither the batch nor any per-file stats."""
+    import nimble_spark.sources.table as tbl
+
+    monkeypatch.setattr(tbl, "SHARD_FILE_THRESHOLD", 4)
+    path, w = _cas_stream_table(spark, tmp_path)
+    # push the table over the (lowered) shard threshold
+    for i in range(3):
+        write_table(
+            spark.range(300 + i, 302 + i).selectExpr("id AS k").repartition(2),
+            path,
+            WriteOptions(),
+            mode="append",
+        )
+    assert "file_pages" in json.loads(
+        get_fs().read_bytes(os.path.join(path, "_nimble", "manifest.json"))
+    ), "fixture must actually shard"
+
+    mf = os.path.join(path, "_nimble", "manifest.json")
+    raced = _stage_stream_batch(path, w, 5, [5050, 5051])
+    prev = set_fs(_RaceOnPublishFS(get_fs(), mf, lambda: w.commit(raced, 5)))
+    try:
+        write_table(
+            spark.range(900, 903).selectExpr("id AS k"),
+            path,
+            WriteOptions(),
+            mode="append",
+        )
+    finally:
+        shim = set_fs(prev)
+    assert shim.fired
+    m = read_manifest(path)
+    assert 5 in {c.get("batch_id") for c in m["commits"]}
+    got = {r.k for r in read_table(spark, path).collect()}
+    assert {5050, 5051, 900, 901, 902} <= got
+    assert m["rows"] == sum(int(c.get("rows_added", 0)) for c in m["commits"])
+    # every file entry kept its stats through the repagination
+    assert all("rows" in f and "bytes" in f for f in m["files"])

@@ -121,10 +121,12 @@ def _run_lifecycle(spark, path, seed, clustered=False):
     ops = [
         "append", "merge", "update", "delete",
         "compact_deletes", "compact", "rollback", "maintain", "expire",
-        "tag",
+        "tag", "stream_batch",
     ]
     if clustered:
         ops.append("recluster")
+    stream_w = [None]  # one delegate (one job token) serves every batch
+    next_batch = [0]
     for step in range(12):
         op = rng.choice(ops)
         if op == "tag":
@@ -163,6 +165,56 @@ def _run_lifecycle(spark, path, seed, clustered=False):
             write_table(_df(spark, fresh.items()), path, WriteOptions(), mode="append")
             committed.update(fresh)
             snapshots[_head_commit(path)] = dict(committed)
+        elif op == "stream_batch":
+            # r11: the micro-batch sink in the random interleaving —
+            # lock-free CAS commits once a 'tag' op stamped the table
+            # 'cas', the locked path otherwise; exactly-once either
+            # way (an immediate replay of the same batch id must drop)
+            import os as _os
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from nimble_spark.sources.datasource import (
+                NimbleStreamWriter,
+                NimbleWriteMessage,
+            )
+
+            if stream_w[0] is None:
+                stream_w[0] = NimbleStreamWriter(path)
+            sw = stream_w[0]
+            bid = next_batch[0]
+            next_batch[0] += 1
+            fresh = {
+                next_key + i: (next_key + i) * 10
+                for i in range(rng.randint(1, 3))
+            }
+            next_key += len(fresh)
+
+            def _stage_batch():
+                rel = (
+                    f"pyds-{sw._delegate.job_token}-fz{bid}-"
+                    f"{rng.randint(0, 10**9)}.parquet"
+                )
+                _pq.write_table(
+                    _pa.table(
+                        {
+                            "k": _pa.array(list(fresh), type=_pa.int64()),
+                            "v": _pa.array(
+                                [fresh[k] for k in fresh], type=_pa.int64()
+                            ),
+                        }
+                    ),
+                    _os.path.join(path, rel),
+                )
+                return [NimbleWriteMessage(rel_path=rel, rows=len(fresh))]
+
+            sw.commit(_stage_batch(), bid)
+            committed.update(fresh)
+            snapshots[_head_commit(path)] = dict(committed)
+            rows_now = read_manifest(path)["rows"]
+            sw.commit(_stage_batch(), bid)  # replay: must drop
+            assert read_manifest(path)["rows"] == rows_now
         elif op == "merge":
             # upsert: half existing UNMASKED keys (new values), half new.
             # Masked keys are excluded — a mask hides its key by value
