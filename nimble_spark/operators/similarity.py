@@ -343,6 +343,16 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("j", "bv"),
     )
+    # Explicit partitioning for the EXPLODING self-join (guide §2.5):
+    # the band rows are tiny (a few ints each), so AQE's coalescing
+    # sees ~100 KB of shuffle input and folds the join to ONE
+    # partition — but the join's OUTPUT is the n²/4-per-bucket pair
+    # set, and the whole pair generation then runs single-threaded
+    # (measured r11: 1.36M pairs generated+verified on one core,
+    # 12-44 s). An explicit numPartitions pins the exchange against
+    # AQE coalescing; defaultParallelism keeps it scale-adaptive.
+    npart = sig.sparkSession.sparkContext.defaultParallelism
+    bands = bands.repartition(npart, "j", "bv")
     a = bands.hint("shuffle_hash").alias("a")
     b = bands.hint("shuffle_hash").alias("b")
 
@@ -362,12 +372,31 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(first_match)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
-    emb = sig.select("vec_id", "embedding", "nrm").hint("shuffle_hash")
+    # Verify-attach: the candidate set (up to n²/4-per-band pairs) is
+    # FAR larger than the vector table it joins, so broadcast the
+    # vector side (guide §3.1: broadcast the side that fits) — the
+    # pair set then streams map-locally through both attaches instead
+    # of being shuffled twice with 64-float arrays in flight (measured
+    # r11: the two shuffle_hash attaches moved ~0.5 GB of arrays at
+    # sf0.1 and dominated the query; broadcast-attach removes both
+    # pair exchanges). At corpus sizes past the broadcast cap, shard
+    # the verify by id-range and attach per shard — the banded
+    # candidate set is the quadratic side, never the corpus.
+    #
+    # The pair set leaves the band join partitioned by (j, bv) — at
+    # most 16 distinct values, so the dot-product verify would run at
+    # ≤16-way parallelism however large the cluster. A round-robin
+    # spread of the (id_a, id_b) pairs (16 bytes/row — the payload
+    # attaches AFTER, map-side) rebalances the verify across every
+    # core; the verify is embarrassingly parallel, so placement is
+    # free to be arbitrary.
+    cand = cand.repartition(npart)
+    emb = sig.select("vec_id", "embedding", "nrm")
     cand = cand.join(
-        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")),
+        F.broadcast(emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"))),
         "id_a",
     ).join(
-        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")),
+        F.broadcast(emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"))),
         "id_b",
     )
     sim = F.expr(_DOT_SPARK.format(a="e_a", b="e_b")) / (F.col("n_a") * F.col("n_b"))
