@@ -282,6 +282,11 @@ def lsh_near_pairs(
         "sh",
         F.array_distinct(F.expr(f"transform(sh, s -> {hash60_sql_spark('s')})")),
     )
+    # Consumed by BOTH verify attaches (id_a and id_b projections are
+    # different plans, so neither exchange nor broadcast reuse can
+    # deduplicate them): persist the per-doc hashed sets so the
+    # tokenize/shingle/hash pipeline runs once per execution.
+    shingles = shingles.persist()
 
     # Explode one struct array instead of unioning 4 selects: the
     # minhash pipeline is evaluated once, not once per band.
@@ -299,6 +304,10 @@ def lsh_near_pairs(
     )
     # Bucket-size cap via a window over the same (band, bh) keys the
     # join shuffles on — the count rides the join's own Exchange.
+    # (No parallelism pin here: unlike the uncapped hyperplane-LSH
+    # variant, the bucket cap bounds every bucket's pair output, so
+    # AQE's coalescing of the tiny band shuffle cannot serialize an
+    # explosion — measured r11: pinning only added task overhead.)
     bands = (
         bands.withColumn("__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bh")))
         .filter(F.col("__bn") <= bucket_cap)
@@ -308,7 +317,7 @@ def lsh_near_pairs(
     # shuffle_hash (not broadcast) on the self-join: both sides then
     # need the identical Exchange(band, bh), which Spark deduplicates
     # via ReusedExchange — the minhash pipeline is evaluated ONCE
-    # instead of once per join side. Same for the shingle verify joins.
+    # instead of once per join side.
     a = bands.hint("shuffle_hash").alias("a")
     b = bands.hint("shuffle_hash").alias("b")
     cand = (
@@ -316,10 +325,15 @@ def lsh_near_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = shingles.hint("shuffle_hash")
+    # Verify-attach: pairs are the (capped-)quadratic side, the
+    # per-doc hashed shingle sets the small one — broadcast the sets,
+    # so the Jaccard verify runs map-side and no exchange ever
+    # carries shingle arrays (guide §3.1: the two shuffle_hash
+    # attaches each cost a pair-set exchange with arrays in flight;
+    # past the broadcast cap, shard the verify by id-range).
     cand = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(F.broadcast(shingles.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a")
+        .join(F.broadcast(shingles.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
@@ -689,6 +703,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.expr(f"transform(sh, s -> {hash60_sql_spark('s')})")),
         )
         .select("doc_id", "sh", F.size("sh").alias("sz"))
+        # three consumers (the posting explode + both verify attaches)
+        # with mutually un-reusable plans: persist so the tokenize/
+        # shingle/hash pipeline runs once per execution
+        .persist()
     )
     # explode_outer, NOT explode: plain explode makes the optimizer
     # infer a `size(sh) > 0` filter and push it below the projection,
@@ -711,7 +729,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s")
 
     # shuffle_hash on identical subplans → one Exchange, ReusedExchange
-    # on the other side (same trick as the MinHash-LSH join).
+    # on the other side (same trick as the MinHash-LSH join). The
+    # rarest-first prefix keeps every posting list short, so the
+    # self-join's output is bounded and AQE's coalescing of its tiny
+    # input shuffle is safe (pinning measured as pure task overhead
+    # here, unlike the uncapped hyperplane-LSH verify).
     a = prefix.hint("shuffle_hash").alias("a")
     b = prefix.hint("shuffle_hash").alias("b")
     cand = (
@@ -719,10 +741,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sets = sh_t.select("doc_id", "sh").hint("shuffle_hash")
+    # Verify-attach: the candidate-pair set is the bigger side; the
+    # per-doc shingle-set table is the small side, so broadcast it —
+    # the array_intersect verify then runs map-side with no pair-row
+    # exchange (guide §3.1; past the broadcast cap, shard the verify
+    # by id-range — the pair set is always the bigger side).
+    sets = sh_t.select("doc_id", "sh")
     cand = cand.join(
-        sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        F.broadcast(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a"
+    ).join(F.broadcast(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
