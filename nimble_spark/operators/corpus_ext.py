@@ -348,8 +348,6 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality and unskewed. Stride/k are the knobs that trade
     recall for anchor volume at 100 TB.
     """
-    from pyspark.sql.window import Window
-
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
     s = t.select(
@@ -363,30 +361,49 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").alias("gh"),
     )
+    # "anchor occurs in >1 distinct document" ⟺ min(doc_id) ≠
+    # max(doc_id): the min/max pair partial-aggregates map-side in one
+    # pass, where count(DISTINCT doc_id) would expand into a two-phase
+    # distinct aggregate carrying (gh, doc_id) through the exchange.
+    # Result set is identical (doc_id is non-null); the oracle keeps
+    # the COUNT(DISTINCT) spelling and the hash gate proves equality.
     shared = (
         h.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("gh")
     )
     dup = h.join(shared, "gh").select("doc_id", "n_toks", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = (
-        dup.withColumn("gap", F.col("pos") - F.lag("pos").over(w))
-        .withColumn(
-            "brk",
-            F.when(F.col("gap").isNull() | (F.col("gap") > _SPAN_K), 1).otherwise(0),
-        )
-        .withColumn(
-            "run_id",
-            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    # Run merging as ONE aggregation + a sorted-array fold instead of
+    # a lag/running-sum window pair plus two follow-up groupBys: the
+    # old plan paid an exchange + full sort for the window and two
+    # more aggregate phases; this one pays a single (doc_id, n_toks)
+    # exchange (collect_list partial-aggregates map-side) and folds
+    # each doc's sorted anchor positions once. Per-doc state is the
+    # position list — bounded by the document's own token count, the
+    # same bound the text itself has, so this holds at 100 TB. Anchor
+    # positions are distinct per doc (stride-1 posexplode), so the
+    # sort is deterministic and span arithmetic is exact integers —
+    # output identical (oracle keeps the window spelling; hash-gated).
+    k = _SPAN_K
+    fold = (
+        "aggregate(array_sort(ps), "
+        "named_struct('prev', -1, 'mn', -1, 'spans', CAST(0 AS BIGINT), 'toks', CAST(0 AS BIGINT)), "
+        "(acc, p) -> IF(acc.prev < 0, "
+        "  named_struct('prev', p, 'mn', p, 'spans', CAST(1 AS BIGINT), 'toks', CAST(0 AS BIGINT)), "
+        f" IF(p - acc.prev > {k}, "
+        f"   named_struct('prev', p, 'mn', p, 'spans', acc.spans + CAST(1 AS BIGINT), 'toks', acc.toks + CAST(acc.prev - acc.mn + {k} AS BIGINT)), "
+        "   named_struct('prev', p, 'mn', acc.mn, 'spans', acc.spans, 'toks', acc.toks))), "
+        f"acc -> named_struct('spans', acc.spans, 'toks', acc.toks + CAST(acc.prev - acc.mn + {k} AS BIGINT)))"
+    )
+    return (
+        dup.groupBy("doc_id", "n_toks")
+        .agg(F.collect_list("pos").alias("ps"))
+        .select("doc_id", "n_toks", F.expr(fold).alias("sp"))
+        .select(
+            "doc_id",
+            F.col("sp.spans").alias("n_spans"),
+            F.col("sp.toks").alias("dup_tokens"),
+            rnd(F.col("sp.toks").cast("double") / F.col("n_toks")).alias("dup_frac"),
         )
     )
-    spans = runs.groupBy("doc_id", "n_toks", "run_id").agg(
-        (F.max("pos") - F.min("pos") + F.lit(_SPAN_K)).alias("span_toks")
-    )
-    return spans.groupBy("doc_id", "n_toks").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_toks").cast("bigint").alias("dup_tokens"),
-        rnd(F.sum("span_toks").cast("double") / F.col("n_toks")).alias("dup_frac"),
-    ).select("doc_id", "n_spans", "dup_tokens", "dup_frac")

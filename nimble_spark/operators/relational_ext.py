@@ -496,8 +496,27 @@ def q_kmv_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hv = F.expr(hash60_sql_spark("CAST(l_partkey AS STRING)"))
 
-    def _sketch(df: DataFrame, keys: list[str]) -> DataFrame:
-        hd = df.select(*keys, hv.alias("hv")).distinct()
+    # One corpus scan for all three branches (was three): dedupe the
+    # raw (shard, grp, partkey) triples first — a few hundred K rows
+    # at sf0.1 — and derive everything from that persisted base:
+    # the md5 pass then runs over the deduped set instead of the full
+    # table (twice), and the exact-NDV branch counts distinct keys
+    # without re-scanning. The global distinct (grp, hv) set is the
+    # sharded one with `shard` projected away, so the two sketch
+    # paths stay genuinely independent computations over the same
+    # scan. (Guide §1.2: don't compute things twice; shuffle fewer
+    # bytes.)
+    base = (
+        l.select(
+            (F.col("l_linenumber") % 2).alias("shard"),
+            F.col("l_returnflag").alias("grp"),
+            "l_partkey",
+        )
+        .distinct()
+        .persist()
+    )
+
+    def _topk(hd: DataFrame, keys: list[str]) -> DataFrame:
         w = W.partitionBy(*keys).orderBy("hv")
         return hd.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= _KMV_K
@@ -508,18 +527,13 @@ def q_kmv_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     kept = (
-        _sketch(l.withColumnRenamed("l_returnflag", "grp"), ["grp"])
+        _topk(base.select("grp", hv.alias("hv")).distinct(), ["grp"])
         .groupBy("grp")
         .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("nk"))
         .select("grp", est.alias("kmv_est"))
     )
-    shards = _sketch(
-        l.select(
-            (F.col("l_linenumber") % 2).alias("shard"),
-            F.col("l_returnflag").alias("grp"),
-            "l_partkey",
-        ),
-        ["shard", "grp"],
+    shards = _topk(
+        base.select("shard", "grp", hv.alias("hv")).distinct(), ["shard", "grp"]
     )
     mkept = (
         _sketch_merge(shards)
@@ -527,8 +541,12 @@ def q_kmv_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("nk"))
         .select("grp", est.alias("kmv_est_merged"))
     )
-    ex = l.groupBy(F.col("l_returnflag").alias("grp")).agg(
-        F.countDistinct("l_partkey").alias("ndv_exact")
+    ex = (
+        base.filter(F.col("l_partkey").isNotNull())
+        .select("grp", "l_partkey")
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("ndv_exact"))
     )
     return ex.join(kept, "grp").join(mkept, "grp")
 
