@@ -2188,9 +2188,17 @@ def _restore_aliases(df: DataFrame, manifest: dict, complete: bool = False) -> D
     entirely (no plan node) when the scan order already matches."""
     aliases = manifest.get("column_aliases") or {}
     out = df
+    # NOTE on df.columns in this function: each access rebuilds a
+    # len(schema) name list in Python, and this path runs on
+    # 5,000-column tables — the r11 profile showed the naive
+    # per-element `c in out.columns` spellings below costing ~2.5 s of
+    # pure driver CPU per wide read. Column names are snapshotted into
+    # local sets once per mutation instead.
+    cols = set(out.columns)
     for dup, kept in aliases.items():
-        if dup not in out.columns and kept in out.columns:
+        if dup not in cols and kept in cols:
             out = out.withColumn(dup, F.col(kept))
+            cols.add(dup)
     out = apply_schema_mapping(out, manifest)
     if complete:
         # Schema-complete scans: logical fields absent from every
@@ -2238,12 +2246,15 @@ def _restore_aliases(df: DataFrame, manifest: dict, complete: bool = False) -> D
             ]
         )
     order = logical_field_names(manifest)
+    out_cols = list(out.columns)
+    out_colset = set(out_cols)
+    order_set = set(order)
     if (
         order
-        and all(c in out.columns for c in order)
-        and list(out.columns)[: len(order)] != order
+        and all(c in out_colset for c in order)
+        and out_cols[: len(order)] != order
     ):
-        extra = [c for c in out.columns if c not in order]
+        extra = [c for c in out_cols if c not in order_set]
         out = out.select(*order, *extra)
     return out
 
@@ -2744,10 +2755,13 @@ def _plan_grouped_parquet(
     dfs = []
     for base, paths in sorted(groups.items()):
         df = _plan_parquet(spark, paths, base, what, manifest)
+        # dict lookup, not StructType[name] per column — the name
+        # scan is O(width) and this path serves 5,000-column tables
+        scan_types = {f.name: f.dataType for f in df.schema.fields}
         df = df.select(
             *[
                 F.col(c).cast(types[c]).alias(c)
-                if c in types and df.schema[c].dataType != types[c]
+                if c in types and scan_types[c] != types[c]
                 else F.col(c)
                 for c in df.columns
             ]
