@@ -286,7 +286,7 @@ def lsh_near_pairs(
     # different plans, so neither exchange nor broadcast reuse can
     # deduplicate them): persist the per-doc hashed sets so the
     # tokenize/shingle/hash pipeline runs once per execution.
-    shingles = shingles.persist()
+    shingles = shingles.localCheckpoint(eager=False)
 
     # Explode one struct array instead of unioning 4 selects: the
     # minhash pipeline is evaluated once, not once per band.
@@ -706,7 +706,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers (the posting explode + both verify attaches)
         # with mutually un-reusable plans: persist so the tokenize/
         # shingle/hash pipeline runs once per execution
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # explode_outer, NOT explode: plain explode makes the optimizer
     # infer a `size(sh) > 0` filter and push it below the projection,

@@ -513,7 +513,7 @@ def q_kmv_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     def _topk(hd: DataFrame, keys: list[str]) -> DataFrame:

@@ -1528,7 +1528,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the training pipeline physically duplicated 3x. Persisting the
     # 32-row result computes it once per execution — no cross-run
     # state, the codebook is still trained inside this query.
-    cent = cent.persist()
+    cent = cent.localCheckpoint(eager=False)
     d_cent = F.expr(_L2_SPARK.format(a="v", b="cv"))
     w_enc = W.partitionBy("vec_id", "s").orderBy(rnd(d_cent, 6).asc(), "code")
     enc = (
@@ -1985,7 +1985,7 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persisted for the same reason as in q_ann_pq_topk: two broadcast
     # consumers (encode + ADC LUT) must not re-run Lloyd training
-    cent = cent.persist()
+    cent = cent.localCheckpoint(eager=False)
     d_cent = F.expr(_L2_SPARK.format(a="v", b="cv"))
     w_enc = W.partitionBy("vec_id", "s").orderBy(rnd(d_cent, 6).asc(), "code")
     enc = (
