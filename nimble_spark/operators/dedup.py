@@ -284,8 +284,10 @@ def lsh_near_pairs(
     )
     # Consumed by BOTH verify attaches (id_a and id_b projections are
     # different plans, so neither exchange nor broadcast reuse can
-    # deduplicate them): persist the per-doc hashed sets so the
-    # tokenize/shingle/hash pipeline runs once per execution.
+    # deduplicate them): materialize the per-doc hashed sets (lazy
+    # localCheckpoint, not persist — registered caches tax every later
+    # plan in the session) so the tokenize/shingle/hash pipeline runs
+    # once per execution.
     shingles = shingles.localCheckpoint(eager=False)
 
     # Explode one struct array instead of unioning 4 selects: the
@@ -704,8 +706,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "sh", F.size("sh").alias("sz"))
         # three consumers (the posting explode + both verify attaches)
-        # with mutually un-reusable plans: persist so the tokenize/
-        # shingle/hash pipeline runs once per execution
+        # with mutually un-reusable plans: materialize once (lazy
+        # localCheckpoint, not persist — see lsh_near_pairs note)
         .localCheckpoint(eager=False)
     )
     # explode_outer, NOT explode: plain explode makes the optimizer

@@ -498,7 +498,7 @@ def q_kmv_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # One corpus scan for all three branches (was three): dedupe the
     # raw (shard, grp, partkey) triples first — a few hundred K rows
-    # at sf0.1 — and derive everything from that persisted base:
+    # at sf0.1 — and derive everything from that materialized base:
     # the md5 pass then runs over the deduped set instead of the full
     # table (twice), and the exact-NDV branch counts distinct keys
     # without re-scanning. The global distinct (grp, hv) set is the

@@ -1525,9 +1525,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ADC lookup table below; without a persist each broadcast
     # reference re-executes the whole Lloyd-assignment subtree (seed
     # join + argmin window + average), and the r11 plan dump showed
-    # the training pipeline physically duplicated 3x. Persisting the
-    # 32-row result computes it once per execution — no cross-run
-    # state, the codebook is still trained inside this query.
+    # the training pipeline physically duplicated 3x. Materializing
+    # the 32-row result (lazy localCheckpoint — deliberately NOT
+    # persist: registered caches tax every later plan in the session
+    # with CacheManager matching) computes it once per execution — no
+    # cross-run state, the codebook is still trained inside this query.
     cent = cent.localCheckpoint(eager=False)
     d_cent = F.expr(_L2_SPARK.format(a="v", b="cv"))
     w_enc = W.partitionBy("vec_id", "s").orderBy(rnd(d_cent, 6).asc(), "code")
@@ -1983,8 +1985,8 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = a1.groupBy("s", F.col("seed").alias("code")).agg(
         F.array(*[F.avg(F.col("v").getItem(i)) for i in range(d0)]).alias("cv")
     )
-    # persisted for the same reason as in q_ann_pq_topk: two broadcast
-    # consumers (encode + ADC LUT) must not re-run Lloyd training
+    # materialized for the same reason as in q_ann_pq_topk: two
+    # broadcast consumers (encode + ADC LUT) must not re-run training
     cent = cent.localCheckpoint(eager=False)
     d_cent = F.expr(_L2_SPARK.format(a="v", b="cv"))
     w_enc = W.partitionBy("vec_id", "s").orderBy(rnd(d_cent, 6).asc(), "code")
