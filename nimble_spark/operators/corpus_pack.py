@@ -113,14 +113,21 @@ def semantic_dedup(emb: DataFrame, cell_cap: int = _SEM_CELL_CAP) -> DataFrame:
     sim = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    lower = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.max(sim).alias("max_lower_sim"))
+    pair_sims = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(F.col("b.vec_id").alias("vec_id"), F.col("b.label").alias("label"), sim.alias("s"))
+    # No-neighbor rows used to come back through a LEFT JOIN of e
+    # against the aggregated sims (a big-big sort-merge join at corpus
+    # scale: both sides are O(n)). Seeding every e row with the -1.0
+    # sentinel into the SAME aggregation instead makes one union +
+    # groupBy max replace the join outright (guide §2.4) — cosine is
+    # >= -1, so max(sims ∪ {-1}) == coalesce(max(sims), -1) and any
+    # sub--1 float dust is erased by the 1e-6 output rounding both
+    # engines apply.
+    seeded = pair_sims.unionByName(
+        e.select("vec_id", "label", F.lit(-1.0).alias("s"))
     )
-    out = e.join(lower, "vec_id", "left").withColumn(
-        "mls", F.coalesce("max_lower_sim", F.lit(-1.0))
-    )
+    out = seeded.groupBy("vec_id", "label").agg(F.max("s").alias("mls"))
     return out.select(
         "vec_id",
         "label",
