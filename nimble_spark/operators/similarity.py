@@ -1083,27 +1083,45 @@ def q_ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell_rk", F.row_number().over(wc))
         .filter(F.col("cell_rk") <= N_PROBE)
         .select("qid", "label")
+        # consumed twice below (distinct-label prune + per-query
+        # fanout); without materialization each broadcast re-executes
+        # the whole centroid+rank subtree (lazy localCheckpoint, not
+        # persist — see q_ann_pq_topk's codebook note)
+        .localCheckpoint(eager=False)
     )
 
-    # quantized scan over ONLY the probed cells: join FIRST, so the
-    # broadcast cell join narrows the candidate set BEFORE the code
-    # fold runs — the plan gate asserts the codes Project sits ABOVE
-    # the label join (prune precedes quantized scan)
-    cand = (
+    # quantized scan over ONLY the probed cells: the distinct-label
+    # join narrows the candidate set BEFORE the code fold runs, and
+    # the fold runs ONCE PER CANDIDATE — not once per (query,
+    # candidate) as the previous single-join shape did, which
+    # multiplied the quantization work by each cell's probe fanout
+    # (the dominant per-byte cost of the scan at corpus scale). The
+    # query fanout attaches AFTER encoding, on the already-encoded
+    # rows. dot(codes,codes) is query-independent, so it is folded
+    # here too (same expression, same per-row value — the adc_sim
+    # arithmetic below consumes it unchanged).
+    enc = (
         stored.select(F.col("vec_id").alias("cid"), "label", "embedding")
-        .join(F.broadcast(probed), "label")
+        .join(F.broadcast(probed.select("label").distinct()), "label")
         .select(
-            "qid",
             "cid",
+            "label",
             F.expr(
                 "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
             ).alias("scale"),
             "embedding",
         )
-        .select("qid", "cid", F.expr(_CODES_SPARK).alias("codes"))
+        .select("cid", "label", F.expr(_CODES_SPARK).alias("codes"))
+        .select(
+            "cid",
+            "label",
+            "codes",
+            F.expr(_DOT_SPARK.format(a="codes", b="codes")).alias("cn2"),
+        )
     )
+    cand = enc.join(F.broadcast(probed), "label").select("qid", "cid", "codes", "cn2")
     adc_sim = F.expr(_DOT_SPARK.format(a="qv", b="codes")) / (
-        F.col("qn") * F.sqrt(F.expr(_DOT_SPARK.format(a="codes", b="codes")))
+        F.col("qn") * F.sqrt(F.col("cn2"))
     )
     adc = (
         cand.join(F.broadcast(q), "qid")

@@ -701,10 +701,18 @@ def test_ann_ivf_adc_topk_cell_prune_precedes_quantized_scan(spark):
     assert a.n_cartesian == 0, a.plan
     final = a.plan.split("== Initial Plan ==")[0]
     codes_at = final.find("greatest(-127.0")
-    cell_join_at = final.find("BroadcastHashJoin [label")
-    assert codes_at != -1 and cell_join_at != -1, final
-    assert codes_at < cell_join_at, (
-        "codes fold must be a PARENT of the cell join (prune first):\n" + final
+    # r11: two label joins bracket the code fold — the per-query
+    # FANOUT join above it (first in root-first text) and the
+    # distinct-label PRUNE join below it (last). Codes between the two
+    # proves both structural claims: only probed cells pay
+    # quantization (prune first), and each candidate is encoded ONCE,
+    # not once per probing query (fanout attaches to encoded rows).
+    prune_join_at = final.rfind("BroadcastHashJoin [label")
+    fanout_join_at = final.find("BroadcastHashJoin [label")
+    assert codes_at != -1 and prune_join_at != -1, final
+    assert fanout_join_at < codes_at < prune_join_at, (
+        "codes fold must sit between the fanout join (parent) and the "
+        "cell-prune join (child):\n" + final
     )
 
 
