@@ -907,8 +907,16 @@ def q_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only full-precision IO the query does.
     """
     e = load(spark, sf_dir, "embeddings")
+    # qn folded once per query row (10 rows) and carried through the
+    # broadcast; cn2 = dot(codes,codes) folded once per candidate —
+    # both are pair-independent, and the previous shape re-folded them
+    # per (candidate, query) pair in the quantized scan (the same
+    # fanout waste the IVF+ADC variant fixed). Same expressions, same
+    # per-row values; adc_sim's arithmetic consumes them unchanged.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.expr(_norm_spark("embedding")).alias("qn"),
     )
     c = (
         e.select(
@@ -919,15 +927,15 @@ def q_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
         .select("cid", F.expr(_CODES_SPARK).alias("codes"))
+        .select("cid", "codes", F.expr(_DOT_SPARK.format(a="codes", b="codes")).alias("cn2"))
     )
     adc_sim = F.expr(_DOT_SPARK.format(a="qv", b="codes")) / (
-        F.expr(_norm_spark("qv"))
-        * F.sqrt(F.expr(_DOT_SPARK.format(a="codes", b="codes")))
+        F.col("qn") * F.sqrt(F.col("cn2"))
     )
     adc = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qv", adc_sim.alias("adc_sim"))
+        .select("qid", "cid", "qv", "qn", adc_sim.alias("adc_sim"))
     )
     w1 = W.partitionBy("qid").orderBy(rnd("adc_sim", 6).desc(), "cid")
     short = adc.withColumn("ark", F.row_number().over(w1)).filter(
@@ -935,7 +943,7 @@ def q_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cv = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     sim = F.expr(_DOT_SPARK.format(a="qv", b="cv")) / (
-        F.expr(_norm_spark("qv")) * F.expr(_norm_spark("cv"))
+        F.col("qn") * F.expr(_norm_spark("cv"))
     )
     re = short.join(cv, "cid").select("qid", "cid", "adc_sim", sim.alias("sim"))
     w2 = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
