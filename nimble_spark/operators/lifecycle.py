@@ -1120,7 +1120,8 @@ def q_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT l_orderkey, l_extendedprice FROM lineitem
       UNION ALL
-      SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_orderkey <= 1500
+      SELECT l_orderkey, l_extendedprice FROM lineitem
+      WHERE l_orderkey <= (SELECT MAX(l_orderkey) // 4 FROM lineitem)
     )
     SELECT COUNT(*) AS n,
            {dsum_sql("l_extendedprice")} AS revenue,
@@ -1150,14 +1151,22 @@ def q_incremental_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table(
             li, tmp, WriteOptions(cluster_by=["l_orderkey"], n_cluster_files=8)
         )
+        # The narrow append must stay narrow at EVERY scale factor for
+        # the "partial" invariant below to be provable: a fixed key
+        # constant covers the whole table at sf0.001 (max l_orderkey
+        # 1499 there), making the overlap component ALL files and the
+        # rewrite legitimately total. Quarter-of-max keeps the append
+        # overlapping ~2 of the 8 base files at any SF; the oracle
+        # computes the identical integer threshold in SQL.
+        thr = li.agg(F.max("l_orderkey")).collect()[0][0] // 4
         write_table(
-            li.filter("l_orderkey <= 1500"), tmp,
+            li.filter(F.col("l_orderkey") <= thr), tmp,
             WriteOptions(cluster_by=["l_orderkey"], n_cluster_files=1),
             mode="append",
         )
         recluster_table(spark, tmp, incremental=True)
 
-    rec = ensure_cached(sf_dir, "li__increcluster", ["lineitem"], _build)
+    rec = ensure_cached(sf_dir, "li__increcluster_rel", ["lineitem"], _build)
     m = read_manifest(rec)
     c = m["commits"][-1]
     files_before = len(m["files"]) - c["files_added"] + c["files_removed"]

@@ -23,6 +23,10 @@ SAMPLE = [
     "q_train_split",
     "q_doc_chunking",
     "q_embedding_covariance",
+    # regression: the recluster fixture's narrow append must stay
+    # narrow at sf0.001 too (a fixed 1500 threshold once covered the
+    # whole 0..1499 key range there, making partial_ok legitimately 0)
+    "q_incremental_recluster",
 ]
 
 
