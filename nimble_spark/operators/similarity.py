@@ -1828,14 +1828,31 @@ def q_ann_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.slice("qv", s * d0 + 1, d0) for s in range(m)])
         ).alias("s", "qvs"),
     )
+    # ADC via the precomputed lookup table (guide §8: decide with
+    # small rows) — the q_ann_pq_topk treatment applied to the
+    # persisted probe: dot(qvs, cv) and dot(cv, cv) take only
+    # |Q|*M*K distinct values, so compute them ONCE on the K*M x |Q|
+    # join (320 rows) and give every stored-code row two scalar
+    # lookups instead of two 16-dim folds. Identical addends in the
+    # identical enc-row order — the oracle hash is unchanged.
+    lut = (
+        qsub.join(F.broadcast(cent), "s")
+        .select(
+            "qid",
+            "qn",
+            "s",
+            "code",
+            F.expr(_DOT_SPARK.format(a="qvs", b="cv")).alias("pdot"),
+            F.expr(_DOT_SPARK.format(a="cv", b="cv")).alias("cn2p"),
+        )
+    )
     adc = (
-        enc.join(F.broadcast(cent), ["s", "code"])
-        .join(F.broadcast(qsub), "s")
+        enc.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", F.col("vec_id").alias("cid"))
         .agg(
-            F.sum(F.expr(_DOT_SPARK.format(a="qvs", b="cv"))).alias("num"),
-            F.sum(F.expr(_DOT_SPARK.format(a="cv", b="cv"))).alias("cn2"),
+            F.sum("pdot").alias("num"),
+            F.sum("cn2p").alias("cn2"),
             F.first("qn").alias("qn"),
         )
         .select(
@@ -2295,15 +2312,29 @@ def q_ann_ivf_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.slice("qv", s * d0 + 1, d0) for s in range(m)])
         ).alias("s", "qvs"),
     )
+    # ADC lookup table as in q_ann_ivf_pq_topk (guide §8): per-
+    # (qid, s, code) partial dot products computed once on K*M x |Q|
+    # rows; every cell-surviving code row does two scalar lookups
+    # instead of two 16-dim folds. Identical addends, identical order.
+    lut = (
+        qsub.join(F.broadcast(cent), "s")
+        .select(
+            "qid",
+            "qn",
+            "s",
+            "code",
+            F.expr(_DOT_SPARK.format(a="qvs", b="cv")).alias("pdot"),
+            F.expr(_DOT_SPARK.format(a="cv", b="cv")).alias("cn2p"),
+        )
+    )
     adc = (
         codes.join(F.broadcast(probed), "cell")
-        .join(F.broadcast(cent), ["s", "code"])
-        .join(F.broadcast(qsub), ["s", "qid"])
+        .join(F.broadcast(lut), ["s", "code", "qid"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", F.col("vec_id").alias("cid"))
         .agg(
-            F.sum(F.expr(_DOT_SPARK.format(a="qvs", b="cv"))).alias("num"),
-            F.sum(F.expr(_DOT_SPARK.format(a="cv", b="cv"))).alias("cn2"),
+            F.sum("pdot").alias("num"),
+            F.sum("cn2p").alias("cn2"),
             F.first("qn").alias("qn"),
         )
         .select(
