@@ -1942,6 +1942,39 @@ def _prune_files(manifest: dict, root: str, key: str, lo: Any, hi: Any) -> list[
     return keep
 
 
+def _in_predicate(key: str, values: list):
+    """``key IN (values)`` built as ONE JVM-parsed SQL expression.
+
+    ``F.col(key).isin(values)`` makes one py4j literal round-trip PER
+    VALUE — the r11 serve profile measured ~1.1 s of pure driver CPU
+    for a 1,000-key batch (and it scales linearly toward the 100k-key
+    serving cap). Rendering the same IN list as SQL text costs one
+    parse call. Literal spellings match what py4j would have built
+    (bare ints, ``D``-suffixed doubles from round-trippable repr,
+    backslash-escaped strings), so the resolved predicate — and every
+    result — is identical; any value without a safe spelling falls
+    back to the per-literal path."""
+    lits = []
+    for v in values:
+        if isinstance(v, bool):
+            return F.col(key).isin(values)
+        if isinstance(v, int):
+            lits.append(str(v))
+        elif isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                return F.col(key).isin(values)
+            lits.append(f"{v!r}D")
+        elif isinstance(v, str):
+            s = v.replace("\\", "\\\\").replace("'", "\\'")
+            lits.append(f"'{s}'")
+        else:
+            return F.col(key).isin(values)
+    if not lits:
+        return F.col(key).isin(values)
+    qk = "`" + key.replace("`", "``") + "`"
+    return F.expr(f"{qk} IN ({', '.join(lits)})")
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -2092,7 +2125,7 @@ def read_table(
     if point_lookup is not None:
         key, values = point_lookup
         values = list(values)
-        residual = F.col(key).isin(values)
+        residual = _in_predicate(key, values)
         if hash_idx and hash_idx["key"] == key:
             # Bucket pruning via partition-column filter: Spark prunes
             # the __nimble_bucket=N directories before listing files.
@@ -2130,7 +2163,7 @@ def read_table(
             # drops to the always-correct fallback paths instead of
             # silently missing rows.
             idx_path = os.path.join(path, MANIFEST_DIR, "index", "sorted", key)
-            idx = spark.read.parquet(idx_path).filter(F.col(key).isin(values))
+            idx = spark.read.parquet(idx_path).filter(_in_predicate(key, values))
             file_list = sorted(
                 {os.path.join(path, r[0]) for r in idx.select("file").distinct().collect()}
             )
