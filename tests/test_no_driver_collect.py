@@ -40,6 +40,7 @@ ALLOWED = [
     ("sources/table.py", "__h_{c}", "single-row fingerprint aggregate for duplicate-column detection (dedup_columns write option) — one row regardless of table size; the per-pair verify is a limit(1) count"),
     ("tools.py", "", "interactive DSL/dump utilities are driver-side by definition"),
     ("sources/table.py", 'pd.DataFrame({"rel": bad})', "verify_table_distributed result: one relative PATH per corrupt file (expected: zero) — hashing distributes, only mismatch names return"),
+    ("operators/lifecycle.py", 'agg(F.max("l_orderkey"))', "single-row max agg sizing the recluster fixture's scale-relative narrow append — one row regardless of table size, build-time only"),
 ]
 
 
