@@ -2041,9 +2041,16 @@ def q_wide_5k_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the Spark side (once, cached)."""
 
     def _build(tmp: str) -> None:
-        cols = [F.expr(_w5k_val(i)).alias(f"f{i:04d}") for i in range(_W5K_COLS)]
+        # One selectExpr call (5,000 F.expr columns cost ~15 s of py4j
+        # round-trips; one parsed string list costs ~1 s) and ONE input
+        # slice: the default-parallelism range wrote 1,000 rows as 32
+        # ~31-row files, i.e. 32 × 5,000-column footers to write,
+        # describe and stat-fold — the r11 profile measured the build
+        # at 45-91 s; single-file it lands in single-digit seconds.
         write_table(
-            spark.range(0, _W5K_ROWS).select(F.col("id"), *cols),
+            spark.range(0, _W5K_ROWS, 1, 1).selectExpr(
+                "id", *[f"{_w5k_val(i)} AS f{i:04d}" for i in range(_W5K_COLS)]
+            ),
             tmp,
             WriteOptions(),
         )
