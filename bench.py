@@ -165,11 +165,21 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     # Warm the Arrow/Python-worker bridge the same way (first
     # mapInPandas in a session pays ~2.5 s of worker + import setup
-    # that a long-running cluster pays once, not per query).
+    # that a long-running cluster pays once, not per query). One
+    # round-robin task per core: a single small task only spawned ONE
+    # worker, so the first 32-partition Python query still paid 31
+    # worker spawns + numpy/pandas imports in its cold row (r11:
+    # q_embedding_covariance cold 5-11 s vs 0.9 s warm; declared in
+    # OPTIMIZATION_r11.md, old numbers kept in the committed runs).
     def _noop(batches):
         yield from batches
 
-    spark.range(64).mapInPandas(_noop, schema="id long").count()
+    (
+        spark.range(256)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_noop, schema="id long")
+        .count()
+    )
 
     sentinel_start = _sentinel(spark)
     print(f"# sentinel(start): {sentinel_start}", file=sys.stderr)

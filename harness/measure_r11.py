@@ -60,7 +60,14 @@ def main() -> int:
     def _noop(batches):
         yield from batches
 
-    spark.range(64).mapInPandas(_noop, schema="id long").count()
+    # one task per core so the whole Python-worker pool is spawned
+    # and imported before any cold timing (same warmup as bench.py)
+    (
+        spark.range(256)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_noop, schema="id long")
+        .count()
+    )
 
     for name in args.names:
         entry = QUERIES.get(name)
