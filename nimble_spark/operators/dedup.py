@@ -30,6 +30,7 @@ from nimble_spark.functions.text_fns import (
     shingles_sql_spark,
 )
 from nimble_spark.functions.exact import rnd
+from nimble_spark.functions.partitioning import attach_small
 from nimble_spark.registry import register
 from nimble_spark.tables import load
 
@@ -331,11 +332,13 @@ def lsh_near_pairs(
     # per-doc hashed shingle sets the small one — broadcast the sets,
     # so the Jaccard verify runs map-side and no exchange ever
     # carries shingle arrays (guide §3.1: the two shuffle_hash
-    # attaches each cost a pair-set exchange with arrays in flight;
-    # past the broadcast cap, shard the verify by id-range).
+    # attaches each cost a pair-set exchange with arrays in flight).
+    # SIZE-AWARE: the set table is O(corpus), so past the configured
+    # broadcast cap attach_small degrades to the scale-safe
+    # shuffle-hash shape instead of OOMing the driver at 100 TB.
     cand = (
-        cand.join(F.broadcast(shingles.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a")
-        .join(F.broadcast(shingles.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b")
+        cand.join(attach_small(shingles.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a")
+        .join(attach_small(shingles.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
@@ -579,8 +582,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 2 == 1
 
-    # Exact layer: batch digests probe corpus digests.
-    dig = d.select("doc_id", F.md5("text").alias("h"))
+    # Exact layer: batch digests probe corpus digests. The digest
+    # table has THREE consumers (both probe sides + the final batch
+    # id list below) whose plans cannot share an exchange —
+    # materialize it once (id + 16-byte md5 per row; lazy
+    # localCheckpoint, see lsh_near_pairs note) so the documents scan
+    # + md5 pass runs once, not three times.
+    dig = d.select("doc_id", F.md5("text").alias("h")).localCheckpoint(eager=False)
     ex = (
         dig.filter(is_batch)
         .alias("b")
@@ -589,9 +597,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.col("c.doc_id")).alias("exact_id"))
     )
 
-    # Near layer: asymmetric banded MinHash join, hashed-shingle verify.
-    sig = q_minhash_signatures(spark, sf_dir)
-    shh = _shingled(spark, sf_dir).select(
+    # Near layer: asymmetric banded MinHash join, hashed-shingle
+    # verify. One shared shingle base feeds BOTH the signature
+    # pipeline and the verify sets (r11 ran the tokenize+shingle
+    # pass 4×: twice under the band-join sides, twice under the
+    # verify attaches — guide §1.2 don't compute things twice).
+    sh_t = _shingled(spark, sf_dir).select("doc_id", "sh").localCheckpoint(eager=False)
+    hashed = sh_t.select("doc_id", F.explode_outer("sh").alias("s")).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0|"), "s")).alias("m0"),
+        F.md5(F.concat(F.lit("1|"), "s")).alias("m1"),
+    )
+    mins = [
+        F.min(
+            F.expr(
+                f"CAST(conv(substr(m{j // 4}, {1 + 8 * (j % 4)}, 8), 16, 10) AS BIGINT)"
+            )
+        ).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    # Two band-join sides consume the signatures and neither filter
+    # survives exchange reuse — checkpoint the (doc_id, mh0..mh7)
+    # table so the explode+md5+groupBy pipeline executes once.
+    sig = hashed.groupBy("doc_id").agg(*mins).localCheckpoint(eager=False)
+    shh = sh_t.select(
         "doc_id",
         F.array_distinct(
             F.expr(f"transform(sh, s -> {hash60_sql_spark('s')})")
@@ -620,9 +649,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.doc_id").alias("bid"), F.col("c.doc_id").alias("cid"))
         .distinct()
     )
+    # Verify-attach, size-aware (see attach_small): each side only
+    # needs its own parity's sets, so the attach tables are halved
+    # before the broadcast/shuffle decision.
     ver = cand.join(
-        shh.select(F.col("doc_id").alias("bid"), F.col("shh").alias("sh_b")), "bid"
-    ).join(shh.select(F.col("doc_id").alias("cid"), F.col("shh").alias("sh_c")), "cid")
+        attach_small(
+            shh.filter(is_batch).select(F.col("doc_id").alias("bid"), F.col("shh").alias("sh_b"))
+        ),
+        "bid",
+    ).join(
+        attach_small(
+            shh.filter(~is_batch).select(F.col("doc_id").alias("cid"), F.col("shh").alias("sh_c"))
+        ),
+        "cid",
+    )
     inter = F.size(F.array_intersect("sh_b", "sh_c"))
     jac = inter.cast("double") / (F.size("sh_b") + F.size("sh_c") - inter)
     near = (
@@ -631,7 +671,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cid").alias("near_id"))
     )
 
-    batch = d.filter(is_batch).select("doc_id")
+    batch = dig.filter(is_batch).select("doc_id")
     out = (
         batch.join(ex, batch.doc_id == ex.bid, "left")
         .join(near, batch.doc_id == near.bid, "left")
@@ -746,12 +786,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verify-attach: the candidate-pair set is the bigger side; the
     # per-doc shingle-set table is the small side, so broadcast it —
     # the array_intersect verify then runs map-side with no pair-row
-    # exchange (guide §3.1; past the broadcast cap, shard the verify
-    # by id-range — the pair set is always the bigger side).
+    # exchange (guide §3.1). SIZE-AWARE via attach_small: past the
+    # configured broadcast cap the attach degrades to shuffle-hash
+    # (the pair set is always the bigger side, but the set table is
+    # O(corpus) and must never be an unconditional broadcast).
     sets = sh_t.select("doc_id", "sh")
     cand = cand.join(
-        F.broadcast(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a"
-    ).join(F.broadcast(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b")
+        attach_small(sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a"
+    ).join(attach_small(sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (

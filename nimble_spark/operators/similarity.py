@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from nimble_spark.functions.text_fns import hash32_sql_duck, hash32_sql_spark
 from nimble_spark.functions.exact import rnd
+from nimble_spark.functions.partitioning import attach_small
 from nimble_spark.registry import register
 from nimble_spark.tables import load
 
@@ -379,9 +380,10 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of being shuffled twice with 64-float arrays in flight (measured
     # r11: the two shuffle_hash attaches moved ~0.5 GB of arrays at
     # sf0.1 and dominated the query; broadcast-attach removes both
-    # pair exchanges). At corpus sizes past the broadcast cap, shard
-    # the verify by id-range and attach per shard — the banded
-    # candidate set is the quadratic side, never the corpus.
+    # pair exchanges). SIZE-AWARE via attach_small: past the
+    # configured broadcast cap the attach degrades to the scale-safe
+    # shuffle-hash shape — the vector table is O(corpus) and must
+    # never be an unconditional broadcast at 100 TB.
     #
     # The pair set leaves the band join partitioned by (j, bv) — at
     # most 16 distinct values, so the dot-product verify would run at
@@ -393,10 +395,10 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.repartition(npart)
     emb = sig.select("vec_id", "embedding", "nrm")
     cand = cand.join(
-        F.broadcast(emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"))),
+        attach_small(emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a"))),
         "id_a",
     ).join(
-        F.broadcast(emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"))),
+        attach_small(emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b"))),
         "id_b",
     )
     sim = F.expr(_DOT_SPARK.format(a="e_a", b="e_b")) / (F.col("n_a") * F.col("n_b"))

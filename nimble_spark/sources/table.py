@@ -1959,14 +1959,30 @@ def _in_predicate(key: str, values: list):
         if isinstance(v, bool):
             return F.col(key).isin(values)
         if isinstance(v, int):
-            lits.append(str(v))
+            # Beyond int64 Spark parses a bare literal as DECIMAL — a
+            # silent behavior change vs isin's py4j error. Unsafe
+            # spelling → per-literal path, per the contract.
+            if not (-(1 << 63) <= v < (1 << 63)):
+                return F.col(key).isin(values)
+            # int(v): int subclasses (numpy.int64 etc.) may repr with a
+            # type wrapper; plain-int str round-trips exactly.
+            lits.append(str(int(v)))
         elif isinstance(v, float):
             if v != v or v in (float("inf"), float("-inf")):
                 return F.col(key).isin(values)
-            lits.append(f"{v!r}D")
+            # float.__repr__ via float(v): numpy.float64 passes the
+            # isinstance check but under numpy>=2 reprs as
+            # "np.float64(1.5)" — unparseable SQL.
+            lits.append(f"{float(v)!r}D")
         elif isinstance(v, str):
-            s = v.replace("\\", "\\\\").replace("'", "\\'")
-            lits.append(f"'{s}'")
+            # Backslash/quote escapes parse correctly only under the
+            # default parser; with spark.sql.parser.escapedStringLiterals
+            # =true they are taken literally and rows are silently
+            # dropped. Such strings take the per-literal path instead —
+            # typical serving keys (ids, plain tokens) keep the fast one.
+            if "\\" in v or "'" in v:
+                return F.col(key).isin(values)
+            lits.append(f"'{v}'")
         else:
             return F.col(key).isin(values)
     if not lits:
