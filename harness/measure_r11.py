@@ -58,6 +58,10 @@ def main() -> int:
     spark.read.parquet(f"{args.sf}/lineitem.parquet").count()
 
     def _noop(batches):
+        import numpy as np
+        import pandas as pd  # noqa: F401 — first-touch the numeric stack (r12)
+
+        np.zeros((64, 64)).sum()
         yield from batches
 
     # one task per core so the whole Python-worker pool is spawned

@@ -113,21 +113,24 @@ def semantic_dedup(emb: DataFrame, cell_cap: int = _SEM_CELL_CAP) -> DataFrame:
     sim = F.expr(_DOT_SPARK.format(a="a.embedding", b="b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    pair_sims = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(F.col("b.vec_id").alias("vec_id"), F.col("b.label").alias("label"), sim.alias("s"))
-    # No-neighbor rows used to come back through a LEFT JOIN of e
-    # against the aggregated sims (a big-big sort-merge join at corpus
-    # scale: both sides are O(n)). Seeding every e row with the -1.0
-    # sentinel into the SAME aggregation instead makes one union +
-    # groupBy max replace the join outright (guide §2.4) — cosine is
-    # >= -1, so max(sims ∪ {-1}) == coalesce(max(sims), -1) and any
-    # sub--1 float dust is erased by the 1e-6 output rounding both
-    # engines apply.
-    seeded = pair_sims.unionByName(
-        e.select("vec_id", "label", F.lit(-1.0).alias("s"))
+    # No-neighbor rows come back through a LEFT JOIN of e against the
+    # aggregated sims. r11 replaced this with a sentinel-seeded
+    # union+groupBy (max(sims ∪ {-1}) ≡ coalesce(max(sims), -1)); the
+    # r12 interleaved in-bench warm A/B on a quiet host measured the
+    # union shape consistently SLOWER (median 0.71 s vs 0.41 s at
+    # sf0.1: the union doubles the aggregation input with n sentinel
+    # rows, costing more than the join it saved), so the join shape
+    # is restored — VERDICT r11 #5's revert criterion. At broadcastable
+    # `lower` sizes the join is a BHJ; past that it is the same
+    # big-big SMJ the r11 note worried about, which AQE handles.
+    lower = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.max(sim).alias("max_lower_sim"))
     )
-    out = seeded.groupBy("vec_id", "label").agg(F.max("s").alias("mls"))
+    out = e.join(lower, "vec_id", "left").withColumn(
+        "mls", F.coalesce("max_lower_sim", F.lit(-1.0))
+    )
     return out.select(
         "vec_id",
         "label",

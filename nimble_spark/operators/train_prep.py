@@ -283,7 +283,21 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see _cov_partials) make the distributed sums order-independent
     and bit-identical to the oracle."""
     e = load(spark, sf_dir, "embeddings")
-    parts = e.select("embedding").mapInPandas(
+    src = e.select("embedding")
+    # Scale-adaptive spread (guide §2.2/§2.5): a small corpus arrives
+    # as ONE scan partition (a single parquet file under
+    # maxPartitionBytes), which runs the whole numpy kernel on one
+    # core — the r11 driver measured this query anti-scaling (0.46
+    # ratio at 32 vs 8 cores). Widen ONLY when the scan is narrower
+    # than the session's parallelism: the exchange moves a few MB of
+    # vectors locally, and at 100 TB the scan already has >= cores
+    # partitions so this is a no-op (never a coalesce). Round-robin
+    # placement is safe: the partials are exact int64 sums, so the
+    # result is placement-independent.
+    npart = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < npart:
+        src = src.repartition(npart)
+    parts = src.mapInPandas(
         _cov_partials, schema="di long, dj long, n long, sxy long, sxi long, sxj long"
     )
     a = parts.groupBy("di", "dj").agg(
