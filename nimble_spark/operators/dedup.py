@@ -21,9 +21,7 @@ from pyspark.sql import functions as F
 
 from nimble_spark.functions.text_fns import (
     hash32_sql_duck,
-    hash32_sql_spark,
     hash32b_sql_duck,
-    hash32b_sql_spark,
     hash60_sql_duck,
     hash60_sql_spark,
     shingles_sql_duck,
@@ -189,7 +187,14 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN is order-independent — so the oracle is unchanged).
     explode_outer keeps <3-token docs as all-NULL signatures, exactly
     the array_min(empty)=NULL the oracle computes."""
-    sh = _shingled(spark, sf_dir).select("doc_id", F.explode_outer("sh").alias("s"))
+    return _sig_from_shingles(_shingled(spark, sf_dir).select("doc_id", "sh"))
+
+
+def _sig_from_shingles(sh_df: DataFrame) -> DataFrame:
+    """MinHash signatures from a (doc_id, sh) shingle frame — the body
+    of q_minhash_signatures, factored so pair pipelines can feed it a
+    SHARED (checkpointed) shingle base instead of re-tokenizing."""
+    sh = sh_df.select("doc_id", F.explode_outer("sh").alias("s"))
     hashed = sh.select(
         "doc_id",
         F.md5(F.concat(F.lit("0|"), "s")).alias("m0"),
@@ -352,10 +357,16 @@ def lsh_near_pairs(
 @register("q_minhash_lsh_pairs", oracle=_LSH_PAIRS_DUCK, category="dedup")
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over the documents corpus —
-    see lsh_near_pairs for the banding/cap/verify shape."""
-    sig = q_minhash_signatures(spark, sf_dir)
-    sh = _shingled(spark, sf_dir).select("doc_id", "sh")
-    return lsh_near_pairs(sig, sh)
+    see lsh_near_pairs for the banding/cap/verify shape.
+
+    The tokenize+shingle pass is materialized ONCE (lazy
+    localCheckpoint) and feeds BOTH the signature pipeline and the
+    verify-set table — r11 ran it twice, once per consumer (guide
+    §1.2 don't compute things twice)."""
+    base = (
+        _shingled(spark, sf_dir).select("doc_id", "sh").localCheckpoint(eager=False)
+    )
+    return lsh_near_pairs(_sig_from_shingles(base), base)
 
 
 # ---------------------------------------------------------------------------
@@ -603,23 +614,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass 4×: twice under the band-join sides, twice under the
     # verify attaches — guide §1.2 don't compute things twice).
     sh_t = _shingled(spark, sf_dir).select("doc_id", "sh").localCheckpoint(eager=False)
-    hashed = sh_t.select("doc_id", F.explode_outer("sh").alias("s")).select(
-        "doc_id",
-        F.md5(F.concat(F.lit("0|"), "s")).alias("m0"),
-        F.md5(F.concat(F.lit("1|"), "s")).alias("m1"),
-    )
-    mins = [
-        F.min(
-            F.expr(
-                f"CAST(conv(substr(m{j // 4}, {1 + 8 * (j % 4)}, 8), 16, 10) AS BIGINT)"
-            )
-        ).alias(f"mh{j}")
-        for j in range(N_MINHASH)
-    ]
     # Two band-join sides consume the signatures and neither filter
     # survives exchange reuse — checkpoint the (doc_id, mh0..mh7)
     # table so the explode+md5+groupBy pipeline executes once.
-    sig = hashed.groupBy("doc_id").agg(*mins).localCheckpoint(eager=False)
+    sig = _sig_from_shingles(sh_t).localCheckpoint(eager=False)
     shh = sh_t.select(
         "doc_id",
         F.array_distinct(
@@ -869,16 +867,23 @@ def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document length. Docs with no tokens survive via explode_outer
     # (null votes → all-zero signature, matching the oracle's
     # list_sum(empty)=NULL → 0-bit semantics).
+    # Tokens are exploded BEFORE hashing (r12): the r11 shape ran
+    # md5 inside two transform() lambdas — interpreted, and twice per
+    # token. Exploding first materializes ONE codegen'd md5 hex per
+    # token and derives both 32-bit hashes as substr/conv slices of
+    # it (identical values — hash32/hash32b are by definition hex
+    # chars 1-8 / 9-16 of the same md5). Measured 1.5 s → 1.05 s warm
+    # at sf0.1 for the signature subtree alone.
     d = load(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
-    th = d.select(
-        "doc_id",
-        F.expr(f"transform(toks, x -> {hash32_sql_spark('x')})").alias("h1"),
-        F.expr(f"transform(toks, x -> {hash32b_sql_spark('x')})").alias("h2"),
+    tok = (
+        d.select("doc_id", F.explode_outer("toks").alias("x"))
+        .select("doc_id", F.md5("x").alias("m"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substr(m, 1, 8), 16, 10) AS BIGINT)").alias("th1"),
+            F.expr("CAST(conv(substr(m, 9, 8), 16, 10) AS BIGINT)").alias("th2"),
+        )
     )
-    tok = th.select(
-        "doc_id",
-        F.explode_outer(F.arrays_zip("h1", "h2")).alias("t"),
-    ).select("doc_id", F.col("t.h1").alias("th1"), F.col("t.h2").alias("th2"))
     vote_cols = []
     for j in range(64):
         src = "th1" if j < 32 else "th2"
