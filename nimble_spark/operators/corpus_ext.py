@@ -362,18 +362,24 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").alias("gh"),
     )
     # "anchor occurs in >1 distinct document" ⟺ min(doc_id) ≠
-    # max(doc_id): the min/max pair partial-aggregates map-side in one
-    # pass, where count(DISTINCT doc_id) would expand into a two-phase
-    # distinct aggregate carrying (gh, doc_id) through the exchange.
-    # Result set is identical (doc_id is non-null); the oracle keeps
-    # the COUNT(DISTINCT) spelling and the hash gate proves equality.
-    shared = (
-        h.groupBy("gh")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+    # max(doc_id) over the anchor's hash partition. r11 spelled this
+    # as a groupBy(gh) + join back to h — which physically executed
+    # the tokenize/shingle/md5 pipeline TWICE (aggregate input + join
+    # probe side) and paid a join; a min/max WINDOW over the same gh
+    # key does it in ONE pass over ONE exchange, no join, pipeline
+    # evaluated once (guide §2.4 two operations keyed the same way
+    # share one exchange). Result set identical — doc_id is non-null,
+    # and the oracle keeps the COUNT(DISTINCT) spelling; hash-gated.
+    # Measured sf0.1: median 3.0 s → 1.6 s.
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy("gh")
+    dup = (
+        h.withColumn("d0", F.min("doc_id").over(wg))
+        .withColumn("d1", F.max("doc_id").over(wg))
         .filter(F.col("d0") != F.col("d1"))
-        .select("gh")
+        .select("doc_id", "n_toks", "pos")
     )
-    dup = h.join(shared, "gh").select("doc_id", "n_toks", "pos")
     # Run merging as ONE aggregation + a sorted-array fold instead of
     # a lag/running-sum window pair plus two follow-up groupBys: the
     # old plan paid an exchange + full sort for the window and two

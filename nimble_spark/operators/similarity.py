@@ -1066,101 +1066,102 @@ def q_ann_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stored = read_table(spark, path)
 
-    # exact per-dimension centroids from the stored index (value-exact
-    # roundtrip — same derivation as q_ivf_index_partition_probe)
-    flat = stored.select("label", F.posexplode("embedding").alias("dim0", "v0"))
-    cdim = flat.groupBy("label", "dim0").agg(
-        (F.sum(F.col("v0").cast("double").cast("decimal(27,6)")).cast("double")
-         / F.count(F.lit(1))).alias("cv")
+    # probed = top-N_PROBE cells per query against exact broadcast
+    # centroids; consumed twice below (distinct-label prune + the
+    # per-query fanout), so it is materialized once (lazy
+    # localCheckpoint, not persist — see q_ann_pq_topk's codebook
+    # note). Construction is SQL-text (guide §5 / VERDICT r11 #9):
+    # same expressions the DataFrame builder fed through F.expr, one
+    # parse instead of ~1,300 py4j round-trips; plan and results
+    # unchanged (posture tests + oracle hash gate).
+    probed = spark.sql(_IVF_ADC_PROBED_SQL, stored=stored).localCheckpoint(
+        eager=False
     )
-    centroids = cdim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim0", "cv"))), lambda s: s["cv"]
-        ).alias("cvec")
-    )
+    return spark.sql(_IVF_ADC_TOPK_SQL, stored=stored, probed=probed)
 
-    q = stored.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.expr(_norm_spark("embedding")).alias("qn"),
-    )
-    cell_sim = F.expr(_DOT_SPARK.format(a="qv", b="cvec")) / (
-        F.col("qn") * F.expr(_norm_spark("cvec"))
-    )
-    wc = W.partitionBy("qid").orderBy(rnd(cell_sim, 6).desc(), "label")
-    probed = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("cell_rk", F.row_number().over(wc))
-        .filter(F.col("cell_rk") <= N_PROBE)
-        .select("qid", "label")
-        # consumed twice below (distinct-label prune + per-query
-        # fanout); without materialization each broadcast re-executes
-        # the whole centroid+rank subtree (lazy localCheckpoint, not
-        # persist — see q_ann_pq_topk's codebook note)
-        .localCheckpoint(eager=False)
-    )
 
-    # quantized scan over ONLY the probed cells: the distinct-label
-    # join narrows the candidate set BEFORE the code fold runs, and
-    # the fold runs ONCE PER CANDIDATE — not once per (query,
-    # candidate) as the previous single-join shape did, which
-    # multiplied the quantization work by each cell's probe fanout
-    # (the dominant per-byte cost of the scan at corpus scale). The
-    # query fanout attaches AFTER encoding, on the already-encoded
-    # rows. dot(codes,codes) is query-independent, so it is folded
-    # here too (same expression, same per-row value — the adc_sim
-    # arithmetic below consumes it unchanged).
-    enc = (
-        stored.select(F.col("vec_id").alias("cid"), "label", "embedding")
-        .join(F.broadcast(probed.select("label").distinct()), "label")
-        .select(
-            "cid",
-            "label",
-            F.expr(
-                "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
-            ).alias("scale"),
-            "embedding",
-        )
-        .select("cid", "label", F.expr(_CODES_SPARK).alias("codes"))
-        .select(
-            "cid",
-            "label",
-            "codes",
-            F.expr(_DOT_SPARK.format(a="codes", b="codes")).alias("cn2"),
-        )
+# exact per-dimension centroids from the stored index (value-exact
+# roundtrip — same derivation as q_ivf_index_partition_probe), then
+# rank cells per query and keep the top N_PROBE.
+_IVF_ADC_PROBED_SQL = f"""
+    WITH centroids AS (
+      SELECT label,
+             transform(array_sort(collect_list(struct(dim0, cv))), s -> s.cv) AS cvec
+      FROM (SELECT label, dim0,
+                   CAST(SUM(CAST(CAST(v0 AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(1) AS cv
+            FROM (SELECT label, t.dim0, t.v0
+                  FROM {{stored}} LATERAL VIEW posexplode(embedding) t AS dim0, v0)
+            GROUP BY label, dim0)
+      GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv, {_norm_spark("embedding")} AS qn
+      FROM {{stored}} WHERE vec_id < {N_QUERIES}
     )
-    cand = enc.join(F.broadcast(probed), "label").select("qid", "cid", "codes", "cn2")
-    adc_sim = F.expr(_DOT_SPARK.format(a="qv", b="codes")) / (
-        F.col("qn") * F.sqrt(F.col("cn2"))
-    )
-    adc = (
-        cand.join(F.broadcast(q), "qid")
-        .filter(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", "qv", "qn", adc_sim.alias("adc_sim"))
-    )
-    w1 = W.partitionBy("qid").orderBy(rnd("adc_sim", 6).desc(), "cid")
-    short = adc.withColumn("ark", F.row_number().over(w1)).filter(
-        F.col("ark") <= _ADC_SHORTLIST
-    )
+    SELECT qid, label FROM (
+      SELECT /*+ BROADCAST(centroids) */ qid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {rnd_sql(_DOT_SPARK.format(a="qv", b="cvec") + " / (qn * " + _norm_spark("cvec") + ")", 6)} DESC, label) AS cell_rk
+      FROM q CROSS JOIN centroids
+    ) WHERE cell_rk <= {N_PROBE}
+"""
 
-    # exact refine: only |Q|·shortlist full-precision rows
-    cv = stored.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    sim = F.expr(_DOT_SPARK.format(a="qv", b="cv")) / (
-        F.col("qn") * F.expr(_norm_spark("cv"))
-    )
-    re = short.join(cv, "cid").select("qid", "cid", "adc_sim", sim.alias("sim"))
-    w2 = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
-    return (
-        re.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= TOP_K)
-        .select(
-            "qid",
-            "cid",
-            "rk",
-            rnd("sim", 4).alias("sim"),
-            rnd("adc_sim", 4).alias("adc_sim"),
+# quantized scan over ONLY the probed cells: the distinct-label join
+# narrows the candidate set BEFORE the code fold runs, and the fold
+# runs ONCE PER CANDIDATE — not once per (query, candidate); the query
+# fanout attaches AFTER encoding. dot(codes,codes) is
+# query-independent, so it is folded at encode time too.
+_IVF_ADC_TOPK_SQL = f"""
+    WITH enc AS (
+      SELECT cid, label, codes,
+             {_DOT_SPARK.format(a="codes", b="codes")} AS cn2
+      FROM (
+        SELECT cid, label, {_CODES_SPARK} AS codes FROM (
+          SELECT /*+ BROADCAST(pl) */ st.vec_id AS cid, st.label AS label,
+                 array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                 st.embedding AS embedding
+          FROM {{stored}} st
+          JOIN (SELECT DISTINCT label FROM {{probed}}) pl ON pl.label = st.label
         )
+      )
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv, {_norm_spark("embedding")} AS qn
+      FROM {{stored}} WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT /*+ BROADCAST(pr) */ pr.qid AS qid, enc.cid AS cid, codes, cn2
+      FROM enc JOIN {{probed}} pr ON pr.label = enc.label
+    ),
+    adc AS (
+      SELECT /*+ BROADCAST(q) */ cand.qid AS qid, cid, qv, qn,
+             {_DOT_SPARK.format(a="qv", b="codes")} / (qn * sqrt(cn2)) AS adc_sim
+      FROM cand JOIN q ON q.qid = cand.qid
+      WHERE cand.cid != q.qid
+    ),
+    short AS (
+      SELECT qid, cid, qv, qn, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {rnd_sql("adc_sim", 6)} DESC, cid) AS ark
+      FROM adc
+    ),
+    re AS (
+      SELECT short.qid AS qid, short.cid AS cid, short.adc_sim AS adc_sim,
+             {_DOT_SPARK.format(a="qv", b="cv")} / (qn * {_norm_spark("cv")}) AS sim
+      FROM short
+      JOIN (SELECT vec_id AS cid, embedding AS cv FROM {{stored}}) fv
+        ON fv.cid = short.cid
+      WHERE short.ark <= {_ADC_SHORTLIST}
     )
+    SELECT qid, cid, rk, {rnd_sql("sim", 4)} AS sim, {rnd_sql("adc_sim", 4)} AS adc_sim
+    FROM (
+      SELECT qid, cid, sim, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {rnd_sql("sim", 6)} DESC, cid) AS rk
+      FROM re
+    ) WHERE rk <= {TOP_K}
+"""
 
 
 # ---------------------------------------------------------------------------
