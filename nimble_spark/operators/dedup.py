@@ -294,6 +294,7 @@ def lsh_near_pairs(
     # localCheckpoint, not persist — registered caches tax every later
     # plan in the session) so the tokenize/shingle/hash pipeline runs
     # once per execution.
+    # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
     shingles = shingles.localCheckpoint(eager=False)
 
     # Explode one struct array instead of unioning 4 selects: the
@@ -364,6 +365,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-set table — r11 ran it twice, once per consumer (guide
     §1.2 don't compute things twice)."""
     base = (
+        # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
         _shingled(spark, sf_dir).select("doc_id", "sh").localCheckpoint(eager=False)
     )
     return lsh_near_pairs(_sig_from_shingles(base), base)
@@ -599,6 +601,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once (id + 16-byte md5 per row; lazy
     # localCheckpoint, see lsh_near_pairs note) so the documents scan
     # + md5 pass runs once, not three times.
+    # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
     dig = d.select("doc_id", F.md5("text").alias("h")).localCheckpoint(eager=False)
     ex = (
         dig.filter(is_batch)
@@ -613,10 +616,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline and the verify sets (r11 ran the tokenize+shingle
     # pass 4×: twice under the band-join sides, twice under the
     # verify attaches — guide §1.2 don't compute things twice).
+    # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
     sh_t = _shingled(spark, sf_dir).select("doc_id", "sh").localCheckpoint(eager=False)
     # Two band-join sides consume the signatures and neither filter
     # survives exchange reuse — checkpoint the (doc_id, mh0..mh7)
     # table so the explode+md5+groupBy pipeline executes once.
+    # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
     sig = _sig_from_shingles(sh_t).localCheckpoint(eager=False)
     shh = sh_t.select(
         "doc_id",
@@ -746,6 +751,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers (the posting explode + both verify attaches)
         # with mutually un-reusable plans: materialize once (lazy
         # localCheckpoint, not persist — see lsh_near_pairs note)
+        # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
         .localCheckpoint(eager=False)
     )
     # explode_outer, NOT explode: plain explode makes the optimizer

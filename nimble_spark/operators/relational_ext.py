@@ -513,6 +513,7 @@ def q_kmv_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
         )
         .distinct()
+        # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
         .localCheckpoint(eager=False)
     )
 

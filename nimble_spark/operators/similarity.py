@@ -1641,6 +1641,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trained inside this query. Construction is two parsed SQL texts
     # (see _PQ_CENT_SQL/_PQ_TOPK_SQL above) instead of ~2,200 py4j
     # round-trips.
+    # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
     cent = spark.sql(_PQ_CENT_SQL, emb=e).localCheckpoint(eager=False)
     return spark.sql(_PQ_TOPK_SQL, emb=e, cent=cent)
 
@@ -2009,6 +2010,7 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     py4j expression-builder round-trips (guide §5, VERDICT r11 #9).
     Plans and results are unchanged (hash-gated at both SFs)."""
     e = load(spark, sf_dir, "embeddings")
+    # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
     cent = spark.sql(_PQ_CENT_SQL, emb=e).localCheckpoint(eager=False)
     return spark.sql(_IVF_PQ_TOPK_SQL, emb=e, cent=cent)
 
