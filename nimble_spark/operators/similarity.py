@@ -1777,6 +1777,58 @@ def _pq_encode(sub: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+# Serving tail shared by the persisted-index probes (r12, SQL-text —
+# same rationale as _PQ_TOPK_SQL: one parse instead of hundreds of
+# py4j round-trips; identical expressions, identical plan): ADC via
+# the precomputed per-(qid, s, code) lookup table over the STORED
+# codes, then exact cosine refine of the shortlist.
+_PQ_PROBE_SQL = f"""
+    WITH qsub AS (
+      SELECT qid, qn, t.s, t.qvs
+      FROM (SELECT vec_id AS qid, embedding AS qv, {_norm_spark("embedding")} AS qn
+            FROM {{emb}} WHERE vec_id < {N_QUERIES})
+      LATERAL VIEW posexplode({_pq_sub_array("qv")}) t AS s, qvs
+    ),
+    lut AS (
+      SELECT /*+ BROADCAST(centt) */ qid, qn, qsub.s AS s, centt.code AS code,
+             {_DOT_SPARK.format(a="qvs", b="cv")} AS pdot,
+             {_DOT_SPARK.format(a="cv", b="cv")} AS cn2p
+      FROM qsub JOIN {{cent}} AS centt ON centt.s = qsub.s
+    ),
+    adc AS (
+      SELECT qid, cid, num / (qn * sqrt(cn2)) AS adc_sim FROM (
+        SELECT /*+ BROADCAST(lut) */ lut.qid AS qid, enc.vec_id AS cid,
+               SUM(pdot) AS num, SUM(cn2p) AS cn2, first(qn) AS qn
+        FROM {{enc}} AS enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
+        WHERE enc.vec_id != lut.qid
+        GROUP BY lut.qid, enc.vec_id
+      )
+    ),
+    short AS (
+      SELECT qid, cid, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {rnd_sql("adc_sim", 6)} DESC, cid) AS ark
+      FROM adc
+    ),
+    re AS (
+      SELECT short.qid AS qid, short.cid AS cid, short.adc_sim AS adc_sim,
+             {_DOT_SPARK.format(a="qv", b="cfull")} / (qn2 * {_norm_spark("cfull")}) AS sim
+      FROM short
+      JOIN (SELECT vec_id AS cid, embedding AS cfull FROM {{emb}}) cv ON cv.cid = short.cid
+      JOIN (SELECT vec_id AS qid, embedding AS qv, {_norm_spark("embedding")} AS qn2
+            FROM {{emb}} WHERE vec_id < {N_QUERIES}) qq ON qq.qid = short.qid
+      WHERE short.ark <= {_ADC_SHORTLIST}
+    )
+    SELECT qid, cid, rk, {rnd_sql("sim", 4)} AS sim, {rnd_sql("adc_sim", 4)} AS adc_sim
+    FROM (
+      SELECT qid, cid, sim, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {rnd_sql("sim", 6)} DESC, cid) AS rk
+      FROM re
+    ) WHERE rk <= {TOP_K}
+"""
+
+
 @register("q_ann_pq_index_probe", oracle=_PQ_INDEX_DUCK, category="similarity")
 def q_ann_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ serving over a PERSISTED codes index (r11; retires the
@@ -1828,76 +1880,14 @@ def q_ann_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = read_table(spark, f"{path}/codebook")
     enc = read_table(spark, f"{path}/codes")
     e = load(spark, sf_dir, "embeddings")
-    d0, m = _PQ_D0, _PQ_M
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.expr(_norm_spark("embedding")).alias("qn"),
-    )
-    qsub = q.select(
-        "qid",
-        "qn",
-        F.posexplode(
-            F.array(*[F.slice("qv", s * d0 + 1, d0) for s in range(m)])
-        ).alias("s", "qvs"),
-    )
     # ADC via the precomputed lookup table (guide §8: decide with
-    # small rows) — the q_ann_pq_topk treatment applied to the
-    # persisted probe: dot(qvs, cv) and dot(cv, cv) take only
-    # |Q|*M*K distinct values, so compute them ONCE on the K*M x |Q|
-    # join (320 rows) and give every stored-code row two scalar
-    # lookups instead of two 16-dim folds. Identical addends in the
-    # identical enc-row order — the oracle hash is unchanged.
-    lut = (
-        qsub.join(F.broadcast(cent), "s")
-        .select(
-            "qid",
-            "qn",
-            "s",
-            "code",
-            F.expr(_DOT_SPARK.format(a="qvs", b="cv")).alias("pdot"),
-            F.expr(_DOT_SPARK.format(a="cv", b="cv")).alias("cn2p"),
-        )
-    )
-    adc = (
-        enc.join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", F.col("vec_id").alias("cid"))
-        .agg(
-            F.sum("pdot").alias("num"),
-            F.sum("cn2p").alias("cn2"),
-            F.first("qn").alias("qn"),
-        )
-        .select(
-            "qid", "cid",
-            (F.col("num") / (F.col("qn") * F.sqrt("cn2"))).alias("adc_sim"),
-        )
-    )
-    w1 = W.partitionBy("qid").orderBy(rnd("adc_sim", 6).desc(), "cid")
-    short = adc.withColumn("ark", F.row_number().over(w1)).filter(
-        F.col("ark") <= _ADC_SHORTLIST
-    )
-    cv_full = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cfull"))
-    sim = F.expr(_DOT_SPARK.format(a="qv", b="cfull")) / (
-        F.col("qn2") * F.expr(_norm_spark("cfull"))
-    )
-    re = (
-        short.join(cv_full, "cid")
-        .join(q.select("qid", "qv", F.col("qn").alias("qn2")), "qid")
-        .select("qid", "cid", "adc_sim", sim.alias("sim"))
-    )
-    w2 = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
-    return (
-        re.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= TOP_K)
-        .select(
-            "qid",
-            "cid",
-            "rk",
-            rnd("sim", 4).alias("sim"),
-            rnd("adc_sim", 4).alias("adc_sim"),
-        )
-    )
+    # small rows): dot(qvs, cv) and dot(cv, cv) take only |Q|*M*K
+    # distinct values, computed ONCE on the K*M x |Q| join (320 rows);
+    # every stored-code row pays two scalar lookups instead of two
+    # 16-dim folds. Identical addends in the identical enc-row order —
+    # the oracle hash is unchanged. Rendered as one parsed SQL text
+    # (_PQ_PROBE_SQL, shared with the IVF+PQ probe's tail).
+    return spark.sql(_PQ_PROBE_SQL, emb=e, cent=cent, enc=enc)
 
 
 _IVF_PQ_DUCK = f"""
@@ -2271,81 +2261,71 @@ def q_ann_ivf_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = read_table(spark, f"{path}/codebook")
     codes = read_table(spark, f"{path}/codes")
     e = load(spark, sf_dir, "embeddings")
-    d0, m = _PQ_D0, _PQ_M
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.expr(_norm_spark("embedding")).alias("qn"),
+    # One parsed SQL text (same rationale and tail as _PQ_PROBE_SQL;
+    # the DPP hook on the cell-partitioned codes scan is planted by
+    # the broadcast join on the partition column exactly as before —
+    # posture test asserts it). ADC lookup table as in
+    # q_ann_ivf_pq_topk: identical addends, identical order.
+    return spark.sql(
+        _IVF_PQ_PROBE_SQL, emb=e, centroids=centroids, cent=cent, codes=codes
     )
-    cell_sim = F.expr(_DOT_SPARK.format(a="qv", b="cvec")) / (
-        F.col("qn") * F.expr(_norm_spark("cvec"))
+
+
+_IVF_PQ_PROBE_SQL = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, {_norm_spark("embedding")} AS qn
+      FROM {{emb}} WHERE vec_id < {N_QUERIES}
+    ),
+    probed AS (
+      SELECT qid, cell FROM (
+        SELECT /*+ BROADCAST(ct) */ qid, ct.label AS cell,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY {rnd_sql(_DOT_SPARK.format(a="qv", b="cvec") + " / (qn * " + _norm_spark("cvec") + ")", 6)} DESC, ct.label) AS cell_rk
+        FROM q CROSS JOIN {{centroids}} AS ct
+      ) WHERE cell_rk <= {N_PROBE}
+    ),
+    qsub AS (
+      SELECT qid, qn, t.s, t.qvs
+      FROM q LATERAL VIEW posexplode({_pq_sub_array("qv")}) t AS s, qvs
+    ),
+    lut AS (
+      SELECT /*+ BROADCAST(centt) */ qid, qn, qsub.s AS s, centt.code AS code,
+             {_DOT_SPARK.format(a="qvs", b="cv")} AS pdot,
+             {_DOT_SPARK.format(a="cv", b="cv")} AS cn2p
+      FROM qsub JOIN {{cent}} AS centt ON centt.s = qsub.s
+    ),
+    adc AS (
+      SELECT qid, cid, num / (qn * sqrt(cn2)) AS adc_sim FROM (
+        SELECT /*+ BROADCAST(probed, lut) */ lut.qid AS qid, codes.vec_id AS cid,
+               SUM(pdot) AS num, SUM(cn2p) AS cn2, first(lut.qn) AS qn
+        FROM {{codes}} AS codes
+        JOIN probed ON probed.cell = codes.cell
+        JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+               AND lut.qid = probed.qid
+        WHERE codes.vec_id != probed.qid
+        GROUP BY lut.qid, codes.vec_id
+      )
+    ),
+    short AS (
+      SELECT qid, cid, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {rnd_sql("adc_sim", 6)} DESC, cid) AS ark
+      FROM adc
+    ),
+    re AS (
+      SELECT short.qid AS qid, short.cid AS cid, short.adc_sim AS adc_sim,
+             {_DOT_SPARK.format(a="qv", b="cfull")} / (qn2 * {_norm_spark("cfull")}) AS sim
+      FROM short
+      JOIN (SELECT vec_id AS cid, embedding AS cfull FROM {{emb}}) cv ON cv.cid = short.cid
+      JOIN (SELECT vec_id AS qid, embedding AS qv, {_norm_spark("embedding")} AS qn2
+            FROM {{emb}} WHERE vec_id < {N_QUERIES}) qq ON qq.qid = short.qid
+      WHERE short.ark <= {_ADC_SHORTLIST}
     )
-    wc = W.partitionBy("qid").orderBy(rnd(cell_sim, 6).desc(), "label")
-    probed = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("cell_rk", F.row_number().over(wc))
-        .filter(F.col("cell_rk") <= N_PROBE)
-        .select("qid", F.col("label").alias("cell"))
-    )
-    qsub = q.select(
-        "qid",
-        "qn",
-        F.posexplode(
-            F.array(*[F.slice("qv", s * d0 + 1, d0) for s in range(m)])
-        ).alias("s", "qvs"),
-    )
-    # ADC lookup table as in q_ann_ivf_pq_topk (guide §8): per-
-    # (qid, s, code) partial dot products computed once on K*M x |Q|
-    # rows; every cell-surviving code row does two scalar lookups
-    # instead of two 16-dim folds. Identical addends, identical order.
-    lut = (
-        qsub.join(F.broadcast(cent), "s")
-        .select(
-            "qid",
-            "qn",
-            "s",
-            "code",
-            F.expr(_DOT_SPARK.format(a="qvs", b="cv")).alias("pdot"),
-            F.expr(_DOT_SPARK.format(a="cv", b="cv")).alias("cn2p"),
-        )
-    )
-    adc = (
-        codes.join(F.broadcast(probed), "cell")
-        .join(F.broadcast(lut), ["s", "code", "qid"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", F.col("vec_id").alias("cid"))
-        .agg(
-            F.sum("pdot").alias("num"),
-            F.sum("cn2p").alias("cn2"),
-            F.first("qn").alias("qn"),
-        )
-        .select(
-            "qid", "cid",
-            (F.col("num") / (F.col("qn") * F.sqrt("cn2"))).alias("adc_sim"),
-        )
-    )
-    w1 = W.partitionBy("qid").orderBy(rnd("adc_sim", 6).desc(), "cid")
-    short = adc.withColumn("ark", F.row_number().over(w1)).filter(
-        F.col("ark") <= _ADC_SHORTLIST
-    )
-    cv_full = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cfull"))
-    sim = F.expr(_DOT_SPARK.format(a="qv", b="cfull")) / (
-        F.col("qn2") * F.expr(_norm_spark("cfull"))
-    )
-    re = (
-        short.join(cv_full, "cid")
-        .join(q.select("qid", "qv", F.col("qn").alias("qn2")), "qid")
-        .select("qid", "cid", "adc_sim", sim.alias("sim"))
-    )
-    w2 = W.partitionBy("qid").orderBy(rnd("sim", 6).desc(), "cid")
-    return (
-        re.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= TOP_K)
-        .select(
-            "qid",
-            "cid",
-            "rk",
-            rnd("sim", 4).alias("sim"),
-            rnd("adc_sim", 4).alias("adc_sim"),
-        )
-    )
+    SELECT qid, cid, rk, {rnd_sql("sim", 4)} AS sim, {rnd_sql("adc_sim", 4)} AS adc_sim
+    FROM (
+      SELECT qid, cid, sim, adc_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {rnd_sql("sim", 6)} DESC, cid) AS rk
+      FROM re
+    ) WHERE rk <= {TOP_K}
+"""
