@@ -26,6 +26,11 @@ from hypothesis import strategies as st
 
 from nimble_spark.sources.table import WriteOptions, write_table
 
+# Long-running fuzz/soak/drill tier: excluded from the driver-window
+# default run (pytest.ini addopts); the FULL suite (-m "") remains the
+# builder's round-exit gate.
+pytestmark = pytest.mark.slow
+
 # boundary-heavy fixed corpus: duplicates, nulls, empty + unicode
 # strings, negatives, exact file-boundary values (cluster_by k → the
 # 4 files split on k ranges, so eq/range filters straddle boundaries)

@@ -63,6 +63,11 @@ from nimble_spark.sources.table import (
     write_table,
 )
 
+# Long-running fuzz/soak/drill tier: excluded from the driver-window
+# default run (pytest.ini addopts); the FULL suite (-m "") remains the
+# builder's round-exit gate.
+pytestmark = pytest.mark.slow
+
 MUTATIONS = frozenset(
     {"write_atomic", "move", "delete", "delete_tree", "makedirs",
      "write_if_version"}

@@ -33,6 +33,11 @@ from nimble_spark.sources.table import (
     write_table,
 )
 
+# Long-running fuzz/soak/drill tier: excluded from the driver-window
+# default run (pytest.ini addopts); the FULL suite (-m "") remains the
+# builder's round-exit gate.
+pytestmark = pytest.mark.slow
+
 
 def _df(spark, rows):
     return spark.createDataFrame([(k, v) for k, v in rows], "k LONG, v LONG")

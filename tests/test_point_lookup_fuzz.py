@@ -34,6 +34,11 @@ from nimble_spark.sources.table import (
     write_table,
 )
 
+# Long-running fuzz/soak/drill tier: excluded from the driver-window
+# default run (pytest.ini addopts); the FULL suite (-m "") remains the
+# builder's round-exit gate.
+pytestmark = pytest.mark.slow
+
 # duplicates, negatives, and exact cluster-file boundary keys
 _KEYS = [-5, -1, 0, 1, 3, 3, 7, 12, 19, 20, 20, 42]
 _SCHEMA = "k LONG, payload STRING"
