@@ -263,7 +263,10 @@ _LSH_PAIRS_DUCK = f"""
 
 
 def lsh_near_pairs(
-    sig: DataFrame, shingles: DataFrame, bucket_cap: int = _LSH_BUCKET_CAP
+    sig: DataFrame,
+    shingles: DataFrame,
+    bucket_cap: int = _LSH_BUCKET_CAP,
+    shingles_materialized: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs from a signature table
     (doc_id, mh0..mh7) and a shingle table (doc_id, sh): 4 bands × 2
@@ -293,9 +296,14 @@ def lsh_near_pairs(
     # deduplicate them): materialize the per-doc hashed sets (lazy
     # localCheckpoint, not persist — registered caches tax every later
     # plan in the session) so the tokenize/shingle/hash pipeline runs
-    # once per execution.
+    # once per execution. Skipped when the CALLER already materialized
+    # the shingle base (each consumer then re-runs only the cheap
+    # hash60 transform over the checkpointed arrays — a second
+    # checkpoint here was A/B-measured a net loss: every lazy
+    # localCheckpoint costs ~1 s of JVM planning at construction).
     # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
-    shingles = shingles.localCheckpoint(eager=False)
+    if not shingles_materialized:
+        shingles = shingles.localCheckpoint(eager=False)
 
     # Explode one struct array instead of unioning 4 selects: the
     # minhash pipeline is evaluated once, not once per band.
@@ -363,12 +371,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tokenize+shingle pass is materialized ONCE (lazy
     localCheckpoint) and feeds BOTH the signature pipeline and the
     verify-set table — r11 ran it twice, once per consumer (guide
-    §1.2 don't compute things twice)."""
+    §1.2 don't compute things twice). shingles_materialized=True
+    skips the inner hashed-set checkpoint (A/B: the second
+    checkpoint's construction-time planning cost more than the saved
+    hash60 re-run)."""
     base = (
         # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
         _shingled(spark, sf_dir).select("doc_id", "sh").localCheckpoint(eager=False)
     )
-    return lsh_near_pairs(_sig_from_shingles(base), base)
+    return lsh_near_pairs(
+        _sig_from_shingles(base), base, shingles_materialized=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -595,14 +608,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 2 == 1
 
-    # Exact layer: batch digests probe corpus digests. The digest
-    # table has THREE consumers (both probe sides + the final batch
-    # id list below) whose plans cannot share an exchange —
-    # materialize it once (id + 16-byte md5 per row; lazy
-    # localCheckpoint, see lsh_near_pairs note) so the documents scan
-    # + md5 pass runs once, not three times.
-    # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
-    dig = d.select("doc_id", F.md5("text").alias("h")).localCheckpoint(eager=False)
+    # Exact layer: batch digests probe corpus digests. NOT
+    # checkpointed (unlike sh_t below): the r12 checkpoint A/B showed
+    # each lazy localCheckpoint costs ~1 s of JVM physical planning at
+    # CONSTRUCTION time, and the digest pipeline it would save is one
+    # scan + md5 — recomputing it per consumer is cheaper than the
+    # planning tax (A/B in OPTIMIZATION_r12.md).
+    dig = d.select("doc_id", F.md5("text").alias("h"))
     ex = (
         dig.filter(is_batch)
         .alias("b")
@@ -615,14 +627,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify. One shared shingle base feeds BOTH the signature
     # pipeline and the verify sets (r11 ran the tokenize+shingle
     # pass 4×: twice under the band-join sides, twice under the
-    # verify attaches — guide §1.2 don't compute things twice).
+    # verify attaches — guide §1.2 don't compute things twice). This
+    # is the ONE checkpoint this query keeps: the tokenize+shingle
+    # subtree is the expensive shared producer; checkpointing the
+    # derived signature table as well was A/B-measured a net loss
+    # (construction-time planning > the saved re-execution).
     # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
     sh_t = _shingled(spark, sf_dir).select("doc_id", "sh").localCheckpoint(eager=False)
-    # Two band-join sides consume the signatures and neither filter
-    # survives exchange reuse — checkpoint the (doc_id, mh0..mh7)
-    # table so the explode+md5+groupBy pipeline executes once.
-    # failure semantics: SCALE.md § 'localCheckpoint failure semantics'
-    sig = _sig_from_shingles(sh_t).localCheckpoint(eager=False)
+    sig = _sig_from_shingles(sh_t)
     shh = sh_t.select(
         "doc_id",
         F.array_distinct(
@@ -674,7 +686,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cid").alias("near_id"))
     )
 
-    batch = dig.filter(is_batch).select("doc_id")
+    batch = d.filter(is_batch).select("doc_id")
     out = (
         batch.join(ex, batch.doc_id == ex.bid, "left")
         .join(near, batch.doc_id == near.bid, "left")
